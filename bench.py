@@ -1,0 +1,67 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall time of all bench-tagged queries (one warm-up of
+the session/JVM via a trivial action first, then each query timed once,
+result consumed with a count-style collect so the full plan executes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+from crawl_streams_spark.plans import REGISTRY  # noqa: E402
+from crawl_streams_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(
+        "crawl-streams-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    # JVM/session warm-up (excluded from timings).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        # Execute the FULL plan and materialize results driver-side the way
+        # the driver's harness would (collect, not count — count() lets
+        # Spark prune the plan).
+        rows = df.collect()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        _ = len(rows)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

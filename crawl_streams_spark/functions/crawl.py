@@ -1,0 +1,157 @@
+"""Scalar functions over crawl-log records — SURVEY.md §2.4 (F-1..F-16).
+
+Each function documents the reference behavior it reproduces
+(/root/reference/crawlstreams/<file>:<line>) and returns a Column built from
+Spark built-ins so Catalyst can push, prune and codegen around it.
+
+Intended-semantics notes (SURVEY.md §5.2): where the reference has a latent
+bug (e.g. ``str(None) -> "None"`` bypassing the "-" fallback,
+analysis.py:129-133) we implement the intent and say so.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def host_of(url: Column | str) -> Column:
+    """F-1/F-2 — authority of a URL, with the reference's ``dns:`` special
+    case (streamer.py:93-102: ``dns:example.org`` → ``example.org``).
+
+    Uses parse_url(HOST) (hostname, no port) — the grouping-key semantics the
+    reference needs; analysis.py:143-147 keeps the port but never groups on
+    it distinctly in practice.
+    """
+    url = _c(url)
+    return (
+        F.when(url.isNull(), F.lit(None).cast("string"))
+        .when(url.startswith("dns:"), F.substring(url, 5, 2_000_000))
+        .otherwise(F.parse_url(url, F.lit("HOST")))
+    )
+
+
+def hour_bucket(ts: Column | str) -> Column:
+    """F-3 — truncate event time to the hour (streamer.py:104-110 does it by
+    string slicing ``timestamp[:13] + ":00:00"``; we do it as a real
+    timestamp op so it stays sortable/pushable)."""
+    return F.date_trunc("hour", _c(ts))
+
+
+def wayback_timestamp(ts_string: Column | str) -> Column:
+    """F-4 — keep only digits of the ISO timestamp string → 17-digit wayback
+    form (streamer.py:47)."""
+    return F.regexp_replace(_c(ts_string), "[^0-9]", "")
+
+
+def hop_last(hop_path: Column | str) -> Column:
+    """F-5 — final hop type = last character of hop_path (streamer.py:75);
+    empty → '_' per streamer.py:52-53."""
+    hop = _c(hop_path)
+    last = F.substring(hop, -1, 1)
+    return F.when(hop.isNull() | (hop == ""), F.lit("_")).otherwise(last)
+
+
+def split_start_time_plus_duration(col: Column | str) -> tuple[Column, Column]:
+    """F-6 — split ``yyyyMMddHHmmssSSS+millis`` on '+' into (start_time
+    timestamp, duration ms) (report.py:203-209). Rows without '+' yield
+    (null, null) — the reference drops the field in that case."""
+    c = _c(col)
+    has = c.contains("+")
+    parts = F.split(c, r"\+")
+    start = F.when(
+        has, F.to_timestamp(parts.getItem(0), "yyyyMMddHHmmssSSS")
+    ).otherwise(F.lit(None).cast("timestamp"))
+    dur = F.when(has, parts.getItem(1).cast("long")).otherwise(
+        F.lit(None).cast("long")
+    )
+    return start, dur
+
+
+def annotations_array(annotations: Column | str) -> Column:
+    """F-7 (part) — comma-packed annotations string → array, empties dropped
+    (streamer.py:60-62)."""
+    arr = F.split(F.coalesce(_c(annotations), F.lit("")), ",")
+    return F.filter(arr, lambda a: a != "")
+
+
+def annotation_ip(annots: Column) -> Column:
+    """F-7 — extract ``ip:<addr>`` annotation value (report.py:188-189)."""
+    hits = F.filter(annots, lambda a: a.startswith("ip:"))
+    return F.when(F.size(hits) > 0, F.substring(F.element_at(hits, 1), 4, 2_000_000))
+
+
+def annotation_launch_ts(annots: Column) -> Column:
+    """F-7 — ``launchTimestamp:<digits>`` → parsed timestamp
+    (report.py:190-193 parses %Y%m%d%H%M%S%f on the first 16 digits)."""
+    hits = F.filter(annots, lambda a: a.startswith("launchTimestamp:"))
+    raw = F.when(F.size(hits) > 0, F.substring(F.element_at(hits, 1), 17, 2_000_000))
+    return F.to_timestamp(F.substring(raw, 1, 16), "yyyyMMddHHmmssSS")
+
+
+def annotation_rest(annots: Column) -> Column:
+    """F-7 — annotations that are not ip:/launchTimestamp:/dol: classes,
+    spaces→underscores, re-joined with spaces (report.py:196-201)."""
+    rest = F.filter(
+        annots,
+        lambda a: ~(
+            a.startswith("ip:")
+            | a.startswith("launchTimestamp:")
+            | a.startswith("dol:")
+        ),
+    )
+    return F.array_join(F.transform(rest, lambda a: F.replace(a, F.lit(" "), F.lit("_"))), " ")
+
+
+def doc_id(log_timestamp: Column | str, url: Column | str) -> Column:
+    """F-8 — Solr document id ``crawl-log:<ts>/<url>`` (report.py:177)."""
+    return F.concat(F.lit("crawl-log:"), _c(log_timestamp), F.lit("/"), _c(url))
+
+
+def crawler_name(thread: Column | str) -> Column:
+    """F-10 — 'Heritrix' when the record carries a thread id, else
+    'WebRender' (report.py:214-219; discriminator per report.py:48-49)."""
+    return F.when(_c(thread).isNotNull(), F.lit("Heritrix")).otherwise(
+        F.lit("WebRender")
+    )
+
+
+def mimetype_unified(mimetype: Column | str, content_type: Column | str) -> Column:
+    """F-11 — mimetype fallback chain: Heritrix ``mimetype`` else WebRender
+    ``content_type`` else 'unknown-content-type' (analysis.py:121-126)."""
+    return F.coalesce(
+        _c(mimetype), _c(content_type), F.lit("unknown-content-type")
+    )
+
+
+def status_str(status_code: Column | str) -> Column:
+    """F-12 — status code as string with '-' for missing. The reference's
+    ``str(status)`` turns None into "None" (analysis.py:129-133 latent bug);
+    we implement the intended '-' fallback."""
+    return F.coalesce(_c(status_code).cast("string"), F.lit("-"))
+
+
+def launch_ts_format(ts: Column | str) -> Column:
+    """F-13 — UTC ``yyyyMMddHHmmss`` launch timestamp (enqueue.py:61-70)."""
+    return F.date_format(_c(ts), "yyyyMMddHHmmss")
+
+
+def source_tag(tid: Column | str, first_seed: Column | str) -> Column:
+    """F-15 — ``tid:<id>:<first seed>`` source tag (launcher.py:64). Built
+    with concat (not concat_ws) because seed URLs contain ':'."""
+    return F.concat(F.lit("tid:"), _c(tid).cast("string"), F.lit(":"), _c(first_seed))
+
+
+def schedule_ts(date_string: Column | str) -> Column:
+    """F-16 — parse schedule dates ``yyyy-MM-dd HH:mm:ss`` (launcher.py:70,80)."""
+    return F.to_timestamp(_c(date_string), "yyyy-MM-dd HH:mm:ss")
+
+
+def normalize_uri(uri: Column | str) -> Column:
+    """P-18 — prepend ``http://`` when no http(s) scheme (submit.py:43-44)."""
+    u = _c(uri)
+    return F.when(u.rlike("^https?://"), u).otherwise(F.concat(F.lit("http://"), u))

@@ -1,0 +1,219 @@
+"""Hashing kernels: cross-engine-stable 64-bit hashes, MinHash/SimHash
+building blocks, and the murmur3-seed-0 Kafka partition key.
+
+Why md5 for the dedup/minhash path: Spark's ``hash()``/``xxhash64()`` have no
+DuckDB equivalent, so oracle-checked queries hash with ``md5`` (identical in
+every engine) and fold the first 15 hex digits into a 60-bit int — stable,
+uniform, and entirely JVM-side in Spark (no UDF).
+
+The single custom kernel in the whole engine is ``mmh3_key``: the reference
+partitions Kafka launch messages by ``hexlify(pack('<I',
+mmh3.hash(netloc, signed=False)))`` (reference enqueue.py:127) — murmur3_32
+**seed 0** over the URL authority. Spark's built-in ``hash()`` is murmur3
+seed **42** with different byte handling, so parity requires a real
+murmur3-32(seed 0). Implemented as an Arrow-batched pandas UDF (vectorized,
+no per-row Python) with a pure-NumPy murmur3 so we don't depend on the
+``mmh3`` C package being installed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+from pyspark.sql.types import StringType
+
+
+def md5_hex(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+def md5_long(col: Column | str, seed: int = 0) -> Column:
+    """Cross-engine-stable 60-bit hash: first 15 hex digits of
+    md5(seed || ':' || value) parsed base-16.
+
+    DuckDB equivalent (used in oracle SQL):
+        CAST(('0x' || substr(md5(seed || ':' || v), 1, 15)) AS BIGINT)
+    Spark side uses conv(hex, 16, 10) → bigint.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tagged = F.concat(F.lit(f"{seed}:"), c.cast("string"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_ab(num_hashes: int) -> "list[tuple[int, int]]":
+    """Deterministic universal-hash coefficients (a_k, b_k), identical
+    constants inlined into the DuckDB oracle SQL. a_k < 2^20 keeps
+    a_k * h31 + b_k < 2^52 — no 64-bit overflow on either engine (and no
+    ANSI-mode overflow error in Spark 4)."""
+    return [
+        ((1000003 * (k + 1)) % 1048573 | 1, (999983 * (k + 1)) % 1048573)
+        for k in range(num_hashes)
+    ]
+
+
+def shingle_hashes31(shingles: Column) -> Column:
+    """Per-shingle 31-bit base hash: md5 → 60-bit int → mask to 31 bits.
+    Alias this to a real column before building signatures — expression
+    trees that reference it many times (16 minima) must reference a named
+    column, or Catalyst inlines one md5-subtree per use."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("bigint")
+        .bitwiseAND(F.lit(2147483647)),
+    )
+
+
+def minhash_from_hashes(base31: Column, num_hashes: int) -> Column:
+    """MinHash signature from precomputed 31-bit shingle hashes:
+    ``num_hashes`` linear mixes h_k = a_k*h31 + b_k, min over the shingle
+    set (Broder's min-wise universal-hash construction). Cheap arithmetic
+    over an already-materialized array — one md5 per shingle total.
+
+    At 100 TB this is a narrow map: no shuffle until the LSH band explode.
+    """
+
+    def mix(a: int, b: int):
+        # closure factory: PySpark infers the HOF lambda arity from the
+        # Python signature, so default-arg tricks are off the table.
+        return lambda h: h * F.lit(a) + F.lit(b)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(base31, mix(a, b)))
+            for a, b in minhash_ab(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Convenience inline form of shingle_hashes31 → minhash_from_hashes.
+    Prefer the staged two-column form in real pipelines (see
+    plans/q_dedup.py) — inlined, each of the ``num_hashes`` minima carries
+    its own copy of the md5 subtree and HOFs get no codegen CSE."""
+    return minhash_from_hashes(shingle_hashes31(shingles), num_hashes)
+
+
+def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: md5 over each band's slice of the signature. Explode
+    the result and groupBy/join on (band_index, band_hash) to find candidate
+    pairs — the classic banding construction (MMDS ch.3)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, F.lit(rows_per_band)),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """60-bit SimHash over a token array: bit b of the fingerprint is set
+    when the majority of token hashes have bit b set (strictly more ones
+    than zeros; ties → 0). Formulated as per-bit majority counts so the
+    identical computation is expressible in the DuckDB oracle.
+
+    (Bits 60..63 are always 0 — a 60-bit fingerprint packed in a 64-bit
+    long; Hamming comparisons stay valid.)
+    """
+    token_hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+    )
+    n_tok = F.size(token_hashes)
+
+    def bit_contrib(acc, b):
+        # 2^b as an exact bigint mask (exact in double up to 2^59).
+        mask = F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+        ones = F.size(
+            F.filter(token_hashes, lambda h: h.bitwiseAND(mask) != 0)
+        )
+        return acc + F.when(ones * 2 > n_tok, mask).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(59)),
+        F.lit(0).cast("bigint"),
+        bit_contrib,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# murmur3-32 seed-0 partition key (the one pandas UDF)
+# ---------------------------------------------------------------------------
+
+def _mmh3_32_numpy(data: "list[bytes]") -> "list[int]":
+    """Pure-Python/NumPy murmur3_32 (seed 0, unsigned) — public algorithm
+    (Appleby's MurmurHash3, public domain). Matches ``mmh3.hash(x,
+    signed=False)`` for UTF-8 inputs; property-tested in
+    tests/test_hashing.py."""
+    out = []
+    for key in data:
+        length = len(key)
+        n_blocks = length // 4
+        h1 = 0
+        c1, c2 = 0xCC9E2D51, 0x1B873593
+        for i in range(n_blocks):
+            k1 = int.from_bytes(key[i * 4 : i * 4 + 4], "little")
+            k1 = (k1 * c1) & 0xFFFFFFFF
+            k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+            k1 = (k1 * c2) & 0xFFFFFFFF
+            h1 ^= k1
+            h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+            h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+        tail = key[n_blocks * 4 :]
+        k1 = 0
+        if len(tail) >= 3:
+            k1 ^= tail[2] << 16
+        if len(tail) >= 2:
+            k1 ^= tail[1] << 8
+        if len(tail) >= 1:
+            k1 ^= tail[0]
+            k1 = (k1 * c1) & 0xFFFFFFFF
+            k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+            k1 = (k1 * c2) & 0xFFFFFFFF
+            h1 ^= k1
+        h1 ^= length
+        h1 ^= h1 >> 16
+        h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+        h1 ^= h1 >> 13
+        h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+        h1 ^= h1 >> 16
+        out.append(h1)
+    return out
+
+
+def make_mmh3_key_udf():
+    """Arrow-batched pandas UDF producing the reference's Kafka partition
+    key: little-endian hex of murmur3_32(seed 0) over the URL authority
+    (reference enqueue.py:127). Kept behind a factory so importing this
+    module never requires an active SparkSession."""
+    import pandas as pd
+    from urllib.parse import urlparse
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def mmh3_key(uris: pd.Series) -> pd.Series:
+        netlocs = uris.fillna("").map(lambda u: urlparse(u).netloc)
+        hashes = _mmh3_32_numpy([n.encode("utf-8") for n in netlocs])
+        return pd.Series(
+            [h.to_bytes(4, "little").hex() for h in hashes], index=uris.index
+        )
+
+    return mmh3_key

@@ -1,0 +1,142 @@
+"""Text-analysis expressions for the training-data-pipeline extensions:
+tokenization, quality scoring, language ID, shingling, fingerprinting.
+
+All built-ins (split/filter/transform/regexp) — the hot path stays inside
+whole-stage codegen; on 100 TB of documents these are embarrassingly
+parallel narrow maps with zero shuffle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deliberately small + hardcoded so the identical lists can be
+# inlined into the DuckDB oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "la", "de", "que", "en", "los", "se", "por"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish sub-word segmentation via regex: runs of word chars, runs of
+    digits, or single non-space symbols — a cheap token-count proxy in the
+    spirit of GPT-2's pre-tokenizer split pattern."""
+    return F.regexp_extract_all(
+        _c(text), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles (space-joined), the unit for MinHash / Jaccard dedup.
+    Documents shorter than n words yield a single whole-text shingle so they
+    still participate."""
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    t = _c(text)
+    n = F.length(t)
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of the given language."""
+    toks = tokens(text)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs, low
+    punctuation density and mean word length in the natural-language band —
+    the usual cheap pre-filter in front of expensive pipeline stages."""
+    t = _c(text)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    word_score = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    punct_score = F.lit(1.0) - F.least(punct_ratio(t) * 4.0, F.lit(1.0))
+    return F.round((len_score + word_score + punct_score) / F.lit(3.0), 6)
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map lang → stopword hit count, the language-ID evidence vector."""
+    toks = tokens(text)
+    return F.map_from_arrays(
+        F.array([F.lit(code) for code in STOPWORDS]),
+        F.array([stopword_hits(toks, code) for code in STOPWORDS]),
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax stopword hits, 'und' when all zero.
+    Deterministic tie-break: language code ascending (via max_by over a
+    (hits, negated-code) ordering implemented as a sorted struct array)."""
+    toks = tokens(text)
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(toks, code).alias("hits"), F.lit(code).alias("lang")
+            )
+            for code in sorted(STOPWORDS)
+        ]
+    )
+    # array_max on structs compares fields in order: highest hits wins; among
+    # equal hits the lexicographically greatest lang code wins. The oracle
+    # SQL replicates exactly this (max of (hits, lang) pairs).
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct token
+    set (order-insensitive content fingerprint — same spirit as the
+    reference's content_digest key, analysis.py:47)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))

@@ -1,0 +1,278 @@
+"""Deduplication suite over ``documents`` — the training-data-pipeline
+extension family (BASELINE.json north_star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard. The embedding near-dup lives in q_similarity.py.
+
+Cross-engine hashing: every hash bottoms out in md5 (identical in Spark and
+DuckDB); 60-bit integer hashes are md5's first 15 hex digits parsed base-16
+(Spark ``conv(…,16,10)`` ≡ DuckDB ``('0x'||…)::BIGINT``), so MinHash
+signatures, band keys and SimHash fingerprints hash-match the oracle bit for
+bit.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle on a 32-char key;
+MinHash signatures/bands are narrow maps; LSH candidate generation is a
+self-equi-join on (band, band_hash) — the join key is uniform by
+construction (md5), so no skew; only candidate pairs (a vanishing fraction)
+reach the quadratic Jaccard verification. The all-pairs oracle exists only
+to certify the SQL semantics at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from ..tables import load_table
+from .registry import query
+
+# --- DuckDB fragments ----------------------------------------------------
+
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+# 3-word shingles, distinct; short docs yield one whole-text shingle
+# (mirrors functions/text.py::word_shingles).
+_DUCK_SHINGLES = f"""
+    list_distinct(list_transform(
+        range(1, greatest(len({_DUCK_TOKENS}) - 2, 1) + 1),
+        i -> array_to_string(({_DUCK_TOKENS})[i:i+2], ' ')))
+"""
+
+
+def _duck_hash60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_NUM_HASHES = 16
+_BANDS = 8
+_ROWS_PER_BAND = 2
+
+# MinHash signature as a DuckDB list expression over a `shingles` column:
+# one 31-bit md5-derived base hash per shingle, then the same universal-hash
+# mixes (a_k*h+b_k) the Spark side uses (hashing.minhash_ab).
+from ..functions.hashing import minhash_ab as _minhash_ab  # noqa: E402
+
+_DUCK_BASE31 = f"list_transform(shingles, s -> {_duck_hash60('s')} & 2147483647)"
+_DUCK_SIG = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform({_DUCK_BASE31}, h -> h * {a} + {b}))"
+        for a, b in _minhash_ab(_NUM_HASHES)
+    )
+    + "]"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_md5,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    tags=("dedup", "extension"),
+    bench=True,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (the reference's content_digest key,
+    analysis.py:47): one hash-shuffle, keep the lowest doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_md5", F.md5("text"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+        )
+        SELECT doc_id,
+               len(shingles) AS n_shingles,
+               {_DUCK_SIG}[1] AS minhash_0,
+               {_DUCK_SIG}[{_NUM_HASHES}] AS minhash_last,
+               md5(array_to_string({_DUCK_SIG}, ',')) AS sig_digest
+        FROM sh
+    """,
+    tags=("dedup", "minhash", "extension"),
+    bench=True,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 hash functions over 3-word shingles) — the
+    narrow-map stage of MinHash-LSH dedup; certified against the oracle via
+    first/last component + a digest of the full signature.
+
+    Staged through aliased columns (shingles → h31 → sig) so each expensive
+    array is computed once per row; inlining it would copy the md5 subtree
+    into all 16 minima (HOFs get no codegen CSE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = (
+        docs.select("doc_id", T.word_shingles("text", 3).alias("shingles"))
+        .select("doc_id", F.size("shingles").alias("n_shingles"),
+                H.shingle_hashes31(F.col("shingles")).alias("h31"))
+        .select("doc_id", "n_shingles",
+                H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"))
+    )
+    return staged.select(
+        "doc_id",
+        "n_shingles",
+        F.element_at("sig", 1).alias("minhash_0"),
+        F.element_at("sig", _NUM_HASHES).alias("minhash_last"),
+        F.md5(
+            F.array_join(F.transform("sig", lambda x: x.cast("string")), ",")
+        ).alias("sig_digest"),
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, shingles, {_DUCK_SIG} AS sig FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, shingles, b,
+                   md5(array_to_string(sig[b*{_ROWS_PER_BAND}+1 : (b+1)*{_ROWS_PER_BAND}], ',')) AS band_hash
+            FROM sig CROSS JOIN (SELECT unnest(range(0, {_BANDS})) AS b) u
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(sa.shingles || sb.shingles)) >= 0.3
+    """,
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs: band the signatures (8 bands × 2
+    rows), self-join on band hash for candidates, verify with true shingle
+    Jaccard ≥ 0.3. The LSH join replaces the O(n²) all-pairs scan — the
+    100 TB path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.word_shingles("text", 3).alias("shingles")
+    )
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        H.shingle_hashes31(F.col("shingles")).alias("h31"),
+    ).select(
+        "doc_id",
+        "shingles",
+        H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(H.band_keys(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("bk"),
+    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = inter / union
+    return cand.filter(jac >= 0.3).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform({_DUCK_TOKENS}, t -> {_duck_hash60('t')}) AS th
+            FROM documents
+        )
+        SELECT doc_id,
+               list_aggregate(
+                   list_transform(range(0, 60),
+                       b -> CASE WHEN 2 * len(list_filter(th, h -> (h & (1::BIGINT << b)) <> 0)) > len(th)
+                                 THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+                   'sum')::BIGINT AS simhash
+        FROM h
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (60-bit, token-level majority vote): near-dup
+    candidates are fingerprints within small Hamming distance — detection
+    via bit_count(xor) (see operators/dedup.py for the banding variant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", H.simhash64(T.tokens("text")).alias("simhash")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents WHERE doc_id < 150
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+          AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / len(list_distinct(a.shingles || b.shingles)) >= 0.05
+    """,
+    tags=("dedup", "jaccard", "extension"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """All-pairs n-gram Jaccard on a bounded slice (doc_id < 150): the exact
+    quadratic baseline the LSH variant approximates. Bounded on purpose —
+    at scale this shape is only ever run per-LSH-bucket."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", T.word_shingles("text", 3).alias("shingles"))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((inter > 0) & (jac >= 0.05))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Similarity search over ``embeddings`` (array<float>, 64-dim) — the ANN
+extension family: brute-force cosine top-k as the exact baseline, plus an
+embedding-cosine near-duplicate detector. The LSH-bucketed scale path lives
+in operators/similarity.py (rows-only checked — its bucketing isn't
+SQL-portable).
+
+Numeric determinism: dot products fold left in array order in DOUBLE on
+both engines (Spark ``aggregate(zip_with(...))`` ≡ DuckDB
+``list_dot_product`` on DOUBLE[]); outputs are rounded to 6 decimals.
+
+Scale notes: the query set broadcasts (it is small by definition); the data
+side streams through one narrow map per candidate — no shuffle until top-k,
+which Spark plans as per-partition partial top-k (TakeOrderedAndProject /
+window with partial sort). The near-dup all-pairs query is the per-bucket
+verification kernel, certified here at oracle scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..functions import vectors as V
+from ..tables import load_table
+from .registry import query
+
+_DUCK_COS = """
+    ROUND(
+      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+"""
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT a.vec_id AS query_id,
+                   b.vec_id AS neighbor_id,
+                   {_DUCK_COS} AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_DUCK_COS} DESC, b.vec_id) AS rnk
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 50 = 0
+        ) WHERE rnk <= 5
+    """,
+    tags=("similarity", "knn", "extension"),
+    bench=True,
+)
+def knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for every 50th vector: broadcast the
+    query set, one narrow map over the corpus, per-query top-k. Ranks on the
+    ROUNDED similarity (6 dp) so rank order is engine-portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = load_table(spark, sf_dir, "embeddings").join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(V.cosine("q_emb", "embedding"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_DUCK_COS} AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+          AND {_DUCK_COS} >= 0.3
+    """,
+    tags=("similarity", "dedup", "extension"),
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.3) over a strided
+    sample — the per-bucket verification kernel of embedding dedup."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = F.round(V.cosine("emb_a", "emb_b"), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+        SELECT vec_id,
+               label,
+               ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+               len(embedding) AS dim
+        FROM embeddings
+    """,
+    tags=("similarity", "extension"),
+)
+def embedding_norms(spark, sf_dir):
+    """Per-vector L2 norm + dimension — the normalization pass before any
+    cosine pipeline (and a cheap full-scan parity check on float math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(V.norm("embedding"), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@query(
+    "label_centroid_sim",
+    oracle="""
+        WITH flat AS (
+            SELECT label,
+                   unnest(embedding)::DOUBLE AS v,
+                   unnest(range(1, 65)) AS i
+            FROM embeddings
+        ),
+        c AS (
+            SELECT label, list(avg_v ORDER BY i) AS centroid
+            FROM (SELECT label, i, AVG(v) AS avg_v FROM flat GROUP BY label, i)
+            GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+               ROUND(
+                 list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(c.centroid, c.centroid))), 4) AS centroid_sim
+        FROM embeddings e JOIN c ON e.label = c.label
+    """,
+    tags=("similarity", "ivf", "extension"),
+)
+def label_centroid_sim(spark, sf_dir):
+    """IVF building block: per-label centroid (the 'coarse quantizer'
+    trained by groupBy-avg) and each vector's similarity to its own
+    centroid. Rounded to 4 dp — centroid averages accumulate in
+    engine-specific order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        ).alias("centroid")
+    )
+    sim = F.round(V.cosine("embedding", "centroid"), 4)
+    return emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", sim.alias("centroid_sim")
+    )
