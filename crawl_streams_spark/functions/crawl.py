@@ -56,6 +56,23 @@ def hop_last(hop_path: Column | str) -> Column:
     return F.when(hop.isNull() | (hop == ""), F.lit("_")).otherwise(last)
 
 
+def compact_ts(raw: Column) -> Column:
+    """Parse ``yyyyMMddHHmmss[fraction]`` compact timestamps. Java's
+    DateTimeFormatter rejects pattern 'yyyyMMddHHmmssSSS' on unseparated
+    input, so: parse the 14-digit base, then add the remaining digits as a
+    right-zero-padded microsecond fraction — exactly Python's %f semantics
+    (reference report.py:190-193, 206 parse with strptime %f)."""
+    base = F.try_to_timestamp(F.substring(raw, 1, 14), F.lit("yyyyMMddHHmmss"))
+    frac_digits = F.substring(raw, 15, 6)
+    micros = F.rpad(frac_digits, 6, "0").try_cast("long")
+    return F.when(
+        micros.isNotNull(),
+        F.timestamp_micros(
+            (F.unix_micros(base.cast("timestamp")) + micros)
+        ).cast("timestamp"),
+    ).otherwise(base)
+
+
 def split_start_time_plus_duration(col: Column | str) -> tuple[Column, Column]:
     """F-6 — split ``yyyyMMddHHmmssSSS+millis`` on '+' into (start_time
     timestamp, duration ms) (report.py:203-209). Rows without '+' yield
@@ -63,10 +80,10 @@ def split_start_time_plus_duration(col: Column | str) -> tuple[Column, Column]:
     c = _c(col)
     has = c.contains("+")
     parts = F.split(c, r"\+")
-    start = F.when(
-        has, F.to_timestamp(parts.getItem(0), "yyyyMMddHHmmssSSS")
-    ).otherwise(F.lit(None).cast("timestamp"))
-    dur = F.when(has, parts.getItem(1).cast("long")).otherwise(
+    start = F.when(has, compact_ts(parts.getItem(0))).otherwise(
+        F.lit(None).cast("timestamp")
+    )
+    dur = F.when(has, parts.getItem(1).try_cast("long")).otherwise(
         F.lit(None).cast("long")
     )
     return start, dur
@@ -86,11 +103,13 @@ def annotation_ip(annots: Column) -> Column:
 
 
 def annotation_launch_ts(annots: Column) -> Column:
-    """F-7 — ``launchTimestamp:<digits>`` → parsed timestamp
-    (report.py:190-193 parses %Y%m%d%H%M%S%f on the first 16 digits)."""
+    """F-7 — ``launchTimestamp:<digits>`` → parsed timestamp. The reference
+    parses %Y%m%d%H%M%S%f (report.py:190-193), i.e. 14 digits with optional
+    fractional digits; both widths appear in the wild, so try 16 then 14,
+    NULL when neither parses (the reference catches-and-drops too)."""
     hits = F.filter(annots, lambda a: a.startswith("launchTimestamp:"))
     raw = F.when(F.size(hits) > 0, F.substring(F.element_at(hits, 1), 17, 2_000_000))
-    return F.to_timestamp(F.substring(raw, 1, 16), "yyyyMMddHHmmssSS")
+    return compact_ts(raw)
 
 
 def annotation_rest(annots: Column) -> Column:
@@ -147,8 +166,11 @@ def source_tag(tid: Column | str, first_seed: Column | str) -> Column:
 
 
 def schedule_ts(date_string: Column | str) -> Column:
-    """F-16 — parse schedule dates ``yyyy-MM-dd HH:mm:ss`` (launcher.py:70,80)."""
-    return F.to_timestamp(_c(date_string), "yyyy-MM-dd HH:mm:ss")
+    """F-16 — parse schedule dates ``yyyy-MM-dd HH:mm:ss`` (launcher.py:70,80).
+    Empty/malformed dates → NULL (try_to_timestamp): the reference treats
+    an empty endDate as 'no end' (launcher.py:80-84), and ANSI mode would
+    otherwise fail the whole job on one bad row."""
+    return F.try_to_timestamp(_c(date_string), F.lit("yyyy-MM-dd HH:mm:ss"))
 
 
 def normalize_uri(uri: Column | str) -> Column:

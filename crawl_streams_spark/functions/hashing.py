@@ -18,6 +18,7 @@ no per-row Python) with a pure-NumPy murmur3 so we don't depend on the
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — needed to resolve pandas_udf type hints
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.types import StringType
@@ -157,61 +158,77 @@ def hamming64(a: Column, b: Column) -> Column:
 # murmur3-32 seed-0 partition key (the one pandas UDF)
 # ---------------------------------------------------------------------------
 
-def _mmh3_32_numpy(data: "list[bytes]") -> "list[int]":
-    """Pure-Python/NumPy murmur3_32 (seed 0, unsigned) — public algorithm
-    (Appleby's MurmurHash3, public domain). Matches ``mmh3.hash(x,
-    signed=False)`` for UTF-8 inputs; property-tested in
-    tests/test_hashing.py."""
-    out = []
-    for key in data:
-        length = len(key)
-        n_blocks = length // 4
-        h1 = 0
-        c1, c2 = 0xCC9E2D51, 0x1B873593
-        for i in range(n_blocks):
-            k1 = int.from_bytes(key[i * 4 : i * 4 + 4], "little")
-            k1 = (k1 * c1) & 0xFFFFFFFF
-            k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
-            k1 = (k1 * c2) & 0xFFFFFFFF
-            h1 ^= k1
-            h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
-            h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
-        tail = key[n_blocks * 4 :]
-        k1 = 0
-        if len(tail) >= 3:
-            k1 ^= tail[2] << 16
-        if len(tail) >= 2:
-            k1 ^= tail[1] << 8
-        if len(tail) >= 1:
-            k1 ^= tail[0]
-            k1 = (k1 * c1) & 0xFFFFFFFF
-            k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
-            k1 = (k1 * c2) & 0xFFFFFFFF
-            h1 ^= k1
-        h1 ^= length
-        h1 ^= h1 >> 16
-        h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
-        h1 ^= h1 >> 13
-        h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
-        h1 ^= h1 >> 16
-        out.append(h1)
-    return out
+def _make_mmh3_impl():
+    """Factory for the murmur3_32(seed 0) kernel (Appleby's MurmurHash3,
+    public domain; matches ``mmh3.hash(x, signed=False)`` for UTF-8 input —
+    property-tested against published SMHasher vectors in
+    tests/test_hashing.py).
+
+    A factory, not a plain module function, on purpose: the returned
+    closure's qualname isn't resolvable as a module attribute, so
+    cloudpickle serializes it BY VALUE into UDF closures — executors never
+    need ``crawl_streams_spark`` importable on their PYTHONPATH."""
+
+    def mmh3_32(data):
+        out = []
+        for key in data:
+            length = len(key)
+            n_blocks = length // 4
+            h1 = 0
+            c1, c2 = 0xCC9E2D51, 0x1B873593
+            for i in range(n_blocks):
+                k1 = int.from_bytes(key[i * 4 : i * 4 + 4], "little")
+                k1 = (k1 * c1) & 0xFFFFFFFF
+                k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+                k1 = (k1 * c2) & 0xFFFFFFFF
+                h1 ^= k1
+                h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+                h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+            tail = key[n_blocks * 4 :]
+            k1 = 0
+            if len(tail) >= 3:
+                k1 ^= tail[2] << 16
+            if len(tail) >= 2:
+                k1 ^= tail[1] << 8
+            if len(tail) >= 1:
+                k1 ^= tail[0]
+                k1 = (k1 * c1) & 0xFFFFFFFF
+                k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+                k1 = (k1 * c2) & 0xFFFFFFFF
+                h1 ^= k1
+            h1 ^= length
+            h1 ^= h1 >> 16
+            h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+            h1 ^= h1 >> 13
+            h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+            h1 ^= h1 >> 16
+            out.append(h1)
+        return out
+
+    return mmh3_32
+
+
+#: Driver-side instance for direct use in tests and local code.
+_mmh3_32_numpy = _make_mmh3_impl()
 
 
 def make_mmh3_key_udf():
     """Arrow-batched pandas UDF producing the reference's Kafka partition
     key: little-endian hex of murmur3_32(seed 0) over the URL authority
     (reference enqueue.py:127). Kept behind a factory so importing this
-    module never requires an active SparkSession."""
-    import pandas as pd
+    module never requires an active SparkSession; the hash kernel is a
+    fresh by-value closure (see _make_mmh3_impl) so executors don't need
+    this package importable."""
     from urllib.parse import urlparse
 
     from pyspark.sql.functions import pandas_udf
 
+    impl = _make_mmh3_impl()
+
     @pandas_udf(StringType())
     def mmh3_key(uris: pd.Series) -> pd.Series:
         netlocs = uris.fillna("").map(lambda u: urlparse(u).netloc)
-        hashes = _mmh3_32_numpy([n.encode("utf-8") for n in netlocs])
+        hashes = impl([n.encode("utf-8") for n in netlocs])
         return pd.Series(
             [h.to_bytes(4, "little").hex() for h in hashes], index=uris.index
         )

@@ -1,0 +1,164 @@
+"""Reusable dedup operators over arbitrary document DataFrames — the
+generalized form of the plans/q_dedup.py oracle queries (north-star
+extension family). All return DataFrames; nothing collects.
+
+Scale design (100 TB):
+- exact: one hash-shuffle on a fixed-width digest; with the digest as a
+  bucketing/partition column upstream the shuffle disappears entirely.
+- minhash-lsh: narrow map (signatures) → explode bands (×B) → self-join on
+  (band, band_hash). Keys are md5-uniform, so no skew salting is needed;
+  candidate verification touches only colliding pairs.
+- simhash: fingerprints join on rotated prefix buckets (each near-dup pair
+  within Hamming distance d shares at least one of d+1 disjoint bit-blocks
+  — block-permuted banding), avoiding the O(n²) Hamming scan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions import hashing as H
+from ..functions import text as T
+
+
+def dedup_exact(
+    df: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative row (lowest key) per exact content match.
+    The crawl-stream analog keys on content_digest (reference
+    analysis.py:47 schema note) — pass content='content_digest'."""
+    keep = (
+        df.select(F.md5(F.col(content)).alias("__digest"), F.col(key))
+        .groupBy("__digest")
+        .agg(F.min(key).alias(key))
+    )
+    return df.join(keep, key, "left_semi")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (key_a < key_b) via MinHash banding.
+    Returns (key_a, key_b, jaccard) with the TRUE shingle Jaccard computed
+    only for colliding pairs."""
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(key), T.word_shingles(F.col(content), shingle_words).alias("shingles")
+    )
+    sig = sh.select(
+        key, "shingles", H.shingle_hashes31(F.col("shingles")).alias("h31")
+    ).select(
+        key,
+        "shingles",
+        H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"),
+    )
+    bandsdf = sig.select(
+        key,
+        "shingles",
+        F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select(
+        key,
+        "shingles",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
+    )
+    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (ka < kb),
+        )
+        .select(
+            ka.alias("key_a"),
+            kb.alias("key_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select("key_a", "key_b", (inter / union).alias("jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Drop near-duplicates: among each connected candidate pair above the
+    threshold, the higher key loses (single-pass victim set — the standard
+    greedy approximation; full transitive clustering would need iterative
+    connected components, deliberately out of the one-pass path)."""
+    losers = (
+        minhash_lsh_candidates(df, content, key, **lsh_kw)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("key_b").alias(key))
+        .distinct()
+    )
+    return df.join(losers, key, "left_anti")
+
+
+def simhash_fingerprints(
+    df: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, simhash) — 60-bit token-majority fingerprints."""
+    return df.select(
+        F.col(key), H.simhash64(T.tokens(F.col(content))).alias("simhash")
+    )
+
+
+def simhash_candidates(
+    fps: DataFrame, key: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs within `max_hamming` bits via block banding: split the
+    60-bit fingerprint into `blocks` 15-bit blocks; any pair within
+    Hamming distance `blocks-1` shares ≥1 exact block (pigeonhole), so an
+    equi-join per block finds all of them — no quadratic scan.
+    Requires max_hamming < blocks."""
+    assert max_hamming < blocks, "need max_hamming < blocks for completeness"
+    width = 60 // blocks
+    mask = (1 << width) - 1
+
+    block_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("blk_val"),
+            )
+            for i in range(blocks)
+        ]
+    )
+    e = fps.select(key, "simhash", F.explode(block_arr).alias("b")).select(
+        key, "simhash", F.col("b.blk").alias("blk"), F.col("b.blk_val").alias("blk_val")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (ka < kb),
+        )
+        .select(
+            ka.alias("key_a"),
+            kb.alias("key_b"),
+            H.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["key_a", "key_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,203 @@
+"""The launcher pipeline (reference launcher.py + enqueue.py) as one
+Catalyst-planned batch job (SURVEY §3.3):
+
+    read feed → seed sanity (P-12) → explode schedules → date-range (P-13)
+    → frequency match (P-14) → hour gate (P-15) → explode seeds → sheets +
+    parallel_queues (P-16) → launch-message struct (P-17) → (key, value)
+    for the Kafka sink (SNK-1; key = murmur3-seed-0 of netloc, F-14).
+
+`now` is an injected parameter (the reference accepts one too,
+launcher.py:41-47) so every schedule predicate is a deterministic, testable
+column expression. Intended-semantics fixes (SURVEY §5.2): `==` not `is`
+for the hour gate (launcher.py:163), real metrics instead of the dead
+Gauge code (launcher.py:148-159) via df.observe.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..functions.crawl import schedule_ts, source_tag
+from ..functions.hashing import make_mmh3_key_udf
+
+#: Frequencies the reference understands (launcher.py:88-134).
+FREQUENCIES = (
+    "DAILY",
+    "WEEKLY",
+    "MONTHLY",
+    "QUARTERLY",
+    "SIXMONTHLY",
+    "ANNUAL",
+    "DOMAINCRAWL",
+)
+
+
+def valid_targets(feed: DataFrame) -> DataFrame:
+    """P-12 — reject targets with missing/empty seeds (launcher.py:58-61)."""
+    return feed.filter(
+        F.col("seeds").isNotNull() & (F.size(F.col("seeds")) > 0)
+    )
+
+
+def invalid_targets(feed: DataFrame) -> DataFrame:
+    """The error branch of P-12 — feeds A-9's target_errors counter."""
+    return feed.filter(
+        F.col("seeds").isNull() | (F.size(F.col("seeds")) == 0)
+    )
+
+
+def date_range_ok(now: Column) -> Column:
+    """P-13 — startDate non-null ∧ now ≥ startDate ∧ (endDate empty ∨ now ≤
+    endDate) (launcher.py:69-84)."""
+    start = schedule_ts(F.col("sched.startDate"))
+    end = schedule_ts(F.col("sched.endDate"))
+    return (
+        start.isNotNull()
+        & (now >= start)
+        & (end.isNull() | (now <= end))
+    )
+
+
+def frequency_ok(now: Column) -> Column:
+    """P-14 — the six frequency-match predicates (launcher.py:88-134):
+
+      DAILY       always
+      WEEKLY      isoweekday(now) == isoweekday(start)
+      MONTHLY     day(now) == day(start)
+      QUARTERLY   day ∧ month(now) % 3 == month(start) % 3
+      SIXMONTHLY  day ∧ month(now) % 6 == month(start) % 6
+      ANNUAL      day ∧ month(now) == month(start)
+      DOMAINCRAWL never launched by this tool (launcher.py:128-130)
+      unknown     error branch (counted, never launched)
+    """
+    start = schedule_ts(F.col("sched.startDate"))
+    freq = F.upper(F.col("sched.frequency"))
+    same_day = F.dayofmonth(now) == F.dayofmonth(start)
+    return (
+        F.when(freq == "DAILY", F.lit(True))
+        .when(freq == "WEEKLY", F.dayofweek(now) == F.dayofweek(start))
+        .when(freq == "MONTHLY", same_day)
+        .when(
+            freq == "QUARTERLY",
+            same_day & (F.month(now) % 3 == F.month(start) % 3),
+        )
+        .when(
+            freq == "SIXMONTHLY",
+            same_day & (F.month(now) % 6 == F.month(start) % 6),
+        )
+        .when(freq == "ANNUAL", same_day & (F.month(now) == F.month(start)))
+        .otherwise(F.lit(False))
+    )
+
+
+def hour_ok(now: Column) -> Column:
+    """P-15 — launch only in the schedule's start hour. The reference uses
+    ``is`` (identity) which only works via CPython small-int caching
+    (launcher.py:163); we implement the intended ``==``."""
+    return F.hour(now) == F.hour(schedule_ts(F.col("sched.startDate")))
+
+
+def sheets_for_target() -> Column:
+    """P-16 — per-seed sheet derivation (launcher.py:175-189):
+    ignoreRobotsTxt→ignoreRobots; scope subdomains→subdomainsScope,
+    plus1→plus1Scope; depth CAPPED_LARGE→higherLimit, DEEP→noLimit."""
+    return F.array_compact(
+        F.array(
+            F.when(F.col("ignoreRobotsTxt"), F.lit("ignoreRobots")),
+            F.when(F.col("scope") == "subdomains", F.lit("subdomainsScope")),
+            F.when(F.col("scope") == "plus1", F.lit("plus1Scope")),
+            F.when(F.col("depth") == "CAPPED_LARGE", F.lit("higherLimit")),
+            F.when(F.col("depth") == "DEEP", F.lit("noLimit")),
+        )
+    )
+
+
+def parallel_queues() -> Column:
+    """P-16 — parallel_queues=2 iff the seed mentions twitter.com
+    (launcher.py:195-197)."""
+    return F.when(F.col("seed").contains("twitter.com"), F.lit(2)).otherwise(
+        F.lit(1)
+    )
+
+
+def launchable_seeds(feed: DataFrame, now: dt.datetime) -> DataFrame:
+    """Feed → one row per (target, matching schedule, seed) that should
+    launch at `now` — the P-12..P-16 pipeline."""
+    now_c = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp_ntz")
+    d = (
+        valid_targets(feed)
+        .withColumn("sched", F.explode("schedules"))
+        .filter(date_range_ok(now_c))
+        .filter(frequency_ok(now_c))
+        .filter(hour_ok(now_c))
+        .withColumn("seed", F.explode("seeds"))
+    )
+    return d.withColumn("sheets", sheets_for_target()).withColumn(
+        "parallel_queues", parallel_queues()
+    )
+
+
+def launch_messages(
+    seeds: DataFrame, now: dt.datetime, stream: str = "frequent"
+) -> DataFrame:
+    """P-17 + F-13..F-15 — build the nested CrawlURI document
+    (enqueue.py:72-124) and the Kafka (key, value) pair (enqueue.py:127-130).
+
+    launchTimestamp = the launch hour (yyyyMMddHHmmss with minutes/seconds
+    zeroed via the hour-derived `now`), making hourly re-runs idempotent —
+    the crawler dedups on it (W-6, README.md:43, launcher.py:192)."""
+    launch_ts = now.strftime("%Y%m%d%H") + "0000"
+    iso_ts = now.strftime("%Y-%m-%dT%H:%M:%SZ")
+    source = source_tag(F.col("id"), F.element_at(F.col("seeds"), 1))
+    heritable = F.struct(
+        F.lit(0).alias("refreshDepth"),
+        source.alias("source"),
+        F.array(F.lit("source"), F.lit("heritable")).alias("heritable"),
+        F.array(F.lit("resetQuotas")).alias("annotations"),
+        F.lit(launch_ts).alias("launchTimestamp"),
+        F.lit(launch_ts).alias("launch_ts"),
+    )
+    message = F.struct(
+        F.col("seed").alias("url"),
+        F.col("seed").alias("parentUrl"),
+        F.lit("GET").alias("method"),
+        F.lit(True).alias("isSeed"),
+        F.lit(True).alias("forceFetch"),
+        F.lit("").alias("hop"),
+        F.col("sheets"),
+        F.struct(
+            F.lit("").alias("pathFromSeed"),
+            heritable.alias("heritableData"),
+        ).alias("parentUrlMetadata"),
+        F.map_from_arrays(
+            F.array(F.lit("recentlySeen.launchTimestamp")),
+            F.array(F.lit(launch_ts)),
+        ).alias("targetSheet"),
+        F.lit(iso_ts).alias("timestamp"),
+        F.col("parallel_queues"),
+    )
+    mmh3_key = make_mmh3_key_udf()
+    out = seeds.select(
+        F.col("id").alias("tid"),
+        F.col("seed"),
+        mmh3_key(F.col("seed")).alias("key"),
+        F.to_json(message).alias("value"),
+    )
+    # W-6 idempotence: identical (target, seed) rows from overlapping
+    # schedules collapse before the sink.
+    out = out.dropDuplicates(["tid", "seed"])
+    # A-9 metrics, replacing the reference's dead Gauge code
+    # (launcher.py:148-159): observable counter on the launch stream.
+    return out.observe(
+        f"launch_metrics_{stream}", F.count(F.lit(1)).alias("n_launches")
+    )
+
+
+def run_launcher(
+    feed: DataFrame, now: dt.datetime, stream: str = "frequent"
+) -> DataFrame:
+    """Full pipeline: feed → launchable seeds → (key, value) messages."""
+    return launch_messages(launchable_seeds(feed, now), now, stream)

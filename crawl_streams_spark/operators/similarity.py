@@ -1,0 +1,171 @@
+"""Similarity-search operators over embedding columns (north-star
+extension): exact brute-force top-k (broadcast the query set) and two scale
+paths — random-hyperplane LSH bucketing and IVF (centroid-partitioned)
+search. The oracle-certified exact kernels live in plans/q_similarity.py;
+the approximate variants are rows-only checked plus recall-tested in
+tests/test_similarity.py.
+
+Scale design (100 TB of vectors):
+- brute force: only for a broadcastable query set — one narrow map over the
+  corpus, per-partition partial top-k, no corpus shuffle.
+- LSH: bucket id is a narrow map; join queries to corpus on bucket id —
+  corpus shuffles once by bucket (or is pre-bucketed/bucketed-table), and
+  each query probes its bucket + optional multi-probe neighbors.
+- IVF: k centroids (tiny, broadcast) assign each vector a cell; queries
+  search n_probe nearest cells only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import vectors as V
+
+
+def _planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes without RNG state: plane[j][i]
+    = ±1 by parity of a hash of (j, i) — sign-pattern planes are the classic
+    cheap SRP choice and need no normalization for sign tests."""
+    out = []
+    for j in range(num_planes):
+        row = []
+        for i in range(dim):
+            h = (1103515245 * (j * dim + i) + 12345) % (1 << 31)
+            row.append(1.0 if (h >> 13) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast `queries` (small by contract), score every
+    corpus vector, per-query window top-k."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine("q_vec", vec_col).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, num_planes: int = 8, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector its random-hyperplane sign bucket (2^num_planes
+    buckets)."""
+    return df.withColumn(
+        "bucket", V.sign_bucket(F.col(vec_col), _planes(num_planes, dim))
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors in the query's SRP
+    bucket; exact cosine re-rank inside the bucket. Recall rises with
+    fewer planes / multi-probe; tests measure it against brute force."""
+    cb = with_lsh_bucket(corpus, num_planes, dim, vec_col)
+    qb = with_lsh_bucket(queries, num_planes, dim, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "bucket",
+    )
+    scored = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine("q_vec", vec_col).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame, by: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """IVF coarse quantizer: centroids = per-cell mean vectors. Here the
+    cell assignment column is given (`label`); a full k-means would iterate
+    assign→average with the same two operators."""
+    return corpus.groupBy(by).agg(
+        F.array(
+            *[
+                F.avg(F.element_at(vec_col, i + 1).cast("double"))
+                for i in range(dim)
+            ]
+        ).alias("centroid")
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: route each query to its `n_probe` nearest centroids
+    (broadcast centroid table), scan only those cells, exact re-rank."""
+    cent = centroids.select(
+        F.col(cell_col).alias("cell"), F.col("centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_sim"), F.asc("cell")
+    )
+    probes = (
+        q.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            V.cosine("q_vec", "centroid").alias("cent_sim"),
+        )
+        .withColumn("prb", F.row_number().over(probe_w))
+        .filter(F.col("prb") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = corpus.withColumnRenamed(cell_col, "cell").join(
+        F.broadcast(probes), "cell"
+    ).filter(F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine("q_vec", vec_col).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -1,0 +1,184 @@
+"""Byte-level conformance against the reference's own 1,000-record sample
+(`crawl_log_fragment.json`, read as DATA from the read-only checkout):
+variant dispatch, host extraction vs urllib, report projections, Solr ETL,
+host-stats aggregates recomputed in pure Python."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+from urllib.parse import urlsplit
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawl_streams_spark.operators import host_stats as HS
+from crawl_streams_spark.operators import report as R
+from crawl_streams_spark.sources.jsonl import read_crawl_log
+
+from .fixtures import crawl_log_path
+
+pytestmark = pytest.mark.skipif(
+    crawl_log_path() is None, reason="reference sample not available"
+)
+
+
+@pytest.fixture(scope="module")
+def fragment(spark):
+    return read_crawl_log(spark, crawl_log_path()).cache()
+
+
+@pytest.fixture(scope="module")
+def raw_records():
+    with open(crawl_log_path()) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_variant_split(fragment, raw_records):
+    """950 Heritrix / 50 WebRender in the sample (SURVEY §1.1), split by
+    the thread discriminator (report.py:48-49)."""
+    n_heritrix = fragment.filter("is_heritrix").count()
+    n_webrender = fragment.filter("NOT is_heritrix").count()
+    want_h = sum(1 for r in raw_records if "thread" in r)
+    assert (n_heritrix, n_webrender) == (want_h, len(raw_records) - want_h)
+    assert n_heritrix + n_webrender == 1000
+
+
+def test_status_code_distribution(fragment, raw_records):
+    """Negative Heritrix codes survive the IntegerType schema
+    (FIXTURES.md: -5003×838 etc.)."""
+    got = {
+        r["status_code"]: r["n"]
+        for r in fragment.groupBy("status_code").agg(F.count("*").alias("n")).collect()
+    }
+    want = Counter(r.get("status_code") for r in raw_records)
+    assert got == dict(want)
+    assert got.get(-5003, 0) > 0
+
+
+def test_host_extraction_matches_urllib(fragment, raw_records):
+    """F-1/F-2 vs the reference's urlsplit netloc (analysis.py:143-147) —
+    equality required wherever netloc has no port/userinfo (the parse_url
+    HOST divergence is ports only, SURVEY §2.4 F-1)."""
+    got = {
+        r["url"]: r["h"]
+        for r in fragment.select("url", HS.C.host_of("url").alias("h")).collect()
+    }
+    checked = 0
+    for rec in raw_records:
+        url = rec.get("url")
+        if not url or not url.startswith(("http://", "https://")):
+            continue
+        netloc = urlsplit(url).netloc
+        if "@" in netloc or ":" in netloc:
+            continue  # port/userinfo: documented divergence
+        assert got[url] == netloc, url
+        checked += 1
+    assert checked > 900
+
+
+def test_crawl_log_lines_format(fragment, raw_records):
+    """P-3/P-4 — 13-field line projection with '-' null-swap
+    (report.py:53-57) spot-checked against a hand-built line."""
+    lines = {r["url"]: r["line"] for r in R.crawl_log_lines(fragment).collect()}
+    heritrix = [r for r in raw_records if "thread" in r]
+    sample = heritrix[0]
+    line = lines[sample["url"]]
+    parts = line.split(" ")
+    assert parts[0] == sample["timestamp"]
+    assert parts[1] == str(sample["status_code"])
+    assert str(sample.get("size", "-") if sample.get("size") is not None else "-") == parts[2]
+    assert sample["url"] in line
+    # WebRender rows are excluded (P-2)
+    assert len(lines) == len({r["url"] for r in heritrix})
+
+
+def test_summarise_hosts_totals(fragment, raw_records):
+    """A-7 per-hostname totals (report.py:154-161) vs a pure-Python rerun
+    over http(s) rows."""
+    got = {r["hostname"]: r["tot"] for r in R.summarise_hosts(fragment).collect()}
+    want: Counter = Counter()
+    for rec in raw_records:
+        url = rec.get("url") or ""
+        if url.startswith("http"):
+            host = urlsplit(url).hostname
+            want[host] += 1
+    # compare over hostnames without ports (divergence exclusion as above)
+    for host, n in want.items():
+        assert got.get(host) == n, host
+
+
+def test_solr_documents_projection(fragment, raw_records):
+    """F-6..F-10 ETL (report.py:167-224): id format, renames, crawler
+    classification, start_time split, annotation routing."""
+    docs = {r["id"]: r for r in R.solr_documents(fragment).collect()}
+    for rec in raw_records[:200]:
+        d = docs[f"crawl-log:{rec['timestamp']}/{rec['url']}"]
+        assert d["id"] == f"crawl-log:{rec['timestamp']}/{rec['url']}"
+        assert d["log_timestamp"] == rec["timestamp"]
+        assert d["crawler"] == ("Heritrix" if "thread" in rec else "WebRender")
+        assert d["source"] == rec.get("seed")
+        stpd = rec.get("start_time_plus_duration")
+        if stpd and "+" in stpd:
+            assert d["duration"] == int(stpd.split("+")[1])
+            assert d["start_time"] is not None
+        else:
+            assert d["duration"] is None
+        annots = [a for a in (rec.get("annotations") or "").split(",") if a]
+        ips = [a[3:] for a in annots if a.startswith("ip:")]
+        assert d["ip"] == (ips[0] if ips else None)
+
+
+def test_host_stats_aggregates(fragment, raw_records):
+    """A-1..A-5 recomputed in pure Python over the sample."""
+    totals = {r["host"]: r for r in HS.host_totals(fragment).collect()}
+    want_tot: Counter = Counter()
+    first: dict = {}
+    last: dict = {}
+    for rec in raw_records:
+        url = rec.get("url")
+        if url and url.startswith("dns:"):
+            host = url[4:]
+        elif url and url.startswith(("http://", "https://")):
+            netloc = urlsplit(url).netloc
+            if "@" in netloc or ":" in netloc:
+                continue
+            host = urlsplit(url).hostname
+        else:
+            continue  # screenshot:/imagemap:/… parse_url gives null host
+        ts = rec["timestamp"]
+        want_tot[host] += 1
+        first[host] = min(first.get(host, ts), ts)
+        last[host] = max(last.get(host, ts), ts)
+    for host, n in want_tot.items():
+        assert totals[host]["total"] == n, host
+        assert totals[host]["first_timestamp"] == first[host]
+        assert totals[host]["last_timestamp"] == last[host]
+
+
+def test_screenshots_ring(fragment, raw_records):
+    """P-8/A-10 — screenshot prefix strip + latest-100 ordering
+    (analysis.py:93-100, 161-164)."""
+    shots = HS.screenshots(fragment).collect()
+    raw_shots = [
+        (r["url"][11:], r["timestamp"])
+        for r in raw_records
+        if (r.get("url") or "").startswith("screenshot:") and r["url"][11:]
+    ]
+    want = sorted(raw_shots, key=lambda t: (t[1], t[0]))
+    want = sorted(want, key=lambda t: t[1], reverse=True)[:100]
+    got = [(r["original_url"], r["timestamp"]) for r in shots]
+    assert len(got) == min(len(raw_shots), 100)
+    assert {g[0] for g in got} <= {w[0] for w in raw_shots}
+
+
+def test_host_stats_snapshot_document(fragment):
+    """SNK-3 snapshot shape (FIXTURES.md §4)."""
+    snap = HS.host_stats_snapshot(fragment, max_hosts=10)
+    assert set(snap) == {"last_timestamp", "status_codes", "screenshots", "hosts"}
+    assert len(snap["hosts"]) <= 10
+    some_host = next(iter(snap["hosts"].values()))
+    assert set(some_host) == {"stats", "content_types", "status_codes", "via"}
+    assert snap["status_codes"] == sorted(
+        snap["status_codes"], key=lambda p: -p[1]
+    )

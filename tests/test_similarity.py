@@ -1,0 +1,98 @@
+"""ANN operators: LSH and IVF recall against the exact brute-force
+baseline, plus the dedup operator family's behavioral contracts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.operators import dedup as D
+from crawl_streams_spark.operators import similarity as S
+from crawl_streams_spark.tables import load_table
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _topk_sets(S.knn_bruteforce(emb, queries, k=5))
+    approx = _topk_sets(S.knn_lsh(emb, queries, k=5, num_planes=2))
+    hits = total = 0
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    # 2 hyperplanes → 4 buckets over the corpus: recall is approximate by
+    # design; the floor asserts the bucketing is actually correlated with
+    # cosine similarity (random bucketing would give ~1/4 of neighbors by
+    # chance, and SRP on near-orthogonal random vectors is only mildly
+    # better per plane).
+    assert recall >= 0.35, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = S.train_ivf_centroids(emb)
+    exact = _topk_sets(S.knn_bruteforce(emb, queries, k=5))
+    approx = _topk_sets(S.knn_ivf(emb, queries, cents, k=5, n_probe=5))
+    hits = total = 0
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    # labels are arbitrary cells on random data (not k-means-learned), so
+    # centroid routing is weak by construction; n_probe=5 of 10 cells must
+    # still clearly beat the 0.5 random-scan baseline proportionally.
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_exact_dedup_removes_planted_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    # plant exact duplicates with higher doc_ids
+    dups = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    full = docs.unionByName(dups)
+    kept = D.dedup_exact(full)
+    assert kept.count() == 100
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_dedup_catches_near_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100).cache()
+    # plant near-duplicates: append one token to each of 10 docs
+    near = (
+        docs.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    full = docs.unionByName(near)
+    kept = D.minhash_dedup(full, threshold=0.5)
+    survivors = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    planted_surviving = [d for d in survivors if d >= 100000]
+    # the vast majority of planted near-dups must be caught (LSH with 8
+    # bands × 2 rows has ~P(miss) < (1-j^2)^8, tiny at j≈0.99)
+    assert len(planted_surviving) <= 2, planted_surviving
+    # originals survive except any genuine near-dup pairs within the corpus
+    # itself (the generator's word-soup occasionally produces them)
+    assert len([d for d in survivors if d < 100000]) >= 97
+
+
+def test_simhash_candidates_find_small_hamming(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100).cache()
+    near = (
+        docs.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+    )
+    fps = D.simhash_fingerprints(docs.unionByName(near))
+    cands = D.simhash_candidates(fps, max_hamming=3, blocks=4).collect()
+    pairs = {(r["key_a"], r["key_b"]) for r in cands}
+    found = sum(1 for a, b in pairs if b - a == 100000)
+    assert found >= 7, f"only {found}/10 planted simhash near-dups found"
