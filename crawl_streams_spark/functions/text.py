@@ -49,11 +49,11 @@ def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 
 
-def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """n-word shingles (space-joined), the unit for MinHash / Jaccard dedup.
-    Documents shorter than n words yield a single whole-text shingle so they
-    still participate."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from an already-materialized token array column.
+    Stage ``tokens(text)`` to a named column first — `toks` is referenced
+    twice here, and an inline expression would be evaluated twice per row
+    (HOFs get no subexpression elimination)."""
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -61,6 +61,14 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """n-word shingles (space-joined), the unit for MinHash / Jaccard dedup.
+    Documents shorter than n words yield a single whole-text shingle so they
+    still participate. Inline form — prefer staging tokens through a column
+    and calling shingles_from_tokens in hot pipelines."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def punct_ratio(text: Column | str) -> Column:

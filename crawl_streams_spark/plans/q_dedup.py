@@ -114,7 +114,8 @@ def dedup_minhash_signatures(spark, sf_dir):
     into all 16 minima (HOFs get no codegen CSE)."""
     docs = load_table(spark, sf_dir, "documents")
     staged = (
-        docs.select("doc_id", T.word_shingles("text", 3).alias("shingles"))
+        docs.select("doc_id", T.tokens("text").alias("toks"))
+        .select("doc_id", T.shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
         .select("doc_id", F.size("shingles").alias("n_shingles"),
                 H.shingle_hashes31(F.col("shingles")).alias("h31"))
         .select("doc_id", "n_shingles",
@@ -166,8 +167,10 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     rows), self-join on band hash for candidates, verify with true shingle
     Jaccard ≥ 0.3. The LSH join replaces the O(n²) all-pairs scan — the
     100 TB path."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.word_shingles("text", 3).alias("shingles")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select("doc_id", T.shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
     )
     sig = docs.select(
         "doc_id",

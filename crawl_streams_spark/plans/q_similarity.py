@@ -55,13 +55,25 @@ def knn_bruteforce(spark, sf_dir):
     query set, one narrow map over the corpus, per-query top-k. Ranks on the
     ROUNDED similarity (6 dp) so rank order is engine-portable."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # float→double cast and per-vector norms are staged BELOW the join, so
+    # they're computed once per vector, not once per pair — the per-pair
+    # work is a single dot_raw. Operand order matches the oracle exactly.
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        V.to_double_array("embedding").alias("q_emb"),
+    ).select("query_id", "q_emb", V.norm_raw("q_emb").alias("q_norm"))
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", V.to_double_array("embedding").alias("c_emb"))
+        .select("vec_id", "c_emb", V.norm_raw("c_emb").alias("c_norm"))
     )
-    pairs = load_table(spark, sf_dir, "embeddings").join(
-        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        V.cosine_from(
+            V.dot_raw("q_emb", "c_emb"), F.col("q_norm"), F.col("c_norm")
+        ),
+        6,
     )
-    cos = F.round(V.cosine("q_emb", "embedding"), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         pairs.select(
@@ -89,9 +101,20 @@ def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.3) over a strided
     sample — the per-bucket verification kernel of embedding dedup."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = F.round(V.cosine("emb_a", "emb_b"), 6)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        V.to_double_array("embedding").alias("emb_a"),
+    ).select("vec_a", "emb_a", V.norm_raw("emb_a").alias("norm_a"))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        V.to_double_array("embedding").alias("emb_b"),
+    ).select("vec_b", "emb_b", V.norm_raw("emb_b").alias("norm_b"))
+    cos = F.round(
+        V.cosine_from(
+            V.dot_raw("emb_a", "emb_b"), F.col("norm_a"), F.col("norm_b")
+        ),
+        6,
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
