@@ -1,0 +1,96 @@
+"""Physical-plan audits (the 100 TB posture, SURVEY §4): filters reach the
+parquet scan, small sides broadcast, top-k plans as TakeOrderedAndProject,
+column pruning holds, and the hot path stays out of row-at-a-time Python.
+A plan regression here is a scale bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawl_streams_spark.plans import REGISTRY
+from crawl_streams_spark.tables import load_table
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    """windowed_count's time-range predicate must reach the parquet reader
+    as PushedFilters (the SRC-2 range-pushdown analog)."""
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not read the full lineitem schema."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+@pytest.mark.parametrize(
+    "name", ["top_unshipped_orders", "regional_revenue", "knn_bruteforce"]
+)
+def test_broadcast_joins(spark, sf_dir, name):
+    """Dimension/query sides must broadcast — a shuffled fact table on the
+    join key would be the scale bottleneck."""
+    plan = _plan(spark, sf_dir, name)
+    assert "Broadcast" in plan, plan[:2000]
+    # regional_revenue / top_unshipped must not sort-merge-join the fact
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """orderBy().limit() must plan as TakeOrderedAndProject (per-partition
+    partial top-k), never a global sort."""
+    plan = _plan(spark, sf_dir, "latest_events_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregation_is_partial(spark, sf_dir):
+    """The flagship groupBy must be a two-phase hash aggregate (map-side
+    partial combine before the shuffle)."""
+    plan = _plan(spark, sf_dir, "event_type_stats")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_core_queries(spark, sf_dir):
+    """Everything except the mmh3 key query stays JVM-side — no
+    BatchEvalPython / ArrowEvalPython stages in the hot paths."""
+    for name in [
+        "event_type_stats",
+        "pricing_summary",
+        "dedup_minhash_signatures",
+        "knn_bruteforce",
+        "doc_token_stats",
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_mmh3_query_is_arrow_batched(spark, sf_dir):
+    """The one Python kernel must run as an Arrow-batched pandas UDF, not
+    row-at-a-time pickling."""
+    plan = _plan(spark, sf_dir, "mmh3_partition_keys")
+    assert "ArrowEvalPython" in plan
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    """The scan→filter→aggregate pipeline of the flagship query runs inside
+    WholeStageCodegen spans (visible only in the AQE final plan, so execute
+    first)."""
+    df = REGISTRY["event_type_stats"].build(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen stages render as '*(n) Operator' in the final plan
+    assert "*(" in plan, plan[:1500]
