@@ -1,0 +1,226 @@
+"""CLI — the reference's five console entry points (setup.py:23-27) as
+subcommands over the engine's query builders:
+
+    python -m crawl_streams_spark.cli report   --input FILE [-F fmt] [-S] [-M n]
+    python -m crawl_streams_spark.cli analyse  --input DIR --output SNAPSHOT [...]
+    python -m crawl_streams_spark.cli launcher --input FEED [--now TS] [--dry-run]
+    python -m crawl_streams_spark.cli submit   --uri U | --file F [--dry-run]
+    python -m crawl_streams_spark.cli streamer --input FILE --from TS --to TS [-l n]
+
+File inputs stand in for Kafka topics when no broker is configured (pass
+--brokers/--topic to read Kafka instead); dispatch mirrors the reference's
+argparse surface (report.py:228-281, analysis.py:200-236,
+launcher.py:214-237, submit.py:59-105, streamer.py:169-208).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("crawl-streams-cli", master=args.master)
+
+
+def _crawl_log_input(spark, args):
+    from .sources import jsonl, kafka
+
+    if args.brokers:
+        df = kafka.read_topic(spark, args.brokers, args.topic)
+        import pyspark.sql.functions as F
+
+        from .schemas import CRAWL_LOG_SCHEMA
+
+        return df.select(
+            F.from_json(F.col("value").cast("string"), CRAWL_LOG_SCHEMA).alias("j")
+        ).select("j.*").withColumn("is_heritrix", F.col("thread").isNotNull())
+    return jsonl.read_crawl_log(spark, args.input)
+
+
+def cmd_report(args) -> int:
+    from .operators import report as R
+
+    spark = _spark(args)
+    df = _crawl_log_input(spark, args)
+    if args.summarise:
+        out = R.summarise_hosts(df)
+    elif args.format == "crawl-log":
+        out = R.crawl_log_lines(df).select("line")
+    elif args.format == "crawl-db":
+        out = R.solr_documents(df)
+    elif args.format == "raw":
+        out = df
+    else:
+        out = R.mixed_stream_lines(df)
+    if args.max_messages:
+        out = out.limit(args.max_messages)
+    for row in out.collect():
+        print(row[0] if len(row) == 1 else row.asDict())
+    return 0
+
+
+def cmd_analyse(args) -> int:
+    from .sources.jsonl import stream_crawl_log
+    from .streaming.analysis_job import run_analysis
+
+    spark = _spark(args)
+    stream = stream_crawl_log(spark, args.input)
+    q = run_analysis(
+        stream,
+        args.output,
+        args.checkpoint,
+        update_interval=f"{args.update_interval} seconds",
+        available_now=args.once,
+    )
+    q.awaitTermination(args.timeout if args.timeout > 0 else None)
+    print(f"snapshot written to {args.output}")
+    return 0
+
+
+def cmd_launcher(args) -> int:
+    from .operators.launcher import run_launcher
+    from .sources.jsonl import read_crawl_feed
+
+    spark = _spark(args)
+    now = (
+        dt.datetime.fromisoformat(args.now)
+        if args.now
+        else dt.datetime.utcnow().replace(tzinfo=None)
+    )
+    msgs = run_launcher(read_crawl_feed(spark, args.input), now)
+    if args.dry_run or not args.brokers:
+        for m in msgs.collect():
+            print(m["key"], m["value"])
+    else:
+        from .sources.kafka import write_to_kafka
+
+        write_to_kafka(msgs, args.brokers, args.topic)
+    return 0
+
+
+def cmd_submit(args) -> int:
+    from .operators.submit import submit_messages
+    from .sources.jsonl import read_uri_list
+
+    spark = _spark(args)
+    if args.uri:
+        uris = spark.createDataFrame([(args.uri,)], ["uri"])
+    else:
+        uris = read_uri_list(spark, args.file)
+    now = dt.datetime.utcnow().replace(tzinfo=None)
+    msgs = submit_messages(
+        uris, now, source=args.source, is_seed=args.seed, force_fetch=args.forceFetch
+    )
+    if args.dry_run or not args.brokers:
+        for m in msgs.collect():
+            print(m["key"], m["value"])
+    else:
+        from .sources.kafka import write_to_kafka
+
+        write_to_kafka(msgs, args.brokers, args.topic)
+    return 0
+
+
+def cmd_streamer(args) -> int:
+    """SRC-2 event-time range scan + P-9 typed projection + limit."""
+    import pyspark.sql.functions as F
+
+    spark = _spark(args)
+    if args.brokers:
+        from .sources.kafka import read_topic_time_range
+
+        t0 = int(dt.datetime.fromisoformat(args.ts_from).timestamp() * 1000)
+        t1 = int(dt.datetime.fromisoformat(args.ts_to).timestamp() * 1000)
+        df = read_topic_time_range(spark, args.brokers, args.topic, t0, t1)
+        from .schemas import CRAWL_LOG_SCHEMA
+
+        df = df.select(
+            F.from_json(F.col("value").cast("string"), CRAWL_LOG_SCHEMA).alias("j")
+        ).select("j.*")
+    else:
+        from .sources.jsonl import read_crawl_log
+
+        df = read_crawl_log(spark, args.input).filter(
+            (F.col("timestamp") >= args.ts_from) & (F.col("timestamp") < args.ts_to)
+        )
+    from .functions import crawl as C
+
+    out = df.select(
+        "timestamp",
+        C.status_str(F.col("status_code")).alias("status"),
+        "url",
+        C.hop_last(F.col("hop_path")).alias("hop"),
+        C.host_of("url").alias("host"),
+        C.wayback_timestamp(F.col("timestamp")).alias("wayback_ts"),
+    ).limit(args.limit)
+    for row in out.collect():
+        print(" ".join("-" if v is None else str(v) for v in row))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="crawl-streams-spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("report", help="scan + format a crawl-log stream")
+    r.add_argument("--input", help="JSONL crawl log (file mode)")
+    r.add_argument("--brokers", default=None)
+    r.add_argument("--topic", default="fc.crawled")
+    r.add_argument("-F", "--format", default="mixed",
+                   choices=["raw", "crawl-log", "crawl-db", "mixed"])
+    r.add_argument("-S", "--summarise", action="store_true")
+    r.add_argument("-M", "--max-messages", type=int, default=None)
+    r.set_defaults(fn=cmd_report)
+
+    a = sub.add_parser("analyse", help="continuous host-stats snapshot job")
+    a.add_argument("--input", required=True, help="stream dir (file mode)")
+    a.add_argument("--output", required=True, help="snapshot json path")
+    a.add_argument("--checkpoint", required=True)
+    a.add_argument("-u", "--update-interval", type=int, default=10)
+    a.add_argument("--once", action="store_true", help="drain available input and stop")
+    a.add_argument("--timeout", type=int, default=-1)
+    a.set_defaults(fn=cmd_analyse)
+
+    l = sub.add_parser("launcher", help="scheduled seed launcher")
+    l.add_argument("--input", required=True, help="crawl feed JSONL")
+    l.add_argument("--now", default=None, help="ISO datetime override")
+    l.add_argument("--brokers", default=None)
+    l.add_argument("--topic", default="fc.tocrawl")
+    l.add_argument("--dry-run", action="store_true")
+    l.set_defaults(fn=cmd_launcher)
+
+    s = sub.add_parser("submit", help="enqueue one URI or a file of URIs")
+    g = s.add_mutually_exclusive_group(required=True)
+    g.add_argument("--uri")
+    g.add_argument("--file")
+    s.add_argument("--source", default="")
+    s.add_argument("--seed", action="store_true")
+    s.add_argument("--forceFetch", action="store_true")
+    s.add_argument("--brokers", default=None)
+    s.add_argument("--topic", default="fc.tocrawl")
+    s.add_argument("--dry-run", action="store_true")
+    s.set_defaults(fn=cmd_submit)
+
+    st = sub.add_parser("streamer", help="event-time range scan")
+    st.add_argument("--input", help="JSONL crawl log (file mode)")
+    st.add_argument("--brokers", default=None)
+    st.add_argument("--topic", default="fc.crawled")
+    st.add_argument("--from", dest="ts_from", required=True)
+    st.add_argument("--to", dest="ts_to", required=True)
+    st.add_argument("-l", "--limit", type=int, default=50)
+    st.set_defaults(fn=cmd_streamer)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

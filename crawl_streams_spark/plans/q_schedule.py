@@ -145,7 +145,9 @@ def launch_ts_and_source_tags(spark, sf_dir):
 @query(
     "tumbling_window_counts",
     oracle="""
-        SELECT CAST(to_timestamp((epoch(CAST(ts AS TIMESTAMP))::BIGINT // 21600) * 21600)
+        -- epoch_us is an exact BIGINT: epoch(..)::BIGINT would ROUND
+        -- fractional seconds and push boundary events into the next window
+        SELECT CAST(to_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600)
                     AS TIMESTAMP) AS win_start,
                event_type,
                COUNT(*) AS n,

@@ -1,0 +1,127 @@
+"""CLI smoke tests — every reference console entry point (setup.py:23-27)
+has a working analog subcommand."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from crawl_streams_spark.cli import main
+
+from .fixtures import crawl_log_path, write_crawl_feed
+
+pytestmark = pytest.mark.skipif(
+    crawl_log_path() is None, reason="reference sample not available"
+)
+
+
+def test_report_crawl_log(capsys, spark):
+    assert (
+        main(
+            [
+                "report",
+                "--input",
+                crawl_log_path(),
+                "-F",
+                "crawl-log",
+                "-M",
+                "5",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5
+    assert all("https://" in line or "http://" in line for line in out)
+
+
+def test_report_summarise(capsys, spark):
+    assert main(["report", "--input", crawl_log_path(), "-S", "-M", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "hostname" in out and "tot" in out
+
+
+def test_streamer_range(capsys, spark):
+    assert (
+        main(
+            [
+                "streamer",
+                "--input",
+                crawl_log_path(),
+                "--from",
+                "2021-01-16T17:04:20",
+                "--to",
+                "2021-01-16T17:04:30",
+                "-l",
+                "3",
+            ]
+        )
+        == 0
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3
+    for line in lines:
+        ts = line.split(" ")[0]
+        assert "2021-01-16T17:04:20" <= ts < "2021-01-16T17:04:30"
+
+
+def test_submit_dry_run(capsys, spark):
+    assert main(["submit", "--uri", "example.org/x", "--dry-run"]) == 0
+    key, value = capsys.readouterr().out.strip().split(" ", 1)
+    assert len(key) == 8
+    doc = json.loads(value)
+    assert doc["url"] == "http://example.org/x"  # P-18 normalization
+
+
+def test_launcher_dry_run(capsys, spark, tmp_path):
+    feed = write_crawl_feed(str(tmp_path))
+    assert (
+        main(
+            [
+                "launcher",
+                "--input",
+                feed,
+                "--now",
+                "2020-01-01T09:00:00",
+                "--dry-run",
+            ]
+        )
+        == 0
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    # golden decision: targets {2, 11, 12} → 4 seed messages (12 has 2 seeds)
+    assert len(lines) == 4
+    for line in lines:
+        key, value = line.split(" ", 1)
+        doc = json.loads(value)
+        assert doc["parentUrlMetadata"]["heritableData"]["launchTimestamp"] == "20200101090000"
+
+
+def test_analyse_once(capsys, spark, tmp_path):
+    import shutil
+
+    d = tmp_path / "in"
+    d.mkdir()
+    shutil.copy(crawl_log_path(), d / "b0.json")
+    snap = tmp_path / "snap.json"
+    assert (
+        main(
+            [
+                "analyse",
+                "--input",
+                str(d),
+                "--output",
+                str(snap),
+                "--checkpoint",
+                str(tmp_path / "ck"),
+                "--once",
+                "--timeout",
+                "120",
+            ]
+        )
+        == 0
+    )
+    doc = json.loads(snap.read_text())
+    assert doc["hosts"]
