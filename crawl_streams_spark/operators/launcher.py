@@ -201,3 +201,39 @@ def run_launcher(
 ) -> DataFrame:
     """Full pipeline: feed → launchable seeds → (key, value) messages."""
     return launch_messages(launchable_seeds(feed, now), now, stream)
+
+
+def backfill_launches(
+    feed: DataFrame, start: dt.datetime, end: dt.datetime
+) -> DataFrame:
+    """The generalized cross-join form (SURVEY §2.7): feed × hour-dimension
+    table, filtered by the same P-13/P-14/P-15 predicates — "which
+    (target, seed, hour) launches were due in [start, end)?". Replaces N
+    hourly runs with one distributed join; the hour dimension broadcasts.
+
+    Returns (tid, seed, launch_hour) rows — feed the per-hour groups to
+    launch_messages to materialize documents."""
+    hours = feed.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start.strftime("%Y-%m-%d %H:00:00")).cast("timestamp_ntz"),
+                F.lit(end.strftime("%Y-%m-%d %H:00:00")).cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("now_h")
+    )
+    d = (
+        valid_targets(feed)
+        .withColumn("sched", F.explode("schedules"))
+        .crossJoin(F.broadcast(hours))
+    )
+    now_c = F.col("now_h")
+    d = (
+        d.filter(date_range_ok(now_c))
+        .filter(frequency_ok(now_c))
+        .filter(hour_ok(now_c))
+        .withColumn("seed", F.explode("seeds"))
+    )
+    return d.select(
+        F.col("id").alias("tid"), "seed", F.col("now_h").alias("launch_hour")
+    ).dropDuplicates(["tid", "seed", "launch_hour"])

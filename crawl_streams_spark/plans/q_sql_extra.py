@@ -1,0 +1,223 @@
+"""Additional relational engine surface: correlated/scalar subqueries,
+exact percentiles, conditional aggregation, string- and date-function
+suites. The reference has none of these (SURVEY §2.7-2.9) — they complete
+the "a reference user could run every query here" engine contract, all
+Catalyst built-ins, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "small_quantity_orders",
+    oracle="""
+        SELECT l.l_partkey AS partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem l
+        JOIN (
+            SELECT l_partkey, AVG(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        ) a ON a.l_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.5 * a.avg_qty
+        GROUP BY l.l_partkey
+    """,
+    tags=("subquery", "join", "tpch"),
+)
+def small_quantity_orders(spark, sf_dir):
+    """TPC-H Q17-shape: per-part average-quantity scalar subquery driving a
+    fact filter. The aggregated side is small (one row per part) →
+    broadcast; lineitem is scanned once per side but never shuffled on a
+    high-cardinality key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               quantile_disc(o_totalprice, 0.5) AS median_price,
+               quantile_disc(o_totalprice, 0.9) AS p90_price,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def price_percentiles(spark, sf_dir):
+    """Exact discrete percentiles per group — values are picked from the
+    data (no interpolation), so both engines return identical doubles.
+    Spark percentile() with exact semantics ≡ DuckDB quantile_disc.
+
+    Note: approx_percentile/t-digest is the 100 TB path; the exact form is
+    the oracle-checkable contract."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "median_price"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias(
+            "p90_price"
+        ),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "conditional_aggregation",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+               COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+               CAST(SUM(CASE WHEN c_acctbal > 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS positive_balance,
+               ROUND(AVG(CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END), 6) AS frac_positive
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "conditional"),
+)
+def conditional_aggregation(spark, sf_dir):
+    """FILTER / CASE-guarded aggregation — one pass, no self-joins."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal").cast("decimal(18,2)")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.when(F.col("c_acctbal") > 5000, 1)).alias("n_rich"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+        F.sum(pos).cast("double").alias("positive_balance"),
+        F.round(
+            F.avg(F.when(F.col("c_acctbal") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_positive"),
+    )
+
+
+@query(
+    "string_function_suite",
+    oracle="""
+        SELECT p_partkey AS partkey,
+               upper(p_name) AS name_upper,
+               substr(p_name, 1, 8) AS name_prefix,
+               replace(p_type, ' ', '_') AS type_underscored,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               length(p_name) AS name_len,
+               contains(p_type, 'BRASS') AS is_brass,
+               split_part(p_type, ' ', 1) AS type_first_word
+        FROM part
+        ORDER BY p_partkey
+        LIMIT 1000
+    """,
+    tags=("string", "projection"),
+)
+def string_function_suite(spark, sf_dir):
+    """String scalar surface: case, substring, replace, pad, predicates,
+    split_part — the building blocks of F-4/F-7/F-8-style derivations on
+    arbitrary columns."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            F.col("p_partkey").alias("partkey"),
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias(
+                "type_underscored"
+            ),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.length("p_name").alias("name_len"),
+            F.col("p_type").contains("BRASS").alias("is_brass"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias(
+                "type_first_word"
+            ),
+        )
+        .orderBy("partkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "date_function_suite",
+    oracle="""
+        SELECT o_orderkey AS orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+               datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_cutoff,
+               year(o_orderdate) AS order_year,
+               quarter(o_orderdate) AS order_quarter,
+               dayofmonth(o_orderdate) AS order_dom,
+               weekofyear(o_orderdate) AS order_week
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 2000
+    """,
+    tags=("date", "projection"),
+)
+def date_function_suite(spark, sf_dir):
+    """Date/time scalar surface: trunc, last_day, diffs, parts, formatting
+    (the F-3/F-13/F-16 building blocks)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+                "days_to_cutoff"
+            ),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.dayofmonth("o_orderdate").alias("order_dom"),
+            F.weekofyear("o_orderdate").alias("order_week"),
+        )
+        .orderBy("orderkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "orders_in_top_segments",
+    oracle="""
+        SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        )
+        AND o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery", "semi"),
+)
+def orders_in_top_segments(spark, sf_dir):
+    """IN-subquery (semi join) + uncorrelated scalar subquery (broadcast
+    1-row relation) in one query."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    avg_price = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Stream-stream join, launcher backfill cross-join, and skew utilities."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawl_streams_spark.operators import launcher as L
+from crawl_streams_spark.operators import skew
+from crawl_streams_spark.sources.jsonl import read_crawl_feed
+from crawl_streams_spark.streaming.joins import launch_outcomes
+
+from .fixtures import write_crawl_feed
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_stream_launch_outcomes(spark, tmp_path):
+    """Watermarked stream-stream join: fetches within the hour match their
+    launch; later fetches and unknown urls don't."""
+    launch_dir = tmp_path / "launch"
+    crawl_dir = tmp_path / "crawl"
+    launch_dir.mkdir()
+    crawl_dir.mkdir()
+    _write_jsonl(
+        launch_dir / "l.json",
+        [
+            {"url": "https://a.example.org/", "timestamp": "2021-01-16T10:00:00.000Z"},
+            {"url": "https://b.example.org/", "timestamp": "2021-01-16T10:05:00.000Z"},
+            {"url": "https://c.example.org/", "timestamp": "2021-01-16T10:10:00.000Z"},
+        ],
+    )
+    _write_jsonl(
+        crawl_dir / "c.json",
+        [
+            # a: fetched 90 s after launch → matches
+            {"url": "https://a.example.org/", "timestamp": "2021-01-16T10:01:30.000Z", "status_code": 200},
+            # b: fetched 2 h later → outside max_fetch_delay
+            {"url": "https://b.example.org/", "timestamp": "2021-01-16T12:30:00.000Z", "status_code": 200},
+            # unknown url → no launch to match
+            {"url": "https://x.example.org/", "timestamp": "2021-01-16T10:02:00.000Z", "status_code": 404},
+        ],
+    )
+    lsch = "url string, timestamp string"
+    csch = "url string, timestamp string, status_code int"
+    launches = spark.readStream.schema(lsch).json(str(launch_dir))
+    crawls = spark.readStream.schema(csch).json(str(crawl_dir))
+    out = launch_outcomes(launches, crawls)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("outcomes")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM outcomes").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "https://a.example.org/"
+    assert r["status_code"] == 200
+    assert r["fetch_latency_ms"] == 90_000
+
+
+def test_backfill_matches_hourly_runs(spark, tmp_path):
+    """backfill over [T, T+24h) ≡ the union of 25 hourly run_launcher
+    decisions (same predicates, one cross-join plan)."""
+    feed = read_crawl_feed(spark, write_crawl_feed(str(tmp_path))).cache()
+    start = dt.datetime(2020, 1, 1, 0)
+    end = dt.datetime(2020, 1, 2, 0)
+    bf = {
+        (r["tid"], r["seed"], r["launch_hour"].strftime("%Y-%m-%dT%H"))
+        for r in L.backfill_launches(feed, start, end).collect()
+    }
+    want = set()
+    cur = start
+    while cur <= end:
+        for r in L.launchable_seeds(feed, cur).collect():
+            want.add((r["id"], r["seed"], cur.strftime("%Y-%m-%dT%H")))
+        cur += dt.timedelta(hours=1)
+    assert bf == want
+    assert bf, "backfill window should produce launches"
+
+
+def test_salted_groupby_count_equivalence(spark, sf_dir):
+    from crawl_streams_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["event_type"]: r["n"]
+        for r in skew.salted_groupby_count(ev, "event_type", buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_hot_keys_equivalence(spark, sf_dir):
+    from crawl_streams_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = o.withColumnRenamed("o_custkey", "custkey")
+    dim = c.withColumnRenamed("c_custkey", "custkey")
+    hot = [r["custkey"] for r in fact.groupBy("custkey").count().orderBy(F.desc("count")).limit(3).collect()]
+    plain = {
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in fact.join(dim, "custkey").collect()
+    }
+    salted = {
+        (r["o_orderkey"], r["c_mktsegment"])
+        for r in skew.salted_join_hot_keys(fact, dim, "custkey", hot, buckets=4).collect()
+    }
+    assert salted == plain
