@@ -96,3 +96,15 @@ def test_simhash_candidates_find_small_hamming(spark, sf_dir):
     pairs = {(r["key_a"], r["key_b"]) for r in cands}
     found = sum(1 for a, b in pairs if b - a == 100000)
     assert found >= 7, f"only {found}/10 planted simhash near-dups found"
+
+
+def test_embedding_dedup_catches_planted_copies(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    # plant exact-duplicate vectors under higher ids
+    dups = emb.limit(10).withColumn("vec_id", F.col("vec_id") + 100000)
+    full = emb.unionByName(dups)
+    kept = S.embedding_dedup(full, threshold=0.999)
+    survivors = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # identical vectors share every bucket → all planted copies caught
+    assert not [v for v in survivors if v >= 100000]
+    assert len([v for v in survivors if v < 100000]) == 200
