@@ -110,6 +110,88 @@ def minhash_dedup(
     return df.join(losers, key, "left_anti")
 
 
+def cluster_duplicates(
+    pairs: DataFrame, key_a: str = "key_a", key_b: str = "key_b", max_iter: int = 20
+) -> DataFrame:
+    """Transitive duplicate clustering: connected components over the
+    candidate-pair graph by iterative min-label propagation (the
+    DataFrame-only form of the alternating-star CC algorithm). Returns
+    (key, cluster) where cluster = min key of the component — pick
+    key == cluster as the representative to keep.
+
+    Each iteration does a neighbor-min propagation AND a pointer-jump
+    (relabel through the label's own label), so the min label spreads
+    exponentially — `max_iter` 20 covers any realistic component diameter.
+    Iterations stop early at a fixed point; lineage is cut per round with
+    localCheckpoint so plans don't grow with iterations."""
+    edges = (
+        pairs.select(F.col(key_a).alias("a"), F.col(key_b).alias("b"))
+        .union(pairs.select(F.col(key_b).alias("a"), F.col(key_a).alias("b")))
+        .distinct()
+    )
+    # start: every node labeled with min(itself, neighbors)
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("cluster"))
+        .select(F.col("a").alias("key"), "cluster")
+    )
+    for _ in range(max_iter):
+        # 1) propagate: node takes min(own label, neighbors' labels)
+        neigh = (
+            edges.join(labels, edges.b == labels.key)
+            .select(F.col("a").alias("key"), F.col("cluster"))
+        )
+        prop = (
+            labels.union(neigh)
+            .groupBy("key")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        # 2) pointer-jump: relabel through the cluster's own label
+        x, y = prop.alias("x"), prop.alias("y")
+        new_labels = x.join(
+            y, F.col("x.cluster") == F.col("y.key"), "left"
+        ).select(
+            F.col("x.key").alias("key"),
+            F.least(
+                F.col("x.cluster"),
+                F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
+            ).alias("cluster"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "key")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup_transitive(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Full transitive MinHash dedup: LSH candidates → threshold → connected
+    components → keep only each component's min-key representative.
+    Strictly stronger than minhash_dedup's single-pass victim rule (chains
+    A~B~C keep exactly A, even when A~C was never a candidate pair)."""
+    pairs = minhash_lsh_candidates(df, content, key, **lsh_kw).filter(
+        F.col("jaccard") >= threshold
+    )
+    clusters = cluster_duplicates(pairs)
+    losers = clusters.filter(F.col("key") != F.col("cluster")).select(
+        F.col("key").alias(key)
+    )
+    return df.join(losers, key, "left_anti")
+
+
 def simhash_fingerprints(
     df: DataFrame, content: str = "text", key: str = "doc_id"
 ) -> DataFrame:

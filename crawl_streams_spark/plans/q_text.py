@@ -183,6 +183,32 @@ def token_array_ops(spark, sf_dir):
 
 
 @query(
+    "doc_bpe_tokens",
+    oracle=r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens,
+               len(list_distinct(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))) AS n_distinct_bpe,
+               regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)[1] AS first_token
+        FROM documents
+    """,
+    tags=("text", "extension", "tokenizer"),
+)
+def doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish sub-word token counting (GPT-2-pre-tokenizer-style regex
+    split: letter runs / digit runs / single symbols) — the cheap
+    token-budget estimator of a training pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.bpe_ish_tokens(F.col("text"))
+    staged = docs.select("doc_id", toks.alias("toks"))
+    return staged.select(
+        "doc_id",
+        F.size("toks").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_bpe"),
+        F.element_at("toks", 1).alias("first_token"),
+    )
+
+
+@query(
     "lang_source_rollup",
     oracle="""
         SELECT lang, source, COUNT(*) AS n_docs,

@@ -108,3 +108,42 @@ def test_embedding_dedup_catches_planted_copies(spark, sf_dir):
     # identical vectors share every bucket → all planted copies caught
     assert not [v for v in survivors if v >= 100000]
     assert len([v for v in survivors if v < 100000]) == 200
+
+
+def test_cluster_duplicates_transitive_chain(spark):
+    # chain 1-2, 2-3, plus isolated pair 10-11: components {1,2,3}, {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["key_a", "key_b"]
+    )
+    got = {
+        r["key"]: r["cluster"]
+        for r in D.cluster_duplicates(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cluster_duplicates_long_chain_converges(spark):
+    n = 40  # diameter >> 2 forces multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["key_a", "key_b"]
+    )
+    got = {r["key"]: r["cluster"] for r in D.cluster_duplicates(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_minhash_dedup_transitive_keeps_one_per_cluster(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50).cache()
+    # clusters of 3: original + two near-copies
+    c1 = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail"))
+    )
+    c2 = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 200000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail more"))
+    )
+    full = docs.unionByName(c1).unionByName(c2)
+    kept = D.minhash_dedup_transitive(full, threshold=0.5)
+    survivors = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every planted copy dies; at most a couple of genuine corpus near-dups
+    assert not [d for d in survivors if d >= 100000]
+    assert len([d for d in survivors if d < 100000]) >= 47
