@@ -158,6 +158,80 @@ def train_ivf_centroids(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """DataFrame-only Lloyd's k-means for the IVF coarse quantizer
+    (returns (cell, centroid)). Iterative algorithm, no RDDs, no collects:
+
+      init    cell = id % k (deterministic, no RNG)
+      assign  argmin squared-L2 via broadcast(centroids) + min_by
+      update  per-cell per-dimension mean
+
+    Each iteration = one broadcast join + one grouped aggregation; the
+    corpus is scanned per iteration but never shuffled by vector. Inertia
+    is monotone non-increasing (Lloyd), tested in test_similarity."""
+    d = corpus.select(
+        F.col(id_col).alias("__id"), V.to_double_array(vec_col).alias("__v")
+    )
+    assigned = d.withColumn("cell", F.pmod(F.col("__id"), F.lit(k)))
+    for _ in range(iters):
+        cents = assigned.groupBy("cell").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("__v", i + 1))
+                    for i in range(dim)
+                ]
+            ).alias("centroid")
+        )
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("__v"), F.col("centroid"), lambda a, c: (a - c) * (a - c)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            d.join(F.broadcast(cents))
+            .select("__id", "__v", F.col("cell"), dist.alias("__d"))
+            .groupBy("__id", "__v")
+            .agg(F.min_by("cell", "__d").alias("cell"))
+        )
+        assigned = assigned.localCheckpoint(eager=True)
+    return assigned.groupBy("cell").agg(
+        F.array(
+            *[F.avg(F.element_at("__v", i + 1)) for i in range(dim)]
+        ).alias("centroid")
+    )
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Σ min-squared-distance — the k-means objective (for tests/tuning)."""
+    d = corpus.select(V.to_double_array(vec_col).alias("__v"))
+    dist = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda a, c: (a - c) * (a - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = (
+        d.join(F.broadcast(centroids))
+        .select("__v", dist.alias("__d"))
+        .groupBy("__v")
+        .agg(F.min("__d").alias("mind"))
+    )
+    return per_vec.agg(F.sum("mind")).collect()[0][0]
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

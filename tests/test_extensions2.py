@@ -122,3 +122,46 @@ def test_salted_join_hot_keys_equivalence(spark, sf_dir):
         for r in skew.salted_join_hot_keys(fact, dim, "custkey", hot, buckets=4).collect()
     }
     assert salted == plain
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimates stay within a loose rsd band of exact counts."""
+    from crawl_streams_spark.plans import REGISTRY
+    from crawl_streams_spark.tables import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].build(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.1 * n), (t, approx[t], n)
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    from crawl_streams_spark.operators.similarity import (
+        kmeans_inertia,
+        kmeans_train,
+    )
+    from crawl_streams_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    i1 = kmeans_inertia(emb, kmeans_train(emb, k=8, iters=1))
+    i4 = kmeans_inertia(emb, kmeans_train(emb, k=8, iters=4))
+    assert i4 <= i1 + 1e-9, (i1, i4)
+    # trained centroids must beat the arbitrary id%k partition's centroids
+    from crawl_streams_spark.operators.similarity import train_ivf_centroids
+    import pyspark.sql.functions as F2
+
+    naive = (
+        emb.withColumn("label", F2.pmod("vec_id", F2.lit(8)))
+        .transform(lambda d: train_ivf_centroids(d))
+    )
+    i_naive = kmeans_inertia(emb, naive)
+    assert i4 < i_naive, (i4, i_naive)
