@@ -42,10 +42,17 @@ def _crawl_log_input(spark, args):
 
 
 def cmd_report(args) -> int:
+    import pyspark.sql.functions as F
+
     from .operators import report as R
 
     spark = _spark(args)
     df = _crawl_log_input(spark, args)
+    if "corrupt_record" in df.columns:
+        # the reference catch-and-skips malformed records
+        # (analysis.py:140-141); raw mode keeps them visible
+        if args.format != "raw":
+            df = df.filter(F.col("corrupt_record").isNull())
     if args.summarise:
         out = R.summarise_hosts(df)
     elif args.format == "crawl-log":

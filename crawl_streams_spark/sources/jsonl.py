@@ -24,8 +24,24 @@ def read_crawl_feed(spark: SparkSession, path: str) -> DataFrame:
 def read_crawl_log(spark: SparkSession, path: str) -> DataFrame:
     """Crawl-log JSONL (e.g. the reference's 1,000-row sample) under the
     union schema; use ``is_heritrix`` for variant dispatch
-    (report.py:48-49)."""
-    df = spark.read.schema(CRAWL_LOG_SCHEMA).json(path)
+    (report.py:48-49).
+
+    Malformed lines never fail the job — the reference catch-and-logs
+    every parse error (analysis.py:140-141, streamer.py:161-162); here
+    PERMISSIVE mode routes them to ``corrupt_record`` (count it for the
+    A-9-style error metric, filter it out for analysis)."""
+    # copy — StructType.add mutates in place, and CRAWL_LOG_SCHEMA is shared
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(CRAWL_LOG_SCHEMA.fields) + [StructField("corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .json(path)
+    )
     return df.withColumn("is_heritrix", F.col("thread").isNotNull())
 
 
@@ -37,10 +53,14 @@ def stream_crawl_log(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_uri_list(spark: SparkSession, path: str) -> DataFrame:
-    """SRC-5 — one URI per line, trimmed, blanks dropped
-    (submit.py:89-102; per-row retry there is sink policy, not scan)."""
+    """SRC-5 — one URI per line, whitespace-stripped, blanks dropped
+    (submit.py:89-102; per-row retry there is sink policy, not scan).
+    Python str.strip() removes all whitespace; Spark trim() only removes
+    spaces, so strip via regexp."""
     return (
         spark.read.text(path)
-        .select(F.trim(F.col("value")).alias("uri"))
+        .select(
+            F.regexp_replace(F.col("value"), r"^\s+|\s+$", "").alias("uri")
+        )
         .filter(F.col("uri") != "")
     )
