@@ -74,15 +74,20 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in for a real image decode: dimensions and an
-    8-dim feature vector derived from the payload digest. Replaced wholesale
-    by the codec path when _HAVE_CODECS."""
-    digest = hashlib.sha1(payload).digest()
-    width = 1 + digest[0] % 64
-    height = 1 + digest[1] % 64
-    feats = [round(b / 255.0, 6) for b in digest[2:10]]
-    return width, height, feats
+def _fake_decode_impl():
+    """Factory for the deterministic decode stand-in (dimensions + an 8-dim
+    feature vector from the payload digest). A factory so the returned
+    closure cloudpickles by value into executor-side code."""
+    import hashlib as _hashlib
+
+    def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+        digest = _hashlib.sha1(payload).digest()
+        width = 1 + digest[0] % 64
+        height = 1 + digest[1] % 64
+        feats = [round(b / 255.0, 6) for b in digest[2:10]]
+        return width, height, feats
+
+    return fake_decode
 
 
 def decode_media(df: DataFrame, batch_hint: int = 64) -> DataFrame:
@@ -90,6 +95,12 @@ def decode_media(df: DataFrame, batch_hint: int = 64) -> DataFrame:
     schema fixed by DECODED_SCHEMA. With codecs installed this is where
     PIL/ffmpeg run; without, the deterministic fake keeps the distributed
     plumbing (batching, schema, null payloads) fully testable."""
+
+    # capture as locals: closure variables pickle BY VALUE, so executors
+    # never need this package importable (module globals would be pickled
+    # as references to crawl_streams_spark.*)
+    have_codecs = _HAVE_CODECS
+    fake_decode = _fake_decode_impl()
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -113,11 +124,11 @@ def decode_media(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                     out["features"].append(None)
                     continue
                 data = bytes(payload)
-                if _HAVE_CODECS:  # pragma: no cover — no codecs in container
+                if have_codecs:  # pragma: no cover — no codecs in container
                     raise NotImplementedError(
                         "real codec decode not wired in this environment"
                     )
-                w, h, feats = _fake_decode(data)
+                w, h, feats = fake_decode(data)
                 out["n_bytes"].append(len(data))
                 out["payload_sha1"].append(hashlib.sha1(data).hexdigest())
                 out["width"].append(w)
@@ -126,6 +137,104 @@ def decode_media(df: DataFrame, batch_hint: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resized_width", IntegerType(), True),
+        StructField("resized_height", IntegerType(), True),
+        StructField("scale", FloatType(), True),
+    ]
+)
+
+
+def resize_media(
+    decoded: DataFrame, max_side: int = 32
+) -> DataFrame:
+    """Resize stage (aspect-preserving fit to ``max_side``): with codecs
+    installed this re-encodes pixels; the stub computes the real geometry
+    from the decoded dimensions — the Spark-side contract (schema, batch
+    flow, null propagation) is identical either way."""
+
+    have_codecs = _HAVE_CODECS
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "resized_width", "resized_height", "scale")}
+            for mid, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"]):
+                out["media_id"].append(mid)
+                if w is None or h is None or pd.isna(w) or pd.isna(h):
+                    for k in ("width", "height", "resized_width", "resized_height", "scale"):
+                        out[k].append(None)
+                    continue
+                if have_codecs:  # pragma: no cover
+                    raise NotImplementedError("real resize not wired here")
+                w, h = int(w), int(h)
+                scale = min(max_side / w, max_side / h, 1.0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_width"].append(max(1, round(w * scale)))
+                out["resized_height"].append(max(1, round(h * scale)))
+                out["scale"].append(round(scale, 6))
+            yield pd.DataFrame(out)
+
+    return decoded.select("media_id", "width", "height").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_sha1", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, fps: float = 1.0, duration_s: int = 4
+) -> DataFrame:
+    """Frame-sampling stage — the 1→N row-expanding mapInPandas shape a
+    video pipeline needs (each payload yields ``fps·duration`` frame rows).
+    The stub derives deterministic per-frame digests from the payload; a
+    real decoder swaps in ffmpeg keyframe extraction with the same output
+    schema. Frame rows carry no payload by default — at 100 TB you join
+    frames back to blobs by media_id only where needed."""
+    n_frames = max(1, int(fps * duration_s))
+
+    have_codecs = _HAVE_CODECS
+
+    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_index", "frame_ts_ms", "frame_sha1")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                if have_codecs:  # pragma: no cover
+                    raise NotImplementedError("real frame extraction not wired here")
+                base = hashlib.sha1(bytes(payload))
+                for i in range(n_frames):
+                    fh = base.copy()
+                    fh.update(i.to_bytes(4, "little"))
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(int(i * 1000 / fps))
+                    out["frame_sha1"].append(fh.hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        frame_batches, schema=FRAME_SCHEMA
+    )
 
 
 def media_summary(decoded: DataFrame) -> DataFrame:

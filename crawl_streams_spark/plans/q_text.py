@@ -209,6 +209,77 @@ def doc_bpe_tokens(spark, sf_dir):
 
 
 @query(
+    "top_tokens",
+    oracle=f"""
+        SELECT t AS token, COUNT(*) AS n
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS t FROM documents)
+        GROUP BY t
+        ORDER BY n DESC, t
+        LIMIT 50
+    """,
+    tags=("text", "explode", "udtf-shape"),
+)
+def top_tokens(spark, sf_dir):
+    """Corpus vocabulary top-50 via explode (the generator/UDTF shape):
+    row-expanding lateral view → count → top-k. At scale: explode is a
+    narrow map, the count is partial-aggregated, top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "annotation_regex_classes",
+    oracle="""
+        WITH a AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0 THEN (event_id % 9) || 't'
+                        WHEN event_id % 4 = 1 THEN '10.0.' || (event_id % 256) || '.7'
+                        WHEN event_id % 4 = 2 THEN 'dol:' || (event_id % 5)
+                        ELSE 'WebRenderStatus:200' END AS annot
+            FROM events
+        )
+        SELECT event_id, annot,
+               regexp_matches(annot, '^\\d+t$') AS is_tries,
+               regexp_matches(annot, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$') AS is_ip,
+               regexp_matches(annot, '^dol:\\d+$') AS is_dol
+        FROM a
+        ORDER BY event_id
+        LIMIT 2000
+    """,
+    tags=("F-7", "regex", "crawl"),
+)
+def annotation_regex_classes(spark, sf_dir):
+    """F-7's regex variants (streamer.py:81-90): tries counter ^\\d+t$,
+    bare-IPv4, dol:n — classified with rlike on synthesized annotations."""
+    ev = load_table(spark, sf_dir, "events")
+    annot = (
+        F.when(F.col("event_id") % 4 == 0, F.concat((F.col("event_id") % 9).cast("string"), F.lit("t")))
+        .when(F.col("event_id") % 4 == 1, F.concat(F.lit("10.0."), (F.col("event_id") % 256).cast("string"), F.lit(".7")))
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit("dol:"), (F.col("event_id") % 5).cast("string")))
+        .otherwise(F.lit("WebRenderStatus:200"))
+    )
+    d = ev.select("event_id", annot.alias("annot"))
+    return (
+        d.select(
+            "event_id",
+            "annot",
+            F.col("annot").rlike(r"^\d+t$").alias("is_tries"),
+            F.col("annot").rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$").alias("is_ip"),
+            F.col("annot").rlike(r"^dol:\d+$").alias("is_dol"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@query(
     "lang_source_rollup",
     oracle="""
         SELECT lang, source, COUNT(*) AS n_docs,

@@ -69,3 +69,79 @@ def test_stream_restart_idempotent(spark, stream_dir, tmp_path):
     q3.awaitTermination(120)
     third = json.load(open(snap))
     assert third["batch_id"] > second["batch_id"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """W-3: the reference accepts arbitrarily late events (analysis.py:90);
+    the engine's watermark drops them after the configured delay — this
+    pins the documented divergence. A row 2 hours older than the watermark
+    high-water-mark must not update the aggregate; a fresh row must."""
+    import json as _json
+
+    from crawl_streams_spark.schemas import CRAWL_LOG_SCHEMA
+    from crawl_streams_spark.streaming.analysis_job import (
+        host_stats_stream,
+        parsed_events,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    emitted: list = []
+
+    def run(qname):
+        # foreachBatch (not memory sink — memory can't RECOVER from a
+        # checkpoint, and watermark state continuity is the point here)
+        stream = spark.readStream.schema(CRAWL_LOG_SCHEMA).json(str(d))
+        agg = host_stats_stream(
+            parsed_events(stream, watermark="10 minutes"), window="1 hour"
+        )
+        batch_rows: list = []
+
+        def sink(bdf, bid):
+            batch_rows.extend(bdf.collect())
+
+        q = (
+            agg.writeStream.outputMode("append")  # emits only closed windows
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted.clear()
+        emitted.extend(batch_rows)
+
+    # batch 0: events in hour 10; high water mark → 12:00 via a later event
+    write_batch(
+        "b0.json",
+        [
+            {"url": "https://h1.org/a", "timestamp": "2021-01-16T10:05:00.000Z"},
+            {"url": "https://h1.org/b", "timestamp": "2021-01-16T10:20:00.000Z"},
+            {"url": "https://h2.org/c", "timestamp": "2021-01-16T12:00:00.000Z"},
+        ],
+    )
+    run("wm1")
+    closed = {(r["host"], r["total"]) for r in emitted}
+    # hour-10 window closed (watermark 11:50 > 11:00) and emitted with 2 rows
+    assert ("h1.org", 2) in closed
+
+    # batch 1: a LATE hour-10 event (watermark already at 11:50) + a fresh one
+    write_batch(
+        "b1.json",
+        [
+            {"url": "https://h1.org/late", "timestamp": "2021-01-16T10:40:00.000Z"},
+            {"url": "https://h2.org/d", "timestamp": "2021-01-16T14:00:00.000Z"},
+        ],
+    )
+    run("wm2")
+    after = {(r["host"], r["total"]) for r in emitted}
+    # the late row produced no new hour-10 output; the 12:00 window closed
+    # (watermark moved to 13:50) with exactly its one on-time row
+    assert ("h1.org", 3) not in after and ("h1.org", 1) not in after
+    assert ("h2.org", 1) in after
