@@ -61,6 +61,10 @@ def cmd_report(args) -> int:
         out = R.solr_documents(df)
     elif args.format == "raw":
         out = df
+    elif args.format == "jsonl":
+        out = df.drop("corrupt_record", "is_heritrix").select(
+            F.to_json(F.struct("*"), {"ignoreNullFields": "true"}).alias("json")
+        )
     else:
         out = R.mixed_stream_lines(df)
     if args.max_messages:
@@ -179,7 +183,7 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--brokers", default=None)
     r.add_argument("--topic", default="fc.crawled")
     r.add_argument("-F", "--format", default="mixed",
-                   choices=["raw", "crawl-log", "crawl-db", "mixed"])
+                   choices=["raw", "jsonl", "crawl-log", "crawl-db", "mixed"])
     r.add_argument("-S", "--summarise", action="store_true")
     r.add_argument("-M", "--max-messages", type=int, default=None)
     r.set_defaults(fn=cmd_report)

@@ -101,6 +101,25 @@ def screenshots(df: DataFrame, limit: int = 100) -> DataFrame:
     )
 
 
+def write_host_stats_parquet(df: DataFrame, path: str) -> None:
+    """The 100 TB sink for the host-stats family (SCALING.md): full
+    per-(date, host) aggregates as date-partitioned Parquet — partition
+    pruning for time-ranged readers, no driver collect anywhere. The JSON
+    snapshot (host_stats_snapshot) stays the bounded top-k reporting edge.
+    """
+    daily = (
+        with_host(df)
+        .withColumn("event_date", F.to_date(F.to_timestamp("timestamp")))
+        .groupBy("event_date", F.col("host_d").alias("host"))
+        .agg(
+            F.count("*").alias("total"),
+            F.min("timestamp").alias("first_timestamp"),
+            F.max("timestamp").alias("last_timestamp"),
+        )
+    )
+    daily.write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+
 def host_stats_snapshot(
     df: DataFrame, max_hosts: int = 500, max_screenshots: int = 100
 ) -> dict:

@@ -182,3 +182,48 @@ def test_host_stats_snapshot_document(fragment):
     assert snap["status_codes"] == sorted(
         snap["status_codes"], key=lambda p: -p[1]
     )
+
+
+def test_jsonl_format_cli(capsys, spark):
+    """-F jsonl round-trips records as JSON lines (the reference's raw
+    re-emit format)."""
+    from crawl_streams_spark.cli import main
+
+    assert main(["report", "--input", crawl_log_path(), "-F", "jsonl", "-M", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5
+    for line in lines:
+        doc = json.loads(line)
+        assert "url" in doc and "timestamp" in doc
+
+
+def test_partitioned_parquet_sink(spark, fragment, tmp_path):
+    """SCALING.md's scale sink: date-partitioned per-host parquet with
+    partition pruning."""
+    from crawl_streams_spark.operators.host_stats import write_host_stats_parquet
+
+    out = str(tmp_path / "hs")
+    write_host_stats_parquet(fragment, out)
+    back = spark.read.parquet(out)
+    assert {f.name for f in back.schema.fields} == {
+        "event_date", "host", "total", "first_timestamp", "last_timestamp"
+    }
+    # one partition directory per distinct crawl date in the data
+    import os as _os
+
+    want_dates = {
+        r["d"]
+        for r in fragment.select(
+            F.to_date(F.to_timestamp("timestamp")).cast("string").alias("d")
+        )
+        .distinct()
+        .collect()
+    }
+    parts = {p for p in _os.listdir(out) if p.startswith("event_date=")}
+    assert parts == {f"event_date={d}" for d in want_dates}
+    # totals agree with the in-memory aggregation
+    from crawl_streams_spark.operators import host_stats as HS2
+
+    want = {r["host"]: r["total"] for r in HS2.host_totals(fragment).collect()}
+    got = {r["host"]: r["total"] for r in back.collect()}
+    assert got == want
