@@ -252,7 +252,7 @@ def binary_column_plumbing(spark, sf_dir):
     payload = F.col("text").cast("binary")
     return docs.select(
         "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.md5("text").alias("payload_md5"),
         F.col("lang").alias("media_lang"),
     )

@@ -116,7 +116,7 @@ def dedup_minhash_signatures(spark, sf_dir):
     staged = (
         docs.select("doc_id", T.tokens("text").alias("toks"))
         .select("doc_id", T.shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
-        .select("doc_id", F.size("shingles").alias("n_shingles"),
+        .select("doc_id", F.size("shingles").cast("bigint").alias("n_shingles"),
                 H.shingle_hashes31(F.col("shingles")).alias("h31"))
         .select("doc_id", "n_shingles",
                 H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"))

@@ -38,7 +38,7 @@ _GAP_SECONDS = 1800  # 30-minute session gap
             SELECT user_id, event_id, ts, value,
                    SUM(new_session) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
             FROM ordered
         )
         SELECT user_id,

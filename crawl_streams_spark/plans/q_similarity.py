@@ -81,7 +81,7 @@ def knn_bruteforce(spark, sf_dir):
             F.col("vec_id").alias("neighbor_id"),
             cos.alias("cos_sim"),
         )
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 5)
     )
 
@@ -141,7 +141,7 @@ def embedding_norms(spark, sf_dir):
         "vec_id",
         "label",
         F.round(V.norm("embedding"), 6).alias("l2_norm"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
     )
 
 

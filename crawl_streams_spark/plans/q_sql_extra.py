@@ -142,7 +142,7 @@ def string_function_suite(spark, sf_dir):
                 "type_underscored"
             ),
             F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("bigint").alias("name_len"),
             F.col("p_type").contains("BRASS").alias("is_brass"),
             F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias(
                 "type_first_word"
@@ -179,13 +179,13 @@ def date_function_suite(spark, sf_dir):
             F.col("o_orderkey").alias("orderkey"),
             F.date_trunc("month", "o_orderdate").alias("order_month"),
             F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
-            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).cast("bigint").alias(
                 "days_to_cutoff"
             ),
-            F.year("o_orderdate").alias("order_year"),
-            F.quarter("o_orderdate").alias("order_quarter"),
-            F.dayofmonth("o_orderdate").alias("order_dom"),
-            F.weekofyear("o_orderdate").alias("order_week"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("order_dom"),
+            F.weekofyear("o_orderdate").cast("bigint").alias("order_week"),
         )
         .orderBy("orderkey")
         .limit(2000)

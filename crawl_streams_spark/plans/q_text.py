@@ -44,9 +44,9 @@ def doc_token_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.distinct_token_count("text").alias("n_distinct_tokens"),
-        F.length("text").alias("n_chars"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.distinct_token_count("text").cast("bigint").alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
     )
 
 
@@ -81,7 +81,7 @@ def doc_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
+        T.token_count("text").cast("bigint").alias("n_tokens"),
         F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
         T.quality_score("text").alias("quality"),
     )
@@ -175,7 +175,7 @@ def token_array_ops(spark, sf_dir):
                 ),
                 " ",
             ).alias("s_tokens"),
-            F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+            F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("bigint").alias("n_long"),
         )
         .orderBy("doc_id")
         .limit(300)
@@ -202,8 +202,8 @@ def doc_bpe_tokens(spark, sf_dir):
     staged = docs.select("doc_id", toks.alias("toks"))
     return staged.select(
         "doc_id",
-        F.size("toks").alias("n_bpe_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_bpe"),
+        F.size("toks").cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct_bpe"),
         F.element_at("toks", 1).alias("first_token"),
     )
 

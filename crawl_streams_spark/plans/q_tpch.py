@@ -247,7 +247,7 @@ def top_orders_per_customer(spark, sf_dir):
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select(
             F.col("o_custkey").alias("custkey"),

@@ -51,18 +51,48 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+    "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+    "HUGEINT": "i128", "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str",
+    "BOOLEAN": "bool", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
+}
+
+
+def _canon_type(name: str, table: dict) -> str:
+    if name.lower().startswith("decimal"):
+        return "decimal"
+    return table.get(name, name)
+
+
 def compare_query(spark, con, q, sf_dir: str, max_diff_shown: int = 5):
-    """Returns (ok, message)."""
+    """Returns (ok, message). Checks column names, canonicalized column
+    TYPES (an int32-vs-int64 or HUGEINT drift would change a value-hash
+    taken over raw buffers), row counts, and order-insensitive values."""
     sdf = q.build(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = list(sdf.columns)
+    s_types = {c: _canon_type(t, _SPARK_CANON) for c, t in sdf.dtypes}
 
-    res = con.execute(q.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    rel = con.sql(q.oracle)
+    d_cols = list(rel.columns)
+    d_types = {
+        c: _canon_type(str(t), _DUCK_CANON) for c, t in zip(rel.columns, rel.types)
+    }
+    d_rows = rel.fetchall()
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    type_diffs = {
+        c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]
+    }
+    if type_diffs:
+        return False, f"type mismatch: {type_diffs}"
     if len(s_rows) != len(d_rows):
         return False, f"row count: spark={len(s_rows)} duckdb={len(d_rows)}"
 
