@@ -41,13 +41,18 @@ def main() -> None:
     bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        # run 1: warm (codegen compile, reader init) — not reported
-        q.build(spark, sf_dir).collect()
-        # run 2: steady state — full plan re-executed and collected
-        t0 = time.perf_counter()
-        rows = q.build(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _ = len(rows)
+        try:
+            # run 1: warm (codegen compile, reader init) — not reported
+            q.build(spark, sf_dir).collect()
+            # run 2: steady state — full plan re-executed and collected
+            t0 = time.perf_counter()
+            rows = q.build(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            _ = len(rows)
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # erase the whole benchmark record
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
     total = round(sum(timings.values()), 3)
     print(
