@@ -54,7 +54,8 @@ def main() -> None:
             print(f"bench query {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
 
-    total = round(sum(timings.values()), 3)
+    ok_times = [t for t in timings.values() if t >= 0]
+    total = round(sum(ok_times), 3) if ok_times else -1.0
     print(
         json.dumps(
             {
