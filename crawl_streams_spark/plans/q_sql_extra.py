@@ -193,6 +193,72 @@ def date_function_suite(spark, sf_dir):
 
 
 @query(
+    "cube_lineitem_status",
+    oracle="""
+        SELECT l_returnflag AS returnflag,
+               l_linestatus AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_lineitem_status(spark, sf_dir):
+    """CUBE grouping sets: all 2^2 grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "total_qty"
+        ),
+    )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+        SELECT p.p_partkey AS partkey,
+               s.s_suppkey AS suppkey,
+               li.l_extendedprice AS price
+        FROM part p
+        JOIN lineitem li ON li.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        WHERE p.p_size > 45
+          AND li.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey
+          )
+    """,
+    tags=("subquery", "correlated", "tpch"),
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2-shape: correlated MIN subquery selecting the cheapest
+    supply row per part. Planned as an aggregated self-join on partkey —
+    the subquery side is one row per part, broadcastable."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    min_price = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(min_price), "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@query(
     "orders_in_top_segments",
     oracle="""
         SELECT o_orderkey AS orderkey, o_totalprice AS totalprice

@@ -145,3 +145,51 @@ def test_lru_state_survives_restart(spark, tmp_path, raw_records):
     }
     for h, n in first.items():
         assert second[h] == 2 * n, h
+
+
+def test_stateful_with_rocksdb_state_store(spark, tmp_path, raw_records):
+    """The 100 TB state backend (SCALING.md): the same stateful op runs on
+    the RocksDB state store provider and produces identical results."""
+    import shutil
+
+    import pyspark.sql.functions as F2
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "in"
+        d.mkdir()
+        shutil.copy(crawl_log_path(), d / "b0.json")
+        s = (
+            spark.readStream.schema(CRAWL_LOG_SCHEMA)
+            .json(str(d))
+            .withColumn("seq", F2.col("timestamp"))
+            .withColumn("status", status_str(F2.col("status_code")))
+        )
+        q = (
+            recent_status_counts(s, n=300)
+            .writeStream.format("memory")
+            .queryName("rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r["status"]: r["n"]
+            for r in spark.sql("SELECT * FROM rocks").collect()
+        }
+        ordered = sorted(raw_records, key=lambda r: r["timestamp"])
+        buf = deque(
+            (str(r.get("status_code", "-")) for r in ordered), maxlen=300
+        )
+        assert got == dict(Counter(buf))
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
