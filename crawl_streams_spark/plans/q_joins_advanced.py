@@ -75,23 +75,31 @@ def suppliers_of_bulk_parts(spark, sf_dir):
         GROUP BY l_partkey
         HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) >
                (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                            AS DOUBLE) * 0.0015
+                            AS DOUBLE)
+                       / COUNT(DISTINCT l_partkey) * 1.5
                 FROM lineitem)
     """,
     tags=("agg", "subquery", "scalar", "tpch"),
 )
 def important_part_value(spark, sf_dir):
-    """TPC-H Q11-shape: groups whose value exceeds a fraction of the global
-    total. The global total is a 1-row aggregate broadcast into the HAVING
-    filter (no second shuffle). DECIMAL sums make the threshold bit-exact
-    on both engines before the double multiply."""
+    """TPC-H Q11-shape: groups whose value exceeds a threshold derived from a
+    global 1-row aggregate, broadcast into the HAVING filter (no second
+    shuffle). Unlike textbook Q11's fixed fraction-of-total (which shrinks
+    per-part share as SF grows and empties the result), the threshold is
+    1.5x the MEAN per-part value — scale-invariant, so the query is
+    non-vacuous at every SF. DECIMAL sums make the threshold bit-exact on
+    both engines before the double divide."""
     li = load_table(spark, sf_dir, "lineitem")
     price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
     per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(price_dec).cast("double").alias("part_value")
     )
     total = li.agg(
-        (F.sum(price_dec).cast("double") * 0.0015).alias("threshold")
+        (
+            F.sum(price_dec).cast("double")
+            / F.count_distinct(F.col("l_partkey"))
+            * 1.5
+        ).alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -110,17 +118,23 @@ def important_part_value(spark, sf_dir):
                            AS DOUBLE) / COUNT(*)
                FROM customer c2 WHERE c2.c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
     """,
     tags=("join", "anti", "subquery", "scalar", "tpch"),
 )
 def idle_rich_customers(spark, sf_dir):
-    """TPC-H Q22-shape: above-average-balance customers with no orders —
-    scalar-subquery threshold + LEFT ANTI join. The average is computed as
-    exact DECIMAL sum / count so both engines derive the identical double
-    threshold (a plain AVG(double) would be summation-order-sensitive)."""
+    """TPC-H Q22-shape: above-average-balance customers with no *finished*
+    orders — scalar-subquery threshold + LEFT ANTI join against a filtered
+    build side (the driver data gives every customer at least one order, so
+    the anti-join must discriminate on status to be non-vacuous). The average
+    is computed as exact DECIMAL sum / count so both engines derive the
+    identical double threshold (a plain AVG(double) would be
+    summation-order-sensitive)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(
