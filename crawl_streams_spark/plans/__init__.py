@@ -18,3 +18,4 @@ from . import q_sql_extra  # noqa: E402,F401
 from . import q_pivot  # noqa: E402,F401
 from . import q_sessions  # noqa: E402,F401
 from . import q_joins_advanced  # noqa: E402,F401
+from . import q_tpch2  # noqa: E402,F401
