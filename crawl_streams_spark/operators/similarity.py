@@ -82,16 +82,36 @@ def knn_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors in the query's SRP
-    bucket; exact cosine re-rank inside the bucket. Recall rises with
-    fewer planes / multi-probe; tests measure it against brute force."""
+    bucket; exact cosine re-rank inside the bucket.
+
+    ``probe_radius=1`` enables multi-probe: each query additionally probes
+    every bucket at Hamming distance 1 (one hyperplane sign flipped) — the
+    buckets a true neighbor most likely fell into when it landed on the
+    other side of exactly one plane. Cost grows ×(num_planes+1) probes per
+    query (still tiny vs the corpus), recall rises sharply; the corpus side
+    is untouched — still one bucket shuffle — so the sweep trades only
+    query-side fan-out for recall. Tests measure recall-vs-cost against
+    brute force."""
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
     cb = with_lsh_bucket(corpus, num_planes, dim, vec_col)
     qb = with_lsh_bucket(queries, num_planes, dim, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "bucket",
     )
+    if probe_radius == 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(num_planes)
+            ],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
     scored = cb.join(F.broadcast(qb), "bucket").filter(
         F.col(id_col) != F.col("query_id")
     ).select(

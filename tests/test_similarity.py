@@ -36,6 +36,56 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.35, f"LSH recall too low: {recall:.2f}"
 
 
+def _recall(exact, approx):
+    hits = total = 0
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        hits += len(want & got)
+        total += len(want)
+    return hits / total
+
+
+def test_lsh_multi_probe_recall_cost_sweep(spark, sf_dir):
+    """Multi-probe sweep: radius-1 probing must strictly widen the candidate
+    set and not lose recall; with 4 planes (16 buckets) the recall gain over
+    single-bucket probing is substantial on random vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = _topk_sets(S.knn_bruteforce(emb, queries, k=5))
+    r0 = _recall(
+        exact,
+        _topk_sets(S.knn_lsh(emb, queries, k=5, num_planes=4, probe_radius=0)),
+    )
+    r1 = _recall(
+        exact,
+        _topk_sets(S.knn_lsh(emb, queries, k=5, num_planes=4, probe_radius=1)),
+    )
+    assert r1 >= r0, f"multi-probe lost recall: {r1:.2f} < {r0:.2f}"
+    # 4 planes → 16 buckets; a single probe scans ~1/16 of the corpus and
+    # recall collapses, radius-1 scans 5/16 and must recover most of it.
+    assert r1 >= 0.5, f"multi-probe recall too low: {r1:.2f}"
+    assert r1 - r0 >= 0.1, f"multi-probe gained nothing: {r0:.2f}→{r1:.2f}"
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """IVF recall must be monotone in n_probe (cells are nested scans) and
+    reach 1.0 when every cell is probed (it degenerates to brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = S.train_ivf_centroids(emb)
+    n_cells = cents.count()
+    exact = _topk_sets(S.knn_bruteforce(emb, queries, k=5))
+    recalls = [
+        _recall(
+            exact,
+            _topk_sets(S.knn_ivf(emb, queries, cents, k=5, n_probe=p)),
+        )
+        for p in (1, 3, n_cells)
+    ]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must be exact: {recalls[-1]}"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 50 == 0)
