@@ -1,0 +1,42 @@
+"""Physical-plan audit metrics — the engine's scale fingerprint.
+
+``plan_metrics`` reduces a DataFrame's pre-execution physical plan to the
+handful of counters that decide 100 TB behavior: how many shuffles
+(Exchange), which join strategies, whether any stage drops into Python, and
+whether top-k planned as a bounded TakeOrderedAndProject. Tests pin these
+per query in ``tests/plan_snapshots.json`` — a plan regression (an extra
+shuffle, a broadcast silently turning into a sort-merge join, a new Python
+stage) fails CI even while results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = ["plan_metrics"]
+
+
+def _physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_metrics(df: DataFrame) -> dict:
+    """Counters over the initial physical plan (deterministic for fixed
+    input files; AQE may improve but never worsen them at runtime)."""
+    plan = _physical_plan(df)
+    return {
+        # every Exchange is a full shuffle (or a broadcast distribute);
+        # count only shuffle exchanges — broadcasts are separately counted
+        "shuffle_exchanges": len(
+            re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)
+        ),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "python_stages": plan.count("BatchEvalPython")
+        + plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas"),
+        "take_ordered": plan.count("TakeOrderedAndProject"),
+    }

@@ -5,11 +5,17 @@ A plan regression here is a scale bug even when results stay correct."""
 
 from __future__ import annotations
 
+import json
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
 from crawl_streams_spark.plans import REGISTRY
+from crawl_streams_spark.plans.audit import plan_metrics
 from crawl_streams_spark.tables import load_table
+
+SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -82,6 +88,33 @@ def test_mmh3_query_is_arrow_batched(spark, sf_dir):
     row-at-a-time pickling."""
     plan = _plan(spark, sf_dir, "mmh3_partition_keys")
     assert "ArrowEvalPython" in plan
+
+
+def test_plan_snapshots_cover_every_query():
+    """Every registry query must have a pinned plan snapshot — adding a
+    query without regenerating (python -m scripts.update_plan_snapshots)
+    fails here, so no query ships without a reviewed plan."""
+    with open(SNAPSHOT_PATH) as f:
+        snaps = json.load(f)
+    assert sorted(snaps) == sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_snapshot_regression(spark, sf_dir, name):
+    """Per-query plan-metric pin: an extra shuffle, a broadcast silently
+    degrading to sort-merge, or a new Python stage fails even while the
+    results stay correct. Regenerate deliberately with
+    python -m scripts.update_plan_snapshots and justify the diff."""
+    if os.path.basename(os.path.normpath(sf_dir)) != "sf0.001":
+        pytest.skip("snapshots are pinned at sf0.001 (size-dependent plans)")
+    with open(SNAPSHOT_PATH) as f:
+        snaps = json.load(f)
+    if name not in snaps:
+        pytest.fail(f"no snapshot for {name}; run scripts.update_plan_snapshots")
+    got = plan_metrics(REGISTRY[name].build(spark, sf_dir))
+    assert got == snaps[name], (
+        f"{name}: plan metrics drifted\n pinned: {snaps[name]}\n    got: {got}"
+    )
 
 
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
