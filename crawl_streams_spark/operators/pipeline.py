@@ -1,0 +1,120 @@
+"""Training-data pipeline operators: deterministic corpus splitting,
+stratified sampling, and fixed-budget sequence packing.
+
+No counterpart in the reference (extension family per SURVEY.md §7.6 /
+BASELINE.json north_star). Every decision bottoms out in md5 of a salted
+record id, so:
+
+- assignments are **stable under growth** — a document keeps its split /
+  sample decision when the corpus is re-processed with more data (hash of
+  the id, not of row position or an RNG stream);
+- the DuckDB oracle reproduces every decision bit-for-bit (md5 is identical
+  in both engines; thresholds compare two lowercase hex chars, which sort
+  numerically).
+
+Scale notes (100 TB):
+- split/sample are stateless narrow maps — zero shuffle, trivially
+  parallel, and pushed filters stay above the parquet scan;
+- packing needs a running token sum, i.e. an ordered window. A single
+  global ordering would serialize the corpus through one partition, so
+  packs are scoped to a shard key (``source`` here) by design: one shuffle
+  on the shard key, parallel across shards, and pack ids are reproducible
+  because the intra-shard order (``doc_id``) is total.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, Window
+
+__all__ = [
+    "hash_bucket",
+    "hex_threshold",
+    "split_assign",
+    "stratified_keep",
+    "pack_id",
+]
+
+_BUCKETS = 256  # two hex chars of md5
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(id_col: Column | str, salt: str) -> Column:
+    """First two hex chars of md5("<salt>:<id>") — 256 uniform buckets.
+
+    Different salts give independent bucketings, so the train/test split
+    and the sampling decision of the same document are uncorrelated.
+    """
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), _c(id_col).cast("string"))), 1, 2
+    )
+
+
+def hex_threshold(frac: float) -> str:
+    """Bucket-space threshold for a keep-fraction: a bucket is kept iff
+    ``bucket < hex_threshold(frac)``. Lowercase hex sorts numerically, and
+    'g' > 'ff' covers frac >= 1.0 exactly."""
+    n = round(max(0.0, frac) * _BUCKETS)
+    return "g" if n >= _BUCKETS else format(n, "02x")
+
+
+def split_assign(
+    id_col: Column | str,
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test assignment ('test' gets the rest)."""
+    b = hash_bucket(id_col, salt)
+    return (
+        F.when(b < F.lit(hex_threshold(train)), F.lit("train"))
+        .when(b < F.lit(hex_threshold(train + val)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def stratified_keep(
+    id_col: Column | str,
+    stratum_col: Column | str,
+    rates: dict[str, float],
+    default: float = 0.0,
+    salt: str = "sample",
+) -> Column:
+    """Boolean keep-decision with a per-stratum sampling rate (language
+    rebalancing, source capping). Unlisted strata get ``default``."""
+    b = hash_bucket(id_col, salt)
+    thr: Column | None = None
+    for stratum, rate in sorted(rates.items()):
+        cond = _c(stratum_col) == stratum
+        lit = F.lit(hex_threshold(rate))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr_col = (
+        thr.otherwise(F.lit(hex_threshold(default)))
+        if thr is not None
+        else F.lit(hex_threshold(default))
+    )
+    return b < thr_col
+
+
+def pack_id(
+    token_count_col: Column | str,
+    budget: int,
+    partition_by: list[str],
+    order_by: list[str],
+) -> Column:
+    """Contiguous sequence-packing id: documents are laid out in the given
+    intra-shard order and a new pack starts whenever the running token
+    total crosses a multiple of ``budget`` (a boundary-spanning document
+    belongs to the pack it started in). floor over exact integer-valued
+    doubles, so both engines agree bit-for-bit."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = _c(token_count_col)
+    cum = F.sum(tok).over(w)
+    return F.floor((cum - tok) / F.lit(float(budget))).cast("bigint")

@@ -20,3 +20,4 @@ from . import q_sessions  # noqa: E402,F401
 from . import q_joins_advanced  # noqa: E402,F401
 from . import q_tpch2  # noqa: E402,F401
 from . import q_tpch3  # noqa: E402,F401
+from . import q_pipeline  # noqa: E402,F401

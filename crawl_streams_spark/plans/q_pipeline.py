@@ -1,0 +1,295 @@
+"""Training-data pipeline queries over ``documents`` — corpus splitting,
+stratified sampling, sequence packing, benchmark contamination, PII
+scanning (extension family, SURVEY.md §7.6 / BASELINE.json north_star; the
+reference has no counterpart).
+
+Every decision is md5-deterministic (operators/pipeline.py) so the DuckDB
+oracle reproduces it bit-for-bit; PII patterns are dialect-portable
+(functions/pii.py). The corpus has no natural PII, so the scan query seeds
+deterministic synthetic PII from doc_id inside the query — identically on
+both engines — to keep the check non-vacuous.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..functions import pii as PII
+from ..functions import text as T
+from ..operators import pipeline as P
+from ..tables import load_table
+from .registry import query
+
+# tokens: whitespace-split with empties removed (matches functions/text.py).
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+# --- corpus split --------------------------------------------------------
+
+_TRAIN, _VAL = 0.9, 0.05
+_T_HI = P.hex_threshold(_TRAIN)
+_V_HI = P.hex_threshold(_TRAIN + _VAL)
+_DUCK_SPLIT_BUCKET = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+
+
+@query(
+    "train_split_counts",
+    oracle=f"""
+        SELECT CASE WHEN {_DUCK_SPLIT_BUCKET} < '{_T_HI}' THEN 'train'
+                    WHEN {_DUCK_SPLIT_BUCKET} < '{_V_HI}' THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    tags=("extension", "pipeline", "split"),
+)
+def train_split_counts(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by salted md5 of doc_id —
+    stable under corpus growth (a doc keeps its split on re-runs), zero
+    shuffle for the assignment itself; the count rollup is one exchange on
+    a 15-value key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        P.split_assign("doc_id", _TRAIN, _VAL).alias("split"), "lang"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# --- stratified sampling -------------------------------------------------
+
+_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 1.0}
+_DEFAULT_RATE = 0.1
+_DUCK_SAMPLE_BUCKET = "substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+_DUCK_RATE_THR = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN '{P.hex_threshold(v)}'" for k, v in sorted(_RATES.items())
+    )
+    + f" ELSE '{P.hex_threshold(_DEFAULT_RATE)}' END"
+)
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN {_DUCK_SAMPLE_BUCKET} < {_DUCK_RATE_THR}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               CAST(SUM(CASE WHEN {_DUCK_SAMPLE_BUCKET} < {_DUCK_RATE_THR}
+                             THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("extension", "pipeline", "sampling"),
+)
+def stratified_sample_counts(spark, sf_dir):
+    """Per-language stratified sampling (language rebalancing: keep all zh,
+    half of en, a quarter of de/es/fr). The keep-decision is a stateless
+    hash map-side expression — no RNG state, no shuffle; the per-stratum
+    rollup shares one exchange on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = P.stratified_keep("doc_id", "lang", _RATES, default=_DEFAULT_RATE)
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+    )
+
+
+# --- sequence packing ----------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, len({_DUCK_TOKENS}) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+            FROM t
+        )
+        SELECT source,
+               CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+        FROM c
+        GROUP BY 1, 2
+    """,
+    tags=("extension", "pipeline", "packing", "window"),
+)
+def pack_sequences(spark, sf_dir):
+    """Fixed-budget sequence packing: lay documents out in doc_id order
+    within each source shard and start a new pack whenever the running
+    token total crosses a multiple of the budget. Sharded by source on
+    purpose — a global ordering would serialize 100 TB through one
+    partition; here the single shuffle is on the shard key and packs build
+    in parallel. The per-pack rollup reuses the window's partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source", "doc_id", T.token_count("text").alias("n_tok")
+    )
+    pack = P.pack_id("n_tok", _PACK_BUDGET, ["source"], ["doc_id"])
+    return (
+        staged.select("source", "n_tok", pack.alias("pack_id"))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        )
+    )
+
+
+# --- benchmark contamination ---------------------------------------------
+
+_GRAM_N = 4  # word 4-grams: rare enough to mean real overlap, common
+# enough to stay non-vacuous on the synthetic corpus
+_DUCK_GRAMS = f"""
+    list_distinct(list_transform(
+        range(1, greatest(len(t) - {_GRAM_N - 1}, 1) + 1),
+        i -> array_to_string(t[i:i+{_GRAM_N - 1}], ' ')))
+"""
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+        ), g AS (
+            SELECT doc_id, unnest({_DUCK_GRAMS}) AS gram FROM toks
+        )
+        SELECT c.doc_id AS doc_id,
+               CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared_grams,
+               CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+        FROM g c JOIN g b ON c.gram = b.gram
+        WHERE c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+        GROUP BY 1
+    """,
+    tags=("extension", "pipeline", "contamination", "join"),
+)
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination check: corpus documents sharing a word
+    4-gram with the held-out benchmark set (here: every 20th doc stands in
+    for the benchmark). Both sides explode to distinct grams; the benchmark
+    side is a small fixed corpus at any scale, so it broadcasts and the
+    fact side never shuffles for the join — only the per-doc distinct
+    rollup exchanges, on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(T.shingles_from_tokens(F.col("toks"), _GRAM_N)).alias(
+                "gram"
+            ),
+        )
+    )
+    corpus = grams.filter(F.col("doc_id") % 20 != 0).alias("c")
+    bench = grams.filter(F.col("doc_id") % 20 == 0).alias("b")
+    return (
+        corpus.join(F.broadcast(bench), F.col("c.gram") == F.col("b.gram"))
+        .groupBy(F.col("c.doc_id").alias("doc_id"))
+        .agg(
+            F.count_distinct(F.col("c.gram"))
+            .cast("bigint")
+            .alias("n_shared_grams"),
+            F.count_distinct(F.col("b.doc_id"))
+            .cast("bigint")
+            .alias("n_bench_docs"),
+        )
+    )
+
+
+# --- PII scan ------------------------------------------------------------
+
+# The synthetic corpus contains no natural PII (no digits, no '@'), so the
+# scan seeds deterministic synthetic PII from doc_id — the identical
+# expression on both engines — to certify the counting semantics end to
+# end.
+_DUCK_AUG = """
+    text || CASE
+        WHEN doc_id % 10 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        WHEN doc_id % 10 = 5
+        THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+             || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+        ELSE '' END
+"""
+
+
+def _aug_text() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            d % 10 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                d.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            d % 10 == 5,
+            F.concat(
+                F.lit(" host 10.0."),
+                (d % 200).cast("string"),
+                F.lit("."),
+                (d % 100).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+
+
+@query(
+    "doc_pii_scan",
+    oracle=f"""
+        WITH a AS (SELECT source, {_DUCK_AUG} AS aug FROM documents)
+        SELECT source,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(aug, '{PII.EMAIL_RE}')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+               CAST(SUM(len(regexp_extract_all(aug, '{PII.EMAIL_RE}'))) AS BIGINT)
+                   AS total_emails,
+               CAST(SUM(CASE WHEN len(regexp_extract_all(aug, '{PII.IPV4_RE}')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ip,
+               CAST(SUM(len(regexp_extract_all(aug, '{PII.IPV4_RE}'))) AS BIGINT)
+                   AS total_ips
+        FROM a
+        GROUP BY 1
+    """,
+    tags=("extension", "pipeline", "pii", "regex"),
+)
+def doc_pii_scan(spark, sf_dir):
+    """Per-source PII scan: documents containing (and total occurrences of)
+    email addresses and IPv4 literals. Detection is a narrow regex map
+    inside codegen — no shuffle until the tiny per-source rollup. The
+    redaction twin (functions/pii.py::scrub) is golden-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("source", _aug_text().alias("aug"))
+    emails = PII.pii_count("aug", "email")
+    ips = PII.pii_count("aug", "ipv4")
+    return aug.groupBy("source").agg(
+        F.sum(F.when(emails > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_email"),
+        F.sum(emails).cast("bigint").alias("total_emails"),
+        F.sum(F.when(ips > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_ip"),
+        F.sum(ips).cast("bigint").alias("total_ips"),
+    )
