@@ -1,0 +1,78 @@
+"""Data-layout operators: clustered partitioned writes and small-file
+compaction.
+
+No reference counterpart (the reference's only file output is one JSON
+snapshot, analysis.py:227-236) — but at 100 TB the difference between a
+healthy table and an unreadable one is layout: partition pruning needs
+directory partitioning, row-group skipping needs value clustering, and
+scan parallelism collapses under millions of tiny files (every file is a
+task + a footer read).
+
+- ``clustered_write``: hash-distribute rows to writers by the partition
+  columns (one writer per output directory instead of every task writing
+  every partition — the small-files explosion), then sort within writers
+  by the cluster columns so parquet min/max row-group stats become
+  selective. ``maxRecordsPerFile`` bounds file size without a second job.
+- ``compact_parquet``: rewrite an existing directory tree to target file
+  sizes — the maintenance half of the same problem.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["clustered_write", "compact_parquet"]
+
+
+def clustered_write(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write a directory-partitioned parquet table with value clustering.
+
+    repartition(partition_by) routes each output partition's rows to one
+    writer task; sortWithinPartitions orders rows inside each file so
+    min/max statistics prune row groups on the cluster keys at read time
+    (the poor man's Z-order — exact for one key, prefix-ordered for
+    several). The sort leads with the partition columns: the partitioned
+    writer requires that ordering and would otherwise inject its own
+    (unstable) sort, destroying the clustering.
+    """
+    out = df.repartition(*partition_by) if partition_by else df
+    if cluster_by:
+        out = out.sortWithinPartitions(*partition_by, *cluster_by)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1_000_000,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``src`` into ``dst`` with ~target_rows_per_file per file;
+    returns the number of output files requested. One count job sizes the
+    rewrite — at scale, prefer sizing from catalog/file statistics, but the
+    shape (count → repartition(n) → write) is the same.
+    """
+    df = spark.read.parquet(src)
+    n_files = max(1, math.ceil(df.count() / target_rows_per_file))
+    out = df.repartition(n_files)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    out.write.mode("overwrite").option(
+        "maxRecordsPerFile", target_rows_per_file
+    ).parquet(dst)
+    return n_files
