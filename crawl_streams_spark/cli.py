@@ -173,6 +173,37 @@ def cmd_streamer(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run or explain any registered driver-contract query by name — the
+    operational front door to the whole §2 registry, and the plan-audit
+    loop (`--explain` prints the physical plan plus the scale counters
+    pinned in tests/plan_snapshots.json)."""
+    from .plans import REGISTRY
+    from .plans.audit import plan_metrics
+
+    if args.name == "list" and args.name not in REGISTRY:
+        for name in sorted(REGISTRY):
+            q = REGISTRY[name]
+            mark = "bench" if q.bench else ("oracle" if q.oracle else "rows-only")
+            print(f"{name:36s} [{mark}] {' '.join(sorted(q.tags))}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; try 'query list'", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    df = REGISTRY[args.name].build(spark, args.sf_dir)
+    if args.explain:
+        print(df._jdf.queryExecution().executedPlan().toString())
+        print("plan metrics:", plan_metrics(df))
+        return 0
+    rows = df.limit(args.limit).collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows:
+        print("\t".join("-" if r[c] is None else str(r[c]) for c in cols))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="crawl-streams-spark")
     p.add_argument("--master", default=None, help="spark master override")
@@ -225,6 +256,19 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--to", dest="ts_to", required=True)
     st.add_argument("-l", "--limit", type=int, default=50)
     st.set_defaults(fn=cmd_streamer)
+
+    q = sub.add_parser(
+        "query", help="run or explain a registered query ('query list')"
+    )
+    q.add_argument("name", help="query name from the registry, or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("-l", "--limit", type=int, default=20)
+    q.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the physical plan + scale counters instead of rows",
+    )
+    q.set_defaults(fn=cmd_query)
     return p
 
 

@@ -125,3 +125,27 @@ def test_analyse_once(capsys, spark, tmp_path):
     )
     doc = json.loads(snap.read_text())
     assert doc["hosts"]
+
+
+def test_query_list(capsys, spark):
+    assert main(["query", "list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) > 80
+    assert any(line.startswith("event_type_stats") for line in out)
+
+
+def test_query_run(capsys, spark, sf_dir):
+    assert main(["query", "event_type_stats", "--sf-dir", sf_dir, "-l", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t")[0] == "event_type"
+    assert len(out) == 4  # header + 3 rows
+
+
+def test_query_explain(capsys, spark, sf_dir):
+    assert main(["query", "pack_sequences", "--sf-dir", sf_dir, "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "FileScan parquet" in out and "plan metrics:" in out
+
+
+def test_query_unknown(capsys, spark):
+    assert main(["query", "nope_not_a_query"]) == 2
