@@ -173,6 +173,34 @@ def cmd_streamer(args) -> int:
     return 0
 
 
+def cmd_etl(args) -> int:
+    """Composed pipeline: parse → typed projection → clustered
+    date-partitioned parquet (operators/etl.py)."""
+    spark = _spark(args)
+    if args.stream:
+        if not args.checkpoint:
+            print("--checkpoint is required with --stream", file=sys.stderr)
+            return 2
+        from .operators.etl import stream_warehouse
+        from .sources.jsonl import stream_crawl_log
+
+        q = stream_warehouse(
+            stream_crawl_log(spark, args.input),
+            args.output,
+            args.checkpoint,
+            available_now=True,
+        )
+        q.awaitTermination()
+        return 0
+    from .operators.etl import write_warehouse
+    from .sources.jsonl import read_crawl_log
+
+    write_warehouse(read_crawl_log(spark, args.input), args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} rows to {args.output}")
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run or explain any registered driver-contract query by name — the
     operational front door to the whole §2 registry, and the plan-audit
@@ -256,6 +284,15 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--to", dest="ts_to", required=True)
     st.add_argument("-l", "--limit", type=int, default=50)
     st.set_defaults(fn=cmd_streamer)
+
+    e = sub.add_parser(
+        "etl", help="crawl-log -> date-partitioned parquet warehouse"
+    )
+    e.add_argument("--input", required=True, help="JSONL crawl log file/dir")
+    e.add_argument("--output", required=True, help="warehouse directory")
+    e.add_argument("--stream", action="store_true", help="streaming append mode")
+    e.add_argument("--checkpoint", default=None, help="required with --stream")
+    e.set_defaults(fn=cmd_etl)
 
     q = sub.add_parser(
         "query", help="run or explain a registered query ('query list')"
