@@ -293,3 +293,95 @@ def doc_pii_scan(spark, sf_dir):
         .alias("docs_with_ip"),
         F.sum(ips).cast("bigint").alias("total_ips"),
     )
+
+
+# --- end-to-end curation funnel ------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from .q_text import _DUCK_PUNCT_STAGE, _duck_lang_id, duck_quality_expr  # noqa: E402
+
+_QUALITY_MIN = 0.5
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   {_DUCK_TOKENS} AS toks,
+                   length(text) AS n,
+                   {_DUCK_PUNCT_STAGE} AS n_punct
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   {duck_quality_expr()} AS quality,
+                   {_duck_lang_id()} AS plang,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+                   {_DUCK_SAMPLE_BUCKET} < {_DUCK_RATE_THR} AS keep,
+                   CASE WHEN {_DUCK_SPLIT_BUCKET} < '{_T_HI}' THEN 'train'
+                        WHEN {_DUCK_SPLIT_BUCKET} < '{_V_HI}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM t
+        ), q AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM s WHERE quality >= {_QUALITY_MIN} AND plang <> 'und'
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+               (SELECT CAST(COUNT(CASE WHEN quality >= {_QUALITY_MIN} THEN 1 END) AS BIGINT)
+                  FROM s) AS n_quality,
+               CAST(COUNT(*) AS BIGINT) AS n_lang,
+               CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_dedup,
+               CAST(COUNT(CASE WHEN rn = 1 AND keep THEN 1 END) AS BIGINT) AS n_sampled,
+               CAST(COUNT(CASE WHEN rn = 1 AND keep AND split = 'train' THEN 1 END) AS BIGINT)
+                   AS n_train
+        FROM q
+    """,
+    tags=("extension", "pipeline", "funnel", "window"),
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The full curation pipeline as ONE declarative plan — quality filter
+    → language gate → fingerprint dedup (keep lowest doc_id) → stratified
+    sampling → train split — reported as a funnel of surviving-document
+    counts. Every stage decision is the same md5-deterministic expression
+    the stage's standalone query uses, so the funnel certifies the stages
+    COMPOSE correctly, not just that each works alone.
+
+    Scale shape: one narrow scoring pass over the corpus, one shuffle on
+    the fingerprint for the dedup window, then two single-row aggregates
+    joined by broadcast. No stage materializes an intermediate corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("plang"),
+        T.fingerprint("text").alias("fp"),
+        P.stratified_keep("doc_id", "lang", _RATES, default=_DEFAULT_RATE).alias(
+            "keep"
+        ),
+        P.split_assign("doc_id", _TRAIN, _VAL).alias("split"),
+    )
+    base = staged.agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.count(F.when(F.col("quality") >= _QUALITY_MIN, 1))
+        .cast("bigint")
+        .alias("n_quality"),
+    )
+    q = staged.filter(
+        (F.col("quality") >= _QUALITY_MIN) & (F.col("plang") != "und")
+    ).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    )
+    rep = F.col("rn") == 1
+    funnel = q.agg(
+        F.count("*").cast("bigint").alias("n_lang"),
+        F.count(F.when(rep, 1)).cast("bigint").alias("n_dedup"),
+        F.count(F.when(rep & F.col("keep"), 1)).cast("bigint").alias("n_sampled"),
+        F.count(F.when(rep & F.col("keep") & (F.col("split") == "train"), 1))
+        .cast("bigint")
+        .alias("n_train"),
+    )
+    return base.crossJoin(funnel).select(
+        "n_raw", "n_quality", "n_lang", "n_dedup", "n_sampled", "n_train"
+    )

@@ -50,6 +50,25 @@ def doc_token_stats(spark, sf_dir):
     )
 
 
+# Quality-score formula over staged (toks, n, n_punct) columns — shared by
+# doc_quality and the curation funnel (q_pipeline) so the two oracles can
+# never diverge. Mirrors functions/text.py::quality_score exactly.
+_DUCK_PUNCT_STAGE = (
+    "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g'))"
+)
+
+
+def duck_quality_expr(toks: str = "toks", n: str = "n", n_punct: str = "n_punct") -> str:
+    return f"""ROUND(
+                 (LEAST(len({toks}) / 20.0, 1.0)
+                  + (CASE WHEN len({toks}) > 0
+                          AND list_aggregate(list_transform({toks}, x -> length(x)), 'sum') / len({toks})::DOUBLE
+                              BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.5 END)
+                  + (1.0 - LEAST((CASE WHEN {n} > 0 THEN {n_punct}::DOUBLE / {n} ELSE 0.0 END) * 4.0, 1.0)))
+                 / 3.0, 6)"""
+
+
 @query(
     "doc_quality",
     oracle=f"""
@@ -57,20 +76,13 @@ def doc_token_stats(spark, sf_dir):
             SELECT doc_id,
                    {_DUCK_TOKENS} AS toks,
                    length(text) AS n,
-                   length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct
+                   {_DUCK_PUNCT_STAGE} AS n_punct
             FROM documents
         )
         SELECT doc_id,
                len(toks) AS n_tokens,
                ROUND(CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END, 6) AS punct_ratio,
-               ROUND(
-                 (LEAST(len(toks) / 20.0, 1.0)
-                  + (CASE WHEN len(toks) > 0
-                          AND list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks)::DOUBLE
-                              BETWEEN 3.0 AND 10.0
-                          THEN 1.0 ELSE 0.5 END)
-                  + (1.0 - LEAST((CASE WHEN n > 0 THEN n_punct::DOUBLE / n ELSE 0.0 END) * 4.0, 1.0)))
-                 / 3.0, 6) AS quality
+               {duck_quality_expr()} AS quality
         FROM t
     """,
     tags=("text", "extension"),

@@ -161,3 +161,12 @@ def test_contamination_excludes_benchmark_side(spark, sf_dir):
     for r in rows:
         assert r["doc_id"] % 20 != 0
         assert r["n_shared_grams"] >= 1 and r["n_bench_docs"] >= 1
+
+
+def test_curation_funnel_monotonic(spark, sf_dir):
+    """Each stage can only shrink the corpus, and none is vacuous here."""
+    r = REGISTRY["corpus_curation_funnel"].build(spark, sf_dir).first()
+    chain = [r["n_raw"], r["n_quality"], r["n_lang"], r["n_dedup"],
+             r["n_sampled"], r["n_train"]]
+    assert all(a >= b for a, b in zip(chain, chain[1:])), chain
+    assert chain[-1] > 0
