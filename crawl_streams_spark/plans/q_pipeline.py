@@ -188,17 +188,21 @@ def benchmark_contamination(spark, sf_dir):
     fact side never shuffles for the join — only the per-doc distinct
     rollup exchanges, on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", T.tokens("text").alias("toks"))
-        .select(
+
+    def grams_of(side):
+        # filter BEFORE tokenize/shingle: each side pays only for its own
+        # documents (one combined corpus pass, not two full passes)
+        return docs.filter(side).select(
+            "doc_id", T.tokens("text").alias("toks")
+        ).select(
             "doc_id",
             F.explode(T.shingles_from_tokens(F.col("toks"), _GRAM_N)).alias(
                 "gram"
             ),
         )
-    )
-    corpus = grams.filter(F.col("doc_id") % 20 != 0).alias("c")
-    bench = grams.filter(F.col("doc_id") % 20 == 0).alias("b")
+
+    corpus = grams_of(F.col("doc_id") % 20 != 0).alias("c")
+    bench = grams_of(F.col("doc_id") % 20 == 0).alias("b")
     return (
         corpus.join(F.broadcast(bench), F.col("c.gram") == F.col("b.gram"))
         .groupBy(F.col("c.doc_id").alias("doc_id"))
