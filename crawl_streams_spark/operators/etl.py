@@ -101,3 +101,22 @@ def stream_warehouse(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_curated(
+    docs: DataFrame,
+    path: str,
+    rates: dict[str, float],
+    **curate_kwargs,
+) -> None:
+    """Curate → write, partitioned by split (train/val/test directories are
+    what a training job consumes), clustered by source then doc_id for
+    deterministic, skip-friendly layout."""
+    from .pipeline import curate
+
+    clustered_write(
+        curate(docs, rates, **curate_kwargs),
+        path,
+        partition_by=["split"],
+        cluster_by=["source", "doc_id"],
+    )

@@ -118,3 +118,48 @@ def pack_id(
     tok = _c(token_count_col)
     cum = F.sum(tok).over(w)
     return F.floor((cum - tok) / F.lit(float(budget))).cast("bigint")
+
+
+def curate(
+    docs,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    quality_min: float = 0.5,
+    train: float = 0.9,
+    val: float = 0.05,
+):
+    """Materializable curation pipeline: the corpus_curation_funnel's
+    decisions as columns on the surviving documents — quality gate,
+    language gate, fingerprint dedup (keep lowest doc_id), stratified
+    sample, split assignment. Returns the curated DataFrame (original
+    columns + plang/quality/split) ready for a split-partitioned
+    clustered write.
+
+    Same shapes as the funnel: one narrow scoring pass, one fingerprint
+    shuffle for the dedup window, stateless hash decisions everywhere
+    else."""
+    from pyspark.sql import Window as _W
+
+    from ..functions import text as T
+
+    scored = docs.select(
+        "*",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("plang"),
+        T.fingerprint("text").alias("fp"),
+        stratified_keep("doc_id", "lang", rates, default=default_rate).alias(
+            "_keep"
+        ),
+        split_assign("doc_id", train, val).alias("split"),
+    )
+    surviving = scored.filter(
+        (F.col("quality") >= quality_min) & (F.col("plang") != "und")
+    )
+    deduped = (
+        surviving.withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_keep"))
+    )
+    return deduped.drop("_rn", "_keep", "fp")

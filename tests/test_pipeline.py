@@ -170,3 +170,30 @@ def test_curation_funnel_monotonic(spark, sf_dir):
              r["n_sampled"], r["n_train"]]
     assert all(a >= b for a, b in zip(chain, chain[1:])), chain
     assert chain[-1] > 0
+
+
+def test_curate_matches_funnel(spark, sf_dir, tmp_path):
+    """curate() materializes exactly the documents the funnel counts: the
+    written train/val/test corpus sizes equal n_sampled, and the train
+    directory equals n_train."""
+    from crawl_streams_spark.operators.etl import write_curated
+    from crawl_streams_spark.plans.q_pipeline import _DEFAULT_RATE, _RATES
+
+    funnel = REGISTRY["corpus_curation_funnel"].build(spark, sf_dir).first()
+    out = str(tmp_path / "curated")
+    docs = load_table(spark, sf_dir, "documents")
+    write_curated(docs, out, _RATES, default_rate=_DEFAULT_RATE)
+    back = spark.read.parquet(out)
+    assert back.count() == funnel["n_sampled"]
+    assert back.filter(back.split == "train").count() == funnel["n_train"]
+    # curated docs keep their source columns and gain the decisions
+    assert {"doc_id", "text", "lang", "quality", "plang", "split"} <= set(
+        back.columns
+    )
+    # dedup held: fingerprints are unique (recompute on the survivors)
+    from crawl_streams_spark.functions import text as TX
+
+    n_fp = (
+        back.select(TX.fingerprint("text").alias("fp")).distinct().count()
+    )
+    assert n_fp == back.count()
