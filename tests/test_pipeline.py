@@ -197,3 +197,44 @@ def test_curate_matches_funnel(spark, sf_dir, tmp_path):
         back.select(TX.fingerprint("text").alias("fp")).distinct().count()
     )
     assert n_fp == back.count()
+
+
+# --- property tests (pure expression math, no Spark round trip) ----------
+
+from hypothesis import given, strategies as st  # noqa: E402
+
+
+@given(st.floats(min_value=0.0, max_value=1.5, allow_nan=False))
+def test_hex_threshold_tracks_fraction(frac):
+    """Threshold in bucket space is round(frac*256) clamped, and the
+    string compare on two lowercase hex chars realizes exactly that keep
+    set."""
+    thr = P.hex_threshold(frac)
+    n = round(min(max(frac, 0.0), 1.0) * 256)
+    kept = sum(1 for b in range(256) if format(b, "02x") < thr)
+    assert kept == (256 if n >= 256 else n)
+
+
+@given(st.floats(0, 1), st.floats(0, 1))
+def test_hex_threshold_monotone(a, b):
+    lo, hi = sorted([a, b])
+    assert P.hex_threshold(lo) <= P.hex_threshold(hi)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50
+    )
+)
+def test_split_partitions_ids(ids):
+    """Every id lands in exactly one split and fractions are as pinned by
+    the md5 reference (pure-Python mirror of split_assign)."""
+    import hashlib as _h
+
+    for i in ids:
+        bucket = _h.md5(f"split:{i}".encode()).hexdigest()[:2]
+        split = (
+            "train" if bucket < P.hex_threshold(0.9)
+            else ("val" if bucket < P.hex_threshold(0.95) else "test")
+        )
+        assert split in {"train", "val", "test"}
