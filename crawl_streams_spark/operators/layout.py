@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["clustered_write", "compact_parquet"]
@@ -76,3 +77,65 @@ def compact_parquet(
         "maxRecordsPerFile", target_rows_per_file
     ).parquet(dst)
     return n_files
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Partition-scoped MERGE into a partitioned parquet table: rows in
+    ``updates`` replace existing rows with the same key; everything else in
+    the touched partitions is carried over; untouched partitions are not
+    rewritten (their files stay byte-identical).
+
+    The 100 TB incremental-ingest primitive without a table format: with
+    ``partitionOverwriteMode=dynamic`` the writer only replaces directories
+    it writes rows into, so the rewrite cost is proportional to the
+    partitions touched by the batch, not the table. A lakehouse format
+    (Delta/Iceberg) refines this to file-level MERGE; the plan shape —
+    anti-join existing-on-keys, union updates, clustered rewrite — is the
+    same. Returns the number of partitions rewritten.
+    """
+    import os as _os
+
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not parts:
+        return 0
+    out = updates
+    if _os.path.exists(path):
+        existing = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        keep = existing.join(
+            F.broadcast(updates.select(*key_cols).distinct()),
+            on=key_cols,
+            how="left_anti",
+        )
+        out = keep.unionByName(updates)
+    out = out.repartition(partition_col)
+    if cluster_by:
+        out = out.sortWithinPartitions(partition_col, *cluster_by)
+    with _partition_overwrite(spark):
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    return len(parts)
+
+
+class _partition_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic (the static
+    default would wipe untouched partitions on overwrite)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)

@@ -88,3 +88,48 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert len(got) <= n_files + 1  # maxRecordsPerFile may split one
     assert len(got) < 64
     assert spark.read.parquet(compacted).count() == n
+
+
+def test_upsert_partitions(spark, sf_dir, tmp_path):
+    """MERGE semantics: updated keys replaced, other rows in touched
+    partitions carried over, untouched partitions' files byte-identical."""
+    from crawl_streams_spark.operators.layout import upsert_partitions
+
+    out = str(tmp_path / "upsert")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter("event_id < 100")
+    )
+    clustered_write(ev, out, partition_by=["event_type"], cluster_by=["event_id"])
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    touched, untouched = types[0], types[1]
+    before = {
+        f: os.path.getmtime(f)
+        for f in _data_files(os.path.join(out, f"event_type={untouched}"))
+    }
+    updates = spark.createDataFrame(
+        [(1_000_001, touched, 1.5), (0, touched, 99.0)],
+        "event_id bigint, event_type string, value double",
+    )
+    n = upsert_partitions(
+        spark, updates, out, ["event_id"], "event_type", cluster_by=["event_id"]
+    )
+    assert n == 1
+    back = spark.read.parquet(out)
+    # replacement is partition-scoped: event_id 0 is only deduplicated if
+    # its existing row lives in the touched partition
+    replaced = ev.filter(
+        (ev.event_id == 0) & (ev.event_type == touched)
+    ).count()
+    assert back.count() == ev.count() + 2 - replaced
+    got = {r["event_id"]: r["value"] for r in back.filter(
+        back.event_type == touched).collect()}
+    assert got[1_000_001] == 1.5
+    if 0 in got:
+        assert got[0] == 99.0  # replaced, not duplicated
+    after = {
+        f: os.path.getmtime(f)
+        for f in _data_files(os.path.join(out, f"event_type={untouched}"))
+    }
+    assert before == after, "untouched partition was rewritten"
