@@ -39,4 +39,14 @@ def plan_metrics(df: DataFrame) -> dict:
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas"),
         "take_ordered": plan.count("TakeOrderedAndProject"),
+        # a window whose spec starts with an ordered column or the frame
+        # itself has NO partition columns — the whole input serializes
+        # through one task. Always a scale bug in this engine (scalar
+        # 1-row aggregates legitimately single-partition; windows never).
+        "global_windows": len(
+            re.findall(
+                r"windowspecdefinition\((?:[\w.#]+L? (?:ASC|DESC)|specifiedwindowframe)",
+                plan,
+            )
+        ),
     }

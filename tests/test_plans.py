@@ -127,3 +127,28 @@ def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # codegen stages render as '*(n) Operator' in the final plan
     assert "*(" in plan, plan[:1500]
+
+
+def test_global_window_detector_true_positive(spark, sf_dir):
+    """The audit metric actually fires on an unpartitioned window (and the
+    registry pins zero of them)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from crawl_streams_spark.plans.audit import plan_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    bad = ev.select(
+        "event_id",
+        F.sum("value").over(Window.orderBy("ts").rowsBetween(
+            Window.unboundedPreceding, 0)).alias("running"),
+    )
+    assert plan_metrics(bad)["global_windows"] >= 1
+    good = ev.select(
+        "event_id",
+        F.sum("value").over(
+            Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+                Window.unboundedPreceding, 0)
+        ).alias("running"),
+    )
+    assert plan_metrics(good)["global_windows"] == 0
