@@ -163,3 +163,50 @@ def curate(
         .filter(F.col("_keep"))
     )
     return deduped.drop("_rn", "_keep", "fp")
+
+
+def shuffled_shards(
+    df,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+):
+    """Deterministic global shuffle + sharding for training export: every
+    row gets a shard (uniform, salted-md5 of the id) and rows within a
+    shard are ordered by a second hash — a reproducible pseudo-random
+    permutation with no RNG state and no global sort. Re-running over a
+    grown corpus preserves the relative order of surviving rows.
+
+    Returns (shard, shard_pos)-annotated DataFrame; write with
+    ``.repartition("shard").sortWithinPartitions("shard", "shard_pos")``
+    partitioned by shard — one writer per shard, no global ordering
+    bottleneck (same argument as pack_id)."""
+    order_hex = F.md5(
+        F.concat(F.lit(salt + "-pos:"), _c(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(order_hex, 1, 8), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("int")
+    return df.withColumn("shard", shard).withColumn(
+        "shard_pos", F.substring(order_hex, 9, 16)
+    )
+
+
+def write_shuffled_shards(
+    df,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> None:
+    """Materialize the shuffled export: one directory per shard, rows in
+    shuffled order inside each file."""
+    out = shuffled_shards(df, id_col, n_shards, salt)
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

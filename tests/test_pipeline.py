@@ -238,3 +238,38 @@ def test_split_partitions_ids(ids):
             else ("val" if bucket < P.hex_threshold(0.95) else "test")
         )
         assert split in {"train", "val", "test"}
+
+
+def test_shuffled_shards_deterministic_and_uniform(spark, sf_dir, tmp_path):
+    """Shard assignment and intra-shard order are pure functions of the id;
+    shards are near-uniform; the written order differs from doc_id order
+    (it IS a shuffle)."""
+    from crawl_streams_spark.operators.pipeline import (
+        shuffled_shards,
+        write_shuffled_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a = shuffled_shards(docs, "doc_id", 8).collect()
+    b = shuffled_shards(docs.repartition(5), "doc_id", 8).collect()
+    key = lambda rows: {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in rows}
+    assert key(a) == key(b)
+    counts = {}
+    for r in a:
+        counts[r["shard"]] = counts.get(r["shard"], 0) + 1
+    assert len(counts) == 8
+    n = len(a)
+    assert all(c > n / 8 / 3 for c in counts.values()), counts
+
+    out = str(tmp_path / "shards")
+    write_shuffled_shards(docs, out, "doc_id", 4)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    import os as _os
+
+    shard_dirs = [d for d in _os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == 4
+    # within a shard file, doc_ids are NOT in ascending order (shuffled)
+    one = spark.read.parquet(f"{out}/{shard_dirs[0]}")
+    ids = [r["doc_id"] for r in one.collect()]
+    assert ids != sorted(ids)
