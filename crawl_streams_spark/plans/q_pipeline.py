@@ -389,3 +389,31 @@ def corpus_curation_funnel(spark, sf_dir):
     return base.crossJoin(funnel).select(
         "n_raw", "n_quality", "n_lang", "n_dedup", "n_sampled", "n_train"
     )
+
+
+# --- tokenizer training (iterative; rows-only check) ---------------------
+
+
+@query(
+    "bpe_learned_merges",
+    oracle=None,  # iterative argmax loop — not single-statement SQL;
+    # merges are pinned instead by tests/test_tokenizer.py (golden corpus
+    # + determinism under repartition)
+    tags=("extension", "pipeline", "tokenizer", "rows-only", "iterative"),
+)
+def bpe_learned_merges(spark, sf_dir):
+    """Top-10 learned BPE merges over the corpus (operators/tokenizer.py):
+    one corpus-sized word count, then per-iteration pair counts over the
+    tiny vocabulary — training cost is independent of corpus size after
+    the first pass, which is why BPE learning survives 100 TB."""
+    from ..operators.tokenizer import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=10)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["freq"])
+            for m in merges
+        ],
+        "rank bigint, left string, right string, merged string, freq bigint",
+    )
