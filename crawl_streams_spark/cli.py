@@ -201,6 +201,40 @@ def cmd_etl(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Incrementally fold a batch of raw events into a materialized rollup
+    table (operators/rollup.py) — run per ingest batch; cost is O(batch) +
+    O(touched date partitions), never a history rescan."""
+    import pyspark.sql.functions as F
+
+    from .operators.rollup import update_rollup
+    from .session import apply_runtime_confs
+
+    spark = _spark(args)
+    apply_runtime_confs(spark)
+    batch = spark.read.parquet(args.input)
+    # TIMESTAMP(NANOS) parquet arrives as epoch-nanos LongType (see
+    # tables.load_table) — normalize so date_trunc gets a real timestamp.
+    if dict(batch.dtypes).get(args.ts_col) == "bigint":
+        batch = batch.withColumn(
+            args.ts_col,
+            F.timestamp_micros(
+                F.expr(f"CAST({args.ts_col} DIV 1000 AS LONG)")
+            ).cast("timestamp_ntz"),
+        )
+    n = update_rollup(
+        spark,
+        batch,
+        args.output,
+        args.ts_col,
+        args.dims.split(",") if args.dims else [],
+        args.metrics.split(",") if args.metrics else [],
+        grain=args.grain,
+    )
+    print(f"rewrote {n} date partition(s) in {args.output}")
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run or explain any registered driver-contract query by name — the
     operational front door to the whole §2 registry, and the plan-audit
@@ -293,6 +327,18 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--stream", action="store_true", help="streaming append mode")
     e.add_argument("--checkpoint", default=None, help="required with --stream")
     e.set_defaults(fn=cmd_etl)
+
+    ru = sub.add_parser(
+        "rollup", help="fold a batch of events into a materialized rollup"
+    )
+    ru.add_argument("--input", required=True, help="batch parquet file/dir")
+    ru.add_argument("--output", required=True, help="rollup table directory")
+    ru.add_argument("--ts-col", default="ts")
+    ru.add_argument("--dims", default="", help="comma-separated dimension cols")
+    ru.add_argument("--metrics", default="", help="comma-separated metric cols")
+    ru.add_argument("--grain", default="hour",
+                    choices=["minute", "hour", "day", "week", "month"])
+    ru.set_defaults(fn=cmd_rollup)
 
     q = sub.add_parser(
         "query", help="run or explain a registered query ('query list')"

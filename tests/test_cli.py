@@ -149,3 +149,18 @@ def test_query_explain(capsys, spark, sf_dir):
 
 def test_query_unknown(capsys, spark):
     assert main(["query", "nope_not_a_query"]) == 2
+
+
+def test_rollup_update(capsys, spark, sf_dir, tmp_path):
+    out_dir = str(tmp_path / "roll")
+    events = f"{sf_dir}/events.parquet"
+    args = [
+        "rollup", "--input", events, "--output", out_dir,
+        "--ts-col", "ts", "--dims", "event_type", "--metrics", "value",
+    ]
+    assert main(args) == 0
+    assert "rewrote" in capsys.readouterr().out
+    first = spark.read.parquet(out_dir).agg({"cnt": "sum"}).collect()[0][0]
+    assert main(args) == 0  # fold the same batch again: counts double
+    second = spark.read.parquet(out_dir).agg({"cnt": "sum"}).collect()[0][0]
+    assert second == 2 * first

@@ -1,0 +1,155 @@
+"""Incremental rollup maintenance (operators/rollup.py): the merge
+invariant merge(rollup(A), rollup(B)) == rollup(A ∪ B), batch-order
+independence, untouched-partition stability, and coarser-grain
+re-aggregation matching a direct query on the raw facts."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.operators.rollup import (
+    rollup_rows,
+    rollup_to_grain,
+    update_rollup,
+    write_rollup,
+)
+from crawl_streams_spark.tables import load_table
+
+DIMS = ["event_type"]
+METRICS = ["value"]
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+
+
+def _snapshot(spark, path):
+    rows = (
+        spark.read.parquet(path)
+        .select(
+            "bucket_date",
+            "bucket_start",
+            "event_type",
+            "cnt",
+            F.round("sum_value", 6).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+        .collect()
+    )
+    return sorted(
+        (str(r[0]), str(r[1]), r[2], r[3], r[4], r[5], r[6]) for r in rows
+    )
+
+
+def _data_files(partition_dir):
+    return sorted(glob.glob(os.path.join(partition_dir, "*.parquet")))
+
+
+def test_incremental_equals_full(spark, sf_dir, tmp_path):
+    """Three arbitrary batches folded in sequentially must equal the
+    one-shot rollup of all rows."""
+    ev = _events(spark, sf_dir)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    for k in range(3):
+        n = update_rollup(
+            spark,
+            ev.filter(F.col("event_id") % 3 == k),
+            inc,
+            "ts",
+            DIMS,
+            METRICS,
+        )
+        assert n > 0
+    write_rollup(ev, full, "ts", DIMS, METRICS)
+    assert _snapshot(spark, inc) == _snapshot(spark, full)
+
+
+def test_batch_order_independence(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for k in (0, 1, 2):
+        update_rollup(spark, ev.filter(F.col("event_id") % 3 == k), a, "ts", DIMS, METRICS)
+    for k in (2, 0, 1):
+        update_rollup(spark, ev.filter(F.col("event_id") % 3 == k), b, "ts", DIMS, METRICS)
+    assert _snapshot(spark, a) == _snapshot(spark, b)
+
+
+def test_untouched_partitions_not_rewritten(spark, sf_dir, tmp_path):
+    """A batch confined to one day only rewrites that day's directory;
+    every other date partition's files stay byte-identical."""
+    ev = _events(spark, sf_dir)
+    out = str(tmp_path / "roll")
+    update_rollup(spark, ev, out, "ts", DIMS, METRICS)
+    dates = sorted(
+        d for d in os.listdir(out) if d.startswith("bucket_date=")
+    )
+    assert len(dates) > 1
+    touched_day = dates[0].split("=", 1)[1]
+    before = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for d in dates[1:]
+        for f in _data_files(os.path.join(out, d))
+    }
+    batch = ev.filter(F.to_date("ts") == F.lit(touched_day))
+    assert batch.count() > 0
+    n = update_rollup(spark, batch, out, "ts", DIMS, METRICS)
+    assert n == 1
+    after = {
+        f: (os.path.getmtime(f), os.path.getsize(f))
+        for d in dates[1:]
+        for f in _data_files(os.path.join(out, d))
+    }
+    assert before == after, "untouched date partition was rewritten"
+    # and the touched day now double-counts exactly that day's rows
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("bucket_date") == F.lit(touched_day))
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert got == 2 * batch.count()
+
+
+def test_coarser_grain_matches_fact_query(spark, sf_dir, tmp_path):
+    """Day-grain re-aggregation of the hourly rollup == aggregating the
+    raw facts by day directly, including the derived avg."""
+    ev = _events(spark, sf_dir)
+    out = str(tmp_path / "roll")
+    update_rollup(spark, ev, out, "ts", DIMS, METRICS)
+    daily = rollup_to_grain(
+        spark.read.parquet(out), "day", DIMS, METRICS
+    )
+    direct = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("cnt"))
+    )
+
+    def key(rows):
+        return sorted(
+            (
+                str(r["bucket_start"]),
+                r["event_type"],
+                r["cnt"],
+                round(r["sum_value"], 6),
+                r["min_value"],
+                r["max_value"],
+                round(r["avg_value"], 9),
+            )
+            for r in rows
+        )
+
+    assert key(daily.collect()) == key(direct.collect())
