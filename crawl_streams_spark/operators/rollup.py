@@ -49,6 +49,7 @@ __all__ = [
     "merge_rollup",
     "write_rollup",
     "update_rollup",
+    "stream_rollup",
     "rollup_to_grain",
 ]
 
@@ -163,6 +164,41 @@ def update_rollup(
         return len(dates)
     finally:
         batch.unpersist()
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str,
+    dims: list[str],
+    metrics: list[str],
+    grain: str = "hour",
+    available_now: bool = False,
+):
+    """Streaming maintenance: fold every micro-batch into the rollup via
+    foreachBatch → update_rollup. This is the durable replacement for the
+    reference's in-memory snapshot loop (analysis.py:227-236): state lives
+    in the rollup table (restart-safe via the checkpoint), and each
+    trigger's cost is proportional to the micro-batch, not the history.
+
+    Exactly-once caveat: foreachBatch is at-least-once on failure — a
+    replayed batch double-counts. The checkpoint makes replays rare;
+    where that's not enough, stage batch rollups keyed by batch_id and
+    merge idempotently.
+    """
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        update_rollup(
+            batch_df.sparkSession, batch_df, path, ts_col, dims, metrics, grain
+        )
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def rollup_to_grain(

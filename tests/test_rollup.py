@@ -153,3 +153,38 @@ def test_coarser_grain_matches_fact_query(spark, sf_dir, tmp_path):
         )
 
     assert key(daily.collect()) == key(direct.collect())
+
+
+def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """File-source streaming with one-file micro-batches folds to the same
+    rollup as a one-shot batch build (restart-safe durable aggregates —
+    the engine replacement for the reference's volatile snapshot loop)."""
+    from crawl_streams_spark.operators.rollup import stream_rollup
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # two input files → two micro-batches under maxFilesPerTrigger=1
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    out, full = str(tmp_path / "roll"), str(tmp_path / "full")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_rollup(
+        stream,
+        out,
+        str(tmp_path / "ckpt"),
+        "ts",
+        DIMS,
+        METRICS,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    write_rollup(spark.read.parquet(src), full, "ts", DIMS, METRICS)
+    assert _snapshot(spark, out) == _snapshot(spark, full)
