@@ -76,3 +76,139 @@ def test_annotation_classifier_routing(spark, rest, ip, dol):
     assert row["ip"] == ip
     want_rest = " ".join(a.replace(" ", "_") for a in rest if a)
     assert row["rest"] == want_rest
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2035, 1, 1)
+    ),
+    st.integers(min_value=0, max_value=999),
+    st.integers(min_value=0, max_value=10**7),
+)
+def test_start_time_plus_duration_roundtrip(spark, base, millis, dur):
+    """F-6: parse(format(ts) + '+' + d) == (ts, d); no '+' → (null, null)
+    (report.py:203-209 drops the field when unsplittable)."""
+    ts = base.replace(microsecond=millis * 1000)
+    raw = ts.strftime("%Y%m%d%H%M%S") + f"{millis:03d}"
+    start, duration = C.split_start_time_plus_duration(F.lit(f"{raw}+{dur}"))
+    no_start, no_dur = C.split_start_time_plus_duration(F.lit(raw))
+    row = (
+        spark.range(1)
+        .select(
+            start.alias("s"),
+            duration.alias("d"),
+            no_start.alias("ns"),
+            no_dur.alias("nd"),
+        )
+        .collect()[0]
+    )
+    assert row["s"] == ts and row["d"] == dur
+    assert row["ns"] is None and row["nd"] is None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2035, 1, 1)
+    ),
+    st.integers(min_value=0, max_value=999),
+)
+def test_wayback_timestamp_digits_only(spark, base, millis):
+    """F-4: wayback form == all digits of the ISO string, 17 chars for the
+    millisecond form (streamer.py:47)."""
+    import re
+
+    iso = base.replace(microsecond=millis * 1000).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    ) + f".{millis:03d}Z"
+    got = (
+        spark.range(1)
+        .select(C.wayback_timestamp(F.lit(iso)).alias("w"))
+        .collect()[0]["w"]
+    )
+    assert got == re.sub(r"\D", "", iso)
+    assert len(got) == 17
+
+
+@settings(max_examples=20, deadline=None)
+@given(_host, _path, st.sampled_from(["http://", "https://", ""]))
+def test_normalize_uri_scheme_and_idempotence(spark, host, path, scheme):
+    """P-18: result always carries an http(s) scheme, schemed inputs pass
+    through unchanged, and the op is idempotent (submit.py:43-44)."""
+    uri = f"{scheme}{host}{path}"
+    once = C.normalize_uri(F.lit(uri))
+    twice = C.normalize_uri(once)
+    row = spark.range(1).select(once.alias("a"), twice.alias("b")).collect()[0]
+    if scheme:
+        assert row["a"] == uri
+    else:
+        assert row["a"] == f"http://{uri}"
+    assert row["b"] == row["a"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2035, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0)),
+    st.integers(min_value=-9999, max_value=99999),
+    st.text(
+        alphabet="abcdefghij:/._-", min_size=0, max_size=20
+    ),
+)
+def test_schedule_launch_source_status_scalars(spark, ts, code, seed):
+    """F-16 parse(format) round-trip, F-13 launch-ts formatting, F-15
+    colon-safe source tag, F-12 status stringification incl. negative
+    Heritrix codes, F-5 hop last-char defaults — one batched check."""
+    sched = ts.strftime("%Y-%m-%d %H:%M:%S")
+    row = (
+        spark.range(1)
+        .select(
+            C.schedule_ts(F.lit(sched)).alias("sched"),
+            C.schedule_ts(F.lit("not a date")).alias("bad"),
+            C.launch_ts_format(F.lit(ts)).alias("launch"),
+            C.source_tag(F.lit(7), F.lit(f"https://{seed}")).alias("tag"),
+            C.status_str(F.lit(code)).alias("st"),
+            C.status_str(F.lit(None).cast("int")).alias("st_null"),
+            C.hop_last(F.lit("LLE")).alias("hop"),
+            C.hop_last(F.lit("")).alias("hop_empty"),
+            C.hop_last(F.lit(None).cast("string")).alias("hop_null"),
+        )
+        .collect()[0]
+    )
+    assert row["sched"] == ts
+    assert row["bad"] is None
+    assert row["launch"] == ts.strftime("%Y%m%d%H%M%S")
+    assert row["tag"] == f"tid:7:https://{seed}"
+    assert row["st"] == str(code)
+    assert row["st_null"] == "-"
+    assert row["hop"] == "E"
+    assert row["hop_empty"] == "_"
+    assert row["hop_null"] == "_"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.datetimes(
+        min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2035, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0)),
+    st.integers(min_value=0, max_value=99),
+)
+def test_annotation_launch_ts_both_widths(spark, ts, frac):
+    """F-7: launchTimestamp annotations parse at both observed widths —
+    14-digit seconds and 16-digit centiseconds (report.py:190-193 %f)."""
+    a14 = f"launchTimestamp:{ts.strftime('%Y%m%d%H%M%S')}"
+    a16 = f"launchTimestamp:{ts.strftime('%Y%m%d%H%M%S')}{frac:02d}"
+    row = (
+        spark.range(1)
+        .select(
+            C.annotation_launch_ts(F.array(F.lit(a14))).alias("t14"),
+            C.annotation_launch_ts(F.array(F.lit(a16))).alias("t16"),
+            C.annotation_launch_ts(F.array(F.lit("ip:1.2.3.4"))).alias("none"),
+        )
+        .collect()[0]
+    )
+    assert row["t14"] == ts
+    assert row["t16"] == ts.replace(microsecond=frac * 10000)
+    assert row["none"] is None
