@@ -126,6 +126,50 @@ def annotation_rest(annots: Column) -> Column:
     return F.array_join(F.transform(rest, lambda a: F.replace(a, F.lit(" "), F.lit("_"))), " ")
 
 
+def annotation_value_raw(annotations: Column | str, key: str) -> Column:
+    """First ``key:<value>`` annotation from the RAW comma-packed string,
+    NULL when absent (('' when present-but-empty, matching the array
+    path). Pure regex → whole-stage codegen; the array/HOF classifiers
+    above are interpreted per row (higher-order functions don't codegen),
+    which measured ~4× slower on the classification query at sf0.1."""
+    raw = F.coalesce(_c(annotations), F.lit(""))
+    return F.when(
+        raw.rlike(f"(^|,){key}:"),
+        F.regexp_extract(raw, f"(?:^|,){key}:([^,]*)", 1),
+    )
+
+
+def annotation_ip_raw(annotations: Column | str) -> Column:
+    """F-7 — ip: extraction straight off the packed string; equivalent to
+    ``annotation_ip(annotations_array(x))`` (equivalence pinned on the
+    reference sample in tests/test_crawl_conformance.py)."""
+    return annotation_value_raw(annotations, "ip")
+
+
+def annotation_dol_raw(annotations: Column | str) -> Column:
+    """F-7 — dol: extraction straight off the packed string."""
+    return annotation_value_raw(annotations, "dol")
+
+
+def annotation_launch_ts_raw(annotations: Column | str) -> Column:
+    """F-7 — launchTimestamp: extraction + compact parse, raw-string form."""
+    return compact_ts(annotation_value_raw(annotations, "launchTimestamp"))
+
+
+def annotation_rest_raw(annotations: Column | str) -> Column:
+    """F-7 — unclassified annotations, spaces→underscores, space-joined;
+    raw-string regex form of ``annotation_rest``. Identity used: tokens
+    never contain commas, so stripping classified tokens, underscoring all
+    remaining spaces, and collapsing comma runs to single spaces is exactly
+    filter+transform+array_join over the split array."""
+    raw = F.coalesce(_c(annotations), F.lit(""))
+    cleaned = F.regexp_replace(
+        raw, "(?:^|,)(?:ip|launchTimestamp|dol):[^,]*", ""
+    )
+    underscored = F.replace(cleaned, F.lit(" "), F.lit("_"))
+    return F.btrim(F.regexp_replace(underscored, ",+", " "))
+
+
 def doc_id(log_timestamp: Column | str, url: Column | str) -> Column:
     """F-8 — Solr document id ``crawl-log:<ts>/<url>`` (report.py:177)."""
     return F.concat(F.lit("crawl-log:"), _c(log_timestamp), F.lit("/"), _c(url))

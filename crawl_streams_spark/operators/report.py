@@ -125,11 +125,9 @@ def solr_documents(df: DataFrame) -> DataFrame:
     - crawler = Heritrix|WebRender by thread presence (F-10, :214-219)
     - extra_info dropped (report.py:212)
     """
-    annots = C.annotations_array(F.col("annotations"))
     start_time, duration = C.split_start_time_plus_duration(
         F.col("start_time_plus_duration")
     )
-    launch_hits = F.filter(annots, lambda a: a.startswith("launchTimestamp:"))
     return df.select(
         C.doc_id(F.col("timestamp"), F.col("url")).alias("id"),
         F.col("timestamp").alias("log_timestamp"),
@@ -143,12 +141,13 @@ def solr_documents(df: DataFrame) -> DataFrame:
         ),
         start_time.alias("start_time"),
         duration.alias("duration"),
-        C.annotation_ip(annots).alias("ip"),
-        F.when(
-            F.size(launch_hits) > 0,
-            C.annotation_launch_ts(annots),
-        ).alias("launch_timestamp"),
-        C.annotation_rest(annots).alias("annotations"),
+        # raw-string regex classifiers (codegen path; see functions/crawl.py
+        # annotation_*_raw — HOF equivalence pinned in conformance tests)
+        C.annotation_ip_raw(F.col("annotations")).alias("ip"),
+        C.annotation_launch_ts_raw(F.col("annotations")).alias(
+            "launch_timestamp"
+        ),
+        C.annotation_rest_raw(F.col("annotations")).alias("annotations"),
         F.col("content_digest"),
         F.col("warc_filename"),
         F.col("warc_offset"),

@@ -165,30 +165,16 @@ def annotation_classification(spark, sf_dir):
         F.lit("t"),
     )
     d = ev.select("event_id", ann.alias("annotations"))
-    annots = C.annotations_array(F.col("annotations"))
-    d = d.select("event_id", annots.alias("annots"))
+    # raw-string regex classifiers (whole-stage codegen) — equivalence with
+    # the array/HOF forms is pinned in tests/test_crawl_conformance.py
     return d.select(
         "event_id",
-        C.annotation_ip(F.col("annots")).alias("ip"),
-        F.when(
-            F.size(F.filter(F.col("annots"), lambda a: a.startswith("launchTimestamp:"))) > 0,
-            F.substring(
-                F.element_at(
-                    F.filter(F.col("annots"), lambda a: a.startswith("launchTimestamp:")), 1
-                ),
-                17,
-                2_000_000,
-            ),
-        ).alias("launch_ts_raw"),
-        F.when(
-            F.size(F.filter(F.col("annots"), lambda a: a.startswith("dol:"))) > 0,
-            F.substring(
-                F.element_at(F.filter(F.col("annots"), lambda a: a.startswith("dol:")), 1),
-                5,
-                2_000_000,
-            ),
-        ).alias("dol"),
-        C.annotation_rest(F.col("annots")).alias("rest"),
+        C.annotation_ip_raw(F.col("annotations")).alias("ip"),
+        C.annotation_value_raw(F.col("annotations"), "launchTimestamp").alias(
+            "launch_ts_raw"
+        ),
+        C.annotation_dol_raw(F.col("annotations")).alias("dol"),
+        C.annotation_rest_raw(F.col("annotations")).alias("rest"),
     )
 
 

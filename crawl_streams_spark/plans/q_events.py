@@ -323,3 +323,50 @@ def sessionized_set_ops(spark, sf_dir):
     # SQL precedence: INTERSECT binds tighter than EXCEPT, and both are
     # distinct-based — subtract() is Spark's EXCEPT DISTINCT.
     return clicks.intersect(buys).subtract(errs)
+
+
+@query(
+    "rollup_day_reaggregation",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+                   event_type,
+                   COUNT(*) AS cnt,
+                   SUM(value) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS bucket_start,
+               event_type,
+               CAST(SUM(cnt) AS BIGINT) AS cnt,
+               ROUND(SUM(sum_value), 4) AS sum_value,
+               MIN(min_value) AS min_value,
+               MAX(max_value) AS max_value,
+               ROUND(SUM(sum_value) / SUM(cnt), 6) AS avg_value
+        FROM hourly
+        GROUP BY 1, 2
+    """,
+    tags=("extension", "rollup", "agg"),
+)
+def rollup_day_reaggregation(spark, sf_dir):
+    """Materialized-rollup mergeability as an oracle-checked query: build
+    hour-grain associative partials (operators/rollup.py), re-aggregate to
+    day grain, derive avg from the partials — the exact computation
+    update_rollup + rollup_to_grain run against the stored table, so the
+    oracle pins merge(partials) == direct aggregation."""
+    from ..operators.rollup import rollup_rows, rollup_to_grain
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = rollup_rows(ev, "ts", ["event_type"], ["value"], grain="hour")
+    daily = rollup_to_grain(hourly, "day", ["event_type"], ["value"])
+    return daily.select(
+        "bucket_start",
+        "event_type",
+        "cnt",
+        F.round("sum_value", 4).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+    )

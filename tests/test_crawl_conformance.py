@@ -227,3 +227,44 @@ def test_partitioned_parquet_sink(spark, fragment, tmp_path):
     want = {r["host"]: r["total"] for r in HS2.host_totals(fragment).collect()}
     got = {r["host"]: r["total"] for r in back.collect()}
     assert got == want
+
+
+def test_annotation_raw_equals_hof(spark, fragment):
+    """The regex raw-string F-7 classifiers (annotation_*_raw, the codegen
+    fast path used by the ETL/classification queries) agree with the
+    array/HOF forms on every sample record plus hand-built edge cases."""
+    from crawl_streams_spark.functions import crawl as C
+
+    edge = spark.createDataFrame(
+        [
+            (None,),
+            ("",),
+            ("ip:",),
+            ("ip:1.2.3.4",),
+            ("a b,ip:1.2.3.4,launchTimestamp:20240101120000,dol:2,tail",),
+            ("launchTimestamp:2024010112000055,x",),
+            ("dolphin:3,xip:4,note:ip:9",),  # near-miss keys stay unclassified
+            (",,a,,b,,",),
+            ("one two three",),
+            ("ip:9.9.9.9,ip:8.8.8.8",),  # first-match wins on both paths
+        ],
+        "annotations string",
+    )
+    sample = fragment.select("annotations")
+    for df in (edge, sample):
+        annots = C.annotations_array(F.col("annotations"))
+        rows = (
+            df.select(
+                C.annotation_ip(annots).alias("ip_hof"),
+                C.annotation_ip_raw(F.col("annotations")).alias("ip_raw"),
+                C.annotation_launch_ts(annots).alias("lt_hof"),
+                C.annotation_launch_ts_raw(F.col("annotations")).alias("lt_raw"),
+                C.annotation_rest(annots).alias("rest_hof"),
+                C.annotation_rest_raw(F.col("annotations")).alias("rest_raw"),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r["ip_hof"] == r["ip_raw"], r
+            assert r["lt_hof"] == r["lt_raw"], r
+            assert r["rest_hof"] == r["rest_raw"], r
