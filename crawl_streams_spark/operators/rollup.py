@@ -175,6 +175,7 @@ def stream_rollup(
     metrics: list[str],
     grain: str = "hour",
     available_now: bool = False,
+    exactly_once: bool = True,
 ):
     """Streaming maintenance: fold every micro-batch into the rollup via
     foreachBatch → update_rollup. This is the durable replacement for the
@@ -182,16 +183,28 @@ def stream_rollup(
     in the rollup table (restart-safe via the checkpoint), and each
     trigger's cost is proportional to the micro-batch, not the history.
 
-    Exactly-once caveat: foreachBatch is at-least-once on failure — a
-    replayed batch double-counts. The checkpoint makes replays rare;
-    where that's not enough, stage batch rollups keyed by batch_id and
-    merge idempotently.
+    foreachBatch alone is at-least-once: a crash between the merge and the
+    checkpoint commit replays the batch on restart and double-counts it.
+    With ``exactly_once`` a per-batch marker file (inside the checkpoint
+    directory, so its lifetime — and the batch-id namespace — is exactly
+    the stream's) records completed merges and the replayed batch becomes
+    a no-op. The residual window (crash between merge and marker write)
+    is the same one Spark's own file sink closes with its transaction log;
+    closing it fully needs a transactional table format.
     """
+    markers = os.path.join(checkpoint, "applied_rollup_batches")
 
-    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, str(batch_id))
+        if exactly_once and os.path.exists(marker):
+            return
         update_rollup(
             batch_df.sparkSession, batch_df, path, ts_col, dims, metrics, grain
         )
+        if exactly_once:
+            os.makedirs(markers, exist_ok=True)
+            with open(marker, "w"):
+                pass
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

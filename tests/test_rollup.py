@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 import pyspark.sql.functions as F
 
@@ -188,3 +189,66 @@ def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     write_rollup(spark.read.parquet(src), full, "ts", DIMS, METRICS)
     assert _snapshot(spark, out) == _snapshot(spark, full)
+
+
+def test_stream_rollup_replay_idempotent(spark, sf_dir, tmp_path):
+    """Failure injection: deleting the last checkpoint commit record makes
+    Structured Streaming replay that micro-batch on restart. With the
+    exactly-once markers the replay is a no-op; without them the replayed
+    batch double-counts — both behaviors pinned."""
+    from crawl_streams_spark.operators.rollup import stream_rollup
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(out, ckpt, exactly_once):
+        q = stream_rollup(
+            spark.readStream.schema(schema).parquet(src),
+            out,
+            ckpt,
+            "ts",
+            DIMS,
+            METRICS,
+            available_now=True,
+            exactly_once=exactly_once,
+        )
+        q.awaitTermination(120)
+        # availableNow self-terminates, but deregistration can lag and the
+        # restart would trip the concurrent-checkpoint guard
+        q.stop()
+        for _ in range(100):
+            if q not in spark.streams.active:
+                break
+            time.sleep(0.1)
+
+    def inject_replay(ckpt):
+        commits = sorted(
+            f
+            for f in os.listdir(os.path.join(ckpt, "commits"))
+            if not f.startswith(".")
+        )
+        os.remove(os.path.join(ckpt, "commits", commits[-1]))
+        # the local FS keeps a hidden checksum twin; a stale one fails the
+        # re-written commit's rename
+        crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    def total(out):
+        return spark.read.parquet(out).agg(F.sum("cnt")).collect()[0][0]
+
+    n = ev.count()
+    out1, ckpt1 = str(tmp_path / "safe"), str(tmp_path / "ckpt1")
+    run(out1, ckpt1, exactly_once=True)
+    assert total(out1) == n
+    inject_replay(ckpt1)
+    run(out1, ckpt1, exactly_once=True)
+    assert total(out1) == n, "replayed batch was double-counted"
+
+    out2, ckpt2 = str(tmp_path / "unsafe"), str(tmp_path / "ckpt2")
+    run(out2, ckpt2, exactly_once=False)
+    inject_replay(ckpt2)
+    run(out2, ckpt2, exactly_once=False)
+    assert total(out2) == 2 * n, "expected the at-least-once double-count"
