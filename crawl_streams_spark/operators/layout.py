@@ -24,7 +24,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["clustered_write", "compact_parquet"]
+__all__ = ["clustered_write", "range_sorted_write", "compact_parquet", "upsert_partitions"]
 
 
 def clustered_write(
@@ -52,6 +52,40 @@ def clustered_write(
         out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def range_sorted_write(
+    df: DataFrame,
+    path: str,
+    order_by: list[str],
+    num_files: int | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Totally-ordered table layout: range-partition rows on ``order_by``
+    (sampled range boundaries, one writer per range) and sort within each
+    partition — the output files form ONE global sort order with
+    non-overlapping [min, max] ranges per file.
+
+    Complements ``clustered_write`` (hash-routed directories + in-file
+    clustering): here a predicate or merge on the leading sort key prunes
+    whole FILES via footer min/max before any row group is read, and
+    ordered consumers (time-series export, merge joins against other
+    range-sorted tables, sequential training readers) get their order from
+    the layout instead of a query-time sort. Cost: repartitionByRange runs
+    a sampling pass to pick boundaries — two reads of the input, the price
+    of global order without a single-partition bottleneck."""
+    out = (
+        df.repartitionByRange(num_files, *order_by)
+        if num_files
+        else df.repartitionByRange(*order_by)
+    )
+    (
+        out.sortWithinPartitions(*order_by)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
         .parquet(path)
     )
 

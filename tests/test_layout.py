@@ -133,3 +133,34 @@ def test_upsert_partitions(spark, sf_dir, tmp_path):
         for f in _data_files(os.path.join(out, f"event_type={untouched}"))
     }
     assert before == after, "untouched partition was rewritten"
+
+
+def test_range_sorted_write_global_order(spark, sf_dir, tmp_path):
+    """range_sorted_write produces one global sort order: per-file
+    [min, max] key ranges are non-overlapping and ascending in file order,
+    so a key predicate prunes whole files."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.layout import range_sorted_write
+
+    out = str(tmp_path / "ranged")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    range_sorted_write(ev, out, order_by=["ts"], num_files=4)
+    files = sorted(_data_files(out))  # part-NNNNN prefix = partition id
+    assert len(files) > 1
+    ranges = []
+    total = 0
+    for f in files:  # part files sort lexically in partition-id order
+        part = spark.read.parquet(f)
+        lo, hi, n = part.agg(
+            F.min("ts"), F.max("ts"), F.count("*")
+        ).collect()[0]
+        ranges.append((lo, hi))
+        total += n
+    assert total == ev.count()
+    for (prev_lo, prev_hi), (lo, hi) in zip(ranges, ranges[1:]):
+        assert prev_hi <= lo, f"overlapping file ranges: {prev_hi} > {lo}"
+    # rows inside each file are sorted too (global order = file order +
+    # in-file order)
+    first = spark.read.parquet(files[0]).select("ts").collect()
+    assert [r[0] for r in first] == sorted(r[0] for r in first)
