@@ -125,3 +125,78 @@ def run_analysis(
     else:
         writer = writer.trigger(processingTime=update_interval)
     return writer.start()
+
+
+def run_analysis_scaled(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    grain: str = "hour",
+    available_now: bool = False,
+):
+    """The 100 TB form of the analysis job (SURVEY §4.3): instead of
+    complete-mode in-memory window state re-dumped every trigger
+    (``run_analysis`` — exact tool parity, but state and snapshot both
+    grow with history), each micro-batch folds into the durable
+    (hour × host × status) ROLLUP table via operators/rollup.py:
+
+      per-trigger cost ∝ micro-batch + touched date partitions
+      state            = none (the table is the state; restart-safe)
+      full history     = date-partitioned parquet, queryable by anything
+      snapshot         = reporting edge over the rollup
+                         (``snapshot_from_rollup``), top-k only
+
+    No watermark is needed: there is no streaming aggregation state to
+    bound — late events simply merge into their (old) bucket, which is the
+    reference's accept-everything semantics (SURVEY §2.10 W-3) made
+    durable."""
+    from ..operators.rollup import stream_rollup
+
+    ev = parsed_events(stream, watermark=None).select(
+        F.col("event_ts"),
+        F.col("host_d").alias("host"),
+        C.status_str(F.col("status_code")).alias("status"),
+        F.coalesce(F.col("size"), F.col("wire_bytes")).alias("bytes"),
+    )
+    return stream_rollup(
+        ev,
+        rollup_path,
+        checkpoint_dir,
+        "event_ts",
+        dims=["host", "status"],
+        metrics=["bytes"],
+        grain=grain,
+        available_now=available_now,
+    )
+
+
+def snapshot_from_rollup(
+    spark, rollup_path: str, snapshot_path: str, top_n: int = 500
+) -> None:
+    """Reporting edge for the scaled job: aggregate the rollup to per-host
+    totals, keep the top-N busiest hosts, write the same atomic JSON
+    document shape as the parity snapshot. Only top_n rows ever reach the
+    driver — the full-resolution history stays in the rollup table."""
+    hosts = (
+        spark.read.parquet(rollup_path)
+        .groupBy("host")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.min("bucket_start").alias("first_bucket"),
+            F.max("bucket_start").alias("last_bucket"),
+            F.sum("sum_bytes").alias("bytes"),
+        )
+        .orderBy(F.desc("total"), F.asc_nulls_last("host"))
+        .limit(top_n)
+    )
+    doc = {"hosts": [json.loads(r) for r in hosts.toJSON().collect()]}
+    d = os.path.dirname(os.path.abspath(snapshot_path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, snapshot_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise

@@ -145,3 +145,58 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # (watermark moved to 13:50) with exactly its one on-time row
     assert ("h1.org", 3) not in after and ("h1.org", 1) not in after
     assert ("h2.org", 1) in after
+
+
+def test_analysis_scaled_rollup(spark, stream_dir, tmp_path):
+    """run_analysis_scaled: the fixture stream folds into a durable
+    (hour x host x status) rollup whose totals match batch recomputation,
+    and the snapshot is a top-k read of the rollup."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.functions import crawl as C
+    from crawl_streams_spark.sources.jsonl import read_crawl_log
+    from crawl_streams_spark.streaming.analysis_job import (
+        run_analysis_scaled,
+        snapshot_from_rollup,
+    )
+
+    roll = str(tmp_path / "rollup")
+    q = run_analysis_scaled(
+        stream_crawl_log(spark, stream_dir),
+        roll,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    batch = read_crawl_log(spark, stream_dir).filter(
+        F.to_timestamp("timestamp").isNotNull()
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in batch.groupBy(
+            C.host_of("url").alias("host"),
+            C.status_str(F.col("status_code")).alias("status"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (r[0], r[1]): r[2]
+        for r in spark.read.parquet(roll)
+        .groupBy("host", "status")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+    snap = str(tmp_path / "snapshot.json")
+    snapshot_from_rollup(spark, roll, snap, top_n=10)
+    doc = json.load(open(snap))
+    assert len(doc["hosts"]) <= 10
+    totals = [h["total"] for h in doc["hosts"]]
+    assert totals == sorted(totals, reverse=True)
+    busiest_total = max(
+        v for (h, s), v in want.items()
+    )  # busiest (host,status) cell bounds below the busiest host
+    assert doc["hosts"][0]["total"] >= busiest_total
