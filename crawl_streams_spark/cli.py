@@ -76,10 +76,24 @@ def cmd_report(args) -> int:
 
 def cmd_analyse(args) -> int:
     from .sources.jsonl import stream_crawl_log
-    from .streaming.analysis_job import run_analysis
+    from .streaming.analysis_job import (
+        run_analysis,
+        run_analysis_scaled,
+        snapshot_from_rollup,
+    )
 
     spark = _spark(args)
     stream = stream_crawl_log(spark, args.input)
+    if args.rollup:
+        # 100 TB mode: fold into the durable rollup table, snapshot = top-k
+        # reporting edge over it (SURVEY §4.3)
+        q = run_analysis_scaled(
+            stream, args.rollup, args.checkpoint, available_now=args.once
+        )
+        q.awaitTermination(args.timeout if args.timeout > 0 else None)
+        snapshot_from_rollup(spark, args.rollup, args.output)
+        print(f"rollup at {args.rollup}; snapshot written to {args.output}")
+        return 0
     q = run_analysis(
         stream,
         args.output,
@@ -288,6 +302,12 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("-u", "--update-interval", type=int, default=10)
     a.add_argument("--once", action="store_true", help="drain available input and stop")
     a.add_argument("--timeout", type=int, default=-1)
+    a.add_argument(
+        "--rollup",
+        default=None,
+        help="durable rollup table dir: scale mode (state lives in the "
+        "table, snapshot becomes a top-k read of it)",
+    )
     a.set_defaults(fn=cmd_analyse)
 
     l = sub.add_parser("launcher", help="scheduled seed launcher")

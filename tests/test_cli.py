@@ -164,3 +164,28 @@ def test_rollup_update(capsys, spark, sf_dir, tmp_path):
     assert main(args) == 0  # fold the same batch again: counts double
     second = spark.read.parquet(out_dir).agg({"cnt": "sum"}).collect()[0][0]
     assert second == 2 * first
+
+
+def test_analyse_rollup_mode(capsys, spark, tmp_path):
+    import shutil
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(crawl_log_path(), src / "b0.json")
+    roll, snap = str(tmp_path / "roll"), str(tmp_path / "snap.json")
+    assert (
+        main(
+            [
+                "analyse",
+                "--input", str(src),
+                "--output", snap,
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--rollup", roll,
+                "--once",
+            ]
+        )
+        == 0
+    )
+    doc = json.load(open(snap))
+    assert doc["hosts"] and doc["hosts"][0]["total"] > 0
+    assert spark.read.parquet(roll).count() > 0
