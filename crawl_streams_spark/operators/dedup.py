@@ -244,3 +244,51 @@ def simhash_candidates(
         .dropDuplicates(["key_a", "key_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_exact_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    content: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch exact dedup against a persistent digest index — the
+    daily-ingest pattern: each batch is deduplicated within itself AND
+    against everything ever admitted, without rescanning the corpus.
+
+      batch → digest → in-batch keep (min key per digest)
+            → left-anti join vs the index parquet (novel digests only)
+            → append novel digests to the index
+            → return the novel rows
+
+    Returns the admitted (novel) rows; the index at ``index_path`` grows
+    by exactly the admitted digests (one row per digest, with the admitted
+    key as provenance).
+
+    Scale posture: the index stores ONLY (digest, key) — ~50 B/doc, three
+    orders smaller than the corpus; the anti-join shuffles on the
+    md5-uniform digest so it is balanced by construction. Appends create
+    one file per batch — run ``layout.compact_parquet`` on the index as
+    maintenance, or bucket it by digest prefix to make the join
+    co-located. The residual window (crash between admitting rows and
+    appending the index) re-admits that batch's docs on retry — make the
+    downstream write idempotent on ``key`` (same posture as
+    rollup.stream_rollup's markers).
+    """
+    import os as _os
+
+    digests = new_docs.select(
+        F.md5(F.col(content)).alias("__digest"), F.col(key)
+    )
+    batch_keep = digests.groupBy("__digest").agg(F.min(key).alias(key))
+    if _os.path.exists(index_path):
+        index = spark.read.parquet(index_path).select("__digest")
+        novel = batch_keep.join(index, "__digest", "left_anti")
+    else:
+        novel = batch_keep
+    # the novel set is used twice (index append + admitted-row semi-join);
+    # materialize once so the anti-join doesn't run twice
+    novel = novel.localCheckpoint(eager=True)
+    novel.write.mode("append").parquet(index_path)
+    return new_docs.join(novel.select(F.col(key)), key, "left_semi")

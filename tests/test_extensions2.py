@@ -165,3 +165,37 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
     )
     i_naive = kmeans_inertia(emb, naive)
     assert i4 < i_naive, (i4, i_naive)
+
+
+def test_incremental_exact_dedup(spark, sf_dir, tmp_path):
+    """Cross-batch dedup against the persistent digest index: batch-2
+    overlap and full re-runs admit nothing twice; the index grows by
+    exactly the admitted digests."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import incremental_exact_dedup
+    from crawl_streams_spark.tables import load_table
+
+    idx = str(tmp_path / "digest_index")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 0)  # overlaps b1 on doc_id % 6 == 0
+
+    n1_distinct = b1.select(F.md5("text")).distinct().count()
+    a1 = incremental_exact_dedup(spark, b1, idx, key="doc_id")
+    assert a1.count() == n1_distinct
+    assert spark.read.parquet(idx).count() == n1_distinct
+
+    union_distinct = (
+        b1.unionByName(b2).select(F.md5("text")).distinct().count()
+    )
+    a2 = incremental_exact_dedup(spark, b2, idx, key="doc_id")
+    assert a2.count() == union_distinct - n1_distinct
+    # admitted sets are disjoint across batches
+    assert a1.select("doc_id").intersect(a2.select("doc_id")).count() == 0
+    assert spark.read.parquet(idx).count() == union_distinct
+
+    # full replay of batch 2: nothing is novel, index unchanged
+    a3 = incremental_exact_dedup(spark, b2, idx, key="doc_id")
+    assert a3.count() == 0
+    assert spark.read.parquet(idx).count() == union_distinct
