@@ -40,12 +40,13 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from .layout import _partition_overwrite, clustered_write
 
 __all__ = [
     "rollup_rows",
+    "quantile_from_hist",
     "merge_rollup",
     "write_rollup",
     "update_rollup",
@@ -59,12 +60,94 @@ _DATE_COL = "bucket_date"
 _BUCKET_COL = "bucket_start"
 
 
+#: histogram spec: metric column → (lo, hi, n_bins). Stored per rollup row
+#: as ``hist_<col>``: array<long> of n_bins+2 counts (index 1 = underflow,
+#: 2..n_bins+1 = equal-width bins over [lo, hi), n_bins+2 = overflow).
+#: Integer-count arrays are associative partials like everything else in
+#: the rollup: merging = elementwise sum, EXACTLY (no sketch error on
+#: merge; the only approximation is the bin width at query time).
+HistSpec = "dict[str, tuple[float, float, int]]"
+
+
+def _bin_index(col: str, lo: float, hi: float, n_bins: int):
+    """1-based histogram slot incl. under/overflow, NULLs → underflow."""
+    x = F.col(col)
+    raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)) + 2
+    return (
+        F.when(x.isNull() | (x < lo), F.lit(1))
+        .when(x >= hi, F.lit(n_bins + 2))
+        .otherwise(raw.cast("int"))
+    )
+
+
+def _hist_build_aggs(hist: "HistSpec | None") -> list:
+    aggs = []
+    for m, (lo, hi, n) in (hist or {}).items():
+        b = _bin_index(m, lo, hi, n)
+        aggs.append(
+            F.array(
+                *[
+                    F.sum((b == i).cast("long"))
+                    for i in range(1, n + 3)
+                ]
+            ).alias(f"hist_{m}")
+        )
+    return aggs
+
+
+def _hist_merge_aggs(hist: "HistSpec | None") -> list:
+    return [
+        F.array(
+            *[
+                F.sum(F.element_at(f"hist_{m}", i))
+                for i in range(1, n + 3)
+            ]
+        ).alias(f"hist_{m}")
+        for m, (_, _, n) in (hist or {}).items()
+    ]
+
+
+def quantile_from_hist(
+    hist_col: Column | str, lo: float, hi: float, n_bins: int, q: float
+) -> Column:
+    """Quantile estimate from a stored histogram partial (reporting-edge
+    expression — no fact rescan): first bin whose cumulative count reaches
+    q·total, answered as the bin midpoint (underflow→lo, overflow→hi).
+    Error ≤ one bin width, regardless of how many partials were merged."""
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.ceil(total * F.lit(q))
+    cum = F.transform(
+        F.sequence(F.lit(1), F.lit(n_bins + 2)),
+        lambda i: F.aggregate(
+            F.slice(h, 1, i), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ),
+    )
+    # smallest 1-based slot index whose cumulative count >= target
+    idx = F.array_min(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_bins + 2)),
+                lambda i: F.when(F.element_at(cum, i) >= target, i),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    width = (hi - lo) / n_bins
+    return (
+        F.when(idx <= 1, F.lit(float(lo)))
+        .when(idx >= n_bins + 2, F.lit(float(hi)))
+        .otherwise(F.lit(lo) + (idx.cast("double") - 2.5) * F.lit(width) + F.lit(width))
+    )
+
+
 def rollup_rows(
     df: DataFrame,
     ts_col: str,
     dims: list[str],
     metrics: list[str],
     grain: str = "hour",
+    hist: "HistSpec | None" = None,
 ) -> DataFrame:
     """Aggregate raw rows to (bucket_date, bucket_start, *dims) partials.
 
@@ -80,6 +163,7 @@ def rollup_rows(
             F.min(m).alias(f"min_{m}"),
             F.max(m).alias(f"max_{m}"),
         ]
+    aggs += _hist_build_aggs(hist)
     return df.groupBy(
         F.to_date(bucket).alias(_DATE_COL),
         bucket.alias(_BUCKET_COL),
@@ -88,10 +172,15 @@ def rollup_rows(
 
 
 def merge_rollup(
-    a: DataFrame, b: DataFrame, dims: list[str], metrics: list[str]
+    a: DataFrame,
+    b: DataFrame,
+    dims: list[str],
+    metrics: list[str],
+    hist: "HistSpec | None" = None,
 ) -> DataFrame:
     """Combine two rollups over the same key set: re-aggregate the union.
-    Exact because every stored column is an associative partial."""
+    Exact because every stored column is an associative partial (histogram
+    arrays merge by elementwise sum — no sketch error)."""
     aggs = [F.sum("cnt").alias("cnt")]
     for m in metrics:
         aggs += [
@@ -99,6 +188,7 @@ def merge_rollup(
             F.min(f"min_{m}").alias(f"min_{m}"),
             F.max(f"max_{m}").alias(f"max_{m}"),
         ]
+    aggs += _hist_merge_aggs(hist)
     return (
         a.unionByName(b)
         .groupBy(_DATE_COL, _BUCKET_COL, *dims)
@@ -113,11 +203,12 @@ def write_rollup(
     dims: list[str],
     metrics: list[str],
     grain: str = "hour",
+    hist: "HistSpec | None" = None,
 ) -> None:
     """Full (re)build: aggregate and write date-partitioned, clustered by
     (bucket, dims) so grain scans skip row groups."""
     clustered_write(
-        rollup_rows(df, ts_col, dims, metrics, grain),
+        rollup_rows(df, ts_col, dims, metrics, grain, hist),
         path,
         partition_by=[_DATE_COL],
         cluster_by=[_BUCKET_COL, *dims],
@@ -132,6 +223,7 @@ def update_rollup(
     dims: list[str],
     metrics: list[str],
     grain: str = "hour",
+    hist: "HistSpec | None" = None,
 ) -> int:
     """Incrementally fold a batch of new raw rows into the rollup at
     ``path``. Returns the number of date partitions rewritten.
@@ -141,7 +233,7 @@ def update_rollup(
     partitions and written back under dynamic partition overwrite —
     untouched dates are never read or rewritten.
     """
-    batch = rollup_rows(new_events, ts_col, dims, metrics, grain)
+    batch = rollup_rows(new_events, ts_col, dims, metrics, grain, hist)
     # The batch rollup is used twice (touched-date listing + merge); cache
     # so the raw-event aggregation runs once.
     batch.persist()
@@ -153,7 +245,7 @@ def update_rollup(
             existing = spark.read.parquet(path).filter(
                 F.col(_DATE_COL).isin(dates)
             )
-            merged = merge_rollup(existing, batch, dims, metrics)
+            merged = merge_rollup(existing, batch, dims, metrics, hist)
         else:
             merged = batch
         out = merged.repartition(_DATE_COL).sortWithinPartitions(
@@ -219,6 +311,7 @@ def rollup_to_grain(
     grain: str,
     dims: list[str],
     metrics: list[str],
+    hist: "HistSpec | None" = None,
 ) -> DataFrame:
     """Re-aggregate stored partials to a coarser grain (e.g. hour → day)
     and derive the non-mergeable metrics (avg) from the partials. Never
@@ -230,6 +323,7 @@ def rollup_to_grain(
             F.min(f"min_{m}").alias(f"min_{m}"),
             F.max(f"max_{m}").alias(f"max_{m}"),
         ]
+    aggs += _hist_merge_aggs(hist)
     out = rollup.groupBy(
         F.date_trunc(grain, F.col(_BUCKET_COL)).alias(_BUCKET_COL), *dims
     ).agg(*aggs)

@@ -252,3 +252,69 @@ def test_stream_rollup_replay_idempotent(spark, sf_dir, tmp_path):
     inject_replay(ckpt2)
     run(out2, ckpt2, exactly_once=False)
     assert total(out2) == 2 * n, "expected the at-least-once double-count"
+
+
+def test_histogram_partials_and_quantiles(spark, sf_dir, tmp_path):
+    """Mergeable histogram metric: incremental folds produce bin-exact
+    arrays identical to a one-shot build (merge = elementwise sum, no
+    sketch error), and the reporting-edge quantile lands within one bin
+    width of the exact percentile — without rescanning facts."""
+    from crawl_streams_spark.operators.rollup import quantile_from_hist
+
+    HIST = {"value": (0.0, 400.0, 40)}
+    ev = _events(spark, sf_dir)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    for k in range(3):
+        update_rollup(
+            spark,
+            ev.filter(F.col("event_id") % 3 == k),
+            inc,
+            "ts",
+            DIMS,
+            METRICS,
+            hist=HIST,
+        )
+    write_rollup(ev, full, "ts", DIMS, METRICS, hist=HIST)
+
+    def hists(path):
+        return sorted(
+            (str(r[0]), r[1], tuple(r[2]))
+            for r in spark.read.parquet(path)
+            .select("bucket_start", "event_type", "hist_value")
+            .collect()
+        )
+
+    assert hists(inc) == hists(full)
+
+    # global histogram (all buckets merged) → median within one bin width
+    merged = (
+        rollup_to_grain(
+            spark.read.parquet(inc).withColumn(
+                "bucket_start", F.lit("1970-01-01").cast("timestamp")
+            ),
+            "day",
+            [],
+            METRICS,
+            hist=HIST,
+        )
+    )
+    est = merged.select(
+        quantile_from_hist("hist_value", 0.0, 400.0, 40, 0.5).alias("med")
+    ).collect()[0]["med"]
+    exact = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    assert abs(est - exact) <= 400.0 / 40, (est, exact)
+
+    # bin counts account for every row
+    total_binned = (
+        spark.read.parquet(inc)
+        .select(
+            F.aggregate(
+                "hist_value", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("t")
+        )
+        .agg(F.sum("t"))
+        .collect()[0][0]
+    )
+    assert total_binned == ev.count()
