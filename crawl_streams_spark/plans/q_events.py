@@ -370,3 +370,67 @@ def rollup_day_reaggregation(spark, sf_dir):
         "max_value",
         F.round("avg_value", 6).alias("avg_value"),
     )
+
+
+@query(
+    "hist_median_by_type",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CASE WHEN value IS NULL OR value < 0 THEN 1
+                        WHEN value >= 400 THEN 42
+                        ELSE CAST(FLOOR(value / 400.0 * 40) AS INT) + 2
+                   END AS bin
+            FROM events
+        ),
+        c AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        w AS (
+            SELECT event_type, bin,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                   SUM(n) OVER (PARTITION BY event_type) AS total
+            FROM c
+        ),
+        sel AS (
+            SELECT event_type, MIN(bin) AS bin
+            FROM w
+            WHERE cum >= CEIL(total * 0.5)
+            GROUP BY 1
+        )
+        SELECT event_type,
+               ROUND(CAST(CASE WHEN bin <= 1 THEN 0.0
+                               WHEN bin >= 42 THEN 400.0
+                               ELSE (bin - 1.5) * 10.0 END AS DOUBLE),
+                     6) AS est_median
+        FROM sel
+    """,
+    tags=("extension", "rollup", "histogram", "agg"),
+)
+def hist_median_by_type(spark, sf_dir):
+    """Histogram-partial quantile estimation under the oracle gate: build
+    the rollup's mergeable fixed-bin histograms (operators/rollup.py) at
+    hour grain, merge them across all buckets per event_type (elementwise
+    sum — the rollup merge op), and answer the median from the bins via
+    quantile_from_hist. The DuckDB oracle re-derives the identical
+    binning/cumulative-count arithmetic in SQL, pinning the estimator
+    cross-engine."""
+    from ..operators.rollup import quantile_from_hist, rollup_rows
+
+    LO, HI, BINS = 0.0, 400.0, 40
+    ev = load_table(spark, sf_dir, "events")
+    hourly = rollup_rows(
+        ev, "ts", ["event_type"], [], grain="hour", hist={"value": (LO, HI, BINS)}
+    )
+    merged = hourly.groupBy("event_type").agg(
+        F.array(
+            *[
+                F.sum(F.element_at("hist_value", i))
+                for i in range(1, BINS + 3)
+            ]
+        ).alias("hist_value")
+    )
+    return merged.select(
+        "event_type",
+        F.round(
+            quantile_from_hist("hist_value", LO, HI, BINS, 0.5), 6
+        ).alias("est_median"),
+    )
