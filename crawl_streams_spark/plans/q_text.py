@@ -310,3 +310,75 @@ def lang_source_rollup(spark, sf_dir):
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+def _duck_grams(toks: str, n: int) -> str:
+    """Non-distinct sliding n-grams over a staged token-list column —
+    mirror of functions/text.py::ngrams_from_tokens."""
+    return (
+        f"list_transform(range(1, GREATEST(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   toks,
+                   {_duck_grams('toks', 2)} AS g2,
+                   {_duck_grams('toks', 3)} AS g3
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   list_transform(list_distinct(g2),
+                                  d -> len(list_filter(g2, x -> x = d))) AS c2,
+                   g3
+            FROM g
+        )
+        SELECT doc_id,
+               ROUND(1.0 - n_distinct / n_tokens::DOUBLE, 6) AS dup_token_fraction,
+               ROUND(list_aggregate(c2, 'max') /
+                     list_aggregate(c2, 'sum')::DOUBLE, 6) AS top_2gram_fraction,
+               ROUND(list_aggregate(
+                         list_transform(
+                             list_transform(list_distinct(g3),
+                                            d -> len(list_filter(g3, x -> x = d))),
+                             c -> CASE WHEN c > 1 THEN c ELSE 0 END),
+                         'sum') /
+                     len(g3)::DOUBLE, 6) AS dup_3gram_fraction
+        FROM c
+    """,
+    tags=("text", "extension", "quality"),
+)
+def doc_repetition(spark, sf_dir):
+    """Repetition-quality filters from large-corpus curation practice
+    (boilerplate/template detection): duplicate-token fraction, top-2-gram
+    fraction, duplicate-3-gram fraction. Narrow map only — gram arrays are
+    staged through named columns (HOFs get no subexpression elimination,
+    ROUNDLOG lesson 1/8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        "toks",
+        T.ngrams_from_tokens(F.col("toks"), 2).alias("g2"),
+        T.ngrams_from_tokens(F.col("toks"), 3).alias("g3"),
+    )
+    return staged.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct("toks")) / F.size("toks").cast("double"),
+            6,
+        ).alias("dup_token_fraction"),
+        F.round(T.top_ngram_fraction(F.col("g2")), 6).alias("top_2gram_fraction"),
+        F.round(T.dup_ngram_fraction(F.col("g3")), 6).alias("dup_3gram_fraction"),
+    )
