@@ -212,3 +212,35 @@ def test_annotation_launch_ts_both_widths(spark, ts, frac):
     assert row["t14"] == ts
     assert row["t16"] == ts.replace(microsecond=frac * 10000)
     assert row["none"] is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "aa", "x y", ""]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ngram_repetition_fold_matches_counter(spark, grams):
+    """The sorted-run fold behind top_ngram_fraction / dup_ngram_fraction
+    (functions/text.py) equals the Counter-based definition on arbitrary
+    gram multisets, including all-duplicates and all-distinct extremes."""
+    from collections import Counter
+
+    from crawl_streams_spark.functions import text as T
+
+    arr = F.array(*[F.lit(g) for g in grams])
+    row = (
+        spark.range(1)
+        .select(
+            T.top_ngram_fraction(arr).alias("top"),
+            T.dup_ngram_fraction(arr).alias("dup"),
+        )
+        .collect()[0]
+    )
+    counts = Counter(grams)
+    want_top = max(counts.values()) / len(grams)
+    want_dup = sum(c for c in counts.values() if c > 1) / len(grams)
+    assert abs(row["top"] - want_top) < 1e-9
+    assert abs(row["dup"] - want_dup) < 1e-9
