@@ -127,6 +127,8 @@ def curate(
     quality_min: float = 0.5,
     train: float = 0.9,
     val: float = 0.05,
+    max_top_2gram: float | None = None,
+    max_dup_3gram: float | None = None,
 ):
     """Materializable curation pipeline: the corpus_curation_funnel's
     decisions as columns on the surviving documents — quality gate,
@@ -155,6 +157,20 @@ def curate(
     surviving = scored.filter(
         (F.col("quality") >= quality_min) & (F.col("plang") != "und")
     )
+    # optional repetition gates (boilerplate / looping-text filters);
+    # None = off, keeping the funnel oracle's decisions unchanged. Gram
+    # arrays are staged through named columns (ROUNDLOG lesson 1/8).
+    if max_top_2gram is not None or max_dup_3gram is not None:
+        staged = surviving.withColumn("_toks", T.tokens("text"))
+        if max_top_2gram is not None:
+            staged = staged.withColumn(
+                "_g2", T.ngrams_from_tokens(F.col("_toks"), 2)
+            ).filter(T.top_ngram_fraction(F.col("_g2")) <= max_top_2gram)
+        if max_dup_3gram is not None:
+            staged = staged.withColumn(
+                "_g3", T.ngrams_from_tokens(F.col("_toks"), 3)
+            ).filter(T.dup_ngram_fraction(F.col("_g3")) <= max_dup_3gram)
+        surviving = staged.drop("_toks", "_g2", "_g3")
     deduped = (
         surviving.withColumn(
             "_rn", F.row_number().over(_W.partitionBy("fp").orderBy("doc_id"))

@@ -273,3 +273,39 @@ def test_shuffled_shards_deterministic_and_uniform(spark, sf_dir, tmp_path):
     one = spark.read.parquet(f"{out}/{shard_dirs[0]}")
     ids = [r["doc_id"] for r in one.collect()]
     assert ids != sorted(ids)
+
+
+def test_curate_repetition_gates(spark, sf_dir):
+    """Optional repetition gates subtract exactly the docs whose top-2gram
+    / dup-3gram fractions exceed the thresholds; defaults leave the
+    funnel's decisions untouched."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.functions import text as T
+    from crawl_streams_spark.operators.pipeline import curate
+    from crawl_streams_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = curate(docs, rates={}, default_rate=1.0)
+    gated = curate(
+        docs, rates={}, default_rate=1.0, max_top_2gram=0.12, max_dup_3gram=0.2
+    )
+    base_ids = {r[0] for r in base.select("doc_id").collect()}
+    gated_ids = {r[0] for r in gated.select("doc_id").collect()}
+    assert gated_ids <= base_ids
+
+    staged = docs.select(
+        "doc_id", T.tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        T.top_ngram_fraction(T.ngrams_from_tokens(F.col("toks"), 2)).alias("t2"),
+        T.dup_ngram_fraction(T.ngrams_from_tokens(F.col("toks"), 3)).alias("d3"),
+    )
+    bad = {
+        r[0]
+        for r in staged.filter(
+            (F.col("t2") > 0.12) | (F.col("d3") > 0.2)
+        ).collect()
+    }
+    assert gated_ids == base_ids - bad
+    assert bad & base_ids, "thresholds should actually gate something"
