@@ -221,3 +221,49 @@ def normalize_uri(uri: Column | str) -> Column:
     """P-18 — prepend ``http://`` when no http(s) scheme (submit.py:43-44)."""
     u = _c(uri)
     return F.when(u.rlike("^https?://"), u).otherwise(F.concat(F.lit("http://"), u))
+
+
+def canonical_url(url: Column | str) -> Column:
+    """URL canonicalization — the intent behind the reference's declared
+    but never-imported ``urlcanon`` dependency (requirements.txt:9; no
+    import anywhere in crawlstreams/). Normalizations, chosen to be
+    exactly reproducible in ANSI SQL for the oracle:
+
+      1. strip the fragment
+      2. lowercase scheme + authority (path/query case is significant)
+      3. drop default ports (:80 for http, :443 for https)
+      4. empty path before a query or end → '/'
+      5. sort query parameters ('&'-split, bytewise sort — order never
+         carries meaning to an origin server; makes dedup keys stable)
+
+    Non-http(s) inputs (dns:, screenshot:, android-app: …) pass through
+    unchanged — scheme-specific semantics are not this function's job.
+    All regex/string built-ins → whole-stage codegen, narrow map."""
+    u = _c(url)
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    auth = F.regexp_extract(no_frag, "(?i)^(https?://[^/?#]*)", 1)
+    rest = F.substring(no_frag, F.length(auth) + 1, 2_000_000)
+    auth = F.lower(auth)
+    auth = F.regexp_replace(auth, "^(http://[^/?#]*):80$", "$1")
+    auth = F.regexp_replace(auth, "^(https://[^/?#]*):443$", "$1")
+    path_fixed = F.when(rest == "", F.lit("/")).when(
+        rest.startswith("?"), F.concat(F.lit("/"), rest)
+    ).otherwise(rest)
+    qpos = F.instr(path_fixed, "?")
+    path_part = F.when(qpos > 0, F.substring(path_fixed, 1, qpos - 1)).otherwise(
+        path_fixed
+    )
+    query_part = F.when(
+        qpos > 0, F.substring(path_fixed, qpos + 1, 2_000_000)
+    )
+    sorted_query = F.array_join(
+        F.array_sort(F.split(query_part, "&")), "&"
+    )
+    rebuilt = F.concat(
+        auth,
+        path_part,
+        F.when(qpos > 0, F.concat(F.lit("?"), sorted_query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(u.rlike("(?i)^https?://"), rebuilt).otherwise(u)

@@ -242,3 +242,102 @@ def binary_column_plumbing(spark, sf_dir):
         F.md5("text").alias("payload_md5"),
         F.col("lang").alias("media_lang"),
     )
+
+
+@query(
+    "url_canonicalization",
+    oracle="""
+        WITH u AS (
+            SELECT event_id,
+                   (CASE WHEN event_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+                   || 'Host' || (user_id % 20) || '.Example.COM'
+                   || (CASE WHEN event_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                   || (CASE event_id % 4
+                         WHEN 0 THEN '/Path?b=2&a=1&c=3#frag'
+                         WHEN 1 THEN ''
+                         WHEN 2 THEN '?q=' || user_id
+                         ELSE '/p/' || event_id END) AS url
+            FROM events
+        ),
+        s AS (
+            SELECT event_id, url,
+                   regexp_replace(url, '#.*$', '') AS no_frag
+            FROM u
+        ),
+        a AS (
+            SELECT event_id, url, no_frag,
+                   regexp_replace(regexp_replace(
+                       lower(regexp_extract(no_frag, '(?i)^(https?://[^/?#]*)', 1)),
+                       '^(http://[^/?#]*):80$', '\\1'),
+                       '^(https://[^/?#]*):443$', '\\1') AS auth,
+                   substr(no_frag,
+                          length(regexp_extract(no_frag, '(?i)^(https?://[^/?#]*)', 1)) + 1
+                          ) AS rest
+            FROM s
+        ),
+        p AS (
+            SELECT event_id, url, auth,
+                   CASE WHEN rest = '' THEN '/'
+                        WHEN rest LIKE '?%' THEN '/' || rest
+                        ELSE rest END AS path_fixed
+            FROM a
+        ),
+        q AS (
+            SELECT event_id, url, auth, path_fixed,
+                   strpos(path_fixed, '?') AS qpos
+            FROM p
+        )
+        SELECT event_id,
+               url,
+               CASE WHEN regexp_matches(url, '(?i)^https?://')
+                    THEN auth
+                         || CASE WHEN qpos > 0
+                                 THEN substr(path_fixed, 1, qpos - 1)
+                                 ELSE path_fixed END
+                         || CASE WHEN qpos > 0
+                                 THEN '?' || array_to_string(
+                                         list_sort(string_split(
+                                             substr(path_fixed, qpos + 1), '&')),
+                                         '&')
+                                 ELSE '' END
+                    ELSE url END AS canon
+        FROM q
+    """,
+    tags=("crawl", "url", "extension"),
+)
+def url_canonicalization(spark, sf_dir):
+    """URL canonicalization (the reference's dead ``urlcanon`` dependency,
+    requirements.txt:9, implemented Spark-first): fragment strip,
+    scheme/authority lowercasing, default-port removal, empty-path fix,
+    query-parameter sort — over deterministically synthesized messy URLs
+    (uppercase schemes/hosts, default and explicit ports, bare
+    authorities, unsorted queries). The oracle re-derives the identical
+    string pipeline in SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    scheme = F.when(F.col("event_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+        F.lit("https://")
+    )
+    port = F.when(F.col("event_id") % 2 == 0, F.lit(":80")).otherwise(
+        F.lit(":443")
+    )
+    tail = (
+        F.when(F.col("event_id") % 4 == 0, F.lit("/Path?b=2&a=1&c=3#frag"))
+        .when(F.col("event_id") % 4 == 1, F.lit(""))
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(F.lit("?q="), (F.col("user_id")).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/p/"), F.col("event_id").cast("string")))
+    )
+    url = F.concat(
+        scheme,
+        F.lit("Host"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit(".Example.COM"),
+        port,
+        tail,
+    )
+    d = ev.select("event_id", url.alias("url"))
+    return d.select(
+        "event_id", "url", C.canonical_url(F.col("url")).alias("canon")
+    )

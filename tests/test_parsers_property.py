@@ -244,3 +244,40 @@ def test_ngram_repetition_fold_matches_counter(spark, grams):
     want_dup = sum(c for c in counts.values() if c > 1) / len(grams)
     assert abs(row["top"] - want_top) < 1e-9
     assert abs(row["dup"] - want_dup) < 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    _host,
+    _path,
+    st.sampled_from(["HTTP", "http", "HTTPS", "https"]),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(
+        st.from_regex(r"[a-z]=[0-9]{1,3}", fullmatch=True), max_size=4
+    ),
+    st.sampled_from(["", "#frag", "#a#b"]),
+)
+def test_canonical_url_properties(spark, host, path, scheme, port, params, frag):
+    """canonical_url: idempotent; result carries a lowercase scheme and
+    authority, no fragment, no default port, sorted query params."""
+    from urllib.parse import urlsplit
+
+    q = "?" + "&".join(params) if params else ""
+    url = f"{scheme}://{host.upper()}{port}{path}{q}{frag}"
+    once, twice = C.canonical_url(F.lit(url)), None
+    twice = C.canonical_url(once)
+    row = spark.range(1).select(once.alias("a"), twice.alias("b")).collect()[0]
+    a = row["a"]
+    assert row["b"] == a, "not idempotent"
+    assert "#" not in a
+    parts = urlsplit(a)
+    assert parts.scheme == scheme.lower()
+    assert parts.netloc == parts.netloc.lower()
+    default = {"http": ":80", "https": ":443"}[scheme.lower()]
+    if port == default:
+        assert ":" not in parts.netloc
+    elif port:
+        assert parts.netloc.endswith(port)
+    if params:
+        assert parts.query == "&".join(sorted(params))
+    assert parts.path.startswith("/")
