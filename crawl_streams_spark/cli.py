@@ -249,6 +249,23 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Cross-batch exact dedup: admit only documents whose content digest
+    has never been seen, maintaining the persistent index at --index
+    (operators/dedup.py::incremental_exact_dedup)."""
+    from .operators.dedup import incremental_exact_dedup
+
+    spark = _spark(args)
+    batch = spark.read.parquet(args.input)
+    admitted = incremental_exact_dedup(
+        spark, batch, args.index, content=args.content_col, key=args.key_col
+    )
+    admitted.write.mode("append").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"admitted rows appended to {args.output} (total now {n})")
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run or explain any registered driver-contract query by name — the
     operational front door to the whole §2 registry, and the plan-audit
@@ -359,6 +376,16 @@ def build_parser() -> argparse.ArgumentParser:
     ru.add_argument("--grain", default="hour",
                     choices=["minute", "hour", "day", "week", "month"])
     ru.set_defaults(fn=cmd_rollup)
+
+    de = sub.add_parser(
+        "dedup", help="cross-batch exact dedup vs a persistent digest index"
+    )
+    de.add_argument("--input", required=True, help="batch parquet file/dir")
+    de.add_argument("--index", required=True, help="digest index directory")
+    de.add_argument("--output", required=True, help="admitted-rows directory")
+    de.add_argument("--content-col", default="text")
+    de.add_argument("--key-col", default="doc_id")
+    de.set_defaults(fn=cmd_dedup)
 
     q = sub.add_parser(
         "query", help="run or explain a registered query ('query list')"

@@ -189,3 +189,14 @@ def test_analyse_rollup_mode(capsys, spark, tmp_path):
     doc = json.load(open(snap))
     assert doc["hosts"] and doc["hosts"][0]["total"] > 0
     assert spark.read.parquet(roll).count() > 0
+
+
+def test_dedup_cli(capsys, spark, sf_dir, tmp_path):
+    docs = f"{sf_dir}/documents.parquet"
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    args = ["dedup", "--input", docs, "--index", idx, "--output", out]
+    assert main(args) == 0
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    assert main(args) == 0  # replaying the same batch admits nothing
+    assert spark.read.parquet(out).count() == first
