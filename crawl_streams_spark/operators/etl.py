@@ -43,6 +43,9 @@ def warehouse_rows(df: DataFrame) -> DataFrame:
             ts.alias("log_timestamp"),
             F.to_date(ts).alias("event_date"),
             "url",
+            # canonical form = the stable dedup/join key (fragment, case,
+            # default-port and query-order noise removed)
+            C.canonical_url(F.col("url")).alias("canon_url"),
             C.host_of("url").alias("host"),
             F.col("status_code"),
             C.mimetype_unified(F.col("mimetype"), F.col("content_type")).alias(

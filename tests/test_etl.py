@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pyspark.sql.functions as F
 import pytest
 
 from crawl_streams_spark.cli import main
@@ -73,3 +74,19 @@ def test_etl_cli(capsys, spark, tmp_path):
     out = str(tmp_path / "wh")
     assert main(["etl", "--input", crawl_log_path(), "--output", out]) == 0
     assert "wrote 1000 rows" in capsys.readouterr().out
+
+
+def test_warehouse_canon_url(spark):
+    """The warehouse carries the canonical URL column: fragments, scheme /
+    authority case, default ports and query order are normalized away."""
+    from .fixtures import crawl_log_path
+
+    df = warehouse_rows(read_crawl_log(spark, crawl_log_path()))
+    rows = df.select("url", "canon_url").filter(
+        F.col("url").rlike("(?i)^https?://")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert "#" not in r["canon_url"]
+        scheme_auth = r["canon_url"].split("/", 3)[2]
+        assert scheme_auth == scheme_auth.lower()
