@@ -318,3 +318,50 @@ def test_histogram_partials_and_quantiles(spark, sf_dir, tmp_path):
         .collect()[0][0]
     )
     assert total_binned == ev.count()
+
+
+def test_quantile_from_hist_property(spark):
+    """Property: for samples inside [lo, hi) the histogram-quantile
+    estimate is within one bin width of the nearest-rank percentile, for
+    arbitrary sample multisets and several q values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl_streams_spark.operators.rollup import quantile_from_hist
+
+    LO, HI, BINS = 0.0, 100.0, 20
+    width = (HI - LO) / BINS
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=0.0, max_value=99.999),
+            min_size=1,
+            max_size=60,
+        ),
+        st.sampled_from([0.1, 0.5, 0.9]),
+    )
+    def check(samples, q):
+        import math
+
+        counts = [0] * (BINS + 2)
+        for x in samples:
+            counts[min(BINS + 1, max(0, int(x // width) + 1))] += 1
+        est = (
+            spark.range(1)
+            .select(
+                quantile_from_hist(
+                    F.array(*[F.lit(c).cast("bigint") for c in counts]),
+                    LO,
+                    HI,
+                    BINS,
+                    q,
+                ).alias("est")
+            )
+            .collect()[0]["est"]
+        )
+        rank = max(1, math.ceil(q * len(samples)))
+        true = sorted(samples)[rank - 1]
+        assert abs(est - true) <= width, (est, true, samples, q)
+
+    check()
