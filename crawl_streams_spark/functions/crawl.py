@@ -238,32 +238,61 @@ def canonical_url(url: Column | str) -> Column:
 
     Non-http(s) inputs (dns:, screenshot:, android-app: …) pass through
     unchanged — scheme-specific semantics are not this function's job.
-    All regex/string built-ins → whole-stage codegen, narrow map."""
+    All regex/string built-ins → whole-stage codegen, narrow map.
+
+    Every intermediate (no_frag, authority, rest, fixed path, query
+    position) is bound ONCE via a single-element transform before reuse —
+    inline chaining re-inlined the regex subtrees at every reference and
+    measured 3× slower at sf0.1 (ROUNDLOG lessons 1/8)."""
+
+    def bind(col, fn):
+        # evaluate `col` once, expose it to `fn` as a lambda variable
+        return F.element_at(F.transform(F.array(col), fn), 1)
+
     u = _c(url)
-    no_frag = F.regexp_replace(u, "#.*$", "")
-    auth = F.regexp_extract(no_frag, "(?i)^(https?://[^/?#]*)", 1)
-    rest = F.substring(no_frag, F.length(auth) + 1, 2_000_000)
-    auth = F.lower(auth)
-    auth = F.regexp_replace(auth, "^(http://[^/?#]*):80$", "$1")
-    auth = F.regexp_replace(auth, "^(https://[^/?#]*):443$", "$1")
-    path_fixed = F.when(rest == "", F.lit("/")).when(
-        rest.startswith("?"), F.concat(F.lit("/"), rest)
-    ).otherwise(rest)
-    qpos = F.instr(path_fixed, "?")
-    path_part = F.when(qpos > 0, F.substring(path_fixed, 1, qpos - 1)).otherwise(
-        path_fixed
-    )
-    query_part = F.when(
-        qpos > 0, F.substring(path_fixed, qpos + 1, 2_000_000)
-    )
-    sorted_query = F.array_join(
-        F.array_sort(F.split(query_part, "&")), "&"
-    )
-    rebuilt = F.concat(
-        auth,
-        path_part,
-        F.when(qpos > 0, F.concat(F.lit("?"), sorted_query)).otherwise(
-            F.lit("")
-        ),
-    )
+
+    def canon(nf):
+        raw_auth = F.regexp_extract(nf, "(?i)^(https?://[^/?#]*)", 1)
+
+        def with_auth(ra):
+            auth = F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(ra), "^(http://[^/?#]*):80$", "$1"
+                ),
+                "^(https://[^/?#]*):443$",
+                "$1",
+            )
+            rest = F.substring(nf, F.length(ra) + 1, 2_000_000)
+
+            def with_path(pf):
+                def with_qpos(qpos):
+                    path_part = F.when(
+                        qpos > 0, F.substring(pf, 1, qpos - 1)
+                    ).otherwise(pf)
+                    sorted_query = F.array_join(
+                        F.array_sort(
+                            F.split(F.substring(pf, qpos + 1, 2_000_000), "&")
+                        ),
+                        "&",
+                    )
+                    return F.concat(
+                        auth,
+                        path_part,
+                        F.when(
+                            qpos > 0, F.concat(F.lit("?"), sorted_query)
+                        ).otherwise(F.lit("")),
+                    )
+
+                return bind(F.instr(pf, "?"), with_qpos)
+
+            return bind(
+                F.when(rest == "", F.lit("/"))
+                .when(rest.startswith("?"), F.concat(F.lit("/"), rest))
+                .otherwise(rest),
+                with_path,
+            )
+
+        return bind(raw_auth, with_auth)
+
+    rebuilt = bind(F.regexp_replace(u, "#.*$", ""), canon)
     return F.when(u.rlike("(?i)^https?://"), rebuilt).otherwise(u)
