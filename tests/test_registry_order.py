@@ -1,0 +1,44 @@
+"""Pin the registry ordering contract: the external harness verifies only a
+bounded prefix of the registry (DRIVER_WINDOW entries), so that prefix must
+cover every operator family and every implementation changed this round.
+
+No SparkSession needed — pure registry introspection.
+"""
+
+from crawl_streams_spark.plans import DRIVER_WINDOW, PRIORITY, REGISTRY
+
+
+def _family(name: str) -> str:
+    return REGISTRY[name].build.__module__.rsplit(".", 1)[-1]
+
+
+def test_priority_names_all_registered():
+    assert set(PRIORITY) <= set(REGISTRY)
+    assert len(set(PRIORITY)) == len(PRIORITY)
+
+
+def test_priority_is_registry_prefix():
+    assert tuple(REGISTRY)[: len(PRIORITY)] == PRIORITY
+    assert len(PRIORITY) == DRIVER_WINDOW
+
+
+def test_driver_window_covers_every_family():
+    all_families = {_family(n) for n in REGISTRY}
+    window_families = {_family(n) for n in list(REGISTRY)[:DRIVER_WINDOW]}
+    assert window_families == all_families
+
+
+def test_round2_changed_queries_in_window():
+    window = set(list(REGISTRY)[:DRIVER_WINDOW])
+    # Implementations touched in round 2 must be re-verified by the driver.
+    for name in (
+        "dedup_minhash_lsh_pairs",
+        "embedding_near_dup",
+        "schedule_launch_decisions",
+    ):
+        assert name in window, name
+
+
+def test_no_query_lost_by_reorder():
+    # 93 registered queries as of round 2; update deliberately when adding.
+    assert len(REGISTRY) >= 93
