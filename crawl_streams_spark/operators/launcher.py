@@ -103,12 +103,18 @@ def hour_ok(now: Column) -> Column:
 def sheets_for_target() -> Column:
     """P-16 — per-seed sheet derivation (launcher.py:175-189):
     ignoreRobotsTxt→ignoreRobots; scope subdomains→subdomainsScope,
-    plus1→plus1Scope; depth CAPPED_LARGE→higherLimit, DEEP→noLimit."""
+    plus1Scope→plus1Scope; depth CAPPED_LARGE→higherLimit, DEEP→noLimit.
+
+    The domain value for the plus-one scope is ``plus1Scope``
+    (launcher.py:183); the bare ``plus1`` spelling is accepted too as a
+    defensive alias for hand-written feeds."""
     return F.array_compact(
         F.array(
             F.when(F.col("ignoreRobotsTxt"), F.lit("ignoreRobots")),
             F.when(F.col("scope") == "subdomains", F.lit("subdomainsScope")),
-            F.when(F.col("scope") == "plus1", F.lit("plus1Scope")),
+            F.when(
+                F.col("scope").isin("plus1Scope", "plus1"), F.lit("plus1Scope")
+            ),
             F.when(F.col("depth") == "CAPPED_LARGE", F.lit("higherLimit")),
             F.when(F.col("depth") == "DEEP", F.lit("noLimit")),
         )
@@ -141,43 +147,92 @@ def launchable_seeds(feed: DataFrame, now: dt.datetime) -> DataFrame:
 
 
 def launch_messages(
-    seeds: DataFrame, now: dt.datetime, stream: str = "frequent"
+    seeds: DataFrame,
+    now: dt.datetime,
+    stream: str = "frequent",
+    *,
+    inherit_launch_ts: bool = False,
+    refresh_depth: int = 1,
 ) -> DataFrame:
     """P-17 + F-13..F-15 — build the nested CrawlURI document
     (enqueue.py:72-124) and the Kafka (key, value) pair (enqueue.py:127-130).
 
-    launchTimestamp = the launch hour (yyyyMMddHHmmss with minutes/seconds
-    zeroed via the hour-derived `now`), making hourly re-runs idempotent —
-    the crawler dedups on it (W-6, README.md:43, launcher.py:192)."""
+    Wire-format fidelity to ``KafkaLauncher.launch`` as the reference
+    launcher calls it (launcher.py:204-206: isSeed=True, forceFetch=True,
+    reset_quotas=True, inherit_launch_ts=False, refresh_depth default 1):
+
+    - ``headers`` is an (empty) map (enqueue.py:74);
+    - ``heritableData.refreshDepth`` = `refresh_depth` and ``heritable``
+      lists ``['source', 'heritable', 'refreshDepth']`` (enqueue.py:82-84);
+    - annotations carry ``resetQuotas`` then ``launchTimestamp:<ts>``
+      (enqueue.py:96-97,110-111);
+    - with ``inherit_launch_ts=False`` the launch timestamp rides
+      ``heritableData.launchTimestamp``/``launch_ts`` (enqueue.py:104-106);
+      with ``True`` it instead becomes the
+      ``recentlySeen.launchTimestamp`` target-sheet entry (enqueue.py:102);
+    - ``targetSheet`` appears only when non-empty (enqueue.py:119-121) and
+      carries the ``queueAssignmentPolicy.*`` entries when
+      parallel_queues > 1 (enqueue.py:114-117);
+    - ``sheets`` appears only when non-empty (enqueue.py:90-91).
+
+    Deliberate divergence (SURVEY §5.2): launchTimestamp = the launch hour
+    (yyyyMMddHHmmss with minutes/seconds zeroed) instead of the wall-clock
+    `now` (launcher.py:192), making hourly re-runs idempotent — the crawler
+    dedups on it (W-6, README.md:43)."""
     launch_ts = now.strftime("%Y%m%d%H") + "0000"
     iso_ts = now.strftime("%Y-%m-%dT%H:%M:%SZ")
     source = source_tag(F.col("id"), F.element_at(F.col("seeds"), 1))
-    heritable = F.struct(
-        F.lit(0).alias("refreshDepth"),
+    pq = F.col("parallel_queues")
+    heritable_fields = [
+        F.lit(refresh_depth).alias("refreshDepth"),
         source.alias("source"),
-        F.array(F.lit("source"), F.lit("heritable")).alias("heritable"),
-        F.array(F.lit("resetQuotas")).alias("annotations"),
-        F.lit(launch_ts).alias("launchTimestamp"),
-        F.lit(launch_ts).alias("launch_ts"),
-    )
+        F.array(
+            F.lit("source"), F.lit("heritable"), F.lit("refreshDepth")
+        ).alias("heritable"),
+        F.array(
+            F.lit("resetQuotas"), F.lit(f"launchTimestamp:{launch_ts}")
+        ).alias("annotations"),
+    ]
+    if not inherit_launch_ts:
+        heritable_fields += [
+            F.lit(launch_ts).alias("launchTimestamp"),
+            F.lit(launch_ts).alias("launch_ts"),
+        ]
+    # Mixed-type sheet overlay: string / int / bool values, so a struct
+    # (dotted field names), not a map. Per-row-absent entries are null
+    # columns, which to_json omits (spark.sql.jsonGenerator.ignoreNullFields
+    # default); the whole targetSheet is omitted when it would be empty.
+    target_sheet_fields = [
+        F.when(pq > 1, pq).alias("queueAssignmentPolicy.parallelQueues"),
+        F.when(pq > 1, F.lit(True)).alias(
+            "queueAssignmentPolicy.parallelQueuesRandomAssignment"
+        ),
+        F.when(pq > 1, F.lit(False)).alias(
+            "queueAssignmentPolicy.deferToPrevious"
+        ),
+    ]
+    if inherit_launch_ts:
+        target_sheet_fields.insert(
+            0, F.lit(launch_ts).alias("recentlySeen.launchTimestamp")
+        )
+    sheet_used = F.lit(inherit_launch_ts) | (pq > 1)
     message = F.struct(
-        F.col("seed").alias("url"),
-        F.col("seed").alias("parentUrl"),
+        F.from_json(F.lit("{}"), "map<string,string>").alias("headers"),
         F.lit("GET").alias("method"),
-        F.lit(True).alias("isSeed"),
-        F.lit(True).alias("forceFetch"),
-        F.lit("").alias("hop"),
-        F.col("sheets"),
+        F.col("seed").alias("parentUrl"),
         F.struct(
             F.lit("").alias("pathFromSeed"),
-            heritable.alias("heritableData"),
+            F.struct(*heritable_fields).alias("heritableData"),
         ).alias("parentUrlMetadata"),
-        F.map_from_arrays(
-            F.array(F.lit("recentlySeen.launchTimestamp")),
-            F.array(F.lit(launch_ts)),
-        ).alias("targetSheet"),
+        F.lit(True).alias("isSeed"),
+        F.lit(True).alias("forceFetch"),
+        F.col("seed").alias("url"),
+        F.lit("").alias("hop"),
+        F.when(F.size("sheets") > 0, F.col("sheets")).alias("sheets"),
+        F.when(sheet_used, F.struct(*target_sheet_fields)).alias(
+            "targetSheet"
+        ),
         F.lit(iso_ts).alias("timestamp"),
-        F.col("parallel_queues"),
     )
     mmh3_key = make_mmh3_key_udf()
     out = seeds.select(

@@ -33,9 +33,10 @@ CRAWL_FEED = [
      "watched": False,
      "schedules": [{"startDate": "2020-01-01 10:00:00", "endDate": "",
                     "frequency": "WEEKLY"}]},
-    # MONTHLY on the 15th at 03
+    # MONTHLY on the 15th at 03; scope uses the domain value 'plus1Scope'
+    # (reference launcher.py:183)
     {"id": 4, "title": "monthly", "seeds": ["https://monthly.example.org/"],
-     "depth": "DEEP", "scope": "plus1", "ignoreRobotsTxt": False,
+     "depth": "DEEP", "scope": "plus1Scope", "ignoreRobotsTxt": False,
      "watched": False,
      "schedules": [{"startDate": "2020-03-15 03:00:00", "endDate": "",
                     "frequency": "MONTHLY"}]},

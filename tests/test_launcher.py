@@ -84,10 +84,18 @@ def test_sheets_and_parallel_queues(feed):
     assert by_seed["https://twitter.com/ukwebarchive"]["parallel_queues"] == 2
     assert by_seed["https://t.example.org/"]["parallel_queues"] == 1
 
+    # plus1Scope domain value (launcher.py:183) + DEEP → noLimit
+    now3 = dt.datetime(2021, 7, 15, 3, 0)  # monthly target 4
+    rows = [r for r in L.launchable_seeds(feed, now3).collect() if r["id"] == 4]
+    assert len(rows) == 1
+    assert sorted(rows[0]["sheets"]) == ["noLimit", "plus1Scope"]
+
 
 def test_launch_message_shape(feed):
-    """P-17 message structure (enqueue.py:72-124) + F-14 key + W-6
-    idempotence of the embedded launchTimestamp."""
+    """P-17 message structure as the reference launcher emits it
+    (enqueue.py:72-124 with isSeed=True, forceFetch=True, reset_quotas=True,
+    inherit_launch_ts=False, refresh_depth=1) + F-14 key + W-6 idempotence
+    of the embedded launchTimestamp."""
     now = dt.datetime(2020, 1, 1, 9, 0)
     msgs = L.run_launcher(feed, now).collect()
     daily = next(m for m in msgs if m["tid"] == 2)
@@ -95,17 +103,61 @@ def test_launch_message_shape(feed):
     assert doc["url"] == "https://daily.example.org/"
     assert doc["parentUrl"] == doc["url"]
     assert doc["method"] == "GET"
+    assert doc["headers"] == {}
     assert doc["isSeed"] is True and doc["forceFetch"] is True
+    assert doc["hop"] == ""
+    assert doc["parentUrlMetadata"]["pathFromSeed"] == ""
     hd = doc["parentUrlMetadata"]["heritableData"]
     assert hd["source"] == "tid:2:https://daily.example.org/"
+    assert hd["refreshDepth"] == 1
+    assert hd["heritable"] == ["source", "heritable", "refreshDepth"]
+    assert hd["annotations"] == [
+        "resetQuotas",
+        "launchTimestamp:20200101090000",
+    ]
+    # inherit_launch_ts=False → launch ts rides heritableData, NOT the
+    # recentlySeen sheet (enqueue.py:100-106)
     assert hd["launchTimestamp"] == "20200101090000"
-    assert doc["targetSheet"]["recentlySeen.launchTimestamp"] == "20200101090000"
+    assert hd["launch_ts"] == "20200101090000"
+    # no sheets and parallel_queues==1 → both optional keys omitted
+    # (enqueue.py:90-91,119-121)
+    assert "sheets" not in doc
+    assert "targetSheet" not in doc
     # the key is the little-endian hex murmur3-32(seed 0) of the authority
     assert len(daily["key"]) == 8 and int(daily["key"], 16) >= 0
+
+    # twitter seed → parallel queues via queueAssignmentPolicy.* target
+    # sheet entries (enqueue.py:114-117), the form the crawler reads
+    tw = next(m for m in msgs if m["seed"] == "https://twitter.com/ukwebarchive")
+    tw_doc = json.loads(tw["value"])
+    assert tw_doc["targetSheet"] == {
+        "queueAssignmentPolicy.parallelQueues": 2,
+        "queueAssignmentPolicy.parallelQueuesRandomAssignment": True,
+        "queueAssignmentPolicy.deferToPrevious": False,
+    }
+    assert "recentlySeen.launchTimestamp" not in tw_doc["targetSheet"]
 
     # re-running the same hour yields identical messages (W-6)
     again = L.run_launcher(feed, now).collect()
     assert sorted(m["value"] for m in msgs) == sorted(m["value"] for m in again)
+
+
+def test_launch_message_inherit_launch_ts(feed):
+    """The inherit_launch_ts=True branch (enqueue.py:100-102): launch ts
+    becomes the recentlySeen.launchTimestamp sheet entry and leaves
+    heritableData."""
+    now = dt.datetime(2020, 1, 1, 9, 0)
+    seeds = L.launchable_seeds(feed, now)
+    msgs = L.launch_messages(seeds, now, inherit_launch_ts=True).collect()
+    daily = json.loads(next(m for m in msgs if m["tid"] == 2)["value"])
+    assert (
+        daily["targetSheet"]["recentlySeen.launchTimestamp"]
+        == "20200101090000"
+    )
+    hd = daily["parentUrlMetadata"]["heritableData"]
+    assert "launchTimestamp" not in hd and "launch_ts" not in hd
+    # the tracking annotation is still present (enqueue.py:110-111)
+    assert "launchTimestamp:20200101090000" in hd["annotations"]
 
 
 def test_mmh3_key_matches_reference_algorithm(feed, spark):
