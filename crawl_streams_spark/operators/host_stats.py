@@ -149,9 +149,15 @@ def host_stats_snapshot(
     )
     via = host_via(df).join(F.broadcast(top_hosts.select("host")), "host")
 
+    # One normalization for the host key everywhere: only a true NULL maps
+    # to "null"; an empty-string host (e.g. host_of('dns:') == '') keys as
+    # '' in all four loops.
+    def host_key(host: str | None) -> str:
+        return host if host is not None else "null"
+
     hosts: dict[str, dict] = {}
     for r in top_hosts.collect():
-        hosts[r["host"] if r["host"] is not None else "null"] = {
+        hosts[host_key(r["host"])] = {
             "stats": {
                 "first_timestamp": r["first_timestamp"],
                 "last_timestamp": r["last_timestamp"],
@@ -162,11 +168,11 @@ def host_stats_snapshot(
             "via": {},
         }
     for r in ct.collect():
-        hosts[r["host"] or "null"]["content_types"][r["content_type"]] = r["n"]
+        hosts[host_key(r["host"])]["content_types"][r["content_type"]] = r["n"]
     for r in sc.collect():
-        hosts[r["host"] or "null"]["status_codes"][r["status"]] = r["n"]
+        hosts[host_key(r["host"])]["status_codes"][r["status"]] = r["n"]
     for r in via.collect():
-        hosts[r["host"] or "null"]["via"][r["via_host"]] = r["n"]
+        hosts[host_key(r["host"])]["via"][r["via_host"]] = r["n"]
 
     status_rows = status_code_totals(df).collect()
     shot_rows = screenshots(df, max_screenshots).collect()

@@ -184,6 +184,23 @@ def test_host_stats_snapshot_document(fragment):
     )
 
 
+def test_host_stats_snapshot_empty_host(fragment):
+    """Regression: an empty-string host (host_of('dns:') == '') must use ONE
+    key normalization across all four assembly loops — previously the
+    top-hosts loop keyed it '' but the histogram loops keyed it 'null',
+    raising KeyError."""
+    import pyspark.sql.functions as F
+
+    empties = fragment.limit(5).withColumn("url", F.lit("dns:"))
+    snap = HS.host_stats_snapshot(
+        fragment.limit(5).unionByName(empties), max_hosts=10
+    )
+    assert "" in snap["hosts"]
+    # the empty host's histograms were populated, not lost under 'null'
+    assert snap["hosts"][""]["status_codes"]
+    assert snap["hosts"][""]["stats"]["total"] == 5
+
+
 def test_jsonl_format_cli(capsys, spark):
     """-F jsonl round-trips records as JSON lines (the reference's raw
     re-emit format)."""
