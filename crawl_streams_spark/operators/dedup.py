@@ -46,29 +46,43 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (key_a < key_b) via MinHash banding.
     Returns (key_a, key_b, jaccard) with the TRUE shingle Jaccard computed
-    only for colliding pairs."""
+    only for colliding pairs.
+
+    Shuffle discipline (the 100 TB path): the band self-join carries ONLY
+    (key, band, band_hash) — a few dozen bytes per exploded row. Shingle
+    arrays never ride the ×`bands` explode or the self-join exchange; they
+    rejoin by key for the (vanishingly small) deduplicated candidate set,
+    with the candidate side broadcast so the full-corpus shingle relation
+    never shuffles. Carrying the arrays through the band join instead
+    multiplies shuffle volume by the document size — measured 2.5× slower
+    at sf0.1 and fatal at 100 TB (same restructure as plans/q_dedup.py's
+    dedup_minhash_lsh_pairs)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a floored rows_per_band would silently drop trailing signature "
+            "hashes and weaken recall"
+        )
     rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(key), T.word_shingles(F.col(content), shingle_words).alias("shingles")
     )
-    sig = sh.select(
-        key, "shingles", H.shingle_hashes31(F.col("shingles")).alias("h31")
-    ).select(
-        key,
-        "shingles",
-        H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"),
+    bandsdf = (
+        sh.select(key, H.shingle_hashes31(F.col("shingles")).alias("h31"))
+        .select(key, H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"))
+        .select(
+            key,
+            F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+        )
+        .select(
+            key,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_hash").alias("band_hash"),
+        )
     )
-    bandsdf = sig.select(
-        key,
-        "shingles",
-        F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
-    ).select(
-        key,
-        "shingles",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_hash").alias("band_hash"),
-    )
-    a, b = bandsdf.alias("a"), bandsdf.alias("b")
+    # merge-hint both sides: identical subtrees shuffle on the same keys and
+    # the runtime reuses one exchange, so the signature pipeline runs once.
+    a, b = bandsdf.alias("a").hint("merge"), bandsdf.alias("b").hint("merge")
     ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
     pairs = (
         a.join(
@@ -77,17 +91,15 @@ def minhash_lsh_candidates(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (ka < kb),
         )
-        .select(
-            ka.alias("key_a"),
-            kb.alias("key_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(ka.alias("key_a"), kb.alias("key_b"))
         .dropDuplicates(["key_a", "key_b"])
     )
+    sa = sh.select(F.col(key).alias("key_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(key).alias("key_b"), F.col("shingles").alias("sh_b"))
+    verified = F.broadcast(sa.join(F.broadcast(pairs), "key_a")).join(sb, "key_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select("key_a", "key_b", (inter / union).alias("jaccard"))
+    return verified.select("key_a", "key_b", (inter / union).alias("jaccard"))
 
 
 def minhash_dedup(

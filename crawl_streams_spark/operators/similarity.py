@@ -23,18 +23,39 @@ from pyspark.sql import DataFrame, Window
 from ..functions import vectors as V
 
 
-def _planes(num_planes: int, dim: int) -> list[list[float]]:
+def _planes(num_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes without RNG state: plane[j][i]
-    = ±1 by parity of a hash of (j, i) — sign-pattern planes are the classic
-    cheap SRP choice and need no normalization for sign tests."""
+    = ±1 by parity of a hash of (seed, j, i) — sign-pattern planes are the
+    classic cheap SRP choice and need no normalization for sign tests.
+    Distinct `seed`s give independent plane sets (for multi-signature
+    unions)."""
     out = []
     for j in range(num_planes):
         row = []
         for i in range(dim):
-            h = (1103515245 * (j * dim + i) + 12345) % (1 << 31)
+            x = seed * 1_000_003 + j * dim + i
+            h = (1103515245 * x + 12345) % (1 << 31)
             row.append(1.0 if (h >> 13) & 1 else -1.0)
         out.append(row)
     return out
+
+
+def srp_planes_for(corpus_size: int, target_bucket: int = 4096) -> int:
+    """Plane count so the EXPECTED bucket size n/2^planes ≈ `target_bucket`.
+
+    In-bucket verification is quadratic, so total work is
+    Θ(n²/2^planes) = Θ(n · target_bucket) — linear in n for a fixed
+    target. A fixed plane count instead leaves work Θ(n²/const), a
+    scale-killer: 6 planes at n=10⁹ means 1.5×10⁷-row buckets and 10¹⁴
+    in-bucket comparisons per bucket. Recall lost to the extra planes is
+    recovered by unioning multiple independent signatures
+    (``embedding_dedup(num_signatures=...)``), which multiplies cost only
+    linearly."""
+    import math
+
+    if corpus_size <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(corpus_size / target_bucket)))
 
 
 def knn_bruteforce(
@@ -130,36 +151,59 @@ def knn_lsh(
 def embedding_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_signatures: int = 1,
+    target_bucket: int = 4096,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate removal, LSH-bucketed: candidates
     are pairs sharing an SRP bucket (cos≈1 pairs agree on every hyperplane
-    sign with probability (1-θ/π)^planes, ≈0.9^6 at cos 0.95), verified
-    with exact cosine; the higher id of each confirmed pair is dropped.
+    sign with probability (1-θ/π)^planes), verified with exact cosine; the
+    higher id of each confirmed pair is dropped.
 
-    At 100 TB the all-pairs check is impossible; this does one narrow map
-    (bucket id), one shuffle on bucket, and quadratic work only inside
-    buckets (expected bucket size = n/2^planes). For higher recall run
-    multiple independent plane sets and union the victim sets."""
-    b = with_lsh_bucket(corpus, num_planes, dim, vec_col).select(
-        F.col(id_col), F.col(vec_col), "bucket"
-    )
-    x, y = b.alias("x"), b.alias("y")
-    ka, kb = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
-    losers = (
-        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (ka < kb))
-        .select(
-            kb.alias(id_col),
-            V.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")).alias("cos"),
+    Scale contract (100 TB): the all-pairs check is impossible, so work
+    must stay Θ(n · target_bucket), not Θ(n²/const). By default
+    ``num_planes`` is DERIVED from the corpus size so the expected bucket
+    n/2^planes ≈ ``target_bucket`` (see srp_planes_for) — pass
+    ``corpus_size`` if known to skip the count() job. Recall lost to
+    deeper bucketing is recovered with ``num_signatures`` independent
+    plane sets whose victim sets union (per-signature miss probabilities
+    multiply: a cos-0.95 pair missed by one 10-plane signature with
+    p≈1-0.9^10≈0.65 survives s signatures with p^s); cost grows only
+    linearly in signatures. Each signature is one narrow map (bucket id) +
+    one bucket shuffle + in-bucket quadratic verification."""
+    if num_planes is None:
+        n = corpus_size if corpus_size is not None else corpus.count()
+        num_planes = srp_planes_for(n, target_bucket)
+    loser_sets = []
+    for s in range(num_signatures):
+        b = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            V.sign_bucket(
+                F.col(vec_col), _planes(num_planes, dim, seed=s)
+            ).alias("bucket"),
         )
-        .filter(F.col("cos") >= threshold)
-        .select(id_col)
-        .distinct()
-    )
-    return corpus.join(losers, id_col, "left_anti")
+        x, y = b.alias("x"), b.alias("y")
+        ka, kb = F.col(f"x.{id_col}"), F.col(f"y.{id_col}")
+        loser_sets.append(
+            x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (ka < kb))
+            .select(
+                kb.alias(id_col),
+                V.cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")).alias(
+                    "cos"
+                ),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select(id_col)
+        )
+    losers = loser_sets[0]
+    for extra in loser_sets[1:]:
+        losers = losers.union(extra)
+    return corpus.join(losers.distinct(), id_col, "left_anti")
 
 
 def train_ivf_centroids(
@@ -236,8 +280,13 @@ def kmeans_inertia(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> float:
-    """Σ min-squared-distance — the k-means objective (for tests/tuning)."""
-    d = corpus.select(V.to_double_array(vec_col).alias("__v"))
+    """Σ min-squared-distance — the k-means objective (for tests/tuning).
+    Groups by the (narrow) id column, never the vector itself — a wide-key
+    shuffle on a 64-double array would move the whole corpus through the
+    exchange keyed on 512-byte keys."""
+    d = corpus.select(
+        F.col(id_col).alias("__id"), V.to_double_array(vec_col).alias("__v")
+    )
     dist = F.aggregate(
         F.zip_with(F.col("__v"), F.col("centroid"), lambda a, c: (a - c) * (a - c)),
         F.lit(0.0),
@@ -245,8 +294,8 @@ def kmeans_inertia(
     )
     per_vec = (
         d.join(F.broadcast(centroids))
-        .select("__v", dist.alias("__d"))
-        .groupBy("__v")
+        .select("__id", dist.alias("__d"))
+        .groupBy("__id")
         .agg(F.min("__d").alias("mind"))
     )
     return per_vec.agg(F.sum("mind")).collect()[0][0]

@@ -134,6 +134,46 @@ def test_minhash_dedup_catches_near_duplicates(spark, sf_dir):
     assert len([d for d in survivors if d < 100000]) >= 97
 
 
+def test_minhash_lsh_rejects_indivisible_bands(spark, sf_dir):
+    """num_hashes % bands != 0 would silently floor rows_per_band and drop
+    trailing signature hashes — must fail loudly instead."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_lsh_candidates(docs, num_hashes=16, bands=5)
+
+
+def test_minhash_lsh_band_shuffle_is_slim(spark, sf_dir):
+    """The 100 TB contract: shingle arrays must NOT ride the banding
+    shuffle — every hash-partitioned exchange in the candidate plan carries
+    only slim (key, band, band_hash) columns; shingles appear solely in the
+    broadcast-side verification join."""
+    import contextlib
+    import io
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.minhash_lsh_candidates(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # formatted mode lists one "(n) Node" detail section per operator;
+    # Exchange sections carry the partitioning in their Arguments line
+    sections = plan.split("\n\n")
+    shuffle_sections = [
+        s
+        for s in sections
+        if s.lstrip().startswith("(")
+        and ") Exchange" in s.splitlines()[0]
+        and "hashpartitioning" in s
+    ]
+    assert shuffle_sections, "expected at least one shuffle in the LSH plan"
+    for s in shuffle_sections:
+        for col in ("shingles", "sh_a", "sh_b"):
+            assert col not in s, f"shingle array crossed a shuffle:\n{s}"
+
+
 def test_simhash_candidates_find_small_hamming(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(100).cache()
     near = (
@@ -158,6 +198,63 @@ def test_embedding_dedup_catches_planted_copies(spark, sf_dir):
     # identical vectors share every bucket → all planted copies caught
     assert not [v for v in survivors if v >= 100000]
     assert len([v for v in survivors if v < 100000]) == 200
+
+
+def test_embedding_dedup_planes_derived_from_corpus_size():
+    """The scale contract: expected bucket ≈ target_bucket, so in-bucket
+    quadratic work stays Θ(n·target_bucket) — linear in n."""
+    assert S.srp_planes_for(1_000, target_bucket=4096) == 1
+    assert S.srp_planes_for(4_096, target_bucket=4096) == 1
+    assert S.srp_planes_for(8_192, target_bucket=4096) == 1
+    assert S.srp_planes_for(2**20, target_bucket=4096) == 8
+    assert S.srp_planes_for(10**9, target_bucket=4096) == 18
+    # deeper buckets for a tighter budget
+    assert S.srp_planes_for(2**20, target_bucket=1024) == 10
+
+
+def _planted_near_dups(emb, n=30):
+    """Perturb the first 8 coordinates of n unit vectors by +0.1: cosine to
+    the original stays ≈0.96 but sign buckets can flip — a recall probe for
+    the LSH."""
+    return (
+        emb.limit(n)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i < 8, x + F.lit(0.1)).otherwise(x),
+            ),
+        )
+    )
+
+
+def test_embedding_dedup_multi_signature_recall(spark, sf_dir):
+    """Fixed candidate budget: 2 signatures × (p+1) planes expects the same
+    number of in-bucket comparisons as 1 signature × p planes
+    (2·n²/2^(p+1) = n²/2^p) but strictly better recall on near-dups that
+    straddle single planes (miss probabilities multiply across independent
+    signatures)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300).cache()
+    planted = _planted_near_dups(emb, 30)
+    full = emb.unionByName(planted).cache()
+
+    def caught(kept_df):
+        survivors = {r["vec_id"] for r in kept_df.select("vec_id").collect()}
+        return 30 - len([v for v in survivors if v >= 100000])
+
+    threshold = 0.9
+    single = caught(
+        S.embedding_dedup(full, threshold=threshold, num_planes=4)
+    )
+    multi = caught(
+        S.embedding_dedup(
+            full, threshold=threshold, num_planes=5, num_signatures=2
+        )
+    )
+    assert multi >= single, f"multi-signature lost recall: {multi} < {single}"
+    # multi-signature must catch the clear majority of planted near-dups
+    assert multi >= 20, f"multi-signature recall too low: {multi}/30"
 
 
 def test_cluster_duplicates_transitive_chain(spark):
