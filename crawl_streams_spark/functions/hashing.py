@@ -11,9 +11,10 @@ partitions Kafka launch messages by ``hexlify(pack('<I',
 mmh3.hash(netloc, signed=False)))`` (reference enqueue.py:127) — murmur3_32
 **seed 0** over the URL authority. Spark's built-in ``hash()`` is murmur3
 seed **42** with different byte handling, so parity requires a real
-murmur3-32(seed 0). Implemented as an Arrow-batched pandas UDF (vectorized,
-no per-row Python) with a pure-NumPy murmur3 so we don't depend on the
-``mmh3`` C package being installed.
+murmur3-32(seed 0). Implemented as an Arrow-batched pandas UDF whose hash
+math is columnar NumPy uint32 arithmetic (see _make_mmh3_impl; the
+remaining per-row Python is stdlib urlparse for netloc extraction and the
+byte-packing loop), with no dependency on the ``mmh3`` C package.
 """
 
 from __future__ import annotations
@@ -171,46 +172,78 @@ def _make_mmh3_impl():
     property-tested against published SMHasher vectors in
     tests/test_hashing.py).
 
+    Genuinely vectorized: keys are packed into one zero-padded uint8 matrix
+    viewed as little-endian uint32 blocks, and every mixing round runs as
+    whole-column NumPy uint32 arithmetic (wraparound is the dtype's native
+    semantics). The only per-key Python is the packing loop (np.frombuffer
+    per key — unavoidable for variable-length byte strings); all hash math
+    is columnar, so cost per round is O(1) Python ops regardless of batch
+    size. Loop trip counts: max_len/4 block rounds — keys are netlocs, so
+    a few rounds over the whole batch.
+
     A factory, not a plain module function, on purpose: the returned
     closure's qualname isn't resolvable as a module attribute, so
     cloudpickle serializes it BY VALUE into UDF closures — executors never
     need ``crawl_streams_spark`` importable on their PYTHONPATH."""
 
     def mmh3_32(data):
-        out = []
-        for key in data:
-            length = len(key)
-            n_blocks = length // 4
-            h1 = 0
-            c1, c2 = 0xCC9E2D51, 0x1B873593
-            for i in range(n_blocks):
-                k1 = int.from_bytes(key[i * 4 : i * 4 + 4], "little")
-                k1 = (k1 * c1) & 0xFFFFFFFF
-                k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
-                k1 = (k1 * c2) & 0xFFFFFFFF
-                h1 ^= k1
-                h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
-                h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
-            tail = key[n_blocks * 4 :]
-            k1 = 0
-            if len(tail) >= 3:
-                k1 ^= tail[2] << 16
-            if len(tail) >= 2:
-                k1 ^= tail[1] << 8
-            if len(tail) >= 1:
-                k1 ^= tail[0]
-                k1 = (k1 * c1) & 0xFFFFFFFF
-                k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
-                k1 = (k1 * c2) & 0xFFFFFFFF
-                h1 ^= k1
-            h1 ^= length
-            h1 ^= h1 >> 16
-            h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
-            h1 ^= h1 >> 13
-            h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
-            h1 ^= h1 >> 16
-            out.append(h1)
-        return out
+        import numpy as np
+
+        n = len(data)
+        if n == 0:
+            return []
+        lengths = np.fromiter((len(k) for k in data), dtype=np.int64, count=n)
+        max_len = int(lengths.max())
+        padded = max(((max_len + 3) // 4) * 4, 4)
+        buf = np.zeros((n, padded), dtype=np.uint8)
+        for i, k in enumerate(data):
+            if k:
+                buf[i, : len(k)] = np.frombuffer(k, dtype=np.uint8)
+        blocks = buf.view("<u4")  # (n, padded//4) little-endian lanes
+        n_blocks = lengths // 4
+
+        c1 = np.uint32(0xCC9E2D51)
+        c2 = np.uint32(0x1B873593)
+        h1 = np.zeros(n, dtype=np.uint32)
+        for j in range(blocks.shape[1]):
+            active = n_blocks > j
+            if not active.any():
+                break
+            k1 = blocks[:, j] * c1
+            k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+            k1 = k1 * c2
+            mixed = h1 ^ k1
+            mixed = (mixed << np.uint32(13)) | (mixed >> np.uint32(19))
+            mixed = mixed * np.uint32(5) + np.uint32(0xE6546B64)
+            h1 = np.where(active, mixed, h1)
+
+        # tail: 1-3 trailing bytes, masked columnar xor-shifts
+        tail_len = lengths % 4
+        tail_start = n_blocks * 4
+        idx = np.arange(n)
+        k1 = np.zeros(n, dtype=np.uint32)
+        m3 = tail_len >= 3
+        if m3.any():
+            k1[m3] ^= buf[idx[m3], tail_start[m3] + 2].astype(np.uint32) << 16
+        m2 = tail_len >= 2
+        if m2.any():
+            k1[m2] ^= buf[idx[m2], tail_start[m2] + 1].astype(np.uint32) << 8
+        m1 = tail_len >= 1
+        if m1.any():
+            k1[m1] ^= buf[idx[m1], tail_start[m1]].astype(np.uint32)
+            k1 = k1 * c1
+            k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+            k1 = k1 * c2
+            h1 = np.where(m1, h1 ^ k1, h1)
+
+        # finalization (fmix32), columnar
+        h1 = h1 ^ lengths.astype(np.uint32)
+        h1 = h1 ^ (h1 >> np.uint32(16))
+        h1 = h1 * np.uint32(0x85EBCA6B)
+        h1 = h1 ^ (h1 >> np.uint32(13))
+        h1 = h1 * np.uint32(0xC2B2AE35)
+        h1 = h1 ^ (h1 >> np.uint32(16))
+        return [int(x) for x in h1]
 
     return mmh3_32
 
