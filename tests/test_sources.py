@@ -60,3 +60,66 @@ def test_time_range_options_pushdown():
 def test_sink_options_durability():
     opts = kafka.kafka_sink_options("k:9092", "fc.tocrawl")
     assert opts["kafka.acks"] == "all"                # SNK-1 enqueue.py:42
+
+
+# --- wire-format goldens ---------------------------------------------------
+# No broker or Kafka connector jar exists in this environment, so the wire
+# JSON is pinned byte-for-byte against the shape Spark's KafkaSourceProvider
+# parses: {"topic": {"<partition>": <epoch_ms LONG>}} — partition ids are
+# STRING keys, timestamps are UNQUOTED integers (a quoted timestamp fails
+# Spark's Jackson Long parse). The fixture mirrors the reference's
+# offsets_for_times maps (streamer.py:134-148: every partition of the topic
+# gets the same from/to epoch-millis bound).
+
+def test_time_range_wire_json_golden():
+    opts = kafka.time_range_options(
+        "k:9092", "fc.crawled", 1575000000000, 1575003600000, num_partitions=3
+    )
+    assert opts["startingOffsetsByTimestamp"] == (
+        '{"fc.crawled": {"0": 1575000000000, "1": 1575000000000, '
+        '"2": 1575000000000}}'
+    )
+    assert opts["endingOffsetsByTimestamp"] == (
+        '{"fc.crawled": {"0": 1575003600000, "1": 1575003600000, '
+        '"2": 1575003600000}}'
+    )
+
+
+def test_time_range_wire_json_types():
+    """Type discipline Spark's parser requires: str topic → str partition →
+    int (not str, not float) epoch millis."""
+    opts = kafka.time_range_options("k:9092", "t", 1000, 2000, num_partitions=16)
+    for key in ("startingOffsetsByTimestamp", "endingOffsetsByTimestamp"):
+        parsed = json.loads(opts[key])
+        assert set(parsed) == {"t"}
+        for part, ts in parsed["t"].items():
+            assert isinstance(part, str) and part.isdigit()
+            assert isinstance(ts, int), f"epoch must serialize unquoted: {ts!r}"
+        assert sorted(int(p) for p in parsed["t"]) == list(range(16))
+
+
+def test_topic_options_exact_golden():
+    """Full option-dict goldens for each consumer mode (no stray keys — an
+    unknown option silently changes Kafka source behavior)."""
+    assert kafka.topic_options("broker1:9092,broker2:9092", "fc.crawled") == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "fc.crawled",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka.topic_options(
+        "k:9092", "fc.crawled", from_beginning=False,
+        group_id="crawl-streams-analysis", max_offsets_per_trigger=10000,
+    ) == {
+        "kafka.bootstrap.servers": "k:9092",
+        "subscribe": "fc.crawled",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "kafka.group.id": "crawl-streams-analysis",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    assert kafka.kafka_sink_options("k:9092", "fc.tocrawl.npld") == {
+        "kafka.bootstrap.servers": "k:9092",
+        "topic": "fc.tocrawl.npld",
+        "kafka.acks": "all",
+    }
