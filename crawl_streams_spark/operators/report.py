@@ -147,6 +147,7 @@ def solr_documents(df: DataFrame) -> DataFrame:
         C.annotation_launch_ts_raw(F.col("annotations")).alias(
             "launch_timestamp"
         ),
+        C.annotation_dol_raw(F.col("annotations")).alias("dol"),
         C.annotation_rest_raw(F.col("annotations")).alias("annotations"),
         F.col("content_digest"),
         F.col("warc_filename"),

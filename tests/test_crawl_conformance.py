@@ -129,6 +129,78 @@ def test_solr_documents_projection(fragment, raw_records):
         assert d["ip"] == (ips[0] if ips else None)
 
 
+def test_solr_documents_schema_golden(fragment):
+    """kevals/Solr schema fidelity (report.py:167-224): the exact field
+    set the reference indexer emits, pinned name-by-name with types.
+    Renamed sources (timestamp→log_timestamp, seed→source), split sources
+    (start_time_plus_duration→start_time+duration), routed sources
+    (annotations→ip/launch_timestamp/dol/annotations-rest) and dropped
+    fields (extra_info, report.py:212; thread, consumed by the crawler
+    classifier) must NOT leak through under their original names."""
+    docs = R.solr_documents(fragment)
+    schema = [(f.name, f.dataType.simpleString()) for f in docs.schema.fields]
+    assert schema == [
+        ("id", "string"),
+        ("log_timestamp", "string"),
+        ("url", "string"),
+        ("status_code", "int"),
+        ("content_length", "bigint"),
+        ("source", "string"),
+        ("crawler", "string"),
+        ("content_type", "string"),
+        ("start_time", "timestamp"),
+        ("duration", "bigint"),
+        ("ip", "string"),
+        ("launch_timestamp", "timestamp"),
+        ("dol", "string"),
+        ("annotations", "string"),
+        ("content_digest", "string"),
+        ("warc_filename", "string"),
+        ("warc_offset", "bigint"),
+    ]
+    for dropped in (
+        "timestamp",
+        "seed",
+        "extra_info",
+        "start_time_plus_duration",
+        "thread",
+        "mimetype",
+    ):
+        assert dropped not in docs.columns, dropped
+
+
+def test_solr_documents_annotation_routing_parity(fragment, raw_records):
+    """Full replica of the reference's annotation routing loop
+    (report.py:182-201): ip:/launchTimestamp:/dol: extracted, empties
+    dropped, remainder space-joined with spaces underscored — compared
+    field-by-field over the whole sample."""
+    import datetime as dt
+
+    docs = {r["id"]: r for r in R.solr_documents(fragment).collect()}
+    for rec in raw_records:
+        d = docs[f"crawl-log:{rec['timestamp']}/{rec['url']}"]
+        expect_ip = expect_lts = expect_dol = None
+        rest = []
+        for annot in (rec.get("annotations") or "").split(","):
+            if annot.startswith("ip:"):
+                expect_ip = annot[3:]
+            elif annot.startswith("launchTimestamp:"):
+                expect_lts = dt.datetime.strptime(
+                    annot[16:], "%Y%m%d%H%M%S%f"
+                )
+            elif annot.startswith("dol:"):
+                expect_dol = annot[4:]
+            elif annot == "":
+                pass
+            else:
+                rest.append(annot.replace(" ", "_"))
+        assert d["ip"] == expect_ip, rec["annotations"]
+        assert d["dol"] == expect_dol, rec["annotations"]
+        assert d["launch_timestamp"] == expect_lts, rec["annotations"]
+        # reference omits the field when empty; typed column uses ''
+        assert (d["annotations"] or "") == " ".join(rest), rec["annotations"]
+
+
 def test_host_stats_aggregates(fragment, raw_records):
     """A-1..A-5 recomputed in pure Python over the sample."""
     totals = {r["host"]: r for r in HS.host_totals(fragment).collect()}
