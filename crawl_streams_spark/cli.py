@@ -250,16 +250,31 @@ def cmd_rollup(args) -> int:
 
 
 def cmd_dedup(args) -> int:
-    """Cross-batch exact dedup: admit only documents whose content digest
-    has never been seen, maintaining the persistent index at --index
-    (operators/dedup.py::incremental_exact_dedup)."""
-    from .operators.dedup import incremental_exact_dedup
+    """Cross-batch dedup: admit only documents not already seen, keeping a
+    persistent index at --index. Exact mode keys on content digests
+    (operators/dedup.py::incremental_exact_dedup); --near mode rejects
+    MinHash near-duplicates of anything admitted
+    (incremental_minhash_dedup)."""
+    from .operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_dedup,
+    )
 
     spark = _spark(args)
     batch = spark.read.parquet(args.input)
-    admitted = incremental_exact_dedup(
-        spark, batch, args.index, content=args.content_col, key=args.key_col
-    )
+    if args.near:
+        admitted = incremental_minhash_dedup(
+            spark,
+            batch,
+            args.index,
+            content=args.content_col,
+            key=args.key_col,
+            threshold=args.threshold,
+        )
+    else:
+        admitted = incremental_exact_dedup(
+            spark, batch, args.index, content=args.content_col, key=args.key_col
+        )
     admitted.write.mode("append").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"admitted rows appended to {args.output} (total now {n})")
@@ -378,13 +393,26 @@ def build_parser() -> argparse.ArgumentParser:
     ru.set_defaults(fn=cmd_rollup)
 
     de = sub.add_parser(
-        "dedup", help="cross-batch exact dedup vs a persistent digest index"
+        "dedup",
+        help="cross-batch dedup vs a persistent index (exact digests, or "
+        "MinHash near-dup with --near)",
     )
     de.add_argument("--input", required=True, help="batch parquet file/dir")
-    de.add_argument("--index", required=True, help="digest index directory")
+    de.add_argument("--index", required=True, help="dedup index directory")
     de.add_argument("--output", required=True, help="admitted-rows directory")
     de.add_argument("--content-col", default="text")
     de.add_argument("--key-col", default="doc_id")
+    de.add_argument(
+        "--near",
+        action="store_true",
+        help="near-duplicate mode: MinHash signature index + LSH banding",
+    )
+    de.add_argument(
+        "--threshold",
+        type=float,
+        default=0.8,
+        help="estimated-Jaccard rejection threshold (--near only)",
+    )
     de.set_defaults(fn=cmd_dedup)
 
     q = sub.add_parser(

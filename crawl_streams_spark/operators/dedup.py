@@ -258,6 +258,144 @@ def simhash_candidates(
     )
 
 
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash-estimated Jaccard: the fraction of agreeing signature
+    components (an unbiased estimator of the true shingle Jaccard —
+    Broder). Lets cross-batch near-dup checks verify candidates from a
+    slim signature index without storing or re-reading document text."""
+    agreeing = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return agreeing.cast("double") / F.size(sig_a).cast("double")
+
+
+def incremental_minhash_dedup(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    content: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate admission — the MinHash analog of
+    incremental_exact_dedup for the daily-ingest pipeline: a batch document
+    is rejected if it is a near-dup (signature-estimated Jaccard ≥
+    `threshold`) of anything already admitted, or of a lower-keyed
+    near-dup within its own batch; survivors' signatures join the index.
+
+      batch → signatures + band keys (narrow maps)
+            → in-batch LSH self-join (slim keys) → estimated-Jaccard
+              victim set
+            → cross-batch: batch bands ⋈ index bands on (band, band_hash)
+              → estimated Jaccard vs admitted signatures → reject matches
+            → append survivors' (key, sig, band, band_hash) to the index
+            → return admitted rows
+
+    Scale posture: the index stores the exploded band table
+    (key, band, band_hash, sig) — ≈ bands × (40 B + 8·num_hashes B) per
+    admitted doc, orders smaller than text; both joins key on md5-uniform
+    band hashes (no skew); verification touches only colliding pairs and
+    uses the signature estimate, so document text never re-enters the
+    pipeline after the first narrow map. Same crash-window caveat as the
+    exact variant: admit-then-append means a retry between the two
+    re-admits one batch — keep the downstream write idempotent on `key`.
+
+    The estimator's resolution is 1/num_hashes (16 hashes → 0.0625 steps);
+    pick num_hashes so `threshold` sits between steps, or raise it for
+    finer thresholds.
+    """
+    import os as _os
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+
+    sh = new_docs.select(
+        F.col(key), T.word_shingles(F.col(content), shingle_words).alias("shingles")
+    )
+    sigs = (
+        sh.select(key, H.shingle_hashes31(F.col("shingles")).alias("h31"))
+        .select(key, H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"))
+    )
+    banded = sigs.select(
+        key,
+        "sig",
+        F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select(
+        key,
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_hash").alias("band_hash"),
+    )
+    # computed twice below (in-batch join + index ops) — materialize once
+    banded = banded.localCheckpoint(eager=True)
+
+    # in-batch: slim band self-join, estimated-Jaccard verify, higher key
+    # of each confirmed pair loses
+    slim = banded.select(key, "band", "band_hash")
+    a, b = slim.alias("a"), slim.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    batch_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (ka < kb),
+        )
+        .select(ka.alias("key_a"), kb.alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    sig_tbl = banded.select(key, "sig").dropDuplicates([key])
+    sa = sig_tbl.select(F.col(key).alias("key_a"), F.col("sig").alias("sig_a"))
+    sb = sig_tbl.select(F.col(key).alias("key_b"), F.col("sig").alias("sig_b"))
+    batch_losers = (
+        batch_pairs.join(sa, "key_a")
+        .join(sb, "key_b")
+        .filter(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+        .select(F.col("key_b").alias(key))
+        .distinct()
+    )
+
+    # cross-batch: collide batch bands with the admitted index
+    if _os.path.exists(index_path):
+        index = spark.read.parquet(index_path)
+        hits = (
+            slim.join(
+                index.select(
+                    "band",
+                    "band_hash",
+                    F.col("sig").alias("sig_idx"),
+                ),
+                ["band", "band_hash"],
+            )
+            .dropDuplicates([key, "sig_idx"])
+            .join(sig_tbl, key)
+            .filter(
+                estimated_jaccard(F.col("sig"), F.col("sig_idx")) >= threshold
+            )
+            .select(key)
+            .distinct()
+        )
+        rejected = batch_losers.union(hits).distinct()
+    else:
+        rejected = batch_losers
+    admitted_keys = (
+        sig_tbl.select(key).join(rejected, key, "left_anti")
+    ).localCheckpoint(eager=True)
+
+    banded.join(admitted_keys, key, "left_semi").select(
+        key, "band", "band_hash", "sig"
+    ).write.mode("append").parquet(index_path)
+    return new_docs.join(admitted_keys, key, "left_semi")
+
+
 def incremental_exact_dedup(
     spark,
     new_docs: DataFrame,

@@ -235,6 +235,63 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_minhash_est_jaccard",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+            WHERE doc_id < 100
+        ),
+        sig AS (
+            SELECT doc_id, {_DUCK_SIG} AS sig FROM sh
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_filter(range(1, {_NUM_HASHES} + 1),
+                         i -> a.sig[i] = b.sig[i]))::DOUBLE / {_NUM_HASHES},
+                     6) AS est_jaccard
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(1, {_NUM_HASHES} + 1),
+                  i -> a.sig[i] = b.sig[i])) > 0
+    """,
+    tags=("dedup", "minhash", "extension"),
+)
+def dedup_minhash_est_jaccard(spark, sf_dir):
+    """Signature-estimated Jaccard (fraction of agreeing MinHash
+    components — Broder's unbiased estimator) over a bounded all-pairs
+    slice. Certifies the estimator the cross-batch incremental near-dup
+    path verifies candidates with (operators/dedup.py::estimated_jaccard),
+    where true-shingle Jaccard is unavailable because the index stores
+    only signatures, never text."""
+    from ..operators.dedup import estimated_jaccard
+
+    sigs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id", T.shingles_from_tokens(F.col("toks"), 3).alias("shingles")
+        )
+        .select(
+            "doc_id", H.shingle_hashes31(F.col("shingles")).alias("h31")
+        )
+        .select(
+            "doc_id",
+            H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"),
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    est = estimated_jaccard(F.col("a.sig"), F.col("b.sig"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") > 0)
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
         WITH h AS (

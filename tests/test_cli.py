@@ -200,3 +200,17 @@ def test_dedup_cli(capsys, spark, sf_dir, tmp_path):
     assert first > 0
     assert main(args) == 0  # replaying the same batch admits nothing
     assert spark.read.parquet(out).count() == first
+
+
+def test_dedup_cli_near_mode(capsys, spark, sf_dir, tmp_path):
+    docs = f"{sf_dir}/documents.parquet"
+    idx, out = str(tmp_path / "nidx"), str(tmp_path / "nout")
+    args = [
+        "dedup", "--near", "--threshold", "0.7",
+        "--input", docs, "--index", idx, "--output", out,
+    ]
+    assert main(args) == 0
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    assert main(args) == 0  # replay: every doc collides with the index
+    assert spark.read.parquet(out).count() == first

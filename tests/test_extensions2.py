@@ -199,3 +199,74 @@ def test_incremental_exact_dedup(spark, sf_dir, tmp_path):
     a3 = incremental_exact_dedup(spark, b2, idx, key="doc_id")
     assert a3.count() == 0
     assert spark.read.parquet(idx).count() == union_distinct
+
+
+def test_incremental_minhash_dedup(spark, sf_dir, tmp_path):
+    """Cross-batch NEAR-dup admission: batch 2's near-copies of batch-1
+    docs (one appended token, est-Jaccard ≈ 1) are rejected by the
+    signature index; genuinely new docs are admitted; replaying an
+    admitted batch admits nothing new."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import incremental_minhash_dedup
+    from crawl_streams_spark.tables import load_table
+
+    idx = str(tmp_path / "minhash_index")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 50).cache()
+    a1 = incremental_minhash_dedup(spark, b1, idx, threshold=0.7)
+    n1 = a1.count()
+    assert n1 >= 45  # near-dup-free corpus slice mostly self-admits
+    # index carries 8 band rows per admitted doc
+    assert spark.read.parquet(idx).count() == n1 * 8
+
+    near = (
+        b1.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    fresh = docs.filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 80)
+    )
+    b2 = near.unionByName(fresh)
+    a2 = incremental_minhash_dedup(spark, b2, idx, threshold=0.7)
+    admitted2 = {r["doc_id"] for r in a2.select("doc_id").collect()}
+    # near-copies of admitted batch-1 docs are rejected
+    rejected_planted = 20 - len([d for d in admitted2 if d >= 100000])
+    assert rejected_planted >= 18, f"only {rejected_planted}/20 rejected"
+    # genuinely new docs are admitted
+    assert len([d for d in admitted2 if 50 <= d < 80]) >= 27
+
+    # replay of batch 2: everything now collides with the index
+    a3 = incremental_minhash_dedup(spark, b2, idx, threshold=0.7)
+    assert a3.count() == 0
+
+
+def test_incremental_minhash_rejects_indivisible_bands(spark, sf_dir, tmp_path):
+    import pytest
+
+    from crawl_streams_spark.operators.dedup import incremental_minhash_dedup
+    from crawl_streams_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="divisible"):
+        incremental_minhash_dedup(
+            spark, docs, str(tmp_path / "i"), num_hashes=16, bands=7
+        )
+
+
+def test_estimated_jaccard_matches_component_agreement(spark):
+    from crawl_streams_spark.operators.dedup import estimated_jaccard
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 2, 3, 4]), ([1, 2, 3, 4], [1, 9, 3, 7]),
+         ([1, 2, 3, 4], [5, 6, 7, 8])],
+        ["a", "b"],
+    )
+    got = [
+        r["j"]
+        for r in df.select(
+            estimated_jaccard(F.col("a"), F.col("b")).alias("j")
+        ).collect()
+    ]
+    assert got == [1.0, 0.5, 0.0]
