@@ -35,10 +35,21 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
-    # JVM/session warm-up (excluded from timings).
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # fixed alphabetical order: registry display order changes round to
+    # round (the driver-window covering set), and whichever query runs
+    # first absorbs residual session one-time costs — a stable order keeps
+    # per-query timings comparable across rounds
+    bench_queries = {
+        n: REGISTRY[n] for n in sorted(REGISTRY) if REGISTRY[n].bench
+    }
 
-    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+    # JVM/session warm-up (excluded from timings): a plain aggregate plus
+    # one full query execution — the first measured query otherwise absorbs
+    # session one-time costs (JIT tiering, shuffle/broadcast init) that its
+    # own per-query warm run does not fully burn down.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    if bench_queries:
+        next(iter(bench_queries.values())).build(spark, sf_dir).collect()
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         try:
