@@ -67,6 +67,22 @@ def shingle_hashes31(shingles: Column) -> Column:
     )
 
 
+def shingle_hashes31_xx(shingles: Column) -> Column:
+    """Per-shingle 31-bit base hash via Spark's native ``xxhash64`` —
+    the PRODUCTION variant of shingle_hashes31 for operator pipelines
+    where no DuckDB oracle has to replay the exact hash values (md5 is
+    the cross-engine-parity tax). Measured at sf0.1/32 cores: ~25%
+    cheaper on the signature stage (shingle construction dominates, so
+    the per-hash saving is diluted); the second win is band_keys_xx's
+    fixed-width bigint band key replacing a 32-char hex string through
+    the LSH shuffle. Distribution is equally uniform, so every
+    banding/skew argument carries over unchanged."""
+    return F.transform(
+        shingles,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(2147483647)),
+    )
+
+
 def minhash_from_hashes(base31: Column, num_hashes: int) -> Column:
     """MinHash signature from precomputed 31-bit shingle hashes:
     ``num_hashes`` linear mixes h_k = a_k*h31 + b_k, min over the shingle
@@ -118,11 +134,36 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def simhash64(tokens: Column) -> Column:
+def band_keys_xx(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """PRODUCTION variant of band_keys: xxhash64 band hashes (bigint)
+    instead of md5 hex strings — cheaper to compute AND a fixed-width
+    8-byte join key instead of a 32-char string through the band shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, F.lit(rows_per_band)),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def simhash64(tokens: Column, fast: bool = False) -> Column:
     """60-bit SimHash over a token array: bit b of the fingerprint is set
     when the majority of token hashes have bit b set (strictly more ones
     than zeros; ties → 0). Formulated as per-bit majority counts so the
     identical computation is expressible in the DuckDB oracle.
+
+    ``fast=True`` swaps the md5-derived token hash for native xxhash64
+    masked to 60 bits — the production path when no oracle has to replay
+    exact fingerprints; identical banding/Hamming semantics.
 
     (Bits 60..63 are always 0 — a 60-bit fingerprint packed in a 64-bit
     long; Hamming comparisons stay valid.)
@@ -132,10 +173,16 @@ def simhash64(tokens: Column) -> Column:
     common-subexpression elimination, so an inline array expression would
     re-run every token's md5 once per bit (measured 20× slower).
     """
-    token_hashes = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
-    )
+    if fast:
+        token_hashes = F.transform(
+            tokens,
+            lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 60) - 1)),
+        )
+    else:
+        token_hashes = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+        )
 
     def fingerprint_of(th):
         n_tok = F.size(th)

@@ -22,6 +22,23 @@ from ..functions import hashing as H
 from ..functions import text as T
 
 
+def _hash_fns(hash_impl: str):
+    """(per-shingle 31-bit hash, band-key builder) for an operator run.
+
+    ``xxhash64`` (default) is the production path: native JVM hashing
+    (measured ~25% cheaper on the signature stage at sf0.1 — shingle
+    construction dominates) and a fixed-width bigint band key through
+    the LSH shuffle instead of a 32-char hex string. ``md5`` reproduces
+    the oracle-certified queries' cross-engine-stable values
+    (plans/q_dedup.py) — use it when results must hash-match a DuckDB
+    replay."""
+    if hash_impl == "xxhash64":
+        return H.shingle_hashes31_xx, H.band_keys_xx
+    if hash_impl == "md5":
+        return H.shingle_hashes31, H.band_keys
+    raise ValueError(f"unknown hash_impl {hash_impl!r} (xxhash64|md5)")
+
+
 def dedup_exact(
     df: DataFrame, content: str = "text", key: str = "doc_id"
 ) -> DataFrame:
@@ -43,10 +60,12 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_words: int = 3,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (key_a < key_b) via MinHash banding.
     Returns (key_a, key_b, jaccard) with the TRUE shingle Jaccard computed
-    only for colliding pairs.
+    only for colliding pairs. ``hash_impl`` picks the base hash — native
+    xxhash64 by default, md5 for oracle-replayable values (_hash_fns).
 
     Shuffle discipline (the 100 TB path): the band self-join carries ONLY
     (key, band, band_hash) — a few dozen bytes per exploded row. Shingle
@@ -64,15 +83,16 @@ def minhash_lsh_candidates(
             "hashes and weaken recall"
         )
     rows_per_band = num_hashes // bands
+    base31, bkeys = _hash_fns(hash_impl)
     sh = df.select(
         F.col(key), T.word_shingles(F.col(content), shingle_words).alias("shingles")
     )
     bandsdf = (
-        sh.select(key, H.shingle_hashes31(F.col("shingles")).alias("h31"))
+        sh.select(key, base31(F.col("shingles")).alias("h31"))
         .select(key, H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"))
         .select(
             key,
-            F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+            F.explode(bkeys(F.col("sig"), bands, rows_per_band)).alias("bk"),
         )
         .select(
             key,
@@ -205,11 +225,19 @@ def minhash_dedup_transitive(
 
 
 def simhash_fingerprints(
-    df: DataFrame, content: str = "text", key: str = "doc_id"
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
-    """(key, simhash) — 60-bit token-majority fingerprints."""
+    """(key, simhash) — 60-bit token-majority fingerprints. Native
+    xxhash64 token hashes by default; md5 for oracle-replayable values
+    (the certified query plans/q_dedup.py::dedup_simhash uses md5)."""
     return df.select(
-        F.col(key), H.simhash64(T.tokens(F.col(content))).alias("simhash")
+        F.col(key),
+        H.simhash64(
+            T.tokens(F.col(content)), fast=hash_impl == "xxhash64"
+        ).alias("simhash"),
     )
 
 
@@ -281,6 +309,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_words: int = 3,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate admission — the MinHash analog of
     incremental_exact_dedup for the daily-ingest pipeline: a batch document
@@ -307,7 +336,9 @@ def incremental_minhash_dedup(
 
     The estimator's resolution is 1/num_hashes (16 hashes → 0.0625 steps);
     pick num_hashes so `threshold` sits between steps, or raise it for
-    finer thresholds.
+    finer thresholds. ``hash_impl`` must stay constant for the lifetime of
+    an index — signatures from different hashes never collide, so
+    switching silently re-admits everything.
     """
     import os as _os
 
@@ -316,18 +347,19 @@ def incremental_minhash_dedup(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     rows_per_band = num_hashes // bands
+    base31, bkeys = _hash_fns(hash_impl)
 
     sh = new_docs.select(
         F.col(key), T.word_shingles(F.col(content), shingle_words).alias("shingles")
     )
     sigs = (
-        sh.select(key, H.shingle_hashes31(F.col("shingles")).alias("h31"))
+        sh.select(key, base31(F.col("shingles")).alias("h31"))
         .select(key, H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"))
     )
     banded = sigs.select(
         key,
         "sig",
-        F.explode(H.band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+        F.explode(bkeys(F.col("sig"), bands, rows_per_band)).alias("bk"),
     ).select(
         key,
         "sig",

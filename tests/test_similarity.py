@@ -134,6 +134,32 @@ def test_minhash_dedup_catches_near_duplicates(spark, sf_dir):
     assert len([d for d in survivors if d < 100000]) >= 97
 
 
+def test_minhash_hash_impl_dial(spark, sf_dir):
+    """Both hash backends find planted near-dups (different hash values,
+    same banding semantics); unknown backends fail loudly."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").limit(30).cache()
+    near = (
+        docs.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    full = docs.unionByName(near)
+    for impl in ("xxhash64", "md5"):
+        pairs = D.minhash_lsh_candidates(full, hash_impl=impl).filter(
+            F.col("jaccard") >= 0.5
+        )
+        found = sum(
+            1
+            for r in pairs.collect()
+            if r["key_b"] - r["key_a"] == 100000
+        )
+        assert found >= 4, f"{impl}: only {found}/5 planted pairs found"
+    with pytest.raises(ValueError, match="hash_impl"):
+        D.minhash_lsh_candidates(full, hash_impl="sha9000")
+
+
 def test_minhash_lsh_rejects_indivisible_bands(spark, sf_dir):
     """num_hashes % bands != 0 would silently floor rows_per_band and drop
     trailing signature hashes — must fail loudly instead."""
