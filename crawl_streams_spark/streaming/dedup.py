@@ -21,7 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["dedup_stream", "dedup_stream_unbounded"]
+__all__ = [
+    "dedup_stream",
+    "dedup_stream_unbounded",
+    "stream_near_dedup",
+]
 
 
 def dedup_stream(
@@ -46,3 +50,56 @@ def dedup_stream(
 def dedup_stream_unbounded(df: DataFrame, keys: list[str]) -> DataFrame:
     """Exact dedup with unbounded state — bounded/backfill streams only."""
     return df.dropDuplicates(keys)
+
+
+def stream_near_dedup(
+    stream_df: DataFrame,
+    output_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    content: str = "text",
+    key: str = "doc_id",
+    threshold: float = 0.8,
+    available_now: bool = False,
+    **minhash_kw,
+):
+    """Streaming NEAR-duplicate admission: each micro-batch runs the
+    cross-batch MinHash pipeline (operators/dedup.py::
+    incremental_minhash_dedup) against the persistent signature index and
+    appends only admitted (novel) documents to ``output_path``.
+
+    foreachBatch on purpose: near-dup state is a *joinable index*
+    (band/signature rows), not per-key state — Structured Streaming's
+    stateful operators can't express an LSH band join, and the index
+    parquet doubles as the batch pipeline's index, so batch backfills and
+    the live stream share one admission history.
+
+    Exactly-once caveat (same as the batch operator): the index append and
+    the output append are two writes; a crash between them re-admits one
+    micro-batch on replay. The checkpoint makes batch ids stable, so an
+    idempotent downstream (MERGE on `key`, or dedup_stream on read) closes
+    the gap.
+    """
+    from ..operators.dedup import incremental_minhash_dedup
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = incremental_minhash_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            content=content,
+            key=key,
+            threshold=threshold,
+            **minhash_kw,
+        )
+        admitted.write.mode("append").parquet(output_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

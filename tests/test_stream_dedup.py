@@ -78,3 +78,56 @@ def test_dedup_stream_suppresses_replays(spark, tmp_path):
         ("http://b/", "20240101100000"),
     ]
     assert len(seen) == len(set(seen))
+
+
+def test_stream_near_dedup_admits_only_novel(spark, sf_dir, tmp_path):
+    """Streaming near-dup admission (foreachBatch over the persistent
+    MinHash index): micro-batch 2's near-copies of batch-1 docs are
+    rejected; novel docs admitted; the index is shared with the batch
+    pipeline's admission history."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.streaming.dedup import stream_near_dedup
+    from crawl_streams_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "in"
+    src.mkdir()
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "b0.parquet"))
+    near = (
+        b1.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    fresh = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    near.unionByName(fresh).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    out, idx, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ckpt"),
+    )
+    q = stream_near_dedup(
+        stream, out, idx, ckpt, threshold=0.7, available_now=True
+    )
+    q.awaitTermination(180)
+
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    planted_admitted = [d for d in admitted if d >= 100000]
+    assert len(planted_admitted) <= 2, planted_admitted
+    assert len([d for d in admitted if 40 <= d < 60]) >= 18
+    assert len([d for d in admitted if d < 40]) >= 35
+
+    # the index doubles as the BATCH pipeline's admission history
+    from crawl_streams_spark.operators.dedup import incremental_minhash_dedup
+
+    replay = incremental_minhash_dedup(spark, b1, idx, threshold=0.7)
+    assert replay.count() == 0
