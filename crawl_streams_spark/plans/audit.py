@@ -31,6 +31,13 @@ def plan_metrics(df: DataFrame) -> dict:
         "shuffle_exchanges": len(
             re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)
         ),
+        # round-robin rebalances (repartition(n) / the small-input
+        # parallelism floor in tables.load_table) — not keyed shuffles,
+        # but data still crosses the wire; tracked separately so a guard
+        # that should no-op at scale can't silently multiply
+        "rebalance_exchanges": len(
+            re.findall(r"Exchange RoundRobinPartitioning", plan)
+        ),
         "broadcast_joins": plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),

@@ -39,6 +39,44 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Tables whose downstream pipelines are COMPUTE-heavy per row (shingle
+#: hashing, signature math, vector folds) get a minimum-parallelism floor
+#: (below). Scan→aggregate/join tables (lineitem/orders/events/...) do
+#: NOT: partial aggregation and broadcast joins already minimize their
+#: wire volume, and a rebalance would move raw rows for little gain —
+#: their serial test-scale scans are bounded by I/O, not compute.
+FACT_TABLES = frozenset({"documents", "embeddings"})
+
+
+#: (path, cores) → whether the scan needs the parallelism floor. The
+#: partition-count probe (df.rdd.getNumPartitions()) converts the plan to
+#: an RDD driver-side — a few hundred ms — so the verdict is cached: file
+#: layout under a path doesn't change mid-session.
+_NEEDS_REBALANCE: dict[tuple[str, int], bool] = {}
+
+
+def _ensure_min_parallelism(
+    df: DataFrame, spark: SparkSession, path: str
+) -> DataFrame:
+    """Small-input guard: when the source scan yields fewer partitions than
+    half the cores, repartition to defaultParallelism.
+
+    Why: a single parquet file with one row group scans as ONE partition,
+    serializing every downstream narrow pipeline (the compute-heavy
+    minhash/simhash/text stages measured 1 core busy, 31 idle). At
+    production scale inputs carry orders of magnitude more splits than
+    cores, the condition is false, and no exchange is added — the guard
+    exists solely for the degenerate small-file case, where the shuffle it
+    adds is proportionally tiny (the whole file).
+    """
+    target = spark.sparkContext.defaultParallelism
+    key = (path, target)
+    needs = _NEEDS_REBALANCE.get(key)
+    if needs is None:
+        needs = df.rdd.getNumPartitions() < max(1, target // 2)
+        _NEEDS_REBALANCE[key] = needs
+    return df.repartition(target) if needs else df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts to TIMESTAMP_NTZ (µs)."""
@@ -52,6 +90,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).cast(
                 "timestamp_ntz"
             ),
+        )
+    if name in FACT_TABLES:
+        df = _ensure_min_parallelism(
+            df, spark, os.path.join(sf_dir, f"{name}.parquet")
         )
     return df
 
