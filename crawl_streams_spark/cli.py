@@ -255,6 +255,10 @@ def cmd_dedup(args) -> int:
     (operators/dedup.py::incremental_exact_dedup); --near mode rejects
     MinHash near-duplicates of anything admitted
     (incremental_minhash_dedup)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
     from .operators.dedup import (
         incremental_exact_dedup,
         incremental_minhash_dedup,
@@ -262,6 +266,11 @@ def cmd_dedup(args) -> int:
 
     spark = _spark(args)
     batch = spark.read.parquet(args.input)
+    # stable-by-default: one logical batch per input path, so retrying a
+    # failed run replays idempotently instead of losing the batch
+    batch_id = args.batch_id or hashlib.md5(
+        args.input.encode("utf-8")
+    ).hexdigest()[:12]
     if args.near:
         admitted = incremental_minhash_dedup(
             spark,
@@ -270,12 +279,25 @@ def cmd_dedup(args) -> int:
             content=args.content_col,
             key=args.key_col,
             threshold=args.threshold,
+            batch_id=batch_id,
         )
     else:
         admitted = incremental_exact_dedup(
-            spark, batch, args.index, content=args.content_col, key=args.key_col
+            spark,
+            batch,
+            args.index,
+            content=args.content_col,
+            key=args.key_col,
+            batch_id=batch_id,
         )
-    admitted.write.mode("append").parquet(args.output)
+    # output mirrors the index's idempotence: one partition per batch,
+    # dynamically overwritten, so a retried run rewrites its own rows
+    # instead of appending a second copy
+    admitted.withColumn("batch_id", F.lit(batch_id)).write.partitionBy(
+        "batch_id"
+    ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(
+        args.output
+    )
     n = spark.read.parquet(args.output).count()
     print(f"admitted rows appended to {args.output} (total now {n})")
     return 0
@@ -412,6 +434,13 @@ def build_parser() -> argparse.ArgumentParser:
         type=float,
         default=0.8,
         help="estimated-Jaccard rejection threshold (--near only)",
+    )
+    de.add_argument(
+        "--batch-id",
+        default=None,
+        help="stable unique id for this batch (replay-idempotent index "
+        "writes); defaults to a digest of --input, so re-running the same "
+        "input replays instead of double-indexing",
     )
     de.set_defaults(fn=cmd_dedup)
 

@@ -70,7 +70,12 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def sign_bucket(v: Column | str, planes: "list[list[float]]") -> Column:
     """Random-hyperplane LSH bucket id: one bit per plane = sign of v·plane.
     ``planes`` is a small list of unit vectors chosen deterministically by
-    the caller (so the oracle can replicate). Bucket = Σ bit_j << j."""
+    the caller (so the oracle can replicate). Bucket = Σ bit_j << j.
+    Zero planes means one constant bucket (no split) — the lossless
+    degenerate case srp_planes_for returns for corpora that fit a single
+    verification bucket."""
+    if not planes:
+        return F.lit(0).cast("bigint")
     vd = to_double_array(v)
     bits = [
         F.when(

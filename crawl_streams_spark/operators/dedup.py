@@ -116,7 +116,18 @@ def minhash_lsh_candidates(
     )
     sa = sh.select(F.col(key).alias("key_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(key).alias("key_b"), F.col("shingles").alias("sh_b"))
-    verified = F.broadcast(sa.join(F.broadcast(pairs), "key_a")).join(sb, "key_b")
+    # Broadcast ONLY the slim pair-key relation (two ids per candidate —
+    # bounded and small by the LSH contract). Broadcasting the
+    # pairs-joined-with-shingles relation instead is unbounded
+    # (|pairs| × document shingle arrays) and can blow past Spark's 8 GB
+    # broadcast hard limit at scale. Each corpus-scale side reduces to
+    # candidate-bounded rows via a broadcast (semi-)join first, so the
+    # final pair join exchanges only candidate rows — never the corpus.
+    half = sa.join(F.broadcast(pairs), "key_a")
+    sb_cand = sb.join(
+        F.broadcast(pairs.select("key_b").dropDuplicates()), "key_b", "left_semi"
+    )
+    verified = half.join(sb_cand, "key_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return verified.select("key_a", "key_b", (inter / union).alias("jaccard"))
@@ -299,6 +310,58 @@ def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return agreeing.cast("double") / F.size(sig_a).cast("double")
 
 
+def _existing_index(spark, index_path: str):
+    """Read a persistent dedup index, or None when it doesn't exist yet.
+
+    Storage-agnostic on purpose: ``os.path.exists`` sees only the driver's
+    local filesystem and silently reports HDFS/S3 paths — the stated 100 TB
+    deployment posture — as absent, disabling cross-batch dedup every
+    batch. Attempting the read and treating Spark's path-not-found /
+    unreadable-empty-path AnalysisException as "no index yet" probes
+    through the same Hadoop FileSystem the write path uses, so any URI
+    scheme the cluster can write it can also probe. Genuine I/O errors
+    (permissions, corrupt footers) surface as their own exception types
+    and still propagate."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(index_path)
+    except AnalysisException:
+        return None
+
+
+def _foreign_index_rows(index: DataFrame, batch_id: str | int | None) -> DataFrame:
+    """Index rows written by OTHER batches: excludes rows stamped with this
+    batch's own id so a crash-and-replay recomputes against exactly the
+    view the failed attempt saw (its own half-written rows are invisible).
+    ``batch_id`` is a partition column, so the exclusion prunes the current
+    batch's files for free. Indexes written before batch stamping existed
+    (no ``batch_id`` column) are treated as entirely foreign."""
+    if batch_id is None or "batch_id" not in index.columns:
+        return index
+    return index.filter(F.col("batch_id").cast("string") != str(batch_id))
+
+
+def _write_index_rows(rows: DataFrame, index_path: str, batch_id: str | int | None):
+    """Persist admitted index rows, idempotently under replay when a
+    ``batch_id`` is supplied: rows are stamped and partitioned by batch id
+    and written with dynamic partition overwrite, so a replayed batch
+    rewrites exactly its own partition with identical content instead of
+    appending a second copy. Without a batch id the write is a plain
+    append (no replay protection — ad-hoc/one-shot use only)."""
+    stamped = rows.withColumn(
+        "batch_id",
+        F.lit("__adhoc__" if batch_id is None else str(batch_id)),
+    )
+    writer = stamped.write.partitionBy("batch_id")
+    if batch_id is None:
+        writer.mode("append").parquet(index_path)
+    else:
+        writer.option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(index_path)
+
+
 def incremental_minhash_dedup(
     spark,
     new_docs: DataFrame,
@@ -310,6 +373,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     shingle_words: int = 3,
     hash_impl: str = "xxhash64",
+    batch_id: str | int | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate admission — the MinHash analog of
     incremental_exact_dedup for the daily-ingest pipeline: a batch document
@@ -322,7 +386,7 @@ def incremental_minhash_dedup(
               victim set
             → cross-batch: batch bands ⋈ index bands on (band, band_hash)
               → estimated Jaccard vs admitted signatures → reject matches
-            → append survivors' (key, sig, band, band_hash) to the index
+            → write survivors' (key, sig, band, band_hash) to the index
             → return admitted rows
 
     Scale posture: the index stores the exploded band table
@@ -330,9 +394,20 @@ def incremental_minhash_dedup(
     admitted doc, orders smaller than text; both joins key on md5-uniform
     band hashes (no skew); verification touches only colliding pairs and
     uses the signature estimate, so document text never re-enters the
-    pipeline after the first narrow map. Same crash-window caveat as the
-    exact variant: admit-then-append means a retry between the two
-    re-admits one batch — keep the downstream write idempotent on `key`.
+    pipeline after the first narrow map.
+
+    Replay contract: pass a ``batch_id`` that is UNIQUE per logical batch
+    and STABLE across retries (Structured Streaming's foreachBatch id, a
+    date partition, a source-file digest). The index write then stamps and
+    partitions rows by batch id with dynamic partition overwrite, and the
+    cross-batch check ignores rows stamped with the CURRENT id — so a
+    crash between the index write and the caller's output write replays to
+    the identical admitted set instead of colliding with its own
+    just-indexed signatures (which would estimate Jaccard 1.0 and silently
+    drop the whole batch from the output while keeping it in the index).
+    Reusing one id for two different batches overwrites the first batch's
+    index rows — ids must never be recycled. With ``batch_id=None`` the
+    write degrades to a plain append with NO replay protection.
 
     The estimator's resolution is 1/num_hashes (16 hashes → 0.0625 steps);
     pick num_hashes so `threshold` sits between steps, or raise it for
@@ -340,8 +415,6 @@ def incremental_minhash_dedup(
     an index — signatures from different hashes never collide, so
     switching silently re-admits everything.
     """
-    import os as _os
-
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
@@ -396,8 +469,9 @@ def incremental_minhash_dedup(
     )
 
     # cross-batch: collide batch bands with the admitted index
-    if _os.path.exists(index_path):
-        index = spark.read.parquet(index_path)
+    index = _existing_index(spark, index_path)
+    if index is not None:
+        index = _foreign_index_rows(index, batch_id)
         hits = (
             slim.join(
                 index.select(
@@ -422,9 +496,13 @@ def incremental_minhash_dedup(
         sig_tbl.select(key).join(rejected, key, "left_anti")
     ).localCheckpoint(eager=True)
 
-    banded.join(admitted_keys, key, "left_semi").select(
-        key, "band", "band_hash", "sig"
-    ).write.mode("append").parquet(index_path)
+    _write_index_rows(
+        banded.join(admitted_keys, key, "left_semi").select(
+            key, "band", "band_hash", "sig"
+        ),
+        index_path,
+        batch_id,
+    )
     return new_docs.join(admitted_keys, key, "left_semi")
 
 
@@ -434,6 +512,7 @@ def incremental_exact_dedup(
     index_path: str,
     content: str = "text",
     key: str = "doc_id",
+    batch_id: str | int | None = None,
 ) -> DataFrame:
     """Cross-batch exact dedup against a persistent digest index — the
     daily-ingest pattern: each batch is deduplicated within itself AND
@@ -441,36 +520,43 @@ def incremental_exact_dedup(
 
       batch → digest → in-batch keep (min key per digest)
             → left-anti join vs the index parquet (novel digests only)
-            → append novel digests to the index
+            → write novel digests to the index
             → return the novel rows
 
     Returns the admitted (novel) rows; the index at ``index_path`` grows
     by exactly the admitted digests (one row per digest, with the admitted
-    key as provenance).
+    key as provenance, stamped with the writing ``batch_id``).
 
     Scale posture: the index stores ONLY (digest, key) — ~50 B/doc, three
     orders smaller than the corpus; the anti-join shuffles on the
-    md5-uniform digest so it is balanced by construction. Appends create
-    one file per batch — run ``layout.compact_parquet`` on the index as
-    maintenance, or bucket it by digest prefix to make the join
-    co-located. The residual window (crash between admitting rows and
-    appending the index) re-admits that batch's docs on retry — make the
-    downstream write idempotent on ``key`` (same posture as
-    rollup.stream_rollup's markers).
-    """
-    import os as _os
+    md5-uniform digest so it is balanced by construction. Per-batch writes
+    create one partition per batch — run ``layout.compact_parquet`` on the
+    index as maintenance, or bucket it by digest prefix to make the join
+    co-located.
 
+    Replay contract (same as incremental_minhash_dedup): pass a
+    ``batch_id`` unique per logical batch and stable across retries. The
+    anti-join then ignores index rows stamped with the CURRENT id and the
+    index write dynamically overwrites only this batch's partition, so a
+    crash between the index write and the caller's output write replays to
+    the identical admitted set — without it, the replayed batch anti-joins
+    against its own just-indexed digests, admits nothing, and is silently
+    lost from the output while staying in the index. Never recycle an id
+    across different batches. ``batch_id=None`` appends with no replay
+    protection (ad-hoc use only).
+    """
     digests = new_docs.select(
         F.md5(F.col(content)).alias("__digest"), F.col(key)
     )
     batch_keep = digests.groupBy("__digest").agg(F.min(key).alias(key))
-    if _os.path.exists(index_path):
-        index = spark.read.parquet(index_path).select("__digest")
-        novel = batch_keep.join(index, "__digest", "left_anti")
+    index = _existing_index(spark, index_path)
+    if index is not None:
+        foreign = _foreign_index_rows(index, batch_id).select("__digest")
+        novel = batch_keep.join(foreign, "__digest", "left_anti")
     else:
         novel = batch_keep
-    # the novel set is used twice (index append + admitted-row semi-join);
+    # the novel set is used twice (index write + admitted-row semi-join);
     # materialize once so the anti-join doesn't run twice
     novel = novel.localCheckpoint(eager=True)
-    novel.write.mode("append").parquet(index_path)
+    _write_index_rows(novel, index_path, batch_id)
     return new_docs.join(novel.select(F.col(key)), key, "left_semi")

@@ -175,12 +175,17 @@ def launch_messages(
       parallel_queues > 1 (enqueue.py:114-117);
     - ``sheets`` appears only when non-empty (enqueue.py:90-91).
 
+    The top-level ``timestamp`` matches the reference's
+    ``datetime.utcnow().isoformat()`` shape exactly (enqueue.py:124):
+    naive ISO-8601, no 'Z' suffix, microseconds included when the caller's
+    `now` carries them — strict wire-format consumers compare equal.
+
     Deliberate divergence (SURVEY §5.2): launchTimestamp = the launch hour
     (yyyyMMddHHmmss with minutes/seconds zeroed) instead of the wall-clock
     `now` (launcher.py:192), making hourly re-runs idempotent — the crawler
     dedups on it (W-6, README.md:43)."""
     launch_ts = now.strftime("%Y%m%d%H") + "0000"
-    iso_ts = now.strftime("%Y-%m-%dT%H:%M:%SZ")
+    iso_ts = now.isoformat()
     source = source_tag(F.col("id"), F.element_at(F.col("seeds"), 1))
     pq = F.col("parallel_queues")
     heritable_fields = [

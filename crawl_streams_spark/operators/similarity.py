@@ -50,11 +50,17 @@ def srp_planes_for(corpus_size: int, target_bucket: int = 4096) -> int:
     in-bucket comparisons per bucket. Recall lost to the extra planes is
     recovered by unioning multiple independent signatures
     (``embedding_dedup(num_signatures=...)``), which multiplies cost only
-    linearly."""
+    linearly.
+
+    A corpus that already fits one target bucket gets ZERO planes — one
+    constant bucket, exact all-pairs verification inside it — which is
+    both cost-bounded (≤ target_bucket² comparisons) and lossless. One
+    plane there would split the corpus in two and lose ≈θ/π of near-dup
+    pairs (~10% at cos 0.95) per signature for no cost benefit."""
     import math
 
     if corpus_size <= target_bucket:
-        return 1
+        return 0
     return max(1, math.ceil(math.log2(corpus_size / target_bucket)))
 
 

@@ -7,19 +7,22 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 2):
+Ordering policy (round 3 — rotate so every query's driver verdict stays
+recent):
 
-- Slots 1-43: every query that had NO driver verdict in round 1
-  (q_schedule tail, q_sql_extra, q_pivot, q_sessions, q_joins_advanced,
-  q_tpch2, q_tpch3, q_pipeline) — so every registered query has a driver
-  verdict across rounds 1+2 combined.
-- Slots 44-50: one representative per already-verified family, preferring
-  queries whose implementations changed this round and therefore need
-  re-verification (dedup_minhash_lsh_pairs after the slim-band-join
-  restructure, embedding_near_dup after plane re-parameterization,
-  schedule_launch_decisions after the plus1Scope fix).
-- Slots 51+: the remaining round-1-verified queries (unchanged code, green
-  driver rows already on file in CORRECTNESS_r01.json).
+- Slots 1-41: the round-1-verified queries that sat OUTSIDE round 2's
+  window (their last driver verdict is two rounds old), including
+  ``dedup_minhash_est_jaccard`` (new in round 2 — first driver verdict
+  this round). Three r1-green trivial projections
+  (null_coalesce_projection, formatted_log_lines, wayback_timestamps)
+  yield their slots to family coverage below.
+- Slots 42-49: one representative per family verified in round 2, so the
+  window still covers every operator family (pinned by
+  tests/test_registry_order.py).
+- Slot 50: ``dedup_minhash_lsh_pairs`` — its candidate-verification join
+  was restructured this round (slim-pairs broadcast, ADVICE r2 medium);
+  values are unchanged by construction, and the driver row proves it.
+- Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -47,67 +50,66 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- round-1 driver-unverified queries (43) -------------------------
-    # q_schedule tail (5)
-    "launch_ts_and_source_tags",
-    "tumbling_window_counts",
-    "mimetype_fallback_chain",
-    "sql_interface_revenue",
-    "mmh3_partition_keys",
-    # q_sql_extra (8)
-    "small_quantity_orders",
-    "price_percentiles",
-    "conditional_aggregation",
-    "string_function_suite",
-    "date_function_suite",
-    "cube_lineitem_status",
-    "cheapest_supplier_per_part",
-    "orders_in_top_segments",
-    # q_pivot (1)
-    "status_pivot",
-    # q_sessions (2)
-    "user_sessions",
-    "approx_distinct_users",
-    # q_joins_advanced (5)
-    "suppliers_of_bulk_parts",
-    "important_part_value",
-    "idle_rich_customers",
-    "asof_last_purchase",
-    "clicks_before_purchase",
-    # q_tpch2 (8)
-    "nation_trade_volume",
-    "nation_market_share",
-    "nation_product_profit",
-    "late_shipment_priority",
-    "promo_revenue_share",
-    "brand_small_qty_revenue",
-    "disjunctive_part_revenue",
-    "last_shipper_per_order",
-    # q_tpch3 (7)
-    "late_order_priority_counts",
-    "discount_revenue_forecast",
-    "returned_item_customers",
-    "order_count_distribution",
-    "top_revenue_supplier",
-    "supplier_count_by_part",
-    "large_volume_customers",
-    # q_pipeline (7)
-    "train_split_counts",
-    "stratified_sample_counts",
-    "pack_sequences",
-    "benchmark_contamination",
-    "doc_pii_scan",
-    "corpus_curation_funnel",
-    "bpe_learned_merges",
-    # -- re-verification representatives (7): one per round-1-verified
-    # family, preferring round-2-changed implementations ----------------
-    "dedup_minhash_lsh_pairs",  # q_dedup — slim band-join restructure
-    "embedding_near_dup",  # q_similarity — plane re-parameterization
-    "schedule_launch_decisions",  # q_schedule head — plus1Scope fix
-    "event_type_stats",  # q_events flagship
-    "pricing_summary",  # q_tpch
-    "doc_token_stats",  # q_text
-    "url_canonicalization",  # q_crawl
+    # -- last driver verdict is from round 1 (41) -----------------------
+    # q_events (10)
+    "status_code_histogram",
+    "hourly_counts",
+    "recent_window_topk",
+    "latest_events_topk",
+    "windowed_count",
+    "per_user_summary",
+    "event_type_dist_users",
+    "sessionized_set_ops",
+    "rollup_day_reaggregation",
+    "hist_median_by_type",
+    # q_tpch (9)
+    "top_unshipped_orders",
+    "regional_revenue",
+    "customer_order_left_join",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "order_value_running",
+    "rollup_order_priority",
+    "part_supplier_union",
+    # q_text (9)
+    "doc_quality",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "token_array_ops",
+    "doc_bpe_tokens",
+    "top_tokens",
+    "annotation_regex_classes",
+    "lang_source_rollup",
+    "doc_repetition",
+    # q_dedup (5) — est_jaccard is r2-new: FIRST driver verdict this round
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_est_jaccard",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    # q_similarity (3)
+    "knn_bruteforce",
+    "embedding_norms",
+    "label_centroid_sim",
+    # q_crawl (5)
+    "url_host_extraction",
+    "uri_normalization",
+    "annotation_classification",
+    "hop_and_status",
+    "binary_column_plumbing",
+    # -- family-coverage representatives (8): verified round 2, one per
+    # family whose other members all sit in slots 51+ --------------------
+    "schedule_launch_decisions",  # q_schedule
+    "price_percentiles",  # q_sql_extra — percentile shapes
+    "status_pivot",  # q_pivot
+    "user_sessions",  # q_sessions — also a bench headline query
+    "asof_last_purchase",  # q_joins_advanced — as-of join flagship
+    "nation_market_share",  # q_tpch2 — TPC-H Q8 shape
+    "order_count_distribution",  # q_tpch3 — TPC-H Q13 shape
+    "corpus_curation_funnel",  # q_pipeline — composite curation gate
+    # -- round-3-changed implementation: must re-verify ------------------
+    "dedup_minhash_lsh_pairs",  # verify-join slim-broadcast restructure
 )
 
 

@@ -25,19 +25,29 @@ def plan_metrics(df: DataFrame) -> dict:
     """Counters over the initial physical plan (deterministic for fixed
     input files; AQE may improve but never worsen them at runtime)."""
     plan = _physical_plan(df)
+    # one matched line per Exchange node; the node text carries the shuffle
+    # origin (ENSURE_REQUIREMENTS for organic shuffles, REPARTITION_BY_NUM
+    # for explicit .repartition(n[, col]) calls)
+    keyed_exchanges = re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)[^\n]*",
+        plan,
+    )
     return {
         # every Exchange is a full shuffle (or a broadcast distribute);
-        # count only shuffle exchanges — broadcasts are separately counted
+        # count only organic keyed shuffles here (joins/aggregations/
+        # windows) — broadcasts and explicit rebalances are counted
+        # separately below
         "shuffle_exchanges": len(
-            re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)
+            [e for e in keyed_exchanges if "REPARTITION_BY_NUM" not in e]
         ),
-        # round-robin rebalances (repartition(n) / the small-input
-        # parallelism floor in tables.load_table) — not keyed shuffles,
-        # but data still crosses the wire; tracked separately so a guard
-        # that should no-op at scale can't silently multiply
-        "rebalance_exchanges": len(
-            re.findall(r"Exchange RoundRobinPartitioning", plan)
-        ),
+        # explicit parallelism rebalances: repartition(n) round-robins and
+        # the small-input floor in tables.load_table (repartition(n, id) —
+        # hash-on-id for determinism, REPARTITION_BY_NUM origin). Not
+        # organic keyed shuffles, but data still crosses the wire; tracked
+        # separately so a guard that should no-op at scale can't silently
+        # multiply
+        "rebalance_exchanges": len(re.findall(r"Exchange RoundRobinPartitioning", plan))
+        + len([e for e in keyed_exchanges if "REPARTITION_BY_NUM" in e]),
         "broadcast_joins": plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),

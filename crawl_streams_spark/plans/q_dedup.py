@@ -222,10 +222,18 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     sb = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    # candidate set is tiny: broadcast it onto the shingle relation, then
-    # broadcast the (still tiny) half-resolved pairs onto the other side —
-    # the full-corpus shingle relation never shuffles.
-    verified = F.broadcast(sa.join(F.broadcast(cand), "doc_a")).join(sb, "doc_b")
+    # Broadcast ONLY the slim candidate-key relation (bounded — two ids per
+    # pair); broadcasting the half-resolved pairs WITH their shingle arrays
+    # would be unbounded (|pairs| × document size) and can exceed Spark's
+    # 8 GB broadcast limit at scale. Each corpus side reduces to
+    # candidate-bounded rows via a broadcast (semi-)join, so the final pair
+    # join exchanges only candidate rows — the full-corpus shingle relation
+    # never shuffles.
+    half = sa.join(F.broadcast(cand), "doc_a")
+    sb_cand = sb.join(
+        F.broadcast(cand.select("doc_b").dropDuplicates()), "doc_b", "left_semi"
+    )
+    verified = half.join(sb_cand, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = inter / union

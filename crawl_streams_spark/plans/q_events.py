@@ -332,19 +332,19 @@ def sessionized_set_ops(spark, sf_dir):
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
                    event_type,
                    COUNT(*) AS cnt,
-                   SUM(value) AS sum_value,
-                   MIN(value) AS min_value,
-                   MAX(value) AS max_value
+                   SUM(CAST(value AS DECIMAL(18,6))) AS sum_value,
+                   MIN(CAST(value AS DECIMAL(18,6))) AS min_value,
+                   MAX(CAST(value AS DECIMAL(18,6))) AS max_value
             FROM events
             GROUP BY 1, 2
         )
         SELECT CAST(date_trunc('day', bucket_start) AS TIMESTAMP) AS bucket_start,
                event_type,
                CAST(SUM(cnt) AS BIGINT) AS cnt,
-               ROUND(SUM(sum_value), 4) AS sum_value,
-               MIN(min_value) AS min_value,
-               MAX(max_value) AS max_value,
-               ROUND(SUM(sum_value) / SUM(cnt), 6) AS avg_value
+               ROUND(CAST(SUM(sum_value) AS DOUBLE), 4) AS sum_value,
+               CAST(MIN(min_value) AS DOUBLE) AS min_value,
+               CAST(MAX(max_value) AS DOUBLE) AS max_value,
+               ROUND(CAST(SUM(sum_value) AS DOUBLE) / SUM(cnt), 6) AS avg_value
         FROM hourly
         GROUP BY 1, 2
     """,
@@ -355,20 +355,33 @@ def rollup_day_reaggregation(spark, sf_dir):
     hour-grain associative partials (operators/rollup.py), re-aggregate to
     day grain, derive avg from the partials — the exact computation
     update_rollup + rollup_to_grain run against the stored table, so the
-    oracle pins merge(partials) == direct aggregation."""
+    oracle pins merge(partials) == direct aggregation.
+
+    The metric is cast to DECIMAL(18,6) before the partials so every sum
+    is EXACT and therefore order-insensitive: double sums depend on the
+    partial-aggregation merge order, and a group whose 6-decimal avg sat
+    on a rounding boundary (56.4009375) hash-mismatched DuckDB by 1 ulp.
+    Final columns cast back to DOUBLE — deterministic from exact inputs,
+    schema unchanged. The rollup operators themselves are type-agnostic;
+    production rollups keep native doubles (order sensitivity there is a
+    reporting concern, not a merge-correctness one)."""
     from ..operators.rollup import rollup_rows, rollup_to_grain
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
     hourly = rollup_rows(ev, "ts", ["event_type"], ["value"], grain="hour")
     daily = rollup_to_grain(hourly, "day", ["event_type"], ["value"])
     return daily.select(
         "bucket_start",
         "event_type",
         "cnt",
-        F.round("sum_value", 4).alias("sum_value"),
-        "min_value",
-        "max_value",
-        F.round("avg_value", 6).alias("avg_value"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+        F.round(F.col("sum_value").cast("double") / F.col("cnt"), 6).alias(
+            "avg_value"
+        ),
     )
 
 

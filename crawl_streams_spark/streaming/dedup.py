@@ -75,12 +75,19 @@ def stream_near_dedup(
     parquet doubles as the batch pipeline's index, so batch backfills and
     the live stream share one admission history.
 
-    Exactly-once caveat (same as the batch operator): the index append and
-    the output append are two writes; a crash between them re-admits one
-    micro-batch on replay. The checkpoint makes batch ids stable, so an
-    idempotent downstream (MERGE on `key`, or dedup_stream on read) closes
-    the gap.
+    Replay safety: the checkpoint makes foreachBatch ids stable across
+    restarts, and that id is passed straight through as the operator's
+    ``batch_id`` — the index write is a dynamic overwrite of the batch's
+    own partition and the cross-batch check ignores the batch's own index
+    rows, so a replayed micro-batch recomputes the identical admitted set
+    (instead of colliding with its own signatures and being silently
+    dropped). The output write is likewise partitioned by batch id and
+    dynamically overwritten, so index and output are BOTH idempotent under
+    replay — effectively exactly-once end to end. Output rows therefore
+    carry a ``batch_id`` provenance column.
     """
+    import pyspark.sql.functions as F
+
     from ..operators.dedup import incremental_minhash_dedup
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -91,9 +98,14 @@ def stream_near_dedup(
             content=content,
             key=key,
             threshold=threshold,
+            batch_id=batch_id,
             **minhash_kw,
         )
-        admitted.write.mode("append").parquet(output_path)
+        admitted.withColumn("batch_id", F.lit(str(batch_id))).write.partitionBy(
+            "batch_id"
+        ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(
+            output_path
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(admit)

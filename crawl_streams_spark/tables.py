@@ -41,11 +41,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Tables whose downstream pipelines are COMPUTE-heavy per row (shingle
 #: hashing, signature math, vector folds) get a minimum-parallelism floor
-#: (below). Scan→aggregate/join tables (lineitem/orders/events/...) do
-#: NOT: partial aggregation and broadcast joins already minimize their
-#: wire volume, and a rebalance would move raw rows for little gain —
-#: their serial test-scale scans are bounded by I/O, not compute.
-FACT_TABLES = frozenset({"documents", "embeddings"})
+#: (below), hash-distributed on their unique id column. Scan→aggregate/join
+#: tables (lineitem/orders/events/...) do NOT: partial aggregation and
+#: broadcast joins already minimize their wire volume, and a rebalance
+#: would move raw rows for little gain — their serial test-scale scans are
+#: bounded by I/O, not compute.
+FACT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 #: (path, cores) → whether the scan needs the parallelism floor. The
@@ -56,10 +57,11 @@ _NEEDS_REBALANCE: dict[tuple[str, int], bool] = {}
 
 
 def _ensure_min_parallelism(
-    df: DataFrame, spark: SparkSession, path: str
+    df: DataFrame, spark: SparkSession, path: str, id_col: str
 ) -> DataFrame:
     """Small-input guard: when the source scan yields fewer partitions than
-    half the cores, repartition to defaultParallelism.
+    half the cores, repartition to defaultParallelism, HASHED on the
+    table's unique id column.
 
     Why: a single parquet file with one row group scans as ONE partition,
     serializing every downstream narrow pipeline (the compute-heavy
@@ -68,14 +70,20 @@ def _ensure_min_parallelism(
     cores, the condition is false, and no exchange is added — the guard
     exists solely for the degenerate small-file case, where the shuffle it
     adds is proportionally tiny (the whole file).
-    """
+
+    Hash-on-id, NOT round-robin: RoundRobinPartitioning draws a fresh
+    random start index per evaluation, so two evaluations of the same
+    plan place rows in different partitions — every downstream
+    ``limit``/sample, and any operator that evaluates a shared subtree
+    twice, silently stops being reproducible. Hashing the unique id gives
+    the same balanced layout deterministically."""
     target = spark.sparkContext.defaultParallelism
     key = (path, target)
     needs = _NEEDS_REBALANCE.get(key)
     if needs is None:
         needs = df.rdd.getNumPartitions() < max(1, target // 2)
         _NEEDS_REBALANCE[key] = needs
-    return df.repartition(target) if needs else df
+    return df.repartition(target, F.col(id_col)) if needs else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -93,7 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     if name in FACT_TABLES:
         df = _ensure_min_parallelism(
-            df, spark, os.path.join(sf_dir, f"{name}.parquet")
+            df, spark, os.path.join(sf_dir, f"{name}.parquet"), FACT_TABLES[name]
         )
     return df
 

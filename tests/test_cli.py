@@ -198,7 +198,10 @@ def test_dedup_cli(capsys, spark, sf_dir, tmp_path):
     assert main(args) == 0
     first = spark.read.parquet(out).count()
     assert first > 0
-    assert main(args) == 0  # replaying the same batch admits nothing
+    # same input → same derived batch_id → replay semantics: the batch is
+    # re-admitted identically and its output partition overwritten, so the
+    # total is unchanged (idempotent, and crash-safe — ADVICE r2 high)
+    assert main(args) == 0
     assert spark.read.parquet(out).count() == first
 
 
@@ -212,5 +215,6 @@ def test_dedup_cli_near_mode(capsys, spark, sf_dir, tmp_path):
     assert main(args) == 0
     first = spark.read.parquet(out).count()
     assert first > 0
-    assert main(args) == 0  # replay: every doc collides with the index
+    # replay of the same input: identical re-admission, overwritten in place
+    assert main(args) == 0
     assert spark.read.parquet(out).count() == first

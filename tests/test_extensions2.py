@@ -242,6 +242,99 @@ def test_incremental_minhash_dedup(spark, sf_dir, tmp_path):
     assert a3.count() == 0
 
 
+def test_incremental_exact_dedup_replay_with_batch_id(spark, sf_dir, tmp_path):
+    """The crash-replay contract (ADVICE r2, high): with a stable batch_id,
+    replaying a batch after its index write (crash before the output write)
+    re-admits the IDENTICAL row set — the anti-join ignores the batch's own
+    index rows — and the index rewrite is idempotent (no duplicate
+    digests). Without batch ids the replayed batch would anti-join against
+    its own digests and be silently lost."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import incremental_exact_dedup
+    from crawl_streams_spark.tables import load_table
+
+    idx = str(tmp_path / "digest_index")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 100))
+
+    a1 = {r["doc_id"] for r in
+          incremental_exact_dedup(spark, b1, idx, batch_id="b1").collect()}
+    first = {r["doc_id"] for r in
+             incremental_exact_dedup(spark, b2, idx, batch_id="b2").collect()}
+    assert first, "batch 2 should admit its novel docs"
+    n_idx = spark.read.parquet(idx).count()
+
+    # crash-replay of batch 2: same batch_id → identical admitted set
+    replay = {r["doc_id"] for r in
+              incremental_exact_dedup(spark, b2, idx, batch_id="b2").collect()}
+    assert replay == first, "replay must re-admit identically, not lose the batch"
+    # and the index partition was overwritten, not double-appended
+    assert spark.read.parquet(idx).count() == n_idx
+    # cross-batch suppression still holds on replay
+    assert not (replay & a1)
+
+
+def test_incremental_minhash_replay_with_batch_id(spark, sf_dir, tmp_path):
+    """MinHash variant of the crash-replay contract: a replayed batch does
+    NOT collide with its own just-indexed signatures (est-Jaccard 1.0) —
+    it recomputes against the foreign-batch view and admits the identical
+    set; the signature index stays duplicate-free."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import incremental_minhash_dedup
+    from crawl_streams_spark.tables import load_table
+
+    idx = str(tmp_path / "minhash_index")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 40).cache()
+    incremental_minhash_dedup(spark, b1, idx, threshold=0.7, batch_id=1)
+
+    near = (
+        b1.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail")))
+    )
+    b2 = near.unionByName(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 70))
+    )
+    first = {r["doc_id"] for r in
+             incremental_minhash_dedup(
+                 spark, b2, idx, threshold=0.7, batch_id=2
+             ).collect()}
+    assert first, "batch 2 should admit its novel docs"
+    n_idx = spark.read.parquet(idx).count()
+
+    replay = {r["doc_id"] for r in
+              incremental_minhash_dedup(
+                  spark, b2, idx, threshold=0.7, batch_id=2
+              ).collect()}
+    assert replay == first, "replay must re-admit identically, not lose the batch"
+    assert spark.read.parquet(idx).count() == n_idx
+    # near-copies of batch-1 docs stay rejected on replay
+    assert len([d for d in replay if d >= 100000]) <= 2
+
+
+def test_index_probe_is_storage_agnostic(spark, tmp_path):
+    """_existing_index probes through Spark's Hadoop FileSystem (the same
+    path the writes use), not the driver's local os.path — a missing index
+    under ANY URI scheme reads as None instead of raising, and an existing
+    one round-trips. (ADVICE r2, medium: os.path.exists silently disabled
+    cross-batch dedup for hdfs:///s3:// index paths.)"""
+    from crawl_streams_spark.operators.dedup import _existing_index
+
+    missing = str(tmp_path / "nope")
+    assert _existing_index(spark, missing) is None
+    # a scheme-qualified URI of the same missing path also probes cleanly
+    assert _existing_index(spark, f"file://{missing}") is None
+
+    p = str(tmp_path / "yes")
+    spark.range(3).write.parquet(p)
+    got = _existing_index(spark, f"file://{p}")
+    assert got is not None and got.count() == 3
+
+
 def test_incremental_minhash_rejects_indivisible_bands(spark, sf_dir, tmp_path):
     import pytest
 

@@ -142,6 +142,27 @@ def test_launch_message_shape(feed):
     assert sorted(m["value"] for m in msgs) == sorted(m["value"] for m in again)
 
 
+def test_launch_message_timestamp_matches_reference_isoformat(feed):
+    """The top-level timestamp field must equal the reference's
+    datetime.utcnow().isoformat() shape (enqueue.py:124): naive ISO-8601,
+    microseconds when present, NO trailing 'Z' — strict wire-format
+    consumers compare byte-equal."""
+    now = dt.datetime(2020, 1, 1, 9, 0, 0, 123456)
+    seeds = L.launchable_seeds(feed, now)
+    msgs = L.launch_messages(seeds, now).collect()
+    doc = json.loads(msgs[0]["value"])
+    assert doc["timestamp"] == "2020-01-01T09:00:00.123456"
+    assert doc["timestamp"] == now.isoformat()
+    # zero-microsecond datetimes render without the fraction, as isoformat does
+    plain = dt.datetime(2020, 1, 1, 9, 0)
+    doc2 = json.loads(
+        L.launch_messages(L.launchable_seeds(feed, plain), plain).collect()[0][
+            "value"
+        ]
+    )
+    assert doc2["timestamp"] == "2020-01-01T09:00:00"
+
+
 def test_launch_message_inherit_launch_ts(feed):
     """The inherit_launch_ts=True branch (enqueue.py:100-102): launch ts
     becomes the recentlySeen.launchTimestamp sheet entry and leaves

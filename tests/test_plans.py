@@ -18,6 +18,17 @@ from crawl_streams_spark.tables import load_table
 SNAPSHOT_PATH = os.path.join(os.path.dirname(__file__), "plan_snapshots.json")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _uncached_plans(spark):
+    """Plan audits must see the canonical plans: an earlier test file that
+    cached a full table (e.g. load_table(...).cache()) would substitute an
+    InMemoryRelation for the scan+repartition subtree in every later plan,
+    silently changing exchange counts and failing snapshots only under
+    full-suite ordering."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, sf_dir, name: str) -> str:
     return REGISTRY[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 

@@ -28,13 +28,13 @@ def test_driver_window_covers_every_family():
     assert window_families == all_families
 
 
-def test_round2_changed_queries_in_window():
+def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
-    # Implementations touched in round 2 must be re-verified by the driver.
+    # Implementations touched in round 3 must be re-verified by the driver,
+    # and r2-new queries need their FIRST driver verdict.
     for name in (
-        "dedup_minhash_lsh_pairs",
-        "embedding_near_dup",
-        "schedule_launch_decisions",
+        "dedup_minhash_lsh_pairs",  # r3: verify-join slim-broadcast restructure
+        "dedup_minhash_est_jaccard",  # r2-new: no driver verdict yet
     ):
         assert name in window, name
 

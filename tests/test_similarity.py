@@ -171,33 +171,57 @@ def test_minhash_lsh_rejects_indivisible_bands(spark, sf_dir):
 
 
 def test_minhash_lsh_band_shuffle_is_slim(spark, sf_dir):
-    """The 100 TB contract: shingle arrays must NOT ride the banding
-    shuffle — every hash-partitioned exchange in the candidate plan carries
-    only slim (key, band, band_hash) columns; shingles appear solely in the
-    broadcast-side verification join."""
+    """The 100 TB contract, two halves: (a) shingle arrays must NOT ride
+    the corpus-scale banding shuffle — every exchange hash-partitioned on
+    the band keys carries only slim (key, band, band_hash) columns; (b) no
+    BROADCAST exchange may carry shingles — a broadcast of
+    pairs-joined-with-shingles is unbounded (|pairs| × document size) and
+    can exceed Spark's 8 GB broadcast hard limit. Candidate-bounded
+    shuffles of shingle rows in the verification join are fine: candidates
+    are vanishingly small relative to the corpus by the LSH contract."""
     import contextlib
     import io
 
     docs = load_table(spark, sf_dir, "documents")
     df = D.minhash_lsh_candidates(docs)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
+    # disable size-based auto-broadcast for the audit: Catalyst may
+    # legitimately broadcast the candidate-bounded verify side at TEST
+    # scale (tiny stats) and will not at 100 TB — the contract under test
+    # is that WE never force a shingle-bearing broadcast via hints
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     plan = buf.getvalue()
     # formatted mode lists one "(n) Node" detail section per operator;
     # Exchange sections carry the partitioning in their Arguments line
     sections = plan.split("\n\n")
-    shuffle_sections = [
+    band_shuffles = [
         s
         for s in sections
         if s.lstrip().startswith("(")
         and ") Exchange" in s.splitlines()[0]
         and "hashpartitioning" in s
+        and "band_hash" in s  # the band self-join exchanges; the verify
+        # join's candidate-bounded exchanges carry no band columns
     ]
-    assert shuffle_sections, "expected at least one shuffle in the LSH plan"
-    for s in shuffle_sections:
+    assert band_shuffles, "expected the band self-join shuffle in the plan"
+    for s in band_shuffles:
         for col in ("shingles", "sh_a", "sh_b"):
-            assert col not in s, f"shingle array crossed a shuffle:\n{s}"
+            assert col not in s, f"shingle array crossed the band shuffle:\n{s}"
+    broadcasts = [
+        s
+        for s in sections
+        if s.lstrip().startswith("(") and ") BroadcastExchange" in s.splitlines()[0]
+    ]
+    assert broadcasts, "expected the slim pair broadcast in the plan"
+    for s in broadcasts:
+        for col in ("shingles", "sh_a", "sh_b"):
+            assert col not in s, f"unbounded shingle broadcast:\n{s}"
 
 
 def test_simhash_candidates_find_small_hamming(spark, sf_dir):
@@ -229,13 +253,31 @@ def test_embedding_dedup_catches_planted_copies(spark, sf_dir):
 def test_embedding_dedup_planes_derived_from_corpus_size():
     """The scale contract: expected bucket ≈ target_bucket, so in-bucket
     quadratic work stays Θ(n·target_bucket) — linear in n."""
-    assert S.srp_planes_for(1_000, target_bucket=4096) == 1
-    assert S.srp_planes_for(4_096, target_bucket=4096) == 1
+    # fits-in-one-bucket corpora get ZERO planes: one constant bucket,
+    # exact in-bucket verification, no recall loss (a single plane would
+    # split the corpus and miss ~θ/π of near-dup pairs for no cost win)
+    assert S.srp_planes_for(1_000, target_bucket=4096) == 0
+    assert S.srp_planes_for(4_096, target_bucket=4096) == 0
     assert S.srp_planes_for(8_192, target_bucket=4096) == 1
     assert S.srp_planes_for(2**20, target_bucket=4096) == 8
     assert S.srp_planes_for(10**9, target_bucket=4096) == 18
     # deeper buckets for a tighter budget
     assert S.srp_planes_for(2**20, target_bucket=1024) == 10
+
+
+def test_embedding_dedup_zero_planes_is_exact(spark, sf_dir):
+    """A corpus that fits one target bucket derives ZERO planes — one
+    constant bucket, exact all-pairs verification, so EVERY above-threshold
+    pair is caught (lossless), where a single plane could split near-dup
+    pairs across buckets and miss them."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100).cache()
+    planted = _planted_near_dups(emb, 20)
+    full = emb.unionByName(planted).cache()
+    kept = S.embedding_dedup(full, threshold=0.9)  # derives 0 planes
+    survivors = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # exact in-bucket verification: all 20 planted near-dups caught
+    assert not [v for v in survivors if v >= 100000]
+    assert len([v for v in survivors if v < 100000]) == 100
 
 
 def _planted_near_dups(emb, n=30):
