@@ -311,23 +311,13 @@ def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
 
 
 def _existing_index(spark, index_path: str):
-    """Read a persistent dedup index, or None when it doesn't exist yet.
+    """Read a persistent dedup index, or None when it doesn't exist yet —
+    storage-agnostic (fs.parquet_if_exists): ``os.path.exists`` sees only
+    the driver's local filesystem and silently reported HDFS/S3 index
+    paths as absent, disabling cross-batch dedup every batch (ADVICE r2)."""
+    from ..fs import parquet_if_exists
 
-    Storage-agnostic on purpose: ``os.path.exists`` sees only the driver's
-    local filesystem and silently reports HDFS/S3 paths — the stated 100 TB
-    deployment posture — as absent, disabling cross-batch dedup every
-    batch. Attempting the read and treating Spark's path-not-found /
-    unreadable-empty-path AnalysisException as "no index yet" probes
-    through the same Hadoop FileSystem the write path uses, so any URI
-    scheme the cluster can write it can also probe. Genuine I/O errors
-    (permissions, corrupt footers) surface as their own exception types
-    and still propagate."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(index_path)
-    except AnalysisException:
-        return None
+    return parquet_if_exists(spark, index_path)
 
 
 def _foreign_index_rows(index: DataFrame, batch_id: str | int | None) -> DataFrame:

@@ -37,11 +37,10 @@ byte-identical — asserted in tests/test_rollup.py).
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from ..fs import parquet_if_exists
 from .layout import _partition_overwrite, clustered_write
 
 __all__ = [
@@ -241,10 +240,9 @@ def update_rollup(
         dates = [r[0] for r in batch.select(_DATE_COL).distinct().collect()]
         if not dates:
             return 0
-        if os.path.exists(path):
-            existing = spark.read.parquet(path).filter(
-                F.col(_DATE_COL).isin(dates)
-            )
+        table = parquet_if_exists(spark, path)
+        if table is not None:
+            existing = table.filter(F.col(_DATE_COL).isin(dates))
             merged = merge_rollup(existing, batch, dims, metrics, hist)
         else:
             merged = batch
@@ -280,23 +278,27 @@ def stream_rollup(
     With ``exactly_once`` a per-batch marker file (inside the checkpoint
     directory, so its lifetime — and the batch-id namespace — is exactly
     the stream's) records completed merges and the replayed batch becomes
-    a no-op. The residual window (crash between merge and marker write)
-    is the same one Spark's own file sink closes with its transaction log;
-    closing it fully needs a transactional table format.
+    a no-op. Markers are probed and created through Hadoop's FileSystem
+    (fs.hadoop_touch), not driver-local ``os`` calls — checkpoints live on
+    HDFS/S3 in any real deployment, where a local-path marker would both
+    fail to suppress replays and scatter files on the driver. The residual
+    window (crash between merge and marker write) is the same one Spark's
+    own file sink closes with its transaction log; closing it fully needs
+    a transactional table format.
     """
-    markers = os.path.join(checkpoint, "applied_rollup_batches")
+    from ..fs import hadoop_exists, hadoop_touch
+
+    markers = checkpoint.rstrip("/") + "/applied_rollup_batches"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers, str(batch_id))
-        if exactly_once and os.path.exists(marker):
+        marker = f"{markers}/{batch_id}"
+        if exactly_once and hadoop_exists(batch_df.sparkSession, marker):
             return
         update_rollup(
             batch_df.sparkSession, batch_df, path, ts_col, dims, metrics, grain
         )
         if exactly_once:
-            os.makedirs(markers, exist_ok=True)
-            with open(marker, "w"):
-                pass
+            hadoop_touch(batch_df.sparkSession, marker)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

@@ -10,18 +10,20 @@ get driver verdicts, leaving 43 queries with local-only evidence).
 Ordering policy (round 3 — rotate so every query's driver verdict stays
 recent):
 
-- Slots 1-41: the round-1-verified queries that sat OUTSIDE round 2's
+- Slots 1-40: the round-1-verified queries that sat OUTSIDE round 2's
   window (their last driver verdict is two rounds old), including
   ``dedup_minhash_est_jaccard`` (new in round 2 — first driver verdict
-  this round). Three r1-green trivial projections
-  (null_coalesce_projection, formatted_log_lines, wayback_timestamps)
-  yield their slots to family coverage below.
-- Slots 42-49: one representative per family verified in round 2, so the
+  this round). Four r1-green same-shape queries (null_coalesce_projection,
+  formatted_log_lines, wayback_timestamps, event_type_dist_users) yield
+  their slots to family coverage and round-3 additions below.
+- Slots 41-48: one representative per family verified in round 2, so the
   window still covers every operator family (pinned by
   tests/test_registry_order.py).
-- Slot 50: ``dedup_minhash_lsh_pairs`` — its candidate-verification join
-  was restructured this round (slim-pairs broadcast, ADVICE r2 medium);
-  values are unchanged by construction, and the driver row proves it.
+- Slots 49-50: round-3-changed/new implementations —
+  ``dedup_minhash_lsh_pairs`` (candidate-verification join restructured:
+  slim-pairs broadcast, ADVICE r2 medium; values unchanged by
+  construction, the driver row proves it) and ``zorder_curve`` (new:
+  Z-order layout key math under the cross-engine gate).
 - Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
@@ -50,15 +52,14 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- last driver verdict is from round 1 (41) -----------------------
-    # q_events (10)
+    # -- last driver verdict is from round 1 (40) -----------------------
+    # q_events (9)
     "status_code_histogram",
     "hourly_counts",
     "recent_window_topk",
     "latest_events_topk",
     "windowed_count",
     "per_user_summary",
-    "event_type_dist_users",
     "sessionized_set_ops",
     "rollup_day_reaggregation",
     "hist_median_by_type",
@@ -108,8 +109,9 @@ PRIORITY: tuple[str, ...] = (
     "nation_market_share",  # q_tpch2 — TPC-H Q8 shape
     "order_count_distribution",  # q_tpch3 — TPC-H Q13 shape
     "corpus_curation_funnel",  # q_pipeline — composite curation gate
-    # -- round-3-changed implementation: must re-verify ------------------
+    # -- round-3-changed/new implementations: must (re-)verify -----------
     "dedup_minhash_lsh_pairs",  # verify-join slim-broadcast restructure
+    "zorder_curve",  # r3-new: Z-order layout key under the gate
 )
 
 

@@ -287,3 +287,70 @@ def orders_in_top_segments(spark, sf_dir):
             F.col("o_totalprice").alias("totalprice"),
         )
     )
+
+
+_ZBITS = 8
+_ZMAX = (1 << _ZBITS) - 1
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """The Morton bit-interleave as ANSI-SQL bit arithmetic — generated to
+    mirror operators/layout.py::zorder_key term for term."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_curve",
+    oracle=f"""
+        WITH src AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+            FROM lineitem WHERE l_orderkey <= 10000
+        ),
+        rng AS (
+            SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                   MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+            FROM src
+        ),
+        scaled AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST(FLOOR((l_partkey - pmin) * {_ZMAX}
+                              / GREATEST(1, pmax - pmin)) AS BIGINT) AS sx,
+                   CAST(FLOOR((l_suppkey - smin) * {_ZMAX}
+                              / GREATEST(1, smax - smin)) AS BIGINT) AS sy
+            FROM src, rng
+        )
+        SELECT l_orderkey AS orderkey,
+               l_linenumber AS linenumber,
+               l_partkey AS partkey,
+               l_suppkey AS suppkey,
+               ({_z_interleave_sql("sx", "sy")}) AS zval
+        FROM scaled
+    """,
+    tags=("layout", "zorder", "extension"),
+)
+def zorder_curve(spark, sf_dir):
+    """Morton (Z-order) curve values over (l_partkey, l_suppkey) — the
+    exact key operators/layout.py::zorder_write clusters files by, under
+    the cross-engine gate: min-max scaling (int64-exact product, one IEEE
+    double division) and the bit interleave replay bit-for-bit in DuckDB.
+    Whole-stage-codegen bit arithmetic; the only driver traffic is the
+    2-scalars-per-column stats row (column_ranges)."""
+    from ..operators.layout import column_ranges, zorder_key
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 10000)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    )
+    ranges = column_ranges(li, ["l_partkey", "l_suppkey"])
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+        zorder_key(["l_partkey", "l_suppkey"], ranges, _ZBITS).alias("zval"),
+    )

@@ -335,6 +335,21 @@ def test_index_probe_is_storage_agnostic(spark, tmp_path):
     assert got is not None and got.count() == 3
 
 
+def test_hadoop_fs_helpers(spark, tmp_path):
+    """fs.hadoop_exists / hadoop_touch resolve the filesystem from the
+    path (scheme-aware), and touch is create-once: the second toucher sees
+    False — the atomicity replay markers rely on."""
+    from crawl_streams_spark.fs import hadoop_exists, hadoop_touch
+
+    p = str(tmp_path / "markers" / "42")
+    assert not hadoop_exists(spark, p)
+    assert hadoop_touch(spark, p) is True  # creates parents too
+    assert hadoop_exists(spark, p)
+    assert hadoop_touch(spark, p) is False  # already there
+    # scheme-qualified form probes the same file
+    assert hadoop_exists(spark, f"file://{p}")
+
+
 def test_incremental_minhash_rejects_indivisible_bands(spark, sf_dir, tmp_path):
     import pytest
 

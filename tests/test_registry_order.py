@@ -35,6 +35,7 @@ def test_round_changed_queries_in_window():
     for name in (
         "dedup_minhash_lsh_pairs",  # r3: verify-join slim-broadcast restructure
         "dedup_minhash_est_jaccard",  # r2-new: no driver verdict yet
+        "zorder_curve",  # r3-new: Z-order layout key math
     ):
         assert name in window, name
 
