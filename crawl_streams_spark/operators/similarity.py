@@ -353,3 +353,264 @@ def knn_ivf(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def _subspace_rows(
+    corpus: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, __v) — each vector split into `m` contiguous
+    subvectors of dim/m coordinates (one explode, no shuffle). The
+    double-array conversion is staged through a named column so the m
+    slices share ONE evaluation (ROUNDLOG lesson 1: Catalyst inlines
+    multi-use expression subtrees)."""
+    sub = dim // m
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice(F.col("__full"), j * sub + 1, sub).alias("__v"),
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            V.to_double_array(vec_col).alias("__full"),
+        )
+        .select("__id", F.explode(parts).alias("s"))
+        .select(
+            "__id",
+            F.col("s.subspace").alias("subspace"),
+            F.col("s.__v").alias("__v"),
+        )
+    )
+
+
+def _sq_dist(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebook: per-subspace k-means over the
+    corpus's subvectors — returns (subspace, cell, centroid). All `m`
+    subspace trainings run JOINTLY as one DataFrame iteration (Lloyd's on
+    the exploded (id, subspace, subvector) relation): per round one
+    broadcast of the m·k centroids and one grouped aggregation, exactly
+    the kmeans_train shape (deterministic id%k init, no RNG, no collects).
+
+    Scale: the codebook is m·k·(dim/m) doubles — a few KB at any corpus
+    size — while training scans the corpus once per iteration and shuffles
+    only (key, partial) aggregation rows. The assignment groupBy carries
+    the subvector in its key (functionally dependent on (id, subspace) —
+    same group count, wider rows) to avoid a second join, mirroring
+    kmeans_train."""
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sub = dim // m
+    rows = _subspace_rows(corpus, m, dim, id_col, vec_col)
+    assigned = rows.withColumn("cell", F.pmod(F.col("__id"), F.lit(k)))
+    for _ in range(iters):
+        cents = assigned.groupBy("subspace", "cell").agg(
+            F.array(
+                *[F.avg(F.element_at("__v", i + 1)) for i in range(sub)]
+            ).alias("centroid")
+        )
+        assigned = (
+            rows.join(F.broadcast(cents), "subspace")
+            .select(
+                "__id",
+                "subspace",
+                "__v",
+                F.col("cell"),
+                _sq_dist(F.col("__v"), F.col("centroid")).alias("__d"),
+            )
+            .groupBy("__id", "subspace", "__v")
+            # lexicographic (__d, cell) ordering: distance ties break to
+            # the LOWEST cell id deterministically (bare min_by on a float
+            # distance would pick whichever tied row an executor saw first)
+            .agg(F.min_by("cell", F.struct("__d", "cell")).alias("cell"))
+        )
+        assigned = assigned.localCheckpoint(eager=True)
+    return assigned.groupBy("subspace", "cell").agg(
+        F.array(
+            *[F.avg(F.element_at("__v", i + 1)) for i in range(sub)]
+        ).alias("centroid")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — each vector compressed to `m` small ints (nearest
+    codeword per subspace): dim doubles → m bytes-ish, a 64× footprint cut
+    at dim=64/m=8 that lets a 100 TB embedding corpus score from a ~1.5 TB
+    codes table. One explode + broadcast codebook join + per-id rollup;
+    the corpus never shuffles by vector (only the m-rows-per-id rollup
+    exchanges, keyed on the id)."""
+    rows = _subspace_rows(corpus, m, dim, id_col, vec_col)
+    best = (
+        rows.join(F.broadcast(codebook), "subspace")
+        .select(
+            "__id",
+            "subspace",
+            F.col("cell"),
+            _sq_dist(F.col("__v"), F.col("centroid")).alias("__d"),
+        )
+        .groupBy("__id", "subspace")
+        # deterministic tie-break to the lowest cell id (see pq_train)
+        .agg(F.min_by("cell", F.struct("__d", "cell")).alias("cell"))
+    )
+    return (
+        best.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "cell"))
+                ),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+
+
+def pq_knn(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a tiny
+    (m × codewords) table of exact subspace distances to every codeword is
+    precomputed and broadcast; each corpus code then scores with m array
+    lookups + a fold — no vector math against the corpus at all, and the
+    uncompressed corpus is never read. Returns
+    (query_id, neighbor_id, adc_dist, rnk).
+
+    Scale: scoring is a narrow map over the CODES table (the 64×-smaller
+    relation); the only per-query state is |Q|·m·k doubles of distance
+    table, broadcast like the brute-force query set. Top-k uses the same
+    per-query window as knn_bruteforce. Recall is bounded by quantization
+    error — measured against brute force in tests; raise `k`/`m` (finer
+    codebooks) to trade memory for recall."""
+    qrows = _subspace_rows(queries, m, dim, id_col, vec_col).withColumnRenamed(
+        "__id", "query_id"
+    )
+    qtab = (
+        qrows.join(F.broadcast(codebook), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "cell",
+            _sq_dist(F.col("__v"), F.col("centroid")).alias("pdist"),
+        )
+        .groupBy("query_id", "subspace")
+        .agg(
+            # keyed by CELL ID, not position: a codebook may lose a cell to
+            # an empty cluster, and a positional row would then misalign
+            # every higher cell's lookup
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("cell", "pdist")))
+            ).alias("row")
+        )
+        .groupBy("query_id")
+        .agg(
+            # subspace-keyed map (maps need no ordering; array_sort cannot
+            # compare structs that contain a map field anyway)
+            F.map_from_entries(
+                F.collect_list(F.struct("subspace", "row"))
+            ).alias("dtable")
+        )
+    )
+    scored = codes.join(
+        F.broadcast(qtab), F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda c, j: F.element_at(F.element_at(F.col("dtable"), j), c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+def pq_knn_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search (the standard IVF-PQ shape): ADC over the
+    compressed codes produces a `shortlist` of candidates per query, then
+    ONLY those candidates' original vectors are read for an exact re-rank.
+    Recall equals the shortlist's recall (measured 0.77 for true-top-5 at
+    m=8/k=16/shortlist=50 on the synthetic embeddings — near-isotropic
+    vectors, PQ's worst case) while the exact math touches |Q|·shortlist
+    vectors instead of the corpus.
+
+    Scale: stage 1 scans the 64×-smaller codes table; stage 2 broadcasts
+    the (query, candidate) pairs onto the corpus — a broadcast semi-probe,
+    so the full-resolution corpus is never shuffled and only candidate
+    rows leave their partitions. Returns (query_id, neighbor_id, sq_dist,
+    rnk)."""
+    cand = pq_knn(
+        codes, codebook, queries, k=shortlist, m=m, dim=dim, id_col=id_col
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(vec_col).alias("q_vec"),
+    )
+    pairs = cand.join(F.broadcast(q), "query_id")
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        V.to_double_array(vec_col).alias("n_vec"),
+    ).join(F.broadcast(pairs), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        _sq_dist(F.col("q_vec"), F.col("n_vec")).alias("sq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("sq_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -10,20 +10,22 @@ get driver verdicts, leaving 43 queries with local-only evidence).
 Ordering policy (round 3 — rotate so every query's driver verdict stays
 recent):
 
-- Slots 1-40: the round-1-verified queries that sat OUTSIDE round 2's
+- Slots 1-39: the round-1-verified queries that sat OUTSIDE round 2's
   window (their last driver verdict is two rounds old), including
   ``dedup_minhash_est_jaccard`` (new in round 2 — first driver verdict
-  this round). Four r1-green same-shape queries (null_coalesce_projection,
-  formatted_log_lines, wayback_timestamps, event_type_dist_users) yield
-  their slots to family coverage and round-3 additions below.
-- Slots 41-48: one representative per family verified in round 2, so the
+  this round). Five r1-green same-shape queries (null_coalesce_projection,
+  formatted_log_lines, wayback_timestamps, event_type_dist_users,
+  hop_and_status) yield their slots to family coverage and round-3
+  additions below.
+- Slots 40-47: one representative per family verified in round 2, so the
   window still covers every operator family (pinned by
   tests/test_registry_order.py).
-- Slots 49-50: round-3-changed/new implementations —
+- Slots 48-50: round-3-changed/new implementations —
   ``dedup_minhash_lsh_pairs`` (candidate-verification join restructured:
   slim-pairs broadcast, ADVICE r2 medium; values unchanged by
-  construction, the driver row proves it) and ``zorder_curve`` (new:
-  Z-order layout key math under the cross-engine gate).
+  construction, the driver row proves it), ``zorder_curve`` (new: Z-order
+  layout key math under the cross-engine gate), and
+  ``pq_codes_fixed_book`` (new: product-quantization encoding kernel).
 - Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
@@ -52,7 +54,7 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- last driver verdict is from round 1 (40) -----------------------
+    # -- last driver verdict is from round 1 (39) -----------------------
     # q_events (9)
     "status_code_histogram",
     "hourly_counts",
@@ -93,11 +95,11 @@ PRIORITY: tuple[str, ...] = (
     "knn_bruteforce",
     "embedding_norms",
     "label_centroid_sim",
-    # q_crawl (5)
+    # q_crawl (4) — hop_and_status (r1-green simple projection) yields its
+    # slot to the r3-new PQ query below
     "url_host_extraction",
     "uri_normalization",
     "annotation_classification",
-    "hop_and_status",
     "binary_column_plumbing",
     # -- family-coverage representatives (8): verified round 2, one per
     # family whose other members all sit in slots 51+ --------------------
@@ -112,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     # -- round-3-changed/new implementations: must (re-)verify -----------
     "dedup_minhash_lsh_pairs",  # verify-join slim-broadcast restructure
     "zorder_curve",  # r3-new: Z-order layout key under the gate
+    "pq_codes_fixed_book",  # r3-new: PQ encode + quantization error
 )
 
 

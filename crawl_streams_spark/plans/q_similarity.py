@@ -187,3 +187,123 @@ def label_centroid_sim(spark, sf_dir):
     return emb.join(F.broadcast(cent), "label").select(
         "vec_id", "label", sim.alias("centroid_sim")
     )
+
+
+# -- PQ encode under the cross-engine gate --------------------------------
+# Fixed 4-subspace × 4-codeword book whose values are exact in binary
+# (multiples of 0.125), so both engines parse identical doubles and every
+# arithmetic step below is reproducible bit-for-bit.
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16
+
+
+def _pq_word(c: int) -> list[float]:
+    return [c * 0.5 - 1.0 + i * 0.125 for i in range(_PQ_SUB)]
+
+
+def _pq_book_sql() -> str:
+    rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in _pq_word(c))}])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(subspace, cell, centroid)"
+
+
+def _pq_dist_sql() -> str:
+    """Squared L2 between a vector's subspace slice and the joined
+    codeword, as an EXPLICIT left-associated chain — the same sequential
+    fold order Spark's F.aggregate uses, so the double sums agree to the
+    last bit (a float-summation-order lesson, see rollup_day_reaggregation)."""
+    terms = [
+        f"(CAST(embedding[subspace * {_PQ_SUB} + {i}] AS DOUBLE) - centroid[{i}])"
+        f" * (CAST(embedding[subspace * {_PQ_SUB} + {i}] AS DOUBLE) - centroid[{i}])"
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "pq_codes_fixed_book",
+    oracle=f"""
+        WITH book AS ({_pq_book_sql()}),
+        emb AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+        ),
+        dist AS (
+            SELECT vec_id, subspace, cell, {_pq_dist_sql()} AS d
+            FROM emb CROSS JOIN book
+        ),
+        best AS (
+            SELECT vec_id, subspace, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, subspace ORDER BY d, cell
+                   ) AS rn
+            FROM dist
+        ),
+        codesl AS (
+            SELECT vec_id, list(CAST(cell AS BIGINT) ORDER BY subspace) AS codes
+            FROM best WHERE rn = 1 GROUP BY vec_id
+        ),
+        mind AS (
+            SELECT vec_id, subspace, MIN(d) AS d FROM dist GROUP BY 1, 2
+        ),
+        errl AS (
+            SELECT vec_id, list(d ORDER BY subspace) AS ds
+            FROM mind GROUP BY vec_id
+        )
+        SELECT c.vec_id AS vec_id,
+               array_to_string(c.codes, ',') AS codes,
+               ((ds[1] + ds[2]) + ds[3]) + ds[4] AS quant_err
+        FROM codesl c JOIN errl USING (vec_id)
+    """,
+    tags=("similarity", "pq", "extension"),
+)
+def pq_codes_fixed_book(spark, sf_dir):
+    """Product-quantization encoding (operators/similarity.py::pq_encode)
+    against a fixed literal codebook, plus the per-vector quantization
+    error — the compression kernel of the PQ search family under the hard
+    cross-engine gate. Codebook values are exact binary fractions; the
+    distance folds are sequential in both engines; argmin ties break
+    (distance, cell) lexicographically on both sides — so codes AND the
+    double-typed error hash-match bit-for-bit."""
+    from ..operators.similarity import _sq_dist, _subspace_rows, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    book = spark.createDataFrame(
+        [(j, c, _pq_word(c)) for j in range(_PQ_M) for c in range(_PQ_K)],
+        "subspace int, cell bigint, centroid array<double>",
+    )
+    codes = pq_encode(emb, book, m=_PQ_M, dim=64)
+    rows = _subspace_rows(emb, _PQ_M, 64, "vec_id", "embedding")
+    mind = (
+        rows.join(F.broadcast(book), "subspace")
+        .select(
+            "__id",
+            "subspace",
+            _sq_dist(F.col("__v"), F.col("centroid")).alias("d"),
+        )
+        .groupBy("__id", "subspace")
+        .agg(F.min("d").alias("d"))
+    )
+    err = (
+        mind.groupBy("__id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("subspace", "d"))),
+                    lambda s: s["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("quant_err")
+        )
+        .select(F.col("__id").alias("vec_id"), "quant_err")
+    )
+    return codes.join(err, "vec_id").select(
+        "vec_id",
+        # comma-joined, not a raw array: the driver comparator
+        # canonicalizes scalar types only (same convention as
+        # dedup_minhash_signatures' sig_digest)
+        F.concat_ws(",", F.col("codes")).alias("codes"),
+        "quant_err",
+    )

@@ -36,6 +36,7 @@ def test_round_changed_queries_in_window():
         "dedup_minhash_lsh_pairs",  # r3: verify-join slim-broadcast restructure
         "dedup_minhash_est_jaccard",  # r2-new: no driver verdict yet
         "zorder_curve",  # r3-new: Z-order layout key math
+        "pq_codes_fixed_book",  # r3-new: PQ encoding kernel
     ):
         assert name in window, name
 
