@@ -183,8 +183,22 @@ def label_centroid_sim(spark, sf_dir):
             ]
         ).alias("centroid")
     )
-    sim = F.round(V.cosine("embedding", "centroid"), 4)
-    return emb.join(F.broadcast(cent), "label").select(
+    # the vectors.py performance contract: cast + norm staged through
+    # named columns BELOW the join, one dot_raw per pair above it — same
+    # fold order as the convenience form (identical values), ~30% faster
+    # at sf0.1 because the double-cast and norm subtrees evaluate once
+    # instead of being re-inlined per cosine operand (ROUNDLOG lesson 1)
+    pre = emb.select(
+        "vec_id", "label", V.to_double_array("embedding").alias("__e")
+    ).select("vec_id", "label", "__e", V.norm_raw("__e").alias("__n"))
+    cent_n = cent.select(
+        "label", "centroid", V.norm_raw("centroid").alias("__nc")
+    )
+    sim = F.round(
+        V.cosine_from(V.dot_raw("__e", "centroid"), F.col("__n"), F.col("__nc")),
+        4,
+    )
+    return pre.join(F.broadcast(cent_n), "label").select(
         "vec_id", "label", sim.alias("centroid_sim")
     )
 
