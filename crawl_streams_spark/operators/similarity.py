@@ -614,3 +614,129 @@ def pq_knn_rerank(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment: broadcast the (tiny) centroid
+    table and take argmin squared-L2 per vector, ties broken by lowest
+    cell id. Returns (id, __v double-array, __norm, cell).
+
+    The distance uses the expanded form |v|² + |c|² − 2·v·c so the
+    per-pair work is one dot product against a staged self-dot — and so a
+    SQL oracle computing the same algebra in the same fold order gets
+    bit-identical doubles (and therefore identical argmin ties).
+
+    Scale: one broadcast join (centroids are k rows) + a partial-agg
+    groupBy on the id — the corpus is never shuffled by its vector."""
+    d = corpus.select(
+        F.col(id_col).alias("__id"), V.to_double_array(vec_col).alias("__v")
+    ).select("__id", "__v", V.dot_raw("__v", "__v").alias("__vv"))
+    c = centroids.select(
+        F.col("cell"),
+        F.col("centroid").alias("__c"),
+    ).select("cell", "__c", V.dot_raw("__c", "__c").alias("__cc"))
+    sqd = F.col("__vv") + F.col("__cc") - 2.0 * V.dot_raw("__v", "__c")
+    best = (
+        d.join(F.broadcast(c))
+        .select("__id", "__v", "__vv", F.struct(sqd.alias("d"), "cell").alias("__s"))
+        .groupBy("__id", "__v", "__vv")
+        .agg(F.min("__s").alias("__s"))
+    )
+    return best.select(
+        "__id",
+        "__v",
+        F.sqrt("__vv").alias("__norm"),
+        F.col("__s.cell").alias("cell"),
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around centroids, then compare
+    pairs ONLY within a cluster; emit (vec_a, vec_b, cell, cos_sim) for
+    in-cell pairs with cosine ≥ threshold. Cross-cell near-dup pairs are
+    missed by construction — that bounded recall loss is the algorithm's
+    published trade for removing the O(n²) global comparison.
+
+    Scale: assignment is a broadcast join; the self-join shuffles the
+    corpus ONCE keyed on the (narrow, int) cell id; in-cell work is
+    quadratic in cell size, so pick k ≈ n / target_cell to keep total
+    pair work ≈ n·target_cell — linear in n at fixed cell size. Norms
+    and double-casts are staged below the join (one per row, not per
+    pair)."""
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("__id").alias("vec_a"),
+        F.col("__v").alias("emb_a"),
+        F.col("__norm").alias("norm_a"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("__id").alias("vec_b"),
+        F.col("__v").alias("emb_b"),
+        F.col("__norm").alias("norm_b"),
+        F.col("cell").alias("cell_b"),
+    )
+    cos = F.round(
+        V.cosine_from(V.dot_raw("emb_a", "emb_b"), F.col("norm_a"), F.col("norm_b")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int | None = None,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    target_cell: int = 4096,
+    iters: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic dedup end to end: k-means clusters (DataFrame-only Lloyd,
+    no RNG), in-cell cosine pairs ≥ threshold, transitive clustering of
+    the pair graph, keep the lowest id per duplicate group. Returns the
+    admitted rows of ``corpus`` (schema unchanged).
+
+    k defaults to ceil(n / target_cell) so in-cell quadratic work stays
+    linear in n at a fixed per-cell budget (same sizing contract as
+    srp_planes_for)."""
+    from .dedup import cluster_duplicates
+
+    if centroids is None:
+        if k is None:
+            n = corpus.count()
+            k = max(1, -(-n // target_cell))
+        cents = kmeans_train(
+            corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    else:
+        cents = centroids
+    pairs = semantic_dedup_pairs(
+        corpus, cents, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    clusters = cluster_duplicates(pairs, key_a="vec_a", key_b="vec_b")
+    losers = clusters.filter(F.col("key") != F.col("cluster")).select(
+        F.col("key").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")

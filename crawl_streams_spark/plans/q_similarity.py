@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from ..functions import vectors as V
+from ..operators import similarity as S
 from ..tables import load_table
 from .registry import query
 
@@ -321,3 +322,50 @@ def pq_codes_fixed_book(spark, sf_dir):
         F.concat_ws(",", F.col("codes")).alias("codes"),
         "quant_err",
     )
+
+
+@query(
+    "semantic_dedup_pairs",
+    oracle="""
+        WITH c AS (
+            SELECT vec_id AS cell, embedding::DOUBLE[] AS cvec,
+                   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS cc
+            FROM embeddings WHERE vec_id < 8
+        ),
+        v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS vec,
+                   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+            FROM embeddings
+        ),
+        a AS (
+            SELECT vec_id, vec, sqrt(vv) AS nrm, cell FROM (
+                SELECT v.vec_id, v.vec, v.vv, c.cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY v.vv + c.cc - 2.0 * list_dot_product(v.vec, c.cvec),
+                                    c.cell) AS rn
+                FROM v, c
+            ) WHERE rn = 1
+        )
+        SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b, a1.cell AS cell,
+               ROUND(list_dot_product(a1.vec, a2.vec) / (a1.nrm * a2.nrm), 6)
+                   AS cos_sim
+        FROM a a1 JOIN a a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+        WHERE ROUND(list_dot_product(a1.vec, a2.vec) / (a1.nrm * a2.nrm), 6)
+              >= 0.35
+    """,
+    tags=("similarity", "dedup", "semantic", "extension"),
+)
+def semantic_dedup_pairs(spark, sf_dir):
+    """SemDeDup kernel (cluster-then-compare, arXiv:2303.09540) under the
+    cross-engine gate: fixed centroids (the first 8 vectors — the
+    production path trains k-means instead, operators/similarity.py::
+    semantic_dedup), argmin-L2 assignment with lowest-cell tie-break, then
+    in-cell cosine pairs ≥ 0.35. Assignment algebra |v|²+|c|²−2·v·c folds
+    in array order on both engines, so the argmin — and therefore the
+    emitted pair set — is bit-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), V.to_double_array("embedding").alias("centroid")
+    )
+    return S.semantic_dedup_pairs(emb, cents, threshold=0.35)

@@ -37,10 +37,13 @@ def test_round_changed_queries_in_window():
         "dedup_minhash_est_jaccard",  # r2-new: no driver verdict yet
         "zorder_curve",  # r3-new: Z-order layout key math
         "pq_codes_fixed_book",  # r3-new: PQ encoding kernel
+        "semantic_dedup_pairs",  # r3-new: SemDeDup kernel
+        "dup_token_spans",  # r3-new: substring-level dedup spans
+        "dup_span_doc_stats",  # r3-new: duplicated-coverage fractions
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 93 registered queries as of round 2; update deliberately when adding.
-    assert len(REGISTRY) >= 93
+    # 99 registered queries as of round 3; update deliberately when adding.
+    assert len(REGISTRY) >= 99

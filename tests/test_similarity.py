@@ -473,3 +473,44 @@ def test_pq_knn_recall_vs_bruteforce(spark, sf_dir):
     )
     assert r_rr >= 0.65, f"rerank recall@5 too low: {r_rr:.2f}"
     assert r_rr > r_direct - 0.2  # shortlist recovers coarse-codebook loss
+
+
+def test_semantic_dedup_catches_planted_copies(spark, sf_dir):
+    """SemDeDup end to end: identical vectors get identical centroid
+    distances → the same cell, so planted exact copies are always in-cell
+    and removed; the lowest id of each duplicate group survives."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    dups = emb.limit(10).withColumn("vec_id", F.col("vec_id") + 100000)
+    full = emb.unionByName(dups)
+    kept = S.semantic_dedup(full, k=4, threshold=0.999, iters=2)
+    survivors = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert not [v for v in survivors if v >= 100000]
+    assert len([v for v in survivors if v < 100000]) == 200
+
+
+def test_semantic_dedup_no_dups_is_identity(spark, sf_dir):
+    """At a threshold above the corpus's max in-cell cosine, nothing is
+    dropped (the operator never invents duplicates)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(150).cache()
+    kept = S.semantic_dedup(emb, k=3, threshold=0.9999, iters=1)
+    assert kept.count() == 150
+
+
+def test_semantic_dedup_pairs_within_cells_only(spark, sf_dir):
+    """Every emitted pair shares the cell of BOTH endpoints (the
+    cluster-then-compare contract) and respects the threshold."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    pairs = S.semantic_dedup_pairs(emb, cents, threshold=0.3).collect()
+    assigned = {
+        r["__id"]: r["cell"]
+        for r in S.assign_cells(emb, cents).select("__id", "cell").collect()
+    }
+    assert pairs, "fixture should contain at least one pair at cos>=0.3"
+    for r in pairs:
+        assert assigned[r["vec_a"]] == r["cell"] == assigned[r["vec_b"]]
+        assert r["cos_sim"] >= 0.3
+        assert r["vec_a"] < r["vec_b"]
