@@ -1,0 +1,126 @@
+"""Corpus-level term statistics: unigram frequency tables, per-document
+frequency-based quality scores, and TF-IDF keyword extraction.
+
+The mean-corpus-frequency score is the classic cheap "LM-free perplexity
+proxy" quality filter (documents made of common words score high; garbled
+or boilerplate-coded text scores low) used by large-corpus curation
+pipelines; TF-IDF top-terms is the standard keyword/topic fingerprint.
+No counterpart in the reference (training-pipeline extension, SURVEY
+§7.6).
+
+Determinism contract (the round-3 lesson: every aggregate under the
+cross-engine hash gate must be order-insensitive): all sums here are
+INTEGER (term counts and count-weighted sums), every double is produced by
+a single division or a single log per output row — never a float
+reduction — so results are bit-reproducible on any partitioning.
+
+Scale (100 TB):
+- the (doc, term) TF relation aggregates per document BEFORE any global
+  shuffle, so each document contributes its distinct terms once, not its
+  token stream;
+- corpus term counts shuffle on the term — Zipf-skewed, but partial
+  aggregation absorbs hot terms (one partial row per map task), the same
+  measured argument as the 84%-one-host aggregate (tests/test_skew.py);
+- the TF⋈term-stats join is also term-keyed and genuinely skewed (every
+  document contains the head of the Zipf curve). AQE's skew-join split
+  handles the hot partitions; for a dedicated deployment the head of the
+  term table (top ~10⁴ terms ≈ KBs) can be broadcast and only the tail
+  shuffle-joined — the composition is left to the caller since the gate
+  queries must stay engine-portable;
+- scalar corpus totals (N docs, total tokens) ride a broadcast single-row
+  cross join, never a driver collect.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import text as T
+
+__all__ = ["term_frequencies", "term_stats", "doc_freq_stats", "doc_tfidf_topk"]
+
+
+def term_frequencies(
+    df: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(key, tok, tf): per-document term frequencies — one row per
+    DISTINCT term of each document. The explode is linear in token count;
+    the groupBy keys on (key, tok) whose leading key co-locates with the
+    per-document rollups downstream."""
+    return (
+        df.select(F.col(key).alias("key"), F.explode(T.tokens(content)).alias("tok"))
+        .groupBy("key", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_stats(tf: DataFrame) -> DataFrame:
+    """(tok, cnt, df_docs) from a term-frequency relation: corpus
+    occurrence count and document frequency. One term-keyed shuffle;
+    partial aggregation absorbs Zipf-head terms."""
+    return tf.groupBy("tok").agg(
+        F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("df_docs")
+    )
+
+
+def doc_freq_stats(
+    df: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Per-document frequency-based quality score:
+    (key, n_tokens, freq_sum, mean_token_freq) where freq_sum counts, for
+    every token OCCURRENCE, how often that token occurs in the whole
+    corpus (Σ tf·cnt — integer), and mean_token_freq = freq_sum/n_tokens
+    (one division, rounded to 6). Low means rare/garbled vocabulary; high
+    means common-word text."""
+    tf = term_frequencies(df, content, key)
+    stats = term_stats(tf)
+    joined = tf.join(stats, "tok")
+    per_doc = joined.groupBy("key").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("cnt")).alias("freq_sum"),
+    )
+    return per_doc.select(
+        F.col("key").alias(key),
+        "n_tokens",
+        "freq_sum",
+        F.round(F.col("freq_sum") / F.col("n_tokens"), 6).alias("mean_token_freq"),
+    )
+
+
+def doc_tfidf_topk(
+    df: DataFrame, k: int = 5, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document:
+    (key, tok, tf, df_docs, tfidf, rnk), tfidf = tf · ln(N/df) with N the
+    total document count — one log per output row, no float reductions.
+    Rank orders by (tfidf DESC, tok ASC): ties in tfidf are exact value
+    ties (identical tf and df), so the term tie-break makes the top-k set
+    reproducible across engines and partitionings."""
+    tf = term_frequencies(df, content, key)
+    stats = term_stats(tf)
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(stats, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "key",
+            "tok",
+            "tf",
+            "df_docs",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("key").alias(key),
+            "tok",
+            "tf",
+            "df_docs",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rnk",
+        )
+    )

@@ -26,12 +26,14 @@ recent):
   construction, the driver row proves it), ``zorder_curve`` (new: Z-order
   layout key math under the cross-engine gate), ``pq_codes_fixed_book``
   (new: product-quantization encoding kernel), ``semantic_dedup_pairs``
-  (new: SemDeDup cluster-then-compare), and ``dup_token_spans`` /
-  ``dup_span_doc_stats`` (new: substring-level dedup). Three r1-verified
-  same-shape queries (latest_events_topk, customers_without_orders,
-  top_tokens) yield their slots — their shapes stay covered by in-window
-  siblings (recent_window_topk, customers_with_open_orders,
-  token_array_ops).
+  (new: SemDeDup cluster-then-compare), ``dup_token_spans`` /
+  ``dup_span_doc_stats`` (new: substring-level dedup), and
+  ``doc_unigram_freq`` / ``doc_tfidf_topk`` (new: corpus term
+  statistics). Five r1-verified same-shape queries (latest_events_topk,
+  customers_without_orders, top_tokens, hourly_counts,
+  part_supplier_union) yield their slots — their shapes stay covered by
+  in-window siblings (recent_window_topk, customers_with_open_orders,
+  token_array_ops, windowed_count, sessionized_set_ops).
 - Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
@@ -54,6 +56,7 @@ from . import q_tpch2  # noqa: E402,F401
 from . import q_tpch3  # noqa: E402,F401
 from . import q_pipeline  # noqa: E402,F401
 from . import q_spans  # noqa: E402,F401
+from . import q_corpus  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -64,7 +67,6 @@ PRIORITY: tuple[str, ...] = (
     # -- last driver verdict is from round 1 (39) -----------------------
     # q_events (9)
     "status_code_histogram",
-    "hourly_counts",
     "recent_window_topk",
     "windowed_count",
     "per_user_summary",
@@ -79,7 +81,6 @@ PRIORITY: tuple[str, ...] = (
     "top_orders_per_customer",
     "order_value_running",
     "rollup_order_priority",
-    "part_supplier_union",
     # q_text (9)
     "doc_quality",
     "doc_lang_id",
@@ -122,6 +123,8 @@ PRIORITY: tuple[str, ...] = (
     "semantic_dedup_pairs",  # r3-new: SemDeDup cluster-then-compare kernel
     "dup_token_spans",  # r3-new: substring-level dedup (repeated windows)
     "dup_span_doc_stats",  # r3-new: per-doc duplicated-coverage fractions
+    "doc_unigram_freq",  # r3-new: mean-corpus-frequency quality score
+    "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
 )
 
 

@@ -1,0 +1,69 @@
+"""Corpus term statistics: hand-computed fixtures for the frequency score
+and TF-IDF ranking (operators/corpus_stats.py). Cross-engine value gate:
+plans/q_corpus.py."""
+
+from __future__ import annotations
+
+import math
+
+from crawl_streams_spark.operators import corpus_stats as CS
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_doc_freq_stats_hand_computed(spark):
+    # corpus counts: a=3, b=2, c=1
+    df = _docs(spark, [(1, "a a b"), (2, "a b c")])
+    rows = {r["doc_id"]: r for r in CS.doc_freq_stats(df).collect()}
+    # doc 1: occurrences a,a,b -> 3+3+2 = 8 over 3 tokens
+    assert rows[1]["n_tokens"] == 3 and rows[1]["freq_sum"] == 8
+    assert rows[1]["mean_token_freq"] == round(8 / 3, 6)
+    # doc 2: a,b,c -> 3+2+1 = 6 over 3 tokens
+    assert rows[2]["freq_sum"] == 6 and rows[2]["mean_token_freq"] == 2.0
+
+
+def test_rare_vocab_scores_lower(spark):
+    """A document of corpus-unique tokens scores the minimum (1.0 — each
+    occurrence matches only itself); common-word docs score higher."""
+    df = _docs(
+        spark,
+        [
+            (1, "the the the cat"),
+            (2, "the cat sat here"),
+            (3, "zq1 zq2 zq3 zq4"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in CS.doc_freq_stats(df).collect()}
+    assert rows[3]["mean_token_freq"] == 1.0
+    assert rows[1]["mean_token_freq"] > rows[2]["mean_token_freq"] > 1.0
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    """A term present in every doc has idf=0 and never outranks a
+    document-specific term; ranking ties break on the term string."""
+    df = _docs(
+        spark,
+        [
+            (1, "common apple apple"),
+            (2, "common banana banana"),
+            (3, "common cherry cherry"),
+        ],
+    )
+    out = CS.doc_tfidf_topk(df, k=2).collect()
+    top = {r["doc_id"]: r["tok"] for r in out if r["rnk"] == 1}
+    assert top == {1: "apple", 2: "banana", 3: "cherry"}
+    for r in out:
+        if r["tok"] == "common":
+            assert r["tfidf"] == 0.0 and r["rnk"] == 2
+        else:
+            assert r["tfidf"] == round(2 * math.log(3.0), 6)
+
+
+def test_tfidf_topk_bounded_and_tie_broken(spark):
+    """With more candidate terms than k, exactly k rows per doc emerge and
+    equal-score terms appear in lexicographic order."""
+    df = _docs(spark, [(1, "w x y z"), (2, "p q r s")])
+    out = [r for r in CS.doc_tfidf_topk(df, k=3).collect() if r["doc_id"] == 1]
+    assert [r["tok"] for r in sorted(out, key=lambda r: r["rnk"])] == ["w", "x", "y"]

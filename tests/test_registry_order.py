@@ -40,10 +40,12 @@ def test_round_changed_queries_in_window():
         "semantic_dedup_pairs",  # r3-new: SemDeDup kernel
         "dup_token_spans",  # r3-new: substring-level dedup spans
         "dup_span_doc_stats",  # r3-new: duplicated-coverage fractions
+        "doc_unigram_freq",  # r3-new: corpus-frequency quality score
+        "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 99 registered queries as of round 3; update deliberately when adding.
-    assert len(REGISTRY) >= 99
+    # 101 registered queries as of round 3; update deliberately when adding.
+    assert len(REGISTRY) >= 101
