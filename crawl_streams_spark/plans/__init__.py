@@ -31,12 +31,15 @@ recent):
   ``doc_unigram_freq`` / ``doc_tfidf_topk`` (new: corpus term
   statistics), plus ``host_graph_degrees`` / ``graph_unit_propagation``
   (new: link-graph analytics incl. the iterative integer-propagation
-  kernel). Seven r1-verified same-shape queries (latest_events_topk,
-  customers_without_orders, top_tokens, hourly_counts,
-  part_supplier_union, doc_fingerprints, embedding_norms) yield their
-  slots — their shapes stay covered by in-window siblings
-  (recent_window_topk, customers_with_open_orders, token_array_ops,
-  windowed_count, sessionized_set_ops, doc_quality, knn_bruteforce).
+  kernel) and ``orders_snapshot_diff`` / ``snapshot_diff_summary`` (new:
+  keyed CDC diff). Nine r1-verified same-shape queries
+  (latest_events_topk, customers_without_orders, top_tokens,
+  hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
+  order_value_running, lang_source_rollup) yield their slots — their
+  shapes stay covered by in-window siblings (recent_window_topk,
+  customers_with_open_orders, token_array_ops, windowed_count,
+  sessionized_set_ops, doc_quality, knn_bruteforce, user_sessions /
+  top_orders_per_customer, rollup_order_priority).
 - Slots 51+: everything with a round-2 driver verdict and unchanged code.
 """
 
@@ -61,6 +64,7 @@ from . import q_pipeline  # noqa: E402,F401
 from . import q_spans  # noqa: E402,F401
 from . import q_corpus  # noqa: E402,F401
 from . import q_graph  # noqa: E402,F401
+from . import q_diff  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -83,7 +87,6 @@ PRIORITY: tuple[str, ...] = (
     "customer_order_left_join",
     "customers_with_open_orders",
     "top_orders_per_customer",
-    "order_value_running",
     "rollup_order_priority",
     # q_text (9)
     "doc_quality",
@@ -91,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "token_array_ops",
     "doc_bpe_tokens",
     "annotation_regex_classes",
-    "lang_source_rollup",
     "doc_repetition",
     # q_dedup (5) — est_jaccard is r2-new: FIRST driver verdict this round
     "dedup_exact",
@@ -129,6 +131,8 @@ PRIORITY: tuple[str, ...] = (
     "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
     "host_graph_degrees",  # r3-new: link-graph degree statistics
     "graph_unit_propagation",  # r3-new: iterative kernel under the gate
+    "orders_snapshot_diff",  # r3-new: keyed CDC diff classification
+    "snapshot_diff_summary",  # r3-new: reconciliation cardinalities
 )
 
 

@@ -44,10 +44,12 @@ def test_round_changed_queries_in_window():
         "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
         "host_graph_degrees",  # r3-new: link-graph degrees
         "graph_unit_propagation",  # r3-new: iterative propagation kernel
+        "orders_snapshot_diff",  # r3-new: keyed CDC diff
+        "snapshot_diff_summary",  # r3-new: reconciliation report
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 103 registered queries as of round 3; update deliberately when adding.
-    assert len(REGISTRY) >= 103
+    # 105 registered queries as of round 3; update deliberately when adding.
+    assert len(REGISTRY) >= 105
