@@ -240,12 +240,16 @@ def kmeans_train(
     (returns (cell, centroid)). Iterative algorithm, no RDDs, no collects:
 
       init    cell = id % k (deterministic, no RNG)
-      assign  argmin squared-L2 via broadcast(centroids) + min_by
+      assign  argmin squared-L2 via broadcast(centroids) + slim
+              (id, struct(dist, cell)) min — ties break on the lowest
+              cell id, so assignment is deterministic even on exact
+              distance ties — joined back to the id-keyed corpus
       update  per-cell per-dimension mean
 
-    Each iteration = one broadcast join + one grouped aggregation; the
-    corpus is scanned per iteration but never shuffled by vector. Inertia
-    is monotone non-increasing (Lloyd), tested in test_similarity."""
+    Each iteration = one broadcast join + one slim grouped aggregation +
+    one id-keyed join; the corpus is never shuffled by vector and never
+    grouped on a vector key. Inertia is monotone non-increasing (Lloyd),
+    tested in test_similarity."""
     d = corpus.select(
         F.col(id_col).alias("__id"), V.to_double_array(vec_col).alias("__v")
     )
@@ -266,12 +270,14 @@ def kmeans_train(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        assigned = (
+        best = (
             d.join(F.broadcast(cents))
-            .select("__id", "__v", F.col("cell"), dist.alias("__d"))
-            .groupBy("__id", "__v")
-            .agg(F.min_by("cell", "__d").alias("cell"))
+            .select("__id", F.struct(dist.alias("d"), "cell").alias("__s"))
+            .groupBy("__id")
+            .agg(F.min("__s").alias("__s"))
+            .select("__id", F.col("__s.cell").alias("cell"))
         )
+        assigned = d.join(best, "__id")
         assigned = assigned.localCheckpoint(eager=True)
     return assigned.groupBy("cell").agg(
         F.array(
@@ -631,8 +637,11 @@ def assign_cells(
     SQL oracle computing the same algebra in the same fold order gets
     bit-identical doubles (and therefore identical argmin ties).
 
-    Scale: one broadcast join (centroids are k rows) + a partial-agg
-    groupBy on the id — the corpus is never shuffled by its vector."""
+    Scale: one broadcast join (centroids are k rows); the argmin
+    aggregates SLIM (id, 16-byte struct) rows — never the vector as a
+    grouping key (a 512-byte array key would pay hash+compare on the full
+    vector at every exchange row) — then joins the winners back to the
+    id-keyed corpus, which stays on its existing id partitioning."""
     d = corpus.select(
         F.col(id_col).alias("__id"), V.to_double_array(vec_col).alias("__v")
     ).select("__id", "__v", V.dot_raw("__v", "__v").alias("__vv"))
@@ -643,11 +652,11 @@ def assign_cells(
     sqd = F.col("__vv") + F.col("__cc") - 2.0 * V.dot_raw("__v", "__c")
     best = (
         d.join(F.broadcast(c))
-        .select("__id", "__v", "__vv", F.struct(sqd.alias("d"), "cell").alias("__s"))
-        .groupBy("__id", "__v", "__vv")
+        .select("__id", F.struct(sqd.alias("d"), "cell").alias("__s"))
+        .groupBy("__id")
         .agg(F.min("__s").alias("__s"))
     )
-    return best.select(
+    return d.join(best, "__id").select(
         "__id",
         "__v",
         F.sqrt("__vv").alias("__norm"),

@@ -514,3 +514,25 @@ def test_semantic_dedup_pairs_within_cells_only(spark, sf_dir):
         assert assigned[r["vec_a"]] == r["cell"] == assigned[r["vec_b"]]
         assert r["cos_sim"] >= 0.3
         assert r["vec_a"] < r["vec_b"]
+
+
+def test_semantic_dedup_argmin_never_groups_on_vector(spark, sf_dir):
+    """The assignment argmin must aggregate slim (id, struct) rows — the
+    64-double vector array must never be a grouping or partitioning KEY
+    (hash+compare on a 512-byte key per exchange row). Vectors as shuffle
+    PAYLOAD keyed by the int cell id (the pair join) are the contract."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    cents = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    df = S.semantic_dedup_pairs(emb, cents, threshold=0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "__v" not in keys, f"vector used as a partitioning key: {keys}"
+    for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
+        keys = m.group(1)
+        assert "__v" not in keys, f"vector used as a grouping key: {keys}"

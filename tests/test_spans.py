@@ -119,3 +119,29 @@ def test_doc_stats_fraction_math(spark):
     assert rows[2]["covered_tokens"] == 6
     assert rows[3]["n_spans"] == 0 and rows[3]["dup_token_fraction"] == 0.0
     assert rows[3]["covered_tokens"] == 0
+
+
+def test_gram_string_never_crosses_an_exchange(spark, sf_dir):
+    """The 100 TB contract: the raw n-gram string dies inside the window
+    projection — every exchange in the span pipeline carries the digest
+    (and narrow key/pos columns), never `gram`."""
+    import contextlib
+    import io
+
+    from crawl_streams_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = SP.dup_spans(docs, n=5, min_docs=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    sections = buf.getvalue().split("\n\n")
+    exchanges = [
+        s
+        for s in sections
+        if s.lstrip().startswith("(")
+        and (") Exchange" in s.splitlines()[0] or ") BroadcastExchange" in s.splitlines()[0])
+    ]
+    assert exchanges, "expected shuffle/broadcast exchanges in the span plan"
+    for s in exchanges:
+        assert "gram#" not in s, f"raw gram string crossed an exchange:\n{s}"
