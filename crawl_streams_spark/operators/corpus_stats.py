@@ -38,7 +38,13 @@ from pyspark.sql import DataFrame, Window
 
 from ..functions import text as T
 
-__all__ = ["term_frequencies", "term_stats", "doc_freq_stats", "doc_tfidf_topk"]
+__all__ = [
+    "term_frequencies",
+    "term_stats",
+    "split_hot_join",
+    "doc_freq_stats",
+    "doc_tfidf_topk",
+]
 
 
 def term_frequencies(
@@ -64,18 +70,47 @@ def term_stats(tf: DataFrame) -> DataFrame:
     )
 
 
+def split_hot_join(
+    tf: DataFrame, stats: DataFrame, hot_terms: int
+) -> DataFrame:
+    """Skew-split inner join of a term-keyed fact against the term-stats
+    table: the Zipf HEAD (top ``hot_terms`` by corpus count, ties broken
+    on the term) is broadcast — every document contains these terms, so
+    they are exactly the keys that skew a shuffle join — and only the
+    long TAIL shuffle-joins. Result rows are identical to a plain inner
+    join (tested); the hot set is a deterministic bounded top-k
+    (TakeOrderedAndProject), never a driver collect."""
+    hot = stats.orderBy(F.desc("cnt"), F.asc("tok")).limit(hot_terms)
+    hot_part = tf.join(F.broadcast(hot), "tok")
+    tail_part = tf.join(F.broadcast(hot.select("tok")), "tok", "left_anti").join(
+        stats, "tok"
+    )
+    return hot_part.unionByName(tail_part)
+
+
 def doc_freq_stats(
-    df: DataFrame, content: str = "text", key: str = "doc_id"
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    hot_terms: int | None = None,
 ) -> DataFrame:
     """Per-document frequency-based quality score:
     (key, n_tokens, freq_sum, mean_token_freq) where freq_sum counts, for
     every token OCCURRENCE, how often that token occurs in the whole
     corpus (Σ tf·cnt — integer), and mean_token_freq = freq_sum/n_tokens
     (one division, rounded to 6). Low means rare/garbled vocabulary; high
-    means common-word text."""
+    means common-word text.
+
+    ``hot_terms`` switches the TF⋈stats join to the skew-split form
+    (split_hot_join): broadcast the Zipf head, shuffle only the tail —
+    same rows, bounded hot partitions. Off by default so the gate query
+    stays engine-portable."""
     tf = term_frequencies(df, content, key)
     stats = term_stats(tf)
-    joined = tf.join(stats, "tok")
+    if hot_terms is not None:
+        joined = split_hot_join(tf, stats, hot_terms)
+    else:
+        joined = tf.join(stats, "tok")
     per_doc = joined.groupBy("key").agg(
         F.sum("tf").alias("n_tokens"),
         F.sum(F.col("tf") * F.col("cnt")).alias("freq_sum"),

@@ -67,3 +67,39 @@ def test_tfidf_topk_bounded_and_tie_broken(spark):
     df = _docs(spark, [(1, "w x y z"), (2, "p q r s")])
     out = [r for r in CS.doc_tfidf_topk(df, k=3).collect() if r["doc_id"] == 1]
     assert [r["tok"] for r in sorted(out, key=lambda r: r["rnk"])] == ["w", "x", "y"]
+
+
+def test_split_hot_join_equivalence_and_plan(spark, sf_dir):
+    """The skew-split (broadcast Zipf head + shuffle tail) produces
+    exactly the plain-join result, and the head side really plans as a
+    broadcast join even with size-based auto-broadcast disabled."""
+    from crawl_streams_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = {
+        (r["doc_id"], r["n_tokens"], r["freq_sum"], r["mean_token_freq"])
+        for r in CS.doc_freq_stats(docs).collect()
+    }
+    split = {
+        (r["doc_id"], r["n_tokens"], r["freq_sum"], r["mean_token_freq"])
+        for r in CS.doc_freq_stats(docs, hot_terms=8).collect()
+    }
+    assert split == plain and plain
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tf = CS.term_frequencies(docs)
+        stats = CS.term_stats(tf)
+        plan = (
+            CS.split_hot_join(tf, stats, 8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # two forced broadcasts (hot stats inner + hot-key anti); the tail
+    # join stays a shuffle join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
