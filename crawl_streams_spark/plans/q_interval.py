@@ -1,0 +1,157 @@
+"""Interval-join queries under the cross-engine gate
+(operators/interval.py): Spark answers through the bucketed equi-join
+rewrite, the DuckDB oracle through a plain non-equi range join — the gate
+certifies the rewrite (bucketize → equi-join → refine → overlap-start
+attribution) emits exactly the true match set, no duplicates, no misses.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators import interval as IV
+from ..tables import load_table
+from .q_sessions import _GAP_SECONDS, user_sessions
+from .registry import query
+
+#: 1-hour buckets — near the p95 session length of the 30-min-gap
+#: sessionization, so the per-interval explode factor stays ~1-2.
+_WIDTH_US = 3600 * 1_000_000
+
+_DUCK_SESSIONS = f"""
+    ordered AS (
+        SELECT user_id,
+               event_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 0
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > {_GAP_SECONDS} * 1000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    tagged AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, session_idx,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM tagged
+        GROUP BY user_id, session_idx
+    )
+"""
+
+
+def _sessions_us(spark, sf_dir):
+    """(user_id, session_idx, s0, s1) with closed bounds in unix micros."""
+    s = user_sessions(spark, sf_dir)
+    return s.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("s0"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("s1"),
+    )
+
+
+@query(
+    "concurrent_sessions",
+    oracle=f"""
+        WITH {_DUCK_SESSIONS}
+        SELECT a.user_id,
+               a.session_idx,
+               COUNT(b.user_id) AS n_concurrent
+        FROM sessions a
+        LEFT JOIN sessions b
+          ON b.user_id <> a.user_id
+         AND a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+        GROUP BY a.user_id, a.session_idx
+    """,
+    tags=("interval-join", "session", "self-join"),
+)
+def concurrent_sessions(spark, sf_dir):
+    """Per session: how many sessions of OTHER users overlap it in time —
+    an interval-overlap self-join. Spark never sees the O(n²) predicate:
+    both sides explode to 1-hour buckets, equi-join on the bucket, refine
+    with the exact closed-interval overlap, and attribute each pair to its
+    overlap-start bucket (exactly-once, no dedup shuffle). The DuckDB
+    oracle runs the naive non-equi join — agreement certifies the
+    rewrite."""
+    s = _sessions_us(spark, sf_dir)
+    pairs = IV.interval_overlap_join(
+        s,
+        s,
+        left_start="s0",
+        left_end="s1",
+        right_start="s0",
+        right_end="s1",
+        width=_WIDTH_US,
+        extra_on=F.col("user_id") != F.col("r_user_id"),
+    )
+    counts = pairs.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
+    return s.select("user_id", "session_idx").join(
+        counts, ["user_id", "session_idx"], "left"
+    ).select(
+        "user_id",
+        "session_idx",
+        F.coalesce(F.col("n_concurrent"), F.lit(0).cast("bigint")).alias(
+            "n_concurrent"
+        ),
+    )
+
+
+@query(
+    "active_sessions_at_purchase",
+    oracle=f"""
+        WITH {_DUCK_SESSIONS},
+        purchases AS (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS pts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id,
+               COUNT(s.user_id) AS n_active
+        FROM purchases p
+        LEFT JOIN sessions s
+          ON s.session_start <= p.pts AND p.pts <= s.session_end
+        GROUP BY p.event_id
+    """,
+    tags=("interval-join", "point-in-interval", "session"),
+)
+def active_sessions_at_purchase(spark, sf_dir):
+    """Per purchase event: how many sessions (any user) were active at
+    that instant — a point-in-interval join. Points carry exactly one
+    bucket, intervals explode to covered buckets; the equi-join + exact
+    containment refine replaces the nested-loop plan the raw ``BETWEEN``
+    predicate would produce."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us")
+    )
+    s = _sessions_us(spark, sf_dir)
+    matched = IV.point_in_interval_join(
+        purchases,
+        s,
+        point_col="p_us",
+        start_col="s0",
+        end_col="s1",
+        width=_WIDTH_US,
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return purchases.select("event_id").join(
+        counts, ["event_id"], "left"
+    ).select(
+        "event_id",
+        F.coalesce(F.col("n_active"), F.lit(0).cast("bigint")).alias(
+            "n_active"
+        ),
+    )

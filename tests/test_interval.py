@@ -1,0 +1,139 @@
+"""Bucketed interval joins (operators/interval.py): exact-match semantics
+vs a brute-force nested-loop reference, exactly-once attribution across
+shared buckets, closed-interval edges, keys, and the extra_on pushdown.
+Cross-engine value gate: plans/q_interval.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.operators import interval as IV
+
+
+def _ivs(spark, rows, name="id bigint, s bigint, e bigint"):
+    return spark.createDataFrame(rows, name)
+
+
+def _brute_overlap(rows_a, rows_b, same_entity_ok=True):
+    out = set()
+    for ida, sa, ea in rows_a:
+        for idb, sb, eb in rows_b:
+            if sa <= eb and sb <= ea:
+                if same_entity_ok or ida != idb:
+                    out.add((ida, idb))
+    return out
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    """Random-ish fixed intervals, narrow buckets (width 10) so most pairs
+    share several buckets — the attribution rule must still emit each
+    exactly once."""
+    rows = [
+        (1, 0, 25),
+        (2, 20, 40),
+        (3, 38, 39),
+        (4, 100, 200),
+        (5, 150, 160),
+        (6, 0, 200),  # spans everything: worst-case explode factor
+        (7, 41, 99),  # touches nothing except 6
+    ]
+    df = _ivs(spark, rows)
+    got = IV.interval_overlap_join(
+        df, df, "s", "e", "s", "e", width=10
+    ).select("id", "r_id")
+    pairs = {(r["id"], r["r_id"]) for r in got.collect()}
+    assert pairs == _brute_overlap(rows, rows)
+    # exactly-once: collect() count equals the set size
+    assert got.count() == len(pairs)
+
+
+def test_overlap_closed_interval_edges(spark):
+    """Touching endpoints overlap (closed intervals); zero-length
+    intervals overlap iff the point sits inside the other."""
+    a = _ivs(spark, [(1, 0, 10)])
+    b = _ivs(spark, [(10, 10, 20), (11, 11, 20), (12, 5, 5), (13, 30, 30)])
+    got = {
+        (r["id"], r["r_id"])
+        for r in IV.interval_overlap_join(
+            a, b, "s", "e", "s", "e", width=7
+        ).collect()
+    }
+    assert got == {(1, 10), (1, 12)}
+
+
+def test_overlap_extra_on_excludes_self_pairs(spark):
+    rows = [(1, 0, 10), (2, 5, 15)]
+    df = _ivs(spark, rows)
+    got = IV.interval_overlap_join(
+        df,
+        df,
+        "s",
+        "e",
+        "s",
+        "e",
+        width=4,
+        extra_on=F.col("id") != F.col("r_id"),
+    )
+    pairs = {(r["id"], r["r_id"]) for r in got.collect()}
+    assert pairs == {(1, 2), (2, 1)}
+
+
+def test_overlap_keys_partition_the_match_space(spark):
+    schema = "k string, id bigint, s bigint, e bigint"
+    a = spark.createDataFrame(
+        [("x", 1, 0, 10), ("y", 2, 0, 10)], schema
+    )
+    b = spark.createDataFrame(
+        [("x", 3, 5, 15), ("y", 4, 50, 60)], schema
+    )
+    got = IV.interval_overlap_join(
+        a, b, "s", "e", "s", "e", width=8, keys=("k",)
+    )
+    pairs = {(r["k"], r["id"], r["r_id"]) for r in got.collect()}
+    assert pairs == {("x", 1, 3)}
+    # keys stay unprefixed and appear once
+    assert got.columns.count("k") == 1
+
+
+def test_right_prefix_collision_raises(spark):
+    a = _ivs(spark, [(1, 0, 1)]).withColumnRenamed("id", "r_id")
+    b = _ivs(spark, [(2, 0, 1)])
+    try:
+        IV.interval_overlap_join(a, b, "s", "e", "s", "e", width=4)
+    except ValueError as e:
+        assert "collides" in str(e)
+    else:
+        raise AssertionError("expected ValueError on column collision")
+
+
+def test_point_in_interval_matches_bruteforce(spark):
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([0, 5, 10, 17, 100, 205])],
+        "pid bigint, p bigint",
+    )
+    ivs = _ivs(
+        spark,
+        [(1, 0, 10), (2, 5, 20), (3, 90, 210), (4, 205, 205)],
+    )
+    got = IV.point_in_interval_join(
+        pts, ivs, "p", "s", "e", width=7
+    ).select("pid", "id")
+    expect = {
+        (pid, iid)
+        for pid, p in [(0, 0), (1, 5), (2, 10), (3, 17), (4, 100), (5, 205)]
+        for iid, s, e in [(1, 0, 10), (2, 5, 20), (3, 90, 210), (4, 205, 205)]
+        if s <= p <= e
+    }
+    assert {(r["pid"], r["id"]) for r in got.collect()} == expect
+    assert got.count() == len(expect)
+
+
+def test_overlap_join_plan_is_hash_join_not_nested_loop(spark):
+    """The rewrite's whole point: the physical plan must contain no
+    BroadcastNestedLoopJoin / CartesianProduct — the range predicate rides
+    an equi-join on the bucket."""
+    df = _ivs(spark, [(i, i * 10, i * 10 + 15) for i in range(40)])
+    plan = IV.interval_overlap_join(
+        df, df, "s", "e", "s", "e", width=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -46,6 +46,8 @@ def test_round_changed_queries_in_window():
         "graph_unit_propagation",  # r3-new: iterative propagation kernel
         "orders_snapshot_diff",  # r3-new: keyed CDC diff
         "snapshot_diff_summary",  # r3-new: reconciliation report
+        "concurrent_sessions",  # r3-new: interval-overlap bucketed join
+        "active_sessions_at_purchase",  # r3-new: point-in-interval join
     ):
         assert name in window, name
 
