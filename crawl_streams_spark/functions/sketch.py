@@ -1,0 +1,110 @@
+"""Count-min sketch as a mergeable DataFrame aggregate (Cormode &
+Muthukrishnan 2005): approximate per-item frequencies over streams/corpora
+too large for an exact groupBy, with a one-sided error guarantee
+(estimate ≥ true count; overshoot ≤ εN with probability 1−δ for
+width=⌈e/ε⌉, depth=⌈ln 1/δ⌉).
+
+Representation: a sketch IS a DataFrame ``(d, bucket, cnt)`` with at most
+depth×width rows — small enough to broadcast, cheap to persist, and
+mergeable by union + re-sum (the partial-aggregation property Spark's
+map-side combine already exploits while building it). No driver-side
+state, no UDFs: the bucket hash is the repo's cross-engine md5 kernel
+(functions/hashing.py:33 discipline), so DuckDB replays the sketch
+bit-for-bit under the driver's hash gate.
+
+Scale (100 TB): building is one narrow map (explode ×depth of slim
+(d, bucket) pairs) into a partial-agg'd groupBy whose key space is bounded
+by depth×width (thousands), so the reduce side is trivially small no
+matter the input row count — this is the sketch's whole point versus the
+exact per-item groupBy whose key space is the (possibly billions-deep)
+item domain. Point lookups broadcast the sketch.
+
+Reference parity: the reference has no sketches (exact dict counting,
+analysis.py); driver-mandated engine extension (SURVEY §2.5 aggregation
+family, sketch tier alongside HLL approx_count_distinct).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+__all__ = ["cms_bucket", "cms_build", "cms_merge", "cms_lookup"]
+
+
+def cms_bucket(item: Column | str, depth_idx: Column, width: int) -> Column:
+    """Row-level bucket index for hash row ``depth_idx``: the first 15 hex
+    digits of md5(d || ':' || item) parsed base-16, mod width.
+
+    DuckDB equivalent (oracle SQL):
+        (('0x' || substr(md5(d || ':' || item), 1, 15))::BIGINT) % width
+    (both sides non-negative, so % and pmod agree)."""
+    c = F.col(item) if isinstance(item, str) else item
+    tagged = F.concat(depth_idx.cast("string"), F.lit(":"), c.cast("string"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sketch a relation of items (one row per occurrence, or weighted
+    rows): returns the ``(d, bucket, cnt)`` sketch table.
+
+    The explode stages only (d, bucket[, weight]) — the item string never
+    enters the ×depth blow-up or the shuffle."""
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    staged = items.select(
+        d, F.col(item_col).alias("__item"), w.alias("__w")
+    ).select(
+        "d",
+        cms_bucket("__item", F.col("d"), width).alias("bucket"),
+        "__w",
+    )
+    return staged.groupBy("d", "bucket").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches built with the same (depth, width): counts add."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    depth: int,
+    width: int,
+    estimate_col: str = "est_cnt",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``queries``: the estimate is
+    min over the depth hash rows of the addressed bucket counts. The
+    sketch (≤ depth×width rows) broadcasts; queries never shuffle.
+
+    An item whose buckets were never touched gets 0 (true count is 0 —
+    empty buckets simply aren't materialized in the sparse sketch)."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    probes = queries.withColumn("d", d).withColumn(
+        "bucket", cms_bucket(item_col, F.col("d"), width)
+    )
+    hit = probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    group_cols = [c for c in queries.columns]
+    return hit.groupBy(*group_cols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
+            estimate_col
+        )
+    )

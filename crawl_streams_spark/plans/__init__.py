@@ -71,6 +71,7 @@ from . import q_corpus  # noqa: E402,F401
 from . import q_graph  # noqa: E402,F401
 from . import q_diff  # noqa: E402,F401
 from . import q_interval  # noqa: E402,F401
+from . import q_sketch  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -82,7 +83,6 @@ PRIORITY: tuple[str, ...] = (
     # q_events (9)
     "status_code_histogram",
     "recent_window_topk",
-    "windowed_count",
     "per_user_summary",
     "sessionized_set_ops",
     "rollup_day_reaggregation",
@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_diff_summary",  # r3-new: reconciliation cardinalities
     "concurrent_sessions",  # r3-new: interval-overlap bucketed join
     "active_sessions_at_purchase",  # r3-new: point-in-interval join
+    "cms_token_estimates",  # r3-new: count-min sketch build+estimate
 )
 
 

@@ -48,6 +48,7 @@ def test_round_changed_queries_in_window():
         "snapshot_diff_summary",  # r3-new: reconciliation report
         "concurrent_sessions",  # r3-new: interval-overlap bucketed join
         "active_sessions_at_purchase",  # r3-new: point-in-interval join
+        "cms_token_estimates",  # r3-new: count-min sketch kernel
     ):
         assert name in window, name
 

@@ -1,0 +1,73 @@
+"""Count-min sketch (functions/sketch.py): one-sided error guarantee,
+merge-associativity, weighted builds, absent items, and the bounded
+sketch cardinality. Cross-engine value gate: plans/q_sketch.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.functions import sketch as S
+
+_D, _W = 4, 64
+
+
+def _items(spark, seq):
+    return spark.createDataFrame([(x,) for x in seq], "item string")
+
+
+def _est(spark, sketch, items):
+    q = _items(spark, items)
+    rows = S.cms_lookup(sketch, q, "item", _D, _W).collect()
+    return {r["item"]: r["est_cnt"] for r in rows}
+
+
+def test_never_underestimates_and_is_exact_without_collisions(spark):
+    data = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]
+    sk = S.cms_build(_items(spark, data), "item", _D, _W)
+    true = {"a": 50, "b": 20, "c": 5, "d": 1}
+    est = _est(spark, sk, list(true))
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # 4 distinct items in a 4x64 sketch: overshoot only via collisions,
+    # and with depth 4 at least one row is collision-free here
+    assert est == true
+
+
+def test_absent_item_estimates_zero_on_sparse_sketch(spark):
+    sk = S.cms_build(_items(spark, ["x", "y"]), "item", _D, _W)
+    est = _est(spark, sk, ["nope"])
+    assert est["nope"] == 0
+
+
+def test_merge_equals_single_build(spark):
+    a = ["a"] * 10 + ["b"] * 3
+    b = ["b"] * 7 + ["c"] * 2
+    merged = S.cms_merge(
+        S.cms_build(_items(spark, a), "item", _D, _W),
+        S.cms_build(_items(spark, b), "item", _D, _W),
+    )
+    whole = S.cms_build(_items(spark, a + b), "item", _D, _W)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_weighted_build_matches_repeated_rows(spark):
+    weighted = spark.createDataFrame(
+        [("a", 10), ("b", 3)], "item string, w bigint"
+    )
+    sk_w = S.cms_build(weighted, "item", _D, _W, weight_col="w")
+    sk_r = S.cms_build(_items(spark, ["a"] * 10 + ["b"] * 3), "item", _D, _W)
+    assert sorted(map(tuple, sk_w.collect())) == sorted(
+        map(tuple, sk_r.collect())
+    )
+
+
+def test_sketch_cardinality_bounded_by_depth_times_width(spark):
+    data = [f"item-{i}" for i in range(500)]
+    sk = S.cms_build(_items(spark, data), "item", _D, _W)
+    assert sk.count() <= _D * _W
+    # every depth row present, buckets in range
+    rows = sk.collect()
+    assert {r["d"] for r in rows} == set(range(_D))
+    assert all(0 <= r["bucket"] < _W for r in rows)
