@@ -33,6 +33,8 @@ __all__ = [
     "split_assign",
     "stratified_keep",
     "pack_id",
+    "sample_priority",
+    "weighted_sample",
 ]
 
 _BUCKETS = 256  # two hex chars of md5
@@ -225,4 +227,57 @@ def write_shuffled_shards(
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
+    )
+
+
+def sample_priority(
+    id_col: Column | str, weight_col: Column | str, salt: str
+) -> Column:
+    """Efraimidis–Spirakis sampling priority ln(u)/w (monotone transform
+    of the classic u^(1/w); Efraimidis & Spirakis 2006, "Weighted random
+    sampling with a reservoir"): the k rows with the LARGEST priority form
+    a weighted sample without replacement, inclusion probability
+    proportional to weight.
+
+    u is a deterministic md5-derived uniform in (0, 1] — hash of the
+    salted id, not an RNG stream — so the sample is stable under
+    reprocessing and partitioning, and the DuckDB oracle replays it:
+
+        ln(((('0x' || substr(md5('<salt>:' || id), 1, 15))::BIGINT + 1)
+             / 1152921504606846976.0)) / w
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), _c(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(1152921504606846976.0)
+    return F.log(u) / _c(weight_col).cast("double")
+
+
+def weighted_sample(
+    df,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+):
+    """Deterministic weighted sample WITHOUT replacement of k rows
+    (A-Res): keep the top-k rows by sampling priority. Rows with null or
+    non-positive weight are excluded (ln(u)/w needs w > 0).
+
+    Scale: the top-k plans as TakeOrderedAndProject — per-partition heaps
+    then a k-row merge at the driver side of the exchange, never a global
+    sort; the priority itself is a narrow stateless map. This is the
+    100 TB replacement for RAND()-ordered sampling (non-reproducible) and
+    for df.sample (unweighted)."""
+    pri = sample_priority(id_col, weight_col, salt)
+    return (
+        df.filter(_c(weight_col).isNotNull() & (_c(weight_col) > 0))
+        .orderBy(pri.desc(), _c(id_col).asc())
+        .limit(k)
     )

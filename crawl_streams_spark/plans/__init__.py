@@ -37,7 +37,12 @@ recent):
   equi-join range-join rewrite; ``customer_order_left_join`` and
   ``token_array_ops`` yield their slots, their shapes covered in-window
   by concurrent_sessions' left join + coalesce and doc_bpe_tokens /
-  doc_repetition's array HOFs). Nine r1-verified same-shape queries
+  doc_repetition's array HOFs), ``cms_token_estimates`` (new: count-min
+  sketch build + min-over-depth estimator) and ``weighted_sample_orders``
+  (new: Efraimidis–Spirakis weighted sampling) — ``windowed_count`` and
+  ``sessionized_set_ops`` yield those two slots (event-time windowed agg
+  stays covered by hist_median_by_type / recent_window_topk; the
+  q_sessions family by user_sessions). Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -84,7 +89,6 @@ PRIORITY: tuple[str, ...] = (
     "status_code_histogram",
     "recent_window_topk",
     "per_user_summary",
-    "sessionized_set_ops",
     "rollup_day_reaggregation",
     "hist_median_by_type",
     # q_tpch (9)
@@ -140,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "concurrent_sessions",  # r3-new: interval-overlap bucketed join
     "active_sessions_at_purchase",  # r3-new: point-in-interval join
     "cms_token_estimates",  # r3-new: count-min sketch build+estimate
+    "weighted_sample_orders",  # r3-new: Efraimidis–Spirakis priorities
 )
 
 

@@ -417,3 +417,33 @@ def bpe_learned_merges(spark, sf_dir):
         ],
         "rank bigint, left string, right string, merged string, freq bigint",
     )
+
+
+@query(
+    "weighted_sample_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 0
+        ORDER BY ln((('0x' || substr(md5('wsample:' || o_orderkey), 1, 15))::BIGINT + 1)
+                    / 1152921504606846976.0) / o_totalprice DESC,
+                 o_orderkey
+        LIMIT 100
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def weighted_sample_orders(spark, sf_dir):
+    """100-row weighted sample of orders, inclusion probability
+    proportional to o_totalprice — the Efraimidis–Spirakis top-k priority
+    (operators/pipeline.py::weighted_sample). Deterministic md5-derived
+    uniforms, so BOTH engines select the identical sample (value-hash
+    gate over the sampled rows, certifying the priority kernel). Plans as
+    TakeOrderedAndProject: per-partition heaps, no global sort — the
+    mixture-sampling primitive of a training-data pipeline."""
+    orders = load_table(spark, sf_dir, "orders")
+    return P.weighted_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        id_col="o_orderkey",
+        weight_col="o_totalprice",
+        k=100,
+    )

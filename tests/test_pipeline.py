@@ -309,3 +309,54 @@ def test_curate_repetition_gates(spark, sf_dir):
     }
     assert gated_ids == base_ids - bad
     assert bad & base_ids, "thresholds should actually gate something"
+
+
+# ---- weighted sampling (Efraimidis–Spirakis priorities) ----------------
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(500)], "id bigint, w double"
+    )
+    a = sorted(r["id"] for r in P.weighted_sample(df, "id", "w", 50).collect())
+    b = sorted(r["id"] for r in P.weighted_sample(df, "id", "w", 50).collect())
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "id bigint, w double",
+    )
+    got = {r["id"] for r in P.weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Statistical: two strata, weights 100:1. Across 20 independent salts,
+    the heavy stratum must dominate the sample on average (inclusion
+    probability ∝ weight)."""
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    heavy_frac = []
+    for s in range(20):
+        got = P.weighted_sample(df, "id", "w", 50, salt=f"s{s}").collect()
+        heavy_frac.append(sum(1 for r in got if r["id"] < 50) / 50)
+    mean = sum(heavy_frac) / len(heavy_frac)
+    # 50 heavy rows at weight 100 vs 450 light at weight 1: heavy rows
+    # should take the clear majority of a k=50 sample (expected ~0.9).
+    assert mean > 0.7, mean
+
+
+def test_weighted_sample_plans_as_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(200)], "id bigint, w double"
+    )
+    plan = (
+        P.weighted_sample(df, "id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", "")

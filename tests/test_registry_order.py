@@ -49,6 +49,7 @@ def test_round_changed_queries_in_window():
         "concurrent_sessions",  # r3-new: interval-overlap bucketed join
         "active_sessions_at_purchase",  # r3-new: point-in-interval join
         "cms_token_estimates",  # r3-new: count-min sketch kernel
+        "weighted_sample_orders",  # r3-new: weighted sampling kernel
     ):
         assert name in window, name
 
