@@ -23,9 +23,9 @@ boundaries can't alias (unit-separator joins with a distinct sentinel).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
-__all__ = ["row_digest", "table_diff", "diff_summary"]
+__all__ = ["row_digest", "table_diff", "diff_summary", "scd2_compress"]
 
 _SEP = "\x1f"
 _NULL = "\x00\x00N"
@@ -70,3 +70,79 @@ def table_diff(
 def diff_summary(diff: DataFrame) -> DataFrame:
     """(change_type, n) rollup of a diff — the reconciliation report."""
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def scd2_compress(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a stack of full
+    snapshots: rows ``(key…, version, attrs…)`` collapse into maximal
+    validity runs ``(key…, attrs…, valid_from, valid_to, is_current)``.
+
+    Semantics (half-open validity): a run starts at the first version
+    where its attribute values appear and ends (``valid_to``) at the
+    version where the key either changed value or VANISHED from the
+    snapshot — absence is deletion, so a key missing from intermediate
+    versions closes its run at the gap and a reappearance opens a new
+    run, even if the values came back identical. ``valid_to`` is NULL
+    (and ``is_current`` true) only for runs alive in the latest version.
+
+    Shape: the global version list is a tiny dimension (one row per
+    snapshot) — dense-ranked through a single-partition window (bounded
+    by the number of snapshots, not data) and broadcast back. Change
+    detection compares md5 row digests through one lag over the (key,
+    version-index) window; run ids are a running sum of change flags; the
+    rollup reuses the same key partitioning. One data shuffle total,
+    keyed on the business key; the payload rides it once (the output
+    carries the attributes, so a digest-only shuffle is impossible here).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in snapshots.columns
+            if c not in {*key_cols, version_col}
+        ]
+    vidx = (
+        snapshots.select(version_col)
+        .distinct()
+        .withColumn(
+            "__vi",
+            F.dense_rank().over(Window.orderBy(version_col)),
+        )
+    )
+    base = snapshots.select(
+        *key_cols,
+        version_col,
+        *compare_cols,
+        row_digest(snapshots, compare_cols).alias("__d"),
+    ).join(F.broadcast(vidx), version_col)
+    wk = Window.partitionBy(*key_cols).orderBy("__vi")
+    chg = (
+        F.lag("__d").over(wk).isNull()
+        | (F.lag("__d").over(wk) != F.col("__d"))
+        | (F.lag("__vi").over(wk) + 1 != F.col("__vi"))
+    )
+    runs = base.withColumn(
+        "__run",
+        F.sum(chg.cast("int"))
+        .over(wk.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    grouped = runs.groupBy(*key_cols, "__run").agg(
+        F.min(version_col).alias("valid_from"),
+        F.max("__vi").alias("__mx"),
+        *[F.min_by(c, F.col("__vi")).alias(c) for c in compare_cols],
+    )
+    closing = vidx.select(
+        (F.col("__vi") - 1).alias("__mx"),
+        F.col(version_col).alias("valid_to"),
+    )
+    return grouped.join(F.broadcast(closing), "__mx", "left").select(
+        *key_cols,
+        *compare_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

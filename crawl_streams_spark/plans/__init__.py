@@ -42,7 +42,11 @@ recent):
   (new: Efraimidis–Spirakis weighted sampling) — ``windowed_count`` and
   ``sessionized_set_ops`` yield those two slots (event-time windowed agg
   stays covered by hist_median_by_type / recent_window_topk; the
-  q_sessions family by user_sessions). Nine r1-verified same-shape queries
+  q_sessions family by user_sessions), and ``orders_scd2_history`` (new:
+  SCD2 validity-run compression — ``uri_normalization`` yields its slot;
+  q_crawl stays covered in-window by url_host_extraction /
+  annotation_classification / binary_column_plumbing). Nine r1-verified
+  same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -115,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     # q_crawl (4) — hop_and_status (r1-green simple projection) yields its
     # slot to the r3-new PQ query below
     "url_host_extraction",
-    "uri_normalization",
     "annotation_classification",
     "binary_column_plumbing",
     # -- family-coverage representatives (8): verified round 2, one per
@@ -145,6 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "active_sessions_at_purchase",  # r3-new: point-in-interval join
     "cms_token_estimates",  # r3-new: count-min sketch build+estimate
     "weighted_sample_orders",  # r3-new: Efraimidis–Spirakis priorities
+    "orders_scd2_history",  # r3-new: SCD2 validity-run compression
 )
 
 

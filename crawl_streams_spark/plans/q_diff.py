@@ -88,3 +88,105 @@ def snapshot_diff_summary(spark, sf_dir):
     classification is exhaustive and disjoint."""
     old, new = _snapshots(spark, sf_dir)
     return D.diff_summary(D.table_diff(old, new, ["o_orderkey"], ["o_totalprice"]))
+
+
+_DUCK_SCD_SNAPS = """
+    snaps AS (
+        SELECT 1::BIGINT AS version, o_orderkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT 2::BIGINT, o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END
+        FROM orders WHERE o_orderkey % 13 <> 3
+        UNION ALL
+        SELECT 3::BIGINT, o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END
+               + CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 0 END
+        FROM orders
+        WHERE (o_orderkey % 13 <> 3 AND o_orderkey % 11 <> 7)
+           OR (o_orderkey % 13 = 3 AND o_orderkey % 3 = 0)
+    )
+"""
+
+
+def _scd_snapshots(spark, sf_dir):
+    """Three synthetic full snapshots of orders, exercising every SCD2
+    path: value changes (%7, %5 price bumps), deletions (%13 at v2,
+    %11 at v3), and deletion-then-reappearance (%13 ∧ %3 return in v3
+    — must open a NEW run, not extend the v1 run across the gap)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k, p = F.col("o_orderkey"), F.col("o_totalprice")
+    v2_price = F.when(k % 7 == 0, p + 1).otherwise(p)
+    v1 = orders.select(
+        F.lit(1).cast("bigint").alias("version"), k.alias("o_orderkey"),
+        p.alias("o_totalprice"),
+    )
+    v2 = orders.filter(k % 13 != 3).select(
+        F.lit(2).cast("bigint").alias("version"), k.alias("o_orderkey"),
+        v2_price.alias("o_totalprice"),
+    )
+    v3 = orders.filter(
+        ((k % 13 != 3) & (k % 11 != 7)) | ((k % 13 == 3) & (k % 3 == 0))
+    ).select(
+        F.lit(3).cast("bigint").alias("version"), k.alias("o_orderkey"),
+        (v2_price + F.when(k % 5 == 0, 2).otherwise(0)).alias("o_totalprice"),
+    )
+    return v1.unionByName(v2).unionByName(v3)
+
+
+@query(
+    "orders_scd2_history",
+    oracle=f"""
+        WITH {_DUCK_SCD_SNAPS},
+        vers AS (
+            SELECT version,
+                   dense_rank() OVER (ORDER BY version) AS vi
+            FROM (SELECT DISTINCT version FROM snaps)
+        ),
+        b AS (SELECT s.*, v.vi FROM snaps s JOIN vers v USING (version)),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN lag(o_totalprice) OVER w IS NULL
+                         OR lag(o_totalprice) OVER w <> o_totalprice
+                         OR lag(vi) OVER w + 1 <> vi
+                        THEN 1 ELSE 0 END AS chg
+            FROM b WINDOW w AS (PARTITION BY o_orderkey ORDER BY vi)
+        ),
+        runs AS (
+            SELECT *,
+                   SUM(chg) OVER (PARTITION BY o_orderkey ORDER BY vi
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS run
+            FROM flagged
+        ),
+        grouped AS (
+            SELECT o_orderkey, run,
+                   MIN(version) AS valid_from,
+                   MAX(vi) AS mx,
+                   MIN(o_totalprice) AS o_totalprice
+            FROM runs GROUP BY o_orderkey, run
+        )
+        SELECT g.o_orderkey,
+               g.o_totalprice,
+               g.valid_from,
+               v.version AS valid_to,
+               (v.version IS NULL) AS is_current
+        FROM grouped g
+        LEFT JOIN vers v ON v.vi = g.mx + 1
+    """,
+    tags=("scd2", "cdc", "history"),
+)
+def orders_scd2_history(spark, sf_dir):
+    """SCD type-2 history compression over three full order snapshots
+    (operators/diff.py::scd2_compress): validity runs with half-open
+    [valid_from, valid_to) bounds, deletions closing runs at the vanish
+    version and reappearances opening fresh runs across the gap. Spark
+    detects changes through the staged md5 row digest; the oracle
+    compares raw values — agreement certifies the digest kernel on the
+    run-segmentation path too."""
+    snaps = _scd_snapshots(spark, sf_dir)
+    return D.scd2_compress(
+        snaps, key_cols=["o_orderkey"], version_col="version"
+    )

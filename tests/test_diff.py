@@ -87,3 +87,50 @@ def test_shuffle_carries_digest_not_payload(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "a#" not in line and "b#" not in line, line
+
+
+# ---- SCD2 history compression ------------------------------------------
+
+
+def _hist(spark, rows):
+    df = spark.createDataFrame(rows, "version bigint, k bigint, v string")
+    out = D.scd2_compress(df, ["k"], "version")
+    return sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    )
+
+
+def test_scd2_stable_key_is_one_current_run(spark):
+    got = _hist(spark, [(1, 7, "a"), (2, 7, "a"), (3, 7, "a")])
+    assert got == [(7, "a", 1, None, True)]
+
+
+def test_scd2_value_change_splits_runs(spark):
+    got = _hist(spark, [(1, 7, "a"), (2, 7, "b"), (3, 7, "b")])
+    assert got == [(7, "a", 1, 2, False), (7, "b", 2, None, True)]
+
+
+def test_scd2_deletion_closes_run_at_vanish_version(spark):
+    got = _hist(spark, [(1, 7, "a"), (2, 7, "a"), (3, 9, "x")])
+    assert (7, "a", 1, 3, False) in got
+    assert (9, "x", 3, None, True) in got
+
+
+def test_scd2_reappearance_opens_new_run_across_gap(spark):
+    """Present v1, absent v2, back with the SAME value v3 — two runs,
+    the first closed at the gap."""
+    got = _hist(spark, [(1, 7, "a"), (3, 7, "a"), (2, 9, "x")])
+    assert [(k, v, f, t, c) for k, v, f, t, c in got if k == 7] == [
+        (7, "a", 1, 2, False),
+        (7, "a", 3, None, True),
+    ]
+
+
+def test_scd2_compare_cols_subset(spark):
+    df = spark.createDataFrame(
+        [(1, 7, "a", "noise1"), (2, 7, "a", "noise2")],
+        "version bigint, k bigint, v string, other string",
+    )
+    out = D.scd2_compress(df, ["k"], "version", compare_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["is_current"] is True

@@ -50,6 +50,7 @@ def test_round_changed_queries_in_window():
         "active_sessions_at_purchase",  # r3-new: point-in-interval join
         "cms_token_estimates",  # r3-new: count-min sketch kernel
         "weighted_sample_orders",  # r3-new: weighted sampling kernel
+        "orders_scd2_history",  # r3-new: SCD2 run compression
     ):
         assert name in window, name
 
