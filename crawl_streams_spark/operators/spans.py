@@ -177,3 +177,63 @@ def dup_span_doc_stats(
         )
     )
     return out
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Remove every token covered by a duplicated span and reassemble the
+    cleaned text — the excision half of the Lee et al. pipeline (detect
+    with dup_spans, then cut the boilerplate out rather than dropping the
+    whole document).
+
+    ``spans`` is (key, span_start, span_end, …) with 1-based inclusive
+    token bounds (dup_spans output). Returns
+    (key, n_tokens, kept_tokens, clean_text); a fully-excised document
+    keeps an empty string.
+
+    Shape: spans collapse to one per-doc array (collect_list after the
+    span pipeline's own key shuffle — same key, exchange reuse), then one
+    key-equi-join against the corpus and a per-row HOF filter: for each
+    token, ``exists(spans, s -> s.start <= i <= s.end)``. Per-row cost is
+    tokens × spans-per-doc (spans are gap-merged and disjoint, so few);
+    nothing quadratic crosses a shuffle. The corpus text never moves — the
+    join ships only the small span arrays to wherever the docs already
+    live."""
+    sp = spans.groupBy(F.col(key).alias("__k")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    toks = df.select(
+        F.col(key), T.tokens(content).alias("__toks")
+    )
+    j = toks.join(sp, toks[key] == sp["__k"], "left").drop("__k")
+    spans_type = dict(sp.dtypes)["__spans"]
+    j = j.withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array().cast(spans_type))
+    )
+    indexed = F.transform(
+        F.col("__toks"),
+        lambda tok, i: F.struct(tok.alias("t"), (i + 1).alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.col("__spans"),
+            lambda s: (s["s"] <= x["i"]) & (x["i"] <= s["e"]),
+        ),
+    )
+    return j.withColumn("__kept", kept).select(
+        F.col(key),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__kept").cast("bigint").alias("kept_tokens"),
+        F.array_join(
+            F.transform(F.col("__kept"), lambda x: x["t"]), " "
+        ).alias("clean_text"),
+    )

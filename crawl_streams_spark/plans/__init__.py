@@ -45,8 +45,11 @@ recent):
   q_sessions family by user_sessions), and ``orders_scd2_history`` (new:
   SCD2 validity-run compression — ``uri_normalization`` yields its slot;
   q_crawl stays covered in-window by url_host_extraction /
-  annotation_classification / binary_column_plumbing). Nine r1-verified
-  same-shape queries
+  annotation_classification / binary_column_plumbing), and
+  ``doc_span_excision`` (new: clean-text rebuild after span dedup —
+  ``doc_lang_id`` yields its slot; q_text stays covered by doc_quality /
+  doc_bpe_tokens / doc_repetition / annotation_regex_classes). Nine
+  r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -103,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "rollup_order_priority",
     # q_text (9)
     "doc_quality",
-    "doc_lang_id",
     "doc_bpe_tokens",
     "annotation_regex_classes",
     "doc_repetition",
@@ -149,6 +151,7 @@ PRIORITY: tuple[str, ...] = (
     "cms_token_estimates",  # r3-new: count-min sketch build+estimate
     "weighted_sample_orders",  # r3-new: Efraimidis–Spirakis priorities
     "orders_scd2_history",  # r3-new: SCD2 validity-run compression
+    "doc_span_excision",  # r3-new: duplicated-span excision + rebuild
 )
 
 

@@ -105,3 +105,49 @@ def dup_span_doc_stats(spark, sf_dir):
     division so the fraction is order-insensitive."""
     docs = load_table(spark, sf_dir, "documents")
     return SP.dup_span_doc_stats(docs, n=5, min_docs=2, hash_impl="md5")
+
+
+@query(
+    "doc_span_excision",
+    oracle=_DUCK_WINDOWS
+    + r"""
+    , tok_idx AS (
+        SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+        FROM t
+    ),
+    kept AS (
+        SELECT ti.doc_id, ti.tok, ti.i
+        FROM tok_idx ti
+        ANTI JOIN spans s
+          ON s.doc_id = ti.doc_id
+         AND s.span_start <= ti.i AND ti.i <= s.span_end
+    ),
+    reass AS (
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS kept_tokens,
+               md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           COALESCE(reass.kept_tokens, 0) AS kept_tokens,
+           COALESCE(reass.clean_md5, md5('')) AS clean_md5
+    FROM t LEFT JOIN reass USING (doc_id)
+    """,
+    tags=("dedup", "spans", "excision", "extension"),
+)
+def doc_span_excision(spark, sf_dir):
+    """Cleaned corpus after cutting duplicated 5-token spans out of every
+    document (operators/spans.py::excise_spans): per doc, original and
+    surviving token counts plus the md5 of the reassembled clean text —
+    the digest puts the full reconstruction (token selection AND order)
+    under the value gate, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = SP.dup_spans(docs, n=5, min_docs=2, hash_impl="md5")
+    clean = SP.excise_spans(docs, spans)
+    return clean.select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        F.md5("clean_text").alias("clean_md5"),
+    )

@@ -51,6 +51,7 @@ def test_round_changed_queries_in_window():
         "cms_token_estimates",  # r3-new: count-min sketch kernel
         "weighted_sample_orders",  # r3-new: weighted sampling kernel
         "orders_scd2_history",  # r3-new: SCD2 run compression
+        "doc_span_excision",  # r3-new: span excision + text rebuild
     ):
         assert name in window, name
 

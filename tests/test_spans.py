@@ -145,3 +145,67 @@ def test_gram_string_never_crosses_an_exchange(spark, sf_dir):
     assert exchanges, "expected shuffle/broadcast exchanges in the span plan"
     for s in exchanges:
         assert "gram#" not in s, f"raw gram string crossed an exchange:\n{s}"
+
+
+# ---- span excision -----------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_excise_cuts_exact_token_range(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h")])
+    spans = spark.createDataFrame(
+        [(1, 3, 5)], "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    got = SP.excise_spans(docs, spans).collect()[0]
+    assert got["n_tokens"] == 8
+    assert got["kept_tokens"] == 5
+    assert got["clean_text"] == "a b f g h"
+
+
+def test_excise_multiple_disjoint_spans(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i j")])
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (1, 9, 10)],
+        "doc_id bigint, span_start bigint, span_end bigint",
+    )
+    got = SP.excise_spans(docs, spans).collect()[0]
+    assert got["clean_text"] == "c d e f g h"
+
+
+def test_excise_no_spans_keeps_everything(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "x y")])
+    spans = spark.createDataFrame(
+        [], "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    got = {r["doc_id"]: r for r in SP.excise_spans(docs, spans).collect()}
+    assert got[1]["clean_text"] == "a b c" and got[1]["kept_tokens"] == 3
+    assert got[2]["clean_text"] == "x y"
+
+
+def test_excise_full_document_leaves_empty_string(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    spans = spark.createDataFrame(
+        [(1, 1, 3)], "doc_id bigint, span_start bigint, span_end bigint"
+    )
+    got = SP.excise_spans(docs, spans).collect()[0]
+    assert got["kept_tokens"] == 0 and got["clean_text"] == ""
+
+
+def test_excise_end_to_end_removes_shared_window(spark):
+    """Two docs sharing one 5-token run: after excision with n=5 the
+    shared run is gone from both, unique prefixes/suffixes survive."""
+    shared = "q w e r t"
+    docs = _docs(
+        spark,
+        [(1, f"one two {shared} three"), (2, f"alpha {shared} beta gamma")],
+    )
+    spans = SP.dup_spans(docs, n=5, min_docs=2, hash_impl="md5")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in SP.excise_spans(docs, spans).collect()
+    }
+    assert got[1] == "one two three"
+    assert got[2] == "alpha beta gamma"
