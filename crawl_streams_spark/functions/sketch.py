@@ -1,8 +1,9 @@
-"""Count-min sketch as a mergeable DataFrame aggregate (Cormode &
-Muthukrishnan 2005): approximate per-item frequencies over streams/corpora
-too large for an exact groupBy, with a one-sided error guarantee
-(estimate ≥ true count; overshoot ≤ εN with probability 1−δ for
-width=⌈e/ε⌉, depth=⌈ln 1/δ⌉).
+"""Mergeable sketches as DataFrame aggregates: count-min (Cormode &
+Muthukrishnan 2005) for approximate per-item frequencies, and Bloom
+filters (Bloom 1970) for approximate membership — both over
+streams/corpora too large for an exact groupBy, both with one-sided
+error guarantees (CMS: estimate ≥ true count, overshoot ≤ εN w.p. 1−δ
+for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉; Bloom: no false negatives).
 
 Representation: a sketch IS a DataFrame ``(d, bucket, cnt)`` with at most
 depth×width rows — small enough to broadcast, cheap to persist, and
@@ -29,7 +30,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-__all__ = ["cms_bucket", "cms_build", "cms_merge", "cms_lookup"]
+__all__ = [
+    "cms_bucket",
+    "cms_build",
+    "cms_merge",
+    "cms_lookup",
+    "bloom_build",
+    "bloom_probe",
+]
 
 
 def cms_bucket(item: Column | str, depth_idx: Column, width: int) -> Column:
@@ -107,4 +115,57 @@ def cms_lookup(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias(
             estimate_col
         )
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter over an item relation, as the DataFrame of its SET bit
+    positions (sparse: ≤ min(n·k, m) rows of one bigint). k md5 hash rows
+    address one shared m-bit space (the ``cms_bucket`` kernel with the
+    hash index as seed, so DuckDB replays it).
+
+    Mergeable by union+distinct; broadcastable at any reasonable m (4 M
+    bits ≈ 4 M rows worst case, far less once saturated — and a saturated
+    bloom should be resized anyway). The 100 TB role: ship a small
+    membership summary of side A to side B's executors and pre-filter
+    A⋉B / A▷B joins to candidate rows only — no false negatives, so
+    anti-join semantics survive (a 'maybe' just falls through to the
+    exact join)."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+    staged = items.select(j, F.col(item_col).alias("__item"))
+    return staged.select(
+        cms_bucket("__item", F.col("j"), m_bits).alias("pos")
+    ).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    flag_col: str = "maybe_present",
+) -> DataFrame:
+    """Membership probe: a query item is 'maybe present' iff ALL of its k
+    bit positions are set (no false negatives; false positives at the
+    classic (1-e^{-kn/m})^k rate). The bloom broadcasts; queries never
+    shuffle (the groupBy re-collapses the ×k explode on the query key,
+    partial-agg absorbed)."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("j")
+    probes = queries.withColumn("j", j).withColumn(
+        "pos", cms_bucket(item_col, F.col("j"), m_bits)
+    )
+    hit = probes.join(
+        F.broadcast(bloom.withColumn("__set", F.lit(1))), ["pos"], "left"
+    )
+    return hit.groupBy(*queries.columns).agg(
+        (
+            F.count_distinct(F.when(F.col("__set").isNotNull(), F.col("pos")))
+            == F.count_distinct(F.col("pos"))
+        ).alias(flag_col)
     )

@@ -48,8 +48,10 @@ recent):
   annotation_classification / binary_column_plumbing), and
   ``doc_span_excision`` (new: clean-text rebuild after span dedup —
   ``doc_lang_id`` yields its slot; q_text stays covered by doc_quality /
-  doc_bpe_tokens / doc_repetition / annotation_regex_classes). Nine
-  r1-verified same-shape queries
+  doc_bpe_tokens / doc_repetition), and ``bloom_part_membership`` (new:
+  bloom membership sketch — ``annotation_regex_classes`` yields its slot;
+  the F-7 classifier path stays covered by annotation_classification).
+  Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -107,7 +109,6 @@ PRIORITY: tuple[str, ...] = (
     # q_text (9)
     "doc_quality",
     "doc_bpe_tokens",
-    "annotation_regex_classes",
     "doc_repetition",
     # q_dedup (5) — est_jaccard is r2-new: FIRST driver verdict this round
     "dedup_exact",
@@ -152,6 +153,7 @@ PRIORITY: tuple[str, ...] = (
     "weighted_sample_orders",  # r3-new: Efraimidis–Spirakis priorities
     "orders_scd2_history",  # r3-new: SCD2 validity-run compression
     "doc_span_excision",  # r3-new: duplicated-span excision + rebuild
+    "bloom_part_membership",  # r3-new: bloom filter build + probe
 )
 
 

@@ -69,3 +69,72 @@ def cms_token_estimates(spark, sf_dir):
         .limit(20)
     )
     return S.cms_lookup(sketch, true_top, "tok", _DEPTH, _WIDTH)
+
+
+_BLOOM_M = 2048
+_BLOOM_K = 3
+
+
+@query(
+    "bloom_part_membership",
+    oracle=f"""
+        WITH sel AS (
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_quantity = 50 AND l_discount >= 0.08
+        ),
+        hashes AS (SELECT unnest(range({_BLOOM_K}))::BIGINT AS j),
+        bloom AS (
+            SELECT DISTINCT
+                   (('0x' || substr(md5(j || ':' || l_partkey), 1, 15))::BIGINT)
+                       % {_BLOOM_M} AS pos
+            FROM sel CROSS JOIN hashes
+        ),
+        probe AS (
+            SELECT p.p_partkey, h.j,
+                   (('0x' || substr(md5(h.j || ':' || p.p_partkey), 1, 15))::BIGINT)
+                       % {_BLOOM_M} AS pos
+            FROM part p CROSS JOIN hashes h
+        ),
+        agg AS (
+            SELECT p_partkey,
+                   COUNT(DISTINCT pos) AS n_req,
+                   COUNT(DISTINCT CASE WHEN pos IN (SELECT pos FROM bloom)
+                                       THEN pos END) AS n_hit
+            FROM probe GROUP BY p_partkey
+        )
+        SELECT a.p_partkey,
+               (n_hit = n_req) AS maybe_present,
+               (sel.l_partkey IS NOT NULL) AS actually_present
+        FROM agg a LEFT JOIN sel ON sel.l_partkey = a.p_partkey
+    """,
+    tags=("sketch", "bloom", "membership"),
+)
+def bloom_part_membership(spark, sf_dir):
+    """Bloom-filter membership pre-check, false positives on display:
+    build a 2048-bit / 3-hash bloom over the part keys selling at
+    quantity 50 with ≥8% discount, probe EVERY part key, and emit the
+    bloom's verdict next to ground truth. The gate certifies the bit
+    addressing, the all-k-positions-set rule, AND the exact set of false
+    positives (maybe=true, actually=false rows) — while every
+    actually=true row must show maybe=true (no false negatives, the
+    property that makes bloom pre-filters safe for join pruning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_quantity") == 50) & (F.col("l_discount") >= 0.08)
+    ).select("l_partkey")
+    bloom = S.bloom_build(sel, "l_partkey", _BLOOM_M, _BLOOM_K)
+    parts = load_table(spark, sf_dir, "part").select("p_partkey")
+    probed = S.bloom_probe(bloom, parts, "p_partkey", _BLOOM_M, _BLOOM_K)
+    truth = sel.distinct().withColumn("__actual", F.lit(True))
+    return (
+        probed.join(
+            truth, probed["p_partkey"] == truth["l_partkey"], "left"
+        )
+        .select(
+            "p_partkey",
+            "maybe_present",
+            F.coalesce(F.col("__actual"), F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+    )

@@ -52,6 +52,7 @@ def test_round_changed_queries_in_window():
         "weighted_sample_orders",  # r3-new: weighted sampling kernel
         "orders_scd2_history",  # r3-new: SCD2 run compression
         "doc_span_excision",  # r3-new: span excision + text rebuild
+        "bloom_part_membership",  # r3-new: bloom build + probe kernel
     ):
         assert name in window, name
 

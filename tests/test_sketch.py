@@ -71,3 +71,48 @@ def test_sketch_cardinality_bounded_by_depth_times_width(spark):
     rows = sk.collect()
     assert {r["d"] for r in rows} == set(range(_D))
     assert all(0 <= r["bucket"] < _W for r in rows)
+
+
+# ---- bloom filter ------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    members = [f"m-{i}" for i in range(300)]
+    bl = S.bloom_build(_items(spark, members), "item", 2048, 3)
+    got = {
+        r["item"]: r["maybe_present"]
+        for r in S.bloom_probe(
+            bl, _items(spark, members), "item", 2048, 3
+        ).collect()
+    }
+    assert all(got[m] for m in members)
+
+
+def test_bloom_rejects_most_absent_items(spark):
+    members = [f"m-{i}" for i in range(100)]
+    absent = [f"x-{i}" for i in range(400)]
+    bl = S.bloom_build(_items(spark, members), "item", 4096, 3)
+    got = S.bloom_probe(bl, _items(spark, absent), "item", 4096, 3).collect()
+    fp = sum(1 for r in got if r["maybe_present"])
+    # n=100, m=4096, k=3: theoretical fp ~ (1-e^(-300/4096))^3 ~ 3.6e-4;
+    # allow generous slack
+    assert fp <= 10, fp
+
+
+def test_bloom_merge_by_union_distinct(spark):
+    a = _items(spark, ["a", "b"])
+    b = _items(spark, ["c"])
+    merged = (
+        S.bloom_build(a, "item", 512, 3)
+        .unionByName(S.bloom_build(b, "item", 512, 3))
+        .distinct()
+    )
+    whole = S.bloom_build(_items(spark, ["a", "b", "c"]), "item", 512, 3)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in whole.collect()
+    )
+
+
+def test_bloom_positions_in_range(spark):
+    bl = S.bloom_build(_items(spark, [f"i{i}" for i in range(50)]), "item", 256, 4)
+    assert all(0 <= r["pos"] < 256 for r in bl.collect())
