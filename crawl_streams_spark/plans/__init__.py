@@ -50,7 +50,10 @@ recent):
   ``doc_lang_id`` yields its slot; q_text stays covered by doc_quality /
   doc_bpe_tokens / doc_repetition), and ``bloom_part_membership`` (new:
   bloom membership sketch — ``annotation_regex_classes`` yields its slot;
-  the F-7 classifier path stays covered by annotation_classification).
+  the F-7 classifier path stays covered by annotation_classification),
+  and ``per_source_doc_sample`` (new: group-wise deterministic sampling —
+  ``recent_window_topk`` yields its slot; top-k shapes stay covered by
+  top_unshipped_orders / top_orders_per_customer / weighted_sample_orders).
   Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
@@ -96,7 +99,6 @@ PRIORITY: tuple[str, ...] = (
     # -- last driver verdict is from round 1 (39) -----------------------
     # q_events (9)
     "status_code_histogram",
-    "recent_window_topk",
     "per_user_summary",
     "rollup_day_reaggregation",
     "hist_median_by_type",
@@ -154,6 +156,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_scd2_history",  # r3-new: SCD2 validity-run compression
     "doc_span_excision",  # r3-new: duplicated-span excision + rebuild
     "bloom_part_membership",  # r3-new: bloom filter build + probe
+    "per_source_doc_sample",  # r3-new: per-group deterministic sample
 )
 
 

@@ -447,3 +447,41 @@ def weighted_sample_orders(spark, sf_dir):
         weight_col="o_totalprice",
         k=100,
     )
+
+
+@query(
+    "per_source_doc_sample",
+    oracle="""
+        SELECT source, doc_id, rk
+        FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('psample:' || doc_id), doc_id
+                   )::BIGINT AS rk
+            FROM documents
+        )
+        WHERE rk <= 5
+    """,
+    tags=("pipeline", "sampling", "per-group"),
+)
+def per_source_doc_sample(spark, sf_dir):
+    """Fixed-size per-group sample: exactly 5 documents per source,
+    chosen by ranking on a salted md5 of the id — the deterministic
+    group-wise analog of reservoir sampling (stable under reprocessing,
+    replayed bit-for-bit by the oracle). One shuffle on the group key;
+    rank-≤-k prunes inside the window, so only k rows per group survive
+    to the output. The eyeball-QA primitive of a corpus pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("psample:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )

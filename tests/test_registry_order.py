@@ -53,6 +53,7 @@ def test_round_changed_queries_in_window():
         "orders_scd2_history",  # r3-new: SCD2 run compression
         "doc_span_excision",  # r3-new: span excision + text rebuild
         "bloom_part_membership",  # r3-new: bloom build + probe kernel
+        "per_source_doc_sample",  # r3-new: per-group sampling kernel
     ):
         assert name in window, name
 
