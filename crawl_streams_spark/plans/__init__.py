@@ -53,8 +53,12 @@ recent):
   the F-7 classifier path stays covered by annotation_classification),
   and ``per_source_doc_sample`` (new: group-wise deterministic sampling —
   ``recent_window_topk`` yields its slot; top-k shapes stay covered by
-  top_unshipped_orders / top_orders_per_customer / weighted_sample_orders).
-  Nine r1-verified same-shape queries
+  top_unshipped_orders / top_orders_per_customer / weighted_sample_orders),
+  and ``orders_validation_report`` (new: Deequ-style one-scan rule report
+  + anti-join FK check — ``status_code_histogram`` yields its slot; the
+  plain-histogram groupBy shape stays covered by per_user_summary /
+  hist_median_by_type and slot-51 event_type_stats). Nine r1-verified
+  same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -89,6 +93,7 @@ from . import q_graph  # noqa: E402,F401
 from . import q_diff  # noqa: E402,F401
 from . import q_interval  # noqa: E402,F401
 from . import q_sketch  # noqa: E402,F401
+from . import q_validate  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -98,7 +103,6 @@ DRIVER_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # -- last driver verdict is from round 1 (39) -----------------------
     # q_events (9)
-    "status_code_histogram",
     "per_user_summary",
     "rollup_day_reaggregation",
     "hist_median_by_type",
@@ -157,6 +161,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_span_excision",  # r3-new: duplicated-span excision + rebuild
     "bloom_part_membership",  # r3-new: bloom filter build + probe
     "per_source_doc_sample",  # r3-new: per-group deterministic sample
+    "orders_validation_report",  # r3-new: one-scan data-quality rules
 )
 
 

@@ -54,6 +54,7 @@ def test_round_changed_queries_in_window():
         "doc_span_excision",  # r3-new: span excision + text rebuild
         "bloom_part_membership",  # r3-new: bloom build + probe kernel
         "per_source_doc_sample",  # r3-new: per-group sampling kernel
+        "orders_validation_report",  # r3-new: data-quality rule report
     ):
         assert name in window, name
 
