@@ -31,7 +31,13 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["nodes_of", "degree_stats", "propagate_units", "pagerank"]
+__all__ = [
+    "nodes_of",
+    "degree_stats",
+    "propagate_units",
+    "pagerank",
+    "triangle_count",
+]
 
 
 def nodes_of(edges: DataFrame) -> DataFrame:
@@ -157,3 +163,72 @@ def pagerank(
         )
         pr = pr.localCheckpoint(eager=True)
     return pr.select(F.col("src").alias("node"), F.col("pr").alias("pagerank"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation (the
+    compact-forward / node-iterator++ scheme: Latapy 2008, "Main-memory
+    triangle computations for very large (sparse (power-law)) graphs").
+
+    Edges (src, dst[, weight]) are undirected for counting: canonical
+    unordered pairs, then each edge oriented from its lower-(degree, id)
+    endpoint to the higher one. Wedges are built only out of orientation
+    order (x→y joined y→z), and a triangle closes iff x→z is also an
+    oriented edge — each triangle materializes exactly once as its
+    rank-sorted triple, no ×6 dedup.
+
+    Why degree ordering matters at 100 TB: the wedge join's fan-out per
+    node is its OUT-degree under the orientation, and orienting toward
+    higher degree caps out-degrees at O(√m) on any graph — a hub with
+    degree d contributes O(d) wedges instead of O(d²), which is the
+    difference between a skew-split shuffle and an executor OOM on
+    power-law link graphs. Three shuffles total (orient join, wedge join,
+    closure semi-join) + the degree aggregation.
+
+    Returns (node, n_triangles) for every node with ≥1 edge (zeros
+    included)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    a_first = F.struct(F.col("da"), F.col("a")) < F.struct(
+        F.col("db"), F.col("b")
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "y")
+    closer = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("z")
+    )
+    tris = wedges.join(closer, ["x", "z"], "left_semi")
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select("v")
+        .join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            F.coalesce("n_triangles", F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+        )
+    )

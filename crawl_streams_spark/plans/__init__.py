@@ -57,8 +57,10 @@ recent):
   and ``orders_validation_report`` (new: Deequ-style one-scan rule report
   + anti-join FK check — ``status_code_histogram`` yields its slot; the
   plain-histogram groupBy shape stays covered by per_user_summary /
-  hist_median_by_type and slot-51 event_type_stats). Nine r1-verified
-  same-shape queries
+  hist_median_by_type and slot-51 event_type_stats), and
+  ``host_graph_triangles`` (new: degree-ordered triangle counting —
+  ``dedup_ngram_jaccard`` yields its slot; the dedup family keeps six
+  in-window entries). Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -121,7 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_minhash_est_jaccard",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     # q_similarity (3)
     "knn_bruteforce",
     "label_centroid_sim",
@@ -162,6 +163,7 @@ PRIORITY: tuple[str, ...] = (
     "bloom_part_membership",  # r3-new: bloom filter build + probe
     "per_source_doc_sample",  # r3-new: per-group deterministic sample
     "orders_validation_report",  # r3-new: one-scan data-quality rules
+    "host_graph_triangles",  # r3-new: degree-ordered triangle counting
 )
 
 

@@ -112,3 +112,55 @@ def graph_unit_propagation(spark, sf_dir):
     proportionally to weight with integer division (floor remainders
     evaporate deterministically)."""
     return G.propagate_units(_edges(spark, sf_dir), iters=3)
+
+
+@query(
+    "host_graph_triangles",
+    oracle=_DUCK_EDGES
+    + """
+    , und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0
+    ),
+    deg AS (
+        SELECT v, COUNT(*)::BIGINT AS d
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        GROUP BY v
+    ),
+    orient AS (
+        SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+               CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi
+        FROM und u
+        JOIN deg da ON da.v = u.a
+        JOIN deg db ON db.v = u.b
+    ),
+    tri AS (
+        SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        FROM orient e1
+        JOIN orient e2 ON e2.lo = e1.hi
+        SEMI JOIN orient e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    per_node AS (
+        SELECT v, COUNT(*)::BIGINT AS n_triangles
+        FROM (
+            SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        GROUP BY v
+    )
+    SELECT deg.v AS node,
+           COALESCE(per_node.n_triangles, 0) AS n_triangles
+    FROM deg LEFT JOIN per_node ON per_node.v = deg.v
+    """,
+    tags=("graph", "triangles", "extension"),
+)
+def host_graph_triangles(spark, sf_dir):
+    """Per-host triangle counts on the synthesized link graph
+    (operators/graph.py::triangle_count): degree-ordered orientation
+    caps wedge fan-out at O(√m) per node — the skew-safe distributed
+    triangle scheme — and each triangle is counted once as its
+    rank-sorted triple. The oracle replays the identical orientation and
+    joins, so the gate certifies the whole kernel including the
+    (degree, id) tie-break."""
+    return G.triangle_count(_edges(spark, sf_dir))

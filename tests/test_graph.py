@@ -99,3 +99,62 @@ def test_pagerank_matches_numpy_power_iteration(spark, damping):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, k
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---- triangle counting -------------------------------------------------
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _brute_triangles(pairs):
+    import itertools
+
+    und = {frozenset(p) for p in pairs if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    out = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in und
+            and frozenset((b, c)) in und
+            and frozenset((a, c)) in und
+        ):
+            for n in (a, b, c):
+                out[n] += 1
+    return out
+
+
+def test_triangles_match_bruteforce_on_fixed_graph(spark):
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),          # triangle abc
+        ("c", "d"), ("d", "e"), ("c", "e"),          # triangle cde
+        ("a", "d"),                                   # chord, no new tri
+        ("f", "g"),                                   # isolated edge
+        ("b", "a"),                                   # reverse duplicate
+        ("e", "e"),                                   # self-loop dropped
+    ]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_count(_edge_df(spark, pairs)).collect()
+    }
+    assert got == _brute_triangles(pairs)
+
+
+def test_triangles_complete_graph_k5(spark):
+    nodes = [f"n{i}" for i in range(5)]
+    pairs = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangle_count(_edge_df(spark, pairs)).collect()
+    }
+    # K5: each node is in C(4,2) = 6 triangles
+    assert got == {n: 6 for n in nodes}
+
+
+def test_triangles_triangle_free_graph_all_zero(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]  # 4-cycle
+    got = G.triangle_count(_edge_df(spark, pairs)).collect()
+    assert all(r["n_triangles"] == 0 for r in got) and len(got) == 4

@@ -55,6 +55,7 @@ def test_round_changed_queries_in_window():
         "bloom_part_membership",  # r3-new: bloom build + probe kernel
         "per_source_doc_sample",  # r3-new: per-group sampling kernel
         "orders_validation_report",  # r3-new: data-quality rule report
+        "host_graph_triangles",  # r3-new: triangle-counting kernel
     ):
         assert name in window, name
 
