@@ -37,6 +37,9 @@ __all__ = [
     "cms_lookup",
     "bloom_build",
     "bloom_probe",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 
@@ -168,4 +171,98 @@ def bloom_probe(
             F.count_distinct(F.when(F.col("__set").isNotNull(), F.col("pos")))
             == F.count_distinct(F.col("pos"))
         ).alias(flag_col)
+    )
+
+
+def hll_registers(
+    items: DataFrame,
+    item_col: str,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007), deterministic and
+    cross-engine-replayable: unlike engine-native HLL sketches (whose
+    binary layouts differ), registers here derive from the md5 kernel, so
+    Spark and DuckDB build IDENTICAL register tables and the estimate
+    goes under the value gate — a distinct-count sketch with an oracle.
+
+    h = 60-bit md5; register index = h mod m (m = 2^p); rho = run length
+    of leading zeros + 1 of the remaining 60-p bits, computed EXACTLY via
+    the binary-string length (no float log): rho = (60-p+1) - len(bin(w))
+    for w > 0, else 60-p+1. Returns (group…, idx, rho) with rho the
+    per-register max — mergeable by union + re-max.
+
+    Scale: one partial-agg'd groupBy with key space ≤ groups × m; the raw
+    item column never shuffles (same argument as cms_build)."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    c = F.col(item_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), c)), 1, 15), 16, 10
+    ).cast("bigint")
+    # integer div, not float division: doubles round above 2^53 and h is
+    # a 60-bit value
+    staged = items.select(*group_cols, h.alias("__h")).select(
+        *group_cols,
+        F.pmod(F.col("__h"), F.lit(m)).alias("idx"),
+        F.expr(f"__h div {m}").alias("__w"),
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(maxrho)).otherwise(
+        F.lit(maxrho) - F.length(F.bin(F.col("__w")))
+    )
+    return (
+        staged.withColumn("rho", rho.cast("int"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    *register_tables: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge register tables built with the same p: per-register max."""
+    if not register_tables:
+        raise ValueError("hll_merge needs at least one register table")
+    out = register_tables[0]
+    for r in register_tables[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*group_cols, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count estimate from a register table, with the standard
+    small-range (linear counting) correction.
+
+    The harmonic sum Σ 2^-M_j is computed as an INTEGER — Σ 2^(maxrho -
+    M_j), absent registers contributing 2^maxrho — so it is shuffle-order
+    insensitive and bit-identical across engines (a float sum of 2^-M
+    terms would depend on reduction order). The only floats are one
+    division and (in the small-range branch) one ln, rounded to 3
+    decimals in the output."""
+    m = 1 << p
+    maxrho = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrho} - rho)"))
+        .cast("bigint")
+        .alias("__ssum"),
+    )
+    scale = float(1 << maxrho)
+    total = F.col("__ssum") + (F.lit(m) - F.col("__present")) * F.lit(
+        1 << maxrho
+    ).cast("bigint")
+    raw = F.lit(alpha * m * m * scale) / total.cast("double")
+    zeros = (F.lit(m) - F.col("__present")).cast("double")
+    small = (F.col("__present") < m) & (raw <= F.lit(2.5 * m))
+    est = F.when(small, F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)).otherwise(
+        raw
+    )
+    return agg.select(
+        *group_cols, F.round(est, 3).alias(estimate_col)
     )

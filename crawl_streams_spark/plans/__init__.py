@@ -60,7 +60,10 @@ recent):
   hist_median_by_type and slot-51 event_type_stats), and
   ``host_graph_triangles`` (new: degree-ordered triangle counting —
   ``dedup_ngram_jaccard`` yields its slot; the dedup family keeps six
-  in-window entries). Nine r1-verified same-shape queries
+  in-window entries), and ``hll_distinct_users`` (new: cross-engine-exact
+  HyperLogLog — ``customers_with_open_orders`` yields its slot; the
+  left-semi shape stays covered by the span/dedup pipelines' semi-joins
+  in-window). Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -111,7 +114,6 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch (9)
     "top_unshipped_orders",
     "regional_revenue",
-    "customers_with_open_orders",
     "top_orders_per_customer",
     "rollup_order_priority",
     # q_text (9)
@@ -164,6 +166,7 @@ PRIORITY: tuple[str, ...] = (
     "per_source_doc_sample",  # r3-new: per-group deterministic sample
     "orders_validation_report",  # r3-new: one-scan data-quality rules
     "host_graph_triangles",  # r3-new: degree-ordered triangle counting
+    "hll_distinct_users",  # r3-new: deterministic oracled HyperLogLog
 )
 
 

@@ -138,3 +138,74 @@ def bloom_part_membership(spark, sf_dir):
             ),
         )
     )
+
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_MAXRHO = 60 - _HLL_P + 1  # 53
+_HLL_SCALE = 1 << _HLL_MAXRHO
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_SCALE)
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   (('0x' || substr(md5('hll:' || user_id), 1, 15))::BIGINT)
+                       AS hv
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type,
+                   hv % {_HLL_M} AS idx,
+                   MAX(CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_MAXRHO}
+                            ELSE {_HLL_MAXRHO}
+                                 - length(bin(hv // {_HLL_M})) END) AS rho
+            FROM h GROUP BY event_type, hv % {_HLL_M}
+        ),
+        agg AS (
+            SELECT event_type,
+                   COUNT(*) AS present,
+                   SUM(1::BIGINT << ({_HLL_MAXRHO} - rho))::BIGINT AS ssum
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, present,
+                   ssum + ({_HLL_M} - present) * (1::BIGINT << {_HLL_MAXRHO})
+                       AS total
+            FROM agg
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(CASE WHEN e.present < {_HLL_M}
+                           AND {_HLL_NUM!r} / e.total <= {2.5 * _HLL_M}
+                     THEN {float(_HLL_M)!r}
+                          * ln({float(_HLL_M)!r} / ({_HLL_M} - e.present))
+                     ELSE {_HLL_NUM!r} / e.total END, 3) AS approx_users,
+               exact.exact_users
+        FROM est e JOIN exact USING (event_type)
+    """,
+    tags=("sketch", "hll", "approx"),
+)
+def hll_distinct_users(spark, sf_dir):
+    """Per-event-type distinct users through a DETERMINISTIC HyperLogLog
+    (functions/sketch.py::hll_registers/hll_estimate) next to the exact
+    count. Engine-native HLLs (approx_count_distinct) can't be oracled —
+    their sketch layouts differ; this one's md5-derived registers and
+    integer-scaled harmonic sum make both engines compute the identical
+    estimate to the last rounded digit, putting a sketch ESTIMATOR (not
+    just its inputs) under the value gate."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = S.hll_registers(ev, "user_id", p=_HLL_P, group_cols=("event_type",))
+    est = S.hll_estimate(
+        regs, p=_HLL_P, group_cols=("event_type",), estimate_col="approx_users"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type")

@@ -56,6 +56,7 @@ def test_round_changed_queries_in_window():
         "per_source_doc_sample",  # r3-new: per-group sampling kernel
         "orders_validation_report",  # r3-new: data-quality rule report
         "host_graph_triangles",  # r3-new: triangle-counting kernel
+        "hll_distinct_users",  # r3-new: oracled HLL estimator
     ):
         assert name in window, name
 

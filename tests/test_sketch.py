@@ -116,3 +116,60 @@ def test_bloom_merge_by_union_distinct(spark):
 def test_bloom_positions_in_range(spark):
     bl = S.bloom_build(_items(spark, [f"i{i}" for i in range(50)]), "item", 256, 4)
     assert all(0 <= r["pos"] < 256 for r in bl.collect())
+
+
+# ---- deterministic HyperLogLog -----------------------------------------
+
+
+def test_hll_small_range_is_near_exact(spark):
+    """n=15 distinct at m=256 sits in the linear-counting branch: the
+    estimate lands within a fraction of a unit of truth."""
+    df = _items(spark, [f"u{i % 15}" for i in range(300)])
+    est = S.hll_estimate(S.hll_registers(df, "item")).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(est - 15) < 1.0, est
+
+
+def test_hll_large_range_error_bound(spark):
+    """n=5000 at m=256: standard error ~1.04/sqrt(256) = 6.5%; assert a
+    generous 3-sigma bound."""
+    df = _items(spark, [f"user-{i}" for i in range(5000)])
+    est = S.hll_estimate(S.hll_registers(df, "item")).collect()[0][
+        "approx_distinct"
+    ]
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    once = _items(spark, [f"u{i}" for i in range(1000)])
+    thrice = _items(spark, [f"u{i}" for i in range(1000)] * 3)
+    e1 = S.hll_estimate(S.hll_registers(once, "item")).collect()[0][0]
+    e3 = S.hll_estimate(S.hll_registers(thrice, "item")).collect()[0][0]
+    assert e1 == e3
+
+
+def test_hll_merge_equals_single_build(spark):
+    a = _items(spark, [f"a{i}" for i in range(400)])
+    b = _items(spark, [f"a{i}" for i in range(200, 600)])  # overlap
+    merged = S.hll_merge(
+        S.hll_registers(a, "item"), S.hll_registers(b, "item")
+    )
+    whole = S.hll_registers(
+        _items(spark, [f"a{i}" for i in range(600)]), "item"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_grouped_estimates(spark):
+    rows = [(f"g{j}", f"u{i}") for j in range(3) for i in range(50 * (j + 1))]
+    df = spark.createDataFrame(rows, "g string, item string")
+    regs = S.hll_registers(df, "item", group_cols=("g",))
+    est = {
+        r["g"]: r["approx_distinct"]
+        for r in S.hll_estimate(regs, group_cols=("g",)).collect()
+    }
+    for j, n in (("g0", 50), ("g1", 100), ("g2", 150)):
+        assert abs(est[j] - n) / n < 0.25, (j, est[j])
