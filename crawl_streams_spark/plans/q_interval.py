@@ -74,6 +74,7 @@ def _sessions_us(spark, sf_dir):
         GROUP BY a.user_id, a.session_idx
     """,
     tags=("interval-join", "session", "self-join"),
+    bench=True,
 )
 def concurrent_sessions(spark, sf_dir):
     """Per session: how many sessions of OTHER users overlap it in time —

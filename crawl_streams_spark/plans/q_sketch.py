@@ -191,6 +191,7 @@ _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(_HLL_SCALE)
         FROM est e JOIN exact USING (event_type)
     """,
     tags=("sketch", "hll", "approx"),
+    bench=True,
 )
 def hll_distinct_users(spark, sf_dir):
     """Per-event-type distinct users through a DETERMINISTIC HyperLogLog

@@ -135,6 +135,7 @@ def dup_span_doc_stats(spark, sf_dir):
     FROM t LEFT JOIN reass USING (doc_id)
     """,
     tags=("dedup", "spans", "excision", "extension"),
+    bench=True,
 )
 def doc_span_excision(spark, sf_dir):
     """Cleaned corpus after cutting duplicated 5-token spans out of every
