@@ -247,3 +247,261 @@ def media_summary(decoded: DataFrame) -> DataFrame:
         F.round(F.avg("height"), 4).alias("avg_height"),
         F.countDistinct("payload_sha1").alias("n_distinct_payloads"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders for codec-free container formats. Compressed media (JPEG,
+# MP3, H.264) still needs the gated codec path above — but RIFF/PCM WAV and
+# binary PPM (P6) are pure header+array formats, so their decode, feature
+# extraction, and (for PPM) pixel resize are implementable with numpy alone
+# and run as genuine media operators in this sandbox.
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_ms", FloatType(), True),
+        StructField("rms", FloatType(), True),
+        StructField("peak", FloatType(), True),
+        StructField("clip_fraction", FloatType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def wav_bytes(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV encoder (RIFF + fmt + data) — fixture builder and
+    the inverse of the decoder below. ``samples`` is an int16 array,
+    interleaved if multi-channel."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def _wav_decode_impl():
+    """Factory (closure-pickled by value) for the real RIFF/PCM16 parser:
+    walks the chunk list, reads fmt, frombuffers the data chunk, and
+    computes energy features vectorized in numpy."""
+
+    def decode(payload: bytes):
+        import struct
+
+        import numpy as np
+
+        try:
+            if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                return None, "not a RIFF/WAVE payload"
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid, size = struct.unpack_from("<4sI", payload, pos)
+                body = payload[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                return None, "missing fmt or data chunk"
+            audio_format, n_ch, rate, _, _, bits = fmt
+            if audio_format != 1 or bits != 16:
+                return None, f"unsupported format (fmt={audio_format}, bits={bits})"
+            x = np.frombuffer(data[: len(data) - (len(data) % (2 * n_ch))], dtype="<i2")
+            n_samples = x.size // n_ch if n_ch else 0
+            if n_samples == 0:
+                return (rate, n_ch, bits, 0, 0.0, 0.0, 0.0, 0.0), None
+            xf = x.astype(np.float64) / 32768.0
+            rms = float(np.sqrt(np.mean(xf * xf)))
+            peak = float(np.max(np.abs(xf)))
+            clip = float(np.mean((x == 32767) | (x == -32768)))
+            dur = 1000.0 * n_samples / rate if rate else 0.0
+            return (
+                rate, n_ch, bits, int(n_samples), round(dur, 3),
+                round(rms, 6), round(peak, 6), round(clip, 6),
+            ), None
+        except Exception as e:  # malformed chunk arithmetic etc.
+            return None, f"parse error: {e}"
+
+    return decode
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode over mapInPandas: RIFF/PCM16 WAV payloads →
+    (sample_rate, channels, duration, rms, peak, clip_fraction), malformed
+    payloads reported per-row in ``error`` instead of failing the stage.
+    Same Arrow-batched contract as decode_media; numpy does the PCM math
+    per payload (vectorized within each blob)."""
+    decode = _wav_decode_impl()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 8 + ("null payload",))
+                    continue
+                feats, err = decode(bytes(payload))
+                if feats is None:
+                    rows.append((mid,) + (None,) * 8 + (err,))
+                else:
+                    rows.append((mid,) + feats + (None,))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=WAV_FEATURES_SCHEMA
+    )
+
+
+PPM_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", FloatType(), True),
+        StructField("mean_g", FloatType(), True),
+        StructField("mean_b", FloatType(), True),
+        StructField("mean_luma", FloatType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+PPM_RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("resized_width", IntegerType(), True),
+        StructField("resized_height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def ppm_bytes(arr) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder from an (h, w, 3) uint8 array —
+    fixture builder and resize re-encoder."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def _ppm_parse_impl():
+    def parse(payload: bytes):
+        import numpy as np
+
+        try:
+            if not payload.startswith(b"P6"):
+                return None, "not a P6 PPM payload"
+            # header: magic, width, height, maxval separated by whitespace
+            # (comments not supported — reject rather than misparse)
+            parts = payload[:64].split(maxsplit=4)
+            if len(parts) < 5 or parts[0] != b"P6":
+                return None, "short or malformed header"
+            w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+            if maxval != 255:
+                return None, f"unsupported maxval {maxval}"
+            header_len = len(payload[:64].rsplit(parts[4], 1)[0])
+            px = np.frombuffer(payload, dtype=np.uint8, offset=header_len)
+            if px.size < w * h * 3:
+                return None, "truncated pixel data"
+            return px[: w * h * 3].reshape(h, w, 3), None
+        except Exception as e:
+            return None, f"parse error: {e}"
+
+    return parse
+
+
+def decode_ppm(df: DataFrame) -> DataFrame:
+    """REAL image decode over mapInPandas: P6 PPM payloads → dimensions +
+    channel means + Rec.601 luminance; malformed payloads reported
+    per-row."""
+    parse = _ppm_parse_impl()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 6 + ("null payload",))
+                    continue
+                px, err = parse(bytes(payload))
+                if px is None:
+                    rows.append((mid,) + (None,) * 6 + (err,))
+                    continue
+                means = px.reshape(-1, 3).mean(axis=0)
+                luma = float(
+                    0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2]
+                )
+                rows.append(
+                    (
+                        mid, px.shape[1], px.shape[0],
+                        round(float(means[0]), 4), round(float(means[1]), 4),
+                        round(float(means[2]), 4), round(luma, 4), None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_DECODED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=PPM_DECODED_SCHEMA
+    )
+
+
+def resize_ppm(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """REAL pixel resize (nearest-neighbor via numpy index sampling),
+    aspect-preserving fit to ``max_side``, re-encoded as P6 — an actual
+    image transformation, not geometry-only: the stub resize above stays
+    for codec formats, this one round-trips real pixels."""
+    parse = _ppm_parse_impl()
+    encode = ppm_bytes
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None, "null payload"))
+                    continue
+                px, err = parse(bytes(payload))
+                if px is None:
+                    rows.append((mid, None, None, None, err))
+                    continue
+                h, w = px.shape[:2]
+                scale = min(max_side / w, max_side / h, 1.0)
+                rw, rh = max(1, round(w * scale)), max(1, round(h * scale))
+                yi = (np.arange(rh) * (h / rh)).astype(int)
+                xi = (np.arange(rw) * (w / rw)).astype(int)
+                resized = px[yi][:, xi]
+                rows.append((mid, rw, rh, encode(resized), None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPM_RESIZED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=PPM_RESIZED_SCHEMA
+    )

@@ -63,7 +63,11 @@ recent):
   in-window entries), and ``hll_distinct_users`` (new: cross-engine-exact
   HyperLogLog — ``customers_with_open_orders`` yields its slot; the
   left-semi shape stays covered by the span/dedup pipelines' semi-joins
-  in-window). Nine r1-verified same-shape queries
+  in-window), and ``media_wav_features`` (new: a REAL RIFF/PCM16 audio
+  decode through mapInPandas, rows-only — ``binary_column_plumbing``
+  yields its slot: the binary-column round-trip it gated is a strict
+  subset of the decode path now in-window). Nine r1-verified same-shape
+  queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -132,7 +136,6 @@ PRIORITY: tuple[str, ...] = (
     # slot to the r3-new PQ query below
     "url_host_extraction",
     "annotation_classification",
-    "binary_column_plumbing",
     # -- family-coverage representatives (8): verified round 2, one per
     # family whose other members all sit in slots 51+ --------------------
     "schedule_launch_decisions",  # q_schedule
@@ -167,6 +170,7 @@ PRIORITY: tuple[str, ...] = (
     "orders_validation_report",  # r3-new: one-scan data-quality rules
     "host_graph_triangles",  # r3-new: degree-ordered triangle counting
     "hll_distinct_users",  # r3-new: deterministic oracled HyperLogLog
+    "media_wav_features",  # r3-new: REAL WAV decode (rows-only)
 )
 
 

@@ -341,3 +341,58 @@ def url_canonicalization(spark, sf_dir):
     return d.select(
         "event_id", "url", C.canonical_url(F.col("url")).alias("canon")
     )
+
+
+@query(
+    "media_wav_features",
+    oracle=None,  # real binary decode (RIFF/PCM16 parse + numpy energy
+    # math over mapInPandas) is not SQL-expressible — rows-only check;
+    # the decode kernel is golden-tested against known signals in
+    # tests/test_multimodal.py (sine RMS, clipping, stereo framing).
+    tags=("multimodal", "audio", "rows-only", "extension"),
+)
+def media_wav_features(spark, sf_dir):
+    """REAL audio decode end to end: deterministic PCM16 WAV payloads are
+    synthesized per document (id-seeded sawtooth, one Arrow-batched
+    builder stage), then operators/multimodal.py::decode_wav parses the
+    RIFF container and extracts energy features — an actual media decode
+    running in the sandbox, not the codec-gated stub (those remain for
+    compressed formats)."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # worker-shipped closure: no package globals (ROUNDLOG lesson 2) —
+        # a minimal local PCM16 WAV encoder, byte-identical to
+        # multimodal.wav_bytes (pinned by the decode features themselves)
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav(samples, rate):
+            pcm = np.asarray(samples, dtype="<i2").tobytes()
+            fmt = struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+            )
+            data = struct.pack("<4sI", b"data", len(pcm)) + pcm
+            riff = struct.pack(
+                "<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE"
+            )
+            return riff + fmt + data
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = np.arange(400, dtype=np.int64)
+                samples = (((did * 131 + i * 97) % 65536) - 32768).astype("<i2")
+                payloads.append(wav(samples, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_wav(media)

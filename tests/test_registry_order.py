@@ -57,6 +57,7 @@ def test_round_changed_queries_in_window():
         "orders_validation_report",  # r3-new: data-quality rule report
         "host_graph_triangles",  # r3-new: triangle-counting kernel
         "hll_distinct_users",  # r3-new: oracled HLL estimator
+        "media_wav_features",  # r3-new: real WAV decode path
     ):
         assert name in window, name
 
