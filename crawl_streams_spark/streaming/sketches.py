@@ -1,0 +1,135 @@
+"""Streaming sketch maintenance: fold micro-batches into persistent
+count-min / HyperLogLog tables via foreachBatch — the sketch analog of
+operators/rollup.py::stream_rollup (durable, restart-safe aggregates whose
+per-trigger cost is the micro-batch, never the history).
+
+Replay semantics differ BY ALGEBRA, and the code should reflect that
+instead of paying for markers uniformly:
+
+- **HLL registers merge with max** — idempotent. Replaying a micro-batch
+  re-maxes the same rhos and changes nothing, so ``stream_hll`` needs no
+  marker bookkeeping at all: at-least-once delivery composes with an
+  idempotent fold into exactly-once RESULTS for free.
+- **CMS counts merge with sum** — NOT idempotent. A replayed batch would
+  double-count, so ``stream_cms`` stamps per-batch markers inside the
+  checkpoint (the stream_rollup discipline: Hadoop-FS probes, never
+  driver-local os calls — checkpoints live on HDFS/S3 in deployment).
+
+Both tables are tiny (≤ groups × m registers / d × w counters), so each
+fold rewrites the whole table; ``localCheckpoint`` breaks the
+read-overwrite lineage cycle (reading a path and overwriting it in one
+plan is a self-clobber without materialization)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..fs import hadoop_exists, hadoop_touch, parquet_if_exists
+from ..functions import sketch as S
+
+__all__ = ["update_hll_table", "update_cms_table", "stream_hll", "stream_cms"]
+
+
+def update_hll_table(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    item_col: str,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Merge one batch's registers into the persistent HLL table
+    (idempotent: re-applying the same batch is a no-op)."""
+    regs = S.hll_registers(batch, item_col, p=p, group_cols=group_cols)
+    existing = parquet_if_exists(spark, table_path)
+    merged = (
+        S.hll_merge(existing, regs, group_cols=group_cols)
+        if existing is not None
+        else regs
+    )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        table_path
+    )
+
+
+def update_cms_table(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> None:
+    """Merge one batch's counts into the persistent CMS table (NOT
+    idempotent — callers must suppress replays; stream_cms does)."""
+    sk = S.cms_build(
+        batch, item_col, depth=depth, width=width, weight_col=weight_col
+    )
+    existing = parquet_if_exists(spark, table_path)
+    merged = S.cms_merge(existing, sk) if existing is not None else sk
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        table_path
+    )
+
+
+def stream_hll(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    item_col: str,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+    available_now: bool = False,
+):
+    """Continuous distinct-count sketching: every micro-batch folds its
+    registers into the table. No markers — max-merge makes replays
+    harmless (exactly-once results from at-least-once delivery)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        update_hll_table(
+            batch_df.sparkSession, batch_df, table_path, item_col, p, group_cols
+        )
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_cms(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+    available_now: bool = False,
+    exactly_once: bool = True,
+):
+    """Continuous frequency sketching with replay suppression: per-batch
+    markers inside the checkpoint make the sum-merge exactly-once (same
+    residual window as stream_rollup — a crash between merge and marker
+    re-admits one batch; closing it fully needs a transactional format)."""
+    markers = checkpoint.rstrip("/") + "/applied_cms_batches"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{markers}/{batch_id}"
+        if exactly_once and hadoop_exists(spark, marker):
+            return
+        update_cms_table(
+            spark, batch_df, table_path, item_col, depth, width, weight_col
+        )
+        if exactly_once:
+            hadoop_touch(spark, marker)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,143 @@
+"""Streaming sketch maintenance (streaming/sketches.py): stream folds
+equal the one-shot batch sketch; HLL replays are no-ops by algebra (max
+merge); CMS replays are suppressed by markers and double-count without
+them — the by-algebra exactly-once contrast pinned."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.functions import sketch as S
+from crawl_streams_spark.streaming import sketches as SS
+
+
+def _src(spark, tmp_path, two_files=True):
+    rows = [(f"u{i % 37}", f"g{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "item string, g string")
+    src = str(tmp_path / "src")
+    if two_files:
+        df.filter(F.length("item") == 2).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        df.filter(F.length("item") > 2).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+    else:
+        df.coalesce(1).write.parquet(src)
+    return df, src
+
+
+def _await(spark, q):
+    q.awaitTermination(120)
+    q.stop()
+    for _ in range(100):
+        if q not in spark.streams.active:
+            break
+        time.sleep(0.1)
+
+
+def test_stream_hll_matches_batch_build(spark, tmp_path):
+    df, src = _src(spark, tmp_path)
+    table = str(tmp_path / "hll")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SS.stream_hll(
+        stream, table, str(tmp_path / "ck"), "item",
+        group_cols=("g",), available_now=True,
+    )
+    _await(spark, q)
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = sorted(
+        map(tuple, S.hll_registers(df, "item", group_cols=("g",)).collect())
+    )
+    assert got == want
+
+
+def test_stream_cms_matches_batch_build(spark, tmp_path):
+    df, src = _src(spark, tmp_path)
+    table = str(tmp_path / "cms")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SS.stream_cms(
+        stream, table, str(tmp_path / "ck"), "item", available_now=True
+    )
+    _await(spark, q)
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = sorted(map(tuple, S.cms_build(df, "item").collect()))
+    assert got == want
+
+
+def _inject_replay(ckpt):
+    commits_dir = os.path.join(ckpt, "commits")
+    commits = sorted(
+        f for f in os.listdir(commits_dir) if not f.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    # the local FS keeps a hidden checksum twin; a stale one fails the
+    # re-written commit's rename
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_stream_hll_replay_is_noop_by_algebra(spark, tmp_path):
+    """No markers involved: re-running the last micro-batch re-maxes the
+    same registers — table unchanged."""
+    df, src = _src(spark, tmp_path, two_files=False)
+    table, ckpt = str(tmp_path / "hll"), str(tmp_path / "ck")
+    schema = df.schema
+
+    def run():
+        q = SS.stream_hll(
+            spark.readStream.schema(schema).parquet(src),
+            table, ckpt, "item", available_now=True,
+        )
+        _await(spark, q)
+
+    run()
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+    _inject_replay(ckpt)
+    run()
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert before == after
+
+
+def test_stream_cms_replay_marker_suppression(spark, tmp_path):
+    """With markers the replayed batch is a no-op; without them the counts
+    double — both behaviors pinned."""
+    df, src = _src(spark, tmp_path, two_files=False)
+    schema = df.schema
+
+    def run(table, ckpt, exactly_once):
+        q = SS.stream_cms(
+            spark.readStream.schema(schema).parquet(src),
+            table, ckpt, "item",
+            available_now=True, exactly_once=exactly_once,
+        )
+        _await(spark, q)
+
+    # exactly-once path
+    t1, c1 = str(tmp_path / "cms1"), str(tmp_path / "ck1")
+    run(t1, c1, True)
+    before = {(r["d"], r["bucket"]): r["cnt"] for r in spark.read.parquet(t1).collect()}
+    _inject_replay(c1)
+    run(t1, c1, True)
+    after = {(r["d"], r["bucket"]): r["cnt"] for r in spark.read.parquet(t1).collect()}
+    assert before == after
+
+    # markerless path double-counts
+    t2, c2 = str(tmp_path / "cms2"), str(tmp_path / "ck2")
+    run(t2, c2, False)
+    _inject_replay(c2)
+    run(t2, c2, False)
+    doubled = {(r["d"], r["bucket"]): r["cnt"] for r in spark.read.parquet(t2).collect()}
+    assert doubled == {k: 2 * v for k, v in before.items()}
