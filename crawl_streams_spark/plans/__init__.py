@@ -66,8 +66,12 @@ recent):
   in-window), and ``media_wav_features`` (new: a REAL RIFF/PCM16 audio
   decode through mapInPandas, rows-only — ``binary_column_plumbing``
   yields its slot: the binary-column round-trip it gated is a strict
-  subset of the decode path now in-window). Nine r1-verified same-shape
-  queries
+  subset of the decode path now in-window), and
+  ``funnel_conversion_by_user`` / ``daily_cohort_retention`` (new:
+  behavioral analytics — ``top_orders_per_customer`` and ``doc_quality``
+  yield their slots; rank-per-group stays covered by
+  per_source_doc_sample, q_text by doc_bpe_tokens / doc_repetition).
+  Nine r1-verified same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -103,6 +107,7 @@ from . import q_diff  # noqa: E402,F401
 from . import q_interval  # noqa: E402,F401
 from . import q_sketch  # noqa: E402,F401
 from . import q_validate  # noqa: E402,F401
+from . import q_behavior  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -118,10 +123,8 @@ PRIORITY: tuple[str, ...] = (
     # q_tpch (9)
     "top_unshipped_orders",
     "regional_revenue",
-    "top_orders_per_customer",
     "rollup_order_priority",
     # q_text (9)
-    "doc_quality",
     "doc_bpe_tokens",
     "doc_repetition",
     # q_dedup (5) — est_jaccard is r2-new: FIRST driver verdict this round
@@ -171,6 +174,8 @@ PRIORITY: tuple[str, ...] = (
     "host_graph_triangles",  # r3-new: degree-ordered triangle counting
     "hll_distinct_users",  # r3-new: deterministic oracled HyperLogLog
     "media_wav_features",  # r3-new: REAL WAV decode (rows-only)
+    "funnel_conversion_by_user",  # r3-new: ordered-subsequence funnel
+    "daily_cohort_retention",  # r3-new: cohort retention triangle
 )
 
 

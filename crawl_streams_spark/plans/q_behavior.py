@@ -1,0 +1,178 @@
+"""Behavioral analytics over the event stream: funnel conversion and
+cohort retention — the product-analytics query shapes (Amplitude/GA
+style) a general engine must express, both under the cross-engine gate.
+
+Funnel subsequence matching: a session converts iff its time-ordered
+event types contain view → click → purchase AS A SUBSEQUENCE (other
+events may interleave). Both engines reduce each session to an ordered
+type-letter string (total order: ts, then event_id tie-break) and test
+``LIKE '%v%c%p%'`` — SQL's LIKE wildcards implement exactly the ordered-
+subsequence semantics, JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..tables import load_table
+from .q_sessions import _GAP_SECONDS
+from .registry import query
+
+_LETTER = {
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "signup": "s",
+    "error": "e",
+}
+
+_DUCK_SESSION_STRINGS = f"""
+    ordered AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 0
+                    WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                         > {_GAP_SECONDS} * 1000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    tagged AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, session_idx,
+               string_agg(CASE event_type
+                              WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                              ELSE 'e' END, '' ORDER BY ts, event_id) AS seq
+        FROM tagged
+        GROUP BY user_id, session_idx
+    )
+"""
+
+
+@query(
+    "funnel_conversion_by_user",
+    oracle=f"""
+        WITH {_DUCK_SESSION_STRINGS}
+        SELECT user_id,
+               COUNT(*) AS n_sessions,
+               COUNT(*) FILTER (WHERE seq LIKE '%v%c%p%')
+                   AS n_converted
+        FROM sess
+        GROUP BY user_id
+    """,
+    tags=("behavior", "funnel", "session"),
+)
+def funnel_conversion_by_user(spark, sf_dir):
+    """Per user: sessions vs sessions converting through the
+    view → click → purchase funnel (ordered subsequence, interleaved
+    events allowed). One shuffle on user_id serves sessionization, the
+    per-session string fold, AND the final rollup (Catalyst reuses the
+    partitioning); the subsequence test is a JVM LIKE over a ≤
+    session-length string — no pattern-matching UDF."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_session = (
+        F.when(F.lag("ts").over(w).isNull(), 0)
+        .when(gap > _GAP_SECONDS * 1_000_000, 1)
+        .otherwise(0)
+    )
+    letter = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _LETTER.items() for x in kv]
+        ),
+        F.col("event_type"),
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.coalesce(letter, F.lit("e")).alias("letter"),
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    sess = tagged.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), F.col("letter")
+                        )
+                    )
+                ),
+                lambda x: x["letter"],
+            ),
+        ).alias("seq")
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            F.when(F.col("seq").like("%v%c%p%"), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
+
+
+@query(
+    "daily_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS TIMESTAMP)::DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id,
+                   f.cohort_day,
+                   date_diff('day', f.cohort_day,
+                             CAST(e.ts AS TIMESTAMP)::DATE) AS day_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT cohort_day, day_offset,
+               COUNT(*) AS n_active_users
+        FROM activity
+        GROUP BY cohort_day, day_offset
+    """,
+    tags=("behavior", "cohort", "retention"),
+)
+def daily_cohort_retention(spark, sf_dir):
+    """Classic retention triangle: users grouped by first-seen day
+    (cohort), counted on each later active day offset. The firsts
+    aggregation and the activity dedup share the user_id partitioning;
+    the cohort dimension broadcasts back onto the event scan. Counts are
+    DISTINCT users per (cohort, offset) — integer-exact under the
+    gate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast(
+                "bigint"
+            ).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

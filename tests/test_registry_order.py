@@ -58,10 +58,13 @@ def test_round_changed_queries_in_window():
         "host_graph_triangles",  # r3-new: triangle-counting kernel
         "hll_distinct_users",  # r3-new: oracled HLL estimator
         "media_wav_features",  # r3-new: real WAV decode path
+        "funnel_conversion_by_user",  # r3-new: funnel kernel
+        "daily_cohort_retention",  # r3-new: cohort retention kernel
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 105 registered queries as of round 3; update deliberately when adding.
-    assert len(REGISTRY) >= 105
+    # 117 registered queries as of the round-3 continuation; update
+    # deliberately when adding.
+    assert len(REGISTRY) >= 117
