@@ -60,6 +60,7 @@ def test_round_changed_queries_in_window():
         "media_wav_features",  # r3-new: real WAV decode path
         "funnel_conversion_by_user",  # r3-new: funnel kernel
         "daily_cohort_retention",  # r3-new: cohort retention kernel
+        "term_posting_lists",  # r3-new: inverted-index kernel
     ):
         assert name in window, name
 
