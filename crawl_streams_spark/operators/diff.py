@@ -90,6 +90,13 @@ def scd2_compress(
     run, even if the values came back identical. ``valid_to`` is NULL
     (and ``is_current`` true) only for runs alive in the latest version.
 
+    Contract: the version list is derived from the DATA (distinct
+    ``version_col`` values present). A completely empty snapshot
+    contributes no rows and is therefore invisible — a "version 5 deleted
+    every row" event cannot close runs unless at least one row carries
+    version 5. Feed a sentinel row (or diff against the version manifest
+    upstream) if empty full snapshots are possible.
+
     Shape: the global version list is a tiny dimension (one row per
     snapshot) — dense-ranked through a single-partition window (bounded
     by the number of snapshots, not data) and broadcast back. Change
