@@ -72,9 +72,12 @@ recent):
   yield their slots; rank-per-group stays covered by
   per_source_doc_sample, q_text by doc_bpe_tokens / doc_repetition), and
   ``term_posting_lists`` (new: inverted-index build —
-  ``url_host_extraction`` yields its slot; q_crawl scalar parsing stays
-  covered by annotation_classification + url_canonicalization's local
-  gates). Nine r1-verified same-shape queries
+  ``url_host_extraction`` yields its slot), and
+  ``fuzzy_part_name_pairs`` (new: q-gram-blocked edit-distance join —
+  ``annotation_classification`` yields its slot; q_crawl stays
+  family-covered in-window by media_wav_features, and the F-7 classifier
+  keeps its r1 driver verdict + conformance pytest). Nine r1-verified
+  same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
   order_value_running, lang_source_rollup) yield their slots — their
@@ -140,7 +143,6 @@ PRIORITY: tuple[str, ...] = (
     "label_centroid_sim",
     # q_crawl (4) — hop_and_status (r1-green simple projection) yields its
     # slot to the r3-new PQ query below
-    "annotation_classification",
     # -- family-coverage representatives (8): verified round 2, one per
     # family whose other members all sit in slots 51+ --------------------
     "schedule_launch_decisions",  # q_schedule
@@ -179,6 +181,7 @@ PRIORITY: tuple[str, ...] = (
     "funnel_conversion_by_user",  # r3-new: ordered-subsequence funnel
     "daily_cohort_retention",  # r3-new: cohort retention triangle
     "term_posting_lists",  # r3-new: inverted-index construction
+    "fuzzy_part_name_pairs",  # r3-new: q-gram-blocked edit-distance join
 )
 
 

@@ -266,3 +266,37 @@ def clicks_before_purchase(spark, sf_dir):
         "purchase_id",
         F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_recent_clicks"),
     )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+        WITH names AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a,
+               b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("fuzzy", "similarity-join", "extension"),
+)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Edit-distance-≤2 pairs among distinct part names via the q-gram-
+    blocked similarity join (operators/fuzzy.py): positional bigram
+    blocking + count bound + length filter prune the pair space, exact
+    levenshtein verifies survivors. The DuckDB oracle runs the naive
+    O(n²) scan — agreement certifies the blocking loses no pairs (the
+    q-gram lemma applied correctly, multiset occ semantics included)."""
+    from ..operators import fuzzy as FZ
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("nm"))
+        .distinct()
+    )
+    pairs = FZ.fuzzy_self_join(names, id_col="nm", str_col="nm", k=2, q=2)
+    return pairs.select(
+        F.col("id_a").alias("name_a"),
+        F.col("id_b").alias("name_b"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )

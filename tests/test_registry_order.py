@@ -61,6 +61,7 @@ def test_round_changed_queries_in_window():
         "funnel_conversion_by_user",  # r3-new: funnel kernel
         "daily_cohort_retention",  # r3-new: cohort retention kernel
         "term_posting_lists",  # r3-new: inverted-index kernel
+        "fuzzy_part_name_pairs",  # r3-new: fuzzy similarity join
     ):
         assert name in window, name
 
