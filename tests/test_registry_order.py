@@ -62,6 +62,7 @@ def test_round_changed_queries_in_window():
         "daily_cohort_retention",  # r3-new: cohort retention kernel
         "term_posting_lists",  # r3-new: inverted-index kernel
         "fuzzy_part_name_pairs",  # r3-new: fuzzy similarity join
+        "hourly_series_filled",  # r3-new: time-series regularization
     ):
         assert name in window, name
 
