@@ -28,7 +28,7 @@ family, sketch tier alongside HLL approx_count_distinct).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 __all__ = [
     "cms_bucket",
@@ -40,6 +40,10 @@ __all__ = [
     "hll_registers",
     "hll_merge",
     "hll_estimate",
+    "kmv_hash",
+    "kmv_table",
+    "kmv_merge",
+    "kmv_estimate",
 ]
 
 
@@ -265,4 +269,102 @@ def hll_estimate(
     )
     return agg.select(
         *group_cols, F.round(est, 3).alias(estimate_col)
+    )
+
+
+# --- KMV / theta sketch --------------------------------------------------
+
+#: Hash domain size: 60-bit md5 prefixes land uniformly in [0, 2^60).
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_hash(item: Column | str) -> Column:
+    """60-bit md5 hash of an item under the 'kmv:' tag — the repo's
+    cross-engine kernel (DuckDB: ``('0x'||substr(md5('kmv:'||item),1,15))
+    ::BIGINT``), uniform on [0, 2^60)."""
+    c = F.col(item) if isinstance(item, str) else item
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_table(
+    items: DataFrame,
+    item_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002; the theta-sketch
+    core): per group, the ≤k SMALLEST distinct 60-bit hashes of the items,
+    as rows (group…, hv). Selection of an order statistic is
+    shuffle-order-insensitive, so — unlike engine-native theta sketches
+    with incompatible binary layouts — a SQL oracle reproduces the sketch
+    bit for bit.
+
+    Mergeable: union two tables and re-take the k smallest
+    (``kmv_merge``), which is how per-partition partials combine at scale;
+    the distinct + top-k here is one partial-agg'd shuffle keyed by
+    (group…, hv) and a per-group window over ≤ distinct-count rows.
+    Compared to HLL the sketch is bigger (k × 8 bytes vs 2^p registers)
+    but supports set intersection: the k-min set is a uniform sample of
+    the union, so shared-hash fractions estimate Jaccard."""
+    hv = kmv_hash(item_col).alias("hv")
+    return _kmv_take(items.select(*group_cols, hv), k, group_cols)
+
+
+def kmv_merge(
+    *tables: DataFrame, k: int = 256, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge KMV tables built with the same hash: union, dedupe, re-take
+    the k smallest per group. The union's sketch — exact, not an
+    approximation of a sketch."""
+    if not tables:
+        raise ValueError("kmv_merge needs at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return _kmv_take(out, k, group_cols)
+
+
+def _kmv_take(
+    hashed: DataFrame, k: int, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """k smallest distinct hv per group of an already-hashed relation."""
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
+    return (
+        hashed.select(*group_cols, "hv")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    table: DataFrame,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count estimate from a KMV table: with R = (kth smallest
+    hash)/2^60, the unbiased estimator is (k−1)/R; when the group holds
+    fewer than k distinct hashes the sketch IS the distinct set and the
+    count is exact. One float division per group from integer inputs —
+    deterministic, rounded to 3 decimals (the hll_estimate discipline)."""
+    agg = table.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hv").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_kept",
+        "kth_hash",
+        F.round(est, 3).alias(estimate_col),
     )

@@ -159,3 +159,93 @@ def doc_tfidf_topk(
             "rnk",
         )
     )
+
+
+def bigram_counts(
+    df: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """(tok_a, tok_b, n_ab): corpus-wide counts of ADJACENT token pairs.
+    The bigram explode is linear in token count and stages the token
+    array once through a named column (lesson 1); documents with fewer
+    than two tokens contribute nothing. One (tok_a, tok_b)-keyed shuffle,
+    partial-agg absorbed."""
+    staged = df.select(T.tokens(content).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = staged.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS tok_a, "
+                "element_at(toks, i + 1) AS tok_b))"
+            )
+        ).alias("bg")
+    )
+    return bg.select("bg.tok_a", "bg.tok_b").groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    min_count: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks 1990): the top-k adjacent bigrams by
+    PMI = ln( P(a,b) / (P(a)·P(b)) ) = ln( n_ab·N_uni² / (N_bi·n_a·n_b) ),
+    restricted to bigrams seen ≥ ``min_count`` times (the standard guard
+    against PMI's low-count bias).
+
+    Determinism: every count is an integer aggregate; the PMI is ONE
+    float division + ONE log per output row from identical integer
+    inputs, rounded to 6 — and the top-k orders by the ROUNDED score with
+    a (tok_a, tok_b) tie-break, so the selected set and its order are
+    bit-reproducible across engines (the doc_tfidf_topk discipline).
+
+    Scale: two corpus aggregates (unigram, bigram — both partial-agg'd
+    Zipf-skew-safe shuffles), two slim joins of the bigram table against
+    the unigram table (broadcastable vocab, else AQE), scalar totals ride
+    broadcast single-row cross joins. The top-k plans as
+    TakeOrderedAndProject."""
+    toks = df.select(F.explode(T.tokens(content)).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # identical subtrees on both branches so the runtime reuses one
+    # bigram-count exchange (ReuseExchange) instead of scanning twice
+    bi_all = bigram_counts(df, content, key)
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
+    n_uni = uni.agg(F.sum("cnt").alias("n_uni"))
+    n_bi = bi_all.agg(F.sum("n_ab").alias("n_bi"))
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("n_b"))
+    scored = (
+        bi.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_uni") * F.col("n_uni")).cast(
+                        "double"
+                    )
+                    / (
+                        F.col("n_bi").cast("double")
+                        * F.col("n_a")
+                        * F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(k)

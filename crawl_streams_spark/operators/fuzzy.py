@@ -36,7 +36,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["positional_qgrams", "fuzzy_self_join"]
+__all__ = ["positional_qgrams", "fuzzy_self_join", "prefix_jaccard_self_join"]
 
 
 def positional_qgrams(df: DataFrame, str_col: str, q: int) -> DataFrame:
@@ -156,3 +156,99 @@ def fuzzy_self_join(
         .filter(F.col("dist") <= k)
     )
     return big_pairs.unionByName(tiny_pairs).unionByName(rev)
+
+
+def prefix_jaccard_self_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    p: int,
+    q: int,
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join at Jaccard ≥ p/q via prefix
+    filtering (Chaudhuri et al. 2006 SSJoin; Xiao et al. 2008 PPJoin) —
+    the deterministic counterpart to MinHash-LSH: no false negatives, no
+    probability dial, the filter only PRUNES.
+
+    The lemma: order the token universe by ascending document frequency
+    (rarest first; ties by token) and keep each set's first
+    ``sz − ⌈t·sz⌉ + 1`` tokens as its PREFIX. Two sets with
+    Jaccard ≥ t must share at least one prefix token — so candidates come
+    from an equi-join of exploded prefixes, plus the length filter
+    (q·min(sz) ≥ p·max(sz), a Jaccard upper bound). Verification is the
+    exact integer test q·|a∩b| ≥ p·|a∪b| — no float threshold boundary.
+
+    All threshold math is integer (t = p/q rational): ⌈p·sz/q⌉ =
+    (p·sz + q − 1) div q — bit-identical in any engine.
+
+    Scale (100 TB): the frequency ordering needs no global rank — tokens
+    sort per-document by the (cnt, token) struct, so the only global
+    state is the token→cnt relation (one partial-agg'd shuffle; join it
+    back broadcast when the vocabulary fits, shuffle+AQE otherwise). The
+    candidate join explodes ONLY prefixes — ~(1−t)·sz tokens per set, and
+    by construction the RAREST ones, so hot tokens (the Zipf head) never
+    generate candidates: prefix filtering is anti-skew by design, the
+    reason it beats a naive token-block join whose hottest block is the
+    most frequent token. Returns (id_a, id_b, inter, uni, jaccard ≥ p/q).
+    """
+    if not (0 < p <= q):
+        raise ValueError(f"threshold p/q must be in (0, 1]: {p}/{q}")
+    slim = df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("toks"))
+    toks = slim.select("id", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = toks.join(freq, "tok")
+    sets = (
+        tf.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "tok"))).alias("__sc"))
+        .select(
+            "id",
+            F.transform("__sc", lambda s: s["tok"]).alias("stoks"),
+            F.size("__sc").alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({p} * sz + {q} - 1) div {q}")
+        + F.lit(1)
+    ).cast("int")
+    pref = sets.select(
+        "id", "sz", F.explode(F.slice("stoks", 1, prefix_len)).alias("tok")
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (q * F.least("sz_a", "sz_b") >= p * F.greatest("sz_a", "sz_b"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = slim.select(F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    sb = slim.select(F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    uni = F.size("t_a") + F.size("t_b") - inter
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            uni.alias("uni"),
+        )
+        .filter(q * F.col("inter") >= p * F.col("uni"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("uni").cast("bigint").alias("uni"),
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -26,7 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["fill_gaps", "forward_fill"]
+__all__ = ["fill_gaps", "forward_fill", "rolling_anomalies"]
 
 
 def fill_gaps(
@@ -83,3 +83,67 @@ def forward_fill(
             f"{c}{suffix}", F.last(F.col(c), ignorenulls=True).over(w)
         )
     return out
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lookback: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per series: each row's
+    ``value_col`` is scored against the mean/std of the PREVIOUS
+    ``lookback`` rows (the row itself excluded — a spike must not mask
+    itself), flagging |z| > ``z_threshold``.
+
+    Adds: roll_cnt, roll_mean, roll_std (rounded 6), zscore (rounded 4,
+    null while roll_std is 0 or the window is empty), is_anomaly.
+
+    Determinism under the cross-engine hash gate: ``value_col`` must be a
+    DECIMAL — the trailing sum and sum-of-squares are then EXACT
+    (order-insensitive; engines disagree on float window-sum association:
+    segment trees vs running folds), and every double below derives from
+    those exact partials through a fixed expression shape (one division /
+    sqrt chain per row). A double value column would flake by ulps.
+
+    Scale: one window over the series-key partitioning — the same
+    exchange the densify/ffill pipeline already uses, so composing
+    fill_gaps → rolling_anomalies adds NO shuffle. Rows-frame windows
+    stream in order per key; lookback bounds the frame memory."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    cnt = F.count(v).over(w)
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    # engines disagree on double x/0 (NaN vs error) — guard empty windows
+    mean = F.when(
+        cnt > 0, s1.cast("double") / cnt
+    )
+    var = F.when(
+        cnt > 0,
+        F.greatest(
+            (s2.cast("double") - (s1.cast("double") * s1.cast("double")) / cnt)
+            / cnt,
+            F.lit(0.0),
+        ),
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (cnt > 0) & (std > 0), (v.cast("double") - mean) / std
+    )
+    return (
+        df.withColumn("roll_cnt", cnt)
+        .withColumn("roll_mean", F.round(mean, 6))
+        .withColumn("roll_std", F.round(std, 6))
+        .withColumn("zscore", F.round(z, 4))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)),
+        )
+    )

@@ -151,3 +151,54 @@ def term_posting_lists(spark, sf_dir):
             )
         ).alias("postings_md5"),
     )
+
+
+@query(
+    "bigram_pmi_collocations",
+    oracle=r"""
+        WITH tl AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+                       AS toks
+            FROM documents
+        ),
+        u AS (SELECT unnest(toks) AS tok FROM tl),
+        uni AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM u GROUP BY tok),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM tl WHERE len(toks) >= 2
+        ),
+        bi AS (
+            SELECT split_part(bigram, ' ', 1) AS tok_a,
+                   split_part(bigram, ' ', 2) AS tok_b,
+                   COUNT(*)::BIGINT AS n_ab
+            FROM bg GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT (SELECT SUM(cnt) FROM uni)::BIGINT AS n_uni,
+                   (SELECT SUM(n_ab) FROM bi)::BIGINT AS n_bi
+        )
+        SELECT b.tok_a, b.tok_b, b.n_ab, ua.cnt AS n_a, ub.cnt AS n_b,
+               ROUND(ln((b.n_ab * t.n_uni * t.n_uni)::DOUBLE
+                        / (t.n_bi::DOUBLE * ua.cnt * ub.cnt)), 6) AS pmi
+        FROM bi b
+        JOIN uni ua ON ua.tok = b.tok_a
+        JOIN uni ub ON ub.tok = b.tok_b
+        CROSS JOIN tot t
+        WHERE b.n_ab >= 5
+        ORDER BY pmi DESC, tok_a, tok_b
+        LIMIT 30
+    """,
+    tags=("text", "corpus", "collocation", "pmi", "extension"),
+)
+def bigram_pmi_collocations(spark, sf_dir):
+    """Top-30 collocations (adjacent bigrams) by pointwise mutual
+    information (operators/corpus_stats.py::bigram_pmi) — the corpus
+    phrase-mining kernel: PMI = ln(n_ab·N_uni² / (N_bi·n_a·n_b)) over
+    integer counts, one log per output row, ordered by the ROUNDED score
+    with a bigram tie-break so the selected set is deterministic. The
+    gate certifies the bigram explode, both Zipf-skewed aggregates, and
+    the estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CS.bigram_pmi(docs, min_count=5, k=30)

@@ -366,3 +366,161 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, shingles, {_DUCK_SIG} AS sig FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(sig[b*{_ROWS_PER_BAND}+1 : (b+1)*{_ROWS_PER_BAND}], ',')) AS band_hash
+            FROM sig CROSS JOIN (SELECT unnest(range(0, {_BANDS})) AS b) u
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.doc_a, c.doc_b
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+            WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(sa.shingles || sb.shingles)) >= 0.3
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(node, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+        ),
+        assign AS (
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+            FROM assign GROUP BY cluster_id
+        )
+        SELECT a.doc_id, a.cluster_id, s.cluster_size
+        FROM assign a JOIN sizes s USING (cluster_id)
+    """,
+    tags=("dedup", "clustering", "connected-components", "iterative", "extension"),
+)
+def dedup_cluster_assignment(spark, sf_dir):
+    """Transitive near-duplicate clustering: LSH-verified pairs
+    (Jaccard ≥ 0.3) become an undirected graph and every document gets
+    its connected component's min doc_id as cluster_id (singletons
+    cluster to themselves), plus the component size — the keep/drop
+    assignment a corpus-dedup pass consumes (keep doc_id == cluster_id).
+
+    The Spark side is operators/dedup.py::cluster_duplicates — iterative
+    min-label propagation with pointer jumping, O(log diameter) rounds,
+    lineage cut per round. The oracle reaches the same fixed point
+    through a recursive CTE (min reachable label), so the driver gate
+    certifies a genuinely ITERATIVE distributed kernel end to end:
+    chains A~B~C collapse into one cluster even though A~C was never a
+    candidate pair."""
+    from ..operators.dedup import cluster_duplicates
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cluster_duplicates(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    assign = docs.join(
+        labels, docs["doc_id"] == labels["key"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+_PF_P = 19  # Jaccard threshold p/q = 0.95 as exact integer math
+_PF_Q = 20
+
+
+@query(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS tok
+            FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+        tf AS (SELECT t.doc_id, t.tok, f.cnt FROM toks t JOIN freq f USING (tok)),
+        sets AS (
+            SELECT doc_id, list(tok ORDER BY cnt, tok) AS stoks,
+                   COUNT(*)::BIGINT AS sz
+            FROM tf GROUP BY doc_id
+        ),
+        pref AS (
+            SELECT doc_id, sz,
+                   unnest(stoks[1 : (sz - (({_PF_P}*sz + {_PF_Q} - 1) // {_PF_Q}) + 1)::INT])
+                       AS tok
+            FROM sets
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pref a JOIN pref b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+             AND {_PF_Q}*least(a.sz, b.sz) >= {_PF_P}*greatest(a.sz, b.sz)
+        ),
+        fs AS (
+            SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS toks
+            FROM documents
+        ),
+        v AS (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+                   (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks)))::BIGINT AS uni
+            FROM cand c
+            JOIN fs a ON a.doc_id = c.doc_a
+            JOIN fs b ON b.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, inter, uni,
+               ROUND(inter::DOUBLE / uni, 6) AS jaccard
+        FROM v
+        WHERE {_PF_Q}*inter >= {_PF_P}*uni
+    """,
+    tags=("dedup", "similarity-join", "prefix-filter", "exact", "extension"),
+)
+def prefix_filter_jaccard_pairs(spark, sf_dir):
+    """EXACT all-pairs token-set similarity join at Jaccard ≥ 0.95 via
+    prefix filtering (operators/fuzzy.py::prefix_jaccard_self_join) —
+    the deterministic alternative to MinHash-LSH: rarest-first global
+    token order, per-set prefixes of length sz−⌈0.95·sz⌉+1, candidates
+    only from prefix-token collisions + length filter, then the integer
+    verification 20·|a∩b| ≥ 19·|a∪b| (no float threshold boundary). The
+    gate certifies the ordering, the prefix math, and the exact
+    candidate-prune-verify pipeline end to end."""
+    from ..operators import fuzzy as FZ
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(T.tokens("text")).alias("toks")
+    )
+    pairs = FZ.prefix_jaccard_self_join(docs, "doc_id", "toks", _PF_P, _PF_Q)
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "inter",
+        "uni",
+        "jaccard",
+    )

@@ -210,3 +210,84 @@ def hll_distinct_users(spark, sf_dir):
         F.count_distinct("user_id").alias("exact_users")
     )
     return est.join(exact, "event_type")
+
+
+_KMV_K = 256
+_KMV_DOM = float(1 << 60)  # 60-bit md5 hash domain
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   (('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT)
+                       AS hv
+            FROM events
+        ),
+        rk AS (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                       AS rn
+            FROM h
+        ),
+        kmv AS (SELECT event_type, hv FROM rk WHERE rn <= {_KMV_K}),
+        mrk AS (
+            SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT hv FROM kmv)
+        ),
+        allkmv AS (
+            SELECT * FROM kmv
+            UNION ALL
+            SELECT '__all__' AS event_type, hv FROM mrk WHERE rn <= {_KMV_K}
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*)::BIGINT AS n_kept,
+                   MAX(hv) AS kth_hash
+            FROM allkmv GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+        )
+        SELECT a.event_type, a.n_kept, a.kth_hash,
+               ROUND(CASE WHEN a.n_kept < {_KMV_K} THEN a.n_kept::DOUBLE
+                     ELSE ({float(_KMV_K - 1)!r} * {_KMV_DOM!r}) / a.kth_hash
+                     END, 3) AS approx_users,
+               e.exact_users
+        FROM agg a JOIN exact e USING (event_type)
+    """,
+    tags=("sketch", "kmv", "theta", "approx"),
+)
+def kmv_distinct_users(spark, sf_dir):
+    """Per-event-type distinct users through a KMV (theta) sketch
+    (functions/sketch.py::kmv_table/kmv_estimate) next to the exact
+    count, PLUS an '__all__' row whose sketch is the MERGE of the five
+    per-type sketches — the union-mergeability that makes KMV a partial
+    aggregate at 100 TB. Selecting the k smallest hashes is
+    shuffle-order-insensitive, so — unlike engine-native theta sketches —
+    the estimator itself sits under the cross-engine value gate
+    ((k−1)·2⁶⁰ / kth_hash, one deterministic float division)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = S.kmv_table(ev, "user_id", k=_KMV_K, group_cols=("event_type",))
+    merged = S.kmv_merge(
+        per.select(F.lit("__all__").alias("event_type"), "hv"),
+        k=_KMV_K,
+        group_cols=("event_type",),
+    )
+    est = S.kmv_estimate(
+        per.unionByName(merged),
+        k=_KMV_K,
+        group_cols=("event_type",),
+        estimate_col="approx_users",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    ).unionByName(
+        ev.agg(F.count_distinct("user_id").alias("exact_users")).select(
+            F.lit("__all__").alias("event_type"), "exact_users"
+        )
+    )
+    return est.join(exact, "event_type")

@@ -86,3 +86,117 @@ def hourly_series_filled(spark, sf_dir):
     return filled.select(
         "event_type", "bucket_us", "n_events", "hour_value_ffill"
     )
+
+
+@query(
+    "hourly_value_anomalies",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US})
+                       * {_HOUR_US} AS bucket_us,
+                   COUNT(*)::BIGINT AS n_events,
+                   CAST(ROUND(SUM(value), 4) AS DECIMAL(18,4)) AS hour_value
+            FROM events
+            GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT event_type, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi
+            FROM hourly GROUP BY event_type
+        ),
+        dense AS (
+            SELECT s.event_type,
+                   unnest(generate_series(s.lo, s.hi, {_HOUR_US})) AS bucket_us
+            FROM spans s
+        ),
+        j AS (
+            SELECT d.event_type, d.bucket_us,
+                   COALESCE(h.n_events, 0) AS n_events,
+                   COALESCE(h.hour_value, CAST(0 AS DECIMAL(18,4)))
+                       AS hour_value
+            FROM dense d LEFT JOIN hourly h USING (event_type, bucket_us)
+        ),
+        roll AS (
+            SELECT *,
+                   COUNT(hour_value) OVER w AS roll_cnt,
+                   SUM(hour_value) OVER w AS s1,
+                   SUM(hour_value * hour_value) OVER w AS s2
+            FROM j
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ),
+        stats AS (
+            SELECT event_type, bucket_us, n_events, hour_value, roll_cnt,
+                   CASE WHEN roll_cnt > 0
+                        THEN s1::DOUBLE / roll_cnt END AS mean,
+                   CASE WHEN roll_cnt > 0
+                        THEN greatest((s2::DOUBLE
+                                       - (s1::DOUBLE * s1::DOUBLE) / roll_cnt)
+                                      / roll_cnt, 0.0) END AS var
+            FROM roll
+        ),
+        fin AS (
+            SELECT *,
+                   CASE WHEN roll_cnt > 0 AND sqrt(var) > 0
+                        THEN (hour_value::DOUBLE - mean) / sqrt(var)
+                   END AS z
+            FROM stats
+        )
+        SELECT event_type, bucket_us, n_events,
+               hour_value::DOUBLE AS hour_value, roll_cnt,
+               ROUND(mean, 6) AS roll_mean,
+               ROUND(sqrt(var), 6) AS roll_std,
+               ROUND(z, 4) AS zscore,
+               COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+        FROM fin
+    """,
+    tags=("timeseries", "anomaly", "window", "extension"),
+)
+def hourly_value_anomalies(spark, sf_dir):
+    """Trailing-24h z-score anomaly detection over each event type's
+    densified hourly value series (operators/timeseries.py::
+    rolling_anomalies after fill_gaps — missing hours are true zeros and
+    SHOULD score anomalous against a busy baseline). The hourly sums are
+    DECIMAL-exact so the trailing window partials are order-insensitive;
+    every double derives from exact partials through one fixed
+    expression chain per row — the discipline that lets a rolling-window
+    STATISTIC sit under the cross-engine hash gate. Densify, fill, and
+    the rolling window all share the event_type partitioning: one
+    exchange for the whole pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}")
+            * F.lit(_HOUR_US)
+        ).alias("bucket_us"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).cast("decimal(18,4)").alias("hour_value"),
+    )
+    dense = TS.fill_gaps(
+        hourly,
+        key_cols=["event_type"],
+        bucket_col="bucket_us",
+        step=_HOUR_US,
+        fill={"n_events": 0, "hour_value": 0},
+    )
+    scored = TS.rolling_anomalies(
+        dense,
+        key_cols=["event_type"],
+        order_col="bucket_us",
+        value_col="hour_value",
+        lookback=24,
+        z_threshold=3.0,
+    )
+    return scored.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        F.col("hour_value").cast("double").alias("hour_value"),
+        "roll_cnt",
+        "roll_mean",
+        "roll_std",
+        "zscore",
+        "is_anomaly",
+    )
