@@ -35,6 +35,8 @@ __all__ = [
     "pack_id",
     "sample_priority",
     "weighted_sample",
+    "global_rank",
+    "balanced_shards",
 ]
 
 _BUCKETS = 256  # two hex chars of md5
@@ -281,3 +283,74 @@ def weighted_sample(
         .orderBy(pri.desc(), _c(id_col).asc())
         .limit(k)
     )
+
+
+def global_rank(
+    df,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int = 32,
+):
+    """1-based dense global row rank under a TOTAL order, computed
+    WITHOUT a single-partition window (the scalable zipWithIndex
+    pattern): range-repartition + in-partition sort on the order
+    columns, per-partition row counts (a num_partitions-row relation)
+    cumulated into offsets and broadcast back, then rank = offset +
+    intra-partition row_number — every stage parallel, the only
+    single-task step is the offsets window over ≤ num_partitions rows.
+
+    ``order_cols`` must be a total order (include a unique tie-break
+    column) — otherwise ranks at range-boundary ties depend on sampled
+    partition boundaries. With a total order the rank is deterministic
+    for ANY boundary placement, which is what lets a SQL oracle replay
+    it with a plain row_number."""
+    part = df.repartitionByRange(num_partitions, *order_cols)
+    part = part.sortWithinPartitions(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__offset") + F.row_number().over(w_in)).cast("bigint"),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+def balanced_shards(
+    df,
+    weight_col: str,
+    tiebreak_col: str,
+    n_shards: int,
+    shard_col: str = "shard",
+):
+    """Weight-balanced shard assignment (the sorted round-robin / LPT
+    heuristic): rows ranked by (weight DESC, tiebreak) and dealt
+    shard = (rank−1) mod n_shards — consecutive heavy rows land on
+    DIFFERENT shards, so per-shard weight totals differ by at most one
+    row's weight per dealing round. The balance a training export needs
+    (equal work per reader) that hash sharding (``shuffled_shards``,
+    uniform in COUNT but not in weight) can't give when row weights are
+    heavy-tailed.
+
+    Built on ``global_rank`` — no single-partition sort; deterministic
+    because (weight, tiebreak) is total."""
+    ranked = global_rank(
+        df,
+        [F.col(weight_col).desc(), F.col(tiebreak_col).asc()],
+        rank_col="__grank",
+    )
+    return ranked.withColumn(
+        shard_col, ((F.col("__grank") - 1) % n_shards).cast("int")
+    ).drop("__grank")

@@ -99,7 +99,10 @@ def rolling_anomalies(
     itself), flagging |z| > ``z_threshold``.
 
     Adds: roll_cnt, roll_mean, roll_std (rounded 6), zscore (rounded 4,
-    null while roll_std is 0 or the window is empty), is_anomaly.
+    null while roll_std is 0 or the window is empty), is_anomaly. A row
+    deviating from a ZERO-variance baseline is anomalous even though its
+    z is undefined (any deviation from a constant history is infinitely
+    many σ); an empty window is never anomalous.
 
     Determinism under the cross-engine hash gate: ``value_col`` must be a
     DECIMAL — the trailing sum and sum-of-squares are then EXACT
@@ -137,6 +140,9 @@ def rolling_anomalies(
     z = F.when(
         (cnt > 0) & (std > 0), (v.cast("double") - mean) / std
     )
+    # a zero-variance baseline leaves z undefined — but ANY deviation from
+    # a perfectly constant history is infinitely many σ, so flag it
+    const_break = (cnt > 0) & (std == 0) & (v.cast("double") != mean)
     return (
         df.withColumn("roll_cnt", cnt)
         .withColumn("roll_mean", F.round(mean, 6))
@@ -144,6 +150,7 @@ def rolling_anomalies(
         .withColumn("zscore", F.round(z, 4))
         .withColumn(
             "is_anomaly",
-            F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)),
+            F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False))
+            | F.coalesce(const_break, F.lit(False)),
         )
     )

@@ -119,6 +119,7 @@ from . import q_sketch  # noqa: E402,F401
 from . import q_validate  # noqa: E402,F401
 from . import q_behavior  # noqa: E402,F401
 from . import q_timeseries  # noqa: E402,F401
+from . import q_market  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -126,25 +127,24 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- last driver verdict is from round 1 (39) -----------------------
-    # q_events (9)
+    # -- last driver verdict is from round 1 -----------------------------
+    # (rollup_day_reaggregation, rollup_order_priority, doc_repetition,
+    # dedup_minhash_signatures, dedup_simhash, label_centroid_sim and
+    # regional_revenue yielded their slots to the seven
+    # continuation-2-new queries at the bottom; every family keeps an
+    # in-window representative and the yielded queries keep their r1
+    # driver verdicts + local parity evidence)
+    # q_events
     "per_user_summary",
-    "rollup_day_reaggregation",
-    # q_tpch (9)
+    # q_tpch
     "top_unshipped_orders",
-    "regional_revenue",
-    "rollup_order_priority",
-    # q_text (9)
+    # q_text
     "doc_bpe_tokens",
-    "doc_repetition",
-    # q_dedup (5) — est_jaccard is r2-new: FIRST driver verdict this round
+    # q_dedup — est_jaccard is r2-new: FIRST driver verdict this round
     "dedup_exact",
-    "dedup_minhash_signatures",
     "dedup_minhash_est_jaccard",
-    "dedup_simhash",
-    # q_similarity (3)
+    # q_similarity
     "knn_bruteforce",
-    "label_centroid_sim",
     # q_crawl (4) — hop_and_status (r1-green simple projection) yields its
     # slot to the r3-new PQ query below
     # -- family-coverage representatives (8): verified round 2, one per
@@ -187,6 +187,14 @@ PRIORITY: tuple[str, ...] = (
     "term_posting_lists",  # r3-new: inverted-index construction
     "fuzzy_part_name_pairs",  # r3-new: q-gram-blocked edit-distance join
     "hourly_series_filled",  # r3-new: gap fill + forward fill
+    # -- round-3 continuation-2: new kernels needing FIRST verdicts ------
+    "kmv_distinct_users",  # KMV/theta sketch + merge + estimator
+    "dedup_cluster_assignment",  # connected components vs recursive CTE
+    "prefix_filter_jaccard_pairs",  # exact PPJoin-style similarity join
+    "bigram_pmi_collocations",  # corpus collocations by PMI
+    "hourly_value_anomalies",  # rolling z-score over DECIMAL partials
+    "parts_bought_together",  # market-basket pair counts + lift
+    "balanced_shard_stats",  # LPT sharding over scalable global rank
 )
 
 

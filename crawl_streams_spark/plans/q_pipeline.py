@@ -485,3 +485,53 @@ def per_source_doc_sample(spark, sf_dir):
         )
         .filter(F.col("rk") <= 5)
     )
+
+
+_N_SHARDS = 16
+
+
+@query(
+    "balanced_shard_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_DUCK_TOKENS})::BIGINT AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+            FROM t
+        )
+        SELECT ((rn - 1) % {_N_SHARDS})::INT AS shard,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               MIN(n_tokens) AS min_tokens,
+               MAX(n_tokens) AS max_tokens
+        FROM r GROUP BY 1
+    """,
+    tags=("extension", "pipeline", "sharding", "balance"),
+)
+def balanced_shard_stats(spark, sf_dir):
+    """Weight-balanced training-export shards: documents ranked by
+    (token count DESC, doc_id) and dealt round-robin over 16 shards (the
+    LPT heuristic — operators/pipeline.py::balanced_shards), summarized
+    per shard. Visible in the result: per-shard token totals within one
+    dealing round of each other — the equal-work-per-reader property
+    hash sharding can't give on heavy-tailed document lengths.
+
+    The rank comes from global_rank's scalable zipWithIndex pattern
+    (range repartition + per-partition offsets), NOT a single-partition
+    window; the oracle's plain row_number certifies that the parallel
+    form computes the identical total-order rank."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    sharded = P.balanced_shards(
+        docs, "n_tokens", "doc_id", _N_SHARDS, shard_col="shard"
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

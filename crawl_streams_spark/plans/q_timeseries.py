@@ -147,7 +147,10 @@ def hourly_series_filled(spark, sf_dir):
                ROUND(mean, 6) AS roll_mean,
                ROUND(sqrt(var), 6) AS roll_std,
                ROUND(z, 4) AS zscore,
-               COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+               COALESCE(abs(z) > 3.0, FALSE)
+               OR COALESCE(roll_cnt > 0 AND sqrt(var) = 0
+                           AND hour_value::DOUBLE <> mean, FALSE)
+                   AS is_anomaly
         FROM fin
     """,
     tags=("timeseries", "anomaly", "window", "extension"),

@@ -1,0 +1,220 @@
+"""Unit/property tests for the round-3 second-continuation operators:
+KMV sketch algebra, exact prefix-filter similarity join vs brute force,
+bigram PMI against hand math, rolling z-score anomalies, market-basket
+lift, and balanced sharding / scalable global rank."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.functions import sketch as S
+from crawl_streams_spark.operators import corpus_stats as CS
+from crawl_streams_spark.operators import market as M
+from crawl_streams_spark.operators import pipeline as P
+from crawl_streams_spark.operators import timeseries as TS
+from crawl_streams_spark.operators.fuzzy import prefix_jaccard_self_join
+
+# --- KMV -----------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [(i % 40,) for i in range(400)], "x bigint"
+    )
+    est = S.kmv_estimate(S.kmv_table(df, "x", k=256)).collect()[0]
+    assert est["n_kept"] == 40
+    assert est["approx_distinct"] == 40.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "x bigint")
+    est = S.kmv_estimate(S.kmv_table(df, "x", k=256)).collect()[0]
+    # k=256 → relative std error ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4σ
+    assert abs(est["approx_distinct"] - n) / n < 0.25
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "x bigint")
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], "x bigint")
+    u = a.unionByName(b)
+    k = 128
+    merged = S.kmv_merge(
+        S.kmv_table(a, "x", k=k), S.kmv_table(b, "x", k=k), k=k
+    )
+    direct = S.kmv_table(u, "x", k=k)
+    assert sorted(r["hv"] for r in merged.collect()) == sorted(
+        r["hv"] for r in direct.collect()
+    )
+
+
+def test_kmv_partition_invariance(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "x bigint")
+    e1 = S.kmv_estimate(S.kmv_table(df.repartition(1), "x", k=64)).collect()
+    e17 = S.kmv_estimate(S.kmv_table(df.repartition(17), "x", k=64)).collect()
+    assert e1 == e17
+
+
+# --- prefix-filter similarity join ---------------------------------------
+
+
+def _brute_pairs(sets, p, q):
+    out = set()
+    ids = sorted(sets)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            inter = len(sets[ia] & sets[ib])
+            uni = len(sets[ia] | sets[ib])
+            if q * inter >= p * uni:
+                out.add((ia, ib))
+    return out
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    sets = {
+        i: set(rng.sample(vocab, rng.randint(3, 12))) for i in range(60)
+    }
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in sets.items()],
+        "id bigint, toks array<string>",
+    )
+    for p, q in [(1, 2), (7, 10), (9, 10)]:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_jaccard_self_join(df, "id", "toks", p, q).collect()
+        }
+        assert got == _brute_pairs(sets, p, q), (p, q)
+
+
+def test_prefix_jaccard_boundary_pair_included(spark):
+    # jaccard exactly 1/2: {a,b,c} vs {b,c,d} → inter 2, union 4
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["b", "c", "d"])],
+        "id bigint, toks array<string>",
+    )
+    rows = prefix_jaccard_self_join(df, "id", "toks", 1, 2).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 0.5
+
+
+# --- bigram PMI ----------------------------------------------------------
+
+
+def test_bigram_pmi_hand_math(spark):
+    # corpus: "a b a b" ×3 and "c c" ×2 → unigrams a:6 b:6 c:4 (N=16),
+    # bigrams (a,b):6 (b,a):3 (c,c):2 (N_bi=11)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a b"), (3, "a b a b"), (4, "c c"), (5, "c c")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        (r["tok_a"], r["tok_b"]): r
+        for r in CS.bigram_pmi(df, min_count=2, k=10).collect()
+    }
+    ab = rows[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (6, 6, 6)
+    expected = round(math.log((6 * 16 * 16) / (11.0 * 6 * 6)), 6)
+    assert ab["pmi"] == expected
+    cc = rows[("c", "c")]
+    assert cc["n_ab"] == 2
+    assert ("b", "a") in rows and rows[("b", "a")]["n_ab"] == 3
+
+
+# --- rolling anomalies ---------------------------------------------------
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    vals = [10.0] * 30
+    vals[20] = 500.0
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)],
+        "k string, t bigint, v double",
+    ).withColumn("v", F.col("v").cast("decimal(18,4)"))
+    out = {
+        r["t"]: r
+        for r in TS.rolling_anomalies(
+            df, ["k"], "t", "v", lookback=10, z_threshold=3.0
+        ).collect()
+    }
+    assert out[20]["is_anomaly"] is True
+    # spike sits in later rows' baselines, inflating std — but flat rows
+    # right before the spike must be clean, and so must row 0 (empty
+    # window → null z, not anomalous)
+    assert all(not out[t]["is_anomaly"] for t in range(0, 20))
+    assert out[0]["zscore"] is None and out[0]["roll_cnt"] == 0
+    # constant window → std 0 → z null
+    assert out[5]["roll_std"] == 0.0 and out[5]["zscore"] is None
+
+
+# --- market basket -------------------------------------------------------
+
+
+def test_basket_pair_lift_hand_math(spark):
+    lines = spark.createDataFrame(
+        [
+            (1, "x"), (1, "y"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "z"),
+            (4, "y"),
+            (1, "x"),  # duplicate line must not double-count the basket
+        ],
+        "o bigint, i string",
+    )
+    rows = {
+        (r["item_a"], r["item_b"]): r
+        for r in M.basket_pair_lift(lines, "o", "i", k=10).collect()
+    }
+    xy = rows[("x", "y")]
+    # n_ab=2 baskets {1,2}; n_x=3, n_y=3, N=4 → lift = 2·4/(3·3)
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (2, 3, 3)
+    assert xy["lift"] == round(2 * 4 / 9.0, 6)
+    assert rows[("x", "z")]["n_ab"] == 1
+    assert ("y", "z") not in rows
+
+
+# --- balanced shards / global rank ---------------------------------------
+
+
+def test_global_rank_matches_single_window(spark):
+    rng = random.Random(3)
+    data = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(data, "id bigint, w bigint")
+    for nparts in (1, 3, 8):
+        got = {
+            r["id"]: r["rank"]
+            for r in P.global_rank(
+                df,
+                [F.col("w").desc(), F.col("id").asc()],
+                num_partitions=nparts,
+            ).collect()
+        }
+        ref = {
+            i: rk + 1
+            for rk, (i, _) in enumerate(
+                sorted(data, key=lambda t: (-t[1], t[0]))
+            )
+        }
+        assert got == ref, nparts
+
+
+def test_balanced_shards_balance_bound(spark):
+    rng = random.Random(11)
+    data = [(i, rng.randint(1, 1000)) for i in range(997)]
+    df = spark.createDataFrame(data, "id bigint, w bigint")
+    out = (
+        P.balanced_shards(df, "w", "id", 8)
+        .groupBy("shard")
+        .agg(F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert len(out) == 8
+    tots = [r["tot"] for r in out]
+    # sorted round-robin dealing: totals telescope, so the spread is
+    # bounded by the single largest weight
+    assert max(tots) - min(tots) <= max(w for _, w in data)
+    ns = [r["n"] for r in out]
+    assert max(ns) - min(ns) <= 1

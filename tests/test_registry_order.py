@@ -63,11 +63,18 @@ def test_round_changed_queries_in_window():
         "term_posting_lists",  # r3-new: inverted-index kernel
         "fuzzy_part_name_pairs",  # r3-new: fuzzy similarity join
         "hourly_series_filled",  # r3-new: time-series regularization
+        "kmv_distinct_users",  # r3-new: KMV/theta sketch estimator
+        "dedup_cluster_assignment",  # r3-new: gated connected components
+        "prefix_filter_jaccard_pairs",  # r3-new: exact prefix-filter join
+        "bigram_pmi_collocations",  # r3-new: PMI collocation kernel
+        "hourly_value_anomalies",  # r3-new: rolling z-score kernel
+        "parts_bought_together",  # r3-new: market-basket lift kernel
+        "balanced_shard_stats",  # r3-new: balanced sharding kernel
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 117 registered queries as of the round-3 continuation; update
-    # deliberately when adding.
-    assert len(REGISTRY) >= 117
+    # 129 registered queries as of the round-3 second continuation;
+    # update deliberately when adding.
+    assert len(REGISTRY) >= 129
