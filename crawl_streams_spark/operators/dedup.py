@@ -172,6 +172,12 @@ def cluster_duplicates(
         .union(pairs.select(F.col(key_b).alias("a"), F.col(key_a).alias("b")))
         .distinct()
     )
+    # materialize the edge relation once: every iteration joins against it,
+    # and without the checkpoint each round re-evaluates the full upstream
+    # pair pipeline (for LSH pairs that is the whole signature+band+verify
+    # DAG — measured 13.6 s → 7.6 s at sf0.1 for dedup_cluster_assignment;
+    # the remainder is per-round job overhead, not recomputation)
+    edges = edges.localCheckpoint(eager=True)
     # start: every node labeled with min(itself, neighbors)
     labels = (
         edges.groupBy("a")

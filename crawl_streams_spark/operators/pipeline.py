@@ -354,3 +354,37 @@ def balanced_shards(
     return ranked.withColumn(
         shard_col, ((F.col("__grank") - 1) % n_shards).cast("int")
     ).drop("__grank")
+
+
+def equi_depth_bins(
+    df,
+    value_col: str,
+    tiebreak_col: str,
+    n_bins: int,
+    bin_col: str = "bin",
+):
+    """Equi-depth (equal-frequency) binning: rows ranked by
+    (value, tiebreak) and assigned bin = (rank−1)·n_bins div N — bin
+    populations differ by at most one row, whatever the value
+    distribution (the quantile-bucketing feature-engineering primitive;
+    equal-WIDTH binning collapses under heavy tails).
+
+    Built on ``global_rank`` (range repartition + broadcast offsets), so
+    no single-partition sort; the scalar row count rides a broadcast
+    single-row cross join. Deterministic because (value, tiebreak) is
+    total — the same integer formula replays in a SQL oracle over a
+    plain row_number."""
+    ranked = global_rank(
+        df,
+        [F.col(value_col).asc(), F.col(tiebreak_col).asc()],
+        rank_col="__grank",
+    )
+    n_rows = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_rows))
+        .withColumn(
+            bin_col,
+            F.expr(f"(__grank - 1) * {n_bins} div __n").cast("int"),
+        )
+        .drop("__grank", "__n")
+    )

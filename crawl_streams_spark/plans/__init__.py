@@ -141,19 +141,20 @@ PRIORITY: tuple[str, ...] = (
     # q_text
     "doc_bpe_tokens",
     # q_dedup — est_jaccard is r2-new: FIRST driver verdict this round
-    "dedup_exact",
+    # (dedup_exact yielded its slot to cluster_golden_records; the dedup
+    # family keeps six in-window entries)
     "dedup_minhash_est_jaccard",
     # q_similarity
     "knn_bruteforce",
-    # q_crawl (4) — hop_and_status (r1-green simple projection) yields its
-    # slot to the r3-new PQ query below
-    # -- family-coverage representatives (8): verified round 2, one per
+    # -- family-coverage representatives: verified round 2, one per
     # family whose other members all sit in slots 51+ --------------------
+    # (price_percentiles' slot went to equi_depth_price_bins and
+    # asof_last_purchase's to pareto_price_size_parts — q_sql_extra and
+    # q_joins_advanced stay covered in-window by those +
+    # fuzzy_part_name_pairs)
     "schedule_launch_decisions",  # q_schedule
-    "price_percentiles",  # q_sql_extra — percentile shapes
     "status_pivot",  # q_pivot
     "user_sessions",  # q_sessions — also a bench headline query
-    "asof_last_purchase",  # q_joins_advanced — as-of join flagship
     "nation_market_share",  # q_tpch2 — TPC-H Q8 shape
     "order_count_distribution",  # q_tpch3 — TPC-H Q13 shape
     "corpus_curation_funnel",  # q_pipeline — composite curation gate
@@ -195,6 +196,9 @@ PRIORITY: tuple[str, ...] = (
     "hourly_value_anomalies",  # rolling z-score over DECIMAL partials
     "parts_bought_together",  # market-basket pair counts + lift
     "balanced_shard_stats",  # LPT sharding over scalable global rank
+    "equi_depth_price_bins",  # equal-frequency binning on global rank
+    "cluster_golden_records",  # survivorship over dup clusters
+    "pareto_price_size_parts",  # grouped skyline vs NOT-EXISTS oracle
 )
 
 

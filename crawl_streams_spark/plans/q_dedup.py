@@ -368,9 +368,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_cluster_assignment",
-    oracle=f"""
+# Shared oracle prefix: LSH-verified pair graph → recursive min-label
+# closure → (doc_id, cluster_id) assignment. Consumed by
+# dedup_cluster_assignment and cluster_golden_records.
+_DUCK_CC_ASSIGN = f"""
         WITH RECURSIVE sh AS (
             SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
         ),
@@ -409,8 +410,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
         assign AS (
             SELECT node AS doc_id, MIN(lbl) AS cluster_id
             FROM reach GROUP BY node
-        ),
-        sizes AS (
+        )
+"""
+
+
+@query(
+    "dedup_cluster_assignment",
+    oracle=_DUCK_CC_ASSIGN
+    + """
+        , sizes AS (
             SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
             FROM assign GROUP BY cluster_id
         )
@@ -433,22 +441,28 @@ def dedup_cluster_assignment(spark, sf_dir):
     certifies a genuinely ITERATIVE distributed kernel end to end:
     chains A~B~C collapse into one cluster even though A~C was never a
     candidate pair."""
-    from ..operators.dedup import cluster_duplicates
-
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = cluster_duplicates(pairs, "doc_a", "doc_b")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    assign = docs.join(
-        labels, docs["doc_id"] == labels["key"], "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_id"),
-    )
+    assign = _cc_assign(spark, sf_dir)
     sizes = assign.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
     return assign.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def _cc_assign(spark, sf_dir):
+    """(doc_id, cluster_id) connected-component assignment over the
+    LSH-verified pair graph — the Spark counterpart of _DUCK_CC_ASSIGN."""
+    from ..operators.dedup import cluster_duplicates
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cluster_duplicates(pairs, "doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        labels, docs["doc_id"] == labels["key"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_id"),
     )
 
 
@@ -523,4 +537,115 @@ def prefix_filter_jaccard_pairs(spark, sf_dir):
         "inter",
         "uni",
         "jaccard",
+    )
+
+
+@query(
+    "cluster_golden_records",
+    oracle=_DUCK_CC_ASSIGN
+    + """
+        , full_docs AS (
+            SELECT d.doc_id, d.lang, d.source, a.cluster_id,
+                   len(d.text)::BIGINT AS tlen
+            FROM documents d JOIN assign a USING (doc_id)
+        ),
+        base AS (
+            SELECT cluster_id, COUNT(*)::BIGINT AS n_members,
+                   MIN(doc_id) AS rep_doc_id
+            FROM full_docs GROUP BY cluster_id
+        ),
+        txt AS (
+            SELECT cluster_id, doc_id AS golden_text_doc,
+                   tlen AS golden_text_len,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY tlen DESC, doc_id) AS rn
+            FROM full_docs
+        ),
+        lang_cnt AS (
+            SELECT cluster_id, lang, COUNT(*) AS c
+            FROM full_docs GROUP BY 1, 2
+        ),
+        lang_pick AS (
+            SELECT cluster_id, lang AS golden_lang,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY c DESC, lang) AS rn
+            FROM lang_cnt
+        ),
+        src_cnt AS (
+            SELECT cluster_id, source, COUNT(*) AS c
+            FROM full_docs GROUP BY 1, 2
+        ),
+        src_pick AS (
+            SELECT cluster_id, source AS golden_source,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY c DESC, source) AS rn
+            FROM src_cnt
+        )
+        SELECT b.cluster_id, b.n_members, b.rep_doc_id,
+               t.golden_text_doc, t.golden_text_len,
+               l.golden_lang, s.golden_source
+        FROM base b
+        JOIN txt t ON t.cluster_id = b.cluster_id AND t.rn = 1
+        JOIN lang_pick l ON l.cluster_id = b.cluster_id AND l.rn = 1
+        JOIN src_pick s ON s.cluster_id = b.cluster_id AND s.rn = 1
+    """,
+    tags=("dedup", "entity-resolution", "survivorship", "extension"),
+)
+def cluster_golden_records(spark, sf_dir):
+    """Survivorship (golden-record construction) over the transitive
+    dup clusters: per cluster, the member count, the min-id
+    representative, the LONGEST text's owner (tie: lowest doc_id), and
+    the majority lang/source (tie: lexicographic) — the master-data
+    merge step an entity-resolution pipeline runs after clustering.
+    Every rule is a deterministic rank-1 pick or integer aggregate, all
+    sharing the cluster_id partitioning — one shuffle feeds the base
+    aggregate and all three survivorship windows."""
+    from pyspark.sql import Window as W
+
+    assign = _cc_assign(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.length("text").cast("bigint").alias("tlen")
+    )
+    full_docs = docs.join(assign, "doc_id")
+    base = full_docs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )
+    w_txt = W.partitionBy("cluster_id").orderBy(
+        F.desc("tlen"), F.asc("doc_id")
+    )
+    txt = (
+        full_docs.withColumn("rn", F.row_number().over(w_txt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("golden_text_doc"),
+            F.col("tlen").alias("golden_text_len"),
+        )
+    )
+
+    def majority(col, out):
+        cnt = full_docs.groupBy("cluster_id", col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = W.partitionBy("cluster_id").orderBy(F.desc("c"), F.asc(col))
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster_id", F.col(col).alias(out))
+        )
+
+    return (
+        base.join(txt, "cluster_id")
+        .join(majority("lang", "golden_lang"), "cluster_id")
+        .join(majority("source", "golden_source"), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "rep_doc_id",
+            "golden_text_doc",
+            "golden_text_len",
+            "golden_lang",
+            "golden_source",
+        )
     )

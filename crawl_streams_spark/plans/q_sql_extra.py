@@ -354,3 +354,91 @@ def zorder_curve(spark, sf_dir):
         F.col("l_suppkey").alias("suppkey"),
         zorder_key(["l_partkey", "l_suppkey"], ranges, _ZBITS).alias("zval"),
     )
+
+
+_N_BINS = 10
+
+
+@query(
+    "equi_depth_price_bins",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_extendedprice,
+                   row_number() OVER (
+                       ORDER BY l_extendedprice,
+                                l_orderkey * 100 + l_linenumber) AS rn
+            FROM lineitem
+        ),
+        n AS (SELECT COUNT(*)::BIGINT AS n_rows FROM lineitem)
+        SELECT ((rn - 1) * {_N_BINS} // n.n_rows)::INT AS bin,
+               COUNT(*)::BIGINT AS n_in_bin,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               (SUM(CAST(l_extendedprice AS DECIMAL(18,4))))::DOUBLE
+                   AS sum_price
+        FROM r CROSS JOIN n
+        GROUP BY 1
+    """,
+    tags=("binning", "quantile", "rank", "extension"),
+)
+def equi_depth_price_bins(spark, sf_dir):
+    """Equal-frequency price deciles over lineitem
+    (operators/pipeline.py::equi_depth_bins): rows ranked by
+    (price, line identity) through the scalable global-rank pattern —
+    range repartition + broadcast per-partition offsets, no
+    single-partition sort — and dealt into 10 bins whose populations
+    differ by at most one row. Per-bin bounds expose the quantile cut
+    points; the DECIMAL-exact sum keeps the hash gate order-insensitive.
+    The oracle's plain row_number certifies the parallel rank."""
+    from ..operators import pipeline as P
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("__tb"),
+    )
+    binned = P.equi_depth_bins(
+        li, "l_extendedprice", "__tb", _N_BINS, bin_col="bin"
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_in_bin"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@query(
+    "pareto_price_size_parts",
+    oracle="""
+        SELECT r.p_brand, r.p_partkey, r.p_retailprice, r.p_size
+        FROM part r
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part s
+            WHERE s.p_brand = r.p_brand
+              AND s.p_retailprice <= r.p_retailprice
+              AND s.p_size >= r.p_size
+              AND (s.p_retailprice < r.p_retailprice
+                   OR s.p_size > r.p_size)
+        )
+    """,
+    tags=("skyline", "pareto", "multi-objective", "extension"),
+)
+def pareto_price_size_parts(spark, sf_dir):
+    """Per-brand Pareto frontier of the part catalog — cheapest-for-
+    their-size parts under strict dominance (minimize p_retailprice,
+    maximize p_size): operators/skyline.py::skyline_2d, two aggregates +
+    one PARTITIONED sweep window instead of the quadratic NOT EXISTS
+    scan. The oracle IS that quadratic scan — a semantically independent
+    algorithm — so the gate certifies the sweep formulation (same-cost
+    dominance, strict-tie losses, co-located duplicates kept) against
+    first-principles dominance, per group."""
+    from ..operators.skyline import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(
+        part, "p_retailprice", "p_size", group_cols=("p_brand",)
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")

@@ -218,3 +218,76 @@ def test_balanced_shards_balance_bound(spark):
     assert max(tots) - min(tots) <= max(w for _, w in data)
     ns = [r["n"] for r in out]
     assert max(ns) - min(ns) <= 1
+
+
+# --- equi-depth bins ------------------------------------------------------
+
+
+def test_equi_depth_bins_population_and_order(spark):
+    rng = random.Random(5)
+    data = [(i, rng.uniform(0, 1e6)) for i in range(1003)]
+    df = spark.createDataFrame(data, "id bigint, v double")
+    out = P.equi_depth_bins(df, "v", "id", 8).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r["bin"], []).append(r["v"])
+    assert sorted(by_bin) == list(range(8))
+    sizes = [len(by_bin[b]) for b in range(8)]
+    assert max(sizes) - min(sizes) <= 1
+    # bins are value-ordered: every bin's max ≤ next bin's min
+    for b in range(7):
+        assert max(by_bin[b]) <= min(by_bin[b + 1])
+
+
+# --- skyline --------------------------------------------------------------
+
+
+def _brute_skyline(rows):
+    out = []
+    for r in rows:
+        if not any(
+            s[1] <= r[1] and s[2] >= r[2] and (s[1] < r[1] or s[2] > r[2])
+            for s in rows
+        ):
+            out.append(r[0])
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    from crawl_streams_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(9)
+    rows = [(i, rng.randint(0, 20), rng.randint(0, 20)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, cost bigint, gain bigint")
+    got = sorted(r["id"] for r in skyline_2d(df, "cost", "gain").collect())
+    assert got == _brute_skyline(rows)
+
+
+def test_skyline_keeps_colocated_duplicates_drops_strict_ties(spark):
+    from crawl_streams_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, 5, 10),
+        (2, 5, 10),  # identical point: both survive
+        (3, 6, 10),  # same gain, higher cost: dominated by 1/2
+        (4, 5, 9),   # same cost, lower gain: dominated
+        (5, 4, 3),   # cheaper, low gain: survives
+    ]
+    df = spark.createDataFrame(rows, "id bigint, cost bigint, gain bigint")
+    got = sorted(r["id"] for r in skyline_2d(df, "cost", "gain").collect())
+    assert got == [1, 2, 5]
+
+
+def test_skyline_grouped_is_per_group(spark):
+    from crawl_streams_spark.operators.skyline import skyline_2d
+
+    rows = [("g1", 1, 1, 5), ("g1", 2, 2, 9), ("g2", 3, 1, 1)]
+    df = spark.createDataFrame(
+        rows, "g string, id bigint, cost bigint, gain bigint"
+    )
+    got = sorted(
+        r["id"]
+        for r in skyline_2d(df, "cost", "gain", group_cols=("g",)).collect()
+    )
+    # g2's only row survives in its own group even though g1 dominates it
+    assert got == [1, 2, 3]
