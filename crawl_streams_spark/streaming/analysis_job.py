@@ -200,3 +200,37 @@ def snapshot_from_rollup(
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def session_stats_stream(
+    events: DataFrame,
+    key_col: str = "host_d",
+    ts_col: str = "event_ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session windows per key with Spark's native
+    ``session_window`` — the streaming counterpart of the batch
+    sessionizer (plans/q_sessions.py::user_sessions, which derives the
+    same sessions with a lag-window over history).
+
+    Scale/state posture: state is one open window per (key, live
+    session), merged as events arrive and EVICTED once the watermark
+    passes session end + gap — unlike the W-2 LRU cap, memory is bounded
+    by concurrent activity, not key cardinality. In append mode each
+    session is emitted exactly once, when it finalizes; the caller must
+    have set a watermark on ``ts_col`` upstream (parsed_events does).
+
+    Returns (key, session_start, session_end, n_events)."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

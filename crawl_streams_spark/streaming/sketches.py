@@ -9,7 +9,9 @@ instead of paying for markers uniformly:
 - **HLL registers merge with max** — idempotent. Replaying a micro-batch
   re-maxes the same rhos and changes nothing, so ``stream_hll`` needs no
   marker bookkeeping at all: at-least-once delivery composes with an
-  idempotent fold into exactly-once RESULTS for free.
+  idempotent fold into exactly-once RESULTS for free. **KMV merges with
+  min** (union + re-take the k smallest) — idempotent by the same
+  argument; ``stream_kmv`` is marker-free too.
 - **CMS counts merge with sum** — NOT idempotent. A replayed batch would
   double-count, so ``stream_cms`` stamps per-batch markers inside the
   checkpoint (the stream_rollup discipline: Hadoop-FS probes, never
@@ -27,7 +29,14 @@ from pyspark.sql import DataFrame
 from ..fs import hadoop_exists, hadoop_touch, parquet_if_exists
 from ..functions import sketch as S
 
-__all__ = ["update_hll_table", "update_cms_table", "stream_hll", "stream_cms"]
+__all__ = [
+    "update_hll_table",
+    "update_cms_table",
+    "update_kmv_table",
+    "stream_hll",
+    "stream_cms",
+    "stream_kmv",
+]
 
 
 def update_hll_table(
@@ -126,6 +135,58 @@ def stream_cms(
         )
         if exactly_once:
             hadoop_touch(spark, marker)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def update_kmv_table(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    item_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> None:
+    """Merge one batch's KMV k-min hashes into the persistent sketch
+    table. Min-merge (union + re-take the k smallest distinct hashes) is
+    idempotent like HLL's max-merge: replaying a batch unions the same
+    hashes and the k-min set is unchanged — the HLL replay argument,
+    verbatim."""
+    sk = S.kmv_table(batch, item_col, k=k, group_cols=group_cols)
+    existing = parquet_if_exists(spark, table_path)
+    merged = (
+        S.kmv_merge(existing, sk, k=k, group_cols=group_cols)
+        if existing is not None
+        else sk
+    )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        table_path
+    )
+
+
+def stream_kmv(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    item_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+    available_now: bool = False,
+):
+    """Continuous KMV distinct-count sketching: idempotent min-merge, no
+    markers (the stream_hll shape). Unlike HLL the maintained table also
+    answers set-intersection questions across groups (shared-hash
+    fractions of the k-min union sample)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        update_kmv_table(
+            batch_df.sparkSession, batch_df, table_path, item_col, k, group_cols
+        )
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

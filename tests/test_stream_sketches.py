@@ -141,3 +141,36 @@ def test_stream_cms_replay_marker_suppression(spark, tmp_path):
     run(t2, c2, False)
     doubled = {(r["d"], r["bucket"]): r["cnt"] for r in spark.read.parquet(t2).collect()}
     assert doubled == {k: 2 * v for k, v in before.items()}
+
+
+def test_stream_kmv_matches_batch_build(spark, tmp_path):
+    df, src = _src(spark, tmp_path)
+    table = str(tmp_path / "kmv")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SS.stream_kmv(
+        stream, table, str(tmp_path / "ckk"), "item",
+        k=16, group_cols=("g",), available_now=True,
+    )
+    _await(spark, q)
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    want = sorted(
+        map(tuple, S.kmv_table(df, "item", k=16, group_cols=("g",)).collect())
+    )
+    assert got == want
+
+
+def test_stream_kmv_replay_is_noop_by_algebra(spark, tmp_path):
+    df, src = _src(spark, tmp_path, two_files=False)
+    table = str(tmp_path / "kmv2")
+    before = None
+    # fold the same batch twice: min-merge must be a no-op the second time
+    for _ in range(2):
+        SS.update_kmv_table(spark, df, table, "item", k=16, group_cols=("g",))
+        rows = sorted(map(tuple, spark.read.parquet(table).collect()))
+        if before is None:
+            before = rows
+    assert rows == before
