@@ -144,8 +144,12 @@ PRIORITY: tuple[str, ...] = (
     # (dedup_exact yielded its slot to cluster_golden_records; the dedup
     # family keeps six in-window entries)
     "dedup_minhash_est_jaccard",
-    # q_similarity
-    "knn_bruteforce",
+    # (q_similarity stays covered by pq_codes_fixed_book /
+    # semantic_dedup_pairs; knn_bruteforce yielded to
+    # qty_price_regression_stats. q_pipeline stays covered by
+    # weighted_sample_orders / per_source_doc_sample /
+    # balanced_shard_stats; corpus_curation_funnel yielded to
+    # lineitem_price_asof_scd2.)
     # -- family-coverage representatives: verified round 2, one per
     # family whose other members all sit in slots 51+ --------------------
     # (price_percentiles' slot went to equi_depth_price_bins and
@@ -157,7 +161,6 @@ PRIORITY: tuple[str, ...] = (
     "user_sessions",  # q_sessions — also a bench headline query
     "nation_market_share",  # q_tpch2 — TPC-H Q8 shape
     "order_count_distribution",  # q_tpch3 — TPC-H Q13 shape
-    "corpus_curation_funnel",  # q_pipeline — composite curation gate
     # -- round-3-changed/new implementations: must (re-)verify -----------
     "dedup_minhash_lsh_pairs",  # verify-join slim-broadcast restructure
     "zorder_curve",  # r3-new: Z-order layout key under the gate
@@ -199,6 +202,8 @@ PRIORITY: tuple[str, ...] = (
     "equi_depth_price_bins",  # equal-frequency binning on global rank
     "cluster_golden_records",  # survivorship over dup clusters
     "pareto_price_size_parts",  # grouped skyline vs NOT-EXISTS oracle
+    "lineitem_price_asof_scd2",  # point-in-time join vs SCD2 history
+    "qty_price_regression_stats",  # exact corr/OLS sufficient stats
 )
 
 

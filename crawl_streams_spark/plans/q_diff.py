@@ -137,10 +137,9 @@ def _scd_snapshots(spark, sf_dir):
     return v1.unionByName(v2).unionByName(v3)
 
 
-@query(
-    "orders_scd2_history",
-    oracle=f"""
-        WITH {_DUCK_SCD_SNAPS},
+# SCD2 run-compression CTE chain over `snaps` — shared by
+# orders_scd2_history and the point-in-time join query.
+_DUCK_SCD_HIST_CTES = """
         vers AS (
             SELECT version,
                    dense_rank() OVER (ORDER BY version) AS vi
@@ -167,14 +166,26 @@ def _scd_snapshots(spark, sf_dir):
                    MAX(vi) AS mx,
                    MIN(o_totalprice) AS o_totalprice
             FROM runs GROUP BY o_orderkey, run
+        ),
+        hist AS (
+            SELECT g.o_orderkey,
+                   g.o_totalprice,
+                   g.valid_from,
+                   v.version AS valid_to,
+                   (v.version IS NULL) AS is_current
+            FROM grouped g
+            LEFT JOIN vers v ON v.vi = g.mx + 1
         )
-        SELECT g.o_orderkey,
-               g.o_totalprice,
-               g.valid_from,
-               v.version AS valid_to,
-               (v.version IS NULL) AS is_current
-        FROM grouped g
-        LEFT JOIN vers v ON v.vi = g.mx + 1
+"""
+
+
+@query(
+    "orders_scd2_history",
+    oracle=f"""
+        WITH {_DUCK_SCD_SNAPS},
+        {_DUCK_SCD_HIST_CTES}
+        SELECT o_orderkey, o_totalprice, valid_from, valid_to, is_current
+        FROM hist
     """,
     tags=("scd2", "cdc", "history"),
 )
@@ -189,4 +200,91 @@ def orders_scd2_history(spark, sf_dir):
     snaps = _scd_snapshots(spark, sf_dir)
     return D.scd2_compress(
         snaps, key_cols=["o_orderkey"], version_col="version"
+    )
+
+
+@query(
+    "lineitem_price_asof_scd2",
+    oracle=f"""
+        WITH {_DUCK_SCD_SNAPS},
+        {_DUCK_SCD_HIST_CTES},
+        facts AS (
+            SELECT l_orderkey AS o_orderkey, l_linenumber,
+                   (1 + (l_linenumber % 3))::BIGINT AS asof_version
+            FROM lineitem
+        )
+        SELECT f.o_orderkey, f.l_linenumber, f.asof_version,
+               h.o_totalprice AS price_at_version,
+               h.valid_from
+        FROM facts f
+        LEFT JOIN hist h
+          ON h.o_orderkey = f.o_orderkey
+         AND h.valid_from <= f.asof_version
+         AND (h.valid_to IS NULL OR f.asof_version < h.valid_to)
+    """,
+    tags=("scd2", "point-in-time", "interval-join", "cdc"),
+)
+def lineitem_price_asof_scd2(spark, sf_dir):
+    """Point-in-time (AS OF) join of a fact table against SCD2 history:
+    each lineitem carries an as-of version stamp and looks up the order
+    price that was valid THEN — the reproducible-feature/backtest join a
+    warehouse runs against type-2 dimensions. Composition of two gated
+    kernels: diff.scd2_compress builds the validity runs and
+    interval.point_in_interval_join matches stamps into [valid_from,
+    valid_to) co-keyed on the business key — an equi-join on
+    (key, bucket), never a BroadcastNestedLoop range join. Facts whose
+    stamp falls in a DELETION GAP surface with a null price (left join
+    back onto the matched set), which is exactly the semantics that
+    distinguishes SCD2 from a naive last-value lookup."""
+    from ..operators import diff as D
+    from ..operators import interval as IV
+
+    snaps = _scd_snapshots(spark, sf_dir)
+    hist = D.scd2_compress(
+        snaps, key_cols=["o_orderkey"], version_col="version"
+    )
+    max_v = 3  # three synthetic snapshots (versions 1..3)
+    intervals = hist.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price_at_version"),
+        "valid_from",
+        # closed-interval form for the bucketed join: [from, to-1],
+        # open runs extend to the last version
+        F.coalesce(F.col("valid_to") - 1, F.lit(max_v)).alias("valid_until"),
+    )
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        (1 + (F.col("l_linenumber") % 3)).cast("bigint").alias("asof_version"),
+    )
+    # match on DISTINCT fact keys (the synthetic lineitem repeats
+    # (orderkey, linenumber) rows); each fact key finds ≤ 1 validity run,
+    # so the join-back re-attaches one match per original row — the same
+    # multiplicity a direct left range join would produce
+    fact_keys = facts.dropDuplicates(
+        ["o_orderkey", "l_linenumber", "asof_version"]
+    )
+    matched = IV.point_in_interval_join(
+        fact_keys,
+        intervals,
+        point_col="asof_version",
+        start_col="valid_from",
+        end_col="valid_until",
+        width=1,
+        keys=("o_orderkey",),
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "asof_version",
+        "price_at_version",
+        "valid_from",
+    )
+    return facts.join(
+        matched, ["o_orderkey", "l_linenumber", "asof_version"], "left"
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "asof_version",
+        "price_at_version",
+        "valid_from",
     )

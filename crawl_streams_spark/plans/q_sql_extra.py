@@ -442,3 +442,76 @@ def pareto_price_size_parts(spark, sf_dir):
     return skyline_2d(
         part, "p_retailprice", "p_size", group_cols=("p_brand",)
     ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "qty_price_regression_stats",
+    oracle="""
+        WITH u AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS xi,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yi
+            FROM lineitem
+        ),
+        partials AS (
+            SELECT l_returnflag,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(xi AS DECIMAL(38,0)))::DOUBLE AS sx,
+                   SUM(CAST(yi AS DECIMAL(38,0)))::DOUBLE AS sy,
+                   SUM(CAST(xi * xi AS DECIMAL(38,0)))::DOUBLE AS sxx,
+                   SUM(CAST(xi * yi AS DECIMAL(38,0)))::DOUBLE AS sxy,
+                   SUM(CAST(yi * yi AS DECIMAL(38,0)))::DOUBLE AS syy
+            FROM u GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               ROUND((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                     6) AS corr_qty_price,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100,
+                     6) AS slope_price_per_qty,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n / 100, 6) AS intercept_price
+        FROM partials
+    """,
+    tags=("statistics", "regression", "correlation", "agg", "extension"),
+)
+def qty_price_regression_stats(spark, sf_dir):
+    """Per-returnflag Pearson correlation and OLS regression of price on
+    quantity — the corr/regr_slope/regr_intercept engine surface, made
+    hash-gate-exact: engine-native corr() accumulates FLOATS in shuffle
+    order, so instead values quantize to integer units (quantities are
+    integral, prices to cents), the five sufficient statistics
+    (Σx, Σy, Σx², Σxy, Σy²) accumulate as DECIMAL(38,0) — exact,
+    order-insensitive — and the closed-form stats derive per group from
+    one fixed double expression chain. The /100 folds the cent scaling
+    back to currency units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("xi"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("yi"),
+    )
+    d38 = "decimal(38,0)"
+    partials = u.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("yi").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("xi") * F.col("xi")).cast(d38)).cast("double").alias("sxx"),
+        F.sum((F.col("xi") * F.col("yi")).cast(d38)).cast("double").alias("sxy"),
+        F.sum((F.col("yi") * F.col("yi")).cast(d38)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    slope = cov_n / var_x_n
+    return partials.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x_n * var_y_n), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(slope / 100, 6).alias("slope_price_per_qty"),
+        F.round((sy - slope * sx) / n / 100, 6).alias("intercept_price"),
+    )

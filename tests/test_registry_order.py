@@ -73,11 +73,13 @@ def test_round_changed_queries_in_window():
         "equi_depth_price_bins",  # r3-new: equal-frequency binning kernel
         "cluster_golden_records",  # r3-new: survivorship kernel
         "pareto_price_size_parts",  # r3-new: grouped skyline kernel
+        "lineitem_price_asof_scd2",  # r3-new: point-in-time SCD2 join
+        "qty_price_regression_stats",  # r3-new: exact corr/OLS kernel
     ):
         assert name in window, name
 
 
 def test_no_query_lost_by_reorder():
-    # 132 registered queries as of the round-3 second continuation;
+    # 134 registered queries as of the round-3 second continuation;
     # update deliberately when adding.
-    assert len(REGISTRY) >= 132
+    assert len(REGISTRY) >= 134
