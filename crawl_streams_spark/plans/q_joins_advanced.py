@@ -243,13 +243,16 @@ def clicks_before_purchase(spark, sf_dir):
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("c_ts"))
+        .select(
+            F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+        )
         .withColumn("c_bucket", F.floor(F.unix_timestamp("c_ts") / F.lit(3600)))
     )
     matched = (
         p.join(
             c,
-            (p.user_id == c.user_id) & (p.probe_bucket == c.c_bucket),
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("probe_bucket") == F.col("c_bucket")),
             "inner",
         )
         .filter(

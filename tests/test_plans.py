@@ -163,3 +163,50 @@ def test_global_window_detector_true_positive(spark, sf_dir):
         ).alias("running"),
     )
     assert plan_metrics(good)["global_windows"] == 0
+
+
+@pytest.mark.parametrize(
+    # allowed_nl: condition-free broadcast cross joins of SCALAR one-row
+    # relations (basket count etc.) legitimately plan as
+    # BroadcastNestedLoopJoin — data-sized nested loops never do
+    ("name", "allowed_nl"),
+    [
+        ("lineitem_price_asof_scd2", 0),
+        ("prefix_filter_jaccard_pairs", 0),
+        ("parts_bought_together", 1),
+        ("dedup_cluster_assignment", 0),
+    ],
+)
+def test_new_kernels_no_nested_loop(spark, sf_dir, name, allowed_nl):
+    """Range/similarity/self joins in the continuation kernels must plan
+    as hash/sort-merge equi-joins — a BroadcastNestedLoopJoin or
+    CartesianProduct over data relations is the O(n·m) shape the
+    bucketed/blocked rewrites exist to avoid."""
+    plan = _plan(spark, sf_dir, name)
+    assert plan.count("NestedLoop") <= allowed_nl, plan[:3000]
+    assert "Cartesian" not in plan, plan[:3000]
+
+
+def test_pit_join_is_co_keyed_hash_join(spark, sf_dir):
+    """The point-in-time join must carry the business key into the
+    equi-join (key + version bucket), not match on the bucket alone."""
+    plan = _plan(spark, sf_dir, "lineitem_price_asof_scd2")
+    assert "o_orderkey" in plan
+    assert "__piij_bucket" in plan
+
+
+def test_market_basket_topk_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "parts_bought_together")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_global_rank_has_no_data_sized_global_window(spark, sf_dir):
+    """balanced_shard_stats / equi_depth_price_bins use global_rank: the
+    only partition-less window allowed is over the per-partition OFFSETS
+    relation (≤ #partitions rows after an aggregate), never the data.
+    The window input must come from a HashAggregate, not a scan."""
+    for name in ("balanced_shard_stats", "equi_depth_price_bins"):
+        plan = _plan(spark, sf_dir, name)
+        # the offsets window sorts __pid — a column that only exists on
+        # the tiny per-partition count relation
+        assert "__pid" in plan, name
