@@ -291,3 +291,69 @@ def test_skyline_grouped_is_per_group(spark):
     )
     # g2's only row survives in its own group even though g1 dominates it
     assert got == [1, 2, 3]
+
+
+# --- randomized/property checks ------------------------------------------
+
+
+def test_rolling_anomalies_matches_decimal_reference(spark):
+    from decimal import Decimal
+
+    rng = random.Random(21)
+    vals = [round(rng.uniform(-50, 50), 4) for _ in range(60)]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "s string, t bigint, v double",
+    ).withColumn("v", F.col("v").cast("decimal(18,4)"))
+    got = {
+        r["t"]: r
+        for r in TS.rolling_anomalies(df, ["s"], "t", "v", lookback=7).collect()
+    }
+    dvals = [Decimal(str(v)).quantize(Decimal("0.0001")) for v in vals]
+    for t in range(len(vals)):
+        w = dvals[max(0, t - 7) : t]
+        assert got[t]["roll_cnt"] == len(w)
+        if not w:
+            continue
+        s1, s2, cnt = sum(w), sum(x * x for x in w), len(w)
+        mean = float(s1) / cnt
+        var = max((float(s2) - (float(s1) * float(s1)) / cnt) / cnt, 0.0)
+        assert got[t]["roll_mean"] == round(mean, 6), t
+        assert got[t]["roll_std"] == round(math.sqrt(var), 6), t
+
+
+def test_prefix_jaccard_threshold_one_is_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"]),
+            (2, ["a", "b"]),
+            (3, ["a", "b", "c"]),
+            (4, ["c"]),
+            (5, ["c"]),
+        ],
+        "id bigint, toks array<string>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_self_join(df, "id", "toks", 1, 1).collect()
+    }
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_skyline_ascending_chain_all_survive(spark):
+    from crawl_streams_spark.operators.skyline import skyline_2d
+
+    rows = [(i, i, i) for i in range(20)]  # dearer but better: no dominance
+    df = spark.createDataFrame(rows, "id bigint, cost bigint, gain bigint")
+    assert len(skyline_2d(df, "cost", "gain").collect()) == 20
+
+
+def test_equi_depth_bins_with_massive_ties(spark):
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(100)], "id bigint, v bigint"
+    )
+    out = P.equi_depth_bins(df, "v", "id", 4).collect()
+    sizes = {}
+    for r in out:
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
