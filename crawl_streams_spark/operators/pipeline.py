@@ -37,6 +37,7 @@ __all__ = [
     "weighted_sample",
     "global_rank",
     "balanced_shards",
+    "rank_normalize",
 ]
 
 _BUCKETS = 256  # two hex chars of md5
@@ -387,4 +388,39 @@ def equi_depth_bins(
             F.expr(f"(__grank - 1) * {n_bins} div __n").cast("int"),
         )
         .drop("__grank", "__n")
+    )
+
+
+def rank_normalize(
+    df,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "qnorm",
+):
+    """Quantile (rank) normalization: each value maps to its empirical
+    quantile (rank−1)/(N−1) ∈ [0, 1] under the (value, tiebreak) total
+    order — the rank transform feature pipelines use to force a uniform
+    marginal regardless of the input distribution (robust to outliers
+    where min-max scaling saturates). Single-row corpora map to 0.0.
+
+    Built on ``global_rank`` (no single-partition sort); one float
+    division per row from integer rank and count, rounded to 6 — exact
+    under a plain row_number SQL oracle."""
+    ranked = global_rank(
+        df,
+        [F.col(value_col).asc(), F.col(tiebreak_col).asc()],
+        rank_col="__qr",
+    )
+    n_rows = df.agg(F.count(F.lit(1)).alias("__n"))
+    q = F.when(
+        F.col("__n") > 1,
+        F.round(
+            (F.col("__qr") - 1).cast("double") / (F.col("__n") - 1), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.crossJoin(F.broadcast(n_rows))
+        .withColumn(out_col, q)
+        .withColumnRenamed("__qr", "rank")
+        .drop("__n")
     )

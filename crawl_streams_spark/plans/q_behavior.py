@@ -176,3 +176,61 @@ def daily_cohort_retention(spark, sf_dir):
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@query(
+    "user_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase_ts
+            FROM events e
+            JOIN v ON v.user_id = e.user_id
+                  AND CAST(e.ts AS TIMESTAMP) >= v.first_view_ts
+            WHERE e.event_type = 'purchase'
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.first_view_ts, p.first_purchase_ts,
+               (epoch_us(p.first_purchase_ts) - epoch_us(v.first_view_ts))
+                   // 1000000 AS delta_seconds
+        FROM v LEFT JOIN p USING (user_id)
+    """,
+    tags=("behavior", "funnel", "conversion-latency"),
+)
+def user_time_to_convert(spark, sf_dir):
+    """Conversion latency per user: first 'view' and the first 'purchase'
+    AT OR AFTER it, with the gap in whole seconds (null = never
+    converted) — the time-to-convert distribution behind activation
+    dashboards. Two user-keyed aggregates and one user-keyed join (all
+    one partitioning); integer-microsecond math end to end, so the gate
+    is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    delta = F.expr(
+        "(unix_micros(cast(first_purchase_ts as timestamp))"
+        " - unix_micros(cast(first_view_ts as timestamp))) div 1000000"
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_ts",
+            "first_purchase_ts",
+            delta.alias("delta_seconds"),
+        )
+    )

@@ -535,3 +535,32 @@ def balanced_shard_stats(spark, sf_dir):
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+@query(
+    "doc_length_quantile_norm",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+            FROM documents
+        ),
+        n AS (SELECT COUNT(*)::BIGINT AS n FROM documents)
+        SELECT r.doc_id, r.n_chars, r.rank,
+               CASE WHEN n.n > 1
+                    THEN ROUND((r.rank - 1)::DOUBLE / (n.n - 1), 6)
+                    ELSE 0.0 END AS qnorm
+        FROM r CROSS JOIN n
+    """,
+    tags=("extension", "pipeline", "normalization", "rank"),
+)
+def doc_length_quantile_norm(spark, sf_dir):
+    """Quantile (rank) normalization of document lengths
+    (operators/pipeline.py::rank_normalize): every document's length
+    maps to its empirical quantile in [0, 1] — the outlier-robust
+    feature transform — through the scalable global-rank pattern, with
+    the oracle's plain row_number certifying the parallel rank."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return P.rank_normalize(docs, "n_chars", "doc_id", out_col="qnorm").select(
+        "doc_id", "n_chars", "rank", "qnorm"
+    )

@@ -515,3 +515,96 @@ def qty_price_regression_stats(spark, sf_dir):
         F.round(slope / 100, 6).alias("slope_price_per_qty"),
         F.round((sy - slope * sx) / n / 100, 6).alias("intercept_price"),
     )
+
+
+@query(
+    "returnflag_status_chisq",
+    oracle="""
+        WITH cells AS (
+            SELECT l_returnflag AS f, l_linestatus AS s,
+                   COUNT(*)::BIGINT AS o
+            FROM lineitem GROUP BY 1, 2
+        ),
+        rt AS (SELECT f, SUM(o)::BIGINT AS r FROM cells GROUP BY f),
+        ct AS (SELECT s, SUM(o)::BIGINT AS c FROM cells GROUP BY s),
+        n AS (SELECT SUM(o)::BIGINT AS n FROM cells),
+        j AS (
+            SELECT cells.f, cells.s, cells.o,
+                   (rt.r * ct.c)::DOUBLE / n.n AS e
+            FROM cells JOIN rt USING (f) JOIN ct USING (s) CROSS JOIN n
+        ),
+        pc AS (
+            SELECT f, s, o,
+                   ROUND(e, 6) AS expected,
+                   ROUND((o - e) * (o - e) / e, 6) AS contrib
+            FROM j
+        ),
+        tot AS (
+            SELECT ROUND(list_reduce(list(contrib ORDER BY f, s),
+                                     (a, b) -> a + b), 6) AS chi2_total,
+                   (COUNT(DISTINCT f) - 1) * (COUNT(DISTINCT s) - 1) AS dof
+            FROM pc
+        )
+        SELECT pc.f AS l_returnflag, pc.s AS l_linestatus,
+               pc.o AS observed, pc.expected, pc.contrib,
+               tot.chi2_total, tot.dof
+        FROM pc CROSS JOIN tot
+    """,
+    tags=("statistics", "chi-square", "contingency", "agg", "extension"),
+)
+def returnflag_status_chisq(spark, sf_dir):
+    """Chi-square test of independence over the returnflag × linestatus
+    contingency table: per-cell observed/expected/contribution plus the
+    total statistic and degrees of freedom. All counts are integers;
+    expected values and contributions are one fixed double chain per
+    cell; and the TOTAL — a float sum over cells — is computed as a
+    SEQUENTIAL fold over the (flag, status)-sorted contribution array on
+    both engines (Spark aggregate() HOF ≡ DuckDB list_reduce), the
+    discipline that makes a float reduction hash-gateable: fixed order,
+    not shuffle order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("f").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("s").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    pc = (
+        cells.join(F.broadcast(rt), "f")
+        .join(F.broadcast(ct), "s")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "f",
+            "s",
+            "o",
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias(
+                "contrib"
+            ),
+        )
+    )
+    tot = pc.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("f", "s", "contrib"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            6,
+        ).alias("chi2_total"),
+        (
+            (F.count_distinct("f") - 1) * (F.count_distinct("s") - 1)
+        ).alias("dof"),
+    )
+    return pc.crossJoin(F.broadcast(tot)).select(
+        F.col("f").alias("l_returnflag"),
+        F.col("s").alias("l_linestatus"),
+        F.col("o").alias("observed"),
+        "expected",
+        "contrib",
+        "chi2_total",
+        "dof",
+    )
