@@ -234,3 +234,61 @@ def user_time_to_convert(spark, sf_dir):
             delta.alias("delta_seconds"),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+        WITH ord AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev
+            FROM events
+        ),
+        t AS (
+            SELECT prev, event_type AS next, COUNT(*)::BIGINT AS n_ab
+            FROM ord WHERE prev IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT prev, SUM(n_ab)::BIGINT AS n_a FROM t GROUP BY prev)
+        SELECT t.prev, t.next, t.n_ab, tot.n_a,
+               ROUND(t.n_ab::DOUBLE / tot.n_a, 6) AS prob
+        FROM t JOIN tot USING (prev)
+    """,
+    tags=("behavior", "markov", "transitions", "window"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: adjacent
+    event-type pairs within each user's (ts, event_id)-ordered stream —
+    one user-keyed window — rolled into transition counts and row-
+    normalized probabilities (one division per cell, rounded). The
+    product-analytics kernel behind 'what do users do next'; the
+    (ts, event_id) tie-break makes the adjacency — and therefore every
+    count — deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("cast(ts as timestamp)"), F.col("event_id")
+    )
+    ordd = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    t = (
+        ordd.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = t.groupBy("prev").agg(F.sum("n_ab").alias("n_a"))
+    return t.join(F.broadcast(tot), "prev").select(
+        "prev",
+        "next",
+        "n_ab",
+        "n_a",
+        F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+            "prob"
+        ),
+    )

@@ -291,3 +291,154 @@ def kmv_distinct_users(spark, sf_dir):
         )
     )
     return est.join(exact, "event_type")
+
+
+def _duck_kmv_est(n_kept: str, kth: str) -> str:
+    return (
+        f"ROUND(CASE WHEN {n_kept} < {_KMV_K} THEN ({n_kept})::DOUBLE "
+        f"ELSE ({float(_KMV_K - 1)!r} * {_KMV_DOM!r}) / {kth} END, 3)"
+    )
+
+
+@query(
+    "kmv_user_overlap",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   (('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT)
+                       AS hv
+            FROM events
+        ),
+        rk AS (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                       AS rn
+            FROM h
+        ),
+        kmv AS (SELECT event_type, hv FROM rk WHERE rn <= {_KMV_K}),
+        singles AS (
+            SELECT event_type, COUNT(*)::BIGINT AS n_kept, MAX(hv) AS kth
+            FROM kmv GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type,
+                   {_duck_kmv_est('n_kept', 'kth')} AS approx
+            FROM singles
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM types a JOIN types b ON a.event_type < b.event_type
+        ),
+        uni0 AS (
+            SELECT p.type_a, p.type_b, k.hv
+            FROM pairs p JOIN kmv k ON k.event_type = p.type_a
+            UNION
+            SELECT p.type_a, p.type_b, k.hv
+            FROM pairs p JOIN kmv k ON k.event_type = p.type_b
+        ),
+        urk AS (
+            SELECT type_a, type_b, hv,
+                   row_number() OVER (PARTITION BY type_a, type_b
+                                      ORDER BY hv) AS rn
+            FROM uni0
+        ),
+        usingles AS (
+            SELECT type_a, type_b, COUNT(*)::BIGINT AS n_kept,
+                   MAX(hv) AS kth
+            FROM urk WHERE rn <= {_KMV_K} GROUP BY type_a, type_b
+        ),
+        uest AS (
+            SELECT type_a, type_b,
+                   {_duck_kmv_est('n_kept', 'kth')} AS approx_union
+            FROM usingles
+        ),
+        du AS (SELECT DISTINCT event_type, user_id FROM events),
+        exact AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*)::BIGINT AS exact_overlap
+            FROM du a JOIN du b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b,
+               COALESCE(x.exact_overlap, 0) AS exact_overlap,
+               ea.approx AS approx_a,
+               eb.approx AS approx_b,
+               u.approx_union,
+               ROUND(ea.approx + eb.approx - u.approx_union, 3)
+                   AS approx_overlap
+        FROM pairs p
+        JOIN est ea ON ea.event_type = p.type_a
+        JOIN est eb ON eb.event_type = p.type_b
+        JOIN uest u USING (type_a, type_b)
+        LEFT JOIN exact x USING (type_a, type_b)
+    """,
+    tags=("sketch", "kmv", "set-algebra", "approx"),
+)
+def kmv_user_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA: estimated user overlap between every pair of
+    event types by inclusion–exclusion over KMV sketches —
+    |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch is the
+    exact k-min merge of the two per-type sketches — next to the true
+    overlap. This is the capability HLL lacks cheaply and the reason a
+    KMV/theta sketch earns its extra bytes: audience-overlap /
+    cross-segment questions answered from pre-built per-segment
+    sketches, never rescanning the data. All selection is
+    order-statistic math, so the whole pipeline sits under the exact
+    gate."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = S.kmv_table(ev, "user_id", k=_KMV_K, group_cols=("event_type",))
+    est = S.kmv_estimate(
+        sk, k=_KMV_K, group_cols=("event_type",), estimate_col="approx"
+    ).select("event_type", "approx")
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ua = pairs.join(
+        sk.select(F.col("event_type").alias("type_a"), "hv"), "type_a"
+    ).select("type_a", "type_b", "hv")
+    ub = pairs.join(
+        sk.select(F.col("event_type").alias("type_b"), "hv"), "type_b"
+    ).select("type_a", "type_b", "hv")
+    merged = S.kmv_merge(ua, ub, k=_KMV_K, group_cols=("type_a", "type_b"))
+    uest = S.kmv_estimate(
+        merged,
+        k=_KMV_K,
+        group_cols=("type_a", "type_b"),
+        estimate_col="approx_union",
+    ).select("type_a", "type_b", "approx_union")
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = est.select(F.col("event_type").alias("type_a"), F.col("approx").alias("approx_a"))
+    eb = est.select(F.col("event_type").alias("type_b"), F.col("approx").alias("approx_b"))
+    return (
+        pairs.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(uest), ["type_a", "type_b"])
+        .join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            F.round(
+                F.col("approx_a") + F.col("approx_b") - F.col("approx_union"),
+                3,
+            ).alias("approx_overlap"),
+        )
+    )

@@ -608,3 +608,49 @@ def returnflag_status_chisq(spark, sf_dir):
         "chi2_total",
         "dof",
     )
+
+
+@query(
+    "price_mad_by_flag",
+    oracle="""
+        WITH med AS (
+            SELECT l_returnflag,
+                   quantile_disc(l_extendedprice, 0.5) AS median_price
+            FROM lineitem GROUP BY 1
+        ),
+        dev AS (
+            SELECT l.l_returnflag, m.median_price,
+                   ABS(l.l_extendedprice - m.median_price) AS d
+            FROM lineitem l JOIN med m USING (l_returnflag)
+        )
+        SELECT l_returnflag, median_price,
+               COUNT(*)::BIGINT AS n,
+               quantile_disc(d, 0.5) AS mad
+        FROM dev GROUP BY 1, 2
+    """,
+    tags=("statistics", "robust", "percentile", "agg", "extension"),
+)
+def price_mad_by_flag(spark, sf_dir):
+    """Median absolute deviation per returnflag — the robust dispersion
+    statistic (outlier-insensitive where stddev is not): two exact
+    discrete-percentile passes (median, then median of |x − median|)
+    sharing the group partitioning, with a broadcast median join between
+    them. Discrete percentiles pick actual data values, and the
+    deviations are single float subtractions of identical operands — so
+    the whole two-stage statistic is hash-gate exact, no rounding
+    needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("median_price")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "median_price",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("d"),
+    )
+    return dev.groupBy("l_returnflag", "median_price").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad"),
+    )
