@@ -564,3 +564,59 @@ def doc_length_quantile_norm(spark, sf_dir):
     return P.rank_normalize(docs, "n_chars", "doc_id", out_col="qnorm").select(
         "doc_id", "n_chars", "rank", "qnorm"
     )
+
+
+_TE_SMOOTH = 10  # pseudo-count m in the smoothed estimator
+
+
+@query(
+    "brand_target_encoding",
+    oracle=f"""
+        WITH g AS (
+            SELECT SUM(CAST(p_retailprice AS DECIMAL(18,4)))::DOUBLE
+                   / COUNT(*) AS global_mean
+            FROM part
+        ),
+        b AS (
+            SELECT p_brand,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS s
+            FROM part GROUP BY p_brand
+        )
+        SELECT b.p_brand, b.n,
+               ROUND(b.s::DOUBLE / b.n, 6) AS brand_mean,
+               ROUND((b.s::DOUBLE + {_TE_SMOOTH} * g.global_mean)
+                     / (b.n + {_TE_SMOOTH}), 6) AS encoded
+        FROM b CROSS JOIN g
+    """,
+    tags=("extension", "pipeline", "target-encoding", "ml-prep"),
+)
+def brand_target_encoding(spark, sf_dir):
+    """Smoothed target encoding of the brand category (the m-estimate
+    encoder: (Σy + m·ȳ_global)/(n + m), m=10) — the high-cardinality
+    categorical encoder ML pipelines use where one-hot explodes. Sums
+    are DECIMAL-exact so the gate is order-insensitive; the global mean
+    rides a broadcast single-row cross join; one partial-agg'd shuffle
+    on the category total."""
+    part = load_table(spark, sf_dir, "part")
+    price_dec = F.col("p_retailprice").cast("decimal(18,4)")
+    g = part.agg(
+        (F.sum(price_dec).cast("double") / F.count(F.lit(1)))
+        .alias("global_mean")
+    )
+    b = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(price_dec).alias("s"),
+    )
+    return b.crossJoin(F.broadcast(g)).select(
+        "p_brand",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias(
+            "brand_mean"
+        ),
+        F.round(
+            (F.col("s").cast("double") + _TE_SMOOTH * F.col("global_mean"))
+            / (F.col("n") + _TE_SMOOTH),
+            6,
+        ).alias("encoded"),
+    )
