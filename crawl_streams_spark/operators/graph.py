@@ -37,6 +37,7 @@ __all__ = [
     "propagate_units",
     "pagerank",
     "triangle_count",
+    "k_core",
 ]
 
 
@@ -231,4 +232,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                 "n_triangles"
             ),
         )
+    )
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    undirected degree ≥ k (Seidman 1983) — the standard dense-community
+    filter (drop the long tail of barely-connected hosts before
+    expensive graph analytics).
+
+    Iterative peeling as a DataFrame loop (the cluster_duplicates
+    shape): each round recomputes degrees on the SURVIVING subgraph and
+    anti-joins out nodes below k; the fixed point is unique regardless
+    of removal order (peeling is confluent), so results are
+    partitioning-independent. O(peel-depth) rounds, each one
+    partial-agg'd degree shuffle + two anti-joins; lineage cut per
+    round with localCheckpoint. Returns (node, core_degree) — the
+    node's degree WITHIN the k-core."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        weak = deg.filter(F.col("d") < k).select("v")
+        if weak.limit(1).count() == 0:
+            break
+        und = (
+            und.join(weak.withColumnRenamed("v", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
     )

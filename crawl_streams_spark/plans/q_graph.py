@@ -164,3 +164,20 @@ def host_graph_triangles(spark, sf_dir):
     joins, so the gate certifies the whole kernel including the
     (degree, id) tie-break."""
     return G.triangle_count(_edges(spark, sf_dir))
+
+
+@query(
+    "host_graph_kcore",
+    oracle=None,  # iterative peeling has no bounded SQL unrolling; the
+    # kernel is brute-force-verified in tests/test_graph.py instead
+    tags=("graph", "k-core", "iterative", "rows-only", "extension"),
+)
+def host_graph_kcore(spark, sf_dir):
+    """3-core of the host graph (operators/graph.py::k_core): the dense
+    backbone after iteratively peeling hosts with fewer than three
+    distinct neighbors — the standard pre-filter before expensive
+    community analytics. Rows-only under the driver gate (the peel
+    depth is data-dependent, so no fixed SQL unrolling exists); the
+    peeling fixed point is confluent and the kernel is verified against
+    a brute-force Python peeler on random graphs in pytest."""
+    return G.k_core(_edges(spark, sf_dir), k=3).orderBy("node")

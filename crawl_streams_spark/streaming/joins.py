@@ -21,12 +21,20 @@ def launch_outcomes(
     launch_watermark: str = "30 minutes",
     crawl_watermark: str = "30 minutes",
     max_fetch_delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Join launches to their fetch results within ``max_fetch_delay``.
 
     tocrawl needs (url, timestamp); crawled needs (url, timestamp,
     status_code). Output: one row per (launch, matching fetch) with the
-    fetch latency."""
+    fetch latency.
+
+    ``how="leftOuter"`` emits UNMATCHED launches too — null fetch
+    columns — once the watermark proves no fetch can still arrive
+    (launch_ts + max_fetch_delay passes the crawl-side watermark): the
+    "launched but never crawled" alerting stream. Outer results are
+    inherently late by the watermark delay; that latency is the price of
+    a correct no-match proof, not a bug."""
     launches = (
         tocrawl.select(
             F.col("url").alias("launch_url"),
@@ -51,6 +59,7 @@ def launch_outcomes(
             fetch_ts <= launch_ts + INTERVAL {max_fetch_delay}
             """
         ),
+        how,
     ).select(
         F.col("launch_url").alias("url"),
         "launch_ts",

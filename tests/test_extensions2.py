@@ -378,3 +378,69 @@ def test_estimated_jaccard_matches_component_agreement(spark):
         ).collect()
     ]
     assert got == [1.0, 0.5, 0.0]
+
+
+def test_stream_stream_launch_outcomes_left_outer(spark, tmp_path):
+    """Outer watermarked stream-stream join: launches with no fetch in
+    range emit with NULL fetch columns — but only after the watermark
+    proves no match can still arrive (flush rows advance it)."""
+    launch_dir = tmp_path / "launch2"
+    crawl_dir = tmp_path / "crawl2"
+    launch_dir.mkdir()
+    crawl_dir.mkdir()
+    _write_jsonl(
+        launch_dir / "l.json",
+        [
+            {"url": "https://a.example.org/", "timestamp": "2021-01-16T10:00:00.000Z"},
+            {"url": "https://b.example.org/", "timestamp": "2021-01-16T10:05:00.000Z"},
+        ],
+    )
+    _write_jsonl(
+        crawl_dir / "c.json",
+        [
+            {"url": "https://a.example.org/", "timestamp": "2021-01-16T10:01:30.000Z", "status_code": 200},
+        ],
+    )
+    # flush rows a day later push both watermarks far past launch+delay
+    _write_jsonl(
+        launch_dir / "flush.json",
+        [{"url": "https://zz.flush/", "timestamp": "2021-01-17T12:00:00.000Z"}],
+    )
+    _write_jsonl(
+        crawl_dir / "flush.json",
+        [{"url": "https://zz.flush2/", "timestamp": "2021-01-17T12:00:00.000Z", "status_code": 200}],
+    )
+    lsch = "url string, timestamp string"
+    csch = "url string, timestamp string, status_code int"
+    launches = (
+        spark.readStream.schema(lsch)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(launch_dir))
+    )
+    crawls = (
+        spark.readStream.schema(csch)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(crawl_dir))
+    )
+    out = launch_outcomes(launches, crawls, how="leftOuter")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("outcomes_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["url"]: r
+        for r in spark.sql(
+            "SELECT * FROM outcomes_outer WHERE url NOT LIKE '%flush%'"
+        ).collect()
+    }
+    assert rows["https://a.example.org/"]["status_code"] == 200
+    assert rows["https://a.example.org/"]["fetch_latency_ms"] == 90_000
+    # b launched, never fetched → outer row with null fetch columns
+    assert "https://b.example.org/" in rows
+    b = rows["https://b.example.org/"]
+    assert b["status_code"] is None and b["fetch_ts"] is None

@@ -158,3 +158,63 @@ def test_triangles_triangle_free_graph_all_zero(spark):
     pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]  # 4-cycle
     got = G.triangle_count(_edge_df(spark, pairs)).collect()
     assert all(r["n_triangles"] == 0 for r in got) and len(got) == 4
+
+
+def _brute_kcore(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    import random as _r
+
+    rng = _r.Random(13)
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randint(0, 25), rng.randint(0, 25)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}", 1) for a, b in pairs],
+        "src string, dst string, weight bigint",
+    )
+    for k in (2, 3, 4):
+        got = {
+            r["node"]: r["core_degree"]
+            for r in G.k_core(df, k=k).collect()
+        }
+        want = {
+            f"n{v}": d
+            for v, d in _brute_kcore(pairs, k).items()
+        }
+        assert got == want, k
+
+
+def test_kcore_k5_and_tail(spark):
+    # K5 plus a pendant chain: the 4-core is exactly the K5
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (5, 6)]
+    df = spark.createDataFrame(
+        [(f"v{a}", f"v{b}", 1) for a, b in edges],
+        "src string, dst string, weight bigint",
+    )
+    got = {r["node"]: r["core_degree"] for r in G.k_core(df, k=4).collect()}
+    assert got == {f"v{i}": 4 for i in range(5)}
