@@ -38,6 +38,7 @@ __all__ = [
     "pagerank",
     "triangle_count",
     "k_core",
+    "bfs_distances",
 ]
 
 
@@ -278,3 +279,64 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from a seed set to every reachable node —
+    iterative frontier relaxation as a DataFrame loop: each round joins
+    the current distance relation to the edge list and keeps the
+    per-node MIN, stopping at the fixed point. Integer mins are
+    order-insensitive, so (like propagate_units / cluster_duplicates)
+    the result is partitioning-independent and a recursive SQL oracle
+    reproduces it exactly.
+
+    ``sources`` is a one-column (node) relation (distance 0). Returns
+    (node, dist) for reachable nodes only. O(diameter) rounds, one
+    edge-keyed join + partial-agg'd min per round; the edge relation is
+    materialized once (localCheckpoint)."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    e = e.distinct().localCheckpoint(eager=True)
+    dist = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).distinct()
+    for _ in range(max_iter):
+        step = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: no node improved and no node appeared
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .filter(
+                F.col("o.dist").isNull()
+                | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    return dist

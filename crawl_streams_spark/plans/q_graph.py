@@ -181,3 +181,34 @@ def host_graph_kcore(spark, sf_dir):
     peeling fixed point is confluent and the kernel is verified against
     a brute-force Python peeler on random graphs in pytest."""
     return G.k_core(_edges(spark, sf_dir), k=3).orderBy("node")
+
+
+_DUCK_EDGES_REC = _DUCK_EDGES.replace("WITH e0", "WITH RECURSIVE e0", 1)
+
+
+@query(
+    "host_graph_distances",
+    oracle=_DUCK_EDGES_REC
+    + """
+    , seeds AS (SELECT 'h0' AS node UNION ALL SELECT 'h1'),
+    walk(node, dist) AS (
+        SELECT node, 0::BIGINT FROM seeds
+        UNION
+        SELECT e0.dst, w.dist + 1
+        FROM walk w JOIN e0 ON e0.src = w.node
+        WHERE w.dist < 30
+    )
+    SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+    """,
+    tags=("graph", "bfs", "shortest-path", "iterative", "extension"),
+)
+def host_graph_distances(spark, sf_dir):
+    """Minimum hop distance from the seed hosts {h0, h1} to every
+    reachable host over the DIRECTED link graph
+    (operators/graph.py::bfs_distances) — the second iterative kernel
+    under the cross-engine gate, alongside connected components:
+    frontier relaxation with integer mins reaches a
+    partitioning-independent fixed point that the oracle's recursive CTE
+    (cycle-guarded min-hop walk) reproduces exactly."""
+    seeds = spark.createDataFrame([("h0",), ("h1",)], "node string")
+    return G.bfs_distances(_edges(spark, sf_dir), seeds, directed=True)

@@ -271,3 +271,61 @@ def mmh3_partition_keys(spark, sf_dir):
     return ev.select(
         "event_id", seed.alias("seed"), udf(seed).alias("kafka_key")
     )
+
+
+_HOP_SLIDE_US = 900 * 1_000_000  # 15 minutes
+_HOP_WIDTH_US = 3600 * 1_000_000  # 1 hour
+
+
+@query(
+    "hopping_window_counts",
+    oracle=f"""
+        WITH ev AS (
+            SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type, user_id
+            FROM events
+        ),
+        hops AS (
+            -- a 1 h window sliding by 15 min puts every event in exactly
+            -- width/slide = 4 windows whose starts are slide-aligned
+            SELECT ((t // {_HOP_SLIDE_US}) * {_HOP_SLIDE_US}
+                    - i * {_HOP_SLIDE_US}) AS ws,
+                   event_type, user_id
+            FROM ev CROSS JOIN (SELECT unnest(range(4))::BIGINT AS i) u
+        )
+        SELECT CAST(to_timestamp(ws // 1000000) AS TIMESTAMP) AS win_start,
+               CAST(to_timestamp((ws + {_HOP_WIDTH_US}) // 1000000)
+                    AS TIMESTAMP) AS win_end,
+               event_type,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM hops
+        GROUP BY 1, 2, 3
+    """,
+    tags=("window", "hopping", "sliding", "streaming"),
+)
+def hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) windows — W-1's overlapping form: 1-hour
+    windows every 15 minutes via the real streaming window() operator
+    (each event lands in exactly width/slide = 4 windows). The same
+    expression runs unchanged under readStream + watermark; the oracle
+    derives the identical slide-aligned window starts arithmetically, so
+    the gate certifies Spark's window-assignment semantics, not just the
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "n_users",
+        )
+    )

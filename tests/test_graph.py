@@ -218,3 +218,54 @@ def test_kcore_k5_and_tail(spark):
     )
     got = {r["node"]: r["core_degree"] for r in G.k_core(df, k=4).collect()}
     assert got == {f"v{i}": 4 for i in range(5)}
+
+
+def test_bfs_distances_matches_bruteforce(spark):
+    import random as _r
+    from collections import deque
+
+    rng = _r.Random(17)
+    edges = list(
+        {
+            (rng.randint(0, 20), rng.randint(0, 20))
+            for _ in range(60)
+        }
+    )
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}", 1) for a, b in edges if a != b],
+        "src string, dst string, weight bigint",
+    )
+    seeds = spark.createDataFrame([("n0",), ("n5",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(df, seeds, directed=True).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    want, dq = {0: 0, 5: 0}, deque([0, 5])
+    while dq:
+        v = dq.popleft()
+        for u in adj.get(v, []):
+            if u not in want:
+                want[u] = want[v] + 1
+                dq.append(u)
+    assert got == {f"n{v}": d for v, d in want.items()}
+
+
+def test_bfs_distances_undirected_reaches_backward(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("c", "b", 1)], "src string, dst string, weight bigint"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    directed = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(df, seeds, directed=True).collect()
+    }
+    undirected = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(df, seeds, directed=False).collect()
+    }
+    assert directed == {"a": 0, "b": 1}
+    assert undirected == {"a": 0, "b": 1, "c": 2}
