@@ -292,3 +292,97 @@ def event_transition_matrix(spark, sf_dir):
             "prob"
         ),
     )
+
+
+@query(
+    "ab_test_conversion_ztest",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                   CASE WHEN COUNT(CASE WHEN event_type = 'purchase'
+                                        THEN 1 END) >= 13
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, COUNT(*)::BIGINT AS n,
+                   SUM(converted)::BIGINT AS conv
+            FROM assign GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+                MAX(CASE WHEN arm = 'A' THEN conv END) AS conv_a,
+                MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+                MAX(CASE WHEN arm = 'B' THEN conv END) AS conv_b
+            FROM arms
+        ),
+        stats AS (
+            SELECT *,
+                   conv_a::DOUBLE / n_a AS p_a,
+                   conv_b::DOUBLE / n_b AS p_b,
+                   (conv_a + conv_b)::DOUBLE / (n_a + n_b) AS p_pool
+            FROM wide
+        )
+        SELECT n_a, conv_a, ROUND(p_a, 6) AS rate_a,
+               n_b, conv_b, ROUND(p_b, 6) AS rate_b,
+               ROUND(p_a - p_b, 6) AS rate_diff,
+               ROUND((p_a - p_b)
+                     / NULLIF(sqrt(p_pool * (1.0 - p_pool)
+                                   * (1.0/n_a + 1.0/n_b)), 0.0), 4)
+                   AS z_score
+        FROM stats
+    """,
+    tags=("behavior", "experimentation", "ab-test", "statistics"),
+)
+def ab_test_conversion_ztest(spark, sf_dir):
+    """Two-proportion z-test over a deterministic A/B split (user parity
+    as the assignment hash): per-arm user counts and conversion rates
+    (any 'purchase' event), the rate difference, and the pooled-variance
+    z statistic. Counts are integers; every double is one fixed
+    expression chain from identical integer inputs — experimentation
+    analytics under the exact gate. Per-user conversion is one
+    partial-agg'd shuffle; the 2-row arm relation pivots driver-free."""
+    ev = load_table(spark, sf_dir, "events")
+    # 'any purchase' saturates on this dense stream (every user buys at
+    # least once) — use a heavy-buyer threshold at the median count so
+    # both arms carry real variance
+    assign = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 13,
+            1,
+        ).otherwise(0).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "converted",
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = (p_a - p_b) / F.nullif(se, F.lit(0.0))
+    return wide.select(
+        "n_a",
+        "conv_a",
+        F.round(p_a, 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_a - p_b, 6).alias("rate_diff"),
+        F.round(z, 4).alias("z_score"),
+    )
