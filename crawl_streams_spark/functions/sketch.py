@@ -35,6 +35,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_lookup",
+    "cms_inner_product",
     "bloom_build",
     "bloom_probe",
     "hll_registers",
@@ -368,3 +369,25 @@ def kmv_estimate(
         "kth_hash",
         F.round(est, 3).alias(estimate_col),
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimate from two count-min sketches built with the same
+    (depth, width) over the two join columns: the equi-join cardinality
+    |A ⋈ B| = Σ_v c_A(v)·c_B(v) is UPPER-bounded by, and estimated as,
+    min over hash rows of Σ_bucket a_d·b_d (Cormode & Muthukrishnan's
+    inner-product query). Returns one row (est_join_size) — BIGINT
+    arithmetic end to end, so the estimate is exact-reproducible.
+
+    The optimizer credential: estimate a join's output size from two
+    KB-sized sketches without touching either table — the sketch analog
+    of column-level NDV statistics, but correct under skew (a hot key's
+    square shows up in the product)."""
+    aa = a.select(F.col("d"), F.col("bucket"), F.col("cnt").alias("ca"))
+    bb = b.select(F.col("d"), F.col("bucket"), F.col("cnt").alias("cb"))
+    per_row = (
+        aa.join(bb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").alias("est_join_size"))

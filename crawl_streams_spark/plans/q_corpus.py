@@ -202,3 +202,62 @@ def bigram_pmi_collocations(spark, sf_dir):
     the estimator."""
     docs = load_table(spark, sf_dir, "documents")
     return CS.bigram_pmi(docs, min_count=5, k=30)
+
+
+@query(
+    "source_lang_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT source, lang, COUNT(*)::BIGINT AS n
+            FROM documents GROUP BY source, lang
+        ),
+        g AS (
+            SELECT source,
+                   SUM(n)::BIGINT AS n_docs,
+                   COUNT(*)::BIGINT AS n_langs,
+                   list_reduce(list(n::DOUBLE * ln(n::DOUBLE)
+                                    ORDER BY lang),
+                               (a, b) -> a + b) AS nlogn_sum
+            FROM c GROUP BY source
+        )
+        SELECT source, n_docs, n_langs,
+               ROUND(CASE WHEN n_docs > 0
+                     THEN ln(n_docs::DOUBLE) - nlogn_sum / n_docs
+                     END, 6) AS lang_entropy
+        FROM g
+    """,
+    tags=("corpus", "entropy", "diversity", "extension"),
+)
+def source_lang_entropy(spark, sf_dir):
+    """Shannon entropy of each source's language distribution —
+    H = ln(N) − (Σ c·ln c)/N — the diversity score a corpus-mixing
+    pipeline monitors (0 = monolingual source). Counts are integers;
+    each c·ln(c) term is one deterministic double; and the per-source
+    term SUM is a SEQUENTIAL fold over the lang-sorted term array on
+    both engines (the chi-square discipline: fixed order, not shuffle
+    order), so the statistic sits under the exact gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    g = c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "n"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["n"].cast("double") * F.log(x["n"].cast("double")),
+        ).alias("nlogn_sum"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(
+            F.when(
+                F.col("n_docs") > 0,
+                F.log(F.col("n_docs").cast("double"))
+                - F.col("nlogn_sum") / F.col("n_docs"),
+            ),
+            6,
+        ).alias("lang_entropy"),
+    )

@@ -442,3 +442,56 @@ def kmv_user_overlap(spark, sf_dir):
             ).alias("approx_overlap"),
         )
     )
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+        WITH depths AS (SELECT unnest(range({_DEPTH}))::BIGINT AS d),
+        ska AS (
+            SELECT d,
+                   (('0x' || substr(md5(d || ':' || l_orderkey), 1, 15))::BIGINT)
+                       % {_WIDTH} AS bucket,
+                   COUNT(*)::BIGINT AS ca
+            FROM lineitem CROSS JOIN depths GROUP BY 1, 2
+        ),
+        skb AS (
+            SELECT d,
+                   (('0x' || substr(md5(d || ':' || o_orderkey), 1, 15))::BIGINT)
+                       % {_WIDTH} AS bucket,
+                   COUNT(*)::BIGINT AS cb
+            FROM orders CROSS JOIN depths GROUP BY 1, 2
+        ),
+        ip AS (
+            SELECT a.d, SUM(a.ca * b.cb)::BIGINT AS ip
+            FROM ska a JOIN skb b ON a.d = b.d AND a.bucket = b.bucket
+            GROUP BY a.d
+        ),
+        exact AS (
+            SELECT COUNT(*)::BIGINT AS true_join_size
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT (SELECT MIN(ip) FROM ip) AS est_join_size,
+               exact.true_join_size
+        FROM exact
+    """,
+    tags=("sketch", "cms", "join-size", "optimizer", "approx"),
+)
+def cms_join_size_estimate(spark, sf_dir):
+    """Equi-join cardinality estimation from two count-min sketches
+    (functions/sketch.py::cms_inner_product): |lineitem ⋈ orders| on the
+    order key estimated as min-over-depth of the sketch inner product,
+    next to the true join size. BIGINT arithmetic end to end — the gate
+    certifies the estimator itself. The optimizer credential: the
+    estimate needs only two KB-sized sketches (never the tables), is an
+    upper bound by construction, and stays correct under key skew where
+    NDV-based estimates collapse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ska = S.cms_build(li, "l_orderkey", depth=_DEPTH, width=_WIDTH)
+    skb = S.cms_build(o, "o_orderkey", depth=_DEPTH, width=_WIDTH)
+    est = S.cms_inner_product(ska, skb)
+    exact = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).agg(F.count(F.lit(1)).alias("true_join_size"))
+    return est.crossJoin(F.broadcast(exact))
