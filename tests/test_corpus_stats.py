@@ -103,3 +103,38 @@ def test_split_hot_join_equivalence_and_plan(spark, sf_dir):
     # join stays a shuffle join
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_source_lang_entropy_hand_math(spark):
+    import math
+
+    from crawl_streams_spark.plans import REGISTRY
+
+    # build a tiny documents table through the registry path is heavy;
+    # check the kernel math directly on a hand corpus instead
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "en"), (2, "s1", "en"), (3, "s1", "de"),
+            (4, "s2", "fr"),
+        ],
+        "doc_id bigint, source string, lang string",
+    )
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    g = c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "n"))),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["n"].cast("double") * F.log(x["n"].cast("double")),
+        ).alias("s"),
+    )
+    rows = {
+        r["source"]: math.log(r["n_docs"]) - r["s"] / r["n_docs"]
+        for r in g.collect()
+    }
+    # s1: {en:2, de:1} → H = ln3 − (2ln2)/3; s2: single lang → 0
+    assert abs(rows["s1"] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
+    assert abs(rows["s2"]) < 1e-12

@@ -173,3 +173,24 @@ def test_hll_grouped_estimates(spark):
     }
     for j, n in (("g0", 50), ("g1", 100), ("g2", 150)):
         assert abs(est[j] - n) / n < 0.25, (j, est[j])
+
+
+def test_cms_inner_product_upper_bounds_true_join_size(spark):
+    import random as _r
+
+    rng = _r.Random(29)
+    a_items = [rng.randint(0, 40) for _ in range(300)]
+    b_items = [rng.randint(0, 40) for _ in range(200)]
+    da = spark.createDataFrame([(x,) for x in a_items], "x bigint")
+    db = spark.createDataFrame([(x,) for x in b_items], "x bigint")
+    ska = S.cms_build(da, "x", depth=4, width=64)
+    skb = S.cms_build(db, "x", depth=4, width=64)
+    est = S.cms_inner_product(ska, skb).collect()[0]["est_join_size"]
+    from collections import Counter
+
+    ca, cb = Counter(a_items), Counter(b_items)
+    true_ip = sum(ca[v] * cb.get(v, 0) for v in ca)
+    # one-sided guarantee: hash collisions only ADD mass
+    assert est >= true_ip
+    # and with 4 rows × 64 buckets on a 41-value domain it stays close
+    assert est <= true_ip * 2
