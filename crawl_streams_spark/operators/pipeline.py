@@ -309,6 +309,14 @@ def global_rank(
     part = part.sortWithinPartitions(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # PIN the partitioning: the relation is consumed twice (per-partition
+    # counts AND the rank join), and repartitionByRange SAMPLES its
+    # boundaries with a per-evaluation seed — without materialization the
+    # two consumers can see DIFFERENT boundaries, so offsets correct for
+    # one placement are applied to another and ranks silently shift
+    # (ROUNDLOG round-3 lesson 6, range-partition form; surfaced by the
+    # chained RFM query at sf0.1)
+    part = part.localCheckpoint(eager=True)
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
         Window.orderBy("__pid")

@@ -654,3 +654,72 @@ def price_mad_by_flag(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad"),
     )
+
+
+@query(
+    "customer_rfm_scores",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1990-01-01',
+                             CAST(MAX(o_orderdate) AS DATE))::BIGINT
+                       AS recency_days,
+                   COUNT(*)::BIGINT AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        n AS (SELECT COUNT(*)::BIGINT AS n FROM cust),
+        r AS (
+            SELECT c.*,
+                   row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
+                   row_number() OVER (ORDER BY frequency, o_custkey) AS fr,
+                   row_number() OVER (ORDER BY monetary, o_custkey) AS mr
+            FROM cust c
+        )
+        SELECT o_custkey, recency_days, frequency,
+               monetary::DOUBLE AS monetary,
+               ((rr - 1) * 5 // n.n + 1)::INT AS r_score,
+               ((fr - 1) * 5 // n.n + 1)::INT AS f_score,
+               ((mr - 1) * 5 // n.n + 1)::INT AS m_score
+        FROM r CROSS JOIN n
+    """,
+    tags=("rfm", "segmentation", "rank", "analytics", "extension"),
+)
+def customer_rfm_scores(spark, sf_dir):
+    """RFM customer segmentation: recency (days since epoch anchor of
+    the last order), frequency (order count), monetary (DECIMAL-exact
+    lifetime spend), each scored into quintiles 1-5 by equi-depth
+    ranking (operators/pipeline.py::equi_depth_bins — the scalable
+    global rank, three times, no single-partition sort). Higher = more
+    recent / more frequent / bigger spender; the marketing-analytics
+    staple built entirely from gated kernels."""
+    from ..operators import pipeline as P
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.max("o_orderdate")), F.lit("1990-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = cust
+    for metric, out in (
+        ("recency_days", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        scored = P.equi_depth_bins(
+            scored, metric, "o_custkey", 5, bin_col=out
+        ).withColumn(out, (F.col(out) + 1).cast("int"))
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+    )

@@ -80,6 +80,6 @@ def test_round_changed_queries_in_window():
 
 
 def test_no_query_lost_by_reorder():
-    # 147 registered queries as of the round-3 second continuation;
+    # 148 registered queries as of the round-3 second continuation;
     # update deliberately when adding.
-    assert len(REGISTRY) >= 147
+    assert len(REGISTRY) >= 148
