@@ -7,89 +7,31 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 3 — rotate so every query's driver verdict stays
-recent):
+Ordering policy (round 4 — execute the ROUNDLOG "Round-4 rotation plan"):
 
-- Slots 1-39: the round-1-verified queries that sat OUTSIDE round 2's
-  window (their last driver verdict is two rounds old), including
-  ``dedup_minhash_est_jaccard`` (new in round 2 — first driver verdict
-  this round). Five r1-green same-shape queries (null_coalesce_projection,
-  formatted_log_lines, wayback_timestamps, event_type_dist_users,
-  hop_and_status) yield their slots to family coverage and round-3
-  additions below.
-- Slots 40-47: one representative per family verified in round 2, so the
-  window still covers every operator family (pinned by
-  tests/test_registry_order.py).
-- Slots 45-50: round-3-changed/new implementations —
-  ``dedup_minhash_lsh_pairs`` (candidate-verification join restructured:
-  slim-pairs broadcast, ADVICE r2 medium; values unchanged by
-  construction, the driver row proves it), ``zorder_curve`` (new: Z-order
-  layout key math under the cross-engine gate), ``pq_codes_fixed_book``
-  (new: product-quantization encoding kernel), ``semantic_dedup_pairs``
-  (new: SemDeDup cluster-then-compare), ``dup_token_spans`` /
-  ``dup_span_doc_stats`` (new: substring-level dedup), and
-  ``doc_unigram_freq`` / ``doc_tfidf_topk`` (new: corpus term
-  statistics), plus ``host_graph_degrees`` / ``graph_unit_propagation``
-  (new: link-graph analytics incl. the iterative integer-propagation
-  kernel), ``orders_snapshot_diff`` / ``snapshot_diff_summary`` (new:
-  keyed CDC diff), and ``concurrent_sessions`` /
-  ``active_sessions_at_purchase`` (new: bucketed interval joins — the
-  equi-join range-join rewrite; ``customer_order_left_join`` and
-  ``token_array_ops`` yield their slots, their shapes covered in-window
-  by concurrent_sessions' left join + coalesce and doc_bpe_tokens /
-  doc_repetition's array HOFs), ``cms_token_estimates`` (new: count-min
-  sketch build + min-over-depth estimator) and ``weighted_sample_orders``
-  (new: Efraimidis–Spirakis weighted sampling) — ``windowed_count`` and
-  ``sessionized_set_ops`` yield those two slots (event-time windowed agg
-  stays covered by hist_median_by_type / recent_window_topk; the
-  q_sessions family by user_sessions), and ``orders_scd2_history`` (new:
-  SCD2 validity-run compression — ``uri_normalization`` yields its slot;
-  q_crawl stays covered in-window by url_host_extraction /
-  annotation_classification / binary_column_plumbing), and
-  ``doc_span_excision`` (new: clean-text rebuild after span dedup —
-  ``doc_lang_id`` yields its slot; q_text stays covered by doc_quality /
-  doc_bpe_tokens / doc_repetition), and ``bloom_part_membership`` (new:
-  bloom membership sketch — ``annotation_regex_classes`` yields its slot;
-  the F-7 classifier path stays covered by annotation_classification),
-  and ``per_source_doc_sample`` (new: group-wise deterministic sampling —
-  ``recent_window_topk`` yields its slot; top-k shapes stay covered by
-  top_unshipped_orders / top_orders_per_customer / weighted_sample_orders),
-  and ``orders_validation_report`` (new: Deequ-style one-scan rule report
-  + anti-join FK check — ``status_code_histogram`` yields its slot; the
-  plain-histogram groupBy shape stays covered by per_user_summary /
-  hist_median_by_type and slot-51 event_type_stats), and
-  ``host_graph_triangles`` (new: degree-ordered triangle counting —
-  ``dedup_ngram_jaccard`` yields its slot; the dedup family keeps six
-  in-window entries), and ``hll_distinct_users`` (new: cross-engine-exact
-  HyperLogLog — ``customers_with_open_orders`` yields its slot; the
-  left-semi shape stays covered by the span/dedup pipelines' semi-joins
-  in-window), and ``media_wav_features`` (new: a REAL RIFF/PCM16 audio
-  decode through mapInPandas, rows-only — ``binary_column_plumbing``
-  yields its slot: the binary-column round-trip it gated is a strict
-  subset of the decode path now in-window), and
-  ``funnel_conversion_by_user`` / ``daily_cohort_retention`` (new:
-  behavioral analytics — ``top_orders_per_customer`` and ``doc_quality``
-  yield their slots; rank-per-group stays covered by
-  per_source_doc_sample, q_text by doc_bpe_tokens / doc_repetition), and
-  ``term_posting_lists`` (new: inverted-index build —
-  ``url_host_extraction`` yields its slot), and
-  ``fuzzy_part_name_pairs`` (new: q-gram-blocked edit-distance join —
-  ``annotation_classification`` yields its slot; q_crawl stays
-  family-covered in-window by media_wav_features, and the F-7 classifier
-  keeps its r1 driver verdict + conformance pytest), and
-  ``hourly_series_filled`` (new: per-key densify + forward fill —
-  ``hist_median_by_type`` yields its slot; the rollup family stays
-  covered by rollup_day_reaggregation / rollup_order_priority and the
-  quantile estimator keeps its property tests). Nine r1-verified
-  same-shape queries
-  (latest_events_topk, customers_without_orders, top_tokens,
-  hourly_counts, part_supplier_union, doc_fingerprints, embedding_norms,
-  order_value_running, lang_source_rollup) yield their slots — their
-  shapes stay covered by in-window siblings (recent_window_topk,
-  customers_with_open_orders, token_array_ops, windowed_count,
-  sessionized_set_ops, doc_quality, knn_bruteforce, user_sessions /
-  top_orders_per_customer, rollup_order_priority).
-- Slots 51+: everything with a round-2 driver verdict and unchanged code.
+- Slots 1-14: the 14 queries that have NEVER had a driver verdict (added
+  in the round-3 continuation after the window saturated): first driver
+  verdicts this round.
+- Slots 15-19: implementations CHANGED in round 4, which must re-verify —
+  ``dedup_minhash_lsh_pairs`` (candidate-pair broadcast guard),
+  ``balanced_shard_stats`` / ``equi_depth_price_bins`` (global_rank's
+  boundary-literal rewrite replacing the eager localCheckpoint),
+  ``kmv_distinct_users`` (ungrouped KMV pre-reduction), and
+  ``approx_distinct_users`` (now ORACLED via the error-bound invariant).
+- Slots 20-29: one representative per family whose members otherwise all
+  hold fresh round-3 verdicts, so the window still covers every operator
+  family (pinned by tests/test_registry_order.py).
+- Slots 30-41: freshness restores — the ROUNDLOG rotation list's
+  r1/r2-verified queries whose verdicts are now 2-3 rounds old.
+- Slots 42-50: additional round-1-verified restores (oldest verdicts
+  first); these yield to round-4-new queries as they land.
+- The rotation debt guard (tests/test_registry_order.py::
+  test_no_query_strands_beyond_k_rounds) derives each query's last
+  driver-verdict round from the checked-in CORRECTNESS_r*.json files and
+  fails any future PRIORITY that would let a non-window query go more
+  than 3 rounds without a verdict.
+
+Retired windows (rounds 1-3) are recorded in ROUNDLOG.md and git history.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -127,83 +69,64 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- last driver verdict is from round 1 -----------------------------
-    # (rollup_day_reaggregation, rollup_order_priority, doc_repetition,
-    # dedup_minhash_signatures, dedup_simhash, label_centroid_sim and
-    # regional_revenue yielded their slots to the seven
-    # continuation-2-new queries at the bottom; every family keeps an
-    # in-window representative and the yielded queries keep their r1
-    # driver verdicts + local parity evidence)
-    # q_events
-    "per_user_summary",
-    # q_tpch
-    "top_unshipped_orders",
-    # q_text
-    "doc_bpe_tokens",
-    # q_dedup — est_jaccard is r2-new: FIRST driver verdict this round
-    # (dedup_exact yielded its slot to cluster_golden_records; the dedup
-    # family keeps six in-window entries)
-    "dedup_minhash_est_jaccard",
-    # (q_similarity stays covered by pq_codes_fixed_book /
-    # semantic_dedup_pairs; knn_bruteforce yielded to
-    # qty_price_regression_stats. q_pipeline stays covered by
-    # weighted_sample_orders / per_source_doc_sample /
-    # balanced_shard_stats; corpus_curation_funnel yielded to
-    # lineitem_price_asof_scd2.)
-    # -- family-coverage representatives: verified round 2, one per
-    # family whose other members all sit in slots 51+ --------------------
-    # (price_percentiles' slot went to equi_depth_price_bins and
-    # asof_last_purchase's to pareto_price_size_parts — q_sql_extra and
-    # q_joins_advanced stay covered in-window by those +
-    # fuzzy_part_name_pairs)
-    "schedule_launch_decisions",  # q_schedule
+    # -- never driver-verified (round-3 continuation additions): FIRST
+    # driver verdicts this round --------------------------------------
+    "doc_length_quantile_norm",  # q_pipeline: quantile normalization
+    "returnflag_status_chisq",  # q_sql_extra: chi-square independence
+    "user_time_to_convert",  # q_behavior: event-pair latency
+    "price_mad_by_flag",  # q_sql_extra: median absolute deviation
+    "event_transition_matrix",  # q_behavior: Markov transition rates
+    "kmv_user_overlap",  # q_sketch: KMV intersection algebra
+    "brand_target_encoding",  # q_pipeline: leakage-safe target encoding
+    "host_graph_distances",  # q_graph: BFS frontier relaxation
+    "host_graph_kcore",  # q_graph: iterative peeling (rows-only)
+    "hopping_window_counts",  # q_schedule: overlapping-window agg
+    "ab_test_conversion_ztest",  # q_behavior: two-proportion z-test
+    "cms_join_size_estimate",  # q_sketch: CMS inner-product bound
+    "source_lang_entropy",  # q_corpus: per-source Shannon entropy
+    "customer_rfm_scores",  # q_sql_extra: RFM quintile segmentation
+    # -- round-4-changed implementations: must (re-)verify -------------
+    "dedup_minhash_lsh_pairs",  # r4: candidate-pair broadcast guard
+    "balanced_shard_stats",  # r4: global_rank boundary-literal rewrite
+    "equi_depth_price_bins",  # r4: global_rank boundary-literal rewrite
+    "kmv_distinct_users",  # r4: ungrouped KMV pre-reduction
+    "approx_distinct_users",  # r4: now oracled via error-bound invariant
+    # -- family coverage: one representative per family whose members
+    # otherwise all hold fresh r3 verdicts ------------------------------
+    "orders_snapshot_diff",  # q_diff
+    "active_sessions_at_purchase",  # q_interval
+    "parts_bought_together",  # q_market
     "status_pivot",  # q_pivot
-    "user_sessions",  # q_sessions — also a bench headline query
-    "nation_market_share",  # q_tpch2 — TPC-H Q8 shape
-    "order_count_distribution",  # q_tpch3 — TPC-H Q13 shape
-    # -- round-3-changed/new implementations: must (re-)verify -----------
-    "dedup_minhash_lsh_pairs",  # verify-join slim-broadcast restructure
-    "zorder_curve",  # r3-new: Z-order layout key under the gate
-    "pq_codes_fixed_book",  # r3-new: PQ encode + quantization error
-    "semantic_dedup_pairs",  # r3-new: SemDeDup cluster-then-compare kernel
-    "dup_token_spans",  # r3-new: substring-level dedup (repeated windows)
-    "dup_span_doc_stats",  # r3-new: per-doc duplicated-coverage fractions
-    "doc_unigram_freq",  # r3-new: mean-corpus-frequency quality score
-    "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
-    "host_graph_degrees",  # r3-new: link-graph degree statistics
-    "graph_unit_propagation",  # r3-new: iterative kernel under the gate
-    "orders_snapshot_diff",  # r3-new: keyed CDC diff classification
-    "snapshot_diff_summary",  # r3-new: reconciliation cardinalities
-    "concurrent_sessions",  # r3-new: interval-overlap bucketed join
-    "active_sessions_at_purchase",  # r3-new: point-in-interval join
-    "cms_token_estimates",  # r3-new: count-min sketch build+estimate
-    "weighted_sample_orders",  # r3-new: Efraimidis–Spirakis priorities
-    "orders_scd2_history",  # r3-new: SCD2 validity-run compression
-    "doc_span_excision",  # r3-new: duplicated-span excision + rebuild
-    "bloom_part_membership",  # r3-new: bloom filter build + probe
-    "per_source_doc_sample",  # r3-new: per-group deterministic sample
-    "orders_validation_report",  # r3-new: one-scan data-quality rules
-    "host_graph_triangles",  # r3-new: degree-ordered triangle counting
-    "hll_distinct_users",  # r3-new: deterministic oracled HyperLogLog
-    "media_wav_features",  # r3-new: REAL WAV decode (rows-only)
-    "funnel_conversion_by_user",  # r3-new: ordered-subsequence funnel
-    "daily_cohort_retention",  # r3-new: cohort retention triangle
-    "term_posting_lists",  # r3-new: inverted-index construction
-    "fuzzy_part_name_pairs",  # r3-new: q-gram-blocked edit-distance join
-    "hourly_series_filled",  # r3-new: gap fill + forward fill
-    # -- round-3 continuation-2: new kernels needing FIRST verdicts ------
-    "kmv_distinct_users",  # KMV/theta sketch + merge + estimator
-    "dedup_cluster_assignment",  # connected components vs recursive CTE
-    "prefix_filter_jaccard_pairs",  # exact PPJoin-style similarity join
-    "bigram_pmi_collocations",  # corpus collocations by PMI
-    "hourly_value_anomalies",  # rolling z-score over DECIMAL partials
-    "parts_bought_together",  # market-basket pair counts + lift
-    "balanced_shard_stats",  # LPT sharding over scalable global rank
-    "equi_depth_price_bins",  # equal-frequency binning on global rank
-    "cluster_golden_records",  # survivorship over dup clusters
-    "pareto_price_size_parts",  # grouped skyline vs NOT-EXISTS oracle
-    "lineitem_price_asof_scd2",  # point-in-time join vs SCD2 history
-    "qty_price_regression_stats",  # exact corr/OLS sufficient stats
+    "hourly_value_anomalies",  # q_timeseries
+    "nation_trade_volume",  # q_tpch2 — TPC-H Q7 shape
+    "late_order_priority_counts",  # q_tpch3 — TPC-H Q4 shape
+    "orders_validation_report",  # q_validate
+    "dup_token_spans",  # q_spans
+    "url_host_extraction",  # q_crawl (r1 verdict — also a restore)
+    # -- freshness restores (ROUNDLOG rotation list: verdicts 2-3
+    # rounds old) -------------------------------------------------------
+    "regional_revenue",  # q_tpch, r1 — broadcast dimension chain
+    "dedup_exact",  # q_dedup, r1
+    "knn_bruteforce",  # q_similarity, r1
+    "dedup_simhash",  # q_dedup, r1
+    "dedup_minhash_signatures",  # q_dedup, r1
+    "label_centroid_sim",  # q_similarity, r1
+    "doc_repetition",  # q_text, r1
+    "rollup_day_reaggregation",  # q_events, r1 — rollup mergeability
+    "rollup_order_priority",  # q_tpch, r1
+    "price_percentiles",  # q_sql_extra, r2
+    "asof_last_purchase",  # q_joins_advanced, r2
+    "corpus_curation_funnel",  # q_pipeline, r2
+    # -- additional r1 restores (yield to round-4-new queries) ----------
+    "uri_normalization",  # q_crawl, r1
+    "hourly_counts",  # q_events, r1
+    "annotation_classification",  # q_crawl, r1
+    "binary_column_plumbing",  # q_crawl, r1
+    "latest_events_topk",  # q_events, r1
+    "windowed_count",  # q_events, r1
+    "top_orders_per_customer",  # q_tpch, r1
+    "part_supplier_union",  # q_tpch, r1
+    "hop_and_status",  # q_crawl, r1
 )
 
 

@@ -30,53 +30,76 @@ def test_driver_window_covers_every_family():
 
 def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
-    # Implementations touched in round 3 must be re-verified by the driver,
-    # and r2-new queries need their FIRST driver verdict.
+    # Queries that have never had a driver verdict (round-3 continuation
+    # additions) plus implementations changed in round 4 must sit in the
+    # driver's verification prefix.
     for name in (
-        "dedup_minhash_lsh_pairs",  # r3: verify-join slim-broadcast restructure
-        "dedup_minhash_est_jaccard",  # r2-new: no driver verdict yet
-        "zorder_curve",  # r3-new: Z-order layout key math
-        "pq_codes_fixed_book",  # r3-new: PQ encoding kernel
-        "semantic_dedup_pairs",  # r3-new: SemDeDup kernel
-        "dup_token_spans",  # r3-new: substring-level dedup spans
-        "dup_span_doc_stats",  # r3-new: duplicated-coverage fractions
-        "doc_unigram_freq",  # r3-new: corpus-frequency quality score
-        "doc_tfidf_topk",  # r3-new: TF-IDF keyword extraction
-        "host_graph_degrees",  # r3-new: link-graph degrees
-        "graph_unit_propagation",  # r3-new: iterative propagation kernel
-        "orders_snapshot_diff",  # r3-new: keyed CDC diff
-        "snapshot_diff_summary",  # r3-new: reconciliation report
-        "concurrent_sessions",  # r3-new: interval-overlap bucketed join
-        "active_sessions_at_purchase",  # r3-new: point-in-interval join
-        "cms_token_estimates",  # r3-new: count-min sketch kernel
-        "weighted_sample_orders",  # r3-new: weighted sampling kernel
-        "orders_scd2_history",  # r3-new: SCD2 run compression
-        "doc_span_excision",  # r3-new: span excision + text rebuild
-        "bloom_part_membership",  # r3-new: bloom build + probe kernel
-        "per_source_doc_sample",  # r3-new: per-group sampling kernel
-        "orders_validation_report",  # r3-new: data-quality rule report
-        "host_graph_triangles",  # r3-new: triangle-counting kernel
-        "hll_distinct_users",  # r3-new: oracled HLL estimator
-        "media_wav_features",  # r3-new: real WAV decode path
-        "funnel_conversion_by_user",  # r3-new: funnel kernel
-        "daily_cohort_retention",  # r3-new: cohort retention kernel
-        "term_posting_lists",  # r3-new: inverted-index kernel
-        "fuzzy_part_name_pairs",  # r3-new: fuzzy similarity join
-        "hourly_series_filled",  # r3-new: time-series regularization
-        "kmv_distinct_users",  # r3-new: KMV/theta sketch estimator
-        "dedup_cluster_assignment",  # r3-new: gated connected components
-        "prefix_filter_jaccard_pairs",  # r3-new: exact prefix-filter join
-        "bigram_pmi_collocations",  # r3-new: PMI collocation kernel
-        "hourly_value_anomalies",  # r3-new: rolling z-score kernel
-        "parts_bought_together",  # r3-new: market-basket lift kernel
-        "balanced_shard_stats",  # r3-new: balanced sharding kernel
-        "equi_depth_price_bins",  # r3-new: equal-frequency binning kernel
-        "cluster_golden_records",  # r3-new: survivorship kernel
-        "pareto_price_size_parts",  # r3-new: grouped skyline kernel
-        "lineitem_price_asof_scd2",  # r3-new: point-in-time SCD2 join
-        "qty_price_regression_stats",  # r3-new: exact corr/OLS kernel
+        # never driver-verified — first verdicts this round
+        "doc_length_quantile_norm",
+        "returnflag_status_chisq",
+        "user_time_to_convert",
+        "price_mad_by_flag",
+        "event_transition_matrix",
+        "kmv_user_overlap",
+        "brand_target_encoding",
+        "host_graph_distances",
+        "host_graph_kcore",
+        "hopping_window_counts",
+        "ab_test_conversion_ztest",
+        "cms_join_size_estimate",
+        "source_lang_entropy",
+        "customer_rfm_scores",
+        # round-4-changed implementations
+        "dedup_minhash_lsh_pairs",  # candidate-pair broadcast guard
+        "balanced_shard_stats",  # global_rank boundary-literal rewrite
+        "equi_depth_price_bins",  # global_rank boundary-literal rewrite
+        "kmv_distinct_users",  # ungrouped KMV pre-reduction
+        "approx_distinct_users",  # oracled error-bound invariant
     ):
         assert name in window, name
+
+
+def _last_verdict_rounds() -> tuple[int, dict[str, int]]:
+    """(current build round, query -> latest driver-verdict round), derived
+    from the checked-in CORRECTNESS_r*.json files the driver writes."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return max_round + 1, last
+
+
+def test_no_query_strands_beyond_k_rounds():
+    """Rotation debt guard (VERDICT r3 item 8): with a 50-slot window over
+    148+ queries the rotation cycle is 3 rounds — any registered query NOT
+    in the current window must hold a driver verdict at most 3 rounds old,
+    otherwise this round's PRIORITY strands it the way round 3's
+    continuation additions were stranded."""
+    current, last = _last_verdict_rounds()
+    window = set(list(REGISTRY)[:DRIVER_WINDOW])
+    stranded = sorted(
+        name
+        for name in REGISTRY
+        if name not in window and current - last.get(name, -999) > 3
+    )
+    assert not stranded, (
+        f"round-{current} window strands {len(stranded)} queries past the "
+        f"3-round verdict-freshness bound: {stranded} — rotate them into "
+        "PRIORITY (crawl_streams_spark/plans/__init__.py)"
+    )
 
 
 def test_no_query_lost_by_reorder():
