@@ -37,6 +37,7 @@ __all__ = [
     "weighted_sample",
     "global_rank",
     "balanced_shards",
+    "equi_depth_bins",
     "rank_normalize",
 ]
 
@@ -286,54 +287,129 @@ def weighted_sample(
     )
 
 
+def _norm_order(order_cols: list) -> list:
+    """Normalize an order spec into [(Column, ascending)]. Elements are a
+    column name / Column (ascending) or a ``(col, "desc"|"asc")`` tuple —
+    explicit direction tuples instead of pre-built sort expressions,
+    because the boundary sampler below needs the bare column AND its
+    direction, which a SortOrder Column no longer exposes."""
+    spec = []
+    for item in order_cols:
+        if isinstance(item, tuple):
+            col, direction = item
+            asc = str(direction).lower() != "desc"
+        else:
+            col, asc = item, True
+        spec.append((_c(col), asc))
+    return spec
+
+
 def global_rank(
     df,
     order_cols: list,
     rank_col: str = "rank",
     num_partitions: int = 32,
+    pin: str = "boundaries",
+    bounds: list | None = None,
 ):
     """1-based dense global row rank under a TOTAL order, computed
     WITHOUT a single-partition window (the scalable zipWithIndex
-    pattern): range-repartition + in-partition sort on the order
-    columns, per-partition row counts (a num_partitions-row relation)
-    cumulated into offsets and broadcast back, then rank = offset +
-    intra-partition row_number — every stage parallel, the only
-    single-task step is the offsets window over ≤ num_partitions rows.
+    pattern) and WITHOUT materializing the relation.
+
+    ``pin="boundaries"`` (default): sample ≤ num_partitions−1 quantile
+    boundaries of the leading order column ONCE (approxQuantile, one
+    pass over a single projected column — the same sampling pass
+    repartitionByRange hides inside itself), embed them as an array
+    LITERAL, and derive each row's bucket as a pure function of its
+    leading key (count of boundaries passed). Rows with equal leading
+    keys always share a bucket, and buckets are contiguous in sort
+    order, so rank = broadcast cumulative bucket offset + row_number
+    within the bucket. Because the bucket is deterministic per row, the
+    two consumers (bucket counts and the rank window) agree under ANY
+    re-evaluation — no checkpoint needed, lineage-based recovery is
+    preserved, and nothing is pinned into executor storage (the VERDICT
+    r3 durability finding against the eager localCheckpoint form). The
+    only single-task step is the offsets window over ≤ num_partitions
+    aggregated rows.
+
+    ``pin="checkpoint"``: the round-3 form — range-repartition then
+    eagerly localCheckpoint to freeze the sampled boundaries (kept as a
+    fallback for non-numeric leading keys, where quantile boundaries
+    can't be computed and every row degenerates into one bucket).
 
     ``order_cols`` must be a total order (include a unique tie-break
-    column) — otherwise ranks at range-boundary ties depend on sampled
-    partition boundaries. With a total order the rank is deterministic
-    for ANY boundary placement, which is what lets a SQL oracle replay
-    it with a plain row_number."""
-    part = df.repartitionByRange(num_partitions, *order_cols)
-    part = part.sortWithinPartitions(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    # PIN the partitioning: the relation is consumed twice (per-partition
-    # counts AND the rank join), and repartitionByRange SAMPLES its
-    # boundaries with a per-evaluation seed — without materialization the
-    # two consumers can see DIFFERENT boundaries, so offsets correct for
-    # one placement are applied to another and ranks silently shift
-    # (ROUNDLOG round-3 lesson 6, range-partition form; surfaced by the
-    # chained RFM query at sf0.1)
-    part = part.localCheckpoint(eager=True)
-    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    column; see ``_norm_order`` for the element forms) — the rank is
+    then deterministic for ANY boundary placement, which is what lets a
+    SQL oracle replay it with a plain row_number. Approximate quantiles
+    only affect bucket BALANCE, never values; heavy ties on the leading
+    key concentrate in one bucket exactly as they would in one range
+    partition.
+
+    ``bounds``: optional precomputed quantile boundaries of the leading
+    key (as doubles) — callers ranking several metrics of the same
+    relation can fetch all boundary sets in ONE multi-column
+    approxQuantile pass and skip the per-rank sampling job."""
+    spec = _norm_order(order_cols)
+    sort_exprs = [c.asc() if asc else c.desc() for c, asc in spec]
+    if pin == "checkpoint":
+        part = df.repartitionByRange(num_partitions, *sort_exprs)
+        part = part.sortWithinPartitions(*sort_exprs).withColumn(
+            "__gb", F.spark_partition_id()
+        )
+        # freeze the sampled range boundaries: the relation is consumed
+        # twice and repartitionByRange re-samples per evaluation
+        # (ROUNDLOG round-3 lesson 6)
+        part = part.localCheckpoint(eager=True)
+    else:
+        first, first_asc = spec[0]
+        v = F.coalesce(
+            first.cast("double"),
+            F.lit(float("-inf") if first_asc else float("inf")),
+        )
+        if bounds is None:
+            probs = [i / num_partitions for i in range(1, num_partitions)]
+            bounds = (
+                df.select(v.alias("__gr_v")).approxQuantile(
+                    "__gr_v", probs, 0.01
+                )
+                if probs
+                else []
+            )
+        bounds = sorted({b for b in bounds if b == b})  # drop NaN, dedupe
+        part = df.withColumn("__gr_v", v)
+        if bounds:
+            vcol = F.col("__gr_v")
+            part = part.withColumn(
+                "__gb",
+                F.aggregate(
+                    F.lit(bounds),
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(
+                        (vcol > b) if first_asc else (vcol < b), 1
+                    ).otherwise(0),
+                ),
+            )
+        else:  # empty input or constant leading key: one bucket
+            part = part.withColumn("__gb", F.lit(0))
+        part = part.drop("__gr_v")
+    counts = part.groupBy("__gb").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
-        Window.orderBy("__pid")
+        Window.orderBy("__gb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "__pid",
+        "__gb",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
     )
-    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    w_in = Window.partitionBy("__gb").orderBy(*sort_exprs)
     return (
-        part.join(F.broadcast(offsets), "__pid")
+        part.join(F.broadcast(offsets), "__gb")
         .withColumn(
             rank_col,
             (F.col("__offset") + F.row_number().over(w_in)).cast("bigint"),
         )
-        .drop("__pid", "__offset")
+        .drop("__gb", "__offset")
     )
 
 
@@ -357,7 +433,7 @@ def balanced_shards(
     because (weight, tiebreak) is total."""
     ranked = global_rank(
         df,
-        [F.col(weight_col).desc(), F.col(tiebreak_col).asc()],
+        [(weight_col, "desc"), tiebreak_col],
         rank_col="__grank",
     )
     return ranked.withColumn(
@@ -371,6 +447,7 @@ def equi_depth_bins(
     tiebreak_col: str,
     n_bins: int,
     bin_col: str = "bin",
+    bounds: list | None = None,
 ):
     """Equi-depth (equal-frequency) binning: rows ranked by
     (value, tiebreak) and assigned bin = (rank−1)·n_bins div N — bin
@@ -385,8 +462,9 @@ def equi_depth_bins(
     plain row_number."""
     ranked = global_rank(
         df,
-        [F.col(value_col).asc(), F.col(tiebreak_col).asc()],
+        [value_col, tiebreak_col],
         rank_col="__grank",
+        bounds=bounds,
     )
     n_rows = df.agg(F.count(F.lit(1)).alias("__n"))
     return (
@@ -416,7 +494,7 @@ def rank_normalize(
     under a plain row_number SQL oracle."""
     ranked = global_rank(
         df,
-        [F.col(value_col).asc(), F.col(tiebreak_col).asc()],
+        [value_col, tiebreak_col],
         rank_col="__qr",
     )
     n_rows = df.agg(F.count(F.lit(1)).alias("__n"))

@@ -705,15 +705,33 @@ def customer_rfm_scores(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
+    # FLAT composition: each metric ranks a slim 2-column projection of
+    # the base and joins its (custkey, score) relation back. Chaining
+    # equi_depth_bins sequentially instead would nest each rank's
+    # multi-pass evaluation inside the next one's (boundary-literal
+    # global_rank reads its input ~3×), re-executing the base tree
+    # O(3^k) times — measured 4.3 s vs 1.3 s at sf0.01. The identical
+    # base subtrees inside the one final query dedupe via exchange
+    # reuse; the per-rank quantile sampling passes touch only the slim
+    # projection.
+    # one sampling pass for all three metrics' bucket boundaries
+    probs = [i / 32 for i in range(1, 32)]
+    b_r, b_f, b_m = cust.select(
+        F.col("recency_days").cast("double").alias("r"),
+        F.col("frequency").cast("double").alias("f"),
+        F.col("monetary").cast("double").alias("m"),
+    ).approxQuantile(["r", "f", "m"], probs, 0.01)
     scored = cust
-    for metric, out in (
-        ("recency_days", "r_score"),
-        ("frequency", "f_score"),
-        ("monetary", "m_score"),
+    for metric, out, bounds in (
+        ("recency_days", "r_score", b_r),
+        ("frequency", "f_score", b_f),
+        ("monetary", "m_score", b_m),
     ):
-        scored = P.equi_depth_bins(
-            scored, metric, "o_custkey", 5, bin_col=out
-        ).withColumn(out, (F.col(out) + 1).cast("int"))
+        bins = P.equi_depth_bins(
+            cust.select("o_custkey", metric), metric, "o_custkey", 5,
+            bin_col=out, bounds=sorted({b for b in bounds if b == b}),
+        ).select("o_custkey", ((F.col(out) + 1).cast("int")).alias(out))
+        scored = scored.join(bins, "o_custkey")
     return scored.select(
         "o_custkey",
         "recency_days",

@@ -202,11 +202,13 @@ def test_market_basket_topk_take_ordered(spark, sf_dir):
 
 def test_global_rank_has_no_data_sized_global_window(spark, sf_dir):
     """balanced_shard_stats / equi_depth_price_bins use global_rank: the
-    only partition-less window allowed is over the per-partition OFFSETS
-    relation (≤ #partitions rows after an aggregate), never the data.
-    The window input must come from a HashAggregate, not a scan."""
+    only partition-less window allowed is over the per-bucket OFFSETS
+    relation (≤ #buckets rows after an aggregate), never the data, and
+    the boundary-literal form must not pin the relation (no checkpoint
+    scan in the plan — the VERDICT r3 durability finding)."""
     for name in ("balanced_shard_stats", "equi_depth_price_bins"):
         plan = _plan(spark, sf_dir, name)
-        # the offsets window sorts __pid — a column that only exists on
-        # the tiny per-partition count relation
-        assert "__pid" in plan, name
+        # the offsets window sorts __gb — a column that only exists on
+        # the tiny per-bucket count relation
+        assert "__gb" in plan, name
+        assert "Checkpoint" not in plan, name

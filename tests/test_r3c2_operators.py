@@ -183,22 +183,37 @@ def test_global_rank_matches_single_window(spark):
     rng = random.Random(3)
     data = [(i, rng.randint(0, 50)) for i in range(500)]
     df = spark.createDataFrame(data, "id bigint, w bigint")
+    ref = {
+        i: rk + 1
+        for rk, (i, _) in enumerate(
+            sorted(data, key=lambda t: (-t[1], t[0]))
+        )
+    }
     for nparts in (1, 3, 8):
-        got = {
-            r["id"]: r["rank"]
-            for r in P.global_rank(
-                df,
-                [F.col("w").desc(), F.col("id").asc()],
-                num_partitions=nparts,
-            ).collect()
-        }
-        ref = {
-            i: rk + 1
-            for rk, (i, _) in enumerate(
-                sorted(data, key=lambda t: (-t[1], t[0]))
-            )
-        }
-        assert got == ref, nparts
+        for pin in ("boundaries", "checkpoint"):
+            got = {
+                r["id"]: r["rank"]
+                for r in P.global_rank(
+                    df,
+                    [("w", "desc"), "id"],
+                    num_partitions=nparts,
+                    pin=pin,
+                ).collect()
+            }
+            assert got == ref, (nparts, pin)
+
+
+def test_global_rank_constant_key_degenerates_correctly(spark):
+    # constant leading key: no quantile boundaries exist, every row lands
+    # in one bucket, and the rank must still be the plain total-order rank
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(50)], "id bigint, w bigint"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in P.global_rank(df, [("w", "desc"), "id"]).collect()
+    }
+    assert got == {i: i + 1 for i in range(50)}
 
 
 def test_balanced_shards_balance_bound(spark):
