@@ -5,11 +5,15 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 `value` is the total steady-state wall time of all bench-tagged queries:
-each query executes twice and the SECOND run is reported — the first run
-pays one-time whole-stage-codegen compilation and parquet reader init
-(~2s/query), a fixed cost that amortizes to zero at production scale and
-would otherwise dominate a sub-second query at sf0.1. Results are fully
-collect()ed both times so the entire plan executes.
+each query executes once warm (whole-stage-codegen compilation and
+parquet reader init — a fixed ~2s/query cost that amortizes to zero at
+production scale and would otherwise dominate a sub-second query at
+sf0.1) and then three measured times, reporting the MEDIAN — the
+documented ~1.9× machine-to-machine variance band made single-run
+per-query comparisons across rounds noisy (VERDICT r3 item 7). Results
+are fully collect()ed every run so the entire plan executes, and plans
+are rebuilt per run (ROUNDLOG lesson 8: a re-collect of the same
+DataFrame reuses shuffle files and reads ~5× too fast).
 """
 
 from __future__ import annotations
@@ -53,13 +57,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         try:
-            # run 1: warm (codegen compile, reader init) — not reported
+            # warm run (codegen compile, reader init) — not reported
             q.build(spark, sf_dir).collect()
-            # run 2: steady state — full plan re-executed and collected
-            t0 = time.perf_counter()
-            rows = q.build(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            _ = len(rows)
+            # three steady-state runs, median reported; each rebuilds the
+            # plan so no shuffle files are reused across runs
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = q.build(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+                _ = len(rows)
+            timings[name] = round(sorted(runs)[1], 3)
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # erase the whole benchmark record
             print(f"bench query {name} failed: {e}", file=sys.stderr)

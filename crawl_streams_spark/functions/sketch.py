@@ -332,12 +332,29 @@ def kmv_merge(
 def _kmv_take(
     hashed: DataFrame, k: int, group_cols: tuple[str, ...]
 ) -> DataFrame:
-    """k smallest distinct hv per group of an already-hashed relation."""
+    """k smallest distinct hv per group of an already-hashed relation.
+
+    Grouped: one distinct + per-group window — parallel by key. UNGROUPED
+    (``group_cols=()``): a bare global window would funnel every distinct
+    hash of the whole relation through one task (ADVICE r3 medium), so
+    the relation is pre-reduced first — k smallest distinct hv per
+    shuffle partition (a parallel per-partition window) — leaving
+    ≤ num_partitions·k rows for the final single-task window. Any
+    pre-partitioning is valid: the global k-min of per-partition k-mins
+    is exact regardless of row placement, so the result stays
+    deterministic and oracle-replayable."""
+    dist = hashed.select(*group_cols, "hv").distinct()
+    if not group_cols:
+        wp = Window.partitionBy("__part").orderBy("hv")
+        dist = (
+            dist.withColumn("__part", F.spark_partition_id())
+            .withColumn("__prn", F.row_number().over(wp))
+            .filter(F.col("__prn") <= k)
+            .drop("__part", "__prn")
+        )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
     return (
-        hashed.select(*group_cols, "hv")
-        .distinct()
-        .withColumn("__rn", F.row_number().over(w))
+        dist.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -390,4 +407,18 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("d")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
-    return per_row.agg(F.min("ip").alias("est_join_size"))
+    # A depth row whose buckets never overlap has TRUE inner product 0 —
+    # the tightest upper bound — but an inner join drops it, loosening
+    # the min (and yielding NULL when NO buckets overlap). Re-seat the
+    # estimate on the full depth domain of sketch ``a`` and coalesce
+    # missing depths to 0, so disjoint sketches estimate 0, not NULL
+    # (ADVICE r3).
+    depths = a.select("d").distinct()
+    full = depths.join(per_row, "d", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("bigint")).alias("ip")
+    )
+    return full.agg(
+        F.coalesce(F.min("ip"), F.lit(0).cast("bigint")).alias(
+            "est_join_size"
+        )
+    )

@@ -161,14 +161,15 @@ def doc_tfidf_topk(
     )
 
 
-def bigram_counts(
-    df: DataFrame, content: str = "text", key: str = "doc_id"
-) -> DataFrame:
-    """(tok_a, tok_b, n_ab): corpus-wide counts of ADJACENT token pairs.
-    The bigram explode is linear in token count and stages the token
-    array once through a named column (lesson 1); documents with fewer
-    than two tokens contribute nothing. One (tok_a, tok_b)-keyed shuffle,
-    partial-agg absorbed."""
+def bigram_counts(df: DataFrame, content: str = "text") -> DataFrame:
+    """(tok_a, tok_b, n_ab): CORPUS-WIDE counts of ADJACENT token pairs —
+    deliberately not per-document, so no doc-id column is taken (ADVICE
+    r3: the former ``key`` parameter was never used and implied
+    per-document semantics this kernel doesn't have). The bigram explode
+    is linear in token count and stages the token array once through a
+    named column (lesson 1); documents with fewer than two tokens
+    contribute nothing. One (tok_a, tok_b)-keyed shuffle, partial-agg
+    absorbed."""
     staged = df.select(T.tokens(content).alias("toks")).filter(
         F.size("toks") >= 2
     )
@@ -189,7 +190,6 @@ def bigram_counts(
 def bigram_pmi(
     df: DataFrame,
     content: str = "text",
-    key: str = "doc_id",
     min_count: int = 5,
     k: int = 30,
 ) -> DataFrame:
@@ -214,7 +214,7 @@ def bigram_pmi(
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     # identical subtrees on both branches so the runtime reuses one
     # bigram-count exchange (ReuseExchange) instead of scanning twice
-    bi_all = bigram_counts(df, content, key)
+    bi_all = bigram_counts(df, content)
     bi = bi_all.filter(F.col("n_ab") >= min_count)
     n_uni = uni.agg(F.sum("cnt").alias("n_uni"))
     n_bi = bi_all.agg(F.sum("n_ab").alias("n_bi"))

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 
 from ..functions import hashing as H
 from ..functions import text as T
+from .iterate import check_converged, pin
 
 
 def _hash_fns(hash_impl: str):
@@ -53,6 +54,33 @@ def dedup_exact(
     return df.join(keep, key, "left_semi")
 
 
+def estimate_band_pairs(
+    bandsdf: DataFrame,
+    band_cols: tuple = ("band", "band_hash"),
+    sample_fraction: float = 0.1,
+    seed: int = 7,
+) -> float:
+    """Estimated LSH candidate-pair count Σ m·(m−1)/2 over band buckets,
+    from a seeded Bernoulli sample of the slim banded relation: a pair
+    survives sampling with probability p², so the sampled pair count
+    scales back by 1/p². One pass over ``sample_fraction`` of the corpus
+    (cheap relative to the full signature pipeline) and only the
+    quadratic-blowup regime matters — huge buckets dominate the sum and
+    are sampled accurately; small-bucket noise cannot flip a broadcast
+    decision by orders of magnitude."""
+    sampled = bandsdf.sample(fraction=sample_fraction, seed=seed)
+    row = (
+        sampled.groupBy(*band_cols)
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .agg(
+            F.sum(F.col("__m") * (F.col("__m") - 1) / 2).alias("__pairs")
+        )
+        .first()
+    )
+    est = float(row["__pairs"] or 0.0)
+    return est / (sample_fraction**2)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     content: str = "text",
@@ -61,6 +89,8 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_words: int = 3,
     hash_impl: str = "xxhash64",
+    verify_join: str = "auto",
+    max_broadcast_pairs: int = 4_000_000,
 ) -> DataFrame:
     """Candidate near-dup pairs (key_a < key_b) via MinHash banding.
     Returns (key_a, key_b, jaccard) with the TRUE shingle Jaccard computed
@@ -75,7 +105,17 @@ def minhash_lsh_candidates(
     never shuffles. Carrying the arrays through the band join instead
     multiplies shuffle volume by the document size — measured 2.5× slower
     at sf0.1 and fatal at 100 TB (same restructure as plans/q_dedup.py's
-    dedup_minhash_lsh_pairs)."""
+    dedup_minhash_lsh_pairs).
+
+    ``verify_join`` guards the candidate-pair broadcast (VERDICT r3): the
+    LSH contract bounds |pairs| for real corpora, but a pathologically
+    duplicated corpus (every doc identical) makes |pairs| quadratic and
+    an unconditional broadcast unbounded. ``"auto"`` (default) estimates
+    the pair count from a sampled pass over the slim banded relation
+    (``estimate_band_pairs``) and falls back to a shuffled pair join
+    above ``max_broadcast_pairs``; ``"broadcast"`` / ``"shuffle"`` force
+    a strategy (the former skips the sampling pass). Values are
+    identical under every strategy — only the exchange shape differs."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -116,18 +156,34 @@ def minhash_lsh_candidates(
     )
     sa = sh.select(F.col(key).alias("key_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(key).alias("key_b"), F.col("shingles").alias("sh_b"))
-    # Broadcast ONLY the slim pair-key relation (two ids per candidate —
-    # bounded and small by the LSH contract). Broadcasting the
-    # pairs-joined-with-shingles relation instead is unbounded
-    # (|pairs| × document shingle arrays) and can blow past Spark's 8 GB
-    # broadcast hard limit at scale. Each corpus-scale side reduces to
-    # candidate-bounded rows via a broadcast (semi-)join first, so the
-    # final pair join exchanges only candidate rows — never the corpus.
-    half = sa.join(F.broadcast(pairs), "key_a")
-    sb_cand = sb.join(
-        F.broadcast(pairs.select("key_b").dropDuplicates()), "key_b", "left_semi"
-    )
-    verified = half.join(sb_cand, "key_b")
+    if verify_join == "auto":
+        use_broadcast = (
+            estimate_band_pairs(bandsdf) <= max_broadcast_pairs
+        )
+    else:
+        use_broadcast = verify_join == "broadcast"
+    if use_broadcast:
+        # Broadcast ONLY the slim pair-key relation (two ids per candidate —
+        # bounded and small by the LSH contract). Broadcasting the
+        # pairs-joined-with-shingles relation instead is unbounded
+        # (|pairs| × document shingle arrays) and can blow past Spark's 8 GB
+        # broadcast hard limit at scale. Each corpus-scale side reduces to
+        # candidate-bounded rows via a broadcast (semi-)join first, so the
+        # final pair join exchanges only candidate rows — never the corpus.
+        half = sa.join(F.broadcast(pairs), "key_a")
+        sb_cand = sb.join(
+            F.broadcast(pairs.select("key_b").dropDuplicates()),
+            "key_b",
+            "left_semi",
+        )
+        verified = half.join(sb_cand, "key_b")
+    else:
+        # shuffled fallback for quadratic candidate sets: the shingle
+        # relations exchange on the pair keys — more shuffle volume, but
+        # bounded memory and no driver-side broadcast of an unbounded
+        # pair relation
+        half = sa.join(pairs, "key_a")
+        verified = half.join(sb, "key_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return verified.select("key_a", "key_b", (inter / union).alias("jaccard"))
@@ -154,7 +210,12 @@ def minhash_dedup(
 
 
 def cluster_duplicates(
-    pairs: DataFrame, key_a: str = "key_a", key_b: str = "key_b", max_iter: int = 20
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    on_nonconverge: str = "raise",
 ) -> DataFrame:
     """Transitive duplicate clustering: connected components over the
     candidate-pair graph by iterative min-label propagation (the
@@ -177,13 +238,14 @@ def cluster_duplicates(
     # pair pipeline (for LSH pairs that is the whole signature+band+verify
     # DAG — measured 13.6 s → 7.6 s at sf0.1 for dedup_cluster_assignment;
     # the remainder is per-round job overhead, not recomputation)
-    edges = edges.localCheckpoint(eager=True)
+    edges = pin(edges, checkpoint_dir)
     # start: every node labeled with min(itself, neighbors)
     labels = (
         edges.groupBy("a")
         .agg(F.least(F.min("b"), F.first("a")).alias("cluster"))
         .select(F.col("a").alias("key"), "cluster")
     )
+    changed = 0
     for _ in range(max_iter):
         # 1) propagate: node takes min(own label, neighbors' labels)
         neigh = (
@@ -206,7 +268,7 @@ def cluster_duplicates(
                 F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
             ).alias("cluster"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        new_labels = pin(new_labels, checkpoint_dir)  # cut lineage
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "key")
@@ -217,6 +279,11 @@ def cluster_duplicates(
         labels = new_labels
         if changed == 0:
             break
+    # labels still moving at the cap = components whose min label has not
+    # finished spreading — truncated clusters must not escape silently
+    check_converged(
+        changed == 0, "cluster_duplicates", max_iter, on_nonconverge
+    )
     return labels
 
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .iterate import check_converged, pin
+
 __all__ = [
     "nodes_of",
     "degree_stats",
@@ -77,7 +79,10 @@ def degree_stats(edges: DataFrame) -> DataFrame:
 
 
 def propagate_units(
-    edges: DataFrame, iters: int = 3, init_units: int = 1_000_000
+    edges: DataFrame,
+    iters: int = 3,
+    init_units: int = 1_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer mass propagation (the hash-gate-exact influence kernel):
     every node starts with ``init_units``; each round, a node pushes its
@@ -94,7 +99,7 @@ def propagate_units(
     nodes = nodes_of(edges)
     ow = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e = edges.join(ow, "src").select("src", "dst", "weight", "out_w")
-    e = e.localCheckpoint(eager=False)
+    e = pin(e, checkpoint_dir, eager=False)
     units = nodes.select(
         F.col("node").alias("src"), F.lit(init_units).cast("bigint").alias("units")
     )
@@ -109,7 +114,7 @@ def propagate_units(
             .agg(F.sum("contrib").alias("units"))
             .select(F.col("node").alias("src"), "units")
         )
-        units = units.localCheckpoint(eager=True)
+        units = pin(units, checkpoint_dir)
     return (
         nodes.join(units.select(F.col("src").alias("node"), "units"), "node", "left")
         .select("node", F.coalesce("units", F.lit(0)).cast("bigint").alias("units"))
@@ -117,7 +122,10 @@ def propagate_units(
 
 
 def pagerank(
-    edges: DataFrame, iters: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank, double precision: pr ← (1−d)/N + d·Σ_in
     pr(src)·w/out_w(src). Dangling-node mass is redistributed uniformly
@@ -127,11 +135,11 @@ def pagerank(
     Float accumulation is order-sensitive — verified against a dense
     NumPy power iteration in tests (not the cross-engine hash gate; use
     ``propagate_units`` when bit-exactness across engines matters)."""
-    nodes = nodes_of(edges).localCheckpoint(eager=False)
+    nodes = pin(nodes_of(edges), checkpoint_dir, eager=False)
     n = nodes.count()
     ow = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     e = edges.join(ow, "src").select("src", "dst", "weight", "out_w")
-    e = e.localCheckpoint(eager=False)
+    e = pin(e, checkpoint_dir, eager=False)
     sources = ow.select("src")
     pr = nodes.select(
         F.col("node").alias("src"), F.lit(1.0 / n).alias("pr")
@@ -163,7 +171,7 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        pr = pr.localCheckpoint(eager=True)
+        pr = pin(pr, checkpoint_dir)
     return pr.select(F.col("src").alias("node"), F.col("pr").alias("pagerank"))
 
 
@@ -236,7 +244,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
+    on_nonconverge: str = "raise",
+) -> DataFrame:
     """Nodes of the k-core: the maximal subgraph where every node has
     undirected degree ≥ k (Seidman 1983) — the standard dense-community
     filter (drop the long tail of barely-connected hosts before
@@ -248,17 +262,31 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     of removal order (peeling is confluent), so results are
     partitioning-independent. O(peel-depth) rounds, each one
     partial-agg'd degree shuffle + two anti-joins; lineage cut per
-    round with localCheckpoint. Returns (node, core_degree) — the
-    node's degree WITHIN the k-core."""
-    und = (
+    round via ``iterate.pin`` (``checkpoint_dir`` switches to reliable
+    checkpoints for preemptible clusters). A graph needing more than
+    ``max_iter`` peel rounds is reported through ``on_nonconverge``
+    (default raise) instead of silently returning sub-k nodes (ADVICE
+    r3). Returns (node, core_degree) — the node's degree WITHIN the
+    k-core."""
+    und = pin(
         edges.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
+
+    def _has_weak(rel: DataFrame) -> bool:
+        deg = (
+            rel.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        return deg.filter(F.col("d") < k).limit(1).count() > 0
+
+    converged = False
     for _ in range(max_iter):
         deg = (
             und.select(F.explode(F.array("a", "b")).alias("v"))
@@ -267,13 +295,18 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         )
         weak = deg.filter(F.col("d") < k).select("v")
         if weak.limit(1).count() == 0:
+            converged = True
             break
-        und = (
+        und = pin(
             und.join(weak.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(weak.withColumnRenamed("v", "b"), "b", "left_anti")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
+            checkpoint_dir,
         )
+    # the cap may have landed exactly on the fixed point: one last check
+    if not converged:
+        converged = not _has_weak(und)
+    check_converged(converged, "k_core", max_iter, on_nonconverge)
     return (
         und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -286,6 +319,8 @@ def bfs_distances(
     sources: DataFrame,
     max_iter: int = 30,
     directed: bool = True,
+    checkpoint_dir: str | None = None,
+    on_nonconverge: str = "raise",
 ) -> DataFrame:
     """Minimum hop distance from a seed set to every reachable node —
     iterative frontier relaxation as a DataFrame loop: each round joins
@@ -306,11 +341,12 @@ def bfs_distances(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-    e = e.distinct().localCheckpoint(eager=True)
+    e = pin(e.distinct(), checkpoint_dir)
     dist = sources.select(
         F.col(sources.columns[0]).alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).distinct()
+    changed = 0
     for _ in range(max_iter):
         step = (
             e.join(dist, e["src"] == dist["node"])
@@ -319,11 +355,11 @@ def bfs_distances(
                 (F.col("dist") + 1).alias("dist"),
             )
         )
-        new_dist = (
+        new_dist = pin(
             dist.unionByName(step)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("dist").alias("dist")),
+            checkpoint_dir,
         )
         # fixed point: no node improved and no node appeared
         changed = (
@@ -339,4 +375,7 @@ def bfs_distances(
         dist = new_dist
         if changed == 0:
             break
+    # a graph with diameter > max_iter would silently omit far nodes
+    # (ADVICE r3) — the frontier still moving at the cap means truncation
+    check_converged(changed == 0, "bfs_distances", max_iter, on_nonconverge)
     return dist

@@ -36,6 +36,7 @@ __all__ = [
     "sample_priority",
     "weighted_sample",
     "global_rank",
+    "partitioned_cumsum",
     "balanced_shards",
     "equi_depth_bins",
     "rank_normalize",
@@ -304,6 +305,48 @@ def _norm_order(order_cols: list) -> list:
     return spec
 
 
+def _order_buckets(
+    df, spec: list, num_partitions: int, bounds: list | None
+):
+    """Attach the sort-contiguous deterministic bucket column ``__gb``:
+    sample ≤ num_partitions−1 quantile boundaries of the leading order
+    column once (unless ``bounds`` is supplied), embed them as an array
+    literal, and count boundaries passed — a pure row function, so every
+    re-evaluation agrees (no checkpoint), rows with equal leading keys
+    share a bucket, and buckets are contiguous in sort order. The shared
+    core of ``global_rank`` and ``partitioned_cumsum``."""
+    first, first_asc = spec[0]
+    v = F.coalesce(
+        first.cast("double"),
+        F.lit(float("-inf") if first_asc else float("inf")),
+    )
+    if bounds is None:
+        probs = [i / num_partitions for i in range(1, num_partitions)]
+        bounds = (
+            df.select(v.alias("__gr_v")).approxQuantile("__gr_v", probs, 0.01)
+            if probs
+            else []
+        )
+    bounds = sorted({b for b in bounds if b == b})  # drop NaN, dedupe
+    part = df.withColumn("__gr_v", v)
+    if bounds:
+        vcol = F.col("__gr_v")
+        part = part.withColumn(
+            "__gb",
+            F.aggregate(
+                F.lit(bounds),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(
+                    (vcol > b) if first_asc else (vcol < b), 1
+                ).otherwise(0),
+            ),
+        )
+    else:  # empty input or constant leading key: one bucket
+        part = part.withColumn("__gb", F.lit(0))
+    return part.drop("__gr_v")
+
+
 def global_rank(
     df,
     order_cols: list,
@@ -361,38 +404,7 @@ def global_rank(
         # (ROUNDLOG round-3 lesson 6)
         part = part.localCheckpoint(eager=True)
     else:
-        first, first_asc = spec[0]
-        v = F.coalesce(
-            first.cast("double"),
-            F.lit(float("-inf") if first_asc else float("inf")),
-        )
-        if bounds is None:
-            probs = [i / num_partitions for i in range(1, num_partitions)]
-            bounds = (
-                df.select(v.alias("__gr_v")).approxQuantile(
-                    "__gr_v", probs, 0.01
-                )
-                if probs
-                else []
-            )
-        bounds = sorted({b for b in bounds if b == b})  # drop NaN, dedupe
-        part = df.withColumn("__gr_v", v)
-        if bounds:
-            vcol = F.col("__gr_v")
-            part = part.withColumn(
-                "__gb",
-                F.aggregate(
-                    F.lit(bounds),
-                    F.lit(0),
-                    lambda acc, b: acc
-                    + F.when(
-                        (vcol > b) if first_asc else (vcol < b), 1
-                    ).otherwise(0),
-                ),
-            )
-        else:  # empty input or constant leading key: one bucket
-            part = part.withColumn("__gb", F.lit(0))
-        part = part.drop("__gr_v")
+        part = _order_buckets(df, spec, num_partitions, bounds)
     counts = part.groupBy("__gb").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
         Window.orderBy("__gb")
@@ -411,6 +423,58 @@ def global_rank(
         )
         .drop("__gb", "__offset")
     )
+
+
+def partitioned_cumsum(
+    df,
+    order_cols: list,
+    value_cols: list,
+    num_partitions: int = 32,
+    prefix: str = "cum_",
+):
+    """Globally-ordered INCLUSIVE running totals of one or more columns
+    under a TOTAL order, without a single-partition window — the
+    ``global_rank`` pattern generalized from counting rows to summing
+    values (rank is the cumsum of 1s): deterministic sort-contiguous
+    buckets (``_order_buckets``), per-bucket totals cumulated into
+    exclusive offsets (a tiny ≤ num_partitions-row window), broadcast
+    back, plus an intra-bucket running sum from ONE keyed window shared
+    by every value column. The primitive behind exact ECDFs,
+    Kolmogorov–Smirnov statistics, Lorenz curves, and cumulative-share
+    reports at 100 TB — all of which would otherwise funnel the relation
+    through one task.
+
+    Adds ``<prefix><col>`` per value column; same total-order contract
+    and oracle-replayability argument as ``global_rank``."""
+    spec = _norm_order(order_cols)
+    sort_exprs = [c.asc() if asc else c.desc() for c, asc in spec]
+    part = _order_buckets(df, spec, num_partitions, None)
+    totals = part.groupBy("__gb").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in value_cols]
+    )
+    w_off = Window.orderBy("__gb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__gb",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(w_off), F.lit(0)).alias(
+                f"__o_{c}"
+            )
+            for c in value_cols
+        ],
+    )
+    w_in = (
+        Window.partitionBy("__gb")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = part.join(F.broadcast(offsets), "__gb")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}", F.col(f"__o_{c}") + F.sum(c).over(w_in)
+        )
+    return out.drop("__gb", *[f"__o_{c}" for c in value_cols])
 
 
 def balanced_shards(

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from ..functions import text as T
+from .iterate import pin
 
 __all__ = ["word_frequencies", "learn_bpe_merges", "apply_merge"]
 
@@ -65,7 +66,10 @@ def apply_merge(syms: Column, a: str, b: str) -> Column:
 
 
 def learn_bpe_merges(
-    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> list[dict]:
     """Learn the top ``n_merges`` BPE merges. Returns
     [{rank, left, right, merged, freq}] in merge order. Deterministic:
@@ -103,8 +107,9 @@ def learn_bpe_merges(
         vocab = vocab.select(
             "freq", apply_merge(F.col("syms"), a, b).alias("syms")
         )
-        # keep the lineage shallow: the vocab is tiny, localCheckpoint
-        # truncates the per-iteration plan growth (same trick as
-        # cluster_duplicates' pointer jumping)
-        vocab = vocab.localCheckpoint(eager=False)
+        # keep the lineage shallow: the vocab is tiny, the per-round pin
+        # truncates plan growth (same trick as cluster_duplicates'
+        # pointer jumping; checkpoint_dir switches to reliable
+        # checkpoints on preemptible clusters)
+        vocab = pin(vocab, checkpoint_dir, eager=False)
     return merges

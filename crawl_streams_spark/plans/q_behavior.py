@@ -386,3 +386,148 @@ def ab_test_conversion_ztest(spark, sf_dir):
         F.round(p_a - p_b, 6).alias("rate_diff"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@query(
+    "purchase_attribution",
+    oracle="""
+        WITH attr AS (
+            SELECT event_type, value,
+                   LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS attributed_type
+            FROM events
+        )
+        SELECT COALESCE(attributed_type, '(direct)') AS attributed_type,
+               COUNT(*)::BIGINT AS n_purchases,
+               ROUND((SUM(value::DECIMAL(18,4)))::DOUBLE, 4)
+                   AS attributed_value
+        FROM attr
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("behavior", "attribution", "window", "extension"),
+)
+def purchase_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent PRECEDING non-purchase event type (the
+    standard last-touch model; purchases with no prior activity credit
+    '(direct)'). One user-keyed window (``last(..., ignorenulls)`` over
+    an unbounded-preceding frame — JVM-side, no UDF) plus one tiny
+    aggregate; value sums ride DECIMAL so the hash gate is exact.
+
+    Scale: the window shuffles once on user_id — the same partitioning
+    every sessionization query reuses; the attribution aggregate is a
+    partial-agg'd shuffle over ≤ |event types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = ev.withColumn(
+        "attributed_type",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("attributed_type", F.lit("(direct)")).alias(
+                "attributed_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "user_interarrival_stats",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS gap_us
+            FROM events
+        ),
+        s AS (
+            SELECT user_id,
+                   COUNT(*)::BIGINT AS n_gaps,
+                   SUM(gap_us)::DECIMAL(38,0) AS sum_us,
+                   SUM(gap_us::DECIMAL(19,0) * gap_us::DECIMAL(19,0))
+                       ::DECIMAL(38,0) AS sumsq_us
+            FROM gaps WHERE gap_us IS NOT NULL
+            GROUP BY user_id HAVING COUNT(*) >= 2
+        )
+        SELECT user_id, n_gaps,
+               ROUND(sum_us::DOUBLE / n_gaps / 1000000.0, 6) AS mean_gap_s,
+               ROUND(sqrt((sumsq_us::DOUBLE
+                           - sum_us::DOUBLE * sum_us::DOUBLE / n_gaps)
+                          / (n_gaps - 1)) / 1000000.0, 6) AS std_gap_s,
+               ROUND(sqrt((sumsq_us::DOUBLE
+                           - sum_us::DOUBLE * sum_us::DOUBLE / n_gaps)
+                          / (n_gaps - 1))
+                     / nullif(sum_us::DOUBLE / n_gaps, 0.0), 6) AS cv
+        FROM s
+    """,
+    tags=("behavior", "timeseries", "burstiness", "extension"),
+)
+def user_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival statistics — mean / standard deviation /
+    coefficient of variation of the gaps between consecutive events (the
+    burstiness profile bot-detection and traffic modeling start from;
+    CV ≫ 1 = bursty, CV ≈ 1 = Poisson-like). Gaps are exact integer
+    microseconds from one user-keyed lag window; sums and sums of
+    squares ride DECIMAL(38,0) so the sufficient statistics are exact
+    (a µs gap squared overflows BIGINT), and each output double is the
+    same arithmetic expression over identical integers in both engines
+    (the qty_price_regression_stats discipline).
+
+    Scale: one user-keyed window shuffle + one partial-agg'd group-by on
+    the same key — Catalyst reuses the partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    s = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("sum_us"),
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)")
+            * F.col("gap_us").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sumsq_us"),
+    ).filter(F.col("n_gaps") >= 2)
+    sum_d = F.col("sum_us").cast("double")
+    sumsq_d = F.col("sumsq_us").cast("double")
+    n = F.col("n_gaps")
+    mean_us = sum_d / n
+    std_us = F.sqrt((sumsq_d - sum_d * sum_d / n) / (n - 1))
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(sum_d / n / 1000000.0, 6).alias("mean_gap_s"),
+        F.round(std_us / 1000000.0, 6).alias("std_gap_s"),
+        F.round(std_us / F.nullif(mean_us, F.lit(0.0)), 6).alias("cv"),
+    )

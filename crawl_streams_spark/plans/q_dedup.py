@@ -228,12 +228,22 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     # 8 GB broadcast limit at scale. Each corpus side reduces to
     # candidate-bounded rows via a broadcast (semi-)join, so the final pair
     # join exchanges only candidate rows — the full-corpus shingle relation
-    # never shuffles.
-    half = sa.join(F.broadcast(cand), "doc_a")
-    sb_cand = sb.join(
-        F.broadcast(cand.select("doc_b").dropDuplicates()), "doc_b", "left_semi"
-    )
-    verified = half.join(sb_cand, "doc_b")
+    # never shuffles. Guarded (operators/dedup.py::estimate_band_pairs):
+    # a pathologically duplicated corpus makes |cand| quadratic, so the
+    # broadcast only happens when a sampled bucket-size pass bounds the
+    # candidate count; otherwise the pair join falls back to a shuffle.
+    from ..operators.dedup import estimate_band_pairs
+
+    if estimate_band_pairs(bands, band_cols=("band", "band_hash")) <= 4_000_000:
+        half = sa.join(F.broadcast(cand), "doc_a")
+        sb_cand = sb.join(
+            F.broadcast(cand.select("doc_b").dropDuplicates()),
+            "doc_b",
+            "left_semi",
+        )
+        verified = half.join(sb_cand, "doc_b")
+    else:
+        verified = sa.join(cand, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = inter / union

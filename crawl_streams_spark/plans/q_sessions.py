@@ -86,17 +86,44 @@ def user_sessions(spark, sf_dir):
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches differ across engines by construction —
-    # rows-only check here; the exactness bound is pytest-asserted
-    # (tests/test_extensions2.py::test_approx_distinct_error_bound).
-    tags=("sketch", "approx", "rows-only"),
+    # HLL++ register values differ across engines by construction, so the
+    # raw estimate can never hash-match — but its ERROR BOUND can: the
+    # query emits the exact count plus a boolean certifying
+    # |approx − exact| ≤ 5·rsd·exact, and the oracle asserts the same
+    # shape with the bound hard-coded TRUE. A broken native sketch (or a
+    # mis-set rsd) flips the boolean and fails the value hash — the
+    # deterministic-HLL trick applied to Spark's native sketch
+    # (VERDICT r3 item 5).
+    oracle="""
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_events,
+               COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("sketch", "approx", "invariant"),
 )
 def approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ distinct-user estimates per event type — the sketch
     path that replaces exact COUNT(DISTINCT) at 100 TB (mergeable partial
-    sketches, no giant shuffle of raw user ids)."""
+    sketches, no giant shuffle of raw user ids) — gated by its error
+    bound: the estimate itself is engine-specific, so the driver-checked
+    output carries the exact count and the bound verdict (the estimate
+    stays available via the operator, not this gate query)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
         F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(5 * rsd) * F.col("exact_users")
+        ).alias("within_bound"),
     )

@@ -467,11 +467,19 @@ def kmv_user_overlap(spark, sf_dir):
             FROM ska a JOIN skb b ON a.d = b.d AND a.bucket = b.bucket
             GROUP BY a.d
         ),
+        -- depths with zero overlapping buckets have true inner product 0
+        -- (the tightest bound): re-seat on the full depth domain so the
+        -- min sees them, mirroring cms_inner_product
+        ip_full AS (
+            SELECT depths.d, COALESCE(ip.ip, 0)::BIGINT AS ip
+            FROM depths LEFT JOIN ip ON depths.d = ip.d
+        ),
         exact AS (
             SELECT COUNT(*)::BIGINT AS true_join_size
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         )
-        SELECT (SELECT MIN(ip) FROM ip) AS est_join_size,
+        SELECT COALESCE((SELECT MIN(ip) FROM ip_full), 0)::BIGINT
+                   AS est_join_size,
                exact.true_join_size
         FROM exact
     """,

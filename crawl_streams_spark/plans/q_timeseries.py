@@ -203,3 +203,57 @@ def hourly_value_anomalies(spark, sf_dir):
         "zscore",
         "is_anomaly",
     )
+
+
+@query(
+    "decayed_event_counts",
+    oracle="""
+        WITH ref AS (
+            SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us
+            FROM events
+        ),
+        w AS (
+            SELECT event_type,
+                   ROUND(exp(-((ref_us - epoch_us(CAST(ts AS TIMESTAMP)))
+                               ::DOUBLE / 86400000000.0)
+                             * 0.6931471805599453), 8)::DECIMAL(12,8) AS wt
+            FROM events CROSS JOIN ref
+        )
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_events,
+               ROUND(SUM(wt)::DOUBLE, 4) AS decayed_count
+        FROM w
+        GROUP BY event_type
+    """,
+    tags=("timeseries", "decay", "extension"),
+)
+def decayed_event_counts(spark, sf_dir):
+    """Exponentially time-decayed event counts per type with a one-day
+    half-life, anchored at the newest event (the freshness-weighted
+    popularity counter behind trending rankings: an event contributes
+    2^(-age_days), so yesterday's event counts half). The decayed count
+    is an ASSOCIATIVE sum — partial-agg'd map-side like any plain count,
+    and mergeable across ingest batches by the same algebra the rollup
+    family uses — which is why it replaces windowed recount jobs at
+    100 TB. Each weight is one exp() per row rounded to 8 and summed as
+    DECIMAL, so the cross-engine hash is exact; the anchor rides a
+    broadcast single-row cross join (no driver collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref = ev.agg(F.max(us).alias("ref_us"))
+    wt = F.round(
+        F.exp(
+            -((F.col("ref_us") - us).cast("double") / 86400000000.0)
+            * 0.6931471805599453
+        ),
+        8,
+    ).cast("decimal(12,8)")
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", wt.alias("wt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wt").cast("double"), 4).alias("decayed_count"),
+        )
+    )

@@ -125,19 +125,33 @@ def test_salted_join_hot_keys_equivalence(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """HLL++ estimates stay within a loose rsd band of exact counts."""
+    """HLL++ estimates stay within a loose rsd band of exact counts; the
+    gate query now carries that bound as a boolean column (plus the exact
+    count), so the driver's value hash certifies it (VERDICT r3 item 5)."""
     from crawl_streams_spark.plans import REGISTRY
     from crawl_streams_spark.tables import load_table
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["approx_distinct_users"].build(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["approx_distinct_users"].build(spark, sf_dir).collect()
+    assert rows and all(r["within_bound"] for r in rows)
     exact = {
         r["event_type"]: r["n"]
         for r in load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact
+    # and the raw estimate itself (not part of the gated output) stays
+    # within the loose band
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias(
+                "approx_users"
+            )
+        )
         .collect()
     }
     for t, n in exact.items():

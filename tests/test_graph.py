@@ -269,3 +269,77 @@ def test_bfs_distances_undirected_reaches_backward(spark):
     }
     assert directed == {"a": 0, "b": 1}
     assert undirected == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_nonconvergence_raises_not_truncates(spark):
+    """ADVICE r3: a graph with diameter > max_iter must report, not
+    silently omit far nodes."""
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1) for i in range(8)],
+        "src string, dst string, weight bigint",
+    )
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    with pytest.raises(RuntimeError, match="bfs_distances"):
+        G.bfs_distances(chain, seeds, max_iter=3).collect()
+    # opt-out returns the truncated frontier for callers that want it
+    got = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(
+            chain, seeds, max_iter=3, on_nonconverge="ignore"
+        ).collect()
+    }
+    assert got == {f"n{i}": i for i in range(4)}
+    # and the full run still converges fine
+    full = G.bfs_distances(chain, seeds, max_iter=30).collect()
+    assert len(full) == 9
+
+
+def test_kcore_nonconvergence_raises_not_truncates(spark):
+    """A long path peels one layer per round: k=2 on a 12-node path needs
+    ~6 rounds, so max_iter=2 must raise instead of returning sub-k
+    nodes."""
+    path = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1) for i in range(11)],
+        "src string, dst string, weight bigint",
+    )
+    with pytest.raises(RuntimeError, match="k_core"):
+        G.k_core(path, k=2, max_iter=2).collect()
+    # converged run: a path has an empty 2-core
+    assert G.k_core(path, k=2, max_iter=30).count() == 0
+
+
+def test_reliable_checkpoint_dial_matches_default(spark, tmp_path):
+    """VERDICT r3 item 4: checkpoint_dir switches the iterative kernels
+    from localCheckpoint to reliable checkpoints without changing any
+    result."""
+    from crawl_streams_spark.operators import dedup as D
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 2), ("b", "c", 1), ("c", "d", 3), ("d", "e", 1),
+            ("e", "a", 2), ("a", "c", 1), ("b", "d", 2),
+        ],
+        "src string, dst string, weight bigint",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    for build in (
+        lambda **kw: G.k_core(edges, k=2, **kw),
+        lambda **kw: G.bfs_distances(edges, seeds, **kw),
+        lambda **kw: G.propagate_units(edges, iters=3, **kw),
+    ):
+        local = sorted(map(tuple, build().collect()))
+        durable = sorted(map(tuple, build(checkpoint_dir=ckpt).collect()))
+        assert local == durable
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "key_a string, key_b string"
+    )
+    local = sorted(map(tuple, D.cluster_duplicates(pairs).collect()))
+    durable = sorted(
+        map(tuple, D.cluster_duplicates(pairs, checkpoint_dir=ckpt).collect())
+    )
+    assert local == durable
+    # the reliable form actually wrote durable state
+    import os
+
+    assert any(os.scandir(ckpt))

@@ -194,3 +194,38 @@ def test_cms_inner_product_upper_bounds_true_join_size(spark):
     assert est >= true_ip
     # and with 4 rows × 64 buckets on a 41-value domain it stays close
     assert est <= true_ip * 2
+
+
+def test_cms_inner_product_missing_depth_bounds_to_zero(spark):
+    """ADVICE r3: a depth row with zero overlapping buckets has TRUE
+    inner product 0 — the tightest upper bound — and must participate in
+    the min; fully disjoint sketches must estimate 0, not NULL."""
+    a = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 7)], "d int, bucket int, cnt bigint"
+    )
+    b = spark.createDataFrame([(0, 1, 3)], "d int, bucket int, cnt bigint")
+    # depth 0 overlaps (5·3=15) but depth 1 doesn't → min is 0
+    assert S.cms_inner_product(a, b).first()["est_join_size"] == 0
+    c = spark.createDataFrame(
+        [(0, 9, 3), (1, 9, 3)], "d int, bucket int, cnt bigint"
+    )
+    assert S.cms_inner_product(a, c).first()["est_join_size"] == 0
+
+
+def test_kmv_ungrouped_pre_reduces_before_global_window(spark):
+    """ADVICE r3 medium: ungrouped kmv_table must not funnel every
+    distinct hash through one task — the plan pre-reduces per shuffle
+    partition (a __part-keyed window) before the tiny global window, and
+    the result is still the exact global k-min set."""
+    items = _items(spark, [f"item-{i}" for i in range(5000)])
+    tab = S.kmv_table(items, "item", k=64)
+    plan = tab._jdf.queryExecution().executedPlan().toString()
+    assert "__part" in plan
+    got = sorted(r["hv"] for r in tab.collect())
+    full = sorted(
+        r["hv"]
+        for r in items.select(S.kmv_hash("item").alias("hv"))
+        .distinct()
+        .collect()
+    )
+    assert got == full[:64]
