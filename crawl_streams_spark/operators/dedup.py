@@ -59,16 +59,29 @@ def estimate_band_pairs(
     band_cols: tuple = ("band", "band_hash"),
     sample_fraction: float = 0.1,
     seed: int = 7,
+    presampled: bool = False,
 ) -> float:
     """Estimated LSH candidate-pair count Σ m·(m−1)/2 over band buckets,
-    from a seeded Bernoulli sample of the slim banded relation: a pair
-    survives sampling with probability p², so the sampled pair count
-    scales back by 1/p². One pass over ``sample_fraction`` of the corpus
-    (cheap relative to the full signature pipeline) and only the
-    quadratic-blowup regime matters — huge buckets dominate the sum and
-    are sampled accurately; small-bucket noise cannot flip a broadcast
-    decision by orders of magnitude."""
-    sampled = bandsdf.sample(fraction=sample_fraction, seed=seed)
+    from a seeded Bernoulli sample: a pair survives sampling with
+    probability p², so the sampled pair count scales back by 1/p². Only
+    the quadratic-blowup regime matters — huge buckets dominate the sum
+    and are sampled accurately; small-bucket noise cannot flip a
+    broadcast decision by orders of magnitude.
+
+    NOTE (ADVICE r4): calling this runs a Spark job NOW — callers using
+    it to pick a join strategy become eager at plan-construction time.
+    And if ``bandsdf`` is the full banding pipeline, sampling HERE sits
+    above tokenize/shingle/minhash/band, so signature computation still
+    runs for every row and only the final aggregation is sampled. The
+    cheap form is to Bernoulli-sample DOC IDS upstream of signature
+    computation and pass ``presampled=True`` (the doc-sample also keeps
+    pair survival at p², since a pair collides iff both docs survive) —
+    ``minhash_lsh_candidates`` does exactly that."""
+    sampled = (
+        bandsdf
+        if presampled
+        else bandsdf.sample(fraction=sample_fraction, seed=seed)
+    )
     row = (
         sampled.groupBy(*band_cols)
         .agg(F.count(F.lit(1)).alias("__m"))
@@ -111,11 +124,16 @@ def minhash_lsh_candidates(
     LSH contract bounds |pairs| for real corpora, but a pathologically
     duplicated corpus (every doc identical) makes |pairs| quadratic and
     an unconditional broadcast unbounded. ``"auto"`` (default) estimates
-    the pair count from a sampled pass over the slim banded relation
-    (``estimate_band_pairs``) and falls back to a shuffled pair join
-    above ``max_broadcast_pairs``; ``"broadcast"`` / ``"shuffle"`` force
-    a strategy (the former skips the sampling pass). Values are
-    identical under every strategy — only the exchange shape differs."""
+    the pair count by running the banding pipeline over a ~10% DOC
+    sample (``estimate_band_pairs`` with ``presampled=True`` — the
+    sample is taken upstream of shingling, so signature computation for
+    the estimate touches only the sample) and falls back to a shuffled
+    pair join above ``max_broadcast_pairs``. NOTE: auto mode makes this
+    call EAGER — the estimate is a Spark job that runs during plan
+    construction, before the returned DataFrame is ever acted on. Pass
+    ``"broadcast"`` / ``"shuffle"`` to force a strategy and stay fully
+    lazy. Values are identical under every strategy — only the exchange
+    shape differs."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
@@ -124,22 +142,35 @@ def minhash_lsh_candidates(
         )
     rows_per_band = num_hashes // bands
     base31, bkeys = _hash_fns(hash_impl)
-    sh = df.select(
-        F.col(key), T.word_shingles(F.col(content), shingle_words).alias("shingles")
-    )
-    bandsdf = (
-        sh.select(key, base31(F.col("shingles")).alias("h31"))
-        .select(key, H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"))
-        .select(
-            key,
-            F.explode(bkeys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+
+    def _shingled(src: DataFrame) -> DataFrame:
+        return src.select(
+            F.col(key),
+            T.word_shingles(F.col(content), shingle_words).alias("shingles"),
         )
-        .select(
-            key,
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_hash").alias("band_hash"),
+
+    def _banded(shdf: DataFrame) -> DataFrame:
+        return (
+            shdf.select(key, base31(F.col("shingles")).alias("h31"))
+            .select(
+                key,
+                H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"),
+            )
+            .select(
+                key,
+                F.explode(
+                    bkeys(F.col("sig"), bands, rows_per_band)
+                ).alias("bk"),
+            )
+            .select(
+                key,
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_hash").alias("band_hash"),
+            )
         )
-    )
+
+    sh = _shingled(df)
+    bandsdf = _banded(sh)
     # merge-hint both sides: identical subtrees shuffle on the same keys and
     # the runtime reuses one exchange, so the signature pipeline runs once.
     a, b = bandsdf.alias("a").hint("merge"), bandsdf.alias("b").hint("merge")
@@ -157,8 +188,19 @@ def minhash_lsh_candidates(
     sa = sh.select(F.col(key).alias("key_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(key).alias("key_b"), F.col("shingles").alias("sh_b"))
     if verify_join == "auto":
+        # doc-sample UPSTREAM of signature computation (ADVICE r4): the
+        # estimate job shingles/minhashes only the ~10% sample instead of
+        # the full corpus; pair survival is still p² (a band collision
+        # survives iff both docs do), so the 1/p² scale-back is unchanged
+        frac = 0.1
+        sampled_bands = _banded(
+            _shingled(df.sample(fraction=frac, seed=7))
+        )
         use_broadcast = (
-            estimate_band_pairs(bandsdf) <= max_broadcast_pairs
+            estimate_band_pairs(
+                sampled_bands, sample_fraction=frac, presampled=True
+            )
+            <= max_broadcast_pairs
         )
     else:
         use_broadcast = verify_join == "broadcast"
@@ -245,21 +287,19 @@ def cluster_duplicates(
         .agg(F.least(F.min("b"), F.first("a")).alias("cluster"))
         .select(F.col("a").alias("key"), "cluster")
     )
-    changed = 0
-    for _ in range(max_iter):
+    def _step(cur: DataFrame) -> DataFrame:
         # 1) propagate: node takes min(own label, neighbors' labels)
-        neigh = (
-            edges.join(labels, edges.b == labels.key)
-            .select(F.col("a").alias("key"), F.col("cluster"))
+        neigh = edges.join(cur, edges.b == cur.key).select(
+            F.col("a").alias("key"), F.col("cluster")
         )
         prop = (
-            labels.union(neigh)
+            cur.union(neigh)
             .groupBy("key")
             .agg(F.min("cluster").alias("cluster"))
         )
         # 2) pointer-jump: relabel through the cluster's own label
         x, y = prop.alias("x"), prop.alias("y")
-        new_labels = x.join(
+        return x.join(
             y, F.col("x.cluster") == F.col("y.key"), "left"
         ).select(
             F.col("x.key").alias("key"),
@@ -268,21 +308,33 @@ def cluster_duplicates(
                 F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
             ).alias("cluster"),
         )
-        new_labels = pin(new_labels, checkpoint_dir)  # cut lineage
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "key")
+
+    def _moved(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "key")
             .filter(F.col("n.cluster") != F.col("o.cluster"))
             .limit(1)
             .count()
+            > 0
         )
+
+    changed = False
+    for _ in range(max_iter):
+        new_labels = pin(_step(labels), checkpoint_dir)  # cut lineage
+        changed = _moved(new_labels, labels)
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     # labels still moving at the cap = components whose min label has not
-    # finished spreading — truncated clusters must not escape silently
+    # finished spreading — truncated clusters must not escape silently.
+    # The final permitted iteration may itself have reached the fixed
+    # point: one extra propagation distinguishes that from truncation
+    # (ADVICE r4, mirroring k_core's re-check).
+    if changed:
+        changed = _moved(_step(labels), labels)
     check_converged(
-        changed == 0, "cluster_duplicates", max_iter, on_nonconverge
+        not changed, "cluster_duplicates", max_iter, on_nonconverge
     )
     return labels
 

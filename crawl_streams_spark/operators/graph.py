@@ -346,36 +346,43 @@ def bfs_distances(
         F.col(sources.columns[0]).alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).distinct()
-    changed = 0
-    for _ in range(max_iter):
-        step = (
-            e.join(dist, e["src"] == dist["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + 1).alias("dist"),
-            )
+    def _relax(cur: DataFrame) -> DataFrame:
+        step = cur.join(e, e["src"] == cur["node"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + 1).alias("dist"),
         )
-        new_dist = pin(
-            dist.unionByName(step)
+        return (
+            cur.unionByName(step)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist")),
-            checkpoint_dir,
+            .agg(F.min("dist").alias("dist"))
         )
-        # fixed point: no node improved and no node appeared
-        changed = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), "node", "left")
+
+    def _improved(new: DataFrame, old: DataFrame) -> bool:
+        # any node that appeared or got closer
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node", "left")
             .filter(
                 F.col("o.dist").isNull()
                 | (F.col("n.dist") < F.col("o.dist"))
             )
             .limit(1)
             .count()
+            > 0
         )
+
+    changed = False
+    for _ in range(max_iter):
+        new_dist = pin(_relax(dist), checkpoint_dir)
+        changed = _improved(new_dist, dist)
         dist = new_dist
-        if changed == 0:
+        if not changed:
             break
     # a graph with diameter > max_iter would silently omit far nodes
-    # (ADVICE r3) — the frontier still moving at the cap means truncation
-    check_converged(changed == 0, "bfs_distances", max_iter, on_nonconverge)
+    # (ADVICE r3); but the final permitted iteration may itself have
+    # REACHED the fixed point — one extra relaxation distinguishes
+    # "landed exactly on the answer" from true truncation (ADVICE r4)
+    if changed:
+        changed = _improved(_relax(dist), dist)
+    check_converged(not changed, "bfs_distances", max_iter, on_nonconverge)
     return dist

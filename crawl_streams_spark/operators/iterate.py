@@ -32,12 +32,26 @@ def pin(
     Pass ``checkpoint_dir`` (HDFS/S3/posix) to switch every round to a
     RELIABLE checkpoint: each iteration's state is written to durable
     storage, surviving executor loss, at the cost of one write per round
-    — the production dial for long iterative jobs on spot capacity."""
+    — the production dial for long iterative jobs on spot capacity.
+
+    The checkpoint directory is SESSION-GLOBAL (SparkContext state, not
+    per-operator): it is set only when it differs from the context's
+    current value, and two concurrently-running kernels on one session
+    must therefore share a ``checkpoint_dir`` — pass the same root and
+    let Spark's per-RDD subdirectories keep their files apart (ADVICE
+    r4: re-setting per call raced concurrent kernels)."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        if _CHECKPOINT_DIRS.get(id(sc)) != checkpoint_dir:
+            sc.setCheckpointDir(checkpoint_dir)
+            _CHECKPOINT_DIRS[id(sc)] = checkpoint_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+#: Last checkpoint_dir set via pin(), per SparkContext — avoids mutating
+#: session-global state on every call.
+_CHECKPOINT_DIRS: dict = {}
 
 
 def check_converged(
@@ -51,7 +65,14 @@ def check_converged(
     k-core members below degree k, BFS nodes beyond the hop cap).
 
     ``on_nonconverge``: ``"raise"`` (default — truncated results never
-    escape unnoticed), ``"warn"``, or ``"ignore"`` (caller handles it)."""
+    escape unnoticed), ``"warn"``, or ``"ignore"`` (caller handles it).
+    Anything else is a ValueError — a typo must not silently disable the
+    guard (ADVICE r4)."""
+    if on_nonconverge not in ("raise", "warn", "ignore"):
+        raise ValueError(
+            f"on_nonconverge must be 'raise', 'warn', or 'ignore'; "
+            f"got {on_nonconverge!r}"
+        )
     if converged:
         return
     msg = (

@@ -316,10 +316,14 @@ def _order_buckets(
     share a bucket, and buckets are contiguous in sort order. The shared
     core of ``global_rank`` and ``partitioned_cumsum``."""
     first, first_asc = spec[0]
-    v = F.coalesce(
-        first.cast("double"),
-        F.lit(float("-inf") if first_asc else float("inf")),
-    )
+    # NULL maps to -inf in BOTH directions: Spark's asc() is NULLS FIRST
+    # (NULL = minimal element, -inf passes no `v > b` boundary -> bucket
+    # 0, the front) and desc() is NULLS LAST (NULL is again the minimal
+    # element, -inf passes every `v < b` boundary -> the LAST bucket).
+    # Coalescing to +inf for desc put NULLs in bucket 0 while the
+    # within-bucket desc window sorted them last, breaking the total
+    # order (ADVICE r4).
+    v = F.coalesce(first.cast("double"), F.lit(float("-inf")))
     if bounds is None:
         probs = [i / num_partitions for i in range(1, num_partitions)]
         bounds = (

@@ -178,23 +178,29 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         .select("doc_id", T.tokens("text").alias("toks"))
         .select("doc_id", T.shingles_from_tokens(F.col("toks"), 3).alias("shingles"))
     )
-    bands = (
-        docs.select(
-            "doc_id", H.shingle_hashes31(F.col("shingles")).alias("h31")
+    def _banded(src):
+        return (
+            src.select(
+                "doc_id", H.shingle_hashes31(F.col("shingles")).alias("h31")
+            )
+            .select(
+                "doc_id",
+                H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"),
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    H.band_keys(F.col("sig"), _BANDS, _ROWS_PER_BAND)
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_hash").alias("band_hash"),
+            )
         )
-        .select(
-            "doc_id", H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig")
-        )
-        .select(
-            "doc_id",
-            F.explode(H.band_keys(F.col("sig"), _BANDS, _ROWS_PER_BAND)).alias("bk"),
-        )
-        .select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_hash").alias("band_hash"),
-        )
-    )
+
+    bands = _banded(docs)
 
     # merge-hint the self-join: both sides then shuffle on the same keys
     # from identical subtrees and the runtime reuses one exchange — the
@@ -232,9 +238,18 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     # a pathologically duplicated corpus makes |cand| quadratic, so the
     # broadcast only happens when a sampled bucket-size pass bounds the
     # candidate count; otherwise the pair join falls back to a shuffle.
+    # The sample is taken over DOCS, upstream of minhash/banding (ADVICE
+    # r4): the estimate job computes signatures for ~10% of the corpus,
+    # and pair survival stays p² (a collision survives iff both docs do).
     from ..operators.dedup import estimate_band_pairs
 
-    if estimate_band_pairs(bands, band_cols=("band", "band_hash")) <= 4_000_000:
+    est = estimate_band_pairs(
+        _banded(docs.sample(fraction=0.1, seed=7)),
+        band_cols=("band", "band_hash"),
+        sample_fraction=0.1,
+        presampled=True,
+    )
+    if est <= 4_000_000:
         half = sa.join(F.broadcast(cand), "doc_a")
         sb_cand = sb.join(
             F.broadcast(cand.select("doc_b").dropDuplicates()),

@@ -343,3 +343,69 @@ def test_reliable_checkpoint_dial_matches_default(spark, tmp_path):
     import os
 
     assert any(os.scandir(ckpt))
+
+
+def test_bfs_fixed_point_at_exact_cap_does_not_raise(spark):
+    """ADVICE r4: a graph whose diameter is EXACTLY max_iter reaches the
+    fixed point on the final permitted iteration — the result is complete
+    and correct, so the kernel must not raise; one hop fewer must."""
+    chain = _edges(
+        spark, [(f"n{i}", f"n{i+1}", 1) for i in range(3)]
+    )  # n0 -> n3: longest distance is 3 hops
+    seeds = spark.createDataFrame([("n0",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in G.bfs_distances(chain, seeds, max_iter=3).collect()
+    }
+    assert got == {f"n{i}": i for i in range(4)}
+    with pytest.raises(RuntimeError, match="bfs_distances"):
+        G.bfs_distances(chain, seeds, max_iter=2).collect()
+
+
+def test_cluster_duplicates_fixed_point_at_exact_cap(spark):
+    """ADVICE r4 (same contract for the CC kernel): find the minimal
+    max_iter whose truncated labels already equal the converged labels;
+    at that cap the kernel must NOT raise, and one below it must."""
+    from crawl_streams_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(f"k{i}", f"k{i+1}") for i in range(9)],
+        "key_a string, key_b string",
+    )
+    full = sorted(map(tuple, D.cluster_duplicates(pairs).collect()))
+    m = next(
+        m
+        for m in range(1, 12)
+        if sorted(
+            map(
+                tuple,
+                D.cluster_duplicates(
+                    pairs, max_iter=m, on_nonconverge="ignore"
+                ).collect(),
+            )
+        )
+        == full
+    )
+    # at the minimal sufficient cap: converged on the last iteration
+    assert (
+        sorted(
+            map(tuple, D.cluster_duplicates(pairs, max_iter=m).collect())
+        )
+        == full
+    )
+    if m > 1:
+        with pytest.raises(RuntimeError, match="cluster_duplicates"):
+            D.cluster_duplicates(pairs, max_iter=m - 1).collect()
+
+
+def test_check_converged_rejects_unknown_mode():
+    """ADVICE r4: a typo in on_nonconverge must not silently disable the
+    truncation guard."""
+    from crawl_streams_spark.operators.iterate import check_converged
+
+    with pytest.raises(ValueError, match="on_nonconverge"):
+        check_converged(True, "k", 5, on_nonconverge="warning")
+    with pytest.raises(ValueError, match="on_nonconverge"):
+        check_converged(False, "k", 5, on_nonconverge="error")
+    # valid modes still work
+    check_converged(True, "k", 5, on_nonconverge="warn")

@@ -372,3 +372,29 @@ def test_equi_depth_bins_with_massive_ties(spark):
     for r in out:
         sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
     assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_global_rank_null_desc_leading_key(spark):
+    """ADVICE r4: a NULL in a DESCENDING leading key must rank LAST
+    (Spark desc() is NULLS LAST), matching the single-window reference —
+    the old +inf coalesce bucketed NULL rows at the front."""
+    data = [(0, 3.0), (1, None), (2, 1.0), (3, None), (4, 2.0), (5, 1.0)]
+    df = spark.createDataFrame(data, "id bigint, w double")
+    # desc NULLS LAST, tie-break on id: 3.0, 2.0, 1.0(id2), 1.0(id5),
+    # NULL(id1), NULL(id3)
+    ref = {0: 1, 4: 2, 2: 3, 5: 4, 1: 5, 3: 6}
+    for nparts in (1, 3, 8):
+        got = {
+            r["id"]: r["rank"]
+            for r in P.global_rank(
+                df, [("w", "desc"), "id"], num_partitions=nparts
+            ).collect()
+        }
+        assert got == ref, nparts
+    # ascending NULLS FIRST still holds too
+    ref_asc = {1: 1, 3: 2, 2: 3, 5: 4, 4: 5, 0: 6}
+    got_asc = {
+        r["id"]: r["rank"]
+        for r in P.global_rank(df, ["w", "id"], num_partitions=4).collect()
+    }
+    assert got_asc == ref_asc
