@@ -7,31 +7,33 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 4 — execute the ROUNDLOG "Round-4 rotation plan"):
+Ordering policy (round 5 — clear the rotation debt VERDICT r4 flagged):
 
-- Slots 1-14: the 14 queries that have NEVER had a driver verdict (added
-  in the round-3 continuation after the window saturated): first driver
-  verdicts this round.
-- Slots 15-19: implementations CHANGED in round 4, which must re-verify —
-  ``dedup_minhash_lsh_pairs`` (candidate-pair broadcast guard),
-  ``balanced_shard_stats`` / ``equi_depth_price_bins`` (global_rank's
-  boundary-literal rewrite replacing the eager localCheckpoint),
-  ``kmv_distinct_users`` (ungrouped KMV pre-reduction), and
-  ``approx_distinct_users`` (now ORACLED via the error-bound invariant).
-- Slots 20-29: one representative per family whose members otherwise all
-  hold fresh round-3 verdicts, so the window still covers every operator
-  family (pinned by tests/test_registry_order.py).
-- Slots 30-41: freshness restores — the ROUNDLOG rotation list's
-  r1/r2-verified queries whose verdicts are now 2-3 rounds old.
-- Slots 42-50: additional round-1-verified restores (oldest verdicts
-  first); these yield to round-4-new queries as they land.
+- Slots 1-24: the stranded set the round-4 debt guard fired on — the 3
+  queries added at round-4 close that have NEVER had a driver verdict
+  (``purchase_attribution``, ``user_interarrival_stats``,
+  ``decayed_event_counts``) plus the 21 queries whose only verdict is
+  from round 1, now 4 rounds old.
+- Slots 25-32: implementations CHANGED in round 5, which must
+  (re-)verify — ``host_graph_kcore`` (now value-oracled via the
+  unrolled 40-round peel), ``host_graph_distances`` /
+  ``dedup_cluster_assignment`` (fixed-point-at-cap re-check refactor),
+  ``dedup_minhash_lsh_pairs`` (raw-table pair-estimate sampling +
+  memoization), and the four ``global_rank`` consumers re-verified
+  after the NULL-descending bucket fix (``balanced_shard_stats``,
+  ``equi_depth_price_bins``, ``customer_rfm_scores``,
+  ``doc_length_quantile_norm``).
+- Slots 33-46: one representative per family not already covered above,
+  preferring members with the OLDEST (round-2) verdicts so the window
+  also pays down round-6 debt.
+- Slots 47-50: additional round-2 restores (oldest verdicts first).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) derives each query's last
   driver-verdict round from the checked-in CORRECTNESS_r*.json files and
   fails any future PRIORITY that would let a non-window query go more
   than 3 rounds without a verdict.
 
-Retired windows (rounds 1-3) are recorded in ROUNDLOG.md and git history.
+Retired windows (rounds 1-4) are recorded in ROUNDLOG.md and git history.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -69,64 +71,61 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified (round-3 continuation additions): FIRST
-    # driver verdicts this round --------------------------------------
-    "doc_length_quantile_norm",  # q_pipeline: quantile normalization
-    "returnflag_status_chisq",  # q_sql_extra: chi-square independence
-    "user_time_to_convert",  # q_behavior: event-pair latency
-    "price_mad_by_flag",  # q_sql_extra: median absolute deviation
-    "event_transition_matrix",  # q_behavior: Markov transition rates
-    "kmv_user_overlap",  # q_sketch: KMV intersection algebra
-    "brand_target_encoding",  # q_pipeline: leakage-safe target encoding
-    "host_graph_distances",  # q_graph: BFS frontier relaxation
-    "host_graph_kcore",  # q_graph: iterative peeling (rows-only)
-    "hopping_window_counts",  # q_schedule: overlapping-window agg
-    "ab_test_conversion_ztest",  # q_behavior: two-proportion z-test
-    "cms_join_size_estimate",  # q_sketch: CMS inner-product bound
-    "source_lang_entropy",  # q_corpus: per-source Shannon entropy
-    "customer_rfm_scores",  # q_sql_extra: RFM quintile segmentation
-    # -- round-4-changed implementations: must (re-)verify -------------
-    "dedup_minhash_lsh_pairs",  # r4: candidate-pair broadcast guard
-    "balanced_shard_stats",  # r4: global_rank boundary-literal rewrite
-    "equi_depth_price_bins",  # r4: global_rank boundary-literal rewrite
-    "kmv_distinct_users",  # r4: ungrouped KMV pre-reduction
-    "approx_distinct_users",  # r4: now oracled via error-bound invariant
-    # -- family coverage: one representative per family whose members
-    # otherwise all hold fresh r3 verdicts ------------------------------
-    "orders_snapshot_diff",  # q_diff
-    "active_sessions_at_purchase",  # q_interval
-    "parts_bought_together",  # q_market
-    "status_pivot",  # q_pivot
-    "hourly_value_anomalies",  # q_timeseries
-    "nation_trade_volume",  # q_tpch2 — TPC-H Q7 shape
-    "late_order_priority_counts",  # q_tpch3 — TPC-H Q4 shape
-    "orders_validation_report",  # q_validate
-    "dup_token_spans",  # q_spans
-    "url_host_extraction",  # q_crawl (r1 verdict — also a restore)
-    # -- freshness restores (ROUNDLOG rotation list: verdicts 2-3
-    # rounds old) -------------------------------------------------------
-    "regional_revenue",  # q_tpch, r1 — broadcast dimension chain
-    "dedup_exact",  # q_dedup, r1
-    "knn_bruteforce",  # q_similarity, r1
-    "dedup_simhash",  # q_dedup, r1
-    "dedup_minhash_signatures",  # q_dedup, r1
-    "label_centroid_sim",  # q_similarity, r1
-    "doc_repetition",  # q_text, r1
-    "rollup_day_reaggregation",  # q_events, r1 — rollup mergeability
-    "rollup_order_priority",  # q_tpch, r1
-    "price_percentiles",  # q_sql_extra, r2
-    "asof_last_purchase",  # q_joins_advanced, r2
-    "corpus_curation_funnel",  # q_pipeline, r2
-    # -- additional r1 restores (yield to round-4-new queries) ----------
-    "uri_normalization",  # q_crawl, r1
-    "hourly_counts",  # q_events, r1
-    "annotation_classification",  # q_crawl, r1
-    "binary_column_plumbing",  # q_crawl, r1
-    "latest_events_topk",  # q_events, r1
-    "windowed_count",  # q_events, r1
-    "top_orders_per_customer",  # q_tpch, r1
-    "part_supplier_union",  # q_tpch, r1
-    "hop_and_status",  # q_crawl, r1
+    # -- never driver-verified (round-4-close additions): FIRST verdicts --
+    "purchase_attribution",  # q_behavior: last-touch attribution
+    "user_interarrival_stats",  # q_behavior: inter-arrival CV
+    "decayed_event_counts",  # q_timeseries: exponential-decay counts
+    # -- r1-only verdicts, 4 rounds stale (the debt-guard list) ----------
+    "status_code_histogram",  # q_events
+    "formatted_log_lines",  # q_events
+    "null_coalesce_projection",  # q_events
+    "recent_window_topk",  # q_events
+    "event_type_dist_users",  # q_events
+    "hist_median_by_type",  # q_events
+    "wayback_timestamps",  # q_crawl
+    "annotation_regex_classes",  # q_crawl
+    "customer_order_left_join",  # q_tpch: left outer join
+    "customers_with_open_orders",  # q_tpch: left semi join
+    "customers_without_orders",  # q_tpch: left anti join
+    "order_value_running",  # q_tpch: analytic window
+    "sessionized_set_ops",  # q_sessions: set operations
+    "doc_quality",  # q_text
+    "doc_lang_id",  # q_text
+    "doc_fingerprints",  # q_text
+    "token_array_ops",  # q_text
+    "top_tokens",  # q_text
+    "lang_source_rollup",  # q_text
+    "dedup_ngram_jaccard",  # q_dedup
+    "embedding_norms",  # q_similarity
+    # -- round-5-changed implementations: must (re-)verify ---------------
+    "host_graph_kcore",  # r5: value-oracled via unrolled 40-round peel
+    "host_graph_distances",  # r5: bfs fixed-point-at-cap re-check
+    "dedup_cluster_assignment",  # r5: CC fixed-point-at-cap re-check
+    "dedup_minhash_lsh_pairs",  # r5: raw-table estimate sample + memo
+    "balanced_shard_stats",  # r5: global_rank NULL-desc bucket fix
+    "equi_depth_price_bins",  # r5: global_rank NULL-desc bucket fix
+    "customer_rfm_scores",  # r5: global_rank NULL-desc bucket fix
+    "doc_length_quantile_norm",  # r5: global_rank NULL-desc bucket fix
+    # -- family coverage, preferring oldest (round-2) verdicts -----------
+    "url_canonicalization",  # q_crawl, r2
+    "suppliers_of_bulk_parts",  # q_joins_advanced, r2
+    "launch_ts_and_source_tags",  # q_schedule, r2
+    "nation_product_profit",  # q_tpch2, r2
+    "discount_revenue_forecast",  # q_tpch3, r2
+    "doc_unigram_freq",  # q_corpus, r3
+    "snapshot_diff_summary",  # q_diff, r3
+    "concurrent_sessions",  # q_interval, r3
+    "user_sessions",  # q_sessions, r3 — also the r4 bench-regression watch
+    "cms_token_estimates",  # q_sketch, r3
+    "dup_span_doc_stats",  # q_spans, r3
+    "parts_bought_together",  # q_market (sole member)
+    "status_pivot",  # q_pivot (sole member)
+    "orders_validation_report",  # q_validate (sole member)
+    # -- additional round-2 restores (oldest first) -----------------------
+    "event_type_stats",  # q_events, r2 — flagship
+    "pricing_summary",  # q_tpch, r2 — TPC-H Q1
+    "doc_token_stats",  # q_text, r2
+    "embedding_near_dup",  # q_similarity, r2
 )
 
 

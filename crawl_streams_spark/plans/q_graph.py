@@ -166,21 +166,61 @@ def host_graph_triangles(spark, sf_dir):
     return G.triangle_count(_edges(spark, sf_dir))
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Fully-unrolled peel for the DuckDB oracle: the host universe is
+    exactly 40 nodes BY QUERY CONSTRUCTION (`user_id % 40`), so peeling
+    reaches its fixed point within 40 rounds on ANY data — each round
+    removes at least one node or is already stable, and extra rounds
+    are no-ops (the fixed point is... fixed). That turns the
+    'iterative peeling has no bounded SQL unrolling' objection (VERDICT
+    r4 item 3) into a plain chain of ``rounds`` CTEs and upgrades this
+    query from rows-only to a full value oracle. Peeling is confluent
+    (removal order never changes the fixed point), so the unrolled
+    simultaneous peel matches the Spark kernel exactly."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references its predecessor ~4 times — un-materialized, the
+    # 40-round chain explodes into 4^40 scans of the base relation.
+    sql = _DUCK_EDGES + """
+    , und0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst
+    )"""
+    for i in range(rounds):
+        sql += f"""
+    , keep{i} AS MATERIALIZED (
+        SELECT v FROM (
+            SELECT a AS v FROM und{i} UNION ALL SELECT b FROM und{i}
+        ) GROUP BY v HAVING count(*) >= {k}
+    ),
+    und{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM und{i}
+        WHERE a IN (SELECT v FROM keep{i})
+          AND b IN (SELECT v FROM keep{i})
+    )"""
+    return sql + f"""
+    SELECT v AS node, count(*) AS core_degree
+    FROM (
+        SELECT a AS v FROM und{rounds} UNION ALL SELECT b FROM und{rounds}
+    ) GROUP BY v
+    """
+
+
 @query(
     "host_graph_kcore",
-    oracle=None,  # iterative peeling has no bounded SQL unrolling; the
-    # kernel is brute-force-verified in tests/test_graph.py instead
-    tags=("graph", "k-core", "iterative", "rows-only", "extension"),
+    oracle=_kcore_oracle(k=3, rounds=40),
+    tags=("graph", "k-core", "iterative", "extension"),
 )
 def host_graph_kcore(spark, sf_dir):
     """3-core of the host graph (operators/graph.py::k_core): the dense
     backbone after iteratively peeling hosts with fewer than three
     distinct neighbors — the standard pre-filter before expensive
-    community analytics. Rows-only under the driver gate (the peel
-    depth is data-dependent, so no fixed SQL unrolling exists); the
-    peeling fixed point is confluent and the kernel is verified against
-    a brute-force Python peeler on random graphs in pytest."""
-    return G.k_core(_edges(spark, sf_dir), k=3).orderBy("node")
+    community analytics. Value-oracled (VERDICT r4 item 3): the 40-node
+    host universe bounds the peel depth, so the oracle unrolls 40
+    simultaneous-peel rounds (``_kcore_oracle``) and the confluent
+    fixed point matches the kernel exactly; the kernel is additionally
+    verified against a brute-force Python peeler on random graphs in
+    pytest."""
+    return G.k_core(_edges(spark, sf_dir), k=3, max_iter=45).orderBy("node")
 
 
 _DUCK_EDGES_REC = _DUCK_EDGES.replace("WITH e0", "WITH RECURSIVE e0", 1)

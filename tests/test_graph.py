@@ -409,3 +409,77 @@ def test_check_converged_rejects_unknown_mode():
         check_converged(False, "k", 5, on_nonconverge="error")
     # valid modes still work
     check_converged(True, "k", 5, on_nonconverge="warn")
+
+
+def test_kcore_unrolled_oracle_matches_kernel_on_sparse_graph(spark):
+    """VERDICT r4 item 3: host_graph_kcore's oracle is a 40-round
+    unrolled simultaneous peel (the 40-host universe bounds peel depth).
+    The sf fixtures are dense (nothing peels), so exercise the unrolled
+    SQL on a SPARSE synthetic events table where peeling removes most
+    nodes, against the Spark kernel on identical edges."""
+    import random
+
+    import duckdb
+
+    from crawl_streams_spark.plans import REGISTRY
+
+    rng = random.Random(42)
+    rows = [(rng.randrange(0, 4000), rng.randrange(0, 4000)) for _ in range(70)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, event_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    oracle = sorted(map(tuple, con.execute(REGISTRY["host_graph_kcore"].oracle).fetchall()))
+
+    ev = spark.createDataFrame(rows, "user_id bigint, event_id bigint")
+    from pyspark.sql import functions as F
+
+    src = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+    dst = F.concat(
+        F.lit("h"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 40).cast("string"),
+    )
+    edges = (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    got = sorted(
+        map(tuple, G.k_core(edges, k=3, max_iter=45).collect())
+    )
+    # sanity: sparse enough that the peel actually removed hosts
+    assert len(got) < 40
+    assert got == oracle
+
+
+def test_reliable_checkpoint_dial_pagerank_and_bpe(spark, tmp_path):
+    """VERDICT r4 item 5: the remaining two iterative kernel families
+    (pagerank, learn_bpe_merges) also produce identical results under the
+    reliable-checkpoint dial, completing per-family coverage of both pin
+    modes."""
+    import os
+
+    from crawl_streams_spark.operators import tokenizer as TK
+
+    ckpt = str(tmp_path / "ckpt2")
+    edges = _edges(
+        spark,
+        [
+            ("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("a", "c", 1),
+            ("d", "a", 2),
+        ],
+    )
+    local = sorted(map(tuple, G.pagerank(edges, iters=5).collect()))
+    durable = sorted(
+        map(tuple, G.pagerank(edges, iters=5, checkpoint_dir=ckpt).collect())
+    )
+    assert local == durable
+
+    docs = spark.createDataFrame(
+        [("low lower lowest",), ("new newer newest",), ("low new low",)],
+        "text string",
+    )
+    local_m = TK.learn_bpe_merges(docs, n_merges=4)
+    durable_m = TK.learn_bpe_merges(docs, n_merges=4, checkpoint_dir=ckpt)
+    assert local_m == durable_m
+    assert any(os.scandir(ckpt))

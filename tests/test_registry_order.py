@@ -30,31 +30,23 @@ def test_driver_window_covers_every_family():
 
 def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
-    # Queries that have never had a driver verdict (round-3 continuation
-    # additions) plus implementations changed in round 4 must sit in the
+    # Queries that have never had a driver verdict (round-4-close
+    # additions) plus implementations changed in round 5 must sit in the
     # driver's verification prefix.
     for name in (
         # never driver-verified — first verdicts this round
-        "doc_length_quantile_norm",
-        "returnflag_status_chisq",
-        "user_time_to_convert",
-        "price_mad_by_flag",
-        "event_transition_matrix",
-        "kmv_user_overlap",
-        "brand_target_encoding",
-        "host_graph_distances",
-        "host_graph_kcore",
-        "hopping_window_counts",
-        "ab_test_conversion_ztest",
-        "cms_join_size_estimate",
-        "source_lang_entropy",
-        "customer_rfm_scores",
-        # round-4-changed implementations
-        "dedup_minhash_lsh_pairs",  # candidate-pair broadcast guard
-        "balanced_shard_stats",  # global_rank boundary-literal rewrite
-        "equi_depth_price_bins",  # global_rank boundary-literal rewrite
-        "kmv_distinct_users",  # ungrouped KMV pre-reduction
-        "approx_distinct_users",  # oracled error-bound invariant
+        "purchase_attribution",
+        "user_interarrival_stats",
+        "decayed_event_counts",
+        # round-5-changed implementations
+        "host_graph_kcore",  # value-oracled via unrolled 40-round peel
+        "host_graph_distances",  # bfs fixed-point-at-cap re-check
+        "dedup_cluster_assignment",  # CC fixed-point-at-cap re-check
+        "dedup_minhash_lsh_pairs",  # raw-table estimate sample + memo
+        "balanced_shard_stats",  # global_rank NULL-desc bucket fix
+        "equi_depth_price_bins",  # global_rank NULL-desc bucket fix
+        "customer_rfm_scores",  # global_rank NULL-desc bucket fix
+        "doc_length_quantile_norm",  # global_rank NULL-desc bucket fix
     ):
         assert name in window, name
 
