@@ -25,7 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-__all__ = ["row_digest", "table_diff", "diff_summary", "scd2_compress"]
+__all__ = ["row_digest", "table_diff", "diff_summary", "scd2_compress", "scd2_merge"]
 
 _SEP = "\x1f"
 _NULL = "\x00\x00N"
@@ -152,4 +152,138 @@ def scd2_compress(
         "valid_from",
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    new_version,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    version_type: str = "bigint",
+    single_pass: bool = False,
+) -> DataFrame:
+    """Incrementally advance an SCD2 history (the ``scd2_compress``
+    output shape: key…, attrs…, valid_from, valid_to, is_current) by ONE
+    new full snapshot — the maintained-table MERGE that replaces
+    recompressing the whole snapshot stack every load.
+
+    Semantics (identical to appending the snapshot as version
+    ``new_version`` and re-running ``scd2_compress`` — the invariant the
+    registered query's oracle certifies):
+
+    - closed runs pass through untouched;
+    - a current run whose key is in the snapshot with EQUAL compare
+      values stays current;
+    - a current run whose key changed value closes at ``new_version``
+      and a fresh current run opens at ``new_version`` with the new
+      values;
+    - a current run whose key VANISHED closes at ``new_version``
+      (absence is deletion, matching scd2_compress);
+    - snapshot keys with no current run (new or reappearing) open fresh
+      current runs at ``new_version``.
+
+    Replay-idempotent: merging the same snapshot at the same version
+    twice is a no-op (every change the first merge made leaves the
+    current rows equal to the snapshot).
+
+    Scale — two exchange shapes, identical values:
+
+    - ``single_pass=False`` (default — the production shape, history is
+      a MATERIALIZED maintained table): closed rows never move (filter +
+      union, no exchange — they dominate history size as it ages, so
+      shuffling them every load would be the scale killer); only the
+      current slice full-outer-joins the snapshot on the business key.
+      History is scanned twice, which is cheap for a stored table.
+    - ``single_pass=True`` (history is itself an EXPENSIVE unmaterialized
+      pipeline, e.g. an upstream ``scd2_compress``): one reference to
+      history — ``is_current`` folds into the join condition, closed
+      rows fail it and surface as hist-only passthrough rows — so the
+      upstream plan executes once, at the cost of closed rows riding the
+      join exchange.
+
+    Either way the digest comparison rides the fixed-width md5
+    ``row_digest``, keeping the exchange payload narrow."""
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in history.columns
+            if c not in {*key_cols, "valid_from", "valid_to", "is_current"}
+        ]
+    ver = F.lit(new_version).cast(version_type)
+    base = history if single_pass else history.filter(F.col("is_current"))
+    hist = base.select(
+        *key_cols,
+        *compare_cols,
+        "valid_from",
+        "valid_to",
+        "is_current",
+        row_digest(base, compare_cols).alias("__dh"),
+    )
+    snap = snapshot.select(
+        *[F.col(c).alias(f"__s_{c}") for c in (*key_cols, *compare_cols)],
+        row_digest(snapshot, compare_cols).alias("__ds"),
+    )
+    # is_current folded into the JOIN CONDITION, not a pre-filter: the
+    # history relation is referenced once (a two-filter split re-derives
+    # the whole upstream — e.g. an scd2_compress feeding this — twice).
+    # Closed rows simply fail the condition and surface as hist-only
+    # rows; snapshot keys whose history is all-closed surface as
+    # snap-only rows and open fresh runs, exactly as required.
+    cond = F.col("is_current")
+    for c in key_cols:
+        cond = cond & (F.col(c) == F.col(f"__s_{c}"))
+    j = hist.join(snap, cond, "full_outer")
+    in_hist = F.col("__dh").isNotNull()
+    in_snap = F.col("__ds").isNotNull()
+    is_closed = in_hist & ~F.coalesce(F.col("is_current"), F.lit(False))
+    same = in_hist & in_snap & (F.col("__dh") == F.col("__ds"))
+    null_ver = F.lit(None).cast(version_type)
+
+    def _row(keys, attrs, vf, vt, is_cur):
+        return F.struct(
+            *[e.alias(c) for e, c in zip(keys, key_cols)],
+            *[e.alias(c) for e, c in zip(attrs, compare_cols)],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    h_keys = [F.col(c) for c in key_cols]
+    h_attrs = [F.col(c) for c in compare_cols]
+    s_keys = [F.col(f"__s_{c}") for c in key_cols]
+    s_attrs = [F.col(f"__s_{c}") for c in compare_cols]
+    passthrough = _row(
+        h_keys, h_attrs, F.col("valid_from"), F.col("valid_to"),
+        F.col("is_current"),
+    )
+    keep_open = _row(
+        h_keys, h_attrs, F.col("valid_from"), null_ver, F.lit(True)
+    )
+    close = _row(h_keys, h_attrs, F.col("valid_from"), ver, F.lit(False))
+    fresh = _row(s_keys, s_attrs, ver, null_ver, F.lit(True))
+    empty = F.slice(F.array(close), 1, 0)
+    # One pass over the join (filtered-branch unions would re-execute the
+    # whole upstream per branch): every joined row emits 1-2 output
+    # structs, exploded once. In the split (default) form is_closed never
+    # fires — closed rows bypass the join entirely and union back below.
+    out = (
+        F.when(is_closed, F.array(passthrough))
+        .when(same, F.array(keep_open))
+        .otherwise(
+            F.concat(
+                F.when(in_hist, F.array(close)).otherwise(empty),
+                F.when(in_snap, F.array(fresh)).otherwise(empty),
+            )
+        )
+    )
+    merged = j.select(F.explode(out).alias("__r")).select("__r.*")
+    if single_pass:
+        return merged
+    out_cols = [
+        *key_cols, *compare_cols, "valid_from", "valid_to", "is_current"
+    ]
+    return history.filter(~F.col("is_current")).select(*out_cols).unionByName(
+        merged
     )

@@ -749,3 +749,77 @@ def semantic_dedup(
         F.col("key").alias(id_col)
     )
     return corpus.join(losers, id_col, "left_anti")
+
+
+def density_dedup_flags(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    dup_threshold: float,
+    id_col: str = "vec_id",
+    sim_col: str = "cos_sim",
+    a_col: str = "vec_a",
+    b_col: str = "vec_b",
+) -> DataFrame:
+    """Density-ranked near-duplicate flags (the HDBSCAN-exemplar idea
+    applied to dedup): each point's DENSITY is its neighbor count in
+    ``pairs`` (candidate pairs already thresholded upstream at the
+    density radius — cell-bucketed, LSH-banded, or brute-force for small
+    corpora); then in every pair at or above ``dup_threshold`` the
+    LOWER-density side loses (tie: the higher id loses), so each
+    near-duplicate neighborhood keeps its densest exemplar rather than
+    minhash_dedup's arbitrary lowest-key winner. Returns one row per
+    corpus id: (id, density, kept).
+
+    Deterministic and SQL-replayable: density is an exact count and the
+    victim rule is a pure comparison, so a brute-force oracle certifies
+    the whole chain. Scale: densities are one count-shuffle over slim
+    (id) rows; the victim rule joins ``pairs`` to the id-keyed density
+    relation twice and never touches vectors — pair generation (the
+    quadratic risk) stays in the caller's bucketed kernels
+    (semantic_dedup_pairs, minhash_lsh_candidates)."""
+    # explode, not a two-select union: one reference to `pairs`, so the
+    # (possibly expensive) pair kernel isn't re-derived per endpoint
+    inc = pairs.select(
+        F.explode(F.array(F.col(a_col), F.col(b_col))).alias("__v")
+    )
+    dens = inc.groupBy("__v").agg(F.count(F.lit(1)).alias("density"))
+    ids = (
+        corpus.select(F.col(id_col))
+        .join(dens, F.col(id_col) == F.col("__v"), "left")
+        .select(
+            id_col,
+            F.coalesce("density", F.lit(0)).cast("bigint").alias("density"),
+        )
+    )
+    slim = ids.select(
+        F.col(id_col).alias("__id"), F.col("density").alias("__d")
+    )
+    dup = pairs.filter(F.col(sim_col) >= dup_threshold).select(a_col, b_col)
+    da, db = F.col("__da"), F.col("__db")
+    a, b = F.col(a_col), F.col(b_col)
+    losers = (
+        dup.join(
+            slim.select(
+                F.col("__id").alias(a_col), F.col("__d").alias("__da")
+            ),
+            a_col,
+        )
+        .join(
+            slim.select(
+                F.col("__id").alias(b_col), F.col("__d").alias("__db")
+            ),
+            b_col,
+        )
+        .select(
+            F.when(da < db, a)
+            .when(da > db, b)
+            .otherwise(F.greatest(a, b))
+            .alias("__loser")
+        )
+        .distinct()
+    )
+    return ids.join(
+        losers, F.col(id_col) == F.col("__loser"), "left"
+    ).select(
+        id_col, "density", F.col("__loser").isNull().alias("kept")
+    )

@@ -531,3 +531,61 @@ def user_interarrival_stats(spark, sf_dir):
         F.round(std_us / 1000000.0, 6).alias("std_gap_s"),
         F.round(std_us / F.nullif(mean_us, F.lit(0.0)), 6).alias("cv"),
     )
+
+
+_FUNNEL_WINDOW_S = 86_400  # 24 h: levels 1-3 all occur at the test scales
+
+
+@query(
+    "windowed_funnel_levels",
+    oracle=f"""
+        WITH se AS (
+            SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        v AS (SELECT * FROM se WHERE event_type = 'view'),
+        c AS (SELECT * FROM se WHERE event_type = 'click'),
+        p AS (SELECT * FROM se WHERE event_type = 'purchase')
+        SELECT u.user_id,
+               CASE
+                 WHEN EXISTS (
+                   SELECT 1 FROM v
+                   JOIN c ON c.user_id = v.user_id
+                         AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+                   JOIN p ON p.user_id = v.user_id
+                         AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+                   WHERE v.user_id = u.user_id
+                     AND epoch_us(p.ts) - epoch_us(v.ts)
+                         <= {_FUNNEL_WINDOW_S}::BIGINT * 1000000
+                 ) THEN 3
+                 WHEN EXISTS (
+                   SELECT 1 FROM v
+                   JOIN c ON c.user_id = v.user_id
+                         AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+                   WHERE v.user_id = u.user_id
+                     AND epoch_us(c.ts) - epoch_us(v.ts)
+                         <= {_FUNNEL_WINDOW_S}::BIGINT * 1000000
+                 ) THEN 2
+                 WHEN EXISTS (SELECT 1 FROM v WHERE v.user_id = u.user_id)
+                 THEN 1
+                 ELSE 0
+               END::INTEGER AS funnel_level
+        FROM (SELECT DISTINCT user_id FROM se) u
+    """,
+    tags=("behavior", "funnel", "windowed", "extension"),
+)
+def windowed_funnel_levels(spark, sf_dir):
+    """Max funnel level per user through view → click → purchase where
+    the whole chain spans ≤ 24 h from its first step (ClickHouse
+    windowFunnel semantics; operators/funnel.py::window_funnel). The
+    Spark side decides chain existence with a greedy latest-start fold
+    over each user's sorted events — exact, one user-key exchange, all
+    codegen; the oracle replays it with the declarative EXISTS form
+    (chains = ordered joins under the (ts, event_id) total order with a
+    span bound), certifying the DP against the specification."""
+    from ..operators.funnel import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return window_funnel(
+        ev, ["view", "click", "purchase"], _FUNNEL_WINDOW_S
+    )

@@ -288,3 +288,36 @@ def lineitem_price_asof_scd2(spark, sf_dir):
         "price_at_version",
         "valid_from",
     )
+
+
+@query(
+    "orders_scd2_incremental",
+    oracle=f"""
+        WITH {_DUCK_SCD_SNAPS},
+        {_DUCK_SCD_HIST_CTES}
+        SELECT o_orderkey, o_totalprice, valid_from, valid_to, is_current
+        FROM hist
+    """,
+    tags=("scd2", "cdc", "merge", "incremental", "extension"),
+)
+def orders_scd2_incremental(spark, sf_dir):
+    """Incremental SCD2 maintenance (operators/diff.py::scd2_merge):
+    compress versions 1-2 into a history, then MERGE version 3 as a new
+    full snapshot — close changed/vanished runs at v3, keep unchanged
+    runs open, open fresh runs for new values and reappearances. The
+    oracle recomputes the history from the FULL three-version stack
+    (the exact SQL behind orders_scd2_history), so a hash match proves
+    the incremental merge path equals the batch recompute — the
+    maintained-table contract. The merge shuffles only the current
+    slice + the snapshot on the business key; closed rows never move."""
+    snaps = _scd_snapshots(spark, sf_dir)
+    hist12 = D.scd2_compress(
+        snaps.filter(F.col("version") <= 2),
+        key_cols=["o_orderkey"],
+        version_col="version",
+    )
+    v3 = snaps.filter(F.col("version") == 3).drop("version")
+    return D.scd2_merge(
+        hist12, v3, new_version=3, key_cols=["o_orderkey"],
+        single_pass=True,
+    )

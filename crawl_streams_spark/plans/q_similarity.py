@@ -369,3 +369,91 @@ def semantic_dedup_pairs(spark, sf_dir):
         F.col("vec_id").alias("cell"), V.to_double_array("embedding").alias("centroid")
     )
     return S.semantic_dedup_pairs(emb, cents, threshold=0.35)
+
+
+_DENS_TAU = 0.15  # density radius (neighbor threshold)
+_DUP_TAU = 0.25  # dedup threshold (victim rule applies at/above this)
+
+
+@query(
+    "embedding_density_dedup",
+    oracle=f"""
+        WITH pr AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_DUCK_COS} AS cos_sim
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE {_DUCK_COS} >= {_DENS_TAU}
+        ),
+        dens AS (
+            SELECT v, count(*) AS d FROM (
+                SELECT vec_a AS v FROM pr UNION ALL SELECT vec_b FROM pr
+            ) GROUP BY v
+        ),
+        ids AS (
+            SELECT e.vec_id, e.label, COALESCE(dens.d, 0)::BIGINT AS density
+            FROM embeddings e LEFT JOIN dens ON dens.v = e.vec_id
+        ),
+        losers AS (
+            SELECT DISTINCT CASE
+                     WHEN da.density < db.density THEN pr.vec_a
+                     WHEN da.density > db.density THEN pr.vec_b
+                     ELSE greatest(pr.vec_a, pr.vec_b)
+                   END AS loser
+            FROM pr
+            JOIN ids da ON da.vec_id = pr.vec_a
+            JOIN ids db ON db.vec_id = pr.vec_b
+            WHERE pr.cos_sim >= {_DUP_TAU}
+        )
+        SELECT ids.vec_id, ids.label, ids.density,
+               (losers.loser IS NULL) AS kept
+        FROM ids LEFT JOIN losers ON losers.loser = ids.vec_id
+    """,
+    tags=("similarity", "dedup", "density", "extension"),
+)
+def embedding_density_dedup(spark, sf_dir):
+    """Density-ranked embedding dedup (HDBSCAN-exemplar style;
+    operators/similarity.py::density_dedup_flags): density = in-label
+    neighbor count at cos ≥ 0.15, then every near-duplicate pair
+    (cos ≥ 0.25) drops its lower-density side (tie → higher id), keeping
+    each neighborhood's densest exemplar. Pair generation is bucketed on
+    the `label` cell (the SemDeDup trade: cross-cell dups missed by
+    construction, quadratic work bounded per cell); the flag/density
+    chain itself never touches vectors — slim id-keyed joins only."""
+    from ..operators.similarity import density_dedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("lab_a"),
+        V.to_double_array("embedding").alias("emb_a"),
+    ).select(
+        "vec_a", "lab_a", "emb_a", V.norm_raw("emb_a").alias("norm_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lab_b"),
+        V.to_double_array("embedding").alias("emb_b"),
+    ).select(
+        "vec_b", "lab_b", "emb_b", V.norm_raw("emb_b").alias("norm_b")
+    )
+    cos = F.round(
+        V.cosine_from(
+            V.dot_raw("emb_a", "emb_b"), F.col("norm_a"), F.col("norm_b")
+        ),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("lab_a") == F.col("lab_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _DENS_TAU)
+    )
+    flags = density_dedup_flags(emb, pairs, dup_threshold=_DUP_TAU)
+    return flags.join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", "density", "kept")

@@ -1,0 +1,172 @@
+"""Round-5 kernels: windowed funnel (greedy latest-start DP),
+density-exemplar dedup flags, and incremental SCD2 merge. Cross-engine
+value gates: plans/q_behavior.py::windowed_funnel_levels,
+plans/q_similarity.py::embedding_density_dedup,
+plans/q_diff.py::orders_scd2_incremental."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+import pyspark.sql.functions as F
+from crawl_streams_spark.operators import diff as D
+from crawl_streams_spark.operators.funnel import window_funnel
+from crawl_streams_spark.operators.similarity import density_dedup_flags
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (uid, eid, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s), t)
+            for uid, eid, s, t in rows
+        ],
+        "user_id bigint, event_id bigint, ts timestamp, event_type string",
+    )
+
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _levels(spark, rows, window_s):
+    df = window_funnel(_ev(spark, rows), STEPS, window_s)
+    return {r["user_id"]: r["funnel_level"] for r in df.collect()}
+
+
+def test_window_funnel_basic_levels(spark):
+    rows = [
+        # u1: full chain within window
+        (1, 1, 0, "view"), (1, 2, 10, "click"), (1, 3, 20, "purchase"),
+        # u2: chain exists but span exceeds window
+        (2, 4, 0, "view"), (2, 5, 10, "click"), (2, 6, 500, "purchase"),
+        # u3: steps out of order -> only level 1
+        (3, 7, 0, "purchase"), (3, 8, 10, "click"), (3, 9, 20, "view"),
+        # u4: never saw the first step -> level 0
+        (4, 10, 0, "click"), (4, 11, 5, "purchase"),
+    ]
+    assert _levels(spark, rows, 60) == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_window_funnel_greedy_latest_start_is_exact(spark):
+    """The case a naive earliest-start scan gets wrong: the only chain
+    completing within the window starts at the SECOND view."""
+    rows = [
+        (1, 1, 0, "view"), (1, 2, 2, "click"),
+        (1, 3, 5, "view"), (1, 4, 6, "click"),
+        (1, 5, 24, "purchase"),  # 24-5 <= 20 via the second (view,click)
+    ]
+    assert _levels(spark, rows, 20) == {1: 3}
+    # tighten the window below every chain's span: level 2 remains
+    # (click@6 - view@5 <= 3)
+    assert _levels(spark, rows, 3) == {1: 2}
+
+
+def test_window_funnel_equal_ts_chains_in_tiebreak_order(spark):
+    # same timestamp: event_id order decides subsequence membership
+    rows = [(1, 1, 0, "view"), (1, 2, 0, "click"), (1, 3, 0, "purchase")]
+    assert _levels(spark, rows, 60) == {1: 3}
+    # reversed event_ids at the same ts: no ordered chain
+    rows_rev = [(1, 3, 0, "view"), (1, 2, 0, "click"), (1, 1, 0, "purchase")]
+    assert _levels(spark, rows_rev, 60) == {1: 1}
+
+
+def test_window_funnel_rejects_bad_steps(spark):
+    df = _ev(spark, [(1, 1, 0, "view")])
+    with pytest.raises(ValueError):
+        window_funnel(df, ["view"], 60)
+    with pytest.raises(ValueError):
+        window_funnel(df, ["view", "view"], 60)
+
+
+# --- density dedup -------------------------------------------------------
+
+
+def _flags(spark, ids, pairs, thr):
+    corpus = spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    pdf = spark.createDataFrame(
+        pairs, "vec_a bigint, vec_b bigint, cos_sim double"
+    )
+    return {
+        r["vec_id"]: (r["density"], r["kept"])
+        for r in density_dedup_flags(corpus, pdf, thr).collect()
+    }
+
+
+def test_density_dedup_keeps_densest_exemplar(spark):
+    # 1 is the hub (density 3); 2,3,4 each pair only with 1
+    pairs = [(1, 2, 0.9), (1, 3, 0.9), (1, 4, 0.9)]
+    got = _flags(spark, [1, 2, 3, 4, 5], pairs, 0.8)
+    assert got == {
+        1: (3, True), 2: (1, False), 3: (1, False), 4: (1, False),
+        5: (0, True),  # isolated point: density 0, kept
+    }
+
+
+def test_density_dedup_tie_drops_higher_id(spark):
+    got = _flags(spark, [7, 9], [(7, 9, 0.95)], 0.9)
+    assert got == {7: (1, True), 9: (1, False)}
+
+
+def test_density_dedup_sub_threshold_pairs_only_add_density(spark):
+    # pair below dup threshold contributes density but no victim
+    got = _flags(spark, [1, 2], [(1, 2, 0.5)], 0.8)
+    assert got == {1: (1, True), 2: (1, True)}
+
+
+# --- incremental SCD2 merge ----------------------------------------------
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(
+        rows, "version bigint, k bigint, val string"
+    )
+
+
+def _hist_set(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_scd2_merge_equals_batch_recompute(spark):
+    """Every path in one stack: change (k=1), delete (k=2), insert
+    (k=3 at v2), reappearance with identical value (k=4)."""
+    stack = [
+        (1, 1, "a"), (1, 2, "b"), (1, 4, "d"),
+        (2, 1, "a2"), (2, 3, "c"),              # k=2 vanishes, k=3 appears
+        (3, 1, "a2"), (3, 3, "c"), (3, 4, "d"),  # k=4 reappears (same val)
+    ]
+    snaps = _snaps(spark, stack)
+    batch = D.scd2_compress(snaps, key_cols=["k"], version_col="version")
+    hist12 = D.scd2_compress(
+        snaps.filter(F.col("version") <= 2),
+        key_cols=["k"],
+        version_col="version",
+    )
+    v3 = snaps.filter(F.col("version") == 3).drop("version")
+    merged = D.scd2_merge(hist12, v3, new_version=3, key_cols=["k"])
+    assert _hist_set(merged) == _hist_set(batch)
+    # the single-pass exchange shape returns identical values
+    merged1p = D.scd2_merge(
+        hist12, v3, new_version=3, key_cols=["k"], single_pass=True
+    )
+    assert _hist_set(merged1p) == _hist_set(batch)
+    # reappearance opened a NEW run, not an extension across the gap
+    k4 = sorted(r for r in _hist_set(merged) if r[0] == 4)
+    assert [(r[2], r[3], r[4]) for r in k4] == [
+        (1, 2, False),
+        (3, None, True),
+    ]
+
+
+def test_scd2_merge_is_replay_idempotent(spark):
+    stack = [(1, 1, "a"), (2, 1, "b"), (2, 2, "x")]
+    snaps = _snaps(spark, stack)
+    hist = D.scd2_compress(
+        snaps.filter(F.col("version") <= 1),
+        key_cols=["k"],
+        version_col="version",
+    )
+    v2 = snaps.filter(F.col("version") == 2).drop("version")
+    once = D.scd2_merge(hist, v2, new_version=2, key_cols=["k"])
+    twice = D.scd2_merge(once, v2, new_version=2, key_cols=["k"])
+    assert _hist_set(once) == _hist_set(twice)

@@ -38,6 +38,10 @@ def test_round_changed_queries_in_window():
         "purchase_attribution",
         "user_interarrival_stats",
         "decayed_event_counts",
+        # added in round 5 — in-window from birth
+        "windowed_funnel_levels",
+        "embedding_density_dedup",
+        "orders_scd2_incremental",
         # round-5-changed implementations
         "host_graph_kcore",  # value-oracled via unrolled 40-round peel
         "host_graph_distances",  # bfs fixed-point-at-cap re-check
@@ -95,6 +99,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 148 registered queries as of the round-3 second continuation;
-    # update deliberately when adding.
-    assert len(REGISTRY) >= 148
+    # 154 registered queries as of round 5; update deliberately when
+    # adding.
+    assert len(REGISTRY) >= 154
