@@ -3,12 +3,18 @@ opaque ``binary`` payloads + typed metadata, with decode / feature-extract
 / resize / frame-sample stages as Arrow-batched pandas functions over
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are STUBS
-behind ``_HAVE_CODECS`` — deterministic fakes with the real Spark-side
-contract (schema, batch iteration, partitioning) — plus one honest
-``NotImplementedError`` path. Everything around the stub (schemas, Arrow
-batch shapes, the mapInPandas plumbing, partition sizing) is real and
-tested (tests/test_multimodal.py).
+The container has no codec LIBRARIES, so the generic decode kernels are
+STUBS behind ``_HAVE_CODECS`` — deterministic fakes with the real
+Spark-side contract (schema, batch iteration, partitioning) — plus one
+honest ``NotImplementedError`` path. But three formats decode for REAL
+with numpy alone: RIFF/PCM16 WAV (``decode_wav``), binary PPM
+(``decode_ppm``/``resize_ppm``), and — since round 5 — baseline JPEG
+(``decode_jpeg_features``, via the pure-NumPy ITU-T T.81 decoder in
+operators/jpeg.py: Huffman, dequant, vectorized IDCT, chroma
+upsampling, restart markers). Only genuinely library-bound codecs (MP3,
+H.264) remain gated. Everything around the stubs (schemas, Arrow batch
+shapes, the mapInPandas plumbing, partition sizing) is real and tested
+(tests/test_multimodal.py, tests/test_jpeg.py).
 
 Scale notes: media blobs dominate row width — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
@@ -250,11 +256,10 @@ def media_summary(decoded: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders for codec-free container formats. Compressed media (JPEG,
-# MP3, H.264) still needs the gated codec path above — but RIFF/PCM WAV and
-# binary PPM (P6) are pure header+array formats, so their decode, feature
-# extraction, and (for PPM) pixel resize are implementable with numpy alone
-# and run as genuine media operators in this sandbox.
+# REAL decoders. RIFF/PCM WAV and binary PPM (P6) are pure header+array
+# formats (numpy-only decode); baseline JPEG decodes through the pure-NumPy
+# T.81 implementation in operators/jpeg.py (decode_jpeg_features below).
+# Only MP3 / H.264 still need the gated codec path above.
 
 WAV_FEATURES_SCHEMA = StructType(
     [
@@ -504,4 +509,93 @@ def resize_ppm(df: DataFrame, max_side: int = 32) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=PPM_RESIZED_SCHEMA
+    )
+
+
+JPEG_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("mean_r", FloatType(), True),
+        StructField("mean_g", FloatType(), True),
+        StructField("mean_b", FloatType(), True),
+        StructField("mean_luma", FloatType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def decode_jpeg_features(df: DataFrame) -> DataFrame:
+    """REAL compressed-image decode over mapInPandas: baseline JPEG
+    payloads → dimensions + channel means + Rec.601 luminance, via the
+    pure-NumPy T.81 decoder in operators/jpeg.py (Huffman + dequant +
+    vectorized IDCT + chroma upsampling — no codec library). Grayscale
+    payloads report their single channel in every mean column. Malformed
+    or unsupported (progressive, 12-bit) payloads land in ``error``
+    per-row instead of failing the stage — at 100 TB a decode stage must
+    quarantine bad blobs, not die on them.
+
+    Unlike the header parsers above (closure-pickled by value), the full
+    codec is a module the WORKER imports: on a real cluster ship the
+    package with ``--py-files`` / a venv archive (standard deployment);
+    in local mode and shared-FS clusters the fallback below re-adds the
+    captured repo root to the worker's sys.path, because the driver's
+    own sys.path mutations do not propagate to Python workers."""
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.jpeg import (
+                JpegError,
+                decode_jpeg,
+            )
+        except ModuleNotFoundError:  # worker missing the package on path
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.jpeg import (
+                JpegError,
+                decode_jpeg,
+            )
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 7 + ("null payload",))
+                    continue
+                try:
+                    px = decode_jpeg(bytes(payload)).astype("float64")
+                except JpegError as e:
+                    rows.append((mid,) + (None,) * 7 + (str(e),))
+                    continue
+                h, w, nc = px.shape
+                means = px.reshape(-1, nc).mean(axis=0)
+                if nc == 3:
+                    r, g, b = (float(x) for x in means)
+                    luma = 0.299 * r + 0.587 * g + 0.114 * b
+                else:
+                    r = g = b = luma = float(means[0])
+                rows.append(
+                    (
+                        mid, w, h, nc,
+                        round(r, 4), round(g, 4), round(b, 4),
+                        round(luma, 4), None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in JPEG_DECODED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=JPEG_DECODED_SCHEMA
     )

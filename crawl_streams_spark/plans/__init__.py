@@ -26,11 +26,11 @@ Ordering policy (round 5 — clear the rotation debt VERDICT r4 flagged):
 - Slots 33-46: one representative per family not already covered above,
   preferring members with the OLDEST (round-2) verdicts so the window
   also pays down round-6 debt.
-- Slots 47-49: the three queries ADDED in round 5 (windowed funnel,
-  density-exemplar dedup, incremental SCD2 merge) — in-window from
-  birth, so they get first verdicts immediately instead of repeating
-  round 4's stranded-additions mistake.
-- Slot 50: one more round-2 restore.
+- Slots 47-50: the four queries ADDED in round 5 (windowed funnel,
+  density-exemplar dedup, incremental SCD2 merge, analytically-oracled
+  baseline-JPEG decode) — in-window from birth, so they get first
+  verdicts immediately instead of repeating round 4's
+  stranded-additions mistake.
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) derives each query's last
   driver-verdict round from the checked-in CORRECTNESS_r*.json files and
@@ -129,8 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "windowed_funnel_levels",  # q_behavior: windowFunnel DP vs EXISTS oracle
     "embedding_density_dedup",  # q_similarity: density-exemplar dedup
     "orders_scd2_incremental",  # q_diff: scd2_merge == batch recompute
-    # -- additional round-2 restore (oldest first) ------------------------
-    "embedding_near_dup",  # q_similarity, r2
+    "media_jpeg_features",  # q_crawl: pure-NumPy T.81 decode, analytic oracle
 )
 
 

@@ -396,3 +396,69 @@ def media_wav_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_wav(media)
+
+
+@query(
+    "media_jpeg_features",
+    oracle="""
+        SELECT doc_id AS media_id,
+               (8 * (1 + doc_id % 3))::INTEGER AS width,
+               (8 * (1 + doc_id % 2))::INTEGER AS height,
+               1::INTEGER AS n_channels,
+               ((doc_id * 37) % 256)::FLOAT AS mean_luma
+        FROM documents
+    """,
+    tags=("multimodal", "image", "jpeg", "extension"),
+)
+def media_jpeg_features(spark, sf_dir):
+    """REAL compressed-image decode end to end, under the VALUE gate: a
+    deterministic flat-gray baseline JPEG is encoded per document
+    (operators/jpeg.py::gray_jpeg — valid ITU-T T.81 streams: DQT, SOF0,
+    Annex-K Huffman tables, entropy-coded scan), then
+    operators/multimodal.py::decode_jpeg_features runs the pure-NumPy
+    decoder (Huffman + dequant + IDCT) over mapInPandas. The oracle is
+    ANALYTIC: with q00=8 a flat-gray block survives quantization exactly
+    (quantized DC = gray−128, IDCT of a DC-only block = uniform DC·q/8),
+    so the decoded width/height/mean are closed-form in doc_id — the SQL
+    side predicts the decode output without ever touching bytes, which
+    is what makes a full codec pipeline hash-verifiable cross-engine."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def synth(batches):
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.jpeg import gray_jpeg
+        except ModuleNotFoundError:
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.jpeg import gray_jpeg
+
+        for pdf in batches:
+            payloads = [
+                gray_jpeg(
+                    8 * (1 + int(d) % 3),
+                    8 * (1 + int(d) % 2),
+                    (int(d) * 37) % 256,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_jpeg_features(media).select(
+        "media_id", "width", "height", "n_channels", "mean_luma"
+    )

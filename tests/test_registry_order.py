@@ -42,6 +42,7 @@ def test_round_changed_queries_in_window():
         "windowed_funnel_levels",
         "embedding_density_dedup",
         "orders_scd2_incremental",
+        "media_jpeg_features",
         # round-5-changed implementations
         "host_graph_kcore",  # value-oracled via unrolled 40-round peel
         "host_graph_distances",  # bfs fixed-point-at-cap re-check
@@ -99,6 +100,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 154 registered queries as of round 5; update deliberately when
+    # 155 registered queries as of round 5; update deliberately when
     # adding.
-    assert len(REGISTRY) >= 154
+    assert len(REGISTRY) >= 155
