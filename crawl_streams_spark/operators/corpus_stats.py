@@ -44,6 +44,9 @@ __all__ = [
     "split_hot_join",
     "doc_freq_stats",
     "doc_tfidf_topk",
+    "bigram_counts",
+    "bigram_pmi",
+    "bigram_lm_scores",
 ]
 
 
@@ -249,3 +252,75 @@ def bigram_pmi(
     return scored.orderBy(
         F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")
     ).limit(k)
+
+
+def bigram_lm_scores(
+    df: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram language-model quality score (the
+    CCNet / Gopher perplexity signal, self-trained): an add-1-smoothed
+    bigram LM is fit on the WHOLE corpus and every document is scored by
+    its average negative log-likelihood under it — natural text scores
+    low, repetitive or keyword-stuffed junk scores away from the corpus
+    mode. Returns (key, n_bigrams, avg_nll); documents with fewer than
+    two tokens are excluded (no bigram evidence).
+
+    P(b|a) = (C(a,b) + 1) / (C(a,·) + V), all counts corpus-wide
+    integers, V = distinct-token count. Cross-engine float discipline
+    (the bigram_pmi recipe): each bigram's −ln P is one log of one exact
+    integer-ratio double, ROUNDED to 6 before a DECIMAL-exact sum, so
+    the oracle's hash matches bit-for-bit.
+
+    Scale: the per-doc bigram explode is linear in token count; count
+    relations are vocabulary-sized (Zipf-bounded, shrink under AQE to
+    broadcasts when small); one (a, b)-keyed shuffle builds C(a,b), the
+    prefix totals reduce FROM that (never re-shuffling the exploded
+    relation), and the scalar V rides a broadcast cross join. The doc
+    relation shuffles once on the bigram key for the probability join
+    and once on the doc key for the final rollup."""
+    staged = df.select(
+        F.col(key), T.tokens(content).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = staged.select(
+        F.col(key),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS tok_a, "
+                "element_at(toks, i + 1) AS tok_b))"
+            )
+        ).alias("bg"),
+    ).select(key, "bg.tok_a", "bg.tok_b")
+    # per-doc bigram TYPE counts: shrinks the probability join's left side
+    doc_bi = bg.groupBy(key, "tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    c2 = bg.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = c2.groupBy("tok_a").agg(F.sum("n_ab").alias("n_a"))
+    vocab = (
+        df.select(F.explode(T.tokens(content)).alias("t"))
+        .agg(F.count_distinct("t").alias("v"))
+    )
+    nll = F.round(
+        F.log(
+            (F.col("n_a") + F.col("v")).cast("double")
+            / (F.col("n_ab") + 1).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        doc_bi.join(c2, ["tok_a", "tok_b"])
+        .join(c1, "tok_a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(key),
+            F.col("n_occ"),
+            (nll.cast("decimal(18,6)") * F.col("n_occ")).alias("__nll"),
+        )
+    )
+    return scored.groupBy(key).agg(
+        F.sum("n_occ").alias("n_bigrams"),
+        F.round(
+            F.sum("__nll").cast("double") / F.sum("n_occ"), 6
+        ).alias("avg_nll"),
+    )

@@ -116,7 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "launch_ts_and_source_tags",  # q_schedule, r2
     "nation_product_profit",  # q_tpch2, r2
     "discount_revenue_forecast",  # q_tpch3, r2
-    "doc_unigram_freq",  # q_corpus, r3
+    "doc_lm_perplexity",  # q_corpus — NEW r5 (family rep; doc_unigram_freq r3 verdict holds to round 7)
     "snapshot_diff_summary",  # q_diff, r3
     "concurrent_sessions",  # q_interval, r3
     "user_sessions",  # q_sessions, r3 — also the r4 bench-regression watch

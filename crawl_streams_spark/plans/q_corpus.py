@@ -261,3 +261,62 @@ def source_lang_entropy(spark, sf_dir):
             6,
         ).alias("lang_entropy"),
     )
+
+
+@query(
+    "doc_lm_perplexity",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ),
+        tokpos AS (
+            SELECT doc_id, unnest(tk) AS tok,
+                   generate_subscripts(tk, 1) AS pos
+            FROM toks
+        ),
+        bi AS (
+            SELECT p.doc_id, p.tok AS tok_a, q.tok AS tok_b
+            FROM tokpos p
+            JOIN tokpos q ON q.doc_id = p.doc_id AND q.pos = p.pos + 1
+        ),
+        doc_bi AS (
+            SELECT doc_id, tok_a, tok_b, count(*) AS n_occ
+            FROM bi GROUP BY doc_id, tok_a, tok_b
+        ),
+        c2 AS (
+            SELECT tok_a, tok_b, count(*) AS n_ab FROM bi
+            GROUP BY tok_a, tok_b
+        ),
+        c1 AS (
+            SELECT tok_a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM c2
+            GROUP BY tok_a
+        ),
+        v AS (SELECT count(DISTINCT tok) AS v FROM tokpos)
+        SELECT doc_bi.doc_id,
+               CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+               ROUND(
+                   SUM(ROUND(ln(((n_a + v.v)::DOUBLE) / ((n_ab + 1)::DOUBLE)),
+                             6)::DECIMAL(18,6) * n_occ)::DOUBLE
+                   / SUM(n_occ), 6) AS avg_nll
+        FROM doc_bi
+        JOIN c2 USING (tok_a, tok_b)
+        JOIN c1 USING (tok_a)
+        CROSS JOIN v
+        GROUP BY doc_bi.doc_id
+    """,
+    tags=("text", "quality", "language-model", "perplexity", "extension"),
+)
+def doc_lm_perplexity(spark, sf_dir):
+    """Per-document bigram-LM quality score
+    (operators/corpus_stats.py::bigram_lm_scores): an add-1-smoothed
+    bigram model fit on the corpus itself scores every document by
+    average negative log-likelihood — the CCNet/Gopher-style perplexity
+    filter a training pipeline runs before sampling. Counts are exact
+    integers, each −ln P is one log of one integer-ratio double rounded
+    to 6 before a DECIMAL-exact weighted sum, so the cross-engine hash
+    gate certifies the model's probabilities, not just row counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CS.bigram_lm_scores(docs)

@@ -138,3 +138,28 @@ def test_source_lang_entropy_hand_math(spark):
     # s1: {en:2, de:1} → H = ln3 − (2ln2)/3; s2: single lang → 0
     assert abs(rows["s1"] - (math.log(3) - 2 * math.log(2) / 3)) < 1e-12
     assert abs(rows["s2"]) < 1e-12
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-1 bigram LM on a 3-doc corpus, checked against hand-computed
+    probabilities (V=3; C(a,·) counts prefix occurrences)."""
+    import math
+
+    from crawl_streams_spark.operators.corpus_stats import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in bigram_lm_scores(docs).collect()
+    }
+    # corpus bigrams: doc1: (a,b),(b,a),(a,b)  doc2: (a,b),(b,c)
+    # C2: (a,b)=3 (b,a)=1 (b,c)=1 ; C1: a=3, b=2 ; V=3
+    def nll(n_a, n_ab):
+        return round(math.log((n_a + 3) / (n_ab + 1)), 6)
+
+    d1 = round((2 * nll(3, 3) + 1 * nll(2, 1)) / 3, 6)
+    d2 = round((nll(3, 3) + nll(2, 1)) / 2, 6)
+    assert got == {1: (3, d1), 2: (2, d2)}  # doc 3: single token, excluded

@@ -43,6 +43,7 @@ def test_round_changed_queries_in_window():
         "embedding_density_dedup",
         "orders_scd2_incremental",
         "media_jpeg_features",
+        "doc_lm_perplexity",
         # round-5-changed implementations
         "host_graph_kcore",  # value-oracled via unrolled 40-round peel
         "host_graph_distances",  # bfs fixed-point-at-cap re-check
@@ -100,6 +101,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 155 registered queries as of round 5; update deliberately when
+    # 156 registered queries as of round 5; update deliberately when
     # adding.
-    assert len(REGISTRY) >= 155
+    assert len(REGISTRY) >= 156
