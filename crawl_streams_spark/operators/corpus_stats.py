@@ -266,10 +266,15 @@ def bigram_lm_scores(
     two tokens are excluded (no bigram evidence).
 
     P(b|a) = (C(a,b) + 1) / (C(a,·) + V), all counts corpus-wide
-    integers, V = distinct-token count. Cross-engine float discipline
-    (the bigram_pmi recipe): each bigram's −ln P is one log of one exact
-    integer-ratio double, ROUNDED to 6 before a DECIMAL-exact sum, so
-    the oracle's hash matches bit-for-bit.
+    integers, V = distinct-token count. Cross-engine float discipline:
+    each bigram's −ln P is quantized to INTEGER micro-nats via
+    ``floor(x·10⁶ + 0.5)`` — floor of two doubles that agree to the last
+    ulp is deterministic to ~10⁻⁹ boundary odds per term, whereas
+    ``ROUND(x, 6)`` diverges between engines near .5 boundaries (Spark
+    rounds the exact BigDecimal, DuckDB rounds a scaled double —
+    measured 2/5000 docs flipped at sf0.1). Sums are then exact BIGINTs
+    and the final average is a division of identical exact-integer
+    doubles — bit-identical in both engines with no rounding step.
 
     Scale: the per-doc bigram explode is linear in token count; count
     relations are vocabulary-sized (Zipf-bounded, shrink under AQE to
@@ -301,13 +306,14 @@ def bigram_lm_scores(
         df.select(F.explode(T.tokens(content)).alias("t"))
         .agg(F.count_distinct("t").alias("v"))
     )
-    nll = F.round(
+    nll_micro = F.floor(
         F.log(
             (F.col("n_a") + F.col("v")).cast("double")
             / (F.col("n_ab") + 1).cast("double")
-        ),
-        6,
-    )
+        )
+        * 1_000_000.0
+        + 0.5
+    ).cast("bigint")
     scored = (
         doc_bi.join(c2, ["tok_a", "tok_b"])
         .join(c1, "tok_a")
@@ -315,12 +321,14 @@ def bigram_lm_scores(
         .select(
             F.col(key),
             F.col("n_occ"),
-            (nll.cast("decimal(18,6)") * F.col("n_occ")).alias("__nll"),
+            (nll_micro * F.col("n_occ")).alias("__nll_micro"),
         )
     )
     return scored.groupBy(key).agg(
         F.sum("n_occ").alias("n_bigrams"),
-        F.round(
-            F.sum("__nll").cast("double") / F.sum("n_occ"), 6
+        (
+            F.sum("__nll_micro").cast("double")
+            / F.sum("n_occ")
+            / F.lit(1_000_000.0)
         ).alias("avg_nll"),
     )

@@ -56,12 +56,24 @@ def window_funnel(
     Scale: filter to step types (pushed to the scan), ONE exchange on
     ``user_col``, per-user sort inside collect_list+array_sort, then a
     constant-size-accumulator fold — no window over unbounded frames, no
-    Python. Skewed users cost O(their events), not O(events²)."""
+    Python. Skewed users cost O(their events), not O(events²).
+
+    ``tiebreak_col`` must cast to LONG (a numeric event id); a
+    non-numeric id would cast to NULL and collapse the equal-timestamp
+    ordering."""
     k = len(steps)
     if k < 2:
         raise ValueError("steps must name at least 2 ordered event types")
     if len(set(steps)) != k:
         raise ValueError("steps must be distinct event types")
+    tb_type = dict(df.dtypes).get(tiebreak_col, "")
+    if not (tb_type.startswith(("int", "bigint", "smallint", "tinyint"))
+            or tb_type in ("long", "short", "byte")):
+        raise ValueError(
+            f"tiebreak_col {tiebreak_col!r} must be an integer column "
+            f"(got {tb_type or 'missing'}): a non-numeric id casts to "
+            "NULL and collapses the equal-timestamp ordering"
+        )
     step_map = F.create_map(
         *[F.lit(x) for i, s in enumerate(steps) for x in (s, i + 1)]
     )

@@ -42,15 +42,19 @@ def pin(
     r4: re-setting per call raced concurrent kernels)."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if _CHECKPOINT_DIRS.get(id(sc)) != checkpoint_dir:
+        # keyed by applicationId, not id(sc): a stopped context's memory
+        # address can be reused by its successor, which would silently
+        # skip the setCheckpointDir call on the fresh context
+        key = sc.applicationId
+        if _CHECKPOINT_DIRS.get(key) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
-            _CHECKPOINT_DIRS[id(sc)] = checkpoint_dir
+            _CHECKPOINT_DIRS[key] = checkpoint_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
 
-#: Last checkpoint_dir set via pin(), per SparkContext — avoids mutating
-#: session-global state on every call.
+#: Last checkpoint_dir set via pin(), per SparkContext applicationId —
+#: avoids mutating session-global state on every call.
 _CHECKPOINT_DIRS: dict = {}
 
 

@@ -89,12 +89,17 @@ class _BitReader:
         self.pos = 0
         self.buf = 0
         self.n = 0
+        #: a well-formed scan never needs a byte past the segment end
+        #: (padding bits live inside the final byte), so reading past it
+        #: means the stream was truncated — flagged here, raised by the
+        #: MCU loop rather than silently decoding 1-padding as data
+        self.overrun = False
 
     def bit(self) -> int:
         if self.n == 0:
             if self.pos >= len(self.data):
-                # past the end: T.81 pads with 1-bits
-                return 1
+                self.overrun = True
+                return 1  # T.81 pad bits
             self.buf = self.data[self.pos]
             self.pos += 1
             self.n = 8
@@ -311,6 +316,10 @@ def _decode_scan(frame, sel, qtables, huff, segs, restart=0):
                     )
                     blocks[comp["id"]].append(zz)
             mcu_done += 1
+        if br.overrun:
+            raise JpegError(
+                f"truncated scan data after {mcu_done}/{n_mcu} MCUs"
+            )
     if mcu_done < n_mcu:
         raise JpegError(
             f"truncated scan: {mcu_done}/{n_mcu} MCUs decoded"

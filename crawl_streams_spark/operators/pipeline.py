@@ -333,8 +333,10 @@ def _order_buckets(
         )
     bounds = sorted({b for b in bounds if b == b})  # drop NaN, dedupe
     part = df.withColumn("__gr_v", v)
-    if bounds:
-        vcol = F.col("__gr_v")
+    vcol = F.col("__gr_v")
+    if not bounds:  # empty input or constant leading key: one bucket
+        part = part.withColumn("__gb", F.lit(0))
+    elif len(bounds) <= 256:
         # STATIC sum of per-boundary predicates, not an F.aggregate HOF
         # over an array literal: higher-order functions evaluate
         # interpreted (outside whole-stage codegen) per row — measured
@@ -349,8 +351,22 @@ def _order_buckets(
         for t in terms[1:]:
             acc = acc + t
         part = part.withColumn("__gb", acc)
-    else:  # empty input or constant leading key: one bucket
-        part = part.withColumn("__gb", F.lit(0))
+    else:
+        # very wide bucket counts: a thousands-term chain risks the JVM
+        # method-size limit (codegen would fall back to interpreting the
+        # WHOLE projection); the HOF form stays interpreted per row but
+        # bounded, and at that scale the shuffle dominates anyway
+        part = part.withColumn(
+            "__gb",
+            F.aggregate(
+                F.lit(bounds),
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(
+                    (vcol > b) if first_asc else (vcol < b), 1
+                ).otherwise(0),
+            ),
+        )
     return part.drop("__gr_v")
 
 

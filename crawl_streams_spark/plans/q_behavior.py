@@ -476,14 +476,14 @@ def purchase_attribution(spark, sf_dir):
             GROUP BY user_id HAVING COUNT(*) >= 2
         )
         SELECT user_id, n_gaps,
-               ROUND(sum_us::DOUBLE / n_gaps / 1000000.0, 6) AS mean_gap_s,
-               ROUND(sqrt((sumsq_us::DOUBLE
-                           - sum_us::DOUBLE * sum_us::DOUBLE / n_gaps)
-                          / (n_gaps - 1)) / 1000000.0, 6) AS std_gap_s,
-               ROUND(sqrt((sumsq_us::DOUBLE
-                           - sum_us::DOUBLE * sum_us::DOUBLE / n_gaps)
-                          / (n_gaps - 1))
-                     / nullif(sum_us::DOUBLE / n_gaps, 0.0), 6) AS cv
+               sum_us::DOUBLE / n_gaps / 1000000.0 AS mean_gap_s,
+               sqrt((sumsq_us::DOUBLE
+                     - sum_us::DOUBLE * sum_us::DOUBLE / n_gaps)
+                    / (n_gaps - 1)) / 1000000.0 AS std_gap_s,
+               sqrt((sumsq_us::DOUBLE
+                     - sum_us::DOUBLE * sum_us::DOUBLE / n_gaps)
+                    / (n_gaps - 1))
+                   / nullif(sum_us::DOUBLE / n_gaps, 0.0) AS cv
         FROM s
     """,
     tags=("behavior", "timeseries", "burstiness", "extension"),
@@ -524,12 +524,18 @@ def user_interarrival_stats(spark, sf_dir):
     n = F.col("n_gaps")
     mean_us = sum_d / n
     std_us = F.sqrt((sumsq_d - sum_d * sum_d / n) / (n - 1))
+    # NO final ROUND: both engines derive these doubles from IDENTICAL
+    # exact-decimal operands through the same expression tree, so the
+    # raw doubles are bit-identical — while ROUND itself is the one step
+    # whose implementations diverge near .5 boundaries (Spark rounds the
+    # exact BigDecimal, DuckDB a scaled double; measured 1/1500 rows
+    # flipped at sf0.1).
     return s.select(
         "user_id",
         "n_gaps",
-        F.round(sum_d / n / 1000000.0, 6).alias("mean_gap_s"),
-        F.round(std_us / 1000000.0, 6).alias("std_gap_s"),
-        F.round(std_us / F.nullif(mean_us, F.lit(0.0)), 6).alias("cv"),
+        (sum_d / n / 1000000.0).alias("mean_gap_s"),
+        (std_us / 1000000.0).alias("std_gap_s"),
+        (std_us / F.nullif(mean_us, F.lit(0.0))).alias("cv"),
     )
 
 

@@ -297,10 +297,9 @@ def source_lang_entropy(spark, sf_dir):
         v AS (SELECT count(DISTINCT tok) AS v FROM tokpos)
         SELECT doc_bi.doc_id,
                CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
-               ROUND(
-                   SUM(ROUND(ln(((n_a + v.v)::DOUBLE) / ((n_ab + 1)::DOUBLE)),
-                             6)::DECIMAL(18,6) * n_occ)::DOUBLE
-                   / SUM(n_occ), 6) AS avg_nll
+               SUM(CAST(FLOOR(ln(((n_a + v.v)::DOUBLE) / ((n_ab + 1)::DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) * n_occ)::DOUBLE
+                   / SUM(n_occ) / 1000000.0 AS avg_nll
         FROM doc_bi
         JOIN c2 USING (tok_a, tok_b)
         JOIN c1 USING (tok_a)
@@ -315,8 +314,11 @@ def doc_lm_perplexity(spark, sf_dir):
     bigram model fit on the corpus itself scores every document by
     average negative log-likelihood — the CCNet/Gopher-style perplexity
     filter a training pipeline runs before sampling. Counts are exact
-    integers, each −ln P is one log of one integer-ratio double rounded
-    to 6 before a DECIMAL-exact weighted sum, so the cross-engine hash
-    gate certifies the model's probabilities, not just row counts."""
+    integers; each −ln P quantizes to integer micro-nats via
+    floor(x·10⁶+0.5) (ROUND(x, 6) diverges between engines near .5
+    boundaries — Spark rounds the exact BigDecimal, DuckDB a scaled
+    double), sums stay BIGINT-exact and the final average divides
+    identical exact-integer doubles, so the cross-engine hash gate
+    certifies the model's probabilities, not just row counts."""
     docs = load_table(spark, sf_dir, "documents")
     return CS.bigram_lm_scores(docs)

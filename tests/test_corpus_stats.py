@@ -157,9 +157,10 @@ def test_bigram_lm_scores_hand_computed(spark):
     }
     # corpus bigrams: doc1: (a,b),(b,a),(a,b)  doc2: (a,b),(b,c)
     # C2: (a,b)=3 (b,a)=1 (b,c)=1 ; C1: a=3, b=2 ; V=3
-    def nll(n_a, n_ab):
-        return round(math.log((n_a + 3) / (n_ab + 1)), 6)
+    def nll_micro(n_a, n_ab):
+        # integer micro-nats: floor(ln(P^-1)*1e6 + 0.5)
+        return math.floor(math.log((n_a + 3) / (n_ab + 1)) * 1e6 + 0.5)
 
-    d1 = round((2 * nll(3, 3) + 1 * nll(2, 1)) / 3, 6)
-    d2 = round((nll(3, 3) + nll(2, 1)) / 2, 6)
+    d1 = (2 * nll_micro(3, 3) + 1 * nll_micro(2, 1)) / 3 / 1e6
+    d2 = (nll_micro(3, 3) + nll_micro(2, 1)) / 2 / 1e6
     assert got == {1: (3, d1), 2: (2, d2)}  # doc 3: single token, excluded

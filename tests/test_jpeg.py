@@ -161,3 +161,17 @@ def test_decode_jpeg_features_stage(spark):
     assert got[1]["mean_luma"] == 99.0 and got[1]["error"] is None
     assert got[2]["error"] == "null payload"
     assert "SOI" in got[3]["error"]
+
+
+def test_truncation_inside_scan_data_raises():
+    """Cutting INSIDE the entropy-coded scan (markers intact up to the
+    cut) must raise, not silently decode 1-padding as image data."""
+    good = gray_jpeg(64, 64, 90)
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    cut = good[: sos + 20]  # header + a sliver of scan data
+    # either detection path is a correct rejection: the 1-padding decodes
+    # into an invalid Huffman code, or the overrun flag fires at the next
+    # MCU boundary
+    with pytest.raises(JpegError, match="truncated|invalid Huffman"):
+        decode_jpeg(cut)

@@ -398,3 +398,21 @@ def test_global_rank_null_desc_leading_key(spark):
         for r in P.global_rank(df, ["w", "id"], num_partitions=4).collect()
     }
     assert got_asc == ref_asc
+
+
+def test_global_rank_wide_bucket_fallback_matches(spark):
+    """> 256 boundaries routes through the bounded HOF form (codegen
+    method-size guard); values must match the static-chain path."""
+    data = [(i, float(i % 977)) for i in range(3000)]
+    df = spark.createDataFrame(data, "id bigint, w double")
+    ref = {
+        i: rk + 1
+        for rk, (i, _) in enumerate(sorted(data, key=lambda t: (t[1], t[0])))
+    }
+    got = {
+        r["id"]: r["rank"]
+        for r in P.global_rank(
+            df, ["w", "id"], num_partitions=400
+        ).collect()
+    }
+    assert got == ref

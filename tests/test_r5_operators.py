@@ -170,3 +170,159 @@ def test_scd2_merge_is_replay_idempotent(spark):
     once = D.scd2_merge(hist, v2, new_version=2, key_cols=["k"])
     twice = D.scd2_merge(once, v2, new_version=2, key_cols=["k"])
     assert _hist_set(once) == _hist_set(twice)
+
+
+def test_window_funnel_matches_bruteforce_on_random_streams(spark):
+    """Property: the greedy latest-start DP equals brute-force
+    enumeration of ordered chains on random event streams (many users,
+    duplicate timestamps, all orderings)."""
+    import itertools
+    import random
+
+    rng = random.Random(17)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    eid = 0
+    for uid in range(40):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rows.append(
+                (uid, eid, rng.randint(0, 50), rng.choice(types))
+            )
+    window_s = 20
+
+    def brute(events):
+        # events: list of (t, eid, type) for one user, any order
+        evs = sorted(
+            ((t, e, ty) for _, e, t, ty in events),
+            key=lambda x: (x[0], x[1]),
+        )
+        best = 1 if any(ty == "view" for _, _, ty in evs) else 0
+        for k, want in ((2, ("view", "click")),
+                        (3, ("view", "click", "purchase"))):
+            for combo in itertools.combinations(range(len(evs)), k):
+                if all(evs[i][2] == want[j] for j, i in enumerate(combo)):
+                    if evs[combo[-1]][0] - evs[combo[0]][0] <= window_s:
+                        best = max(best, k)
+        return best
+
+    expected = {}
+    for uid in {r[0] for r in rows}:
+        ue = [r for r in rows if r[0] == uid]
+        if any(r[3] in ("view", "click", "purchase") for r in ue):
+            expected[uid] = brute(
+                [r for r in ue if r[3] in ("view", "click", "purchase")]
+            )
+    got = _levels(spark, rows, window_s)
+    assert got == expected
+
+
+def test_scd2_merge_matches_batch_on_random_stacks(spark):
+    """Property: chaining scd2_merge over versions 2..V equals one
+    scd2_compress over the whole stack, on random add/change/delete
+    histories."""
+    import random
+
+    rng = random.Random(23)
+    keys = list(range(12))
+    stack = []
+    alive = {k: f"v{rng.randint(0, 3)}" for k in keys[:8]}
+    for ver in range(1, 5):
+        for k, val in alive.items():
+            stack.append((ver, k, val))
+        # mutate for next version: change / delete / (re)add
+        for k in list(alive):
+            r = rng.random()
+            if r < 0.25:
+                alive[k] = f"v{rng.randint(0, 3)}"
+            elif r < 0.4:
+                del alive[k]
+        for k in keys:
+            if k not in alive and rng.random() < 0.2:
+                alive[k] = f"v{rng.randint(0, 3)}"
+    snaps = _snaps(spark, stack)
+    batch = D.scd2_compress(snaps, key_cols=["k"], version_col="version")
+    hist = D.scd2_compress(
+        snaps.filter(F.col("version") == 1),
+        key_cols=["k"],
+        version_col="version",
+    )
+    for ver in (2, 3, 4):
+        hist = D.scd2_merge(
+            hist,
+            snaps.filter(F.col("version") == ver).drop("version"),
+            new_version=ver,
+            key_cols=["k"],
+        )
+    assert _hist_set(hist) == _hist_set(batch)
+
+
+def test_scd2_merge_maintains_history_under_streaming(spark, tmp_path):
+    """foreachBatch incremental maintenance: each micro-batch (one full
+    snapshot) advances a parquet-backed SCD2 history via scd2_merge; the
+    final table equals one batch scd2_compress over every version — the
+    streaming maintained-dimension pattern."""
+    import json
+    import time
+
+    src = tmp_path / "in"
+    src.mkdir()
+    versions = {
+        2: [(1, "a2"), (3, "c")],
+        3: [(1, "a2"), (3, "c3"), (4, "d")],
+        4: [(3, "c3"), (4, "d")],
+    }
+    v1 = [(1, "a"), (2, "b")]
+    all_rows = [(1, k, val) for k, val in v1] + [
+        (ver, k, val) for ver, rows in versions.items() for k, val in rows
+    ]
+    snaps_all = spark.createDataFrame(
+        all_rows, "version bigint, k bigint, val string"
+    )
+    batch = D.scd2_compress(snaps_all, key_cols=["k"], version_col="version")
+
+    hist_dir = {"cur": str(tmp_path / "hist_v1")}
+    D.scd2_compress(
+        spark.createDataFrame(
+            [(1, k, val) for k, val in v1],
+            "version bigint, k bigint, val string",
+        ),
+        key_cols=["k"],
+        version_col="version",
+    ).write.parquet(hist_dir["cur"])
+
+    for i, ver in enumerate(sorted(versions)):
+        with open(src / f"snap_{ver}.jsonl", "w") as f:
+            for k, val in versions[ver]:
+                f.write(json.dumps({"version": ver, "k": k, "val": val}) + "\n")
+        time.sleep(0.05)  # distinct mtimes: file-source batch ordering
+
+    stream = (
+        spark.readStream.schema("version bigint, k bigint, val string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def advance(bdf, batch_id):
+        vers = sorted(r["version"] for r in bdf.select("version").distinct().collect())
+        hist = bdf.sparkSession.read.parquet(hist_dir["cur"])
+        for ver in vers:  # one file per trigger => normally a single version
+            hist = D.scd2_merge(
+                hist,
+                bdf.filter(F.col("version") == ver).drop("version"),
+                new_version=ver,
+                key_cols=["k"],
+            )
+        out = str(tmp_path / f"hist_b{batch_id}")
+        hist.write.parquet(out)
+        hist_dir["cur"] = out
+
+    q = (
+        stream.writeStream.foreachBatch(advance)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(hist_dir["cur"])
+    assert _hist_set(final.select(*batch.columns)) == _hist_set(batch)
