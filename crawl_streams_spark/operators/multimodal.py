@@ -328,14 +328,25 @@ def _wav_decode_impl():
             n_samples = x.size // n_ch if n_ch else 0
             if n_samples == 0:
                 return (rate, n_ch, bits, 0, 0.0, 0.0, 0.0, 0.0), None
-            xf = x.astype(np.float64) / 32768.0
-            rms = float(np.sqrt(np.mean(xf * xf)))
-            peak = float(np.max(np.abs(xf)))
-            clip = float(np.mean((x == 32767) | (x == -32768)))
+            # energy features from EXACT integer sufficient statistics,
+            # no rounding step: every double below derives from exact
+            # int64 sums through one fixed expression, so a SQL oracle
+            # that regenerates the samples reproduces them bit-for-bit
+            # (the round-free float discipline — ROUND itself diverges
+            # between engines near .5 boundaries)
+            xi = x.astype(np.int64)
+            n = int(xi.size)
+            import math
+
+            sumsq = int(np.sum(xi * xi))
+            peak_i = int(np.max(np.abs(xi)))
+            clip_n = int(np.sum((x == 32767) | (x == -32768)))
+            rms = math.sqrt(sumsq / n) / 32768.0
+            peak = peak_i / 32768.0
+            clip = clip_n / n
             dur = 1000.0 * n_samples / rate if rate else 0.0
             return (
-                rate, n_ch, bits, int(n_samples), round(dur, 3),
-                round(rms, 6), round(peak, 6), round(clip, 6),
+                rate, n_ch, bits, int(n_samples), dur, rms, peak, clip,
             ), None
         except Exception as e:  # malformed chunk arithmetic etc.
             return None, f"parse error: {e}"

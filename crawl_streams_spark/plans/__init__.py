@@ -117,7 +117,7 @@ PRIORITY: tuple[str, ...] = (
     "nation_product_profit",  # q_tpch2, r2
     "discount_revenue_forecast",  # q_tpch3, r2
     "doc_lm_perplexity",  # q_corpus — NEW r5 (family rep; doc_unigram_freq r3 verdict holds to round 7)
-    "snapshot_diff_summary",  # q_diff, r3
+    "media_wav_features",  # q_crawl — r5-changed (round-free exact-integer decode, NEW analytic value oracle); snapshot_diff_summary r3 verdict holds to round 7
     "concurrent_sessions",  # q_interval, r3
     "user_sessions",  # q_sessions, r3 — also the r4 bench-regression watch
     "cms_token_estimates",  # q_sketch, r3

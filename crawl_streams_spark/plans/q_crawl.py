@@ -345,19 +345,46 @@ def url_canonicalization(spark, sf_dir):
 
 @query(
     "media_wav_features",
-    oracle=None,  # real binary decode (RIFF/PCM16 parse + numpy energy
-    # math over mapInPandas) is not SQL-expressible — rows-only check;
-    # the decode kernel is golden-tested against known signals in
-    # tests/test_multimodal.py (sine RMS, clipping, stereo framing).
-    tags=("multimodal", "audio", "rows-only", "extension"),
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 131 + i.i * 97) % 65536) - 32768 AS x
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 400)) AS i) i
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(x * x)::BIGINT AS sumsq,
+                   MAX(ABS(x))::BIGINT AS peak_i,
+                   SUM(CASE WHEN x = 32767 OR x = -32768
+                            THEN 1 ELSE 0 END)::BIGINT AS clip_n
+            FROM s GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               1::INTEGER AS n_channels,
+               16::INTEGER AS bits,
+               400::INTEGER AS n_samples,
+               (1000.0::DOUBLE * 400 / 8000)::FLOAT AS duration_ms,
+               (sqrt(sumsq::DOUBLE / 400) / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / 400)::FLOAT AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "audio", "extension"),
 )
 def media_wav_features(spark, sf_dir):
-    """REAL audio decode end to end: deterministic PCM16 WAV payloads are
-    synthesized per document (id-seeded sawtooth, one Arrow-batched
-    builder stage), then operators/multimodal.py::decode_wav parses the
-    RIFF container and extracts energy features — an actual media decode
-    running in the sandbox, not the codec-gated stub (those remain for
-    compressed formats)."""
+    """REAL audio decode end to end, under the VALUE gate: deterministic
+    PCM16 WAV payloads are synthesized per document (id-seeded sawtooth,
+    one Arrow-batched builder stage), then
+    operators/multimodal.py::decode_wav parses the RIFF container and
+    extracts energy features. The oracle is ANALYTIC (the
+    media_jpeg_features trick): it regenerates the same integer samples
+    in SQL and computes RMS/peak/clip from the same exact int64
+    sufficient statistics through the same round-free expression tree,
+    so the hash gate certifies the PCM parse and the energy math
+    bit-for-bit."""
     from ..operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

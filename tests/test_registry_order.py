@@ -44,6 +44,7 @@ def test_round_changed_queries_in_window():
         "orders_scd2_incremental",
         "media_jpeg_features",
         "doc_lm_perplexity",
+        "media_wav_features",  # round-free decode + analytic oracle
         # round-5-changed implementations
         "host_graph_kcore",  # value-oracled via unrolled 40-round peel
         "host_graph_distances",  # bfs fixed-point-at-cap re-check
