@@ -94,6 +94,86 @@ def estimate_band_pairs(
     return est / (sample_fraction**2)
 
 
+def _lsh_pipeline(
+    content: str,
+    key: str,
+    num_hashes: int,
+    bands: int,
+    shingle_words: int,
+    hash_impl: str,
+):
+    """(shingled, banded) DataFrame builders — the ONE definition of the
+    tokenize → shingle → minhash → band pipeline, shared by the
+    candidate join, the sampled pair estimate, and the oracle-gated
+    query (plans/q_dedup.py reuses these instead of re-implementing the
+    recipe, so a banding change cannot silently diverge between the
+    operator's broadcast decision and the query's)."""
+    rows_per_band = num_hashes // bands
+    base31, bkeys = _hash_fns(hash_impl)
+
+    def shingled(src: DataFrame) -> DataFrame:
+        # tokens staged through a named column: shingles_from_tokens
+        # references them twice, and HOFs get no subexpression
+        # elimination (ROUNDLOG lesson 1)
+        return src.select(
+            F.col(key), T.tokens(F.col(content)).alias("__toks")
+        ).select(
+            F.col(key),
+            T.shingles_from_tokens(
+                F.col("__toks"), shingle_words
+            ).alias("shingles"),
+        )
+
+    def banded(shdf: DataFrame) -> DataFrame:
+        return (
+            shdf.select(key, base31(F.col("shingles")).alias("h31"))
+            .select(
+                key,
+                H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"),
+            )
+            .select(
+                key,
+                F.explode(
+                    bkeys(F.col("sig"), bands, rows_per_band)
+                ).alias("bk"),
+            )
+            .select(
+                key,
+                F.col("bk.band").alias("band"),
+                F.col("bk.band_hash").alias("band_hash"),
+            )
+        )
+
+    return shingled, banded
+
+
+def estimate_lsh_candidates(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_words: int = 3,
+    hash_impl: str = "xxhash64",
+    fraction: float = 0.1,
+    seed: int = 7,
+) -> float:
+    """Estimated LSH candidate-pair count for a corpus, from a doc
+    sample taken UPSTREAM of signature computation (ADVICE r4): the
+    sizing job shingles/minhashes only ~``fraction`` of the corpus, and
+    pair survival stays p² (a band collision survives iff both docs do),
+    so ``estimate_band_pairs``'s 1/p² scale-back is unchanged. NOTE:
+    runs a Spark job NOW."""
+    shingled, banded = _lsh_pipeline(
+        content, key, num_hashes, bands, shingle_words, hash_impl
+    )
+    return estimate_band_pairs(
+        banded(shingled(df.sample(fraction=fraction, seed=seed))),
+        sample_fraction=fraction,
+        presampled=True,
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     content: str = "text",
@@ -140,35 +220,9 @@ def minhash_lsh_candidates(
             "a floored rows_per_band would silently drop trailing signature "
             "hashes and weaken recall"
         )
-    rows_per_band = num_hashes // bands
-    base31, bkeys = _hash_fns(hash_impl)
-
-    def _shingled(src: DataFrame) -> DataFrame:
-        return src.select(
-            F.col(key),
-            T.word_shingles(F.col(content), shingle_words).alias("shingles"),
-        )
-
-    def _banded(shdf: DataFrame) -> DataFrame:
-        return (
-            shdf.select(key, base31(F.col("shingles")).alias("h31"))
-            .select(
-                key,
-                H.minhash_from_hashes(F.col("h31"), num_hashes).alias("sig"),
-            )
-            .select(
-                key,
-                F.explode(
-                    bkeys(F.col("sig"), bands, rows_per_band)
-                ).alias("bk"),
-            )
-            .select(
-                key,
-                F.col("bk.band").alias("band"),
-                F.col("bk.band_hash").alias("band_hash"),
-            )
-        )
-
+    _shingled, _banded = _lsh_pipeline(
+        content, key, num_hashes, bands, shingle_words, hash_impl
+    )
     sh = _shingled(df)
     bandsdf = _banded(sh)
     # merge-hint both sides: identical subtrees shuffle on the same keys and
@@ -188,17 +242,10 @@ def minhash_lsh_candidates(
     sa = sh.select(F.col(key).alias("key_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(key).alias("key_b"), F.col("shingles").alias("sh_b"))
     if verify_join == "auto":
-        # doc-sample UPSTREAM of signature computation (ADVICE r4): the
-        # estimate job shingles/minhashes only the ~10% sample instead of
-        # the full corpus; pair survival is still p² (a band collision
-        # survives iff both docs do), so the 1/p² scale-back is unchanged
-        frac = 0.1
-        sampled_bands = _banded(
-            _shingled(df.sample(fraction=frac, seed=7))
-        )
         use_broadcast = (
-            estimate_band_pairs(
-                sampled_bands, sample_fraction=frac, presampled=True
+            estimate_lsh_candidates(
+                df, content, key, num_hashes, bands, shingle_words,
+                hash_impl,
             )
             <= max_broadcast_pairs
         )

@@ -231,9 +231,14 @@ def scd2_merge(
     # Closed rows simply fail the condition and surface as hist-only
     # rows; snapshot keys whose history is all-closed surface as
     # snap-only rows and open fresh runs, exactly as required.
+    # eqNullSafe, not ==: scd2_compress groups NULL keys into one run
+    # (Window.partitionBy treats NULL as a value), so the merge must
+    # match them too — plain equality would close-and-reopen a NULL-key
+    # run on every merge, breaking incremental == batch and replay
+    # idempotence.
     cond = F.col("is_current")
     for c in key_cols:
-        cond = cond & (F.col(c) == F.col(f"__s_{c}"))
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__s_{c}"))
     j = hist.join(snap, cond, "full_outer")
     in_hist = F.col("__dh").isNotNull()
     in_snap = F.col("__ds").isNotNull()

@@ -42,20 +42,21 @@ def pin(
     r4: re-setting per call raced concurrent kernels)."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        # keyed by applicationId, not id(sc): a stopped context's memory
-        # address can be reused by its successor, which would silently
-        # skip the setCheckpointDir call on the fresh context
-        key = sc.applicationId
-        if _CHECKPOINT_DIRS.get(key) != checkpoint_dir:
+        # Authoritative check against the JVM, not a Python-side memo (a
+        # memo goes stale the moment anything else calls
+        # setCheckpointDir, silently landing checkpoints in the wrong
+        # directory). setCheckpointDir stores <qualified dir>/<UUID>, so
+        # "already pointing at our dir" means the stored path's PARENT
+        # ends with the requested path.
+        opt = sc._jsc.sc().getCheckpointDir()
+        current = opt.get() if opt.isDefined() else None
+        tail = checkpoint_dir.rstrip("/").lstrip("/")
+        if current is None or not current.rstrip("/").rsplit("/", 1)[
+            0
+        ].endswith(tail):
             sc.setCheckpointDir(checkpoint_dir)
-            _CHECKPOINT_DIRS[key] = checkpoint_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
-
-
-#: Last checkpoint_dir set via pin(), per SparkContext applicationId —
-#: avoids mutating session-global state on every call.
-_CHECKPOINT_DIRS: dict = {}
 
 
 def check_converged(

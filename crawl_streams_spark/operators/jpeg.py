@@ -209,6 +209,13 @@ def _decode(payload: bytes) -> np.ndarray:
     while i < n:
         if payload[i] != 0xFF:
             raise JpegError(f"expected marker at offset {i}")
+        # optional 0xFF fill bytes may pad before any marker (T.81
+        # B.1.1.2) — skip them or the next real marker byte would be
+        # misread as a segment length
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n:
+            raise JpegError("truncated marker")
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI

@@ -759,6 +759,7 @@ def density_dedup_flags(
     sim_col: str = "cos_sim",
     a_col: str = "vec_a",
     b_col: str = "vec_b",
+    pin_pairs: bool = True,
 ) -> DataFrame:
     """Density-ranked near-duplicate flags (the HDBSCAN-exemplar idea
     applied to dedup): each point's DENSITY is its neighbor count in
@@ -776,9 +777,16 @@ def density_dedup_flags(
     (id) rows; the victim rule joins ``pairs`` to the id-keyed density
     relation twice and never touches vectors — pair generation (the
     quadratic risk) stays in the caller's bucketed kernels
-    (semantic_dedup_pairs, minhash_lsh_candidates)."""
-    # explode, not a two-select union: one reference to `pairs`, so the
-    # (possibly expensive) pair kernel isn't re-derived per endpoint
+    (semantic_dedup_pairs, minhash_lsh_candidates).
+
+    ``pin_pairs`` (default True): the flag chain consumes ``pairs``
+    twice (density counts, then the dup-threshold victim rule), which
+    would re-derive an expensive pair kernel per consumer —
+    localCheckpoint materializes it once (lineage cut, the iterate.pin
+    trade; pass False to keep the input fully lazy, e.g. when ``pairs``
+    is already a materialized table)."""
+    if pin_pairs:
+        pairs = pairs.localCheckpoint(eager=False)
     inc = pairs.select(
         F.explode(F.array(F.col(a_col), F.col(b_col))).alias("__v")
     )

@@ -173,116 +173,40 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     Jaccard ≥ 0.3. The LSH join replaces the O(n²) all-pairs scan — the
     100 TB path.
 
-    The band self-join carries only (doc_id, band, band_hash) — a few
-    dozen bytes per row; shingle arrays rejoin by doc_id for the
-    (vanishingly small) candidate set only. Shuffling the arrays through
-    the LSH join instead multiplies shuffle volume by the document size —
-    measured 2.5× slower at sf0.1 and fatal at 100 TB."""
+    A thin wrapper over operators/dedup.py::minhash_lsh_candidates with
+    ``hash_impl="md5"`` (the oracle-replayable hash family) — the
+    tokenize/shingle/minhash/band recipe, the slim band self-join, the
+    guarded broadcast-vs-shuffle verify, and the doc-sampled pair
+    estimate all live in ONE place (``_lsh_pipeline``), so the query
+    cannot drift from the operator. The broadcast decision is memoized
+    per input dir (deterministic seeded sample), so repeat builds skip
+    the sizing job; shingle arrays never ride the ×bands explode or the
+    self-join exchange (measured 2.5× slower carried through, fatal at
+    100 TB)."""
+    from ..operators import dedup as DD
+
     raw = load_table(spark, sf_dir, "documents")
-
-    def _shingled(src):
-        return src.select(
-            "doc_id", T.tokens("text").alias("toks")
-        ).select(
-            "doc_id",
-            T.shingles_from_tokens(F.col("toks"), 3).alias("shingles"),
-        )
-
-    docs = _shingled(raw)
-    def _banded(src):
-        return (
-            src.select(
-                "doc_id", H.shingle_hashes31(F.col("shingles")).alias("h31")
-            )
-            .select(
-                "doc_id",
-                H.minhash_from_hashes(F.col("h31"), _NUM_HASHES).alias("sig"),
-            )
-            .select(
-                "doc_id",
-                F.explode(
-                    H.band_keys(F.col("sig"), _BANDS, _ROWS_PER_BAND)
-                ).alias("bk"),
-            )
-            .select(
-                "doc_id",
-                F.col("bk.band").alias("band"),
-                F.col("bk.band_hash").alias("band_hash"),
-            )
-        )
-
-    bands = _banded(docs)
-
-    # merge-hint the self-join: both sides then shuffle on the same keys
-    # from identical subtrees and the runtime reuses one exchange — the
-    # signature pipeline runs ONCE. A broadcast build side would recompute
-    # it (measured 5×).
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.hint("merge")
-        .join(
-            b.hint("merge"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sa = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    # Broadcast ONLY the slim candidate-key relation (bounded — two ids per
-    # pair); broadcasting the half-resolved pairs WITH their shingle arrays
-    # would be unbounded (|pairs| × document size) and can exceed Spark's
-    # 8 GB broadcast limit at scale. Each corpus side reduces to
-    # candidate-bounded rows via a broadcast (semi-)join, so the final pair
-    # join exchanges only candidate rows — the full-corpus shingle relation
-    # never shuffles. Guarded (operators/dedup.py::estimate_band_pairs):
-    # a pathologically duplicated corpus makes |cand| quadratic, so the
-    # broadcast only happens when a sampled bucket-size pass bounds the
-    # candidate count; otherwise the pair join falls back to a shuffle.
-    # The sample is taken over the RAW table, upstream of tokenize/
-    # shingle/minhash (ADVICE r4): SampleExec does not commute below a
-    # projection, so sampling an already-shingled relation still computes
-    # shingles for every row — sampling the scan keeps the estimate job
-    # at ~10% of the pipeline. Pair survival stays p² (a collision
-    # survives iff both docs do). Memoized per sf_dir: the estimate is
-    # deterministic for a fixed dataset, so repeat builds (bench's
-    # median-of-3, driver re-runs) skip the sizing job.
-    from ..operators.dedup import estimate_band_pairs
-
     est = _PAIR_ESTIMATES.get(sf_dir)
     if est is None:
-        est = estimate_band_pairs(
-            _banded(_shingled(raw.sample(fraction=0.1, seed=7))),
-            band_cols=("band", "band_hash"),
-            sample_fraction=0.1,
-            presampled=True,
+        est = DD.estimate_lsh_candidates(
+            raw, "text", "doc_id", _NUM_HASHES, _BANDS, 3, "md5"
         )
         _PAIR_ESTIMATES[sf_dir] = est
-    if est <= 4_000_000:
-        half = sa.join(F.broadcast(cand), "doc_a")
-        sb_cand = sb.join(
-            F.broadcast(cand.select("doc_b").dropDuplicates()),
-            "doc_b",
-            "left_semi",
-        )
-        verified = half.join(sb_cand, "doc_b")
-    else:
-        verified = sa.join(cand, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = inter / union
-    return verified.filter(jac >= 0.3).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    pairs = DD.minhash_lsh_candidates(
+        raw,
+        content="text",
+        key="doc_id",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_words=3,
+        hash_impl="md5",
+        verify_join="broadcast" if est <= 4_000_000 else "shuffle",
+    )
+    jac = F.col("jaccard")
+    return pairs.filter(jac >= 0.3).select(
+        F.col("key_a").alias("doc_a"),
+        F.col("key_b").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
     )
 
 

@@ -175,3 +175,15 @@ def test_truncation_inside_scan_data_raises():
     # MCU boundary
     with pytest.raises(JpegError, match="truncated|invalid Huffman"):
         decode_jpeg(cut)
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: optional 0xFF fill bytes may pad before any marker;
+    they must be skipped, not parsed as a bogus marker/length."""
+    good = gray_jpeg(16, 8, 123)
+    # inject a fill byte before the DQT marker (FF DB) and two before SOS
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xdb", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xda", 1
+    )
+    img = decode_jpeg(padded)
+    assert img.shape == (8, 16, 1) and (img == 123).all()

@@ -124,7 +124,11 @@ def _snaps(spark, rows):
 
 
 def _hist_set(df):
-    return sorted(map(tuple, df.collect()))
+    # None-tolerant sort key (NULL business keys are legal SCD2 rows)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
 
 
 def test_scd2_merge_equals_batch_recompute(spark):
@@ -326,3 +330,45 @@ def test_scd2_merge_maintains_history_under_streaming(spark, tmp_path):
     q.awaitTermination(120)
     final = spark.read.parquet(hist_dir["cur"])
     assert _hist_set(final.select(*batch.columns)) == _hist_set(batch)
+
+
+def test_scd2_merge_null_business_key(spark):
+    """NULL keys form one run in scd2_compress (Window.partitionBy groups
+    NULL as a value); the merge must match them null-safely — plain
+    equality would close-and-reopen the NULL run every merge."""
+    stack = [(1, None, "a"), (1, 1, "x"), (2, None, "a"), (2, 1, "x2")]
+    snaps = _snaps(spark, stack)
+    batch = D.scd2_compress(snaps, key_cols=["k"], version_col="version")
+    hist = D.scd2_compress(
+        snaps.filter(F.col("version") == 1),
+        key_cols=["k"],
+        version_col="version",
+    )
+    v2 = snaps.filter(F.col("version") == 2).drop("version")
+    merged = D.scd2_merge(hist, v2, new_version=2, key_cols=["k"])
+    assert _hist_set(merged) == _hist_set(batch)
+    # the NULL-key run stayed OPEN (unchanged value) — one row, current
+    nulls = [r for r in merged.collect() if r["k"] is None]
+    assert len(nulls) == 1 and nulls[0]["is_current"]
+    # and replay is still a no-op
+    again = D.scd2_merge(merged, v2, new_version=2, key_cols=["k"])
+    assert _hist_set(again) == _hist_set(merged)
+
+
+def test_pin_recovers_from_external_checkpoint_dir_change(spark, tmp_path):
+    """pin() must re-assert its checkpoint_dir if something else moved
+    the session-global dir in between — a stale Python-side memo would
+    silently checkpoint into the foreign directory."""
+    import os
+
+    from crawl_streams_spark.operators.iterate import pin
+
+    mine = str(tmp_path / "mine")
+    other = str(tmp_path / "other")
+    df = spark.range(10)
+    pin(df, checkpoint_dir=mine).count()
+    spark.sparkContext.setCheckpointDir(other)  # external interference
+    pin(spark.range(5), checkpoint_dir=mine).count()
+    stored = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    assert "/mine" in stored and "/other" not in stored
+    assert any(os.scandir(mine))
