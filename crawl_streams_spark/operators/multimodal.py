@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -609,4 +610,86 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=JPEG_DECODED_SCHEMA
+    )
+
+
+PNG_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("sum_luma", LongType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("min_luma", IntegerType(), True),
+        StructField("max_luma", IntegerType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """REAL lossless-image decode over mapInPandas: PNG payloads →
+    dimensions + exact sample statistics, via the pure-NumPy RFC 2083
+    decoder in operators/png.py (chunk CRCs + stdlib-zlib inflate + all
+    five scanline filters — no codec library). Because PNG is lossless
+    the statistics are EXACT integers: ``sum_luma`` is the int64 sum of
+    every decoded sample and ``mean_luma`` its exact-int division, so a
+    SQL oracle that regenerates the pixels analytically matches the
+    decode bit-for-bit with no rounding step (the round-free float
+    discipline of record, ROUNDLOG r5 item 9). Malformed payloads land
+    in ``error`` per-row instead of failing the stage.
+
+    Worker-side module import with the same ``--py-files`` contract as
+    decode_jpeg_features (captured-root sys.path fallback for local and
+    shared-FS mode)."""
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.png import PngError, decode_png
+        except ModuleNotFoundError:  # worker missing the package on path
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.png import PngError, decode_png
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 8 + ("null payload",))
+                    continue
+                try:
+                    px = decode_png(bytes(payload))
+                except PngError as e:
+                    rows.append((mid,) + (None,) * 8 + (str(e),))
+                    continue
+                if px.ndim == 2:
+                    h, w, nc = px.shape[0], px.shape[1], 1
+                else:
+                    h, w, nc = px.shape
+                total = int(px.sum(dtype="int64"))
+                n = h * w * nc
+                rows.append(
+                    (
+                        mid, w, h, nc, 8,
+                        total, total / n,
+                        int(px.min()), int(px.max()), None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_DECODED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=PNG_DECODED_SCHEMA
     )

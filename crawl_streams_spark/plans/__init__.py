@@ -111,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "customer_rfm_scores",  # r5: global_rank NULL-desc bucket fix
     "doc_length_quantile_norm",  # r5: global_rank NULL-desc bucket fix
     # -- family coverage, preferring oldest (round-2) verdicts -----------
-    "url_canonicalization",  # q_crawl, r2
     "suppliers_of_bulk_parts",  # q_joins_advanced, r2
     "launch_ts_and_source_tags",  # q_schedule, r2
     "nation_product_profit",  # q_tpch2, r2
@@ -130,6 +129,8 @@ PRIORITY: tuple[str, ...] = (
     "embedding_density_dedup",  # q_similarity: density-exemplar dedup
     "orders_scd2_incremental",  # q_diff: scd2_merge == batch recompute
     "media_jpeg_features",  # q_crawl: pure-NumPy T.81 decode, analytic oracle
+    # -- round-5 continuation additions: in-window from birth -------------
+    "media_png_features",  # q_crawl: pure-NumPy RFC 2083 decode, lossless pixel-exact oracle (slot freed by url_canonicalization, r2-verified, q_crawl still triple-covered)
 )
 
 

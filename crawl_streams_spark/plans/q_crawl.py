@@ -489,3 +489,90 @@ def media_jpeg_features(spark, sf_dir):
     return MM.decode_jpeg_features(media).select(
         "media_id", "width", "height", "n_channels", "mean_luma"
     )
+
+
+@query(
+    "media_png_features",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id * 31 + y.y * 7 + x.x * 13) % 256) AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y
+            CROSS JOIN (SELECT unnest(range(0, 24)) AS x) x
+            WHERE y.y < 8 * (1 + d.doc_id % 2)
+              AND x.x < 8 * (1 + d.doc_id % 3)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n,
+                   MIN(v)::INTEGER AS mn,
+                   MAX(v)::INTEGER AS mx
+            FROM px GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               (8 * (1 + doc_id % 3))::INTEGER AS width,
+               (8 * (1 + doc_id % 2))::INTEGER AS height,
+               1::INTEGER AS n_channels,
+               8::INTEGER AS bit_depth,
+               s AS sum_luma,
+               (s::DOUBLE / n) AS mean_luma,
+               mn AS min_luma,
+               mx AS max_luma,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "image", "png", "extension"),
+)
+def media_png_features(spark, sf_dir):
+    """REAL lossless-image decode end to end, under the VALUE gate: a
+    deterministic gradient PNG is encoded per document
+    (operators/png.py::pattern_png — chunked, CRC'd, zlib-deflated,
+    rows filtered on the y%5 cycle so decoding exercises ALL FIVE
+    scanline filters), then operators/multimodal.py::decode_png_features
+    inflates, unfilters and reduces to exact integer sample statistics.
+    The oracle is ANALYTIC and STRONGER than the JPEG one: PNG is
+    lossless, so the SQL side regenerates every pixel from the closed
+    form (seed*31 + y*7 + x*13) % 256 and matches sum/mean/min/max
+    bit-for-bit — a hash mismatch would catch a single wrong byte in
+    any filter path. Exact-int sums, division-only mean: no rounding
+    anywhere (round-free float discipline, ROUNDLOG r5 item 9)."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def synth(batches):
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.png import pattern_png
+        except ModuleNotFoundError:
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.png import pattern_png
+
+        for pdf in batches:
+            payloads = [
+                pattern_png(
+                    int(d),
+                    8 * (1 + int(d) % 3),
+                    8 * (1 + int(d) % 2),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_png_features(media)

@@ -1,0 +1,200 @@
+"""Pure-NumPy PNG codec (operators/png.py) and its Spark decode stage
+(multimodal.decode_png_features). Decoder correctness is pinned against
+an INDEPENDENT scalar unfilter written straight from the RFC 2083
+pseudocode (never against the decoder's own inverse alone), plus
+closed-form pattern fixtures and spec-level error paths (chunk CRCs,
+Adam7 gate, truncation). Cross-engine value gate:
+plans/q_crawl.py::media_png_features (lossless pixel-exact SQL oracle).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from crawl_streams_spark.operators.png import (
+    PngError,
+    decode_png,
+    encode_png,
+    pattern_png,
+)
+from crawl_streams_spark.operators.png import _SIGNATURE, _chunk
+
+
+def _reference_unfilter(raw: bytes, height: int, width: int, bpp: int):
+    """Scalar unfilter transcribed from RFC 2083 section 6 pseudocode —
+    deliberately naive (per-byte ints, no NumPy) so a vectorization bug
+    in the decoder cannot hide."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    stride = width * bpp
+    out = []
+    prior = [0] * stride
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = list(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        recon = [0] * stride
+        for i in range(stride):
+            left = recon[i - bpp] if i >= bpp else 0
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = line[i]
+            elif ftype == 1:
+                v = line[i] + left
+            elif ftype == 2:
+                v = line[i] + prior[i]
+            elif ftype == 3:
+                v = line[i] + (left + prior[i]) // 2
+            else:
+                v = line[i] + paeth(left, prior[i], upleft)
+            recon[i] = v % 256
+        out.append(recon)
+        prior = recon
+    return np.array(out, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(11, 13), (7, 9, 3), (5, 6, 4), (3, 4, 2)])
+def test_decoder_matches_independent_reference_unfilter(shape):
+    rng = np.random.default_rng(20260814)
+    a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    blob = encode_png(a)  # y % 5 cycle: every filter type exercised
+    # pull the raw filtered bytes back out of the container
+    idat = b""
+    pos = 8
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    h = shape[0]
+    w = shape[1]
+    bpp = 1 if len(shape) == 2 else shape[2]
+    ref = _reference_unfilter(zlib.decompress(idat), h, w, bpp)
+    got = decode_png(blob)
+    assert (got.reshape(h, w * bpp) == ref).all()
+    assert (got == a).all()
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_roundtrip_each_filter_type(ftype):
+    rng = np.random.default_rng(ftype)
+    for shape in [(1, 1), (2, 3), (16, 24), (9, 5, 3), (4, 7, 4)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(encode_png(a, filters=ftype)) == a).all()
+
+
+def test_pattern_png_closed_form():
+    seed, w, h = 42, 24, 16
+    px = decode_png(pattern_png(seed, w, h))
+    y, x = np.mgrid[0:h, 0:w]
+    assert (px == (seed * 31 + y * 7 + x * 13) % 256).all()
+
+
+def test_palette_expansion():
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 5, size=(6, 7), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    body = bytearray()
+    for y in range(6):
+        body.append(0)
+        body.extend(idx[y].tobytes())
+    blob = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(blob) == pal[idx]).all()
+
+
+def test_multiple_idat_chunks_concatenate():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = encode_png(a, filters=0)
+    # split the single IDAT into two chunks at an arbitrary byte
+    pos = 8
+    parts = []
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        parts.append((ctype, data))
+        pos += 12 + length
+    rebuilt = _SIGNATURE
+    for ctype, data in parts:
+        if ctype == b"IDAT":
+            rebuilt += _chunk(b"IDAT", data[:3]) + _chunk(b"IDAT", data[3:])
+        else:
+            rebuilt += _chunk(ctype, data)
+    assert (decode_png(rebuilt) == a).all()
+
+
+def test_crc_tamper_detected():
+    blob = bytearray(pattern_png(1, 8, 8))
+    blob[50] ^= 0xFF
+    with pytest.raises(PngError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_adam7_and_bit_depth_gates():
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    blob16 = _SIGNATURE + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="bit depth"):
+        decode_png(blob16)
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    blob_i = _SIGNATURE + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="Adam7"):
+        decode_png(blob_i)
+
+
+def test_malformed_payloads_raise():
+    with pytest.raises(PngError, match="signature"):
+        decode_png(b"not a png at all")
+    with pytest.raises(PngError, match="truncated"):
+        decode_png(pattern_png(1, 8, 8)[:-6])
+    # size mismatch: deflated body one row short
+    body = bytes([0] * (1 + 8)) * 7
+    blob = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="decompressed size"):
+        decode_png(blob)
+
+
+def test_decode_png_features_stage(spark):
+    """Spark-side stage: good + malformed payloads in one batch; exact
+    integer statistics; per-row quarantine."""
+    from crawl_streams_spark.operators.multimodal import decode_png_features
+
+    good = pattern_png(7, 16, 8)
+    bad = b"\x89PNG\r\n\x1a\ngarbage"
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, None)],
+        "media_id bigint, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_png_features(df).collect()}
+    y, x = np.mgrid[0:8, 0:16]
+    img = (7 * 31 + y * 7 + x * 13) % 256
+    r1 = rows[1]
+    assert (r1.width, r1.height, r1.n_channels, r1.bit_depth) == (16, 8, 1, 8)
+    assert r1.sum_luma == int(img.sum())
+    assert r1.mean_luma == img.sum() / img.size
+    assert (r1.min_luma, r1.max_luma) == (int(img.min()), int(img.max()))
+    assert r1.error is None
+    assert rows[2].error is not None and rows[2].width is None
+    assert rows[3].error == "null payload"

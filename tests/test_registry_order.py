@@ -43,6 +43,7 @@ def test_round_changed_queries_in_window():
         "embedding_density_dedup",
         "orders_scd2_incremental",
         "media_jpeg_features",
+        "media_png_features",  # round-5 continuation — in-window from birth
         "doc_lm_perplexity",
         "media_wav_features",  # round-free decode + analytic oracle
         # round-5-changed implementations
