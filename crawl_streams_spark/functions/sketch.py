@@ -45,6 +45,8 @@ __all__ = [
     "kmv_table",
     "kmv_merge",
     "kmv_estimate",
+    "mg_partition_summaries",
+    "mg_summary",
 ]
 
 
@@ -422,3 +424,81 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
             "est_join_size"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; merge analysis per
+# Agarwal et al. 2013, "Mergeable Summaries").
+
+
+def mg_partition_summaries(df: DataFrame, item: str = "item", k: int = 256) -> DataFrame:
+    """One-pass per-partition Misra-Gries summaries via mapInPandas: each
+    partition emits at most ``k`` counter rows (item, cnt, meta=false)
+    plus ONE meta row (null, d_p, meta=true) carrying the partition's
+    total decrement mass d_p. No shuffle; the whole point versus the
+    exact per-item groupBy is that the reduce side sees ≤ (k+1)·P slim
+    rows no matter the stream length — this is the frequency analog of
+    the KMV/HLL distinct sketches above.
+
+    The inner loop is NOT a per-row Python loop: each Arrow batch is
+    counted exactly with pandas ``value_counts`` (C-speed), merged into
+    the running counter dict, and pruned ONCE per batch by subtracting
+    the (k+1)-th largest count m from every counter (dropping ≤ 0).
+    Each prune removes ≥ (k+1)·m mass, and removed mass never exceeds
+    the n_p items seen, so Σm = d_p ≤ n_p/(k+1) — the classic bound
+    survives batching. Guarantee per partition, for every item x:
+    true_p(x) − d_p ≤ est_p(x) ≤ true_p(x).
+
+    Null items are NOT supported (the meta row uses the null slot) —
+    filter them upstream; a null item raises here rather than corrupting
+    the error accounting."""
+    col = item
+
+    def gen(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        err = 0
+        for pdf in batches:
+            if pdf[col].isna().any():
+                raise ValueError(
+                    "mg_partition_summaries: null items unsupported — "
+                    "filter upstream"
+                )
+            for it, c in pdf[col].value_counts().items():
+                counts[it] = counts.get(it, 0) + int(c)
+            if len(counts) > k:
+                m = sorted(counts.values(), reverse=True)[k]
+                err += m
+                counts = {
+                    key: c - m for key, c in counts.items() if c - m > 0
+                }
+        rows = [(it, c, False) for it, c in counts.items()]
+        rows.append((None, err, True))
+        yield pd.DataFrame(rows, columns=["item", "cnt", "meta"])
+
+    return df.select(F.col(col).cast("string").alias("item")).mapInPandas(
+        gen, schema="item string, cnt bigint, meta boolean"
+    )
+
+
+def mg_summary(df: DataFrame, item: str = "item", k: int = 256) -> DataFrame:
+    """Merged Misra-Gries summary: (item, est, err_total) with the
+    mergeable-summaries guarantee — for EVERY item x over the whole
+    input, true(x) − err_total ≤ est(x) ≤ true(x) (absent items have
+    est 0), where err_total = Σ_p d_p ≤ n/(k+1). Hence any item with
+    true frequency above n/(k+1) is guaranteed present.
+
+    Merge is a tiny groupBy over ≤ (k+1)·P summary rows; the scalar
+    err_total rides along as a broadcast cross join so downstream
+    bound checks stay row-parallel."""
+    parts = mg_partition_summaries(df, item, k)
+    ests = (
+        parts.filter(~F.col("meta"))
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est"))
+    )
+    errs = parts.filter(F.col("meta")).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("err_total")
+    )
+    return ests.crossJoin(F.broadcast(errs))

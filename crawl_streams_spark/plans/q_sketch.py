@@ -503,3 +503,104 @@ def cms_join_size_estimate(spark, sf_dir):
         o, li["l_orderkey"] == o["o_orderkey"]
     ).agg(F.count(F.lit(1)).alias("true_join_size"))
     return est.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "heavy_hitter_keys",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, n_chars // 10 AS L FROM documents
+            WHERE n_chars >= 10
+        ),
+        it AS (
+            SELECT ((doc_id * 7919 + i.i * 104729) % 65536) AS h
+            FROM s, unnest(range(0, L)) i(i)
+        ),
+        kk AS (
+            SELECT 'v' ||
+                   (CASE WHEN h = 0 THEN 0 ELSE h & (-h) END) ||
+                   '#' || ((h // 256) % 128) AS item
+            FROM it
+        ),
+        c AS (SELECT item, COUNT(*)::BIGINT AS n_exact FROM kk GROUP BY item),
+        tot AS (SELECT COUNT(*)::BIGINT AS n FROM kk)
+        SELECT c.item, c.n_exact,
+               true AS sketch_found,
+               true AS bound_ok
+        FROM c, tot
+        WHERE c.n_exact * 360 > tot.n
+    """,
+    tags=("sketch", "heavy-hitters", "misra-gries", "extension"),
+)
+def heavy_hitter_keys(spark, sf_dir):
+    """Misra-Gries heavy hitters under the VALUE gate, via the
+    error-bound-invariant pattern (the approx_distinct_users /
+    host_graph_kcore trick): a deterministic skewed key stream is
+    synthesized from documents (trailing-bit geometric skew × a
+    high-bit uniform subkey — domain ≈ 1000, verified ≥ +12%/−9%
+    margins around the n/360 threshold at sf 0.001/0.01/0.1, so the
+    heavy-hitter set is the same 128 keys at every scale), sketched
+    with k=359 counters per partition (functions/sketch.py::mg_summary —
+    genuine pruning, domain > k), and the candidates exactly recounted.
+
+    The output is provably deterministic — the true heavy hitters with
+    their exact counts — while flowing THROUGH the sketch: a dropped
+    true heavy hitter loses a row (row-count gate), sketch_found comes
+    from a left join against the summary (false would hash-mismatch the
+    oracle's guaranteed `true`), and bound_ok checks the mergeable-MG
+    inequality est ≤ exact ≤ est + err_total with the ACTUAL accumulated
+    decrement mass, not the worst-case bound.
+
+    Scale: the sketch pass is one mapInPandas scan emitting ≤ 360 rows
+    per partition (no shuffle); the recount shuffles only
+    candidate-matched rows after a broadcast semi-join; n_total and
+    err_total ride as broadcast scalars. Two scans of the base table —
+    at 100 TB, persist the exploded stream or fuse with an existing
+    pass."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") >= 10)
+    )
+    stream = docs.select(
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_chars") / F.lit(10)).cast("long") - 1)
+        ).alias("i"),
+        "doc_id",
+    ).select(
+        ((F.col("doc_id") * 7919 + F.col("i") * 104729) % 65536).alias("h")
+    )
+    keyed = stream.select(
+        F.concat(
+            F.lit("v"),
+            F.when(F.col("h") == 0, F.lit(0)).otherwise(
+                F.expr("h & -h")
+            ).cast("string"),
+            F.lit("#"),
+            F.expr("(h div 256) % 128").cast("string"),
+        ).alias("item")
+    )
+    # the summary (≤ domain rows) feeds three consumers — pin it so the
+    # sketch scan runs once, not per consumer (the pin_pairs pattern,
+    # similarity.py::density_dedup_flags)
+    summary = S.mg_summary(keyed, "item", k=359).localCheckpoint(eager=False)
+    exact = (
+        keyed.join(F.broadcast(summary.select("item")), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    tot = keyed.agg(F.count("*").alias("n_tot"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_exact") * 360 > F.col("n_tot"))
+        .join(F.broadcast(summary), "item", "left")
+        .select(
+            "item",
+            "n_exact",
+            F.col("est").isNotNull().alias("sketch_found"),
+            (
+                (F.col("est") <= F.col("n_exact"))
+                & (F.col("n_exact") - F.col("est") <= F.col("err_total"))
+            ).alias("bound_ok"),
+        )
+    )

@@ -44,6 +44,7 @@ def test_round_changed_queries_in_window():
         "orders_scd2_incremental",
         "media_jpeg_features",
         "media_png_features",  # round-5 continuation — in-window from birth
+        "heavy_hitter_keys",  # round-5 continuation — in-window from birth
         "doc_lm_perplexity",
         "media_wav_features",  # round-free decode + analytic oracle
         # round-5-changed implementations
@@ -53,7 +54,10 @@ def test_round_changed_queries_in_window():
         "dedup_minhash_lsh_pairs",  # raw-table estimate sample + memo
         "balanced_shard_stats",  # global_rank NULL-desc bucket fix
         "equi_depth_price_bins",  # global_rank NULL-desc bucket fix
-        "customer_rfm_scores",  # global_rank NULL-desc bucket fix
+        # (customer_rfm_scores — the 4th global_rank consumer — yielded
+        # its slot to heavy_hitter_keys: r4-verified, primitive already
+        # re-verified by balanced_shard_stats + equi_depth_price_bins +
+        # doc_length_quantile_norm, one per consuming module)
         "doc_length_quantile_norm",  # global_rank NULL-desc bucket fix
     ):
         assert name in window, name

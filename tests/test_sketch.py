@@ -229,3 +229,84 @@ def test_kmv_ungrouped_pre_reduces_before_global_window(spark):
         .collect()
     )
     assert got == full[:64]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mg_partition_summaries / mg_summary)
+
+
+def _mg_stream(spark, values, partitions=4):
+    return (
+        spark.createDataFrame([(v,) for v in values], "item string")
+        .repartition(partitions)
+    )
+
+
+def test_mg_bounds_hold_under_forced_pruning(spark):
+    """Zipf-ish stream with domain ≫ k: est ≤ true, true − est ≤
+    err_total, err_total ≤ n/(k+1) — the mergeable-summaries
+    guarantees, on a stream where pruning genuinely fires."""
+    from collections import Counter
+
+    from crawl_streams_spark.functions.sketch import mg_summary
+
+    values = []
+    for i in range(2000):
+        values.append(f"hot{i % 3}")          # 3 heavy keys
+        values.append(f"cold{i}")             # 2000 singletons
+    true = Counter(values)
+    k = 50
+    rows = mg_summary(_mg_stream(spark, values), "item", k=k).collect()
+    assert rows, "summary empty"
+    err_total = rows[0]["err_total"]
+    n = len(values)
+    assert 0 < err_total <= n // (k + 1), (err_total, n)
+    assert len({r["item"] for r in rows}) == len(rows)
+    for r in rows:
+        t = true[r["item"]]
+        assert r["est"] <= t, (r, t)
+        assert t - r["est"] <= err_total, (r, t, err_total)
+    # an absent item's true count is bounded by err_total too
+    present = {r["item"] for r in rows}
+    for it, t in true.items():
+        if it not in present:
+            assert t <= err_total, (it, t, err_total)
+
+
+def test_mg_guarantees_presence_of_true_heavy_hitters(spark):
+    from crawl_streams_spark.functions.sketch import mg_summary
+
+    # 5 items each with 12% of the stream; 40% spread over 4000 keys
+    values = [f"hh{j}" for j in range(5) for _ in range(1200)]
+    values += [f"tail{i}" for i in range(4000)]
+    k = 49  # threshold n/50 = 200 < 1200
+    present = {
+        r["item"]
+        for r in mg_summary(_mg_stream(spark, values), "item", k=k).collect()
+    }
+    for j in range(5):
+        assert f"hh{j}" in present
+
+
+def test_mg_exact_when_domain_fits_in_k(spark):
+    from collections import Counter
+
+    from crawl_streams_spark.functions.sketch import mg_summary
+
+    values = [f"v{i % 7}" for i in range(700)]
+    rows = mg_summary(_mg_stream(spark, values), "item", k=32).collect()
+    true = Counter(values)
+    assert rows[0]["err_total"] == 0
+    assert {r["item"]: r["est"] for r in rows} == dict(true)
+
+
+def test_mg_null_items_raise(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from crawl_streams_spark.functions.sketch import mg_summary
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "item string")
+    with _pytest.raises(Exception) as ei:
+        mg_summary(df, "item", k=4).collect()
+    assert "null items unsupported" in str(ei.value)
