@@ -47,6 +47,9 @@ __all__ = [
     "kmv_estimate",
     "mg_partition_summaries",
     "mg_summary",
+    "mrl_partition_summaries",
+    "mrl_merge",
+    "mrl_quantiles",
 ]
 
 
@@ -502,3 +505,157 @@ def mg_summary(df: DataFrame, item: str = "item", k: int = 256) -> DataFrame:
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("err_total")
     )
     return ests.crossJoin(F.broadcast(errs))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (Munro-Paterson / Manku-Rajagopalan-Lindsay
+# style deterministic compactors; runtime-tracked error in the spirit of
+# Karnin-Lang-Liberty 2016). Completes the sketch family: CMS for
+# frequencies, HLL/KMV for distincts, Misra-Gries for heavy hitters,
+# this for ranks/quantiles.
+
+
+def _mrl_gen(c: int, weight_of_input):
+    """Build the mapInPandas generator shared by the partition and merge
+    stages: a hierarchy of buffers where level l holds items of weight
+    2**l; a full buffer sorts, keeps alternate elements (parity flips
+    per compaction — deterministic, no RNG), and promotes them one
+    level up. Every compaction of level l shifts any value's cumulative
+    weighted rank by at most 2**l, and that exact mass is accumulated
+    into the emitted error row — the bound downstream checks is the
+    ACTUAL run's error, not the worst case.
+
+    ``weight_of_input``: None for raw-value streams (everything enters
+    at level 0), or a column name carrying power-of-two weights from a
+    prior stage (items re-enter at their own level — the tree-merge
+    path that keeps the final summary bounded without a driver-side
+    union)."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        buffers: dict = {}
+        parity: dict = {}
+        err = 0
+
+        def compact(level: int) -> None:
+            nonlocal err
+            buf = np.sort(np.concatenate(buffers[level]))
+            take = len(buf) - (len(buf) % 2)
+            p = parity.get(level, 0)
+            parity[level] = 1 - p
+            kept = buf[p:take:2]
+            leftover = buf[take:]
+            buffers[level] = [leftover] if len(leftover) else []
+            buffers.setdefault(level + 1, []).append(kept)
+            err += 1 << level
+
+        def add(level: int, vals) -> None:
+            buffers.setdefault(level, []).append(
+                np.asarray(vals, dtype=np.float64)
+            )
+            full = True
+            while full:
+                full = False
+                for lvl in sorted(buffers):
+                    if sum(len(a) for a in buffers[lvl]) >= c:
+                        compact(lvl)
+                        full = True
+                        break
+
+        for pdf in batches:
+            if weight_of_input is None:
+                add(0, pdf["value"].to_numpy(dtype=np.float64))
+            else:
+                if bool(pdf["meta"].any()):
+                    err += int(pdf.loc[pdf["meta"], "weight"].sum())
+                    pdf = pdf[~pdf["meta"]]
+                for w, grp in pdf.groupby("weight"):
+                    level = int(w).bit_length() - 1
+                    if (1 << level) != int(w):
+                        raise ValueError(
+                            f"non-power-of-two summary weight {w}"
+                        )
+                    add(level, grp["value"].to_numpy(dtype=np.float64))
+
+        rows = [
+            (float(v), 1 << lvl, False)
+            for lvl, bufs in buffers.items()
+            for arr in bufs
+            for v in arr
+        ]
+        rows.append((None, err, True))
+        yield pd.DataFrame(rows, columns=["value", "weight", "meta"])
+
+    return gen
+
+
+_MRL_SCHEMA = "value double, weight bigint, meta boolean"
+
+
+def mrl_partition_summaries(
+    df: DataFrame, value: str = "value", c: int = 200
+) -> DataFrame:
+    """One-pass per-partition quantile summaries: ≤ c·log2(n_p/c) items
+    plus one meta row carrying the partition's accumulated rank-error
+    mass. No shuffle; null values are rejected (they have no rank)."""
+    src = df.select(F.col(value).cast("double").alias("value"))
+
+    def guard(batches):
+        import pandas as pd  # noqa: F401
+
+        inner = _mrl_gen(c, None)
+
+        def checked(it):
+            for pdf in it:
+                if pdf["value"].isna().any():
+                    raise ValueError(
+                        "mrl_partition_summaries: null values unsupported"
+                        " — filter upstream"
+                    )
+                yield pdf
+
+        yield from inner(checked(batches))
+
+    return src.mapInPandas(guard, schema=_MRL_SCHEMA)
+
+
+def mrl_merge(parts: DataFrame, c: int = 200) -> DataFrame:
+    """Tree-merge the per-partition summaries into ONE bounded summary:
+    items re-enter the compactor at their own weight level, so the
+    output stays ≤ c·log2(n/c) rows no matter how many partitions fed
+    it — the scale path that keeps the driver-side quantile lookup O(c
+    log n), not O(P·c log n). Single-partition stage by construction
+    (the input is already sketch-sized)."""
+    one = parts.repartition(1)
+    return one.mapInPandas(_mrl_gen(c, "weight"), schema=_MRL_SCHEMA)
+
+
+def mrl_quantiles(summary_rows, qs):
+    """Driver-side estimator over a COLLECTED summary (bounded rows):
+    returns (ests: {q: value}, err_total, n, w_max). For each q the
+    estimate is the smallest summary value whose cumulative weight
+    reaches ceil(q·n). Guarantee (checkable, and checked, in SQL): with
+    B = err_total and t = ceil(q·n),
+    count(x < est) ≤ t + B + w_max  and  count(x ≤ est) ≥ t − B."""
+    items = sorted(
+        (r["value"], r["weight"]) for r in summary_rows if not r["meta"]
+    )
+    err_total = sum(r["weight"] for r in summary_rows if r["meta"])
+    n = sum(w for _, w in items)
+    w_max = max((w for _, w in items), default=0)
+    ests = {}
+    import math
+
+    for q in qs:
+        t = max(1, int(math.ceil(q * n)))
+        cum = 0
+        est = items[-1][0] if items else None
+        for v, w in items:
+            cum += w
+            if cum >= t:
+                est = v
+                break
+        ests[q] = est
+    return ests, err_total, n, w_max

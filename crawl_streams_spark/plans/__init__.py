@@ -108,7 +108,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",  # r5: raw-table estimate sample + memo
     "balanced_shard_stats",  # r5: global_rank NULL-desc bucket fix
     "equi_depth_price_bins",  # r5: global_rank NULL-desc bucket fix
-    "doc_length_quantile_norm",  # r5: global_rank NULL-desc bucket fix (customer_rfm_scores, the 4th global_rank consumer, yielded its slot — r4-verified, and the shared primitive is already re-verified by one rep per module family)
+    # (customer_rfm_scores and doc_length_quantile_norm — the 3rd and 4th
+    # global_rank consumers — yielded their slots to the continuation
+    # sketches: both r4-verified, and the NULL-desc fix stays re-verified
+    # by one consumer per module family: balanced_shard_stats (q_pipeline)
+    # + equi_depth_price_bins (q_sql_extra))
     # -- family coverage, preferring oldest (round-2) verdicts -----------
     "suppliers_of_bulk_parts",  # q_joins_advanced, r2
     "launch_ts_and_source_tags",  # q_schedule, r2
@@ -131,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     # -- round-5 continuation additions: in-window from birth -------------
     "media_png_features",  # q_crawl: pure-NumPy RFC 2083 decode, lossless pixel-exact oracle (slot freed by url_canonicalization, r2-verified, q_crawl still triple-covered)
     "heavy_hitter_keys",  # q_sketch: Misra-Gries heavy hitters, error-bound-invariant oracle (slot freed by customer_rfm_scores)
+    "price_quantile_sketch",  # q_sketch: MRL mergeable quantile sketch, rank-bound-invariant oracle (slot freed by doc_length_quantile_norm)
 )
 
 

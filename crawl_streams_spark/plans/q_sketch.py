@@ -604,3 +604,80 @@ def heavy_hitter_keys(spark, sf_dir):
             ).alias("bound_ok"),
         )
     )
+
+
+_MRL_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "price_quantile_sketch",
+    oracle="""
+        SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9])::DOUBLE AS q,
+               true AS rank_ok,
+               true AS mass_conserved
+    """,
+    tags=("sketch", "quantiles", "mrl", "extension"),
+)
+def price_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch under the error-bound-invariant gate
+    (the approx_distinct_users pattern): l_extendedprice flows through
+    per-partition MRL compactors (functions/sketch.py — one pass, no
+    shuffle, deterministic alternating-parity compaction) into a single
+    tree-merged summary whose ACCUMULATED rank-error mass B rides along;
+    the estimates' true ranks are then checked distributively in one
+    conditional-aggregate scan against the PROVABLE inequality
+    count(≤est) + B ≥ ⌈q·n⌉ and count(<est) ≤ ⌈q·n⌉ + B + w_max, plus
+    exact weight-mass conservation (Σ summary weights == count(*)).
+    Both booleans are mathematically guaranteed, so the oracle emits
+    constants — while a compactor bug (lost mass, broken bound
+    accounting, mis-leveled merge) flips a value and fails the hash.
+
+    NOTE build() is EAGER (two Spark jobs): collecting the bounded
+    summary for driver-side quantile lookup is the boundary-literal
+    pattern global_rank uses for bucket bounds (documented per ADVICE
+    r4 on eager builders).
+
+    Scale: the partition pass emits c·log2(n_p/c) rows per partition;
+    the tree merge re-compacts P summaries into ONE c·log2(n/c)-row
+    summary worker-side, so the driver never sees O(P) data; the rank
+    check is a single whole-stage-codegen scan with no shuffle."""
+    import math
+
+    from ..functions import sketch as SK
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("value")
+    )
+    parts = SK.mrl_partition_summaries(li, "value", c=200)
+    merged = SK.mrl_merge(parts, c=200)
+    ests, B, n_sketch, w_max = SK.mrl_quantiles(merged.collect(), _MRL_QS)
+
+    aggs = [F.count("*").alias("n_true")]
+    for i, q in enumerate(_MRL_QS):
+        e = float(ests[q])
+        aggs.append(
+            F.sum((F.col("value") < e).cast("long")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= e).cast("long")).alias(f"le{i}")
+        )
+    stats = li.agg(*aggs)
+
+    structs = []
+    for i, q in enumerate(_MRL_QS):
+        t = max(1, int(math.ceil(q * n_sketch)))
+        structs.append(
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                (
+                    (F.col(f"le{i}") + F.lit(B) >= F.lit(t))
+                    & (F.col(f"lt{i}") <= F.lit(t + B + w_max))
+                ).alias("rank_ok"),
+                (F.col("n_true") == F.lit(n_sketch)).alias(
+                    "mass_conserved"
+                ),
+            )
+        )
+    return stats.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.q", "s.rank_ok", "s.mass_conserved")

@@ -54,11 +54,11 @@ def test_round_changed_queries_in_window():
         "dedup_minhash_lsh_pairs",  # raw-table estimate sample + memo
         "balanced_shard_stats",  # global_rank NULL-desc bucket fix
         "equi_depth_price_bins",  # global_rank NULL-desc bucket fix
-        # (customer_rfm_scores — the 4th global_rank consumer — yielded
-        # its slot to heavy_hitter_keys: r4-verified, primitive already
-        # re-verified by balanced_shard_stats + equi_depth_price_bins +
-        # doc_length_quantile_norm, one per consuming module)
-        "doc_length_quantile_norm",  # global_rank NULL-desc bucket fix
+        # (customer_rfm_scores and doc_length_quantile_norm — the 3rd
+        # and 4th global_rank consumers — yielded their slots to
+        # heavy_hitter_keys and price_quantile_sketch: both r4-verified,
+        # primitive still re-verified by one consumer per module family)
+        "price_quantile_sketch",  # round-5 continuation — in-window from birth
     ):
         assert name in window, name
 

@@ -310,3 +310,99 @@ def test_mg_null_items_raise(spark):
     with _pytest.raises(Exception) as ei:
         mg_summary(df, "item", k=4).collect()
     assert "null items unsupported" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# MRL mergeable quantile sketch (mrl_partition_summaries / mrl_merge /
+# mrl_quantiles)
+
+
+def _mrl_rows(spark, values, c=64, partitions=4):
+    from crawl_streams_spark.functions.sketch import (
+        mrl_merge,
+        mrl_partition_summaries,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in values], "value double"
+    ).repartition(partitions)
+    return mrl_merge(mrl_partition_summaries(df, "value", c=c), c=c).collect()
+
+
+def _check_bounds(values, rows, qs):
+    import math
+
+    import numpy as np
+
+    from crawl_streams_spark.functions.sketch import mrl_quantiles
+
+    arr = np.asarray(values, dtype=float)
+    ests, B, n, w_max = mrl_quantiles(rows, qs)
+    assert n == len(values), "weight mass not conserved"
+    for q in qs:
+        t = max(1, math.ceil(q * n))
+        est = ests[q]
+        lt = int((arr < est).sum())
+        le = int((arr <= est).sum())
+        assert le + B >= t, (q, est, le, B, t)
+        assert lt <= t + B + w_max, (q, est, lt, B, w_max, t)
+    return B
+
+
+def test_mrl_exact_when_no_compaction(spark):
+    import numpy as np
+
+    values = list(np.random.default_rng(0).normal(size=40))
+    rows = _mrl_rows(spark, values, c=64, partitions=2)
+    assert all(r["weight"] == 1 for r in rows if not r["meta"])
+    B = _check_bounds(values, rows, [0.1, 0.5, 0.9])
+    assert B == 0
+    got = sorted(r["value"] for r in rows if not r["meta"])
+    assert got == sorted(values)
+
+
+def test_mrl_bounds_on_adversarial_orders(spark):
+    import numpy as np
+
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    rng = np.random.default_rng(42)
+    streams = {
+        "sorted": np.arange(20000.0),
+        "reversed": np.arange(20000.0)[::-1],
+        "heavy_dups": np.repeat([1.0, 2.0, 3.0], [15000, 4000, 1000]),
+        "lognormal": rng.lognormal(0, 2, size=20000),
+    }
+    for name, values in streams.items():
+        rows = _mrl_rows(spark, list(values), c=100, partitions=6)
+        B = _check_bounds(list(values), rows, qs)
+        n = len(values)
+        # sanity: the tracked bound stays a small fraction of n
+        assert B < 0.1 * n, (name, B, n)
+        # and the merged summary stays sketch-sized
+        assert len(rows) < 30 * 100, (name, len(rows))
+
+
+def test_mrl_merge_matches_single_partition_bounds(spark):
+    import numpy as np
+
+    values = list(np.random.default_rng(7).uniform(0, 1000, size=30000))
+    one = _mrl_rows(spark, values, c=128, partitions=1)
+    many = _mrl_rows(spark, values, c=128, partitions=16)
+    for rows in (one, many):
+        _check_bounds(values, rows, [0.1, 0.5, 0.9])
+    # the tracked error mass is schedule-dependent (NOT monotone in the
+    # partition count), but both schedules must stay a small fraction of n
+    for rows in (one, many):
+        b = sum(r["weight"] for r in rows if r["meta"])
+        assert 0 < b < 0.05 * len(values), b
+
+
+def test_mrl_null_values_raise(spark):
+    import pytest as _pytest
+
+    from crawl_streams_spark.functions.sketch import mrl_partition_summaries
+
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "value double")
+    with _pytest.raises(Exception) as ei:
+        mrl_partition_summaries(df, "value", c=8).collect()
+    assert "null values unsupported" in str(ei.value)
