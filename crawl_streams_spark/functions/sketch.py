@@ -455,7 +455,16 @@ def mg_partition_summaries(df: DataFrame, item: str = "item", k: int = 256) -> D
     Null items are NOT supported (the meta row uses the null slot) —
     filter them upstream; a null item raises here rather than corrupting
     the error accounting."""
-    col = item
+    return df.select(F.col(item).cast("string").alias("item")).mapInPandas(
+        _mg_gen(k), schema="item string, cnt bigint, meta boolean"
+    )
+
+
+def _mg_gen(k: int):
+    """The Misra-Gries mapInPandas generator, module-level (like
+    ``_mrl_gen``) so property tests can drive it with plain pandas
+    batches — the Spark stage and the tests exercise the identical
+    code path."""
 
     def gen(batches):
         import pandas as pd
@@ -463,12 +472,12 @@ def mg_partition_summaries(df: DataFrame, item: str = "item", k: int = 256) -> D
         counts: dict = {}
         err = 0
         for pdf in batches:
-            if pdf[col].isna().any():
+            if pdf["item"].isna().any():
                 raise ValueError(
                     "mg_partition_summaries: null items unsupported — "
                     "filter upstream"
                 )
-            for it, c in pdf[col].value_counts().items():
+            for it, c in pdf["item"].value_counts().items():
                 counts[it] = counts.get(it, 0) + int(c)
             if len(counts) > k:
                 m = sorted(counts.values(), reverse=True)[k]
@@ -480,9 +489,7 @@ def mg_partition_summaries(df: DataFrame, item: str = "item", k: int = 256) -> D
         rows.append((None, err, True))
         yield pd.DataFrame(rows, columns=["item", "cnt", "meta"])
 
-    return df.select(F.col(col).cast("string").alias("item")).mapInPandas(
-        gen, schema="item string, cnt bigint, meta boolean"
-    )
+    return gen
 
 
 def mg_summary(df: DataFrame, item: str = "item", k: int = 256) -> DataFrame:

@@ -127,8 +127,12 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             if header is not None:
                 raise PngError("duplicate IHDR")
+            if len(data) != 13:
+                raise PngError(f"IHDR length {len(data)} != 13")
             header = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3:
+                raise PngError(f"PLTE length {len(data)} not a multiple of 3")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -147,14 +151,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngError("zero-dimension image")
     bpp = _CHANNELS[color]
     stride = width * bpp
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bound the inflate at expected+1 bytes: a crafted IDAT must not
+        # be able to balloon memory (the decode stage quarantines bad
+        # blobs per-row at scale; it must not be DoS-able by one)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise PngError(f"IDAT inflate failed: {exc}") from exc
-    if len(raw) != (stride + 1) * height:
-        raise PngError(
-            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
-        )
+    if len(raw) != expected or not d.eof or d.unconsumed_tail:
+        got = f"> {expected}" if d.unconsumed_tail else str(len(raw))
+        raise PngError(f"decompressed size {got} != expected {expected}")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     img = _unfilter(rows, height, stride, bpp)
     if color == 3:

@@ -198,3 +198,84 @@ def test_decode_png_features_stage(spark):
     assert r1.error is None
     assert rows[2].error is not None and rows[2].width is None
     assert rows[3].error == "null payload"
+
+
+# ---------------------------------------------------------------------------
+# Property tests (pure codec, no Spark)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    nc = draw(st.sampled_from([1, 2, 3, 4]))
+    data = draw(
+        st.binary(min_size=h * w * nc, max_size=h * w * nc)
+    )
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape((h, w) if nc == 1 else (h, w, nc))
+
+
+@given(_images(), st.one_of(st.none(), st.integers(0, 4)))
+@settings(max_examples=120, deadline=None)
+def test_roundtrip_property(img, ftype):
+    assert (decode_png(encode_png(img, filters=ftype)) == img).all()
+
+
+@given(_images(), st.data())
+@settings(max_examples=120, deadline=None)
+def test_roundtrip_per_row_filter_mix(img, data):
+    filters = data.draw(
+        st.lists(
+            st.integers(0, 4), min_size=img.shape[0], max_size=img.shape[0]
+        )
+    )
+    assert (decode_png(encode_png(img, filters=filters)) == img).all()
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_garbage_never_crashes_uncontrolled(blob):
+    """Arbitrary bytes either decode (they won't) or raise PngError —
+    never an uncontrolled exception; the Spark stage's per-row
+    quarantine depends on this."""
+    try:
+        decode_png(_SIGNATURE + blob)
+    except PngError:
+        pass
+
+
+def test_malformed_chunk_lengths_raise_pngerror_not_struct_error():
+    """IHDR/PLTE with wrong byte lengths must raise PngError (so the
+    Spark stage quarantines the row) — not struct.error / ValueError."""
+    bad_ihdr = _SIGNATURE + _chunk(b"IHDR", b"\x00" * 12) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="IHDR length"):
+        decode_png(bad_ihdr)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad_plte = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x01\x02")  # not a multiple of 3
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="PLTE length"):
+        decode_png(bad_plte)
+
+
+def test_inflate_bomb_is_bounded():
+    """An IDAT that inflates far past the declared dimensions must fail
+    with a controlled error and never materialize the expansion."""
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # expects 6 bytes
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~48 KB compressed
+    blob = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="decompressed size"):
+        decode_png(blob)

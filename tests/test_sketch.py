@@ -406,3 +406,95 @@ def test_mrl_null_values_raise(spark):
     with _pytest.raises(Exception) as ei:
         mrl_partition_summaries(df, "value", c=8).collect()
     assert "null values unsupported" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# Property tests driving the mapInPandas generators directly (no Spark):
+# the Spark stages use the SAME module-level generators.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _run_gen(gen, frames):
+    out = list(gen(iter(frames)))
+    assert len(out) == 1
+    return out[0]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 30), min_size=0, max_size=200),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(2, 12),
+)
+@settings(max_examples=150, deadline=None)
+def test_mg_gen_invariants_property(chunks, k):
+    import pandas as pd
+
+    from crawl_streams_spark.functions.sketch import _mg_gen
+
+    frames = [
+        pd.DataFrame({"item": [f"i{v}" for v in chunk]}) for chunk in chunks
+    ]
+    out = _run_gen(_mg_gen(k), frames)
+    from collections import Counter
+
+    true = Counter(f"i{v}" for chunk in chunks for v in chunk)
+    n = sum(true.values())
+    ests = out[~out["meta"]]
+    err = int(out.loc[out["meta"], "cnt"].iloc[0])
+    assert len(ests) <= k
+    assert 0 <= err <= n // (k + 1)
+    for _, r in ests.iterrows():
+        t = true[r["item"]]
+        assert r["cnt"] <= t
+        assert t - r["cnt"] <= err
+    present = set(ests["item"])
+    for it, t in true.items():
+        if it not in present:
+            assert t <= err, (it, t, err)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=32
+            ),
+            min_size=0,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(8, 64),
+)
+@settings(max_examples=100, deadline=None)
+def test_mrl_gen_invariants_property(chunks, c):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from crawl_streams_spark.functions.sketch import _mrl_gen, mrl_quantiles
+
+    values = [v for chunk in chunks for v in chunk]
+    frames = [pd.DataFrame({"value": chunk}, dtype=float) for chunk in chunks]
+    out = _run_gen(_mrl_gen(c, None), frames)
+    rows = [
+        {"value": r["value"], "weight": int(r["weight"]), "meta": bool(r["meta"])}
+        for _, r in out.iterrows()
+    ]
+    ests, B, n, w_max = mrl_quantiles(rows, [0.25, 0.5, 0.75])
+    assert n == len(values)
+    if not values:
+        return
+    arr = np.asarray(values, dtype=float)
+    for q in (0.25, 0.5, 0.75):
+        t = max(1, math.ceil(q * n))
+        est = ests[q]
+        assert int((arr <= est).sum()) + B >= t
+        assert int((arr < est).sum()) <= t + B + w_max
