@@ -67,8 +67,11 @@ def window_funnel(
     if len(set(steps)) != k:
         raise ValueError("steps must be distinct event types")
     tb_type = dict(df.dtypes).get(tiebreak_col, "")
-    if not (tb_type.startswith(("int", "bigint", "smallint", "tinyint"))
-            or tb_type in ("long", "short", "byte")):
+    # Exact dtype match (ADVICE r5: a startswith('int') prefix also
+    # accepts 'interval ...' columns, which cast('long') to NULL — the
+    # silent tie-order collapse this guard exists to prevent).
+    if tb_type not in {"int", "bigint", "smallint", "tinyint", "long",
+                       "short", "byte"}:
         raise ValueError(
             f"tiebreak_col {tiebreak_col!r} must be an integer column "
             f"(got {tb_type or 'missing'}): a non-numeric id casts to "

@@ -51,9 +51,16 @@ def pin(
         opt = sc._jsc.sc().getCheckpointDir()
         current = opt.get() if opt.isDefined() else None
         tail = checkpoint_dir.rstrip("/").lstrip("/")
-        if current is None or not current.rstrip("/").rsplit("/", 1)[
-            0
-        ].endswith(tail):
+        if current is None:
+            matches = False
+        else:
+            # Path-separator-boundary compare (ADVICE r5: a bare
+            # endswith lets a requested 'ckpt' falsely match an existing
+            # '/data/myckpt', silently landing checkpoints in the wrong
+            # directory).
+            parent = current.rstrip("/").rsplit("/", 1)[0]
+            matches = parent == tail or parent.endswith("/" + tail)
+        if not matches:
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
