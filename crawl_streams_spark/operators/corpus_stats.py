@@ -210,7 +210,8 @@ def bigram_pmi(
 
     Scale: two corpus aggregates (unigram, bigram — both partial-agg'd
     Zipf-skew-safe shuffles), two slim joins of the bigram table against
-    the unigram table (broadcastable vocab, else AQE), scalar totals ride
+    the unigram table (un-hinted — AQE broadcasts the vocab side only
+    while it is genuinely small), scalar totals ride
     broadcast single-row cross joins. The top-k plans as
     TakeOrderedAndProject."""
     toks = df.select(F.explode(T.tokens(content)).alias("tok"))
@@ -224,8 +225,10 @@ def bigram_pmi(
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("n_a"))
     ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("n_b"))
     scored = (
-        bi.join(F.broadcast(ua), "tok_a")
-        .join(F.broadcast(ub), "tok_b")
+        # ua/ub are vocabulary-sized (Heaps-law growth, unbounded) — no
+        # broadcast hint (r6 hint policy); AQE broadcasts when small.
+        bi.join(ua, "tok_a")
+        .join(ub, "tok_b")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .select(

@@ -82,8 +82,10 @@ def basket_pair_lift(
         F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
     )
     scored = (
-        pairs.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        # ca/cb are one row PER ITEM (SF-linear) — no broadcast hint
+        # (r6 hint policy, SCALING.md); AQE broadcasts them when small.
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
         .crossJoin(F.broadcast(n_baskets))
         .select(
             "item_a",

@@ -152,10 +152,12 @@ def funnel_conversion_by_user(spark, sf_dir):
 def daily_cohort_retention(spark, sf_dir):
     """Classic retention triangle: users grouped by first-seen day
     (cohort), counted on each later active day offset. The firsts
-    aggregation and the activity dedup share the user_id partitioning;
-    the cohort dimension broadcasts back onto the event scan. Counts are
-    DISTINCT users per (cohort, offset) — integer-exact under the
-    gate."""
+    aggregation, the cohort join, and the activity dedup all share the
+    user_id partitioning — one exchange serves all three. firsts is one
+    row PER USER (the fastest-growing dimension), so it carries NO
+    broadcast hint (r6 hint policy, SCALING.md); AQE broadcasts it only
+    when genuinely small. Counts are DISTINCT users per (cohort,
+    offset) — integer-exact under the gate."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
@@ -163,7 +165,7 @@ def daily_cohort_retention(spark, sf_dir):
         F.min(F.to_date("ts")).alias("cohort_day")
     )
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",

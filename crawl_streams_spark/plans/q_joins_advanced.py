@@ -50,18 +50,21 @@ def suppliers_of_bulk_parts(spark, sf_dir):
     """TPC-H Q20-shape: nested semi-join — suppliers that shipped more than
     a threshold quantity of any small part. The inner aggregate is one row
     per (supplier, part) surviving the HAVING; the outer is a LEFT SEMI
-    join so supplier rows are never duplicated."""
+    join so supplier rows are never duplicated. Filtered part and the
+    per-(supplier,part) aggregate are both SF-linear — no broadcast
+    hints (r6 hint policy, SCALING.md); AQE broadcasts them when small
+    and shuffle-joins at 100 TB."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     bulk = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 60)
     )
     return s.join(
-        F.broadcast(bulk), s.s_suppkey == bulk.l_suppkey, "left_semi"
+        bulk, s.s_suppkey == bulk.l_suppkey, "left_semi"
     ).select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
 
 

@@ -183,10 +183,11 @@ _DUCK_GRAMS = f"""
 def benchmark_contamination(spark, sf_dir):
     """Benchmark-contamination check: corpus documents sharing a word
     4-gram with the held-out benchmark set (here: every 20th doc stands in
-    for the benchmark). Both sides explode to distinct grams; the benchmark
-    side is a small fixed corpus at any scale, so it broadcasts and the
-    fact side never shuffles for the join — only the per-doc distinct
-    rollup exchanges, on doc_id."""
+    for the benchmark). Both sides explode to distinct grams. A REAL
+    benchmark set is bounded and AQE will broadcast it; this stand-in is
+    5% of the corpus (SF-linear), so the join carries NO forced hint
+    (r6 hint policy, SCALING.md) — at small scale AQE still broadcasts,
+    at 100 TB the grams hash-join on the shared gram key."""
     docs = load_table(spark, sf_dir, "documents")
 
     def grams_of(side):
@@ -204,7 +205,7 @@ def benchmark_contamination(spark, sf_dir):
     corpus = grams_of(F.col("doc_id") % 20 != 0).alias("c")
     bench = grams_of(F.col("doc_id") % 20 == 0).alias("b")
     return (
-        corpus.join(F.broadcast(bench), F.col("c.gram") == F.col("b.gram"))
+        corpus.join(bench, F.col("c.gram") == F.col("b.gram"))
         .groupBy(F.col("c.doc_id").alias("doc_id"))
         .agg(
             F.count_distinct(F.col("c.gram"))

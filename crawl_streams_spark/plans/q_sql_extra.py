@@ -31,13 +31,14 @@ from .registry import query
 )
 def small_quantity_orders(spark, sf_dir):
     """TPC-H Q17-shape: per-part average-quantity scalar subquery driving a
-    fact filter. The aggregated side is small (one row per part) →
-    broadcast; lineitem is scanned once per side but never shuffled on a
-    high-cardinality key."""
+    fact filter. The aggregated side is one row PER PART — SF-linear, so
+    no broadcast hint (r6 hint policy, SCALING.md): AQE broadcasts it
+    when genuinely small; at 100 TB both sides hash-join on the shared
+    l_partkey partitioning."""
     li = load_table(spark, sf_dir, "lineitem")
     avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        li.join(F.broadcast(avg_q), "l_partkey")
+        li.join(avg_q, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
@@ -238,7 +239,10 @@ def cube_lineitem_status(spark, sf_dir):
 def cheapest_supplier_per_part(spark, sf_dir):
     """TPC-H Q2-shape: correlated MIN subquery selecting the cheapest
     supply row per part. Planned as an aggregated self-join on partkey —
-    the subquery side is one row per part, broadcastable."""
+    part, the per-part MIN aggregate, and supplier are all SF-linear, so
+    none carries a broadcast hint (r6 hint policy, SCALING.md); the
+    partkey sides share one hash partitioning and AQE broadcasts any
+    side that is genuinely small at runtime."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -246,10 +250,10 @@ def cheapest_supplier_per_part(spark, sf_dir):
         F.min("l_extendedprice").alias("min_price")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(min_price), "l_partkey")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(min_price, "l_partkey")
         .filter(F.col("l_extendedprice") == F.col("min_price"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .select(
             F.col("p_partkey").alias("partkey"),
             F.col("s_suppkey").alias("suppkey"),
@@ -272,14 +276,16 @@ def cheapest_supplier_per_part(spark, sf_dir):
 )
 def orders_in_top_segments(spark, sf_dir):
     """IN-subquery (semi join) + uncorrelated scalar subquery (broadcast
-    1-row relation) in one query."""
+    1-row relation) in one query. The semi-join side is filtered
+    customer — SF-linear, no hint (r6 hint policy); the scalar keeps its
+    hint (provably 1 row)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
     avg_price = o.agg(F.avg("o_totalprice").alias("avg_price"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        o.join(c, o.o_custkey == c.c_custkey, "left_semi")
         .join(F.broadcast(avg_price))
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select(

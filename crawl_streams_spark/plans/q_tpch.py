@@ -81,8 +81,12 @@ def pricing_summary(spark, sf_dir):
     bench=True,
 )
 def top_unshipped_orders(spark, sf_dir):
-    """TPC-H Q3-style: 3-way join + grouped revenue + top-k. customer (the
-    small filtered side) is broadcast so lineitem never shuffles on custkey."""
+    """TPC-H Q3-style: 3-way join + grouped revenue + top-k. customer and
+    orders are SF-linear, so they carry NO broadcast hint (r6 hint
+    policy, SCALING.md): AQE's dynamic join selection broadcasts the
+    filtered sides when their runtime size is genuinely small and falls
+    back to a shuffle join at 100 TB, where a forced hint would exceed
+    the 8 GB broadcast hard limit."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -94,7 +98,7 @@ def top_unshipped_orders(spark, sf_dir):
     )
     return (
         l.join(
-            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            o.join(c, o.o_custkey == c.c_custkey),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
@@ -130,8 +134,10 @@ def top_unshipped_orders(spark, sf_dir):
 )
 def regional_revenue(spark, sf_dir):
     """TPC-H Q5-style star join: region→nation→customer→orders→lineitem.
-    The whole dimension chain broadcasts; lineitem is the only shuffled
-    relation (once, for the final group-by)."""
+    nation/region (bounded: 25/5 rows) broadcast by hint; the customer
+    dim chain is SF-linear so it carries NO hint (r6 hint policy,
+    SCALING.md) — AQE broadcasts it at small scale and shuffle-joins at
+    100 TB, where every customer cannot fit one executor."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
@@ -144,7 +150,7 @@ def regional_revenue(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.sum(

@@ -76,9 +76,9 @@ def nation_trade_volume(spark, sf_dir):
         F.col("cust_nation") == "NATION_18"
     )
     return (
-        l.join(F.broadcast(supp_nation), l.l_suppkey == F.col("s_suppkey"))
+        l.join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_nation), o.o_custkey == F.col("c_custkey"))
+        .join(cust_nation, o.o_custkey == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -144,10 +144,10 @@ def nation_market_share(spark, sf_dir):
     rev = _revenue()
     zero = F.lit(0).cast(_REV_DEC)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
-        .join(F.broadcast(supp_nation), l.l_suppkey == F.col("s_suppkey"))
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(asia_cust), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(asia_cust, o.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             (
@@ -202,10 +202,10 @@ def nation_product_profit(spark, sf_dir):
     )
     return (
         l.join(
-            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            p.select("p_partkey", "p_retailprice"),
             l.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(supp_nation), l.l_suppkey == F.col("s_suppkey"))
+        .join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
         .groupBy(
             "nation", F.year("l_shipdate").cast("long").alias("ship_year")
         )
@@ -283,7 +283,7 @@ def promo_revenue_share(spark, sf_dir):
     rev = _revenue()
     zero = F.lit(0).cast(_REV_DEC)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -331,7 +331,7 @@ def brand_small_qty_revenue(spark, sf_dir):
     ).withColumn("avg_qty", F.avg("l_quantity").over(w))
     return (
         with_avg.join(
-            F.broadcast(p.select("p_partkey")),
+            p.select("p_partkey"),
             with_avg.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -388,7 +388,7 @@ def disjunctive_part_revenue(spark, sf_dir):
         & qty.between(20, 30)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(
             F.sum(_revenue()).cast("double").alias("revenue"),
@@ -453,7 +453,7 @@ def last_shipper_per_order(spark, sf_dir):
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_semi",
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_name").alias("supp_name"))
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "supp_name")

@@ -145,8 +145,8 @@ def returned_item_customers(spark, sf_dir):
         "c_custkey", "c_name", "n_name"
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -224,8 +224,9 @@ def top_revenue_supplier(spark, sf_dir):
     """TPC-H Q15-shape: supplier(s) with the maximum quarterly revenue.
     The per-supplier revenue aggregates once (suppkey shuffle); the global
     max is a 1-row broadcast joined back for the equality filter — exact
-    because revenue stays DECIMAL until after the comparison. supplier
-    broadcasts onto the (tiny) winner set."""
+    because revenue stays DECIMAL until after the comparison. supplier is
+    SF-linear so it carries no hint (r6 hint policy) — AQE broadcasts
+    the tiny winner side instead."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
@@ -235,7 +236,7 @@ def top_revenue_supplier(spark, sf_dir):
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_rev == F.col("max_rev"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
@@ -267,8 +268,9 @@ def supplier_count_by_part(spark, sf_dir):
     excluding flagged suppliers (NOT IN → broadcast anti join). Without a
     partsupp table the part-supplier relation is DISTINCT(l_partkey,
     l_suppkey) from lineitem; the distinct and the count-distinct ride the
-    same partkey-bucketed shuffle, and part + the exclusion list both
-    broadcast."""
+    same partkey-bucketed shuffle; part and the exclusion list are
+    SF-linear so neither carries a hint (r6 hint policy) — AQE
+    broadcasts them when genuinely small."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "BRAND_1")
@@ -280,8 +282,8 @@ def supplier_count_by_part(spark, sf_dir):
     ).select("s_suppkey")
     ps = l.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(bad_supp, ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -327,8 +329,8 @@ def large_volume_customers(spark, sf_dir):
         .filter(F.col("total_qty") > 250)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),

@@ -72,8 +72,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Keep broadcast threshold at default 10 MiB; dimension tables
-        # (region/nation/...) broadcast automatically, and we add explicit
-        # broadcast() hints where the optimizer can't see sizes.
+        # (region/nation/...) broadcast automatically. Explicit
+        # broadcast() hints are reserved for provably BOUNDED relations
+        # (SCALING.md hint policy); SF-growing sides are left to AQE's
+        # dynamic join selection.
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -3,7 +3,8 @@
 For each registered query: run the Spark builder and the oracle SQL on the
 same sf dir, canonicalize both results (sort columns by name, stringify
 values, sort rows), and diff. Used by tests/test_oracle_parity.py and by
-`python -m tests.oracle_harness [sf_dir]` for a quick full-suite report.
+`python -m tests.oracle_harness [sf_dir] [name,name,...]` for a quick
+full-suite (or targeted-subset) report.
 """
 
 from __future__ import annotations
@@ -109,7 +110,7 @@ def compare_query(spark, con, q, sf_dir: str, max_diff_shown: int = 5):
     return True, f"OK ({len(s_rows)} rows)"
 
 
-def main(sf_dir: str = "/root/testdata/sf0.001"):
+def main(sf_dir: str = "/root/testdata/sf0.001", only: set[str] | None = None):
     from crawl_streams_spark.plans import REGISTRY
     from crawl_streams_spark.session import get_spark
 
@@ -117,6 +118,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
     con = duckdb_connection(sf_dir)
     n_ok = 0
     for name, q in REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         if q.oracle is None:
             print(f"SKIP  {name} (rows-only)")
             continue
@@ -132,4 +135,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
 if __name__ == "__main__":
     import sys
 
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+    )
