@@ -7,35 +7,31 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 5 — clear the rotation debt VERDICT r4 flagged):
+Ordering policy (round 6 — clear the 34-query r2 rotation debt the
+round-5 guard pre-enumerated, and re-verify the hint-policy changes):
 
-- Slots 1-24: the stranded set the round-4 debt guard fired on — the 3
-  queries added at round-4 close that have NEVER had a driver verdict
-  (``purchase_attribution``, ``user_interarrival_stats``,
-  ``decayed_event_counts``) plus the 21 queries whose only verdict is
-  from round 1, now 4 rounds old.
-- Slots 25-32: implementations CHANGED in round 5, which must
-  (re-)verify — ``host_graph_kcore`` (now value-oracled via the
-  unrolled 40-round peel), ``host_graph_distances`` /
-  ``dedup_cluster_assignment`` (fixed-point-at-cap re-check refactor),
-  ``dedup_minhash_lsh_pairs`` (raw-table pair-estimate sampling +
-  memoization), and the four ``global_rank`` consumers re-verified
-  after the NULL-descending bucket fix (``balanced_shard_stats``,
-  ``equi_depth_price_bins``, ``customer_rfm_scores``,
-  ``doc_length_quantile_norm``).
-- Slots 33-46: one representative per family not already covered above,
-  preferring members with the OLDEST (round-2) verdicts so the window
-  also pays down round-6 debt.
-- Slots 47-50: the four queries ADDED in round 5 (windowed funnel,
-  density-exemplar dedup, incremental SCD2 merge, analytically-oracled
-  baseline-JPEG decode) — in-window from birth, so they get first
-  verdicts immediately instead of repeating round 4's
-  stranded-additions mistake.
+- Slots 1-34: the r2-stale set from ROUNDLOG's round-6 rotation plan —
+  every query whose only driver verdict is from round 2 (hits the
+  3-round freshness bound this round). Includes ``mmh3_partition_keys``,
+  upgraded this round from rows-only to a value-gated golden-key oracle.
+- Slots 35-40: implementations CHANGED in round 6 by the broadcast-hint
+  policy sweep (VERDICT r5 item 2) and not already above —
+  ``regional_revenue``, ``suppliers_of_bulk_parts``,
+  ``daily_cohort_retention`` (the flagged three), plus
+  ``parts_bought_together`` (also q_market's sole member),
+  ``nation_market_share`` and ``bigram_pmi_collocations`` (oldest
+  remaining verdicts among the sweep's other touches). The sweep's
+  remaining results-identical touches (``top_unshipped_orders``,
+  ``nation_trade_volume``, ``nation_product_profit``) hold r3+/r4/r5
+  verdicts, are locally value-verified, and rotate at round 7.
+- Slots 41-50: one representative per family not already covered,
+  preferring members with round-3 verdicts (they age out at round 7, so
+  this window pays next round's debt down too).
 - The rotation debt guard (tests/test_registry_order.py::
-  test_no_query_strands_beyond_k_rounds) derives each query's last
-  driver-verdict round from the checked-in CORRECTNESS_r*.json files and
-  fails any future PRIORITY that would let a non-window query go more
-  than 3 rounds without a verdict.
+  test_no_query_strands_beyond_k_rounds) asserts zero strands at the
+  max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
+  invariant — VERDICT r5 item 1) and reports the next-round projection
+  as a non-failing warning.
 
 Retired windows (rounds 1-4) are recorded in ROUNDLOG.md and git history.
 """
@@ -75,67 +71,68 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified (round-4-close additions): FIRST verdicts --
-    "purchase_attribution",  # q_behavior: last-touch attribution
-    "user_interarrival_stats",  # q_behavior: inter-arrival CV
-    "decayed_event_counts",  # q_timeseries: exponential-decay counts
-    # -- r1-only verdicts, 4 rounds stale (the debt-guard list) ----------
-    "status_code_histogram",  # q_events
-    "formatted_log_lines",  # q_events
-    "null_coalesce_projection",  # q_events
-    "recent_window_topk",  # q_events
-    "event_type_dist_users",  # q_events
-    "hist_median_by_type",  # q_events
-    "wayback_timestamps",  # q_crawl
-    "annotation_regex_classes",  # q_crawl
-    "customer_order_left_join",  # q_tpch: left outer join
-    "customers_with_open_orders",  # q_tpch: left semi join
-    "customers_without_orders",  # q_tpch: left anti join
-    "order_value_running",  # q_tpch: analytic window
-    "sessionized_set_ops",  # q_sessions: set operations
-    "doc_quality",  # q_text
-    "doc_lang_id",  # q_text
-    "doc_fingerprints",  # q_text
-    "token_array_ops",  # q_text
-    "top_tokens",  # q_text
-    "lang_source_rollup",  # q_text
-    "dedup_ngram_jaccard",  # q_dedup
-    "embedding_norms",  # q_similarity
-    # -- round-5-changed implementations: must (re-)verify ---------------
-    "host_graph_kcore",  # r5: value-oracled via unrolled 40-round peel
-    "host_graph_distances",  # r5: bfs fixed-point-at-cap re-check
-    "dedup_cluster_assignment",  # r5: CC fixed-point-at-cap re-check
-    "dedup_minhash_lsh_pairs",  # r5: raw-table estimate sample + memo
-    "balanced_shard_stats",  # r5: global_rank NULL-desc bucket fix
-    "equi_depth_price_bins",  # r5: global_rank NULL-desc bucket fix
-    # (customer_rfm_scores and doc_length_quantile_norm — the 3rd and 4th
-    # global_rank consumers — yielded their slots to the continuation
-    # sketches: both r4-verified, and the NULL-desc fix stays re-verified
-    # by one consumer per module family: balanced_shard_stats (q_pipeline)
-    # + equi_depth_price_bins (q_sql_extra))
-    # -- family coverage, preferring oldest (round-2) verdicts -----------
-    "suppliers_of_bulk_parts",  # q_joins_advanced, r2
-    "launch_ts_and_source_tags",  # q_schedule, r2
-    "nation_product_profit",  # q_tpch2, r2
-    "discount_revenue_forecast",  # q_tpch3, r2
-    "doc_lm_perplexity",  # q_corpus — NEW r5 (family rep; doc_unigram_freq r3 verdict holds to round 7)
-    "media_wav_features",  # q_crawl — r5-changed (round-free exact-integer decode, NEW analytic value oracle); snapshot_diff_summary r3 verdict holds to round 7
-    "concurrent_sessions",  # q_interval, r3
-    "user_sessions",  # q_sessions, r3 — also the r4 bench-regression watch
-    "cms_token_estimates",  # q_sketch, r3
-    "dup_span_doc_stats",  # q_spans, r3
-    "parts_bought_together",  # q_market (sole member)
-    "status_pivot",  # q_pivot (sole member)
-    "orders_validation_report",  # q_validate (sole member)
-    # -- round-5 NEW queries: first verdicts now, not stranded later ------
-    "windowed_funnel_levels",  # q_behavior: windowFunnel DP vs EXISTS oracle
-    "embedding_density_dedup",  # q_similarity: density-exemplar dedup
-    "orders_scd2_incremental",  # q_diff: scd2_merge == batch recompute
-    "media_jpeg_features",  # q_crawl: pure-NumPy T.81 decode, analytic oracle
-    # -- round-5 continuation additions: in-window from birth -------------
-    "media_png_features",  # q_crawl: pure-NumPy RFC 2083 decode, lossless pixel-exact oracle (slot freed by url_canonicalization, r2-verified, q_crawl still triple-covered)
-    "heavy_hitter_keys",  # q_sketch: Misra-Gries heavy hitters, error-bound-invariant oracle (slot freed by customer_rfm_scores)
-    "price_quantile_sketch",  # q_sketch: MRL mergeable quantile sketch, rank-bound-invariant oracle (slot freed by doc_length_quantile_norm)
+    # -- the 34 r2-stale queries (ROUNDLOG round-6 rotation plan; the
+    # -- debt the round-5 guard flagged): refreshed verdicts this round --
+    "benchmark_contamination",  # q_pipeline (also r6 hint-drop)
+    "bpe_learned_merges",  # q_corpus (rows-only by design)
+    "brand_small_qty_revenue",  # q_tpch2 (also r6 hint-drop)
+    "cheapest_supplier_per_part",  # q_sql_extra (r6 hint-drop, VERDICT item 2)
+    "clicks_before_purchase",  # q_behavior
+    "conditional_aggregation",  # q_sql_extra
+    "cube_lineitem_status",  # q_sql_extra
+    "date_function_suite",  # q_sql_extra
+    "disjunctive_part_revenue",  # q_tpch2 (also r6 hint-drop)
+    "doc_pii_scan",  # q_pipeline
+    "doc_token_stats",  # q_text
+    "embedding_near_dup",  # q_similarity
+    "event_type_stats",  # q_events (flagship)
+    "idle_rich_customers",  # q_joins_advanced
+    "important_part_value",  # q_joins_advanced
+    "large_volume_customers",  # q_tpch3 (also r6 hint-drop)
+    "last_shipper_per_order",  # q_tpch2 (also r6 hint-drop)
+    "late_shipment_priority",  # q_tpch2
+    "mimetype_fallback_chain",  # q_crawl
+    "mmh3_partition_keys",  # q_crawl — r6 UPGRADE: value-gated golden-key oracle
+    "orders_in_top_segments",  # q_sql_extra (also r6 hint-drop)
+    "pack_sequences",  # q_pipeline
+    "pricing_summary",  # q_tpch
+    "promo_revenue_share",  # q_tpch2 (also r6 hint-drop)
+    "returned_item_customers",  # q_tpch3 (also r6 hint-drop)
+    "small_quantity_orders",  # q_sql_extra (r6 hint-drop, VERDICT item 2)
+    "sql_interface_revenue",  # q_sql_extra
+    "stratified_sample_counts",  # q_pipeline
+    "string_function_suite",  # q_sql_extra
+    "supplier_count_by_part",  # q_tpch3 (also r6 hint-drop)
+    "top_revenue_supplier",  # q_tpch3 (also r6 hint-drop)
+    "train_split_counts",  # q_pipeline
+    "tumbling_window_counts",  # q_schedule
+    "url_canonicalization",  # q_crawl
+    # -- r6-changed implementations (VERDICT item 2 hint policy): the
+    # -- three flagged queries not already above must re-verify ---------
+    "regional_revenue",  # q_tpch: customer-dim broadcast hint dropped
+    "suppliers_of_bulk_parts",  # q_joins_advanced: part/bulk hints dropped
+    "daily_cohort_retention",  # q_behavior: per-user firsts hint dropped
+    # -- more r6 hint-drops: parts_bought_together is also q_market's sole
+    # -- member (family coverage); the others prefer the OLDEST remaining
+    # -- verdicts (r3, age out at round 7 anyway). The results-identical
+    # -- hint-drops left OUT of the window (top_unshipped_orders r3 —
+    # -- bench-pinned every round, nation_trade_volume r4,
+    # -- nation_product_profit r5) rotate at r7 ---------------------------
+    "parts_bought_together",  # q_market: per-item count hints dropped
+    "nation_market_share",  # q_tpch2: part/supp/cust hints dropped
+    "bigram_pmi_collocations",  # q_corpus: vocab-side hints dropped
+    # -- family coverage (every module in the window), preferring the
+    # -- oldest (round-3) verdicts so round 7's debt shrinks too ---------
+    "cluster_golden_records",  # q_dedup, r3
+    "lineitem_price_asof_scd2",  # q_diff, r3
+    "graph_unit_propagation",  # q_graph, r3
+    "active_sessions_at_purchase",  # q_interval, r4
+    "status_pivot",  # q_pivot (sole member), r5
+    "approx_distinct_users",  # q_sessions, r4
+    "bloom_part_membership",  # q_sketch, r3
+    "doc_span_excision",  # q_spans, r3
+    "hourly_series_filled",  # q_timeseries, r3
+    "orders_validation_report",  # q_validate (sole member), r5
 )
 
 
