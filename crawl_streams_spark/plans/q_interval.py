@@ -83,7 +83,16 @@ def concurrent_sessions(spark, sf_dir):
     with the exact closed-interval overlap, and attribute each pair to its
     overlap-start bucket (exactly-once, no dedup shuffle). The DuckDB
     oracle runs the naive non-equi join — agreement certifies the
-    rewrite."""
+    rewrite.
+
+    r6 shape: count ALL overlapping sessions (self included) and subtract
+    one. Same-user sessions are disjoint by construction (the 30-min-gap
+    sessionization separates them by more than the gap), so the only
+    same-user overlap is the guaranteed self-pair — which also means
+    every session appears in the join output, eliminating the zero-count
+    outer join that forced a third sessionization branch into the plan
+    (the r5 bench watch item: 2 scans + 6 window chains → 2 scans with
+    one ReusedExchange and no final join)."""
     s = _sessions_us(spark, sf_dir)
     pairs = IV.interval_overlap_join(
         s,
@@ -93,19 +102,9 @@ def concurrent_sessions(spark, sf_dir):
         right_start="s0",
         right_end="s1",
         width=_WIDTH_US,
-        extra_on=F.col("user_id") != F.col("r_user_id"),
     )
-    counts = pairs.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_concurrent")
-    )
-    return s.select("user_id", "session_idx").join(
-        counts, ["user_id", "session_idx"], "left"
-    ).select(
-        "user_id",
-        "session_idx",
-        F.coalesce(F.col("n_concurrent"), F.lit(0).cast("bigint")).alias(
-            "n_concurrent"
-        ),
+    return pairs.groupBy("user_id", "session_idx").agg(
+        (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_concurrent")
     )
 
 
