@@ -126,7 +126,9 @@ PRIORITY: tuple[str, ...] = (
     "cluster_golden_records",  # q_dedup, r3
     "lineitem_price_asof_scd2",  # q_diff, r3
     "graph_unit_propagation",  # q_graph, r3
-    "active_sessions_at_purchase",  # q_interval, r4
+    "concurrent_sessions",  # q_interval — r6-changed (self-overlap count
+    # replaced the zero-count outer join; must re-verify). Family peer
+    # active_sessions_at_purchase holds its r4 verdict to round 8.
     "status_pivot",  # q_pivot (sole member), r5
     "approx_distinct_users",  # q_sessions, r4
     "bloom_part_membership",  # q_sketch, r3

@@ -47,6 +47,8 @@ def test_round_changed_queries_in_window():
         "bigram_pmi_collocations",
         # round-6 oracle upgrade: rows-only -> value-gated golden keys
         "mmh3_partition_keys",
+        # round-6 plan rewrite: self-overlap count, outer join removed
+        "concurrent_sessions",
     ):
         assert name in window, name
 
