@@ -693,3 +693,82 @@ def decode_png_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=PNG_DECODED_SCHEMA
     )
+
+
+GIF_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("palette_size", IntegerType(), True),
+        StructField("sum_rgb", LongType(), True),
+        StructField("mean_sample", DoubleType(), True),
+        StructField("min_sample", IntegerType(), True),
+        StructField("max_sample", IntegerType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """REAL palette-image decode over mapInPandas: GIF payloads →
+    dimensions + exact RGB sample statistics, via the pure-Python LZW
+    codec in operators/gif.py (variable-width codes, clear-code table
+    resets, KwKwK — no codec library). The decoded index array maps
+    through the color table to (h, w, 3) RGB, and because GIF is
+    lossless the statistics are EXACT integers: ``sum_rgb`` is the int64
+    sum over every channel sample and ``mean_sample`` its exact-int
+    division — the same round-free discipline as decode_png_features, so
+    an analytic SQL oracle matches bit-for-bit. Malformed payloads land
+    in ``error`` per-row instead of failing the stage.
+
+    Worker-side module import with the same ``--py-files`` contract as
+    the JPEG/PNG stages (captured-root sys.path fallback)."""
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.gif import GifError, decode_gif
+        except ModuleNotFoundError:  # worker missing the package on path
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.gif import GifError, decode_gif
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 8 + ("null payload",))
+                    continue
+                try:
+                    px, palette = decode_gif(bytes(payload))
+                except GifError as e:
+                    rows.append((mid,) + (None,) * 8 + (str(e),))
+                    continue
+                rgb = palette[px.astype("int64")]  # (h, w, 3) uint8
+                h, w, _ = rgb.shape
+                total = int(rgb.sum(dtype="int64"))
+                n = h * w * 3
+                rows.append(
+                    (
+                        mid, w, h, 3, int(palette.shape[0]),
+                        total, total / n,
+                        int(rgb.min()), int(rgb.max()), None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_DECODED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=GIF_DECODED_SCHEMA
+    )

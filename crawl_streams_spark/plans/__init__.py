@@ -18,12 +18,14 @@ round-5 guard pre-enumerated, and re-verify the hint-policy changes):
   policy sweep (VERDICT r5 item 2) and not already above —
   ``regional_revenue``, ``suppliers_of_bulk_parts``,
   ``daily_cohort_retention`` (the flagged three), plus
-  ``parts_bought_together`` (also q_market's sole member),
-  ``nation_market_share`` and ``bigram_pmi_collocations`` (oldest
-  remaining verdicts among the sweep's other touches). The sweep's
-  remaining results-identical touches (``top_unshipped_orders``,
-  ``nation_trade_volume``, ``nation_product_profit``) hold r3+/r4/r5
+  ``parts_bought_together`` (also q_market's sole member) and
+  ``bigram_pmi_collocations`` (sole in-window q_corpus rep). The
+  sweep's remaining results-identical touches
+  (``top_unshipped_orders``, ``nation_market_share``,
+  ``nation_trade_volume``, ``nation_product_profit``) hold r3/r3/r4/r5
   verdicts, are locally value-verified, and rotate at round 7.
+- Slot 40: ``media_gif_features`` — the round-6 ADDITION (LZW GIF
+  decode), in-window from birth (round-4 lesson).
 - Slots 41-50: one representative per family not already covered,
   preferring members with round-3 verdicts (they age out at round 7, so
   this window pays next round's debt down too).
@@ -74,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     # -- the 34 r2-stale queries (ROUNDLOG round-6 rotation plan; the
     # -- debt the round-5 guard flagged): refreshed verdicts this round --
     "benchmark_contamination",  # q_pipeline (also r6 hint-drop)
-    "bpe_learned_merges",  # q_corpus (rows-only by design)
+    "bpe_learned_merges",  # q_pipeline (rows-only by design)
     "brand_small_qty_revenue",  # q_tpch2 (also r6 hint-drop)
     "cheapest_supplier_per_part",  # q_sql_extra (r6 hint-drop, VERDICT item 2)
     "clicks_before_purchase",  # q_behavior
@@ -119,8 +121,13 @@ PRIORITY: tuple[str, ...] = (
     # -- bench-pinned every round, nation_trade_volume r4,
     # -- nation_product_profit r5) rotate at r7 ---------------------------
     "parts_bought_together",  # q_market: per-item count hints dropped
-    "nation_market_share",  # q_tpch2: part/supp/cust hints dropped
-    "bigram_pmi_collocations",  # q_corpus: vocab-side hints dropped
+    "bigram_pmi_collocations",  # q_corpus: vocab-side hints dropped (also
+    # the sole in-window q_corpus representative)
+    # (nation_market_share — part/supp/cust hint drop, r3 verdict,
+    # locally value-verified, q_tpch2 still five-deep in-window — yielded
+    # its slot to the round-6 GIF addition; rotates at r7)
+    "media_gif_features",  # q_crawl: NEW r6 — LZW GIF decode, analytic
+    # lossless oracle; additions take a window slot from birth
     # -- family coverage (every module in the window), preferring the
     # -- oldest (round-3) verdicts so round 7's debt shrinks too ---------
     "cluster_golden_records",  # q_dedup, r3

@@ -576,3 +576,89 @@ def media_png_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_png_features(media)
+
+
+@query(
+    "media_gif_features",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id * 31 + y.y * 7 + x.x * 13) % 256) AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS y) y
+            CROSS JOIN (SELECT unnest(range(0, 24)) AS x) x
+            WHERE y.y < 8 * (1 + d.doc_id % 2)
+              AND x.x < 8 * (1 + d.doc_id % 3)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n,
+                   MIN(v)::INTEGER AS mn,
+                   MAX(v)::INTEGER AS mx
+            FROM px GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               (8 * (1 + doc_id % 3))::INTEGER AS width,
+               (8 * (1 + doc_id % 2))::INTEGER AS height,
+               3::INTEGER AS n_channels,
+               256::INTEGER AS palette_size,
+               (3 * s) AS sum_rgb,
+               (s::DOUBLE / n) AS mean_sample,
+               mn AS min_sample,
+               mx AS max_sample,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "image", "gif", "extension"),
+)
+def media_gif_features(spark, sf_dir):
+    """REAL palette-image decode end to end, under the VALUE gate: a
+    deterministic gradient GIF89a is encoded per document
+    (operators/gif.py::pattern_gif — logical screen descriptor, 256-gray
+    global color table, genuine variable-width LZW entropy coding), then
+    operators/multimodal.py::decode_gif_features LZW-decompresses, maps
+    indices through the color table and reduces to exact integer RGB
+    statistics. Same closed-form pixel pattern as media_png_features
+    ((seed*31 + y*7 + x*13) % 256), and the grayscale palette makes all
+    three channels equal — so the SQL side predicts sum_rgb = 3×(index
+    sum) and the shared mean/min/max bit-for-bit, certifying the whole
+    LZW + palette pipeline cross-engine with no rounding anywhere."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def synth(batches):
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.gif import pattern_gif
+        except ModuleNotFoundError:
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.gif import pattern_gif
+
+        for pdf in batches:
+            payloads = [
+                pattern_gif(
+                    int(d),
+                    8 * (1 + int(d) % 3),
+                    8 * (1 + int(d) % 2),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_gif_features(media)

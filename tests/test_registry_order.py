@@ -43,12 +43,13 @@ def test_round_changed_queries_in_window():
         "cheapest_supplier_per_part",
         # sweep touches rotated for freshness/coverage
         "parts_bought_together",  # q_market sole member, hint dropped
-        "nation_market_share",
-        "bigram_pmi_collocations",
+        "bigram_pmi_collocations",  # sole q_corpus rep in window
         # round-6 oracle upgrade: rows-only -> value-gated golden keys
         "mmh3_partition_keys",
         # round-6 plan rewrite: self-overlap count, outer join removed
         "concurrent_sessions",
+        # round-6 ADDITION — in-window from birth (round-4 lesson)
+        "media_gif_features",
     ):
         assert name in window, name
 
