@@ -12,7 +12,11 @@ DataFrame form here is two aggregates and one window:
    strictly cheaper row with equal gain dominates);
 3. rejoin to keep every input row sitting exactly on a surviving
    (cost, best-gain) point (co-located duplicates all survive — neither
-   strictly dominates the other).
+   strictly dominates the other). The rejoin carries NO broadcast hint
+   (r6 hint policy, SCALING.md): skylines are usually tiny and AQE
+   broadcasts them, but the frontier is worst-case one row per distinct
+   cost (an anti-chain can be the whole input), so a forced hint would
+   be the deferred 8 GB job-killer the policy exists to prevent.
 
 Scale (100 TB): step 1 is an ordinary partial-agg'd shuffle keyed on
 cost; the window in step 2 runs over the AGGREGATED relation (one row
@@ -63,7 +67,7 @@ def skyline_2d(
         .select(*keys, "__best_gain")
     )
     return (
-        df.join(F.broadcast(frontier), keys)
+        df.join(frontier, keys)
         .filter(F.col(gain_col) == F.col("__best_gain"))
         .drop("__best_gain")
     )
