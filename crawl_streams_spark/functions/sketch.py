@@ -455,10 +455,7 @@ def mg_partition_summaries(df: DataFrame, item: str = "item", k: int = 256) -> D
     Null items are NOT supported (the meta row uses the null slot) —
     filter them upstream; a null item raises here rather than corrupting
     the error accounting."""
-    if not isinstance(k, int) or k < 1:
-        raise ValueError(
-            f"Misra-Gries counter budget k must be an int >= 1, got {k!r}"
-        )
+    k = _check_sketch_param("Misra-Gries counter budget k", k, 1)
     return df.select(F.col(item).cast("string").alias("item")).mapInPandas(
         _mg_gen(k), schema="item string, cnt bigint, meta boolean"
     )
@@ -526,12 +523,31 @@ def mg_summary(df: DataFrame, item: str = "item", k: int = 256) -> DataFrame:
 # this for ranks/quantiles.
 
 
-def _check_mrl_c(c: int) -> None:
-    """ADVICE r5: c <= 1 makes the compaction loop spin forever (a
-    1-element buffer can never shrink) — a caller typo must raise on the
-    driver, not hang the executor."""
-    if not isinstance(c, int) or c < 2:
-        raise ValueError(f"MRL compactor size c must be an int >= 2, got {c!r}")
+def _check_sketch_param(label: str, value, floor: int) -> int:
+    """ADVICE r5 + code-review r6: validate integer sketch parameters on
+    the driver (a degenerate value hangs or corrupts an executor).
+    Accepts anything integral (numpy ints included, via __index__),
+    rejects bools (True would silently mean 1)."""
+    import operator
+
+    if isinstance(value, bool):
+        raise ValueError(f"{label} must be an int >= {floor}, got {value!r}")
+    try:
+        ivalue = operator.index(value)
+    except TypeError:
+        raise ValueError(
+            f"{label} must be an int >= {floor}, got {value!r}"
+        ) from None
+    if ivalue < floor:
+        raise ValueError(f"{label} must be an int >= {floor}, got {value!r}")
+    return ivalue
+
+
+def _check_mrl_c(c: int) -> int:
+    """c <= 1 makes the compaction loop spin forever (a 1-element buffer
+    can never shrink) — a caller typo must raise on the driver, not hang
+    the executor."""
+    return _check_sketch_param("MRL compactor size c", c, 2)
 
 
 def _mrl_gen(c: int, weight_of_input):
@@ -619,7 +635,7 @@ def mrl_partition_summaries(
     """One-pass per-partition quantile summaries: ≤ c·log2(n_p/c) items
     plus one meta row carrying the partition's accumulated rank-error
     mass. No shuffle; null values are rejected (they have no rank)."""
-    _check_mrl_c(c)
+    c = _check_mrl_c(c)
     src = df.select(F.col(value).cast("double").alias("value"))
 
     def guard(batches):
@@ -648,7 +664,7 @@ def mrl_merge(parts: DataFrame, c: int = 200) -> DataFrame:
     it — the scale path that keeps the driver-side quantile lookup O(c
     log n), not O(P·c log n). Single-partition stage by construction
     (the input is already sketch-sized)."""
-    _check_mrl_c(c)
+    c = _check_mrl_c(c)
     one = parts.repartition(1)
     return one.mapInPandas(_mrl_gen(c, "weight"), schema=_MRL_SCHEMA)
 

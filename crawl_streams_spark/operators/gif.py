@@ -144,11 +144,17 @@ def lzw_encode(indices, min_code_size: int) -> bytes:
     return w.done()
 
 
-def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
-    """Inverse of :func:`lzw_encode` — raw code bytes → index list.
+def lzw_decode(
+    data: bytes, min_code_size: int, max_symbols: int | None = None
+) -> bytes:
+    """Inverse of :func:`lzw_encode` — raw code bytes → index bytes.
     Implements the KwKwK first-unknown-code rule and the clear-code table
-    reset; raises GifError on codes beyond the table or a stream that
-    ends without EOI."""
+    reset; raises GifError on codes beyond the table, a stream that ends
+    without EOI, or (when ``max_symbols`` is given) output exceeding the
+    declared size — the decompression-bomb gate: LZW amplifies ~2700×,
+    so a crafted stream for a "1×1" image must fail FAST in the error
+    column, not balloon executor memory before the post-hoc size check
+    (the bounded-inflate discipline of operators/png.py)."""
     if not 2 <= min_code_size <= 8:
         raise GifError(f"min_code_size must be 2..8, got {min_code_size}")
     clear = 1 << min_code_size
@@ -176,7 +182,7 @@ def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             prev = None
             continue
         if code == eoi:
-            return list(out)
+            return bytes(out)
         if prev is None:
             if code >= len(table):
                 raise GifError(f"first code {code} not a literal")
@@ -188,6 +194,10 @@ def lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         else:
             raise GifError(f"LZW code {code} beyond table size {len(table)}")
         out.extend(entry)
+        if max_symbols is not None and len(out) > max_symbols:
+            raise GifError(
+                f"LZW output exceeds declared {max_symbols} pixels"
+            )
         if prev is not None and len(table) < _TABLE_LIMIT:
             table.append(prev + entry[:1])
             if len(table) >= (1 << width) and width < _MAX_CODE_WIDTH:
@@ -306,15 +316,15 @@ def decode_gif(payload: bytes):
     mcs = payload[pos]
     pos += 1
     data, pos = _read_sub_blocks(payload, pos)
-    indices = lzw_decode(data, mcs)
+    indices = lzw_decode(data, mcs, max_symbols=iw * ih)
     if len(indices) != iw * ih:
         raise GifError(
             f"decoded {len(indices)} indices for a {iw}x{ih} image"
         )
-    px = np.asarray(indices, dtype=np.int64)
-    if px.max(initial=0) >= palette.shape[0]:
+    px = np.frombuffer(indices, dtype=np.uint8)
+    if int(px.max(initial=0)) >= palette.shape[0]:
         raise GifError("palette index beyond color table")
-    return px.astype(np.uint8).reshape(ih, iw), palette
+    return px.reshape(ih, iw), palette
 
 
 # ---------------------------------------------------------------------------

@@ -50,16 +50,35 @@ def pin(
         # ends with the requested path.
         opt = sc._jsc.sc().getCheckpointDir()
         current = opt.get() if opt.isDefined() else None
-        tail = checkpoint_dir.rstrip("/").lstrip("/")
         if current is None:
             matches = False
         else:
-            # Path-separator-boundary compare (ADVICE r5: a bare
-            # endswith lets a requested 'ckpt' falsely match an existing
-            # '/data/myckpt', silently landing checkpoints in the wrong
-            # directory).
             parent = current.rstrip("/").rsplit("/", 1)[0]
-            matches = parent == tail or parent.endswith("/" + tail)
+            requested = checkpoint_dir.rstrip("/")
+            if "://" in requested or requested.startswith(("file:", "hdfs:")):
+                # fully-qualified request: exact-URI compare
+                matches = parent == requested
+            elif requested.startswith("/"):
+                # Absolute request: compare the FULL path (code-review
+                # r6 — a suffix heuristic let '/data/ckpt' falsely match
+                # an existing '/srv/data/ckpt'). The stored value is the
+                # qualified URI ('file:/a/b' or 'scheme://authority/a/b');
+                # strip scheme+authority to the bare path, then demand
+                # equality.
+                if "://" in parent:
+                    rest = parent.split("://", 1)[1]
+                    ppath = "/" + rest.split("/", 1)[1] if "/" in rest else ""
+                elif ":" in parent.split("/", 1)[0]:
+                    ppath = parent.split(":", 1)[1]
+                else:
+                    ppath = parent
+                matches = ppath == requested
+            else:
+                # Relative request: boundary-suffix compare is the best
+                # available (the qualified form depends on the FS cwd)
+                # — ADVICE r5: a separator boundary so 'ckpt' cannot
+                # match '/data/myckpt'.
+                matches = parent.endswith("/" + requested)
         if not matches:
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=eager)

@@ -754,7 +754,7 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
                 except GifError as e:
                     rows.append((mid,) + (None,) * 8 + (str(e),))
                     continue
-                rgb = palette[px.astype("int64")]  # (h, w, 3) uint8
+                rgb = palette[px]  # uint8 fancy-index -> (h, w, 3) uint8
                 h, w, _ = rgb.shape
                 total = int(rgb.sum(dtype="int64"))
                 n = h * w * 3

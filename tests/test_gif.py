@@ -80,7 +80,7 @@ def test_kwkwk_vector():
     # [1,1,1] with mcs=2: encoder emits the code it has only just
     # defined; the decoder must synthesize prev + prev[0]
     enc = lzw_encode([1, 1, 1], 2)
-    assert lzw_decode(enc, 2) == [1, 1, 1]
+    assert list(lzw_decode(enc, 2)) == [1, 1, 1]
     assert _reference_lzw_decode(enc, 2) == [1, 1, 1]
 
 
@@ -90,14 +90,14 @@ def test_flush_tips_width_boundary_before_eoi():
     # bit wider than the last data code — the classic encoder
     # off-by-one (the width schedule is simulated decoder-side)
     enc = lzw_encode([1, 1, 1, 1, 1], 2)
-    assert lzw_decode(enc, 2) == [1, 1, 1, 1, 1]
+    assert list(lzw_decode(enc, 2)) == [1, 1, 1, 1, 1]
     assert _reference_lzw_decode(enc, 2) == [1, 1, 1, 1, 1]
 
 
 def test_single_pixel_stream():
     for mcs in (2, 8):
         enc = lzw_encode([0], mcs)
-        assert lzw_decode(enc, mcs) == [0]
+        assert list(lzw_decode(enc, mcs)) == [0]
         assert _reference_lzw_decode(enc, mcs) == [0]
 
 
@@ -110,7 +110,7 @@ def test_lzw_roundtrip_against_independent_decoder(mcs):
     for n in (1, 2, 7, 63, 500):
         seq = [rng.randrange(1 << mcs) for _ in range(n)]
         enc = lzw_encode(seq, mcs)
-        assert lzw_decode(enc, mcs) == seq
+        assert list(lzw_decode(enc, mcs)) == seq
         assert _reference_lzw_decode(enc, mcs) == seq
 
 
@@ -120,7 +120,7 @@ def test_lzw_table_reset_path():
     rng = random.Random(42)
     seq = [rng.randrange(4) for _ in range(60_000)]
     enc = lzw_encode(seq, 2)
-    assert lzw_decode(enc, 2) == seq
+    assert list(lzw_decode(enc, 2)) == seq
     assert _reference_lzw_decode(enc, 2) == seq
 
 
@@ -135,7 +135,7 @@ def test_lzw_table_reset_path():
 )
 def test_lzw_roundtrip_property(case):
     mcs, seq = case
-    assert lzw_decode(lzw_encode(seq, mcs), mcs) == seq
+    assert list(lzw_decode(lzw_encode(seq, mcs), mcs)) == seq
 
 
 # --- container --------------------------------------------------------------
@@ -212,6 +212,34 @@ def test_garbage_never_crashes_uncontrolled(blob):
         decode_gif(blob)
     except GifError:
         pass  # the only permitted failure mode
+
+
+def test_lzw_bomb_gate_fails_fast():
+    """A stream decoding to far more symbols than the image declares
+    must raise as soon as the declared budget is crossed — the
+    decompression-bomb gate (code-review r6): never materialize the
+    amplified output before the size check."""
+    seq = [i % 4 for i in range(10_000)]
+    enc = lzw_encode(seq, 2)
+    with pytest.raises(GifError, match="exceeds declared"):
+        lzw_decode(enc, 2, max_symbols=16)
+    # exact-budget stream still decodes
+    assert len(lzw_decode(enc, 2, max_symbols=10_000)) == 10_000
+
+
+def test_declared_tiny_image_with_huge_stream_lands_in_error():
+    # container-level: splice a 10k-symbol stream into a GIF declaring 2x2
+    from crawl_streams_spark.operators.gif import _sub_blocks
+
+    good = bytearray(pattern_gif(1, 8, 8))
+    idx = _IMAGE_DESC_OFFSET
+    # rewrite image descriptor + LSD dims to 2x2, keep the big stream
+    import struct as _struct
+
+    good[6:10] = _struct.pack("<HH", 2, 2)
+    good[idx + 1 : idx + 9] = _struct.pack("<HHHH", 0, 0, 2, 2)
+    with pytest.raises(GifError, match="exceeds declared"):
+        decode_gif(bytes(good))
 
 
 def test_truncation_sweep_never_uncontrolled():

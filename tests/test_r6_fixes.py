@@ -85,3 +85,45 @@ def test_mg_rejects_degenerate_counter_budget(spark):
         with pytest.raises(ValueError, match="k must be"):
             mg_partition_summaries(df, k=bad)
     mg_partition_summaries(df, k=1)
+
+
+def test_pin_absolute_path_is_full_path_compared(spark, tmp_path):
+    """Code-review r6: a suffix heuristic let a requested '/data/ckpt'
+    falsely match an existing '/srv/data/ckpt'. Absolute requests now
+    compare the full scheme-stripped path."""
+    import os
+
+    decoy = str(tmp_path / "srv" / "data" / "ckpt")
+    mine = str(tmp_path / "data" / "ckpt")
+    os.makedirs(decoy, exist_ok=True)
+    from crawl_streams_spark.operators.iterate import pin
+
+    spark.sparkContext.setCheckpointDir(decoy)
+    pin(spark.range(5), checkpoint_dir=mine).count()
+    stored = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    parent = stored.rstrip("/").rsplit("/", 1)[0]
+    assert parent.endswith(mine), stored
+    assert any(os.scandir(mine))
+
+
+def test_sketch_params_accept_numpy_ints_reject_bool(spark):
+    """Code-review r6: isinstance(int) guards rejected numpy integers
+    (a np.int64(200) from config arithmetic) and accepted True as 1."""
+    import numpy as np
+    import pytest as _pytest
+
+    from crawl_streams_spark.functions.sketch import (
+        mg_partition_summaries,
+        mrl_partition_summaries,
+    )
+
+    vals = spark.range(10).withColumnRenamed("id", "value")
+    items = spark.range(10).withColumnRenamed("id", "item")
+    # numpy integral parameters build fine (plan construction suffices)
+    mrl_partition_summaries(vals, c=np.int64(200))
+    mg_partition_summaries(items, k=np.int32(16))
+    for bad in (True, False):
+        with _pytest.raises(ValueError):
+            mrl_partition_summaries(vals, c=bad)
+        with _pytest.raises(ValueError):
+            mg_partition_summaries(items, k=bad)
