@@ -47,6 +47,7 @@ __all__ = [
     "kmv_estimate",
     "mg_partition_summaries",
     "mg_summary",
+    "mg_prune",
     "mrl_partition_summaries",
     "mrl_merge",
     "mrl_quantiles",
@@ -513,6 +514,56 @@ def mg_summary(df: DataFrame, item: str = "item", k: int = 256) -> DataFrame:
         F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("err_total")
     )
     return ests.crossJoin(F.broadcast(errs))
+
+
+def mg_prune(parts: DataFrame, k: int = 256) -> DataFrame:
+    """Combine any number of ``(item, cnt, meta)`` Misra-Gries summaries
+    into ONE summary in the same schema, pruned back to ≤ k counter rows
+    plus a single meta row — the mergeable-summaries merge (Agarwal,
+    Cormode, Huang, Phillips, Wei, Yi 2012): counts sum per item,
+    decrement masses sum, then one prune subtracts the (k+1)-th largest
+    combined count m from every counter (dropping ≤ 0) and adds m to the
+    error mass. The guarantee survives merging: for every item,
+    true − err_total ≤ est ≤ true with err_total ≤ n/(k+1) over the
+    union of everything the inputs summarized — which is what makes a
+    PERSISTENT heavy-hitters table maintainable one micro-batch at a
+    time (streaming/sketches.py::stream_mg).
+
+    Scale: the combined relation is ≤ (k+1)·(#summaries) slim rows; the
+    (k+1)-th largest comes from a TakeOrderedAndProject over it (no
+    data-sized global window), and the scalar rides a broadcast cross
+    join."""
+    k = _check_sketch_param("Misra-Gries counter budget k", k, 1)
+    ests = (
+        parts.filter(~F.col("meta"))
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    err = parts.filter(F.col("meta")).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("__e")
+    )
+    top = ests.orderBy(F.desc("cnt"), F.asc("item")).limit(k + 1)
+    m = top.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("cnt"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("__m")
+    )
+    counters = (
+        ests.crossJoin(F.broadcast(m))
+        .select(
+            "item",
+            (F.col("cnt") - F.col("__m")).cast("bigint").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+        .withColumn("meta", F.lit(False))
+    )
+    meta = err.crossJoin(F.broadcast(m)).select(
+        F.lit(None).cast("string").alias("item"),
+        (F.col("__e") + F.col("__m")).cast("bigint").alias("cnt"),
+        F.lit(True).alias("meta"),
+    )
+    return counters.unionByName(meta)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,6 @@
 """Streaming sketch maintenance: fold micro-batches into persistent
-count-min / HyperLogLog tables via foreachBatch — the sketch analog of
+count-min / HyperLogLog / k-minimum-values / Misra-Gries /
+MRL-quantile tables via foreachBatch — the sketch analog of
 operators/rollup.py::stream_rollup (durable, restart-safe aggregates whose
 per-trigger cost is the micro-batch, never the history).
 
@@ -33,9 +34,13 @@ __all__ = [
     "update_hll_table",
     "update_cms_table",
     "update_kmv_table",
+    "update_mg_table",
+    "update_mrl_table",
     "stream_hll",
     "stream_cms",
     "stream_kmv",
+    "stream_mg",
+    "stream_mrl",
 ]
 
 
@@ -187,6 +192,119 @@ def stream_kmv(
         update_kmv_table(
             batch_df.sparkSession, batch_df, table_path, item_col, k, group_cols
         )
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def update_mg_table(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    item_col: str,
+    k: int = 256,
+) -> None:
+    """Merge one batch's Misra-Gries summaries into the persistent
+    heavy-hitters table (``(item, cnt, meta)`` — the partition-summary
+    schema, so the table IS a summary and reloads into any MG consumer).
+    NOT idempotent (counts sum) — callers must suppress replays;
+    stream_mg does."""
+    parts = S.mg_partition_summaries(batch, item_col, k)
+    existing = parquet_if_exists(spark, table_path)
+    combined = (
+        existing.unionByName(parts) if existing is not None else parts
+    )
+    S.mg_prune(combined, k).localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).parquet(table_path)
+
+
+def stream_mg(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    item_col: str,
+    k: int = 256,
+    available_now: bool = False,
+    exactly_once: bool = True,
+):
+    """Continuous heavy-hitters maintenance: every micro-batch folds its
+    MG summaries into the table via the mergeable-summaries merge
+    (functions/sketch.py::mg_prune), keeping the table ≤ k+1 rows no
+    matter the stream length. Sum-merge is NOT idempotent, so per-batch
+    markers inside the checkpoint make it exactly-once (the stream_cms
+    discipline; same one-batch residual window on a crash between merge
+    and marker)."""
+    markers = checkpoint.rstrip("/") + "/applied_mg_batches"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{markers}/{batch_id}"
+        if exactly_once and hadoop_exists(spark, marker):
+            return
+        update_mg_table(spark, batch_df, table_path, item_col, k)
+        if exactly_once:
+            hadoop_touch(spark, marker)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def update_mrl_table(
+    spark,
+    batch: DataFrame,
+    table_path: str,
+    value_col: str,
+    c: int = 200,
+) -> None:
+    """Merge one batch's MRL quantile summaries into the persistent
+    sketch table (``(value, weight, meta)`` — the summary schema; items
+    re-enter the compactor at their own weight level, so the table stays
+    ≤ c·log2(n/c) rows over any stream length). NOT idempotent (mass
+    adds) — stream_mrl suppresses replays."""
+    parts = S.mrl_partition_summaries(batch, value_col, c)
+    existing = parquet_if_exists(spark, table_path)
+    combined = (
+        existing.unionByName(parts) if existing is not None else parts
+    )
+    S.mrl_merge(combined, c).localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).parquet(table_path)
+
+
+def stream_mrl(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    value_col: str,
+    c: int = 200,
+    available_now: bool = False,
+    exactly_once: bool = True,
+):
+    """Continuous quantile-sketch maintenance: the streaming tier of the
+    MRL compactor hierarchy. Each fold tree-merges the batch's
+    partition summaries with the persistent summary; rank error
+    accumulates in the meta row exactly as in the batch path, so
+    ``mrl_quantiles`` over the maintained table carries the same
+    checkable bound. Markers for exactly-once (mass-additive merge)."""
+    markers = checkpoint.rstrip("/") + "/applied_mrl_batches"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{markers}/{batch_id}"
+        if exactly_once and hadoop_exists(spark, marker):
+            return
+        update_mrl_table(spark, batch_df, table_path, value_col, c)
+        if exactly_once:
+            hadoop_touch(spark, marker)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

@@ -174,3 +174,142 @@ def test_stream_kmv_replay_is_noop_by_algebra(spark, tmp_path):
         if before is None:
             before = rows
     assert rows == before
+
+
+def test_stream_mg_bounds_and_table_size(spark, tmp_path):
+    """The maintained heavy-hitters table obeys the mergeable-summaries
+    guarantee over the whole stream: ≤ k counter rows, and for EVERY
+    item true − err ≤ est ≤ true with err ≤ n/(k+1); items above the
+    error mass are guaranteed present."""
+    df, src = _src(spark, tmp_path)
+    table = str(tmp_path / "mg")
+    k = 8  # 37 distinct items >> k: every fold prunes
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SS.stream_mg(
+        stream, table, str(tmp_path / "ckmg"), "item",
+        k=k, available_now=True,
+    )
+    _await(spark, q)
+    rows = spark.read.parquet(table).collect()
+    counters = {r["item"]: r["cnt"] for r in rows if not r["meta"]}
+    err = sum(r["cnt"] for r in rows if r["meta"])
+    true = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(true.values())
+    assert len(counters) <= k
+    assert 0 < err <= n // (k + 1)
+    for item, t in true.items():
+        est = counters.get(item, 0)
+        assert est <= t, item
+        assert est >= t - err, item
+    for item, t in true.items():
+        if t > err:
+            assert item in counters, item
+
+
+def test_stream_mg_replay_marker_suppression(spark, tmp_path):
+    df, src = _src(spark, tmp_path, two_files=False)
+    schema = df.schema
+
+    def run(table, ckpt, exactly_once):
+        q = SS.stream_mg(
+            spark.readStream.schema(schema).parquet(src),
+            table, ckpt, "item",
+            k=8, available_now=True, exactly_once=exactly_once,
+        )
+        _await(spark, q)
+
+    t1, c1 = str(tmp_path / "mg1"), str(tmp_path / "ckm1")
+    run(t1, c1, True)
+    before = sorted(map(tuple, spark.read.parquet(t1).collect()))
+    _inject_replay(c1)
+    run(t1, c1, True)
+    after = sorted(map(tuple, spark.read.parquet(t1).collect()))
+    assert before == after
+
+    # markerless: the replayed fold inflates the error mass (counts sum)
+    t2, c2 = str(tmp_path / "mg2"), str(tmp_path / "ckm2")
+    run(t2, c2, False)
+    _inject_replay(c2)
+    run(t2, c2, False)
+    err1 = sum(c for _, c, m in before if m)
+    err2 = sum(
+        r["cnt"] for r in spark.read.parquet(t2).collect() if r["meta"]
+    )
+    assert err2 > err1
+
+
+def test_stream_mrl_rank_bounds(spark, tmp_path):
+    """Quantile estimates off the maintained MRL table respect the
+    run-tracked rank bound against the exact stream contents."""
+    import math
+
+    rows = [(float((i * 37) % 1009),) for i in range(2000)]
+    df = spark.createDataFrame(rows, "v double")
+    src = str(tmp_path / "vsrc")
+    df.filter(F.col("v") < 500).coalesce(1).write.parquet(src, mode="append")
+    df.filter(F.col("v") >= 500).coalesce(1).write.parquet(src, mode="append")
+    table = str(tmp_path / "mrl")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SS.stream_mrl(
+        stream, table, str(tmp_path / "ckq"), "v",
+        c=64, available_now=True,
+    )
+    _await(spark, q)
+    summary = spark.read.parquet(table).collect()
+    ests, err, n, w_max = S.mrl_quantiles(summary, [0.1, 0.5, 0.9])
+    vals = sorted(x[0] for x in rows)
+    assert n == len(vals)
+    for qq, est in ests.items():
+        t = max(1, int(math.ceil(qq * n)))
+        below = sum(1 for v in vals if v < est)
+        at_or_below = sum(1 for v in vals if v <= est)
+        assert below <= t + err + w_max, (qq, below, t, err, w_max)
+        assert at_or_below >= t - err, (qq, at_or_below, t, err)
+
+
+def test_stream_mrl_replay_marker_suppression(spark, tmp_path):
+    rows = [(float(i % 101),) for i in range(1000)]
+    df = spark.createDataFrame(rows, "v double")
+    src = str(tmp_path / "vsrc2")
+    df.coalesce(1).write.parquet(src)
+
+    def run(table, ckpt, exactly_once):
+        q = SS.stream_mrl(
+            spark.readStream.schema(df.schema).parquet(src),
+            table, ckpt, "v",
+            c=64, available_now=True, exactly_once=exactly_once,
+        )
+        _await(spark, q)
+
+    t1, c1 = str(tmp_path / "mrl1"), str(tmp_path / "ckr1")
+    run(t1, c1, True)
+    _, _, n_before, _ = S.mrl_quantiles(
+        spark.read.parquet(t1).collect(), [0.5]
+    )
+    _inject_replay(c1)
+    run(t1, c1, True)
+    _, _, n_after, _ = S.mrl_quantiles(
+        spark.read.parquet(t1).collect(), [0.5]
+    )
+    assert n_before == n_after == 1000
+
+    # markerless: the replay doubles the summarized mass
+    t2, c2 = str(tmp_path / "mrl2"), str(tmp_path / "ckr2")
+    run(t2, c2, False)
+    _inject_replay(c2)
+    run(t2, c2, False)
+    _, _, n_doubled, _ = S.mrl_quantiles(
+        spark.read.parquet(t2).collect(), [0.5]
+    )
+    assert n_doubled == 2000
