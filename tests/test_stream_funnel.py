@@ -1,0 +1,162 @@
+"""Streaming windowed funnel (streaming/funnel.py): per-user DP state
+folds exactly like the batch kernel — parity pinned against
+operators/funnel.py::window_funnel on identical rows, including
+cross-batch event-time disorder inside the watermark delay, and loss
+accounting for genuinely-late arrivals."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F  # noqa: F401
+
+from crawl_streams_spark.operators.funnel import window_funnel
+from crawl_streams_spark.streaming.funnel import stream_window_funnel
+
+_T0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+STEPS = ["view", "click", "purchase"]
+SCHEMA = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+
+
+def _ev(uid, eid, seconds, etype):
+    return (uid, eid, _T0 + dt.timedelta(seconds=seconds), etype)
+
+
+_COLLECTED: dict[str, list] = {}
+
+
+def _run(spark, src, delay, key, n_steps_window=60):
+    _COLLECTED[key] = []
+
+    def sink(batch_df, batch_id):
+        _COLLECTED[key].append((batch_id, batch_df.collect()))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", delay)
+    )
+    q = (
+        stream_window_funnel(stream, STEPS, n_steps_window)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", src + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    last: dict[int, dict] = {}
+    for _bid, rows in _COLLECTED[key]:
+        for r in rows:
+            last[r["user_id"]] = r.asDict()
+    return last
+
+
+def _write(spark, rows, src, mode="append"):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        src, mode=mode
+    )
+
+
+def test_stream_funnel_parity_with_batch(spark, tmp_path):
+    f1 = [
+        _ev(1, 1, 0, "view"), _ev(1, 2, 10, "click"),
+        _ev(2, 4, 0, "view"), _ev(2, 5, 10, "click"),
+        _ev(3, 7, 0, "purchase"), _ev(3, 8, 10, "click"),
+    ]
+    f2 = [
+        _ev(1, 3, 20, "purchase"),           # completes within window
+        _ev(2, 6, 500, "purchase"),          # exceeds the 60 s window
+        _ev(3, 9, 20, "view"),               # out of funnel order
+        _ev(9, 99, 3600 * 24, "view"),       # watermark flush
+    ]
+    src = str(tmp_path / "src1")
+    _write(spark, f1, src)
+    _write(spark, f2, src)
+    last = _run(spark, src, "1 minute", "parity")
+    batch = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            spark.createDataFrame(f1 + f2, SCHEMA), STEPS, 60
+        ).collect()
+    }
+    assert batch == {1: 3, 2: 2, 3: 1, 9: 1}
+    for uid, lvl in batch.items():
+        assert last[uid]["provisional_level"] == lvl, uid
+    # every real user's events sit below the flush watermark: finalized
+    for uid in (1, 2, 3):
+        assert last[uid]["funnel_level"] == batch[uid], uid
+        assert last[uid]["buffered"] == 0
+        assert last[uid]["dropped_late"] == 0
+
+
+def test_stream_funnel_provisional_without_watermark_progress(spark, tmp_path):
+    rows = [
+        _ev(1, 1, 0, "view"), _ev(1, 2, 5, "click"),
+        _ev(1, 3, 9, "purchase"),
+    ]
+    src = str(tmp_path / "src2")
+    _write(spark, rows, src)
+    last = _run(spark, src, "1 minute", "prov")
+    # single batch: the first trigger's watermark is 0 → nothing
+    # finalized, everything provisional and buffered
+    assert last[1]["funnel_level"] == 0
+    assert last[1]["provisional_level"] == 3
+    assert last[1]["buffered"] == 3
+    assert last[1]["dropped_late"] == 0
+
+
+def test_stream_funnel_cross_batch_disorder_inside_delay(spark, tmp_path):
+    """Steps arrive in reverse batch order (purchase's batch first); a
+    generous watermark delay keeps the earlier events admissible, and
+    the state fold re-orders them — exactness with disorder up to the
+    delay, which a naive running fold would get wrong."""
+    f1 = [_ev(1, 3, 100, "purchase")]
+    f2 = [_ev(1, 1, 80, "view"), _ev(1, 2, 90, "click")]
+    f3 = [_ev(9, 99, 3600 * 24, "view")]  # flush
+    src = str(tmp_path / "src3")
+    for f in (f1, f2, f3):
+        _write(spark, f, src)
+    last = _run(spark, src, "2 hours", "disorder")
+    assert last[1]["funnel_level"] == 3
+    assert last[1]["dropped_late"] == 0
+    batch = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            spark.createDataFrame(f1 + f2 + f3, SCHEMA), STEPS, 60
+        ).collect()
+    }
+    assert last[1]["funnel_level"] == batch[1]
+
+
+def test_stream_funnel_too_late_event_cannot_rewrite_history(spark, tmp_path):
+    """An event whose region was ALREADY FOLDED must not rewrite the
+    finalized level — it lands in dropped_late. (An event that is late
+    by the watermark but arrives before its region folds is still
+    applied — lazily correct, matching the batch kernel on all admitted
+    rows; this test strands the arrival properly: a timeout invocation
+    folds user 1 to the 1 h watermark first, THEN the click arrives.)"""
+    f1 = [
+        _ev(1, 1, 0, "view"), _ev(1, 2, 10, "purchase"),
+        _ev(9, 99, 3600, "view"),  # pushes the watermark to ~1 h
+    ]
+    f2 = [_ev(8, 80, 3590, "view")]  # unrelated user; user 1's timeout
+    # fires this batch and folds its region to the 1 h watermark
+    f3 = [_ev(1, 3, 5, "click")]  # would complete the funnel, but its
+    # region is already folded -> quarantined
+    f4 = [_ev(9, 98, 3600 * 24, "view")]  # flush
+    src = str(tmp_path / "src4")
+    for f in (f1, f2, f3, f4):
+        _write(spark, f, src)
+    last = _run(spark, src, "0 seconds", "late")
+    # without the stranded click: view only -> level 1
+    assert last[1]["funnel_level"] == 1
+    assert last[1]["provisional_level"] == 1
+    # Spark's stateful-operator watermark filter usually drops the row
+    # before the state fold sees it (dropped_late 0); if it ever IS
+    # delivered (version drift, restart edge), the fold quarantines it
+    # (dropped_late 1). Either way the level cannot rewrite.
+    assert last[1]["dropped_late"] in (0, 1)
+    assert last[1]["buffered"] == 0
