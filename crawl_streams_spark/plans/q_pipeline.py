@@ -395,12 +395,66 @@ def corpus_curation_funnel(spark, sf_dir):
 # --- tokenizer training (iterative; rows-only check) ---------------------
 
 
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unroll the BPE training loop as chained MATERIALIZED CTEs (the
+    host_graph_kcore 40-round-unroll discipline, r6): per round, pair
+    counts over the current vocabulary (UNNEST of adjacent-pair
+    structs), the deterministic argmax (ORDER BY pf DESC, l, r LIMIT 1),
+    and the greedy left-to-right merge as a list_reduce fold over
+    single-element lists — DuckDB's lambda accumulator must share the
+    element type, and lambdas cannot hold subqueries, so the winning
+    pair cross-joins in as plain columns. MATERIALIZED stops the ~3×
+    per-round CTE re-inlining that would otherwise go exponential.
+    Upgrades the engine's LAST rows-only query to a full value gate:
+    the oracle replays all ten argmax/merge rounds from the raw corpus
+    and must reproduce rank, pair, and frequency bit-for-bit."""
+    parts = [f"""WITH words AS MATERIALIZED (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)
+        GROUP BY 1
+    ),
+    r0 AS MATERIALIZED (
+        SELECT freq,
+               list_append(list_transform(range(1, length(word) + 1),
+                                          i -> word[i:i]), '</w>') AS syms
+        FROM words
+    )"""]
+    for k in range(n_merges):
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+        SELECT u.l AS l, u.r AS r, SUM(freq)::BIGINT AS pf
+        FROM r{k}, UNNEST(list_transform(
+                 range(1, len(syms)),
+                 i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS t(u)
+        GROUP BY 1, 2
+    ),
+    b{k} AS MATERIALIZED (
+        SELECT l, r, pf FROM p{k} ORDER BY pf DESC, l, r LIMIT 1
+    ),
+    r{k + 1} AS MATERIALIZED (
+        SELECT freq,
+               list_reduce(
+                   list_transform(syms, s -> [s]),
+                   (acc, x) -> CASE
+                       WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+                       THEN list_append(acc[:len(acc) - 1], b.l || b.r)
+                       ELSE list_concat(acc, x) END
+               ) AS syms
+        FROM r{k}, b{k} b
+    )""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS rank, l AS left, r AS right, "
+        f"l || r AS merged, pf AS freq FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "".join(parts) + "\n" + sel + "\nORDER BY rank"
+
+
 @query(
     "bpe_learned_merges",
-    oracle=None,  # iterative argmax loop — not single-statement SQL;
-    # merges are pinned instead by tests/test_tokenizer.py (golden corpus
-    # + determinism under repartition)
-    tags=("extension", "pipeline", "tokenizer", "rows-only", "iterative"),
+    oracle=_bpe_oracle_sql(),  # r6: the iterative argmax loop, unrolled
+    # into chained MATERIALIZED CTEs — see _bpe_oracle_sql
+    tags=("extension", "pipeline", "tokenizer", "iterative"),
 )
 def bpe_learned_merges(spark, sf_dir):
     """Top-10 learned BPE merges over the corpus (operators/tokenizer.py):
