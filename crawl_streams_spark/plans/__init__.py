@@ -76,7 +76,7 @@ PRIORITY: tuple[str, ...] = (
     # -- the 34 r2-stale queries (ROUNDLOG round-6 rotation plan; the
     # -- debt the round-5 guard flagged): refreshed verdicts this round --
     "benchmark_contamination",  # q_pipeline (also r6 hint-drop)
-    "bpe_learned_merges",  # q_pipeline (rows-only by design)
+    "bpe_learned_merges",  # q_pipeline — r6 UPGRADE: chained-CTE value oracle
     "brand_small_qty_revenue",  # q_tpch2 (also r6 hint-drop)
     "cheapest_supplier_per_part",  # q_sql_extra (r6 hint-drop, VERDICT item 2)
     "clicks_before_purchase",  # q_behavior

@@ -392,7 +392,7 @@ def corpus_curation_funnel(spark, sf_dir):
     )
 
 
-# --- tokenizer training (iterative; rows-only check) ---------------------
+# --- tokenizer training (iterative; unrolled-CTE value oracle) ---------------------
 
 
 def _bpe_oracle_sql(n_merges: int = 10) -> str:

@@ -98,14 +98,27 @@ def stream_window_funnel(
     tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Continuous funnel levels over a watermarked event stream. The
-    input must carry a watermark on ``ts_col`` (``withWatermark``) —
-    without one the finalized fold never advances (watermark 0) and
-    everything stays provisional, which is safe but useless."""
+    input MUST carry a watermark on ``ts_col`` (``withWatermark``) —
+    the event-time timeouts that finalize quiet users require one, and
+    Spark rejects the query at analysis time otherwise (fail-fast, not
+    a silent provisional-only mode)."""
     k = len(steps)
     if k < 2:
         raise ValueError("steps must name at least 2 ordered event types")
     if len(set(steps)) != k:
         raise ValueError("steps must be distinct event types")
+    _INT_TYPES = {"int", "bigint", "smallint", "tinyint", "long", "short",
+                  "byte"}
+    dtypes = dict(events.dtypes)
+    for col, role in ((tiebreak_col, "tiebreak_col"), (user_col, "user_col")):
+        if dtypes.get(col, "") not in _INT_TYPES:
+            raise ValueError(
+                f"{role} {col!r} must be an integer column (got "
+                f"{dtypes.get(col) or 'missing'}): a non-numeric value "
+                "casts to NULL and crashes the state fold mid-stream "
+                "instead of failing here (the batch kernel's guard, "
+                "operators/funnel.py)"
+            )
     w_us = int(window_seconds) * 1_000_000
     step_map = F.create_map(
         *[F.lit(x) for i, s in enumerate(steps) for x in (s, i + 1)]
@@ -138,14 +151,18 @@ def stream_window_funnel(
                     st["dropped"] += 1
                 else:
                     st["buf"].append([int(t), int(tb), int(step)])
-        # watermark is milliseconds; fold everything at or below it
+        # Watermark is milliseconds. Fold STRICTLY below it: Spark's
+        # late-row filter is strict (late means t < watermark), so an
+        # event at exactly t == wm can still legally arrive — folding
+        # t <= wm would quarantine that admitted on-time arrival and
+        # break batch parity (code-review r6 boundary finding).
         wm_us = state.getCurrentWatermarkMs() * 1000
-        if wm_us > st["folded_to"]:
+        if wm_us - 1 > st["folded_to"]:
             st["buf"].sort()
-            ready = [e for e in st["buf"] if e[0] <= wm_us]
-            st["buf"] = [e for e in st["buf"] if e[0] > wm_us]
+            ready = [e for e in st["buf"] if e[0] < wm_us]
+            st["buf"] = [e for e in st["buf"] if e[0] >= wm_us]
             st["acc"] = _fold(st["acc"], ready, w_us)
-            st["folded_to"] = wm_us
+            st["folded_to"] = wm_us - 1
         provisional = _fold(list(st["acc"]), sorted(st["buf"]), w_us)
         state.update((json.dumps(st),))
         if st["buf"]:

@@ -44,6 +44,48 @@ __all__ = [
 ]
 
 
+def _overwrite_summary(merged: DataFrame, table_path: str) -> None:
+    """Materialize then overwrite: reading a path and overwriting it in
+    one plan is a self-clobber without the localCheckpoint."""
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        table_path
+    )
+
+
+def _marked_fold_writer(
+    stream_df: DataFrame,
+    checkpoint: str,
+    marker_dirname: str,
+    apply_batch,
+    available_now: bool,
+    exactly_once: bool,
+):
+    """foreachBatch writer with the per-batch replay-marker protocol
+    shared by every MASS-ADDITIVE sketch fold (CMS counts, MG counters,
+    MRL weights — sum-like merges double on replay, unlike HLL max /
+    KMV min). One implementation so a future fix to the exactly-once
+    protocol (e.g. closing the crash-between-merge-and-marker residual
+    window with a transactional format) lands once, not three times
+    (code-review r6)."""
+    markers = checkpoint.rstrip("/") + "/" + marker_dirname
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{markers}/{batch_id}"
+        if exactly_once and hadoop_exists(spark, marker):
+            return
+        apply_batch(spark, batch_df)
+        if exactly_once:
+            hadoop_touch(spark, marker)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def update_hll_table(
     spark,
     batch: DataFrame,
@@ -61,9 +103,7 @@ def update_hll_table(
         if existing is not None
         else regs
     )
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        table_path
-    )
+    _overwrite_summary(merged, table_path)
 
 
 def update_cms_table(
@@ -82,9 +122,7 @@ def update_cms_table(
     )
     existing = parquet_if_exists(spark, table_path)
     merged = S.cms_merge(existing, sk) if existing is not None else sk
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        table_path
-    )
+    _overwrite_summary(merged, table_path)
 
 
 def stream_hll(
@@ -128,25 +166,16 @@ def stream_cms(
     markers inside the checkpoint make the sum-merge exactly-once (same
     residual window as stream_rollup — a crash between merge and marker
     re-admits one batch; closing it fully needs a transactional format)."""
-    markers = checkpoint.rstrip("/") + "/applied_cms_batches"
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = f"{markers}/{batch_id}"
-        if exactly_once and hadoop_exists(spark, marker):
-            return
-        update_cms_table(
-            spark, batch_df, table_path, item_col, depth, width, weight_col
-        )
-        if exactly_once:
-            hadoop_touch(spark, marker)
-
-    writer = stream_df.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint
+    return _marked_fold_writer(
+        stream_df,
+        checkpoint,
+        "applied_cms_batches",
+        lambda spark, b: update_cms_table(
+            spark, b, table_path, item_col, depth, width, weight_col
+        ),
+        available_now,
+        exactly_once,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def update_kmv_table(
@@ -169,9 +198,7 @@ def update_kmv_table(
         if existing is not None
         else sk
     )
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        table_path
-    )
+    _overwrite_summary(merged, table_path)
 
 
 def stream_kmv(
@@ -218,9 +245,13 @@ def update_mg_table(
     combined = (
         existing.unionByName(parts) if existing is not None else parts
     )
-    S.mg_prune(combined, k).localCheckpoint(eager=True).write.mode(
-        "overwrite"
-    ).parquet(table_path)
+    # mg_prune consumes its input from three branches (per-item sums,
+    # the (k+1)-th-largest probe, the error aggregate) — materialize the
+    # tiny combined summary ONCE so the batch's mapInPandas
+    # summarization doesn't re-run per branch (code-review r6), and the
+    # final localCheckpoint still breaks the read-overwrite cycle.
+    combined = combined.localCheckpoint(eager=True)
+    _overwrite_summary(S.mg_prune(combined, k), table_path)
 
 
 def stream_mg(
@@ -239,23 +270,14 @@ def stream_mg(
     markers inside the checkpoint make it exactly-once (the stream_cms
     discipline; same one-batch residual window on a crash between merge
     and marker)."""
-    markers = checkpoint.rstrip("/") + "/applied_mg_batches"
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = f"{markers}/{batch_id}"
-        if exactly_once and hadoop_exists(spark, marker):
-            return
-        update_mg_table(spark, batch_df, table_path, item_col, k)
-        if exactly_once:
-            hadoop_touch(spark, marker)
-
-    writer = stream_df.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint
+    return _marked_fold_writer(
+        stream_df,
+        checkpoint,
+        "applied_mg_batches",
+        lambda spark, b: update_mg_table(spark, b, table_path, item_col, k),
+        available_now,
+        exactly_once,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def update_mrl_table(
@@ -275,9 +297,7 @@ def update_mrl_table(
     combined = (
         existing.unionByName(parts) if existing is not None else parts
     )
-    S.mrl_merge(combined, c).localCheckpoint(eager=True).write.mode(
-        "overwrite"
-    ).parquet(table_path)
+    _overwrite_summary(S.mrl_merge(combined, c), table_path)
 
 
 def stream_mrl(
@@ -295,20 +315,11 @@ def stream_mrl(
     accumulates in the meta row exactly as in the batch path, so
     ``mrl_quantiles`` over the maintained table carries the same
     checkable bound. Markers for exactly-once (mass-additive merge)."""
-    markers = checkpoint.rstrip("/") + "/applied_mrl_batches"
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        marker = f"{markers}/{batch_id}"
-        if exactly_once and hadoop_exists(spark, marker):
-            return
-        update_mrl_table(spark, batch_df, table_path, value_col, c)
-        if exactly_once:
-            hadoop_touch(spark, marker)
-
-    writer = stream_df.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint
+    return _marked_fold_writer(
+        stream_df,
+        checkpoint,
+        "applied_mrl_batches",
+        lambda spark, b: update_mrl_table(spark, b, table_path, value_col, c),
+        available_now,
+        exactly_once,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -86,6 +86,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
 
 def _scan() -> dict[tuple[str, str], int]:
     found: dict[tuple[str, str], int] = {}
+    aliases: list[str] = []
     for dirpath, _, files in os.walk(PKG):
         for fn in files:
             if not fn.endswith(".py"):
@@ -96,6 +97,26 @@ def _scan() -> dict[tuple[str, str], int]:
             stack: list[str] = []
 
             class V(ast.NodeVisitor):
+                def visit_ImportFrom(self, node):
+                    for a in node.names:
+                        if a.name == "broadcast" and a.asname not in (
+                            None,
+                            "broadcast",
+                        ):
+                            aliases.append(f"{rel}: import as {a.asname}")
+                    self.generic_visit(node)
+
+                def visit_Assign(self, node):
+                    v = node.value
+                    if (
+                        isinstance(v, ast.Attribute)
+                        and v.attr == "broadcast"
+                    ) or (
+                        isinstance(v, ast.Name) and v.id == "broadcast"
+                    ):
+                        aliases.append(f"{rel}: rebinding broadcast")
+                    self.generic_visit(node)
+
                 def visit_FunctionDef(self, node):
                     stack.append(node.name)
                     self.generic_visit(node)
@@ -116,11 +137,15 @@ def _scan() -> dict[tuple[str, str], int]:
                     self.generic_visit(node)
 
             V().visit(tree)
-    return found
+    return found, aliases
 
 
 def test_every_broadcast_hint_is_allowlisted_as_bounded():
-    found = _scan()
+    found, aliases = _scan()
+    assert not aliases, (
+        f"broadcast aliased/rebound ({aliases}): aliasing would let a "
+        "hint bypass this allowlist — call F.broadcast directly"
+    )
     allowed_counts = {k: c for k, (c, _) in ALLOWED.items()}
     new = {k: v for k, v in found.items() if k not in allowed_counts}
     assert not new, (

@@ -160,3 +160,47 @@ def test_stream_funnel_too_late_event_cannot_rewrite_history(spark, tmp_path):
     # (dropped_late 1). Either way the level cannot rewrite.
     assert last[1]["dropped_late"] in (0, 1)
     assert last[1]["buffered"] == 0
+
+
+def test_stream_funnel_exact_watermark_boundary_semantics(spark, tmp_path):
+    """Pin the boundary behavior measured on this Spark build: the
+    stateful late filter drops rows with t <= watermark BEFORE the
+    operator sees them, so an arrival at exactly t == watermark never
+    reaches the fold (dropped_late stays 0, level cannot change). The
+    fold itself finalizes STRICTLY below the watermark, so if a future
+    Spark build admits the t == watermark row instead, it folds on the
+    next advancement rather than being falsely quarantined — correct
+    under either filter semantics (code-review r6 boundary review,
+    resolved empirically)."""
+    f1 = [
+        _ev(1, 1, 0, "view"),
+        _ev(9, 99, 100, "view"),  # delay 0 -> watermark reaches 100 s
+    ]
+    f2 = [_ev(8, 80, 99, "view")]   # user 1's timeout folds its region
+    f3 = [_ev(1, 2, 100, "click")]  # exactly AT the 100 s watermark
+    f4 = [_ev(9, 98, 3600 * 24, "view")]  # flush
+    src = str(tmp_path / "src5")
+    for f in (f1, f2, f3, f4):
+        _write(spark, f, src)
+    last = _run(spark, src, "0 seconds", "boundary", n_steps_window=3600)
+    assert last[1]["dropped_late"] == 0  # pre-filtered, never quarantined
+    assert last[1]["funnel_level"] in (1, 2)  # 1 = filtered (this build)
+    assert last[1]["provisional_level"] == last[1]["funnel_level"]
+    assert last[1]["buffered"] == 0
+
+
+def test_stream_funnel_rejects_non_integer_id_columns(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("u1", 1, _T0, "view")],
+        "user_id string, event_id bigint, ts timestamp, event_type string",
+    )
+    with _pytest.raises(ValueError, match="user_col"):
+        stream_window_funnel(df, STEPS, 60)
+    df2 = spark.createDataFrame(
+        [(1, "e1", _T0, "view")],
+        "user_id bigint, event_id string, ts timestamp, event_type string",
+    )
+    with _pytest.raises(ValueError, match="tiebreak_col"):
+        stream_window_funnel(df2, STEPS, 60)
