@@ -204,3 +204,62 @@ def test_stream_funnel_rejects_non_integer_id_columns(spark):
     )
     with _pytest.raises(ValueError, match="tiebreak_col"):
         stream_window_funnel(df2, STEPS, 60)
+
+
+def test_stream_funnel_state_survives_query_restart(spark, tmp_path):
+    """Stop after the first file, then start a NEW query on the same
+    checkpoint with more data present: the per-user state blob must
+    restore and the combined result must equal the batch kernel on all
+    rows — the recovery path every production streaming job exercises."""
+    f1 = [_ev(1, 1, 0, "view"), _ev(1, 2, 10, "click")]
+    f2 = [
+        _ev(1, 3, 20, "purchase"),
+        _ev(9, 99, 3600 * 24, "view"),  # flush
+    ]
+    src = str(tmp_path / "srcR")
+    ck = str(tmp_path / "ckR")
+    _write(spark, f1, src)
+
+    collected: list = []
+
+    def sink(batch_df, batch_id):
+        collected.append((batch_id, batch_df.collect()))
+
+    def start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+        return (
+            stream_window_funnel(stream, STEPS, 60)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination(120)
+    q1.stop()
+    _write(spark, f2, src)  # arrives while the query is DOWN
+    q2 = start()
+    q2.awaitTermination(120)
+    q2.stop()
+
+    last: dict[int, dict] = {}
+    for _bid, rows in collected:
+        for r in rows:
+            last[r["user_id"]] = r.asDict()
+    batch = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            spark.createDataFrame(f1 + f2, SCHEMA), STEPS, 60
+        ).collect()
+    }
+    assert batch[1] == 3
+    assert last[1]["provisional_level"] == 3  # view+click restored, purchase chained
+    assert last[1]["funnel_level"] == 3       # flush finalized everything
+    assert last[1]["dropped_late"] == 0
