@@ -313,3 +313,46 @@ def test_stream_mrl_replay_marker_suppression(spark, tmp_path):
         spark.read.parquet(t2).collect(), [0.5]
     )
     assert n_doubled == 2000
+
+
+def test_stream_mg_survives_query_restart(spark, tmp_path):
+    """Stop after the first file, add data while down, start a NEW query
+    on the same checkpoint: the persistent table plus markers must pick
+    up exactly where the first query stopped, and the merged bounds must
+    hold over BOTH files' contents."""
+    rows1 = [(f"u{i % 11}",) for i in range(300)]
+    rows2 = [(f"v{i % 5}",) for i in range(200)]
+    src = str(tmp_path / "rsrc")
+    spark.createDataFrame(rows1, "item string").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    table = str(tmp_path / "rmg")
+    ck = str(tmp_path / "rck")
+    k = 8
+
+    def start():
+        return SS.stream_mg(
+            spark.readStream.schema("item string").parquet(src),
+            table, ck, "item", k=k, available_now=True,
+        )
+
+    q1 = start()
+    _await(spark, q1)
+    spark.createDataFrame(rows2, "item string").coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    q2 = start()
+    _await(spark, q2)
+
+    out = spark.read.parquet(table).collect()
+    counters = {r["item"]: r["cnt"] for r in out if not r["meta"]}
+    err = sum(r["cnt"] for r in out if r["meta"])
+    true: dict[str, int] = {}
+    for (it,) in rows1 + rows2:
+        true[it] = true.get(it, 0) + 1
+    n = len(rows1) + len(rows2)
+    assert len(counters) <= k
+    assert err <= n // (k + 1)
+    for item, t in true.items():
+        est = counters.get(item, 0)
+        assert est <= t and est >= t - err, item
