@@ -7,35 +7,37 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 6 — clear the 34-query r2 rotation debt the
-round-5 guard pre-enumerated, and re-verify the hint-policy changes):
+Ordering policy (round 7 — clear the 25-query aging set the round-6
+guard pre-enumerated, re-verify the two r6 hint-drops that never got a
+fresh verdict, and pre-pay round 8's debt):
 
-- Slots 1-34: the r2-stale set from ROUNDLOG's round-6 rotation plan —
-  every query whose only driver verdict is from round 2 (hits the
-  3-round freshness bound this round). Includes ``mmh3_partition_keys``,
-  upgraded this round from rows-only to a value-gated golden-key oracle.
-- Slots 35-40: implementations CHANGED in round 6 by the broadcast-hint
-  policy sweep (VERDICT r5 item 2) and not already above —
-  ``regional_revenue``, ``suppliers_of_bulk_parts``,
-  ``daily_cohort_retention`` (the flagged three), plus
-  ``parts_bought_together`` (also q_market's sole member) and
-  ``bigram_pmi_collocations`` (sole in-window q_corpus rep). The
-  sweep's remaining results-identical touches
-  (``top_unshipped_orders``, ``nation_market_share``,
-  ``nation_trade_volume``, ``nation_product_profit``) hold r3/r3/r4/r5
-  verdicts, are locally value-verified, and rotate at round 7.
-- Slot 40: ``media_gif_features`` — the round-6 ADDITION (LZW GIF
-  decode), in-window from birth (round-4 lesson).
-- Slots 41-50: one representative per family not already covered,
-  preferring members with round-3 verdicts (they age out at round 7, so
-  this window pays next round's debt down too).
+- Slots 1-25: the r3-stale set from the round-6 projection warning
+  (every query whose latest driver verdict hits the 3-round freshness
+  bound this round), which already includes the r6-hint-drop trio
+  ``top_unshipped_orders`` / ``nation_market_share`` /
+  ``pareto_price_size_parts``.
+- Slots 26-27: ``nation_trade_volume`` (r4 verdict) and
+  ``nation_product_profit`` (r5 verdict) — the remaining round-6
+  hint-policy touches whose changed plans were only locally
+  value-verified (VERDICT r6 item 1).
+- Slots 28-35: one representative per family not already covered,
+  preferring members with round-4 verdicts (they age out at round 8,
+  so these reps pay next round's debt down too). ``parts_bought_together``
+  / ``status_pivot`` / ``orders_validation_report`` are sole members of
+  their families and therefore recur every round.
+- Slots 36-50: round-4-verdict fillers chosen to shrink the round-8
+  aging set (40 queries hold r4 verdicts; the reps + fillers window 19
+  of them now, leaving a 21-query r8 rotation that a 50-slot window
+  absorbs alongside family coverage).
+- Any implementation CHANGED in round 7 must be re-windowed before the
+  round closes; additions take a slot from birth (round-4 lesson).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
   invariant — VERDICT r5 item 1) and reports the next-round projection
   as a non-failing warning.
 
-Retired windows (rounds 1-4) are recorded in ROUNDLOG.md and git history.
+Retired windows (rounds 1-6) are recorded in ROUNDLOG.md and git history.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -73,75 +75,64 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- the 34 r2-stale queries (ROUNDLOG round-6 rotation plan; the
-    # -- debt the round-5 guard flagged): refreshed verdicts this round --
-    "benchmark_contamination",  # q_pipeline (also r6 hint-drop)
-    "bpe_learned_merges",  # q_pipeline — r6 UPGRADE: chained-CTE value oracle
-    "brand_small_qty_revenue",  # q_tpch2 (also r6 hint-drop)
-    "cheapest_supplier_per_part",  # q_sql_extra (r6 hint-drop, VERDICT item 2)
-    "clicks_before_purchase",  # q_behavior
-    "conditional_aggregation",  # q_sql_extra
-    "cube_lineitem_status",  # q_sql_extra
-    "date_function_suite",  # q_sql_extra
-    "disjunctive_part_revenue",  # q_tpch2 (also r6 hint-drop)
-    "doc_pii_scan",  # q_pipeline
-    "doc_token_stats",  # q_text
-    "embedding_near_dup",  # q_similarity
-    "event_type_stats",  # q_events (flagship)
-    "idle_rich_customers",  # q_joins_advanced
-    "important_part_value",  # q_joins_advanced
-    "large_volume_customers",  # q_tpch3 (also r6 hint-drop)
-    "last_shipper_per_order",  # q_tpch2 (also r6 hint-drop)
-    "late_shipment_priority",  # q_tpch2
-    "mimetype_fallback_chain",  # q_crawl
-    "mmh3_partition_keys",  # q_crawl — r6 UPGRADE: value-gated golden-key oracle
-    "orders_in_top_segments",  # q_sql_extra (also r6 hint-drop)
-    "pack_sequences",  # q_pipeline
-    "pricing_summary",  # q_tpch
-    "promo_revenue_share",  # q_tpch2 (also r6 hint-drop)
-    "returned_item_customers",  # q_tpch3 (also r6 hint-drop)
-    "small_quantity_orders",  # q_sql_extra (r6 hint-drop, VERDICT item 2)
-    "sql_interface_revenue",  # q_sql_extra
-    "stratified_sample_counts",  # q_pipeline
-    "string_function_suite",  # q_sql_extra
-    "supplier_count_by_part",  # q_tpch3 (also r6 hint-drop)
-    "top_revenue_supplier",  # q_tpch3 (also r6 hint-drop)
-    "train_split_counts",  # q_pipeline
-    "tumbling_window_counts",  # q_schedule
-    "url_canonicalization",  # q_crawl
-    # -- r6-changed implementations (VERDICT item 2 hint policy): the
-    # -- three flagged queries not already above must re-verify ---------
-    "regional_revenue",  # q_tpch: customer-dim broadcast hint dropped
-    "suppliers_of_bulk_parts",  # q_joins_advanced: part/bulk hints dropped
-    "daily_cohort_retention",  # q_behavior: per-user firsts hint dropped
-    # -- more r6 hint-drops: parts_bought_together is also q_market's sole
-    # -- member (family coverage); the others prefer the OLDEST remaining
-    # -- verdicts (r3, age out at round 7 anyway). The results-identical
-    # -- hint-drops left OUT of the window (top_unshipped_orders r3 —
-    # -- bench-pinned every round, nation_trade_volume r4,
-    # -- nation_product_profit r5) rotate at r7 ---------------------------
-    "parts_bought_together",  # q_market: per-item count hints dropped
-    "bigram_pmi_collocations",  # q_corpus: vocab-side hints dropped (also
-    # the sole in-window q_corpus representative)
-    # (nation_market_share — part/supp/cust hint drop, r3 verdict,
-    # locally value-verified, q_tpch2 still five-deep in-window — yielded
-    # its slot to the round-6 GIF addition; rotates at r7)
-    "media_gif_features",  # q_crawl: NEW r6 — LZW GIF decode, analytic
-    # lossless oracle; additions take a window slot from birth
-    # -- family coverage (every module in the window), preferring the
-    # -- oldest (round-3) verdicts so round 7's debt shrinks too ---------
-    "cluster_golden_records",  # q_dedup, r3
-    "lineitem_price_asof_scd2",  # q_diff, r3
-    "graph_unit_propagation",  # q_graph, r3
-    "concurrent_sessions",  # q_interval — r6-changed (self-overlap count
-    # replaced the zero-count outer join; must re-verify). Family peer
-    # active_sessions_at_purchase holds its r4 verdict to round 8.
-    "status_pivot",  # q_pivot (sole member), r5
-    "approx_distinct_users",  # q_sessions, r4
-    "bloom_part_membership",  # q_sketch, r3
-    "doc_span_excision",  # q_spans, r3
-    "hourly_series_filled",  # q_timeseries, r3
-    "orders_validation_report",  # q_validate (sole member), r5
+    # -- the 25-query aging set (round-6 projection warning): latest
+    # -- driver verdicts hit the 3-round freshness bound this round ------
+    "dedup_minhash_est_jaccard",  # q_dedup, r3
+    "doc_bpe_tokens",  # q_text, r3
+    "doc_tfidf_topk",  # q_corpus, r3
+    "doc_unigram_freq",  # q_corpus, r3
+    "funnel_conversion_by_user",  # q_behavior, r3
+    "fuzzy_part_name_pairs",  # q_joins_advanced, r3
+    "hll_distinct_users",  # q_sketch, r3
+    "host_graph_degrees",  # q_graph, r3
+    "host_graph_triangles",  # q_graph, r3
+    "nation_market_share",  # q_tpch2, r3 (r6 hint-drop, re-verifies now)
+    "order_count_distribution",  # q_tpch3, r3
+    "orders_scd2_history",  # q_diff, r3
+    "pareto_price_size_parts",  # q_sql_extra, r3 (r6 hint-drop)
+    "per_source_doc_sample",  # q_pipeline, r3
+    "per_user_summary",  # q_events, r3
+    "pq_codes_fixed_book",  # q_similarity, r3
+    "prefix_filter_jaccard_pairs",  # q_dedup, r3
+    "qty_price_regression_stats",  # q_sql_extra, r3
+    "schedule_launch_decisions",  # q_schedule, r3
+    "semantic_dedup_pairs",  # q_similarity, r3
+    "snapshot_diff_summary",  # q_diff, r3
+    "term_posting_lists",  # q_corpus, r3
+    "top_unshipped_orders",  # q_tpch, r3 (r6 hint-drop + r7 plan work)
+    "weighted_sample_orders",  # q_pipeline, r3
+    "zorder_curve",  # q_sql_extra, r3
+    # -- round-6 hint-policy touches whose changed plans held only local
+    # -- value-verification (VERDICT r6 item 1) --------------------------
+    "nation_trade_volume",  # q_tpch2, r4 verdict predates the hint drop
+    "nation_product_profit",  # q_tpch2, r5 verdict predates the hint drop
+    # -- family coverage for the 8 families the sets above miss,
+    # -- preferring r4 verdicts (they age out at round 8) ----------------
+    "uri_normalization",  # q_crawl, r4
+    "active_sessions_at_purchase",  # q_interval, r4
+    "parts_bought_together",  # q_market, r6 — sole member, recurs
+    "status_pivot",  # q_pivot, r6 — sole member, recurs
+    "user_sessions",  # q_sessions, r5
+    "dup_token_spans",  # q_spans, r4
+    "hourly_value_anomalies",  # q_timeseries, r4
+    "orders_validation_report",  # q_validate, r6 — sole member, recurs
+    # -- r4-verdict fillers: pre-pay round 8's rotation debt (19 of the
+    # -- 40 r4-verdict queries re-verify now, leaving 21 for round 8) ----
+    "dedup_exact",  # q_dedup, r4
+    "knn_bruteforce",  # q_similarity, r4
+    "windowed_count",  # q_events, r4
+    "latest_events_topk",  # q_events, r4
+    "hourly_counts",  # q_events, r4
+    "asof_last_purchase",  # q_joins_advanced, r4
+    "dedup_simhash",  # q_dedup, r4
+    "dedup_minhash_signatures",  # q_dedup, r4
+    "part_supplier_union",  # q_tpch, r4
+    "top_orders_per_customer",  # q_tpch, r4
+    "rollup_day_reaggregation",  # q_events, r4
+    "kmv_distinct_users",  # q_sketch, r4
+    "corpus_curation_funnel",  # q_pipeline, r4
+    "doc_repetition",  # q_text, r4
+    "event_transition_matrix",  # q_behavior, r4
 )
 
 

@@ -30,26 +30,17 @@ def test_driver_window_covers_every_family():
 
 def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
-    # Implementations changed in round 6 must sit in the driver's
-    # verification prefix (no round-6 additions yet; additions take a
-    # slot from birth — the round-4 lesson).
+    # Implementations changed in rounds 6-7 that still lack a
+    # post-change driver verdict must sit in the verification prefix
+    # (additions take a slot from birth — the round-4 lesson).
     for name in (
-        # broadcast-hint policy sweep (VERDICT r5 item 2): the three
-        # flagged queries whose hints were dropped
-        "regional_revenue",
-        "suppliers_of_bulk_parts",
-        "daily_cohort_retention",
-        "small_quantity_orders",
-        "cheapest_supplier_per_part",
-        # sweep touches rotated for freshness/coverage
-        "parts_bought_together",  # q_market sole member, hint dropped
-        "bigram_pmi_collocations",  # sole q_corpus rep in window
-        # round-6 oracle upgrade: rows-only -> value-gated golden keys
-        "mmh3_partition_keys",
-        # round-6 plan rewrite: self-overlap count, outer join removed
-        "concurrent_sessions",
-        # round-6 ADDITION — in-window from birth (round-4 lesson)
-        "media_gif_features",
+        # round-6 hint-policy touches verified only locally at r6 close
+        # (VERDICT r6 item 1): re-verify under the driver now
+        "nation_trade_volume",
+        "nation_product_profit",
+        "top_unshipped_orders",
+        "nation_market_share",
+        "pareto_price_size_parts",
     ):
         assert name in window, name
 
