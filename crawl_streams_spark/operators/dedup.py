@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 
 from ..functions import hashing as H
 from ..functions import text as T
-from .iterate import check_converged, pin
+from .iterate import check_converged, pin, unpin
 
 
 def _hash_fns(hash_impl: str):
@@ -665,6 +665,10 @@ def incremental_minhash_dedup(
         index_path,
         batch_id,
     )
+    # banded's last consumer is the index write above; the returned plan
+    # references only admitted_keys (whose pin the caller releases after
+    # its output write — ADVICE r6 storage-memory discipline)
+    unpin(banded)
     return new_docs.join(admitted_keys, key, "left_semi")
 
 

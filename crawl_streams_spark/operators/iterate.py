@@ -14,7 +14,35 @@ import warnings
 
 from pyspark.sql import DataFrame
 
-__all__ = ["pin", "check_converged"]
+__all__ = ["pin", "unpin", "check_converged"]
+
+
+def unpin(df: DataFrame) -> None:
+    """Release the executor-storage blocks behind every
+    ``localCheckpoint`` in ``df``'s plan once its consumers have run
+    (ADVICE r6: a long-running stream that localCheckpoints per
+    micro-batch and waits for driver GC to reclaim the blocks pressures
+    executor storage memory between GC cycles).
+
+    ``DataFrame.unpersist`` only covers ``.cache()`` entries; checkpoint
+    blocks belong to the internal RDDs captured by ``LogicalRDD`` plan
+    leaves, reached here through the JVM. Walks ALL leaves so a derived
+    DataFrame (e.g. the admitted set an incremental dedup returns, whose
+    plan joins two pinned intermediates) releases every pin at once.
+
+    DANGER: a localCheckpoint's lineage is truncated — after unpin the
+    data is unrecoverable, so only call when NOTHING will read the
+    pinned DataFrames again (e.g. after a micro-batch's output write).
+    Best-effort: any reflection failure degrades to the old wait-for-GC
+    behavior, never an error."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def pin(
@@ -56,8 +84,23 @@ def pin(
             parent = current.rstrip("/").rsplit("/", 1)[0]
             requested = checkpoint_dir.rstrip("/")
             if "://" in requested or requested.startswith(("file:", "hdfs:")):
-                # fully-qualified request: exact-URI compare
-                matches = parent == requested
+                # Fully-qualified request: qualify it through the SAME
+                # Hadoop Path machinery setCheckpointDir used for the
+                # stored value, so equivalent spellings of one directory
+                # ('file:///a/b' vs stored 'file:/a/b', implicit default
+                # port vs explicit) compare equal — ADVICE r6: an exact
+                # string compare re-called setCheckpointDir every pin,
+                # allocating a fresh checkpoint subdirectory per
+                # iteration. Falls back to the exact compare if the JVM
+                # qualification is unavailable (worst case is the old
+                # behavior, never a false match).
+                try:
+                    jpath = sc._jvm.org.apache.hadoop.fs.Path(requested)
+                    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+                    qualified = fs.makeQualified(jpath).toString().rstrip("/")
+                    matches = parent.rstrip("/") == qualified
+                except Exception:
+                    matches = parent == requested
             elif requested.startswith("/"):
                 # Absolute request: compare the FULL path (code-review
                 # r6 — a suffix heuristic let '/data/ckpt' falsely match

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..operators.iterate import unpin
+
 __all__ = [
     "dedup_stream",
     "dedup_stream_unbounded",
@@ -101,11 +103,17 @@ def stream_near_dedup(
             batch_id=batch_id,
             **minhash_kw,
         )
-        admitted.withColumn("batch_id", F.lit(str(batch_id))).write.partitionBy(
-            "batch_id"
-        ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(
-            output_path
-        )
+        try:
+            admitted.withColumn("batch_id", F.lit(str(batch_id))).write.partitionBy(
+                "batch_id"
+            ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(
+                output_path
+            )
+        finally:
+            # release the banded/admitted localCheckpoints this batch
+            # pinned — on a long stream, waiting for driver GC pressures
+            # executor storage memory (ADVICE r6)
+            unpin(admitted)
 
     writer = (
         stream_df.writeStream.foreachBatch(admit)

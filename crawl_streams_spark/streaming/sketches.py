@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 
 from ..fs import hadoop_exists, hadoop_touch, parquet_if_exists
 from ..functions import sketch as S
+from ..operators.iterate import unpin
 
 __all__ = [
     "update_hll_table",
@@ -46,10 +47,15 @@ __all__ = [
 
 def _overwrite_summary(merged: DataFrame, table_path: str) -> None:
     """Materialize then overwrite: reading a path and overwriting it in
-    one plan is a self-clobber without the localCheckpoint."""
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        table_path
-    )
+    one plan is a self-clobber without the localCheckpoint. The blocks
+    are released as soon as the write lands — a per-micro-batch
+    checkpoint that waited for driver GC pressures executor storage on
+    long streams (ADVICE r6)."""
+    pinned = merged.localCheckpoint(eager=True)
+    try:
+        pinned.write.mode("overwrite").parquet(table_path)
+    finally:
+        unpin(pinned)
 
 
 def _marked_fold_writer(
@@ -249,9 +255,13 @@ def update_mg_table(
     # the (k+1)-th-largest probe, the error aggregate) — materialize the
     # tiny combined summary ONCE so the batch's mapInPandas
     # summarization doesn't re-run per branch (code-review r6), and the
-    # final localCheckpoint still breaks the read-overwrite cycle.
+    # final localCheckpoint still breaks the read-overwrite cycle. Both
+    # pins are released once the write lands (ADVICE r6).
     combined = combined.localCheckpoint(eager=True)
-    _overwrite_summary(S.mg_prune(combined, k), table_path)
+    try:
+        _overwrite_summary(S.mg_prune(combined, k), table_path)
+    finally:
+        unpin(combined)
 
 
 def stream_mg(
