@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["hadoop_exists", "hadoop_touch", "parquet_if_exists"]
+__all__ = [
+    "hadoop_exists",
+    "hadoop_touch",
+    "hadoop_delete",
+    "hadoop_list",
+    "parquet_if_exists",
+]
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -45,6 +51,23 @@ def hadoop_touch(spark: SparkSession, path: str) -> bool:
     if parent is not None:
         fs.mkdirs(parent)
     return bool(fs.createNewFile(hpath))
+
+
+def hadoop_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` on its own filesystem. Returns False
+    when it didn't exist (idempotent cleanup — crash-recovery paths call
+    this without probing first)."""
+    fs, hpath = _fs_and_path(spark, path)
+    return bool(fs.delete(hpath, True))
+
+
+def hadoop_list(spark: SparkSession, path: str) -> list[str]:
+    """Child names (not full paths) under a directory on its own
+    filesystem; [] when the directory doesn't exist."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
 
 def parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:

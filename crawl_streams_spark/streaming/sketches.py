@@ -4,32 +4,36 @@ MRL-quantile tables via foreachBatch — the sketch analog of
 operators/rollup.py::stream_rollup (durable, restart-safe aggregates whose
 per-trigger cost is the micro-batch, never the history).
 
-Replay semantics differ BY ALGEBRA, and the code should reflect that
-instead of paying for markers uniformly:
+Replay semantics differ BY ALGEBRA: HLL registers merge with max and KMV
+with min — both idempotent, so a replayed merge changes nothing — while
+CMS counts, MG counters, and MRL weights merge with SUM and double on a
+replayed merge. But merge idempotence alone does not survive a crash
+MID-OVERWRITE of the live table (``mode("overwrite")`` deletes before it
+writes; the replayed merge then reads a torn table and silently loses
+state), so with ``exactly_once=True`` (the default) every fold — sum-like
+AND idempotent — runs the staged two-phase protocol
+(streaming/twophase.py): stage the merged post-state inside the stream
+checkpoint, commit atomically, then overwrite the live table from the
+stage. Every crash point recovers to exactly-once results; see the
+twophase module docstring for the full crash matrix. ``exactly_once=
+False`` keeps the direct merge-in-place fold (at-least-once: torn-write
+loss and, for the sum-like sketches, replay double-count are the caller's
+problem).
 
-- **HLL registers merge with max** — idempotent. Replaying a micro-batch
-  re-maxes the same rhos and changes nothing, so ``stream_hll`` needs no
-  marker bookkeeping at all: at-least-once delivery composes with an
-  idempotent fold into exactly-once RESULTS for free. **KMV merges with
-  min** (union + re-take the k smallest) — idempotent by the same
-  argument; ``stream_kmv`` is marker-free too.
-- **CMS counts merge with sum** — NOT idempotent. A replayed batch would
-  double-count, so ``stream_cms`` stamps per-batch markers inside the
-  checkpoint (the stream_rollup discipline: Hadoop-FS probes, never
-  driver-local os calls — checkpoints live on HDFS/S3 in deployment).
-
-Both tables are tiny (≤ groups × m registers / d × w counters), so each
-fold rewrites the whole table; ``localCheckpoint`` breaks the
-read-overwrite lineage cycle (reading a path and overwriting it in one
-plan is a self-clobber without materialization)."""
+All five tables are sketch-sized by construction (≤ groups × m registers
+/ d × w counters / k+1 items / c·log2(n/c) summary rows), so staging a
+whole post-state per micro-batch costs KBs."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
 
-from ..fs import hadoop_exists, hadoop_touch, parquet_if_exists
+from pyspark.sql import DataFrame, SparkSession
+
+from ..fs import parquet_if_exists
 from ..functions import sketch as S
 from ..operators.iterate import unpin
+from .twophase import staged_exactly_once_fold
 
 __all__ = [
     "update_hll_table",
@@ -43,6 +47,11 @@ __all__ = [
     "stream_mg",
     "stream_mrl",
 ]
+
+#: merged-state builder: (spark, batch) -> (merged DataFrame, cleanup|None).
+#: The cleanup releases any localCheckpoint the plan pinned; callers invoke
+#: it after the merged result is durably written.
+MergedBuilder = Callable[[SparkSession, DataFrame], tuple[DataFrame, object]]
 
 
 def _overwrite_summary(merged: DataFrame, table_path: str) -> None:
@@ -58,31 +67,61 @@ def _overwrite_summary(merged: DataFrame, table_path: str) -> None:
         unpin(pinned)
 
 
-def _marked_fold_writer(
+def _apply_update(update, table_path: str) -> None:
+    merged, cleanup = update
+    try:
+        _overwrite_summary(merged, table_path)
+    finally:
+        if cleanup is not None:
+            cleanup()
+
+
+def _stage_apply(builder: MergedBuilder, table_path: str, batch_df: DataFrame):
+    """The (stage, apply) pair a sketch fold hands the two-phase
+    protocol. Module-level so the crash-matrix tests drive the EXACT
+    production callables, not re-implementations."""
+
+    def stage(spark: SparkSession, staging: str) -> bool:
+        merged, cleanup = builder(spark, batch_df)
+        try:
+            # staging ≠ table path, so the read-live/write-staging
+            # plan has no self-clobber and needs no localCheckpoint
+            merged.write.mode("overwrite").parquet(staging)
+        finally:
+            if cleanup is not None:
+                cleanup()
+        return True
+
+    def apply(spark: SparkSession, staging: str) -> None:
+        spark.read.parquet(staging).write.mode("overwrite").parquet(
+            table_path
+        )
+
+    return stage, apply
+
+
+def _staged_fold_writer(
     stream_df: DataFrame,
     checkpoint: str,
-    marker_dirname: str,
-    apply_batch,
+    name: str,
+    table_path: str,
+    builder: MergedBuilder,
     available_now: bool,
     exactly_once: bool,
 ):
-    """foreachBatch writer with the per-batch replay-marker protocol
-    shared by every MASS-ADDITIVE sketch fold (CMS counts, MG counters,
-    MRL weights — sum-like merges double on replay, unlike HLL max /
-    KMV min). One implementation so a future fix to the exactly-once
-    protocol (e.g. closing the crash-between-merge-and-marker residual
-    window with a transactional format) lands once, not three times
-    (code-review r6)."""
-    markers = checkpoint.rstrip("/") + "/" + marker_dirname
+    """foreachBatch writer shared by every sketch fold. With
+    ``exactly_once`` each micro-batch runs the staged two-phase protocol;
+    without it the merged state overwrites the table in place (the
+    pre-r7 at-least-once behavior, kept as the cheap dial and as the
+    double-count/torn-write contrast the tests pin)."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = f"{markers}/{batch_id}"
-        if exactly_once and hadoop_exists(spark, marker):
+        if not exactly_once:
+            _apply_update(builder(spark, batch_df), table_path)
             return
-        apply_batch(spark, batch_df)
-        if exactly_once:
-            hadoop_touch(spark, marker)
+        stage, apply = _stage_apply(builder, table_path, batch_df)
+        staged_exactly_once_fold(spark, batch_id, checkpoint, name, stage, apply)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
@@ -90,6 +129,27 @@ def _marked_fold_writer(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (max-merge, idempotent)
+# --------------------------------------------------------------------------
+
+
+def _hll_builder(
+    table_path: str, item_col: str, p: int, group_cols: tuple[str, ...]
+) -> MergedBuilder:
+    def build(spark: SparkSession, batch: DataFrame):
+        regs = S.hll_registers(batch, item_col, p=p, group_cols=group_cols)
+        existing = parquet_if_exists(spark, table_path)
+        merged = (
+            S.hll_merge(existing, regs, group_cols=group_cols)
+            if existing is not None
+            else regs
+        )
+        return merged, None
+
+    return build
 
 
 def update_hll_table(
@@ -102,14 +162,59 @@ def update_hll_table(
 ) -> None:
     """Merge one batch's registers into the persistent HLL table
     (idempotent: re-applying the same batch is a no-op)."""
-    regs = S.hll_registers(batch, item_col, p=p, group_cols=group_cols)
-    existing = parquet_if_exists(spark, table_path)
-    merged = (
-        S.hll_merge(existing, regs, group_cols=group_cols)
-        if existing is not None
-        else regs
+    _apply_update(
+        _hll_builder(table_path, item_col, p, group_cols)(spark, batch),
+        table_path,
     )
-    _overwrite_summary(merged, table_path)
+
+
+def stream_hll(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    item_col: str,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+    available_now: bool = False,
+    exactly_once: bool = True,
+):
+    """Continuous distinct-count sketching: every micro-batch folds its
+    registers into the table. Max-merge makes REPLAYED merges harmless
+    by algebra, but only the staged protocol survives a torn live-table
+    overwrite — ``exactly_once`` covers that; disabling it recovers the
+    direct merge-in-place fold."""
+    return _staged_fold_writer(
+        stream_df,
+        checkpoint,
+        "hll",
+        table_path,
+        _hll_builder(table_path, item_col, p, group_cols),
+        available_now,
+        exactly_once,
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (sum-merge, NOT idempotent)
+# --------------------------------------------------------------------------
+
+
+def _cms_builder(
+    table_path: str,
+    item_col: str,
+    depth: int,
+    width: int,
+    weight_col: str | None,
+) -> MergedBuilder:
+    def build(spark: SparkSession, batch: DataFrame):
+        sk = S.cms_build(
+            batch, item_col, depth=depth, width=width, weight_col=weight_col
+        )
+        existing = parquet_if_exists(spark, table_path)
+        merged = S.cms_merge(existing, sk) if existing is not None else sk
+        return merged, None
+
+    return build
 
 
 def update_cms_table(
@@ -123,38 +228,12 @@ def update_cms_table(
 ) -> None:
     """Merge one batch's counts into the persistent CMS table (NOT
     idempotent — callers must suppress replays; stream_cms does)."""
-    sk = S.cms_build(
-        batch, item_col, depth=depth, width=width, weight_col=weight_col
+    _apply_update(
+        _cms_builder(table_path, item_col, depth, width, weight_col)(
+            spark, batch
+        ),
+        table_path,
     )
-    existing = parquet_if_exists(spark, table_path)
-    merged = S.cms_merge(existing, sk) if existing is not None else sk
-    _overwrite_summary(merged, table_path)
-
-
-def stream_hll(
-    stream_df: DataFrame,
-    table_path: str,
-    checkpoint: str,
-    item_col: str,
-    p: int = 8,
-    group_cols: tuple[str, ...] = (),
-    available_now: bool = False,
-):
-    """Continuous distinct-count sketching: every micro-batch folds its
-    registers into the table. No markers — max-merge makes replays
-    harmless (exactly-once results from at-least-once delivery)."""
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        update_hll_table(
-            batch_df.sparkSession, batch_df, table_path, item_col, p, group_cols
-        )
-
-    writer = stream_df.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def stream_cms(
@@ -168,20 +247,40 @@ def stream_cms(
     available_now: bool = False,
     exactly_once: bool = True,
 ):
-    """Continuous frequency sketching with replay suppression: per-batch
-    markers inside the checkpoint make the sum-merge exactly-once (same
-    residual window as stream_rollup — a crash between merge and marker
-    re-admits one batch; closing it fully needs a transactional format)."""
-    return _marked_fold_writer(
+    """Continuous frequency sketching. Sum-merge doubles on a replayed
+    merge, so ``exactly_once`` runs the staged two-phase protocol —
+    exactly-once at EVERY crash point, including the old
+    crash-between-merge-and-marker window (VERDICT r6 item 3)."""
+    return _staged_fold_writer(
         stream_df,
         checkpoint,
-        "applied_cms_batches",
-        lambda spark, b: update_cms_table(
-            spark, b, table_path, item_col, depth, width, weight_col
-        ),
+        "cms",
+        table_path,
+        _cms_builder(table_path, item_col, depth, width, weight_col),
         available_now,
         exactly_once,
     )
+
+
+# --------------------------------------------------------------------------
+# K-minimum-values (min-merge, idempotent)
+# --------------------------------------------------------------------------
+
+
+def _kmv_builder(
+    table_path: str, item_col: str, k: int, group_cols: tuple[str, ...]
+) -> MergedBuilder:
+    def build(spark: SparkSession, batch: DataFrame):
+        sk = S.kmv_table(batch, item_col, k=k, group_cols=group_cols)
+        existing = parquet_if_exists(spark, table_path)
+        merged = (
+            S.kmv_merge(existing, sk, k=k, group_cols=group_cols)
+            if existing is not None
+            else sk
+        )
+        return merged, None
+
+    return build
 
 
 def update_kmv_table(
@@ -197,14 +296,10 @@ def update_kmv_table(
     idempotent like HLL's max-merge: replaying a batch unions the same
     hashes and the k-min set is unchanged — the HLL replay argument,
     verbatim."""
-    sk = S.kmv_table(batch, item_col, k=k, group_cols=group_cols)
-    existing = parquet_if_exists(spark, table_path)
-    merged = (
-        S.kmv_merge(existing, sk, k=k, group_cols=group_cols)
-        if existing is not None
-        else sk
+    _apply_update(
+        _kmv_builder(table_path, item_col, k, group_cols)(spark, batch),
+        table_path,
     )
-    _overwrite_summary(merged, table_path)
 
 
 def stream_kmv(
@@ -215,23 +310,45 @@ def stream_kmv(
     k: int = 256,
     group_cols: tuple[str, ...] = (),
     available_now: bool = False,
+    exactly_once: bool = True,
 ):
-    """Continuous KMV distinct-count sketching: idempotent min-merge, no
-    markers (the stream_hll shape). Unlike HLL the maintained table also
-    answers set-intersection questions across groups (shared-hash
-    fractions of the k-min union sample)."""
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        update_kmv_table(
-            batch_df.sparkSession, batch_df, table_path, item_col, k, group_cols
-        )
-
-    writer = stream_df.writeStream.foreachBatch(fold).option(
-        "checkpointLocation", checkpoint
+    """Continuous KMV distinct-count sketching (idempotent min-merge;
+    the maintained table also answers set-intersection questions across
+    groups). ``exactly_once`` adds torn-write safety via the staged
+    protocol — see stream_hll."""
+    return _staged_fold_writer(
+        stream_df,
+        checkpoint,
+        "kmv",
+        table_path,
+        _kmv_builder(table_path, item_col, k, group_cols),
+        available_now,
+        exactly_once,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters (sum-merge, NOT idempotent)
+# --------------------------------------------------------------------------
+
+
+def _mg_builder(table_path: str, item_col: str, k: int) -> MergedBuilder:
+    def build(spark: SparkSession, batch: DataFrame):
+        parts = S.mg_partition_summaries(batch, item_col, k)
+        existing = parquet_if_exists(spark, table_path)
+        combined = (
+            existing.unionByName(parts) if existing is not None else parts
+        )
+        # mg_prune consumes its input from three branches (per-item sums,
+        # the (k+1)-th-largest probe, the error aggregate) — materialize
+        # the tiny combined summary ONCE so the batch's mapInPandas
+        # summarization doesn't re-run per branch (code-review r6); the
+        # pin is released by the caller's cleanup once the merged result
+        # is written (ADVICE r6).
+        combined = combined.localCheckpoint(eager=True)
+        return S.mg_prune(combined, k), lambda: unpin(combined)
+
+    return build
 
 
 def update_mg_table(
@@ -246,22 +363,7 @@ def update_mg_table(
     schema, so the table IS a summary and reloads into any MG consumer).
     NOT idempotent (counts sum) — callers must suppress replays;
     stream_mg does."""
-    parts = S.mg_partition_summaries(batch, item_col, k)
-    existing = parquet_if_exists(spark, table_path)
-    combined = (
-        existing.unionByName(parts) if existing is not None else parts
-    )
-    # mg_prune consumes its input from three branches (per-item sums,
-    # the (k+1)-th-largest probe, the error aggregate) — materialize the
-    # tiny combined summary ONCE so the batch's mapInPandas
-    # summarization doesn't re-run per branch (code-review r6), and the
-    # final localCheckpoint still breaks the read-overwrite cycle. Both
-    # pins are released once the write lands (ADVICE r6).
-    combined = combined.localCheckpoint(eager=True)
-    try:
-        _overwrite_summary(S.mg_prune(combined, k), table_path)
-    finally:
-        unpin(combined)
+    _apply_update(_mg_builder(table_path, item_col, k)(spark, batch), table_path)
 
 
 def stream_mg(
@@ -276,18 +378,35 @@ def stream_mg(
     """Continuous heavy-hitters maintenance: every micro-batch folds its
     MG summaries into the table via the mergeable-summaries merge
     (functions/sketch.py::mg_prune), keeping the table ≤ k+1 rows no
-    matter the stream length. Sum-merge is NOT idempotent, so per-batch
-    markers inside the checkpoint make it exactly-once (the stream_cms
-    discipline; same one-batch residual window on a crash between merge
-    and marker)."""
-    return _marked_fold_writer(
+    matter the stream length. Sum-merge is NOT idempotent —
+    ``exactly_once`` runs the staged two-phase protocol (the stream_cms
+    discipline)."""
+    return _staged_fold_writer(
         stream_df,
         checkpoint,
-        "applied_mg_batches",
-        lambda spark, b: update_mg_table(spark, b, table_path, item_col, k),
+        "mg",
+        table_path,
+        _mg_builder(table_path, item_col, k),
         available_now,
         exactly_once,
     )
+
+
+# --------------------------------------------------------------------------
+# MRL quantile summaries (mass-additive, NOT idempotent)
+# --------------------------------------------------------------------------
+
+
+def _mrl_builder(table_path: str, value_col: str, c: int) -> MergedBuilder:
+    def build(spark: SparkSession, batch: DataFrame):
+        parts = S.mrl_partition_summaries(batch, value_col, c)
+        existing = parquet_if_exists(spark, table_path)
+        combined = (
+            existing.unionByName(parts) if existing is not None else parts
+        )
+        return S.mrl_merge(combined, c), None
+
+    return build
 
 
 def update_mrl_table(
@@ -302,12 +421,9 @@ def update_mrl_table(
     re-enter the compactor at their own weight level, so the table stays
     ≤ c·log2(n/c) rows over any stream length). NOT idempotent (mass
     adds) — stream_mrl suppresses replays."""
-    parts = S.mrl_partition_summaries(batch, value_col, c)
-    existing = parquet_if_exists(spark, table_path)
-    combined = (
-        existing.unionByName(parts) if existing is not None else parts
+    _apply_update(
+        _mrl_builder(table_path, value_col, c)(spark, batch), table_path
     )
-    _overwrite_summary(S.mrl_merge(combined, c), table_path)
 
 
 def stream_mrl(
@@ -324,12 +440,14 @@ def stream_mrl(
     partition summaries with the persistent summary; rank error
     accumulates in the meta row exactly as in the batch path, so
     ``mrl_quantiles`` over the maintained table carries the same
-    checkable bound. Markers for exactly-once (mass-additive merge)."""
-    return _marked_fold_writer(
+    checkable bound. Mass-additive merge — ``exactly_once`` runs the
+    staged two-phase protocol."""
+    return _staged_fold_writer(
         stream_df,
         checkpoint,
-        "applied_mrl_batches",
-        lambda spark, b: update_mrl_table(spark, b, table_path, value_col, c),
+        "mrl",
+        table_path,
+        _mrl_builder(table_path, value_col, c),
         available_now,
         exactly_once,
     )

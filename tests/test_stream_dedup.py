@@ -131,3 +131,122 @@ def test_stream_near_dedup_admits_only_novel(spark, sf_dir, tmp_path):
 
     replay = incremental_minhash_dedup(spark, b1, idx, threshold=0.7)
     assert replay.count() == 0
+
+
+def test_minhash_crash_between_index_and_output_write(spark, tmp_path):
+    """VERDICT r6 item 3, dedup family: the batch_id-stamped index makes
+    the two-phase gap safe BY CONSTRUCTION — a crash after the index
+    write but before the output write replays to the identical admitted
+    set (the anti-join ignores rows stamped with the current batch id,
+    and dynamic overwrite rewrites this batch's partitions in place).
+    Neither loses nor doubles."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import incremental_minhash_dedup
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def distinct_text(i):
+        return " ".join(f"tok{i}x{j}" for j in range(30))
+
+    b0 = docs([(i, distinct_text(i)) for i in range(8)])
+    # batch 1: 4 novel docs + 2 exact copies of batch-0 docs
+    b1 = docs(
+        [(100 + i, distinct_text(50 + i)) for i in range(4)]
+        + [(200, distinct_text(0)), (201, distinct_text(1))]
+    )
+
+    def run(batch, batch_id, write_output=True):
+        admitted = incremental_minhash_dedup(
+            spark, batch, idx, content="text", key="doc_id",
+            threshold=0.8, batch_id=batch_id,
+        )
+        if write_output:
+            admitted.withColumn("batch_id", F.lit(str(batch_id))).write.partitionBy(
+                "batch_id"
+            ).option("partitionOverwriteMode", "dynamic").mode(
+                "overwrite"
+            ).parquet(out)
+        else:
+            admitted.count()  # index write already happened inside
+
+    run(b0, 0)
+    # CRASH INJECTION: batch 1's index write lands, the output write does
+    # not (incremental_minhash_dedup writes the index internally; skipping
+    # the output write IS the two-phase gap)
+    run(b1, 1, write_output=False)
+    index_rows_after_crash = (
+        spark.read.parquet(idx).filter(F.col("batch_id") == "1").count()
+    )
+    assert index_rows_after_crash > 0  # phase 1 is durable
+    # restart: the stream replays batch 1 end to end
+    run(b1, 1)
+
+    got = sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # all 8 from batch 0 plus batch 1's 4 novel docs; 200/201 rejected
+    assert got == list(range(8)) + [100, 101, 102, 103]
+    # the index holds each batch-1 admitted key exactly once per band —
+    # no doubled rows from the replay
+    per_key_band = (
+        spark.read.parquet(idx)
+        .filter(F.col("batch_id") == "1")
+        .groupBy("doc_id", "band")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert per_key_band == 0
+
+
+def test_exact_dedup_crash_between_index_and_output_write(spark, tmp_path):
+    """Same two-phase-gap injection for the exact digest index."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import incremental_exact_dedup
+
+    idx = str(tmp_path / "eidx")
+    out = str(tmp_path / "eout")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = docs([(i, f"body {i}") for i in range(6)])
+    b1 = docs([(10, "body new A"), (11, "body 0"), (12, "body new B")])
+
+    def run(batch, batch_id, write_output=True):
+        admitted = incremental_exact_dedup(
+            spark, batch, idx, content="text", key="doc_id",
+            batch_id=batch_id,
+        )
+        if write_output:
+            admitted.withColumn("batch_id", F.lit(str(batch_id))).write.partitionBy(
+                "batch_id"
+            ).option("partitionOverwriteMode", "dynamic").mode(
+                "overwrite"
+            ).parquet(out)
+        else:
+            admitted.count()
+
+    run(b0, 0)
+    run(b1, 1, write_output=False)  # the gap: index written, output not
+    run(b1, 1)  # replay
+    got = sorted(
+        r[0] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5, 10, 12]  # 11 = dup of "body 0"
+    # index: one row per admitted batch-1 digest, not two
+    dup_digests = (
+        spark.read.parquet(idx)
+        .filter(F.col("batch_id") == "1")
+        .groupBy("__digest")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_digests == 0

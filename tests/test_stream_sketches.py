@@ -356,3 +356,97 @@ def test_stream_mg_survives_query_restart(spark, tmp_path):
     for item, t in true.items():
         est = counters.get(item, 0)
         assert est <= t and est >= t - err, item
+
+
+# ---------------------------------------------------------------------------
+# Crash-point injection (VERDICT r6 item 3): the staged two-phase protocol
+# must recover to exactly-once at EVERY cut point — the old marker-only
+# protocol double-counted on a crash between merge and marker.
+# ---------------------------------------------------------------------------
+
+
+def _cms_fold_once(spark, batch_df, batch_id, ckpt, table, crash=None):
+    """Drive the production stage/apply pair through the protocol, with
+    an optional injected crash."""
+    from crawl_streams_spark.streaming.twophase import staged_exactly_once_fold
+
+    builder = SS._cms_builder(table, "item", 4, 64, None)
+    stage, apply = SS._stage_apply(builder, table, batch_df)
+    return staged_exactly_once_fold(
+        spark, batch_id, ckpt, "cms", stage, apply, _crash_point=crash
+    )
+
+
+def test_cms_crash_matrix_recovers_exactly_once(spark, tmp_path):
+    """Kill the fold at each protocol point, replay it, and prove the
+    table equals the one-shot batch build — neither lost nor doubled."""
+    import pytest
+
+    from crawl_streams_spark.streaming.twophase import SimulatedCrash
+
+    b0 = spark.createDataFrame(
+        [(f"u{i % 11}",) for i in range(200)], "item string"
+    )
+    b1 = spark.createDataFrame(
+        [(f"v{i % 5}",) for i in range(100)], "item string"
+    )
+    want = sorted(map(tuple, S.cms_merge(
+        S.cms_build(b0, "item", depth=4, width=64),
+        S.cms_build(b1, "item", depth=4, width=64),
+    ).collect()))
+
+    for crash in ("after_stage_write", "after_commit", "after_apply",
+                  "after_marker"):
+        table = str(tmp_path / f"cms_{crash}")
+        ckpt = str(tmp_path / f"ck_{crash}")
+        assert _cms_fold_once(spark, b0, 0, ckpt, table)
+        with pytest.raises(SimulatedCrash):
+            _cms_fold_once(spark, b1, 1, ckpt, table, crash=crash)
+        # restart: the stream replays batch 1 through the same protocol
+        _cms_fold_once(spark, b1, 1, ckpt, table)
+        got = sorted(map(tuple, spark.read.parquet(table).collect()))
+        assert got == want, f"crash point {crash} lost or doubled"
+        # staging is garbage-collected by the recovery or the next fold
+        assert _cms_fold_once(spark, b1, 1, ckpt, table) is False  # marker
+
+
+def test_cms_torn_apply_recovers_from_staging(spark, tmp_path):
+    """A crash MID-overwrite leaves the live table torn; recovery must
+    rebuild it from the committed stage, never read it."""
+    import pytest
+
+    from crawl_streams_spark.streaming.twophase import (
+        SimulatedCrash,
+        staged_exactly_once_fold,
+    )
+
+    table = str(tmp_path / "cms_torn")
+    ckpt = str(tmp_path / "ck_torn")
+    b0 = spark.createDataFrame(
+        [(f"u{i % 11}",) for i in range(200)], "item string"
+    )
+    b1 = spark.createDataFrame(
+        [(f"v{i % 5}",) for i in range(100)], "item string"
+    )
+    assert _cms_fold_once(spark, b0, 0, ckpt, table)
+
+    builder = SS._cms_builder(table, "item", 4, 64, None)
+    stage, real_apply = SS._stage_apply(builder, table, b1)
+
+    def torn_apply(s, staging):
+        # half the staged rows land, then the process dies
+        s.read.parquet(staging).limit(2).write.mode("overwrite").parquet(table)
+        raise SimulatedCrash("torn_apply")
+
+    with pytest.raises(SimulatedCrash):
+        staged_exactly_once_fold(spark, 1, ckpt, "cms", stage, torn_apply)
+    assert spark.read.parquet(table).count() == 2  # live table is torn
+    # restart: committed staging re-applies verbatim; stage is NOT re-run
+    # (a re-run would merge the batch into the torn table = data loss)
+    _cms_fold_once(spark, b1, 1, ckpt, table)
+    want = sorted(map(tuple, S.cms_merge(
+        S.cms_build(b0, "item", depth=4, width=64),
+        S.cms_build(b1, "item", depth=4, width=64),
+    ).collect()))
+    got = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert got == want
