@@ -278,6 +278,47 @@ def minhash_lsh_candidates(
     return verified.select("key_a", "key_b", (inter / union).alias("jaccard"))
 
 
+def minhash_lsh_candidates_collapsed(
+    df: DataFrame,
+    content: str = "text",
+    key: str = "doc_id",
+    **lsh_kw,
+) -> DataFrame:
+    """Degenerate-corpus scale path for the LSH candidate join (VERDICT
+    r6 item 4): collapse EXACT duplicates to one representative per
+    content digest before banding, so d identical copies contribute d-1
+    linear star edges instead of d(d-1)/2 quadratic band collisions —
+    the blowup no join strategy can absorb, because it is real output,
+    not skew.
+
+    Returns (key_a, key_b, jaccard): LSH pairs among the digest
+    representatives, UNION (rep, member) star edges at jaccard 1.0 for
+    multi-doc digest groups. The pair SET differs from the uncollapsed
+    operator's, but its TRANSITIVE CLOSURE at any threshold is identical
+    (an exact copy shares its representative's shingle set, so every
+    uncollapsed pair is recovered through rep edges; star edges carry
+    jaccard 1.0 and survive every threshold) — cluster_duplicates over
+    either pair set yields the same components, pinned by
+    tests/test_extensions2.py. Use this form whenever the corpus may
+    carry heavy exact duplication (web crawls: boilerplate mirrors,
+    CDN copies); the exact-collapse groupBy is digest-keyed and
+    uniform, and reps flow through the standard LSH pipeline unchanged.
+    """
+    digests = df.select(F.col(key), F.md5(F.col(content)).alias("__digest"))
+    groups = digests.groupBy("__digest").agg(F.min(key).alias("__rep"))
+    membership = digests.join(groups, "__digest")
+    star = membership.filter(F.col(key) != F.col("__rep")).select(
+        F.col("__rep").alias("key_a"),
+        F.col(key).alias("key_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(key)), key, "left_semi"
+    )
+    rep_pairs = minhash_lsh_candidates(reps, content, key, **lsh_kw)
+    return rep_pairs.unionByName(star)
+
+
 def minhash_dedup(
     df: DataFrame,
     content: str = "text",
@@ -344,15 +385,23 @@ def cluster_duplicates(
             .groupBy("key")
             .agg(F.min("cluster").alias("cluster"))
         )
-        # 2) pointer-jump: relabel through the cluster's own label
-        x, y = prop.alias("x"), prop.alias("y")
-        return x.join(
-            y, F.col("x.cluster") == F.col("y.key"), "left"
+        # 2) pointer-jump: relabel through the cluster's own label. The
+        # lookup side is RENAMED, not alias()-ed: the alias self-join's
+        # attribute dedup over the self-referential union inside `prop`
+        # trips Catalyst's UnionBase.rewriteConstraints on some inputs
+        # (NoSuchElementException during the checkpoint's analysis —
+        # surfaced by the collapsed-LSH pair shape, round 7); renamed
+        # columns keep every expression id distinct by construction.
+        j = prop.select(
+            F.col("key").alias("__jkey"), F.col("cluster").alias("__jcluster")
+        )
+        return prop.join(
+            j, F.col("cluster") == F.col("__jkey"), "left"
         ).select(
-            F.col("x.key").alias("key"),
+            F.col("key"),
             F.least(
-                F.col("x.cluster"),
-                F.coalesce(F.col("y.cluster"), F.col("x.cluster")),
+                F.col("cluster"),
+                F.coalesce(F.col("__jcluster"), F.col("cluster")),
             ).alias("cluster"),
         )
 

@@ -25,12 +25,16 @@ fresh verdict, and pre-pay round 8's debt):
   so these reps pay next round's debt down too). ``parts_bought_together``
   / ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families and therefore recur every round.
-- Slots 36-50: round-4-verdict fillers chosen to shrink the round-8
-  aging set (40 queries hold r4 verdicts; the reps + fillers window 19
-  of them now, leaving a 21-query r8 rotation that a 50-slot window
-  absorbs alongside family coverage).
-- Any implementation CHANGED in round 7 must be re-windowed before the
-  round closes; additions take a slot from birth (round-4 lesson).
+- Slots 36-47: round-4-verdict fillers chosen to shrink the round-8
+  aging set (40 queries hold r4 verdicts; the reps + fillers window 16
+  of them now, leaving a 23-query r8 rotation — pre-enumerated in the
+  guard's projection warning — that a 50-slot window absorbs alongside
+  family coverage).
+- Slots 48-50: round-7 changes and additions (in-window from birth):
+  ``dedup_collapsed_lsh_pairs`` (NEW — exact-collapse LSH for
+  degenerate corpora), ``dedup_cluster_assignment`` and
+  ``cluster_golden_records`` (cluster_duplicates' pointer-jump rewrote
+  to renamed-column self-joins; values unchanged, plan changed).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -124,15 +128,16 @@ PRIORITY: tuple[str, ...] = (
     "latest_events_topk",  # q_events, r4
     "hourly_counts",  # q_events, r4
     "asof_last_purchase",  # q_joins_advanced, r4
-    "dedup_simhash",  # q_dedup, r4
-    "dedup_minhash_signatures",  # q_dedup, r4
     "part_supplier_union",  # q_tpch, r4
     "top_orders_per_customer",  # q_tpch, r4
     "rollup_day_reaggregation",  # q_events, r4
     "kmv_distinct_users",  # q_sketch, r4
     "corpus_curation_funnel",  # q_pipeline, r4
-    "doc_repetition",  # q_text, r4
     "event_transition_matrix",  # q_behavior, r4
+    # -- round-7 changes and additions (in-window from birth) ------------
+    "dedup_collapsed_lsh_pairs",  # q_dedup: NEW r7 — exact-collapse LSH
+    "dedup_cluster_assignment",  # q_dedup: r7 pointer-jump rewrite
+    "cluster_golden_records",  # q_dedup: r7 pointer-jump rewrite
 )
 
 

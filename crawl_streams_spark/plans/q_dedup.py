@@ -211,6 +211,103 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_collapsed_lsh_pairs",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+            UNION ALL
+            SELECT doc_id + 200000, text FROM documents WHERE doc_id % 50 = 0
+        ),
+        dg AS (
+            SELECT doc_id, md5(text) AS digest FROM corpus
+        ),
+        grp AS (
+            SELECT digest, MIN(doc_id) AS rep FROM dg GROUP BY digest
+        ),
+        star AS (
+            SELECT g.rep AS doc_a, d.doc_id AS doc_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM dg d JOIN grp g ON d.digest = g.digest
+            WHERE d.doc_id <> g.rep
+        ),
+        sh AS (
+            SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM corpus
+            WHERE doc_id IN (SELECT rep FROM grp)
+        ),
+        sig AS (
+            SELECT doc_id, shingles, {_DUCK_SIG} AS sig FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, shingles, b,
+                   md5(array_to_string(sig[b*{_ROWS_PER_BAND}+1 : (b+1)*{_ROWS_PER_BAND}], ',')) AS band_hash
+            FROM sig CROSS JOIN (SELECT unnest(range(0, {_BANDS})) AS b) u
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        reppairs AS (
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                         / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+            WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(sa.shingles || sb.shingles)) >= 0.3
+        )
+        SELECT doc_a, doc_b, jaccard FROM reppairs
+        UNION ALL
+        SELECT doc_a, doc_b, jaccard FROM star
+    """,
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def dedup_collapsed_lsh_pairs(spark, sf_dir):
+    """Exact-collapse LSH (round-7 degenerate-corpus scale path,
+    operators/dedup.py::minhash_lsh_candidates_collapsed): exact
+    duplicates collapse to one representative per content digest BEFORE
+    banding — d identical copies cost d-1 linear star edges instead of
+    d(d-1)/2 quadratic band collisions, the blowup no join strategy can
+    absorb because it is real output, not skew. Returns rep-pair LSH
+    matches (Jaccard ≥ 0.3) plus (rep, member) star edges at 1.0; the
+    transitive closure equals the uncollapsed operator's (pinned in
+    tests/test_extensions2.py).
+
+    The base documents carry no exact duplicates, so the query
+    synthesizes deterministic copies (every 50th doc twice more, shifted
+    ids) identically on both engines — the star and collapse logic is
+    actually exercised under the gate, not vacuously green."""
+    from ..operators import dedup as DD
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.unionByName(
+        copies.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        copies.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    pairs = DD.minhash_lsh_candidates_collapsed(
+        corpus,
+        content="text",
+        key="doc_id",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_words=3,
+        hash_impl="md5",
+        verify_join="shuffle",
+    )
+    jac = F.col("jaccard")
+    return pairs.filter(jac >= 0.3).select(
+        F.col("key_a").alias("doc_a"),
+        F.col("key_b").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+@query(
     "dedup_minhash_est_jaccard",
     oracle=f"""
         WITH sh AS (

@@ -458,3 +458,116 @@ def test_stream_stream_launch_outcomes_left_outer(spark, tmp_path):
     assert "https://b.example.org/" in rows
     b = rows["https://b.example.org/"]
     assert b["status_code"] is None and b["fetch_ts"] is None
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-corpus LSH stress (VERDICT r6 item 4): heavy exact duplication
+# makes band collisions quadratic — real output, not fixable join skew. The
+# collapsed operator turns it linear; the plain operator must still refuse
+# to broadcast the quadratic pair set.
+# ---------------------------------------------------------------------------
+
+
+def _degenerate_corpus(spark, n_copies=400, n_distinct=50):
+    """n_copies exact copies of one document + n_distinct singletons."""
+    rows = [(i, "the same boilerplate page body " * 6) for i in range(n_copies)]
+    rows += [
+        (10_000 + i, " ".join(f"tok{i}u{j}" for j in range(25)))
+        for i in range(n_distinct)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), n_copies
+
+
+def test_lsh_degenerate_corpus_collapsed_is_linear(spark):
+    """d identical copies: the collapsed path emits d-1 star edges, the
+    plain path d(d-1)/2 quadratic collisions — measured, and the
+    transitive closure (cluster assignment) is identical."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.dedup import (
+        cluster_duplicates,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_collapsed,
+    )
+
+    df, d = _degenerate_corpus(spark, n_copies=120, n_distinct=30)
+    plain = minhash_lsh_candidates(
+        df, verify_join="shuffle"
+    ).filter(F.col("jaccard") >= 0.8)
+    collapsed = minhash_lsh_candidates_collapsed(
+        df, verify_join="shuffle"
+    ).filter(F.col("jaccard") >= 0.8)
+
+    n_plain = plain.count()
+    n_collapsed = collapsed.count()
+    assert n_plain == d * (d - 1) // 2  # quadratic in the copy count
+    assert n_collapsed == d - 1  # linear star edges
+    # identical transitive clustering from either pair set
+    ca = {
+        (r["key"], r["cluster"])
+        for r in cluster_duplicates(plain, key_a="key_a", key_b="key_b")
+        .withColumnRenamed("doc_id", "key")
+        .collect()
+    }
+    cb = {
+        (r["key"], r["cluster"])
+        for r in cluster_duplicates(collapsed, key_a="key_a", key_b="key_b")
+        .withColumnRenamed("doc_id", "key")
+        .collect()
+    }
+    assert ca == cb
+    assert len({c for _, c in ca}) == 1  # one component: the copy group
+
+
+def test_lsh_collapsed_closure_equiv_with_near_dups(spark):
+    """Mixed corpus — exact-dup groups PLUS genuine near-dups bridging
+    them: the collapsed pair set must reach the same components."""
+    from crawl_streams_spark.operators.dedup import (
+        cluster_duplicates,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_collapsed,
+    )
+    import pyspark.sql.functions as F
+
+    base = " ".join(f"w{j}" for j in range(40))
+    near = " ".join(f"w{j}" for j in range(38)) + " z1 z2"  # ~0.9 jaccard
+    rows = (
+        [(i, base) for i in range(5)]             # exact group A
+        + [(100 + i, near) for i in range(4)]     # exact group B, near A
+        + [(200 + i, " ".join(f"q{i}r{j}" for j in range(30))) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=32, bands=16, threshold=None)
+    kw.pop("threshold")
+
+    def comps(pairs):
+        return {
+            (r["key"], r["cluster"])
+            for r in cluster_duplicates(
+                pairs.filter(F.col("jaccard") >= 0.5)
+            ).collect()
+        }
+
+    plain = comps(minhash_lsh_candidates(df, **kw))
+    collapsed = comps(minhash_lsh_candidates_collapsed(df, **kw))
+    assert plain == collapsed
+    # groups A and B merge into one component rooted at doc 0
+    merged = {k for k, c in plain if c == 0}
+    assert merged == set(range(5)) | {100, 101, 102, 103}
+
+
+def test_lsh_degenerate_auto_refuses_broadcast(spark):
+    """verify_join='auto' must estimate the quadratic pair count and fall
+    back to the shuffled verify — never broadcast an unbounded pair
+    relation."""
+    from crawl_streams_spark.operators.dedup import minhash_lsh_candidates
+
+    df, d = _degenerate_corpus(spark, n_copies=300, n_distinct=20)
+    pairs = minhash_lsh_candidates(
+        df, verify_join="auto", max_broadcast_pairs=1000
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert pairs.count() >= d * (d - 1) // 2
+    # the guarded relation: no broadcast of the candidate-pair join tree.
+    # (dimension-free plan: every join in the shuffled path is SMJ/SHJ)
+    assert "BroadcastHashJoin" not in plan, plan[:1500]

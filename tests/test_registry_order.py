@@ -41,6 +41,11 @@ def test_round_changed_queries_in_window():
         "top_unshipped_orders",
         "nation_market_share",
         "pareto_price_size_parts",
+        # round-7 pointer-jump rewrite in cluster_duplicates
+        "dedup_cluster_assignment",
+        "cluster_golden_records",
+        # round-7 ADDITION — in-window from birth (round-4 lesson)
+        "dedup_collapsed_lsh_pairs",
     ):
         assert name in window, name
 
@@ -112,6 +117,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 160 registered queries as of round 6 (media_gif_features added);
-    # update deliberately when adding.
-    assert len(REGISTRY) >= 160
+    # 161 registered queries as of round 7 (dedup_collapsed_lsh_pairs
+    # added); update deliberately when adding.
+    assert len(REGISTRY) >= 161
