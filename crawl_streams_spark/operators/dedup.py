@@ -303,6 +303,13 @@ def minhash_lsh_candidates_collapsed(
     carry heavy exact duplication (web crawls: boilerplate mirrors,
     CDN copies); the exact-collapse groupBy is digest-keyed and
     uniform, and reps flow through the standard LSH pipeline unchanged.
+
+    Plan shape: the digest aggregate subtree is referenced by the star
+    edges, the rep semi-join, and (transitively) the LSH pipeline; each
+    reference ends in the same shuffle, so the runtime collapses them
+    with ReusedExchange — the corpus text is scanned a bounded handful
+    of times (column-pruned to (key, content)), the same reuse contract
+    the plain operator's merge-hinted band join relies on.
     """
     digests = df.select(F.col(key), F.md5(F.col(content)).alias("__digest"))
     groups = digests.groupBy("__digest").agg(F.min(key).alias("__rep"))

@@ -176,6 +176,31 @@ def main() -> int:
             secs,
         )
 
+    # PQ: ADC shortlist → exact rerank. Scanned fraction reports the
+    # FULL-RESOLUTION pair work (|Q|·shortlist / full scan) — the ADC
+    # stage additionally scans the whole CODES table, which is m small
+    # ints per vector (a ~64× smaller relation at dim=64/m=8), so the
+    # compressed scan is the cheap constant the shortlist dial rides on.
+    for m, kcode in ((8, 16), (16, 64)):
+        book = S.pq_train(emb, m=m, k=kcode, iters=3)
+        codes = S.pq_encode(emb, book, m=m).cache()
+        codes.count()
+        for shortlist in (20, 50, 100):
+            t0 = time.perf_counter()
+            approx = _topk_sets(
+                S.pq_knn_rerank(
+                    emb, codes, book, queries, k=k, shortlist=shortlist, m=m
+                )
+            )
+            secs = time.perf_counter() - t0
+            add(
+                f"PQ m={m} k={kcode} shortlist={shortlist} (+codes scan)",
+                _recall(exact, approx),
+                n_queries * shortlist,
+                secs,
+            )
+        codes.unpersist()
+
     print(f"\ncorpus={n_corpus} queries={n_queries} k={k} ({sf_dir})\n")
     print("| config | recall@10 | scanned fraction | wall s |")
     print("|---|---|---|---|")
