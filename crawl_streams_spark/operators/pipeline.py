@@ -31,6 +31,7 @@ __all__ = [
     "hash_bucket",
     "hex_threshold",
     "split_assign",
+    "leakage_safe_split",
     "stratified_keep",
     "pack_id",
     "sample_priority",
@@ -81,6 +82,47 @@ def split_assign(
         .when(b < F.lit(hex_threshold(train + val)), F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    key: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed by the DUPLICATE-CLUSTER
+    representative, not the document id: every member of a (near-)
+    duplicate cluster lands in the SAME split, closing the eval-leakage
+    hole a per-document split leaves open — a near-copy of a test
+    document sitting in train inflates every benchmark it touches.
+
+    ``clusters`` is (key, cluster) from ``dedup.cluster_duplicates``
+    (LSH pairs → connected components; the exact-dup digest groups work
+    too — any assignment where duplicates share a label). Documents
+    absent from ``clusters`` are singletons and hash on their own key,
+    so the operator degrades to ``split_assign`` exactly when there is
+    no duplication. Deterministic and stable under corpus growth (hash
+    of the cluster label, never position); the fractions hold over
+    CLUSTERS, so heavy duplication skews realized per-document fractions
+    toward its clusters' splits — that is the point, not a bug.
+
+    Scale: one left join on the key (clusters ∝ duplicated docs only,
+    usually a small fraction of the corpus) plus the stateless hash map.
+    Returns ``df`` + ``split_col``."""
+    lbl = clusters.select(
+        F.col(clusters.columns[0]).alias(key)
+        if clusters.columns[0] != key
+        else F.col(key),
+        F.col("cluster").alias("__lss_cluster"),
+    )
+    joined = df.join(lbl, key, "left")
+    rep = F.coalesce(F.col("__lss_cluster"), _c(key))
+    return joined.withColumn(
+        split_col, split_assign(rep, train, val, salt)
+    ).drop("__lss_cluster")
 
 
 def stratified_keep(

@@ -25,14 +25,15 @@ fresh verdict, and pre-pay round 8's debt):
   so these reps pay next round's debt down too). ``parts_bought_together``
   / ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families and therefore recur every round.
-- Slots 36-47: round-4-verdict fillers chosen to shrink the round-8
-  aging set (40 queries hold r4 verdicts; the reps + fillers window 16
-  of them now, leaving a 23-query r8 rotation — pre-enumerated in the
+- Slots 36-46: round-4-verdict fillers chosen to shrink the round-8
+  aging set (40 queries hold r4 verdicts; the reps + fillers window 15
+  of them now, leaving a 24-query r8 rotation — pre-enumerated in the
   guard's projection warning — that a 50-slot window absorbs alongside
   family coverage).
-- Slots 48-50: round-7 changes and additions (in-window from birth):
+- Slots 47-50: round-7 changes and additions (in-window from birth):
   ``dedup_collapsed_lsh_pairs`` (NEW — exact-collapse LSH for
-  degenerate corpora), ``dedup_cluster_assignment`` and
+  degenerate corpora), ``leakage_safe_split_assign`` (NEW —
+  cluster-keyed train/val/test split), ``dedup_cluster_assignment`` and
   ``cluster_golden_records`` (cluster_duplicates' pointer-jump rewrote
   to renamed-column self-joins; values unchanged, plan changed).
 - The rotation debt guard (tests/test_registry_order.py::
@@ -120,8 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "dup_token_spans",  # q_spans, r4
     "hourly_value_anomalies",  # q_timeseries, r4
     "orders_validation_report",  # q_validate, r6 — sole member, recurs
-    # -- r4-verdict fillers: pre-pay round 8's rotation debt (19 of the
-    # -- 40 r4-verdict queries re-verify now, leaving 21 for round 8) ----
+    # -- r4-verdict fillers: pre-pay round 8's rotation debt -------------
     "dedup_exact",  # q_dedup, r4
     "knn_bruteforce",  # q_similarity, r4
     "windowed_count",  # q_events, r4
@@ -131,13 +131,13 @@ PRIORITY: tuple[str, ...] = (
     "part_supplier_union",  # q_tpch, r4
     "top_orders_per_customer",  # q_tpch, r4
     "rollup_day_reaggregation",  # q_events, r4
-    "kmv_distinct_users",  # q_sketch, r4
     "corpus_curation_funnel",  # q_pipeline, r4
     "event_transition_matrix",  # q_behavior, r4
     # -- round-7 changes and additions (in-window from birth) ------------
     "dedup_collapsed_lsh_pairs",  # q_dedup: NEW r7 — exact-collapse LSH
     "dedup_cluster_assignment",  # q_dedup: r7 pointer-jump rewrite
     "cluster_golden_records",  # q_dedup: r7 pointer-jump rewrite
+    "leakage_safe_split_assign",  # q_dedup: NEW r7 — cluster-keyed split
 )
 
 

@@ -714,3 +714,45 @@ def cluster_golden_records(spark, sf_dir):
             "golden_source",
         )
     )
+
+
+@query(
+    "leakage_safe_split_assign",
+    oracle=_DUCK_CC_ASSIGN
+    + """
+        SELECT a.doc_id,
+               a.cluster_id,
+               CASE
+                 WHEN substring(md5('split:' || CAST(a.cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                 WHEN substring(md5('split:' || CAST(a.cluster_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM assign a
+    """,
+    tags=("dedup", "pipeline", "split", "leakage", "extension"),
+)
+def leakage_safe_split_assign(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (round 7,
+    operators/pipeline.py::leakage_safe_split): the split hash is keyed
+    by the LSH-cluster representative instead of the document id, so
+    every member of a near-duplicate cluster lands in the SAME split —
+    a near-copy of a test document sitting in train inflates every
+    benchmark it touches, the classic eval-leakage hole a per-document
+    split leaves open.
+
+    The oracle reaches the same clusters through the recursive-CTE
+    connected components (_DUCK_CC_ASSIGN) and the same md5 bucket math
+    as pipeline.hash_bucket ('e6'/'f3' = hex_threshold(0.9/0.95)), so
+    the driver certifies cluster assignment AND split determinism end
+    to end. The no-leak invariant (zero clusters spanning two splits)
+    is structural — split is a pure function of cluster_id — and pinned
+    adversarially in tests/test_extensions2.py."""
+    from ..operators.pipeline import leakage_safe_split
+
+    assign = _cc_assign(spark, sf_dir)
+    clusters = assign.select(
+        F.col("doc_id").alias("key"), F.col("cluster_id").alias("cluster")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = leakage_safe_split(docs, clusters)
+    return out.join(assign, "doc_id").select("doc_id", "cluster_id", "split")

@@ -571,3 +571,58 @@ def test_lsh_degenerate_auto_refuses_broadcast(spark):
     # the guarded relation: no broadcast of the candidate-pair join tree.
     # (dimension-free plan: every join in the shuffled path is SMJ/SHJ)
     assert "BroadcastHashJoin" not in plan, plan[:1500]
+
+
+def test_leakage_safe_split_invariant_and_degradation(spark):
+    """No duplicate cluster may span two splits (the leakage invariant),
+    and docs with no duplicates must get exactly their plain
+    split_assign outcome."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.pipeline import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    # 30 clusters of 5 docs each (ids interleaved so clusters cross any
+    # naive range split) + 50 singletons
+    rows = []
+    for c in range(30):
+        for m in range(5):
+            rows.append((c + 1000 * m, c))  # doc_id, true cluster label
+    clusters = spark.createDataFrame(rows, "key long, cluster long")
+    member_ids = [r[0] for r in rows]
+    docs = spark.createDataFrame(
+        [(i,) for i in member_ids] + [(90_000 + i,) for i in range(50)],
+        "doc_id long",
+    )
+    out = leakage_safe_split(docs, clusters, key="doc_id").cache()
+
+    # invariant: every cluster maps to exactly one split
+    labeled = out.join(
+        clusters.withColumnRenamed("key", "doc_id"), "doc_id", "inner"
+    )
+    spans = (
+        labeled.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spans == 0
+
+    # degradation: singletons match plain split_assign on their own id
+    singles = out.filter(F.col("doc_id") >= 90_000)
+    plain = docs.filter(F.col("doc_id") >= 90_000).select(
+        "doc_id", split_assign("doc_id").alias("want")
+    )
+    mismatches = (
+        singles.join(plain, "doc_id")
+        .filter(F.col("split") != F.col("want"))
+        .count()
+    )
+    assert mismatches == 0
+    # the majority splits materialize over 80 hash keys (val is a 5%
+    # window — 13 of 256 buckets — and may legitimately be empty here)
+    got_splits = {r[0] for r in out.select("split").distinct().collect()}
+    assert {"train", "test"} <= got_splits
+    out.unpersist()

@@ -46,6 +46,7 @@ def test_round_changed_queries_in_window():
         "cluster_golden_records",
         # round-7 ADDITION — in-window from birth (round-4 lesson)
         "dedup_collapsed_lsh_pairs",
+        "leakage_safe_split_assign",
     ):
         assert name in window, name
 
@@ -117,6 +118,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 161 registered queries as of round 7 (dedup_collapsed_lsh_pairs
-    # added); update deliberately when adding.
-    assert len(REGISTRY) >= 161
+    # 162 registered queries as of round 7 (dedup_collapsed_lsh_pairs +
+    # leakage_safe_split_assign added); update deliberately when adding.
+    assert len(REGISTRY) >= 162
