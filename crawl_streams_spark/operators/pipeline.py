@@ -33,6 +33,8 @@ __all__ = [
     "split_assign",
     "leakage_safe_split",
     "stratified_keep",
+    "cap_source_share",
+    "take_token_budget",
     "pack_id",
     "sample_priority",
     "weighted_sample",
@@ -81,6 +83,99 @@ def split_assign(
         F.when(b < F.lit(hex_threshold(train)), F.lit("train"))
         .when(b < F.lit(hex_threshold(train + val)), F.lit("val"))
         .otherwise(F.lit("test"))
+    )
+
+
+def hash_uniform(id_col: Column | str, salt: str) -> Column:
+    """Deterministic md5-derived uniform in [0, 1): the first 60 bits of
+    md5("<salt>:<id>") over 2^60 — the same replayable-uniform recipe
+    sample_priority uses, exposed for rate comparisons finer than the
+    256-bucket hash_bucket quantization. Cross-engine: DuckDB computes
+    the identical double from the identical hex digits."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), _c(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h.cast("double") / F.lit(1152921504606846976.0)
+
+
+def cap_source_share(
+    df: DataFrame,
+    weight_col: str,
+    max_share: float,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap any single source's share of the corpus WEIGHT (tokens, chars,
+    bytes) at ``max_share`` by deterministic downsampling — the domain-
+    capping pass every large-scale training mix runs so one boilerplate-
+    heavy domain cannot dominate the data.
+
+    Per-source keep rate = min(1, max_share · total_weight / source
+    weight); a document survives iff its salted hash-uniform < its
+    source's rate, so the EXPECTED kept share of every over-cap source is
+    exactly ``max_share`` of the corpus total, under-cap sources pass
+    through whole, and the decision is stable under reprocessing,
+    partitioning, and corpus growth (hash of the id, never position or
+    RNG state).
+
+    Scale: one partial-aggregated shuffle for the per-source totals
+    (rows ∝ #sources), a broadcast rate join, and a stateless narrow
+    filter — the corpus never shuffles and there is no per-source
+    ordering, so a hot domain costs the same per row as a cold one (the
+    exact greedy form — keep in hash order until the budget fills —
+    needs a per-source cumsum whose hot-source window is the very
+    bottleneck this pass exists to remove)."""
+    totals = df.groupBy(source_col).agg(
+        F.sum(_c(weight_col)).alias("__src_w")
+    )
+    grand = totals.agg(F.sum("__src_w").alias("__tot_w"))
+    rates = totals.crossJoin(F.broadcast(grand)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(max_share))
+            * F.col("__tot_w").cast("double")
+            / F.col("__src_w").cast("double"),
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_uniform(key, salt) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    order_cols: list,
+    token_col: str,
+    budget: int,
+    num_partitions: int = 32,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Best-first data selection under a token budget: order the corpus
+    by ``order_cols`` (quality descending, id tiebreak — a TOTAL order)
+    and keep rows while the INCLUSIVE running token total stays within
+    ``budget`` — "take the best N tokens", the selection step of every
+    budgeted training run.
+
+    Built on partitioned_cumsum, so the global running total never
+    funnels the relation through a single-partition window: sort-
+    contiguous buckets, per-bucket offsets (a ≤ num_partitions-row
+    window), one intra-bucket keyed window. Integer token counts make
+    the cut exact and oracle-replayable. Adds ``cum_col``."""
+    cum = partitioned_cumsum(
+        df, order_cols, [token_col], num_partitions, prefix="__tb_"
+    )
+    return cum.filter(F.col(f"__tb_{token_col}") <= budget).withColumnRenamed(
+        f"__tb_{token_col}", cum_col
     )
 
 

@@ -675,3 +675,97 @@ def brand_target_encoding(spark, sf_dir):
             6,
         ).alias("encoded"),
     )
+
+
+@query(
+    "source_share_capped_counts",
+    oracle="""
+        WITH w AS (
+            SELECT source, doc_id, n_chars FROM documents
+        ),
+        src AS (
+            SELECT source, SUM(n_chars)::DOUBLE AS src_w FROM w GROUP BY source
+        ),
+        tot AS (
+            SELECT SUM(src_w) AS tot_w FROM src
+        ),
+        rates AS (
+            SELECT source, LEAST(1.0, 0.04 * t.tot_w / s.src_w) AS rate
+            FROM src s CROSS JOIN tot t
+        ),
+        kept AS (
+            SELECT w.source, w.doc_id, w.n_chars
+            FROM w JOIN rates r ON w.source = r.source
+            WHERE (('0x' || substr(md5('cap:' || CAST(w.doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+                  / 1152921504606846976.0 < r.rate
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS kept_docs,
+               SUM(n_chars)::BIGINT AS kept_chars
+        FROM kept GROUP BY source
+    """,
+    tags=("pipeline", "sampling", "domain-capping", "extension"),
+)
+def source_share_capped_counts(spark, sf_dir):
+    """Domain capping (round 7, operators/pipeline.py::cap_source_share):
+    no single source may exceed 4% of the corpus character weight
+    (the 20 synthetic sources each hold ~5%, so the cap BINDS on every
+    source — a loose cap would leave the admission math unexercised) —
+    over-cap sources are deterministically downsampled to an expected
+    share of exactly the cap, under-cap sources pass through whole. The
+    keep decision is a salted md5 uniform compared against the source's
+    rate, so the oracle replays every individual admission bit-for-bit
+    (the sample_priority uniform recipe). One source-keyed partial-agg
+    shuffle + a broadcast rate join + a narrow filter — the corpus never
+    shuffles, hot domains cost the same per row as cold ones."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    kept = P.cap_source_share(
+        docs, weight_col="n_chars", max_share=0.04, key="doc_id", salt="cap"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+_TB_BUDGET = 100_000
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, source, n_chars,
+                   SUM(n_chars) OVER (
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   )::BIGINT AS cum_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_chars, cum_tokens
+        FROM c WHERE cum_tokens <= {_TB_BUDGET}
+    """,
+    tags=("pipeline", "selection", "budget", "extension"),
+)
+def token_budget_selection(spark, sf_dir):
+    """Best-first selection under a token budget (round 7,
+    operators/pipeline.py::take_token_budget): order the corpus by
+    weight descending (quality-proxy; doc_id tiebreak = a TOTAL order)
+    and keep rows while the inclusive running total stays within the
+    budget — "take the best N tokens". The running total is
+    partitioned_cumsum, so the global window never funnels the relation
+    through one task (sort-contiguous buckets + a ≤32-row offset
+    window); integer sums make the cut exact, which is what lets the
+    single-window SQL oracle certify the distributed form."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = P.take_token_budget(
+        docs,
+        order_cols=[("n_chars", "desc"), ("doc_id", "asc")],
+        token_col="n_chars",
+        budget=_TB_BUDGET,
+    )
+    return out.select("doc_id", "source", "n_chars", "cum_tokens")

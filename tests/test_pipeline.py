@@ -360,3 +360,64 @@ def test_weighted_sample_plans_as_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Sort" not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_cap_source_share_expected_share_and_passthrough(spark):
+    """One hot source holding ~60% of the weight is capped to an expected
+    10% share; under-cap sources pass through COMPLETELY (rate 1.0 admits
+    every hash)."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.pipeline import cap_source_share
+
+    rows = [(i, "hot", 100) for i in range(3000)]
+    rows += [(10_000 + i, f"cold{i % 10}", 20) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    total = 3000 * 100 + 1000 * 20
+    kept = cap_source_share(
+        df, weight_col="w", max_share=0.10, source_col="source"
+    ).cache()
+    hot_kept = (
+        kept.filter(F.col("source") == "hot").agg(F.sum("w")).first()[0] or 0
+    )
+    cold_kept = kept.filter(F.col("source") != "hot").count()
+    # expected hot weight = 10% of total; allow hash-sampling noise
+    want = 0.10 * total
+    assert 0.7 * want <= hot_kept <= 1.3 * want, (hot_kept, want)
+    assert cold_kept == 1000  # rate 1.0: nothing dropped
+    # determinism: same decisions under a different partitioning
+    kept2 = cap_source_share(
+        df.repartition(13), weight_col="w", max_share=0.10,
+        source_col="source",
+    )
+    a = {r[0] for r in kept.select("doc_id").collect()}
+    b = {r[0] for r in kept2.select("doc_id").collect()}
+    assert a == b
+    kept.unpersist()
+
+
+def test_take_token_budget_matches_greedy(spark):
+    """The distributed budget cut equals the driver-side greedy: sort by
+    (w desc, id), take while inclusive cumsum <= budget — exact at the
+    boundary."""
+    from crawl_streams_spark.operators.pipeline import take_token_budget
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    budget = 9_000
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in take_token_budget(
+            df, [("w", "desc"), ("doc_id", "asc")], "w", budget
+        ).collect()
+    )
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, c = [], 0
+    for i, w in order:
+        c += w
+        if c > budget:
+            break
+        want.append((i, c))
+    assert got == sorted(want)
+    # the NEXT document would have crossed the budget (cut is tight)
+    assert want and want[-1][1] + order[len(want)][1] > budget

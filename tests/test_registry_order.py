@@ -47,6 +47,8 @@ def test_round_changed_queries_in_window():
         # round-7 ADDITION — in-window from birth (round-4 lesson)
         "dedup_collapsed_lsh_pairs",
         "leakage_safe_split_assign",
+        "source_share_capped_counts",
+        "token_budget_selection",
     ):
         assert name in window, name
 
@@ -118,6 +120,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 162 registered queries as of round 7 (dedup_collapsed_lsh_pairs +
-    # leakage_safe_split_assign added); update deliberately when adding.
-    assert len(REGISTRY) >= 162
+    # 164 registered queries as of round 7 (collapsed LSH, leakage-safe
+    # split, domain capping, token-budget selection added).
+    assert len(REGISTRY) >= 164
