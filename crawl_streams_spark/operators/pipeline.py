@@ -126,12 +126,16 @@ def cap_source_share(
     RNG state).
 
     Scale: one partial-aggregated shuffle for the per-source totals
-    (rows ∝ #sources), a broadcast rate join, and a stateless narrow
-    filter — the corpus never shuffles and there is no per-source
-    ordering, so a hot domain costs the same per row as a cold one (the
-    exact greedy form — keep in hash order until the budget fills —
-    needs a per-source cumsum whose hot-source window is the very
-    bottleneck this pass exists to remove)."""
+    (rows ∝ #sources), a rate join, and a stateless narrow filter. The
+    grand total rides a broadcast 1-row relation (bounded — hint
+    policy); the rate relation carries NO hint: at web-domain
+    cardinality (~10⁸ sources) it outgrows any broadcast, and AQE's
+    dynamic selection broadcasts it while genuinely small, falling back
+    to a source-keyed shuffle join with skew-split at domain scale.
+    There is no per-source ordering, so a hot domain costs the same per
+    row as a cold one (the exact greedy form — keep in hash order until
+    the budget fills — needs a per-source cumsum whose hot-source window
+    is the very bottleneck this pass exists to remove)."""
     totals = df.groupBy(source_col).agg(
         F.sum(_c(weight_col)).alias("__src_w")
     )
@@ -146,7 +150,7 @@ def cap_source_share(
         ).alias("__rate"),
     )
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(rates, source_col)
         .filter(hash_uniform(key, salt) < F.col("__rate"))
         .drop("__rate")
     )

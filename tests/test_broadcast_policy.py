@@ -81,6 +81,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/pipeline.py", "equi_depth_bins"): (1, "per-bucket offsets"),
     ("operators/pipeline.py", "partitioned_cumsum"): (1, "per-partition offsets"),
     ("operators/pipeline.py", "rank_normalize"): (1, "1-row count scalar"),
+    ("operators/pipeline.py", "cap_source_share"): (1, "1-row grand-total scalar; the per-source rate relation is UNHINTED (unbounded at domain scale)"),
 }
 
 

@@ -421,3 +421,65 @@ def test_take_token_budget_matches_greedy(spark):
     assert got == sorted(want)
     # the NEXT document would have crossed the budget (cut is tight)
     assert want and want[-1][1] + order[len(want)][1] > budget
+
+
+def test_take_token_budget_prefix_property(spark):
+    """Property (hypothesis): for random weights and budgets, the
+    selection is exactly the maximal prefix of the (w desc, id) order
+    whose inclusive cumsum fits the budget."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl_streams_spark.operators.pipeline import take_token_budget
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        ws=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=60),
+        budget=st.integers(min_value=0, max_value=800),
+    )
+    def check(ws, budget):
+        rows = [(i, w) for i, w in enumerate(ws)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = sorted(
+            r["doc_id"]
+            for r in take_token_budget(
+                df, [("w", "desc"), ("doc_id", "asc")], "w", budget,
+                num_partitions=4,
+            ).collect()
+        )
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        want, c = [], 0
+        for i, w in order:
+            c += w
+            if c > budget:
+                break
+            want.append(i)
+        assert got == sorted(want)
+
+    check()
+
+
+def test_cap_source_share_subset_and_weight_monotone(spark):
+    """Property: the kept set is a subset of the input, per-source kept
+    weight never exceeds the uncapped weight, and tightening the cap
+    only shrinks the kept set (monotone in max_share — same salt, same
+    hashes, lower rates)."""
+    import pyspark.sql.functions as F
+
+    from crawl_streams_spark.operators.pipeline import cap_source_share
+
+    rows = [(i, f"s{i % 5}", (i * 13) % 40 + 1) for i in range(400)]
+    rows += [(1_000 + i, "hot", 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    loose = {
+        r[0]
+        for r in cap_source_share(df, "w", 0.30, source_col="source")
+        .select("doc_id").collect()
+    }
+    tight = {
+        r[0]
+        for r in cap_source_share(df, "w", 0.10, source_col="source")
+        .select("doc_id").collect()
+    }
+    all_ids = {r[0] for r in rows}
+    assert tight <= loose <= all_ids

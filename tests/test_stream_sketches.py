@@ -450,3 +450,28 @@ def test_cms_torn_apply_recovers_from_staging(spark, tmp_path):
     ).collect()))
     got = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert got == want
+
+
+def test_twophase_orphan_staging_gc(spark, tmp_path):
+    """A crash between the applied marker and the staging delete leaves
+    an orphan; if the checkpoint then commits, the batch never replays —
+    the NEXT batch's fold must garbage-collect the orphan."""
+    import os
+
+    from crawl_streams_spark.fs import hadoop_exists, hadoop_touch
+
+    table = str(tmp_path / "cms_gc")
+    ckpt = str(tmp_path / "ck_gc")
+    b0 = spark.createDataFrame([("a",), ("b",)], "item string")
+    # fabricate an applied-and-orphaned batch 3: marker present, staging
+    # left behind (exactly the post-marker crash footprint)
+    orphan = f"{ckpt}/staging_cms/3"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as f:
+        f.write("junk")
+    hadoop_touch(spark, f"{ckpt}/staging_cms/3/_COMMITTED")
+    hadoop_touch(spark, f"{ckpt}/applied_cms/3")
+    assert hadoop_exists(spark, orphan)
+    _cms_fold_once(spark, b0, 5, ckpt, table)
+    assert not hadoop_exists(spark, orphan), "orphan staging not collected"
+    assert spark.read.parquet(table).count() > 0
