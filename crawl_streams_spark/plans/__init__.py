@@ -25,19 +25,20 @@ fresh verdict, and pre-pay round 8's debt):
   so these reps pay next round's debt down too). ``parts_bought_together``
   / ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families and therefore recur every round.
-- Slots 36-44: round-4-verdict fillers chosen to shrink the round-8
-  aging set (40 queries hold r4 verdicts; the reps + fillers window 13
-  of them now, leaving a 26-query r8 rotation — pre-enumerated in the
+- Slots 36-43: round-4-verdict fillers chosen to shrink the round-8
+  aging set (40 queries hold r4 verdicts; the reps + fillers window 12
+  of them now, leaving a 27-query r8 rotation — pre-enumerated in the
   guard's projection warning — that a 50-slot window absorbs alongside
   family coverage).
-- Slots 45-50: round-7 changes and additions (in-window from birth):
+- Slots 44-50: round-7 changes and additions (in-window from birth):
   ``dedup_collapsed_lsh_pairs`` (NEW — exact-collapse LSH for degenerate
   corpora), ``leakage_safe_split_assign`` (NEW — cluster-keyed
   train/val/test split), ``source_share_capped_counts`` and
   ``token_budget_selection`` (NEW — domain capping + budgeted
-  selection), ``dedup_cluster_assignment`` and
-  ``cluster_golden_records`` (cluster_duplicates' pointer-jump rewrote
-  to renamed-column self-joins; values unchanged, plan changed).
+  selection), ``media_bmp_features`` (NEW — the sixth real codec),
+  ``dedup_cluster_assignment`` and ``cluster_golden_records``
+  (cluster_duplicates' pointer-jump rewrote to renamed-column
+  self-joins; values unchanged, plan changed).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -126,7 +127,6 @@ PRIORITY: tuple[str, ...] = (
     # -- r4-verdict fillers: pre-pay round 8's rotation debt -------------
     "dedup_exact",  # q_dedup, r4
     "knn_bruteforce",  # q_similarity, r4
-    "windowed_count",  # q_events, r4
     "hourly_counts",  # q_events, r4
     "part_supplier_union",  # q_tpch, r4
     "top_orders_per_customer",  # q_tpch, r4
@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     "leakage_safe_split_assign",  # q_dedup: NEW r7 — cluster-keyed split
     "source_share_capped_counts",  # q_pipeline: NEW r7 — domain capping
     "token_budget_selection",  # q_pipeline: NEW r7 — budgeted selection
+    "media_bmp_features",  # q_crawl: NEW r7 — real BMP decode gate
 )
 
 

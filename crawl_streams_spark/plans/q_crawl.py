@@ -662,3 +662,93 @@ def media_gif_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_gif_features(media)
+
+
+@query(
+    "media_bmp_features",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id * 31 + y.y * 7 + x.x * 13) % 256) AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+            CROSS JOIN (SELECT unnest(range(0, 15)) AS x) x
+            WHERE y.y < 4 * (1 + d.doc_id % 2)
+              AND x.x < 3 * (1 + d.doc_id % 5)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n,
+                   MIN(v)::INTEGER AS mn,
+                   MAX(v)::INTEGER AS mx
+            FROM px GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               (3 * (1 + doc_id % 5))::INTEGER AS width,
+               (4 * (1 + doc_id % 2))::INTEGER AS height,
+               3::INTEGER AS n_channels,
+               (CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END)::INTEGER AS bit_depth,
+               (3 * s) AS sum_rgb,
+               (s::DOUBLE / n) AS mean_sample,
+               mn AS min_sample,
+               mx AS max_sample,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "image", "bmp", "extension"),
+)
+def media_bmp_features(spark, sf_dir):
+    """REAL uncompressed-DIB decode end to end, under the VALUE gate
+    (round 7, the sixth real codec): a deterministic gradient BMP is
+    encoded per document (operators/bmp.py::pattern_bmp — even doc_ids
+    as 8-bit palettized with a grayscale color table, odd as 24-bit
+    BGR; odd seeds top-down, so both row orders and both pixel formats
+    decode under the gate), then
+    operators/multimodal.py::decode_bmp_features parses the DIB headers,
+    unpads the 4-byte-aligned rows (widths 3/6/9/15 exercise real
+    padding), maps palette indices / reorders BGR, and reduces to exact
+    integer RGB statistics. Same closed-form pixel pattern as the
+    PNG/GIF gates ((seed*31 + y*7 + x*13) % 256) with all channels
+    equal, so the SQL side predicts sum_rgb = 3×(sample sum) and the
+    shared mean/min/max bit-for-bit — no compression, no rounding,
+    nothing to hide behind."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def synth(batches):
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.bmp import pattern_bmp
+        except ModuleNotFoundError:
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.bmp import pattern_bmp
+
+        for pdf in batches:
+            payloads = [
+                pattern_bmp(
+                    int(d),
+                    3 * (1 + int(d) % 5),
+                    4 * (1 + int(d) % 2),
+                    bits=8 if int(d) % 2 == 0 else 24,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_bmp_features(media)

@@ -49,6 +49,7 @@ def test_round_changed_queries_in_window():
         "leakage_safe_split_assign",
         "source_share_capped_counts",
         "token_budget_selection",
+        "media_bmp_features",
     ):
         assert name in window, name
 
@@ -120,6 +121,6 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 164 registered queries as of round 7 (collapsed LSH, leakage-safe
-    # split, domain capping, token-budget selection added).
-    assert len(REGISTRY) >= 164
+    # 165 registered queries as of round 7 (collapsed LSH, leakage-safe
+    # split, domain capping, token-budget selection, BMP decode added).
+    assert len(REGISTRY) >= 165
