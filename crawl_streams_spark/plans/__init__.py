@@ -25,17 +25,19 @@ fresh verdict, and pre-pay round 8's debt):
   so these reps pay next round's debt down too). ``parts_bought_together``
   / ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families and therefore recur every round.
-- Slots 36-43: round-4-verdict fillers chosen to shrink the round-8
-  aging set (40 queries hold r4 verdicts; the reps + fillers window 12
-  of them now, leaving a 27-query r8 rotation — pre-enumerated in the
-  guard's projection warning — that a 50-slot window absorbs alongside
-  family coverage).
+- Slots 36-42: round-4-verdict fillers chosen to shrink the round-8
+  aging set (the reps + fillers window 11 of the 40 r4-verdict queries,
+  leaving a 28-query r8 rotation — pre-enumerated in the guard's
+  projection warning — that a 50-slot window absorbs alongside family
+  coverage; eight fillers yielded their slots to round-7 work).
 - Slots 44-50: round-7 changes and additions (in-window from birth):
   ``dedup_collapsed_lsh_pairs`` (NEW — exact-collapse LSH for degenerate
   corpora), ``leakage_safe_split_assign`` (NEW — cluster-keyed
   train/val/test split), ``source_share_capped_counts`` and
   ``token_budget_selection`` (NEW — domain capping + budgeted
   selection), ``media_bmp_features`` (NEW — the sixth real codec),
+  ``native_session_window_stats`` (NEW — the built-in session_window
+  operator under the value gate),
   ``dedup_cluster_assignment`` and ``cluster_golden_records``
   (cluster_duplicates' pointer-jump rewrote to renamed-column
   self-joins; values unchanged, plan changed).
@@ -127,7 +129,6 @@ PRIORITY: tuple[str, ...] = (
     # -- r4-verdict fillers: pre-pay round 8's rotation debt -------------
     "dedup_exact",  # q_dedup, r4
     "knn_bruteforce",  # q_similarity, r4
-    "hourly_counts",  # q_events, r4
     "part_supplier_union",  # q_tpch, r4
     "top_orders_per_customer",  # q_tpch, r4
     "rollup_day_reaggregation",  # q_events, r4
@@ -141,6 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "source_share_capped_counts",  # q_pipeline: NEW r7 — domain capping
     "token_budget_selection",  # q_pipeline: NEW r7 — budgeted selection
     "media_bmp_features",  # q_crawl: NEW r7 — real BMP decode gate
+    "native_session_window_stats",  # q_sessions: NEW r7 — built-in operator gate
 )
 
 

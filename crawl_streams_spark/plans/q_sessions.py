@@ -127,3 +127,69 @@ def approx_distinct_users(spark, sf_dir):
             <= F.lit(5 * rsd) * F.col("exact_users")
         ).alias("within_bound"),
     )
+
+
+@query(
+    "native_session_window_stats",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id,
+                   event_id,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   value,
+                   CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 0
+                        WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                             - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                             >= {_GAP_SECONDS} * 1000000 THEN 1
+                        ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        ),
+        tagged AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+            FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {_GAP_SECONDS} SECOND AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value
+        FROM tagged
+        GROUP BY user_id, session_idx
+    """,
+    tags=("session", "window", "native-operator", "extension"),
+)
+def native_session_window_stats(spark, sf_dir):
+    """Spark's NATIVE ``session_window`` aggregate under the value gate
+    (round 7): the same 30-minute gap sessions as ``user_sessions``, but
+    computed by the built-in session-window operator — the exact
+    operator the streaming analysis job's session mode uses
+    (streaming/analysis_job.py), certified here in its batch form
+    against an independent lag/running-sum SQL derivation.
+
+    Boundary semantics pinned by the oracle: Spark merges a new event
+    only while it lands STRICTLY inside the previous window
+    (event < last + gap — the window end is exclusive), so the oracle
+    splits on ``diff >= gap``, one boundary tighter than user_sessions'
+    ``>``; and the window END is last_event + gap, not max(ts). Both
+    facts are exactly what a user migrating from hand-rolled
+    sessionization to the native operator needs to know."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), f"{_GAP_SECONDS} seconds")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

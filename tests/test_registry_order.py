@@ -50,6 +50,7 @@ def test_round_changed_queries_in_window():
         "source_share_capped_counts",
         "token_budget_selection",
         "media_bmp_features",
+        "native_session_window_stats",
     ):
         assert name in window, name
 
@@ -121,6 +122,7 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 165 registered queries as of round 7 (collapsed LSH, leakage-safe
-    # split, domain capping, token-budget selection, BMP decode added).
-    assert len(REGISTRY) >= 165
+    # 166 registered queries as of round 7 (collapsed LSH, leakage-safe
+    # split, domain capping, token-budget selection, BMP decode, native
+    # session_window gate added).
+    assert len(REGISTRY) >= 166
