@@ -298,6 +298,27 @@ def wav_bytes(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
     return riff + fmt + data
 
 
+def g711_wav_bytes(
+    companded, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Minimal G.711 WAV encoder (RIFF + fmt + data) for µ-law
+    (format 7) or A-law (format 6) COMPANDED bytes — fixture builder for
+    the 8-bit telephony path the decoder expands."""
+    import struct
+
+    import numpy as np
+
+    fmt_code = 7 if law == "ulaw" else 6
+    raw = np.asarray(companded, dtype=np.uint8).tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, fmt_code, 1, sample_rate, sample_rate,
+        1, 8,
+    )
+    data = struct.pack("<4sI", b"data", len(raw)) + raw
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
 def _wav_decode_impl():
     """Factory (closure-pickled by value) for the real RIFF/PCM16 parser:
     walks the chunk list, reads fmt, frombuffers the data chunk, and
@@ -323,9 +344,35 @@ def _wav_decode_impl():
             if fmt is None or data is None:
                 return None, "missing fmt or data chunk"
             audio_format, n_ch, rate, _, _, bits = fmt
-            if audio_format != 1 or bits != 16:
+            if audio_format == 1 and bits == 16:
+                x = np.frombuffer(
+                    data[: len(data) - (len(data) % (2 * n_ch))], dtype="<i2"
+                )
+            elif audio_format in (6, 7) and bits == 8:
+                # G.711 companded audio (format 6 = A-law, 7 = µ-law):
+                # expand each byte to 16-bit linear via the canonical
+                # CCITT/Sun routines, vectorized. Closed-form integer
+                # math, so a SQL oracle replays every sample exactly.
+                b = np.frombuffer(
+                    data[: len(data) - (len(data) % n_ch)], dtype=np.uint8
+                ).astype(np.int64)
+                if audio_format == 7:  # µ-law
+                    u = 255 - b  # ~b & 0xFF
+                    t = ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+                    x = np.where(u >= 128, 132 - t, t - 132)
+                else:  # A-law
+                    a = b ^ 0x55
+                    seg = (a // 16) % 8
+                    mant = (a % 16) * 16
+                    t = np.where(
+                        seg == 0,
+                        mant + 8,
+                        (mant + 264) * (1 << np.maximum(seg - 1, 0)),
+                    )
+                    x = np.where(a >= 128, t, -t)
+                x = x.astype(np.int64)
+            else:
                 return None, f"unsupported format (fmt={audio_format}, bits={bits})"
-            x = np.frombuffer(data[: len(data) - (len(data) % (2 * n_ch))], dtype="<i2")
             n_samples = x.size // n_ch if n_ch else 0
             if n_samples == 0:
                 return (rate, n_ch, bits, 0, 0.0, 0.0, 0.0, 0.0), None

@@ -25,11 +25,11 @@ fresh verdict, and pre-pay round 8's debt):
   so these reps pay next round's debt down too). ``parts_bought_together``
   / ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families and therefore recur every round.
-- Slots 36-41: round-4-verdict fillers chosen to shrink the round-8
-  aging set (the reps + fillers window 10 of the 40 r4-verdict queries,
-  leaving a 29-query r8 rotation — pre-enumerated in the guard's
+- Slots 36-40: round-4-verdict fillers chosen to shrink the round-8
+  aging set (the reps + fillers window 9 of the 40 r4-verdict queries,
+  leaving a 30-query r8 rotation — pre-enumerated in the guard's
   projection warning — that a 50-slot window absorbs alongside family
-  coverage; nine fillers yielded their slots to round-7 work).
+  coverage; ten fillers yielded their slots to round-7 work).
 - Slots 44-50: round-7 changes and additions (in-window from birth):
   ``dedup_collapsed_lsh_pairs`` (NEW — exact-collapse LSH for degenerate
   corpora), ``leakage_safe_split_assign`` (NEW — cluster-keyed
@@ -38,7 +38,8 @@ fresh verdict, and pre-pay round 8's debt):
   selection), ``media_bmp_features`` (NEW — the sixth real codec),
   ``native_session_window_stats`` (NEW — the built-in session_window
   operator under the value gate), ``unpivot_lineitem_metrics`` (NEW —
-  the melt/unpivot reshaping surface),
+  the melt/unpivot reshaping surface), ``media_g711_features`` (NEW —
+  G.711 µ-law/A-law telephony decode),
   ``dedup_cluster_assignment`` and ``cluster_golden_records``
   (cluster_duplicates' pointer-jump rewrote to renamed-column
   self-joins; values unchanged, plan changed).
@@ -130,7 +131,6 @@ PRIORITY: tuple[str, ...] = (
     # -- r4-verdict fillers: pre-pay round 8's rotation debt -------------
     "dedup_exact",  # q_dedup, r4
     "knn_bruteforce",  # q_similarity, r4
-    "part_supplier_union",  # q_tpch, r4
     "rollup_day_reaggregation",  # q_events, r4
     "corpus_curation_funnel",  # q_pipeline, r4
     "event_transition_matrix",  # q_behavior, r4
@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "media_bmp_features",  # q_crawl: NEW r7 — real BMP decode gate
     "native_session_window_stats",  # q_sessions: NEW r7 — built-in operator gate
     "unpivot_lineitem_metrics",  # q_pivot: NEW r7 — melt/unpivot gate
+    "media_g711_features",  # q_crawl: NEW r7 — G.711 telephony decode gate
 )
 
 

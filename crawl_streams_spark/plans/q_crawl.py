@@ -752,3 +752,111 @@ def media_bmp_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_bmp_features(media)
+
+
+@query(
+    "media_g711_features",
+    oracle="""
+        WITH b AS (
+            SELECT d.doc_id, ((d.doc_id * 7 + i.i * 13) % 256) AS cb
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 400)) AS i) i
+        ),
+        x AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN
+                       -- mu-law expansion (CCITT G.711, Sun routine)
+                       CASE WHEN (255 - cb) >= 128
+                            THEN 132 - (((255 - cb) % 16) * 8 + 132)
+                                       * (1 << (((255 - cb) // 16) % 8))
+                            ELSE (((255 - cb) % 16) * 8 + 132)
+                                 * (1 << (((255 - cb) // 16) % 8)) - 132
+                       END
+                   ELSE
+                       -- A-law expansion
+                       CASE WHEN xor(cb, 85) >= 128 THEN
+                           CASE WHEN ((xor(cb, 85) // 16) % 8) = 0
+                                THEN (xor(cb, 85) % 16) * 16 + 8
+                                ELSE ((xor(cb, 85) % 16) * 16 + 264)
+                                     * (1 << (((xor(cb, 85) // 16) % 8) - 1))
+                           END
+                       ELSE
+                           -CASE WHEN ((xor(cb, 85) // 16) % 8) = 0
+                                 THEN (xor(cb, 85) % 16) * 16 + 8
+                                 ELSE ((xor(cb, 85) % 16) * 16 + 264)
+                                      * (1 << (((xor(cb, 85) // 16) % 8) - 1))
+                           END
+                       END
+                   END AS v
+            FROM b
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v * v)::BIGINT AS sumsq,
+                   MAX(ABS(v))::BIGINT AS peak_i
+            FROM x GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               1::INTEGER AS n_channels,
+               8::INTEGER AS bits,
+               400::INTEGER AS n_samples,
+               (1000.0::DOUBLE * 400 / 8000)::FLOAT AS duration_ms,
+               (sqrt(sumsq::DOUBLE / 400) / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               0.0::FLOAT AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "audio", "g711", "extension"),
+)
+def media_g711_features(spark, sf_dir):
+    """REAL telephony-audio decode under the VALUE gate (round 7): G.711
+    companded WAV payloads — even doc_ids µ-law (format 7), odd A-law
+    (format 6) — expanded to 16-bit linear by the canonical CCITT/Sun
+    routines inside operators/multimodal.py's WAV decoder (vectorized
+    closed-form integer math, pinned against independent scalar spec
+    transcriptions in tests/test_multimodal_g711.py). The oracle
+    regenerates the companded bytes and performs the SAME expansion in
+    SQL, so the gate certifies both laws' bit movement and the energy
+    math exactly; G.711 linear peaks (±32124 µ / ±32256 A) never reach
+    the int16 rails, so clip_fraction is identically zero."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def wav(raw, fmt_code):
+            fmt = struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, fmt_code, 1, 8000, 8000, 1, 8
+            )
+            data = struct.pack("<4sI", b"data", len(raw)) + raw
+            return (
+                struct.pack(
+                    "<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE"
+                )
+                + fmt
+                + data
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = np.arange(400, dtype=np.int64)
+                cb = ((int(did) * 7 + i * 13) % 256).astype(np.uint8)
+                payloads.append(
+                    wav(cb.tobytes(), 7 if int(did) % 2 == 0 else 6)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_wav(media)

@@ -52,6 +52,7 @@ def test_round_changed_queries_in_window():
         "media_bmp_features",
         "native_session_window_stats",
         "unpivot_lineitem_metrics",
+        "media_g711_features",
     ):
         assert name in window, name
 
@@ -125,5 +126,5 @@ def test_no_query_strands_beyond_k_rounds():
 def test_no_query_lost_by_reorder():
     # 166 registered queries as of round 7 (collapsed LSH, leakage-safe
     # split, domain capping, token-budget selection, BMP decode, native
-    # session_window gate, unpivot gate added).
-    assert len(REGISTRY) >= 167
+    # session_window gate, unpivot gate, G.711 decode added).
+    assert len(REGISTRY) >= 168
