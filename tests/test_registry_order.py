@@ -128,3 +128,40 @@ def test_no_query_lost_by_reorder():
     # split, domain capping, token-budget selection, BMP decode, native
     # session_window gate, unpivot gate, G.711 decode added).
     assert len(REGISTRY) >= 168
+
+
+def test_rotation_planner_invariants():
+    """scripts/plan_rotation.py must propose a full, family-covering
+    window whose MUST set equals the rotation guard's projection — the
+    tool future rounds build PRIORITY from cannot drift from the
+    enforced policy."""
+    from scripts.plan_rotation import plan
+
+    max_round, last = _last_verdict_rounds()
+    # plan the round AFTER the in-flight one (max checked-in + 1 is the
+    # round currently being verified; the planner models its pending
+    # verdicts for the current window)
+    next_round = max_round + 2
+    p = plan(next_round)
+    assert len(p["window"]) == DRIVER_WINDOW
+    assert len(set(p["window"])) == DRIVER_WINDOW
+    fams = {_family(n) for n in REGISTRY}
+    assert {_family(n) for n in p["window"]} == fams
+    # MUST == the guard's projection with the in-flight round credited
+    # to the current window
+    window_now = set(list(REGISTRY)[:DRIVER_WINDOW])
+    eff = dict(last)
+    for n in window_now:
+        eff[n] = max(eff.get(n, 0), next_round - 1)
+    projected = sorted(
+        n for n in REGISTRY if next_round - eff.get(n, -999) > 3
+    )
+    assert p["must"] == projected
+    # the proposed window leaves nothing stranded at next_round itself
+    wset = set(p["window"])
+    stranded = [
+        n
+        for n in REGISTRY
+        if n not in wset and next_round - eff.get(n, -999) > 3
+    ]
+    assert not stranded
