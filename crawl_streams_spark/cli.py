@@ -7,6 +7,13 @@ subcommands over the engine's query builders:
     python -m crawl_streams_spark.cli submit   --uri U | --file F [--dry-run]
     python -m crawl_streams_spark.cli streamer --input FILE --from TS --to TS [-l n]
 
+Engine-side operational extensions beyond the reference surface:
+
+    python -m crawl_streams_spark.cli etl / rollup / dedup / query / select
+
+(``select`` composes the round-7 curation operators — source capping,
+token-budget selection, leakage-safe splitting — into one pass.)
+
 File inputs stand in for Kafka topics when no broker is configured (pass
 --brokers/--topic to read Kafka instead); dispatch mirrors the reference's
 argparse surface (report.py:228-281, analysis.py:200-236,
@@ -303,6 +310,75 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """Corpus selection pipeline (round-7 operators composed as one
+    operational pass, applied in pipeline order):
+
+    1. ``--cap-source FRAC``: no source exceeds FRAC of the corpus
+       weight (pipeline.cap_source_share — deterministic salted-uniform
+       downsampling; the corpus never shuffles).
+    2. ``--budget N``: best-first cut at an inclusive running weight
+       total over (weight desc, key) (pipeline.take_token_budget —
+       distributed cumsum, no single-partition window).
+    3. ``--clusters PATH``: leakage-safe train/val/test split keyed by
+       the duplicate-cluster representative (pipeline.leakage_safe_split;
+       the parquet at PATH is (key, cluster), e.g. cluster_duplicates
+       output). Without it, a plain per-document split_assign.
+
+    Output is written split-partitioned when a split is requested."""
+    import pyspark.sql.functions as F
+
+    from .operators.pipeline import (
+        cap_source_share,
+        leakage_safe_split,
+        split_assign,
+        take_token_budget,
+    )
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    n0 = df.count()
+    if args.cap_source is not None:
+        df = cap_source_share(
+            df,
+            weight_col=args.weight_col,
+            max_share=args.cap_source,
+            source_col=args.source_col,
+            key=args.key_col,
+        )
+    if args.budget is not None:
+        df = take_token_budget(
+            df,
+            [(args.weight_col, "desc"), (args.key_col, "asc")],
+            args.weight_col,
+            args.budget,
+        ).drop("cum_tokens")
+    writer_partition = None
+    if args.split:
+        train, val = (float(x) for x in args.split.split(","))
+        if args.clusters:
+            clusters = spark.read.parquet(args.clusters)
+            df = leakage_safe_split(
+                df, clusters, key=args.key_col, train=train, val=val
+            )
+        else:
+            df = df.withColumn(
+                "split", split_assign(args.key_col, train, val)
+            )
+        writer_partition = "split"
+    w = df.write.mode("overwrite")
+    if writer_partition:
+        w = w.partitionBy(writer_partition)
+    w.parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n1 = out.count()
+    print(f"selected {n1}/{n0} rows -> {args.output}")
+    if writer_partition:
+        for r in out.groupBy("split").count().collect():
+            print(f"  {r['split']}: {r['count']}")
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run or explain any registered driver-contract query by name — the
     operational front door to the whole §2 registry, and the plan-audit
@@ -443,6 +519,34 @@ def build_parser() -> argparse.ArgumentParser:
         "input replays instead of double-indexing",
     )
     de.set_defaults(fn=cmd_dedup)
+
+    se = sub.add_parser(
+        "select",
+        help="corpus selection: source capping, token budget, "
+        "leakage-safe split",
+    )
+    se.add_argument("--input", required=True, help="parquet corpus")
+    se.add_argument("--output", required=True)
+    se.add_argument("--key-col", default="doc_id")
+    se.add_argument("--weight-col", default="n_chars")
+    se.add_argument("--source-col", default="source")
+    se.add_argument(
+        "--cap-source", type=float, default=None,
+        help="max share of corpus weight any source may hold (e.g. 0.25)",
+    )
+    se.add_argument(
+        "--budget", type=int, default=None,
+        help="keep best rows while the running weight total fits",
+    )
+    se.add_argument(
+        "--split", default=None, metavar="TRAIN,VAL",
+        help="write train/val/test-partitioned output (e.g. 0.9,0.05)",
+    )
+    se.add_argument(
+        "--clusters", default=None,
+        help="(key, cluster) parquet for a leakage-safe split",
+    )
+    se.set_defaults(fn=cmd_select)
 
     q = sub.add_parser(
         "query", help="run or explain a registered query ('query list')"

@@ -218,3 +218,41 @@ def test_dedup_cli_near_mode(capsys, spark, sf_dir, tmp_path):
     # replay of the same input: identical re-admission, overwritten in place
     assert main(args) == 0
     assert spark.read.parquet(out).count() == first
+
+
+def test_select_pipeline_end_to_end(capsys, spark, tmp_path):
+    """cli select composes the round-7 curation operators: source cap →
+    token budget → leakage-safe split, written split-partitioned."""
+    import pyspark.sql.functions as F
+
+    corpus = str(tmp_path / "corpus")
+    rows = [(i, f"s{i % 4}" if i >= 2000 else "hot", 40 + i % 30)
+            for i in range(3000)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.parquet(corpus)
+    # duplicate clusters: docs 0-9 share cluster 0
+    clusters = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [(i, 0) for i in range(10)], "key long, cluster long"
+    ).write.parquet(clusters)
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "select", "--input", corpus, "--output", out,
+        "--cap-source", "0.30", "--budget", "60000",
+        "--split", "0.8,0.1", "--clusters", clusters,
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert {"doc_id", "source", "n_chars", "split"} <= set(got.columns)
+    n = got.count()
+    assert 0 < n < 3000  # cap + budget both removed rows
+    total = got.agg(F.sum("n_chars")).first()[0]
+    assert total <= 60000
+    # the leakage invariant on the clustered docs that survived
+    cl = got.filter(F.col("doc_id") < 10)
+    if cl.count() > 1:
+        assert cl.select("split").distinct().count() == 1
+    printed = capsys.readouterr().out
+    assert "selected" in printed
