@@ -7,49 +7,39 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 7 — clear the 25-query aging set the round-6
-guard pre-enumerated, re-verify the two r6 hint-drops that never got a
-fresh verdict, and pre-pay round 8's debt):
+Ordering policy (round 8 — planner-generated via
+``python -m scripts.plan_rotation 8`` under the NEW 4-round freshness
+bound; VERDICT r7 items 1-3. The old 3-round bound was mathematically
+over capacity at 168 queries > 50 slots x 3 rounds, so round 8 adopted
+the 4-round bound = 200-slot capacity):
 
-- Slots 1-25: the r3-stale set from the round-6 projection warning
-  (every query whose latest driver verdict hits the 3-round freshness
-  bound this round), which already includes the r6-hint-drop trio
-  ``top_unshipped_orders`` / ``nation_market_share`` /
-  ``pareto_price_size_parts``.
-- Slots 26-27: ``nation_trade_volume`` (r4 verdict) and
-  ``nation_product_profit`` (r5 verdict) — the remaining round-6
-  hint-policy touches whose changed plans were only locally
-  value-verified (VERDICT r6 item 1).
-- Slots 28-35: one representative per family not already covered,
-  preferring members with round-4 verdicts (they age out at round 8,
-  so these reps pay next round's debt down too). ``parts_bought_together``
-  / ``status_pivot`` / ``orders_validation_report`` are sole members of
-  their families and therefore recur every round.
-- Slots 36-40: round-4-verdict fillers chosen to shrink the round-8
-  aging set (the reps + fillers window 9 of the 40 r4-verdict queries,
-  leaving a 30-query r8 rotation — pre-enumerated in the guard's
-  projection warning — that a 50-slot window absorbs alongside family
-  coverage; ten fillers yielded their slots to round-7 work).
-- Slots 44-50: round-7 changes and additions (in-window from birth):
-  ``dedup_collapsed_lsh_pairs`` (NEW — exact-collapse LSH for degenerate
-  corpora), ``leakage_safe_split_assign`` (NEW — cluster-keyed
-  train/val/test split), ``source_share_capped_counts`` and
-  ``token_budget_selection`` (NEW — domain capping + budgeted
-  selection), ``media_bmp_features`` (NEW — the sixth real codec),
-  ``native_session_window_stats`` (NEW — the built-in session_window
-  operator under the value gate), ``unpivot_lineitem_metrics`` (NEW —
-  the melt/unpivot reshaping surface), ``media_g711_features`` (NEW —
-  G.711 µ-law/A-law telephony decode),
-  ``dedup_cluster_assignment`` and ``cluster_golden_records``
-  (cluster_duplicates' pointer-jump rewrote to renamed-column
-  self-joins; values unchanged, plan changed).
+- MUST is empty at round 8 under the 4-round bound (nothing holds a
+  verdict older than r4), so the window is reps + fillers, both chosen
+  OLDEST VERDICT FIRST — which windows all 30 r4-verdict queries the
+  round-7 close pre-enumerated, exactly as planned.
+- Slots 1-24: one representative per family, oldest verdicts first
+  (15 of them are r4-verdict members of the pre-enumerated 30).
+  ``parts_bought_together`` / ``status_pivot`` /
+  ``orders_validation_report`` are sole members of their families and
+  therefore recur every round.
+- Slots 25-50: oldest-verdict fillers — the remaining 15 r4-verdict
+  queries from the pre-enumerated 30, then r5-verdict queries. The
+  trailing r5 fillers are the donation pool: round-8 changes and
+  additions take their slots from the END as they are born.
+- Round-8 additions swapped in for the last fillers (in-window from
+  birth): ``knn_ivf_pq`` (NEW — composed IVF prune -> PQ/ADC scan ->
+  exact rerank), ``media_adpcm_features`` (NEW — IMA ADPCM WAV decode),
+  ``media_bmp_features`` re-windowed (decoder tightened: bfOffBits
+  lower-bound check), ``funnel_snapshot_fold`` (NEW — exactly-once
+  two-phase funnel state sink).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
   invariant — VERDICT r5 item 1) and reports the next-round projection
-  as a non-failing warning.
+  as a non-failing warning; the bound constant lives in
+  scripts/plan_rotation.py (``FRESHNESS_BOUND = 4``).
 
-Retired windows (rounds 1-6) are recorded in ROUNDLOG.md and git history.
+Retired windows (rounds 1-7) are recorded in ROUNDLOG.md and git history.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -87,64 +77,61 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- the 25-query aging set (round-6 projection warning): latest
-    # -- driver verdicts hit the 3-round freshness bound this round ------
-    "dedup_minhash_est_jaccard",  # q_dedup, r3
-    "doc_bpe_tokens",  # q_text, r3
-    "doc_tfidf_topk",  # q_corpus, r3
-    "doc_unigram_freq",  # q_corpus, r3
-    "funnel_conversion_by_user",  # q_behavior, r3
-    "fuzzy_part_name_pairs",  # q_joins_advanced, r3
-    "hll_distinct_users",  # q_sketch, r3
-    "host_graph_degrees",  # q_graph, r3
-    "host_graph_triangles",  # q_graph, r3
-    "nation_market_share",  # q_tpch2, r3 (r6 hint-drop, re-verifies now)
-    "order_count_distribution",  # q_tpch3, r3
-    "orders_scd2_history",  # q_diff, r3
-    "pareto_price_size_parts",  # q_sql_extra, r3 (r6 hint-drop)
-    "per_source_doc_sample",  # q_pipeline, r3
-    "per_user_summary",  # q_events, r3
-    "pq_codes_fixed_book",  # q_similarity, r3
-    "prefix_filter_jaccard_pairs",  # q_dedup, r3
-    "qty_price_regression_stats",  # q_sql_extra, r3
-    "schedule_launch_decisions",  # q_schedule, r3
-    "semantic_dedup_pairs",  # q_similarity, r3
-    "snapshot_diff_summary",  # q_diff, r3
-    "term_posting_lists",  # q_corpus, r3
-    "top_unshipped_orders",  # q_tpch, r3 (r6 hint-drop + r7 plan work)
-    "weighted_sample_orders",  # q_pipeline, r3
-    "zorder_curve",  # q_sql_extra, r3
-    # -- round-6 hint-policy touches whose changed plans held only local
-    # -- value-verification (VERDICT r6 item 1) --------------------------
-    "nation_trade_volume",  # q_tpch2, r4 verdict predates the hint drop
-    "nation_product_profit",  # q_tpch2, r5 verdict predates the hint drop
-    # -- family coverage for the 8 families the sets above miss,
-    # -- preferring r4 verdicts (they age out at round 8) ----------------
-    "uri_normalization",  # q_crawl, r4
-    "active_sessions_at_purchase",  # q_interval, r4
-    "parts_bought_together",  # q_market, r6 — sole member, recurs
-    "status_pivot",  # q_pivot, r6 — sole member, recurs
-    "user_sessions",  # q_sessions, r5
-    "dup_token_spans",  # q_spans, r4
-    "hourly_value_anomalies",  # q_timeseries, r4
-    "orders_validation_report",  # q_validate, r6 — sole member, recurs
-    # -- r4-verdict fillers: pre-pay round 8's rotation debt -------------
-    "dedup_exact",  # q_dedup, r4
-    "knn_bruteforce",  # q_similarity, r4
-    "rollup_day_reaggregation",  # q_events, r4
-    "corpus_curation_funnel",  # q_pipeline, r4
-    "event_transition_matrix",  # q_behavior, r4
-    # -- round-7 changes and additions (in-window from birth) ------------
-    "dedup_collapsed_lsh_pairs",  # q_dedup: NEW r7 — exact-collapse LSH
-    "dedup_cluster_assignment",  # q_dedup: r7 pointer-jump rewrite
-    "cluster_golden_records",  # q_dedup: r7 pointer-jump rewrite
-    "leakage_safe_split_assign",  # q_dedup: NEW r7 — cluster-keyed split
-    "source_share_capped_counts",  # q_pipeline: NEW r7 — domain capping
-    "token_budget_selection",  # q_pipeline: NEW r7 — budgeted selection
-    "media_bmp_features",  # q_crawl: NEW r7 — real BMP decode gate
-    "native_session_window_stats",  # q_sessions: NEW r7 — built-in operator gate
-    "unpivot_lineitem_metrics",  # q_pivot: NEW r7 — melt/unpivot gate
-    "media_g711_features",  # q_crawl: NEW r7 — G.711 telephony decode gate
+    # -- family reps, oldest verdicts first (planner section 2) ----------
+    "ab_test_conversion_ztest",  # q_behavior, r4
+    "source_lang_entropy",  # q_corpus, r4
+    "annotation_classification",  # q_crawl, r4
+    "dedup_minhash_signatures",  # q_dedup, r4
+    "orders_snapshot_diff",  # q_diff, r4
+    "hourly_counts",  # q_events, r4
+    "host_graph_distances",  # q_graph, r5
+    "concurrent_sessions",  # q_interval, r6
+    "asof_last_purchase",  # q_joins_advanced, r4
+    "parts_bought_together",  # q_market, r7 — sole member, recurs
+    "brand_target_encoding",  # q_pipeline, r4
+    "status_pivot",  # q_pivot, r7 — sole member, recurs
+    "hopping_window_counts",  # q_schedule, r4
+    "approx_distinct_users",  # q_sessions, r6
+    "label_centroid_sim",  # q_similarity, r4
+    "cms_join_size_estimate",  # q_sketch, r4
+    "dup_span_doc_stats",  # q_spans, r5
+    "customer_rfm_scores",  # q_sql_extra, r4
+    "doc_repetition",  # q_text, r4
+    "decayed_event_counts",  # q_timeseries, r5
+    "part_supplier_union",  # q_tpch, r4
+    "brand_small_qty_revenue",  # q_tpch2, r6
+    "late_order_priority_counts",  # q_tpch3, r4
+    "orders_validation_report",  # q_validate, r7 — sole member, recurs
+    # -- oldest-verdict fillers (planner section 3): first the remaining
+    # -- r4-verdict queries from the pre-enumerated 30 -------------------
+    "binary_column_plumbing",  # q_crawl, r4
+    "dedup_simhash",  # q_dedup, r4
+    "doc_length_quantile_norm",  # q_pipeline, r4
+    "hop_and_status",  # q_crawl, r4
+    "kmv_distinct_users",  # q_sketch, r4
+    "kmv_user_overlap",  # q_sketch, r4
+    "latest_events_topk",  # q_events, r4
+    "price_mad_by_flag",  # q_sql_extra, r4
+    "price_percentiles",  # q_sql_extra, r4
+    "returnflag_status_chisq",  # q_sql_extra, r4
+    "rollup_order_priority",  # q_tpch, r4
+    "top_orders_per_customer",  # q_tpch, r4
+    "url_host_extraction",  # q_crawl, r4
+    "user_time_to_convert",  # q_behavior, r4
+    "windowed_count",  # q_events, r4
+    # -- then r5-verdict fillers (donation pool — round-8 changes and
+    # -- additions take slots from the END) ------------------------------
+    "annotation_regex_classes",  # q_text, r5
+    "balanced_shard_stats",  # q_pipeline, r5
+    "cms_token_estimates",  # q_sketch, r5
+    "customer_order_left_join",  # q_tpch, r5
+    "customers_with_open_orders",  # q_tpch, r5
+    "customers_without_orders",  # q_tpch, r5
+    "dedup_minhash_lsh_pairs",  # q_dedup, r5
+    "dedup_ngram_jaccard",  # q_dedup, r5
+    "discount_revenue_forecast",  # q_tpch3, r5
+    "doc_fingerprints",  # q_text, r5
+    "doc_lang_id",  # q_text, r5
 )
 
 

@@ -6,12 +6,24 @@ Reads the checked-in CORRECTNESS_r*.json verdicts and the live REGISTRY,
 then reproduces the rotation policy the round logs describe:
 
 1. MUST: every query whose latest driver verdict would age past the
-   3-round freshness bound at ``next_round`` if left un-windowed.
-2. REPS: one representative per family the MUST set misses, preferring
-   the OLDEST verdicts (pays the following round's debt down early);
-   sole-member families recur every round by construction.
+   freshness bound at ``next_round`` if left un-windowed, ordered
+   OLDEST VERDICT FIRST. If MUST plus the family reps exceed the
+   window, the YOUNGEST must-entries are deferred (reported in
+   ``deferred`` — a loud over-capacity signal, never a silent
+   truncation); family coverage is non-negotiable.
+2. REPS: one representative per family the kept MUST set misses,
+   preferring the OLDEST verdicts (pays the following round's debt down
+   early); sole-member families recur every round by construction.
+   Reps are inserted INSIDE the window cap, before any filler.
 3. FILLERS: oldest-verdict queries to fill the window to DRIVER_WINDOW,
    again shrinking the following round's aging set.
+
+Policy history: rounds 1-7 ran a 3-round bound; at 168 registered
+queries that bound is mathematically unsatisfiable (168 > 50 slots x 3
+rounds = 150 capacity), so round 8 adopted the 4-round bound
+(capacity 200) the round-7 judge prescribed. The guard in
+tests/test_registry_order.py enforces the same constant via
+``FRESHNESS_BOUND`` below.
 
 Changes/additions made during the round still have to be swapped in by
 hand (the planner cannot know what you changed) — the printed plan
@@ -32,7 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crawl_streams_spark.plans import DRIVER_WINDOW, REGISTRY  # noqa: E402
 
-_BOUND = 3  # freshness bound (rounds) the rotation guard enforces
+#: Freshness bound (rounds) the rotation guard enforces. 4 rounds gives
+#: 50 x 4 = 200 slots of steady-state capacity over the registry; raise
+#: it (or tier the policy) before the registry passes that size.
+FRESHNESS_BOUND = 4
 
 
 def _last_verdicts(root: str) -> tuple[int, dict[str, int]]:
@@ -69,31 +84,63 @@ def plan(next_round: int) -> dict:
     def age(n: str) -> int:
         return next_round - last.get(n, -999)
 
-    must = sorted(n for n in REGISTRY if age(n) > _BOUND)
-    window = list(must)
-    covered = {_family(n) for n in window}
     by_oldest = sorted(REGISTRY, key=lambda n: (last.get(n, 0), n))
-    reps = []
-    for fam in sorted({_family(n) for n in REGISTRY} - covered):
-        pick = next(n for n in by_oldest if _family(n) == fam)
-        reps.append(pick)
-        window.append(pick)
+    all_fams = {_family(n) for n in REGISTRY}
+
+    # MUST, oldest verdict first — if the window overflows, the youngest
+    # (least urgent) entries defer, never the oldest.
+    must = [n for n in by_oldest if age(n) > FRESHNESS_BOUND]
+
+    # Fix-point: family reps depend on which MUST entries are kept, and
+    # the keep count depends on how many reps are needed. Shrink the
+    # kept-MUST prefix until kept + reps fit the window.
+    def reps_for(kept: list[str]) -> list[str]:
+        covered = {_family(n) for n in kept}
+        return [
+            next(n for n in by_oldest if _family(n) == fam)
+            for fam in sorted(all_fams - covered)
+        ]
+
+    keep = min(len(must), DRIVER_WINDOW)
+    while keep > 0:
+        reps = reps_for(must[:keep])
+        if keep + len(reps) <= DRIVER_WINDOW:
+            break
+        keep -= 1
+    else:
+        reps = reps_for([])
+    kept_must = must[:keep]
+    deferred = must[keep:]
+    assert len(kept_must) + len(reps) <= DRIVER_WINDOW, (
+        "family coverage alone exceeds DRIVER_WINDOW — the window is "
+        "structurally too small for the registry's family count"
+    )
+
+    window = kept_must + reps
+    wset = set(window)
     fillers = []
     for n in by_oldest:
         if len(window) >= DRIVER_WINDOW:
             break
-        if n not in window:
+        if n not in wset:
             fillers.append(n)
             window.append(n)
-    window = window[:DRIVER_WINDOW]
-    wset = set(window)
+            wset.add(n)
+
+    assert len(window) == min(DRIVER_WINDOW, len(REGISTRY))
+    assert {_family(n) for n in window} == all_fams, (
+        "planned window fails family coverage — planner bug"
+    )
     next_next = sorted(
         n
         for n in REGISTRY
-        if n not in wset and (next_round + 1) - last.get(n, -999) > _BOUND
+        if n not in wset
+        and (next_round + 1) - last.get(n, -999) > FRESHNESS_BOUND
     )
     return {
         "must": must,
+        "kept_must": kept_must,
+        "deferred": deferred,
         "reps": reps,
         "fillers": fillers,
         "window": window,
@@ -116,7 +163,12 @@ def main() -> int:
 
     print(f"recommended round-{next_round} window "
           f"({len(p['window'])}/{DRIVER_WINDOW} slots):")
-    show(p["must"], f"MUST — age past the {_BOUND}-round bound")
+    show(p["kept_must"], f"MUST — age past the {FRESHNESS_BOUND}-round "
+                         "bound (oldest verdicts first)")
+    if p["deferred"]:
+        show(p["deferred"], "DEFERRED — over capacity, could not be "
+                            "windowed; the freshness policy is "
+                            "unsatisfiable this round")
     show(p["reps"], "family reps (oldest verdicts)")
     show(p["fillers"], "fillers (oldest verdicts; donate slots to "
                        "round changes/additions from the END)")

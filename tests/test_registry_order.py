@@ -30,29 +30,12 @@ def test_driver_window_covers_every_family():
 
 def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
-    # Implementations changed in rounds 6-7 that still lack a
-    # post-change driver verdict must sit in the verification prefix
-    # (additions take a slot from birth — the round-4 lesson).
+    # Implementations changed this round that lack a post-change driver
+    # verdict must sit in the verification prefix (additions take a slot
+    # from birth — the round-4 lesson). Round-6/7 entries retired: all
+    # received r7 verdicts (CORRECTNESS_r07.json, 50/50 pass).
     for name in (
-        # round-6 hint-policy touches verified only locally at r6 close
-        # (VERDICT r6 item 1): re-verify under the driver now
-        "nation_trade_volume",
-        "nation_product_profit",
-        "top_unshipped_orders",
-        "nation_market_share",
-        "pareto_price_size_parts",
-        # round-7 pointer-jump rewrite in cluster_duplicates
-        "dedup_cluster_assignment",
-        "cluster_golden_records",
-        # round-7 ADDITION — in-window from birth (round-4 lesson)
-        "dedup_collapsed_lsh_pairs",
-        "leakage_safe_split_assign",
-        "source_share_capped_counts",
-        "token_budget_selection",
-        "media_bmp_features",
-        "native_session_window_stats",
-        "unpivot_lineitem_metrics",
-        "media_g711_features",
+        # round-8 ADDITIONS / re-windowed changes go here as they land
     ):
         assert name in window, name
 
@@ -82,9 +65,11 @@ def _last_verdict_rounds() -> tuple[int, dict[str, int]]:
 
 def test_no_query_strands_beyond_k_rounds():
     """Rotation debt guard (VERDICT r3 item 8, re-specced per VERDICT r5
-    item 1): with a 50-slot window over 150+ queries the rotation cycle
-    is 3 rounds — any registered query NOT in the current window must
-    hold a driver verdict at most 3 rounds old.
+    item 1; bound widened 3 -> 4 per VERDICT r7 items 1-2): any
+    registered query NOT in the current window must hold a driver
+    verdict at most FRESHNESS_BOUND rounds old. A 3-round bound is
+    unsatisfiable past 150 queries (50 slots x 3); the 4-round bound
+    holds to 200.
 
     The HARD assertion evaluates at the max CHECKED-IN CORRECTNESS round
     (the state the driver actually verified), so end-of-round states stay
@@ -96,6 +81,8 @@ def test_no_query_strands_beyond_k_rounds():
     avoid (rotating earlier would have un-windowed the in-flight round)."""
     import warnings
 
+    from scripts.plan_rotation import FRESHNESS_BOUND
+
     max_round, last = _last_verdict_rounds()
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
 
@@ -103,15 +90,16 @@ def test_no_query_strands_beyond_k_rounds():
         return sorted(
             name
             for name in REGISTRY
-            if name not in window and rnd - last.get(name, -999) > 3
+            if name not in window
+            and rnd - last.get(name, -999) > FRESHNESS_BOUND
         )
 
     stranded = stranded_at(max_round)
     assert not stranded, (
         f"at checked-in round {max_round} the window strands "
-        f"{len(stranded)} queries past the 3-round verdict-freshness "
-        f"bound: {stranded} — rotate them into PRIORITY "
-        "(crawl_streams_spark/plans/__init__.py)"
+        f"{len(stranded)} queries past the {FRESHNESS_BOUND}-round "
+        f"verdict-freshness bound: {stranded} — rotate them into "
+        "PRIORITY (crawl_streams_spark/plans/__init__.py)"
     )
     projection = stranded_at(max_round + 1)
     if projection:
@@ -124,9 +112,8 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 166 registered queries as of round 7 (collapsed LSH, leakage-safe
-    # split, domain capping, token-budget selection, BMP decode, native
-    # session_window gate, unpivot gate, G.711 decode added).
+    # 168 registered queries as of the round-8 open (update this count
+    # deliberately whenever a query is added).
     assert len(REGISTRY) >= 168
 
 
@@ -135,7 +122,7 @@ def test_rotation_planner_invariants():
     window whose MUST set equals the rotation guard's projection — the
     tool future rounds build PRIORITY from cannot drift from the
     enforced policy."""
-    from scripts.plan_rotation import plan
+    from scripts.plan_rotation import FRESHNESS_BOUND, plan
 
     max_round, last = _last_verdict_rounds()
     # plan the round AFTER the in-flight one (max checked-in + 1 is the
@@ -148,20 +135,37 @@ def test_rotation_planner_invariants():
     fams = {_family(n) for n in REGISTRY}
     assert {_family(n) for n in p["window"]} == fams
     # MUST == the guard's projection with the in-flight round credited
-    # to the current window
+    # to the current window (as a SET — the planner orders MUST by
+    # verdict age, oldest first, so the youngest defer under overflow)
     window_now = set(list(REGISTRY)[:DRIVER_WINDOW])
     eff = dict(last)
     for n in window_now:
         eff[n] = max(eff.get(n, 0), next_round - 1)
     projected = sorted(
-        n for n in REGISTRY if next_round - eff.get(n, -999) > 3
+        n
+        for n in REGISTRY
+        if next_round - eff.get(n, -999) > FRESHNESS_BOUND
     )
-    assert p["must"] == projected
-    # the proposed window leaves nothing stranded at next_round itself
+    assert sorted(p["must"]) == projected
+    assert p["kept_must"] + p["deferred"] == p["must"]
+    # MUST is age-ordered oldest-first, so any deferral sheds the
+    # least-urgent entries
+    ages = [eff.get(n, -999) for n in p["must"]]
+    assert ages == sorted(ages)
+    # the proposed window strands nothing at next_round beyond what the
+    # planner explicitly declared over-capacity (empty while the
+    # registry fits 50 x FRESHNESS_BOUND slots)
     wset = set(p["window"])
     stranded = [
         n
         for n in REGISTRY
-        if n not in wset and next_round - eff.get(n, -999) > 3
+        if n not in wset
+        and next_round - eff.get(n, -999) > FRESHNESS_BOUND
     ]
-    assert not stranded
+    assert stranded == p["deferred"]
+    assert len(REGISTRY) <= DRIVER_WINDOW * FRESHNESS_BOUND, (
+        "registry has outgrown the freshness policy's steady-state "
+        "capacity — widen the bound or tier the policy before adding "
+        "more queries"
+    )
+    assert not p["deferred"]
