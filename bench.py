@@ -14,6 +14,13 @@ per-query comparisons across rounds noisy (VERDICT r3 item 7). Results
 are fully collect()ed every run so the entire plan executes, and plans
 are rebuilt per run (ROUNDLOG lesson 8: a re-collect of the same
 DataFrame reuses shuffle files and reads ~5× too fast).
+
+`calibration_sec` (VERDICT r7 item 4): the median wall time of a FIXED,
+repo-code-independent Spark job (range → modulo keys → hash aggregate →
+shuffle → collect), measured warm alongside the queries. Two rounds of
+driver readings were dominated by box drift (r6 10.7s → r7 13.6s with
+judge-verified code parity); dividing `value` by `calibration_sec`
+drift-corrects cross-round comparisons without a same-box worktree A/B.
 """
 
 from __future__ import annotations
@@ -54,6 +61,25 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     if bench_queries:
         next(iter(bench_queries.values())).build(spark, sf_dir).collect()
+
+    # Environment calibration: fixed job, independent of repo code and of
+    # SF — scales only with the box (CPU + JVM). Warm once, median of 3.
+    def _calibration_job():
+        return (
+            spark.range(0, 50_000_000, 1, int(cpus))
+            .selectExpr("id % 9973 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .collect()
+        )
+
+    _calibration_job()
+    cal_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration_job()
+        cal_runs.append(time.perf_counter() - t0)
+    calibration = round(sorted(cal_runs)[1], 3)
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         try:
@@ -82,6 +108,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
