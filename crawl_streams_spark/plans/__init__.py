@@ -131,7 +131,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",  # q_dedup, r5
     "discount_revenue_forecast",  # q_tpch3, r5
     "doc_fingerprints",  # q_text, r5
-    "doc_lang_id",  # q_text, r5
+    # -- round-8 changes and additions (in-window from birth) ------------
+    "media_bmp_features",  # q_crawl: r8 decoder change (bfOffBits bound)
 )
 
 

@@ -114,6 +114,20 @@ def test_malformed_payloads_raise_bmperror():
     struct.pack_into("<I", small_table, 14 + 32, 4)
     with pytest.raises(BmpError):
         decode_bmp(bytes(small_table))
+    # bfOffBits pointing inside the headers: 24-bit payload with off < 54
+    # would decode header bytes as pixels (ADVICE r7) — must reject, and
+    # the payload must stay long enough that only the overlap check fires
+    low_off = bytearray(good + b"\x00" * 54)
+    struct.pack_into("<I", low_off, 10, 53)
+    with pytest.raises(BmpError, match="overlaps headers"):
+        decode_bmp(bytes(low_off))
+    # 8-bit payload with off inside the palette: the pal_end > off guard
+    # catches it as a truncated table — either rejection is correct
+    pal_bmp = encode_bmp(np.zeros((2, 2), dtype=np.uint8), bits=8)
+    low_pal = bytearray(pal_bmp + b"\x00" * (54 + 1024))
+    struct.pack_into("<I", low_pal, 10, 54 + 1024 - 1)
+    with pytest.raises(BmpError, match="truncated color table|overlaps"):
+        decode_bmp(bytes(low_pal))
 
 
 def test_decode_stage_contains_errors_per_row(spark):

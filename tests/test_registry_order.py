@@ -36,6 +36,7 @@ def test_round_changed_queries_in_window():
     # received r7 verdicts (CORRECTNESS_r07.json, 50/50 pass).
     for name in (
         # round-8 ADDITIONS / re-windowed changes go here as they land
+        "media_bmp_features",  # decoder change: bfOffBits lower bound
     ):
         assert name in window, name
 
