@@ -622,6 +622,244 @@ def pq_knn_rerank(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, resid): nearest coarse centroid by squared L2 plus the
+    RESIDUAL vector (v - centroid) — the IVF-PQ preprocessing step.
+    Broadcast centroid join + per-id argmin; distance ties break to the
+    lowest cell id. The residual is what the PQ codebook is trained on and
+    encodes: quantizing residuals instead of raw vectors removes the
+    coarse-cell offset from every vector, cutting quantization error (the
+    standard IVFADC construction, Jégou/Douze/Schmid TPAMI 2011).
+
+    Scale: the corpus shuffles once on the slim (id, vector) rollup key —
+    same shape as kmeans_train's assign step; centroids are k rows."""
+    d = corpus.select(
+        F.col(id_col).alias("__id"), V.to_double_array(vec_col).alias("__v")
+    )
+    return (
+        d.join(F.broadcast(centroids.select("cell", "centroid")))
+        .select(
+            "__id",
+            "__v",
+            "cell",
+            "centroid",
+            _sq_dist(F.col("__v"), F.col("centroid")).alias("__d"),
+        )
+        .groupBy("__id", "__v")
+        # lexicographic (__d, cell): deterministic tie-break (see pq_train)
+        .agg(
+            F.min_by(
+                F.struct("cell", "centroid"), F.struct("__d", "cell")
+            ).alias("best")
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("best.cell").alias("cell"),
+            F.zip_with(
+                "__v", F.col("best.centroid"), lambda a, c: a - c
+            ).alias("resid"),
+        )
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    k_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the composed IVF-PQ index: coarse k-means cells, a PQ
+    codebook trained on cell RESIDUALS, and the per-vector
+    (id, cell, codes) relation the search scans. Pass `centroids` /
+    `codebook` to skip training (e.g. the fixed-book correctness gate).
+
+    Scale: training is the kmeans_train / pq_train DataFrame-Lloyd shape
+    (broadcast centroids, partial-agg updates, no collects); the output
+    codes relation is m small ints + a cell id per vector — the ~64×
+    footprint cut that lets a 100 TB corpus search from a ~1.5 TB index."""
+    if centroids is None:
+        centroids = kmeans_train(
+            corpus, k=k_cells, iters=iters, id_col=id_col,
+            vec_col=vec_col, dim=dim,
+        )
+    assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    if codebook is None:
+        codebook = pq_train(
+            assigned, m=m, k=k_codes, iters=iters, id_col=id_col,
+            vec_col="resid", dim=dim,
+        )
+    codes = pq_encode(
+        assigned, codebook, m=m, dim=dim, id_col=id_col, vec_col="resid"
+    ).join(assigned.select(id_col, "cell"), id_col)
+    return centroids, codebook, codes
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    shortlist: int = 50,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF-PQ search — the standard billion-scale ANN shape
+    (IVFADC + rerank): route each query to its `n_probe` nearest coarse
+    cells, ADC-score ONLY those cells' PQ codes against per-(query, cell)
+    residual distance tables, shortlist, then exact-rerank the shortlist
+    against the full-resolution corpus. Returns
+    (query_id, neighbor_id, sq_dist, rnk).
+
+    vs the parents: `knn_ivf` scans probed cells at FULL resolution
+    (scanned fraction = probed-cell mass); `pq_knn_rerank` ADC-scans the
+    ENTIRE codes table. The composition scans only the probed cells'
+    codes (compressed) and touches |Q|·shortlist full vectors — both
+    knobs cut, and the RESIDUAL codebook quantizes a tighter distribution
+    than raw-vector PQ, so recall at equal shortlist improves (measured
+    in scripts/ann_recall.py; SCALING.md §ANN).
+
+    Scale: centroids (k_cells rows), the per-query distance tables
+    (|Q|·n_probe·m·k_codes doubles), and the shortlist pairs all
+    broadcast; the codes table is map-side pruned by the broadcast cell
+    join — no shuffle of corpus or codes until the per-query top-k window
+    on slim (query, neighbor, dist) rows. Nothing quadratic leaves a
+    probed cell."""
+    sub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.to_double_array(vec_col).alias("q_vec"),
+    )
+    # stage 0 — probe: n_probe nearest coarse cells per query, and the
+    # query RESIDUAL against each probed centroid (ADC must measure from
+    # the same origin the codes were encoded from)
+    pw = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        q.join(F.broadcast(centroids.select("cell", "centroid")))
+        .select(
+            "query_id",
+            "q_vec",
+            "cell",
+            "centroid",
+            _sq_dist(F.col("q_vec"), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn("prb", F.row_number().over(pw))
+        .filter(F.col("prb") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("q_vec", "centroid", lambda a, c: a - c).alias(
+                "q_resid"
+            ),
+        )
+    )
+    # stage 1 — per-(query, cell) ADC tables: exact subspace distances
+    # from the query residual to every codeword (|Q|·n_probe·m·k doubles)
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                F.slice("q_resid", j * sub + 1, sub).alias("__v"),
+            )
+            for j in range(m)
+        ]
+    )
+    book = codebook.select(
+        "subspace", F.col("cell").alias("code"), F.col("centroid").alias("w")
+    )
+    qtab = (
+        probes.select("query_id", "cell", F.explode(parts).alias("s"))
+        .select("query_id", "cell", "s.subspace", F.col("s.__v").alias("__v"))
+        .join(F.broadcast(book), "subspace")
+        .select(
+            "query_id",
+            "cell",
+            "subspace",
+            "code",
+            _sq_dist(F.col("__v"), F.col("w")).alias("pdist"),
+        )
+        .groupBy("query_id", "cell", "subspace")
+        # keyed by CODE ID, not position (a codebook may lose a cell to an
+        # empty cluster — same lesson as pq_knn)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("code", "pdist")))
+            ).alias("row")
+        )
+        .groupBy("query_id", "cell")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("subspace", "row"))
+            ).alias("dtable")
+        )
+    )
+    # stage 2 — pruned ADC scan: codes join the probed (query, cell)
+    # pairs on the int cell id; only probed cells' codes are scored
+    scored = (
+        codes.join(F.broadcast(qtab), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.element_at(
+                        F.element_at(F.col("dtable"), j), c
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(sw))
+        .filter(F.col("rnk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 3 — exact rerank of the shortlist (broadcast semi-probe onto
+    # the full-resolution corpus, same shape as pq_knn_rerank)
+    pairs = cand.join(F.broadcast(q), "query_id")
+    rer = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            V.to_double_array(vec_col).alias("n_vec"),
+        )
+        .join(F.broadcast(pairs), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sq_dist(F.col("q_vec"), F.col("n_vec")).alias("sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("sq_dist"), F.asc("neighbor_id")
+    )
+    return rer.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -324,6 +324,209 @@ def pq_codes_fixed_book(spark, sf_dir):
     )
 
 
+# -- composed IVF-PQ search under the cross-engine gate --------------------
+# Fixed coarse centroids (4 cells × 64 dims) and a fixed 4-subspace ×
+# 4-codeword RESIDUAL codebook, all exact binary fractions (multiples of
+# 2^-5), so cell assignment, residual encoding, ADC scoring, and the exact
+# rerank reproduce bit-for-bit on both engines.
+_IVF_CELLS, _IVF_NPROBE, _IVF_SHORTLIST, _IVF_TOPK = 4, 2, 10, 5
+
+
+def _ivf_cent(c: int) -> list[float]:
+    return [((c * 13 + i * 7) % 16) * 0.03125 - 0.25 for i in range(64)]
+
+
+def _ivf_word(j: int, c: int) -> list[float]:
+    return [
+        ((j * 5 + c * 13 + i * 3) % 16) * 0.03125 - 0.25
+        for i in range(_PQ_SUB)
+    ]
+
+
+def _ivf_coarse_sql() -> str:
+    rows = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in _ivf_cent(c))}])"
+        for c in range(_IVF_CELLS)
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(ccell, ccent)"
+
+
+def _ivf_book_sql() -> str:
+    rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in _ivf_word(j, c))}])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    return f"SELECT * FROM (VALUES {rows}) t(subspace, code, w)"
+
+
+def _coarse_dist_sql(vec: str) -> str:
+    """64-term left-associated squared-L2 chain to a coarse centroid —
+    the same sequential fold order as Spark's F.aggregate."""
+    terms = [
+        f"(CAST({vec}[{i}] AS DOUBLE) - ccent[{i}])"
+        f" * (CAST({vec}[{i}] AS DOUBLE) - ccent[{i}])"
+        for i in range(1, 65)
+    ]
+    return " + ".join(terms)
+
+
+def _resid_dist_sql(vec: str) -> str:
+    """Subspace squared-L2 from the RESIDUAL (vec - coarse centroid) to the
+    joined codeword; the residual subtraction happens per-term in the same
+    double op order as ivf_assign's zip_with followed by _sq_dist."""
+    terms = [
+        f"((CAST({vec}[subspace * {_PQ_SUB} + {i}] AS DOUBLE)"
+        f" - ccent[subspace * {_PQ_SUB} + {i}]) - w[{i}])"
+        f" * ((CAST({vec}[subspace * {_PQ_SUB} + {i}] AS DOUBLE)"
+        f" - ccent[subspace * {_PQ_SUB} + {i}]) - w[{i}])"
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    return " + ".join(terms)
+
+
+def _rerank_dist_sql() -> str:
+    terms = [
+        f"(CAST(qa.embedding[{i}] AS DOUBLE) - CAST(nb.embedding[{i}] AS DOUBLE))"
+        f" * (CAST(qa.embedding[{i}] AS DOUBLE) - CAST(nb.embedding[{i}] AS DOUBLE))"
+        for i in range(1, 65)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "knn_ivf_pq_fixed",
+    oracle=f"""
+        WITH coarse AS ({_ivf_coarse_sql()}),
+        book AS ({_ivf_book_sql()}),
+        cdist AS (
+            SELECT vec_id, ccell, {_coarse_dist_sql('embedding')} AS d
+            FROM embeddings CROSS JOIN coarse
+        ),
+        cass AS (
+            SELECT vec_id, ccell FROM (
+                SELECT vec_id, ccell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d, ccell) AS rn
+                FROM cdist) WHERE rn = 1
+        ),
+        rdist AS (
+            SELECT e.vec_id, b.subspace, b.code,
+                   {_resid_dist_sql('e.embedding')} AS d
+            FROM embeddings e
+            JOIN cass a USING (vec_id)
+            JOIN coarse c ON c.ccell = a.ccell
+            CROSS JOIN book b
+        ),
+        vcodes AS (
+            SELECT vec_id, subspace, code FROM (
+                SELECT vec_id, subspace, code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, subspace
+                           ORDER BY d, code) AS rn
+                FROM rdist) WHERE rn = 1
+        ),
+        qdist AS (
+            SELECT vec_id AS query_id, ccell,
+                   {_coarse_dist_sql('embedding')} AS d
+            FROM embeddings CROSS JOIN coarse
+            WHERE vec_id % 50 = 0
+        ),
+        qprobe AS (
+            SELECT query_id, ccell FROM (
+                SELECT query_id, ccell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id ORDER BY d, ccell) AS rn
+                FROM qdist) WHERE rn <= {_IVF_NPROBE}
+        ),
+        qtab AS (
+            SELECT p.query_id, p.ccell, b.subspace, b.code,
+                   {_resid_dist_sql('e.embedding')} AS pd
+            FROM qprobe p
+            JOIN embeddings e ON e.vec_id = p.query_id
+            JOIN coarse c ON c.ccell = p.ccell
+            CROSS JOIN book b
+        ),
+        adc AS (
+            SELECT t.query_id, v.vec_id AS neighbor_id, t.subspace, t.pd
+            FROM vcodes v
+            JOIN cass a USING (vec_id)
+            JOIN qtab t ON t.ccell = a.ccell
+                       AND t.subspace = v.subspace AND t.code = v.code
+            WHERE v.vec_id <> t.query_id
+        ),
+        adcsum AS (
+            SELECT query_id, neighbor_id,
+                   list(pd ORDER BY subspace) AS ps
+            FROM adc GROUP BY 1, 2
+        ),
+        shortl AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY ((ps[1] + ps[2]) + ps[3]) + ps[4],
+                                    neighbor_id) AS rn
+                FROM adcsum) WHERE rn <= {_IVF_SHORTLIST}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id, {_rerank_dist_sql()} AS sq_dist
+            FROM shortl s
+            JOIN embeddings qa ON qa.vec_id = s.query_id
+            JOIN embeddings nb ON nb.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sq_dist, rnk FROM (
+            SELECT query_id, neighbor_id, sq_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sq_dist, neighbor_id) AS rnk
+            FROM rer) WHERE rnk <= {_IVF_TOPK}
+    """,
+    tags=("similarity", "pq", "ivf", "extension"),
+)
+def knn_ivf_pq_fixed(spark, sf_dir):
+    """Composed IVF-PQ search (operators/similarity.py::knn_ivf_pq — the
+    standard billion-scale IVFADC+rerank shape) under the hard
+    cross-engine gate: coarse assignment, residual PQ encoding, probed
+    ADC scoring, shortlist, and exact rerank all replay in SQL against
+    fixed binary-exact centroids/codebook. Every distance is a
+    left-associated double fold on both engines; all argmins and top-k
+    windows tie-break lexicographically — so the double-typed sq_dist
+    hash-matches bit-for-bit."""
+    from ..operators.similarity import ivf_pq_index, knn_ivf_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = spark.createDataFrame(
+        [(c, _ivf_cent(c)) for c in range(_IVF_CELLS)],
+        "cell bigint, centroid array<double>",
+    )
+    book = spark.createDataFrame(
+        [(j, c, _ivf_word(j, c)) for j in range(_PQ_M) for c in range(_PQ_K)],
+        "subspace int, cell bigint, centroid array<double>",
+    )
+    _, _, codes = ivf_pq_index(
+        emb, m=_PQ_M, dim=64, centroids=coarse, codebook=book
+    )
+    res = knn_ivf_pq(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        coarse,
+        book,
+        codes,
+        k=_IVF_TOPK,
+        n_probe=_IVF_NPROBE,
+        shortlist=_IVF_SHORTLIST,
+        m=_PQ_M,
+        dim=64,
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        "sq_dist",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )
+
+
 @query(
     "semantic_dedup_pairs",
     oracle="""

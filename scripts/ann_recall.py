@@ -108,12 +108,24 @@ def main() -> int:
     exact = _topk_sets(S.knn_bruteforce(emb, queries, k=k))
     rows = []
 
-    def add(config, recall, scanned, secs):
+    # bytes model: full-resolution vector = dim float32s; PQ code = m
+    # one-byte codewords (k ≤ 256). scanned_bytes_fraction = bytes this
+    # config reads per query batch / bytes a brute-force scan reads —
+    # the budget that survives scale-up, and the ONLY fair axis for
+    # comparing compressed scans against full-resolution ones.
+    VEC_BYTES = 64 * 4
+
+    def add(config, recall, scanned, secs, scanned_bytes=None):
         rows.append(
             {
                 "config": config,
                 "recall_at_k": round(recall, 3),
                 "scanned_fraction": round(scanned / full_pairs, 4),
+                "scanned_bytes_fraction": round(
+                    (scanned_bytes if scanned_bytes is not None else scanned * VEC_BYTES)
+                    / (full_pairs * VEC_BYTES),
+                    4,
+                ),
                 "wall_sec": round(secs, 2),
             }
         )
@@ -198,16 +210,78 @@ def main() -> int:
                 _recall(exact, approx),
                 n_queries * shortlist,
                 secs,
+                # ADC scans the whole codes table + full-res rerank
+                scanned_bytes=n_queries
+                * (n_corpus * m + shortlist * 64 * 4),
             )
         codes.unpersist()
 
+    # IVF-PQ composition (coarse prune → residual ADC → exact rerank):
+    # same full-resolution accounting as the PQ rows (|Q|·shortlist), but
+    # the compressed ADC stage scans only the probed cells' codes —
+    # n_probe/cells of the codes table instead of all of it — and the
+    # codebook quantizes RESIDUALS (a tighter distribution than raw
+    # vectors), so recall at equal shortlist should match or beat plain
+    # PQ while both scan knobs drop.
+    def _ivf_pq_scanned_codes(ivf_codes, ivf_cents, n_probe):
+        """Code rows the pruned ADC stage scans: per-query sum of probed
+        cell sizes (same L2 probe order as knn_ivf_pq)."""
+        from pyspark.sql import Window
+
+        sizes = ivf_codes.groupBy("cell").count()
+        q2 = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("centroid"), lambda a, c: (a - c) * (a - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+        probes = (
+            q2.join(F.broadcast(ivf_cents.select("cell", "centroid")))
+            .select("query_id", "cell", d.alias("cdist"))
+            .withColumn("prb", F.row_number().over(w2))
+            .filter(F.col("prb") <= n_probe)
+        )
+        return probes.join(sizes, "cell").agg(F.sum("count")).collect()[0][0] or 0
+
+    for m, kcode in ((8, 16), (16, 64)):
+        ivf_cents, ivf_book, ivf_codes = S.ivf_pq_index(
+            emb, k_cells=16, m=m, k_codes=kcode, iters=3, centroids=cells
+        )
+        ivf_codes = ivf_codes.cache()
+        ivf_codes.count()
+        for n_probe, shortlist in ((4, 50), (8, 20), (8, 50), (8, 100)):
+            t0 = time.perf_counter()
+            approx = _topk_sets(
+                S.knn_ivf_pq(
+                    emb, queries, ivf_cents, ivf_book, ivf_codes,
+                    k=k, n_probe=n_probe, shortlist=shortlist, m=m,
+                )
+            )
+            secs = time.perf_counter() - t0
+            code_rows = _ivf_pq_scanned_codes(ivf_codes, ivf_cents, n_probe)
+            add(
+                f"IVF-PQ cells=16 n_probe={n_probe} m={m} k={kcode} "
+                f"shortlist={shortlist} (+probed codes scan)",
+                _recall(exact, approx),
+                n_queries * shortlist,
+                secs,
+                scanned_bytes=code_rows * m
+                + n_queries * shortlist * 64 * 4,
+            )
+        ivf_codes.unpersist()
+
     print(f"\ncorpus={n_corpus} queries={n_queries} k={k} ({sf_dir})\n")
-    print("| config | recall@10 | scanned fraction | wall s |")
-    print("|---|---|---|---|")
+    print("| config | recall@10 | scanned fraction | scanned bytes fraction | wall s |")
+    print("|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['config']} | {r['recall_at_k']:.3f} "
-            f"| {r['scanned_fraction']:.4f} | {r['wall_sec']:.2f} |"
+            f"| {r['scanned_fraction']:.4f} "
+            f"| {r['scanned_bytes_fraction']:.4f} | {r['wall_sec']:.2f} |"
         )
     print()
     print(json.dumps({"metric": "ann_recall_cost", "rows": rows, "k": k}))

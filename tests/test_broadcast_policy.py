@@ -62,6 +62,12 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/similarity.py", "pq_encode"): (1, "codebook (m*k rows)"),
     ("operators/similarity.py", "pq_knn"): (2, "|Q|*m*k distance table + query set"),
     ("operators/similarity.py", "pq_knn_rerank"): (2, "shortlist probe + query set"),
+    ("operators/similarity.py", "ivf_assign"): (1, "centroids (k rows)"),
+    ("operators/similarity.py", "knn_ivf_pq"): (
+        5,
+        "centroids (k rows) + codebook (m*k rows) + |Q|*n_probe*m*k "
+        "distance tables + shortlist probe + query set",
+    ),
     ("plans/q_similarity.py", "knn_bruteforce"): (1, "bounded query set"),
     ("plans/q_similarity.py", "label_centroid_sim"): (1, "per-label centroids"),
     ("plans/q_similarity.py", "pq_codes_fixed_book"): (1, "fixed codebook"),

@@ -37,6 +37,7 @@ def test_round_changed_queries_in_window():
     for name in (
         # round-8 ADDITIONS / re-windowed changes go here as they land
         "media_bmp_features",  # decoder change: bfOffBits lower bound
+        "knn_ivf_pq_fixed",  # NEW: composed IVF-PQ under the value gate
     ):
         assert name in window, name
 

@@ -520,6 +520,128 @@ def test_pq_knn_recall_vs_bruteforce(spark, sf_dir):
     assert r_rr > r_direct - 0.2  # shortlist recovers coarse-codebook loss
 
 
+def test_ivf_assign_residual_roundtrip(spark, sf_dir):
+    """resid + assigned centroid reconstructs the vector exactly (the
+    zip_with subtraction is exact double math), and the assigned cell is
+    the true argmin."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50).cache()
+    cents = S.kmeans_train(emb, k=4, iters=2)
+    cmap = {r["cell"]: r["centroid"] for r in cents.collect()}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    for r in S.ivf_assign(emb, cents).collect():
+        v = vecs[r["vec_id"]]
+        cent = cmap[r["cell"]]
+        rebuilt = [x + c for x, c in zip(r["resid"], cent)]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(rebuilt, v))
+        d_assigned = sum((x - c) ** 2 for x, c in zip(v, cent))
+        d_best = min(
+            sum((x - c) ** 2 for x, c in zip(v, cc)) for cc in cmap.values()
+        )
+        assert d_assigned <= d_best + 1e-12
+
+
+def test_ivf_pq_exact_on_codebook_vectors(spark):
+    """When every corpus vector is (coarse centroid + concatenated
+    codewords), residual quantization error is zero — so the composed
+    IVF-PQ search with all cells probed must reproduce the exact top-k,
+    and with n_probe=1 it returns only same-cell neighbors (the prune
+    actually prunes)."""
+    import itertools
+
+    m, k, sub = 2, 4, 2  # dim 4
+    words = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [3.0, 3.0]]
+    coarse_vals = {0: [0.0] * 4, 1: [10.0] * 4}
+    coarse = spark.createDataFrame(
+        [(c, v) for c, v in coarse_vals.items()],
+        "cell bigint, centroid array<double>",
+    )
+    book = spark.createDataFrame(
+        [(j, c, words[c]) for j in range(m) for c in range(k)],
+        "subspace int, cell bigint, centroid array<double>",
+    )
+    combos = list(itertools.product(range(k), repeat=m))
+    rows = []
+    for cc, cent in coarse_vals.items():
+        for a, b in combos:
+            vid = cc * 100 + a * 10 + b
+            vec = [x + y for x, y in zip(cent, words[a] + words[b])]
+            rows.append((vid, vec))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    _, _, codes = S.ivf_pq_index(
+        corpus, m=m, dim=4, centroids=coarse, codebook=book
+    )
+    # every vector lands in its constructed cell (codewords are small
+    # against the 20-apart centroids)
+    got_cells = {r["vec_id"]: r["cell"] for r in codes.collect()}
+    assert all(got_cells[vid] == vid // 100 for vid, _ in rows)
+
+    queries = corpus.filter(F.col("vec_id").isin(0, 13, 133))
+    res = S.knn_ivf_pq(
+        corpus, queries, coarse, book, codes,
+        k=5, n_probe=2, shortlist=32, m=m, dim=4,
+    ).collect()
+    vecs = dict(rows)
+    for q in queries.collect():
+        qv = q["embedding"]
+        exact = sorted(
+            (sum((x - y) ** 2 for x, y in zip(qv, vecs[i])), i)
+            for i in vecs
+            if i != q["vec_id"]
+        )[:5]
+        mine = sorted(
+            (r["rnk"], r["neighbor_id"], r["sq_dist"])
+            for r in res
+            if r["query_id"] == q["vec_id"]
+        )
+        for (rnk, nid, d), (want_d, want_id) in zip(mine, exact):
+            assert abs(d - want_d) < 1e-9
+            # distance ties may reorder ids; the distance sequence is the
+            # contract, ids must at least share the tie class
+            if abs(want_d - exact[min(rnk, 4)][0]) > 1e-9 or rnk == len(exact):
+                assert nid == want_id
+    # n_probe=1: only the query's own cell is scanned
+    pruned = S.knn_ivf_pq(
+        corpus, queries, coarse, book, codes,
+        k=5, n_probe=1, shortlist=32, m=m, dim=4,
+    )
+    for r in pruned.collect():
+        assert r["neighbor_id"] // 100 == r["query_id"] // 100
+
+
+def test_ivf_pq_recall_floor(spark, sf_dir):
+    """Composed IVF-PQ (trained cells, residual codebook) keeps most true
+    neighbors at a 50%-mass probe with the fine codebook — the SCALING.md
+    operating point, floor pinned with slack under the measured 0.72."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(400).cache()
+    queries = emb.limit(12)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    exact = {}
+    for q in queries.collect():
+        qv = q["embedding"]
+        dists = sorted(
+            (sum((x - y) ** 2 for x, y in zip(qv, vecs[i])), i)
+            for i in vecs
+            if i != q["vec_id"]
+        )[:5]
+        exact[q["vec_id"]] = {i for _, i in dists}
+    cents, book, codes = S.ivf_pq_index(
+        emb, k_cells=8, m=16, k_codes=64, iters=3
+    )
+    res = S.knn_ivf_pq(
+        emb, queries, cents, book, codes,
+        k=5, n_probe=4, shortlist=50, m=16,
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(exact[q] & got.get(q, set())) for q in exact) / (
+        5 * len(exact)
+    )
+    assert recall >= 0.5, f"IVF-PQ recall@5 too low: {recall:.2f}"
+
+
 def test_semantic_dedup_catches_planted_copies(spark, sf_dir):
     """SemDeDup end to end: identical vectors get identical centroid
     distances → the same cell, so planted exact copies are always in-cell
