@@ -319,6 +319,51 @@ def g711_wav_bytes(
     return riff + fmt + data
 
 
+# IMA/DVI ADPCM (WAV format 0x11) tables — the published IMA spec's
+# 89-entry step-size table and 4-bit index-adjust table.
+IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def ima_adpcm_wav_bytes(
+    codes, pred0: int = 0, idx0: int = 0, sample_rate: int = 8000
+) -> bytes:
+    """Minimal IMA ADPCM WAV encoder (RIFF + extended fmt + data), one
+    mono block: 4-byte block header (initial predictor int16, initial
+    step index, reserved) then the given 4-bit codes packed LOW nibble
+    first — fixture builder for the format-0x11 path the decoder
+    expands. ``codes`` must have even length."""
+    import struct
+
+    codes = list(codes)
+    if len(codes) % 2:
+        raise ValueError("codes must pack into whole bytes")
+    packed = bytes(
+        (codes[i] & 0xF) | ((codes[i + 1] & 0xF) << 4)
+        for i in range(0, len(codes), 2)
+    )
+    block = struct.pack("<hBB", pred0, idx0, 0) + packed
+    block_align = len(block)
+    samples_per_block = 1 + len(codes)
+    # fmt chunk with the 2-byte cbSize extension carrying wSamplesPerBlock
+    fmt = struct.pack(
+        "<4sIHHIIHHHH", b"fmt ", 20, 0x11, 1, sample_rate,
+        (sample_rate * block_align) // max(samples_per_block, 1),
+        block_align, 4, 2, samples_per_block,
+    )
+    data = struct.pack("<4sI", b"data", len(block)) + block
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
 def _wav_decode_impl():
     """Factory (closure-pickled by value) for the real RIFF/PCM16 parser:
     walks the chunk list, reads fmt, frombuffers the data chunk, and
@@ -343,7 +388,7 @@ def _wav_decode_impl():
                 pos += 8 + size + (size & 1)  # chunks are word-aligned
             if fmt is None or data is None:
                 return None, "missing fmt or data chunk"
-            audio_format, n_ch, rate, _, _, bits = fmt
+            audio_format, n_ch, rate, _, block_align, bits = fmt
             if audio_format == 1 and bits == 16:
                 x = np.frombuffer(
                     data[: len(data) - (len(data) % (2 * n_ch))], dtype="<i2"
@@ -371,6 +416,46 @@ def _wav_decode_impl():
                     )
                     x = np.where(a >= 128, t, -t)
                 x = x.astype(np.int64)
+            elif audio_format == 0x11 and bits == 4:
+                # IMA/DVI ADPCM: per-block 4-byte header (initial
+                # predictor int16, initial step index) then 4-bit codes,
+                # LOW nibble first. The predictor recurrence is
+                # inherently sequential WITHIN a block (each sample
+                # conditions the next step size), so the inner loop is
+                # scalar integer math — exact by construction, replayed
+                # step-for-step by a recursive-CTE SQL oracle; Spark's
+                # parallelism lives ACROSS payloads (Arrow batches), not
+                # inside one.
+                if n_ch != 1:
+                    return None, "ADPCM: only mono supported"
+                if block_align < 5:
+                    return None, f"ADPCM: bad block align {block_align}"
+                out = []
+                usable = len(data) - (len(data) % block_align)
+                for boff in range(0, usable, block_align):
+                    block = data[boff : boff + block_align]
+                    pred = struct.unpack_from("<h", block, 0)[0]
+                    idx = block[2]
+                    if idx > 88:
+                        return None, f"ADPCM: step index {idx} out of range"
+                    out.append(pred)
+                    for byte in block[4:]:
+                        for code in (byte & 0xF, byte >> 4):
+                            step = IMA_STEP_TABLE[idx]
+                            diff = step >> 3
+                            if code & 1:
+                                diff += step >> 2
+                            if code & 2:
+                                diff += step >> 1
+                            if code & 4:
+                                diff += step
+                            pred = pred - diff if code & 8 else pred + diff
+                            pred = max(-32768, min(32767, pred))
+                            idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
+                            out.append(pred)
+                if not out:
+                    return None, "ADPCM: no complete block"
+                x = np.array(out, dtype=np.int64)
             else:
                 return None, f"unsupported format (fmt={audio_format}, bits={bits})"
             n_samples = x.size // n_ch if n_ch else 0

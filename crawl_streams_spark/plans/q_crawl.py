@@ -860,3 +860,112 @@ def media_g711_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_wav(media)
+
+
+def _ima_step_sql() -> str:
+    from ..operators.multimodal import IMA_STEP_TABLE
+
+    rows = ", ".join(f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE))
+    return f"SELECT * FROM (VALUES {rows}) s(i, step)"
+
+
+# one IMA code per recursion level: code_k = (doc_id*11 + k*5) % 16
+_IMA_CODE = "(doc_id * 11 + k * 5) % 16"
+_IMA_DIFF = f"""step // 8
+                 + CASE WHEN ({_IMA_CODE}) % 2 = 1 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (({_IMA_CODE}) // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (({_IMA_CODE}) // 4) % 2 = 1 THEN step ELSE 0 END"""
+_IMA_N = 200  # codes per payload -> 201 samples with the header predictor
+
+
+@query(
+    "media_adpcm_features",
+    oracle=f"""
+        WITH RECURSIVE steptab AS ({_ima_step_sql()}),
+        dec AS (
+            SELECT doc_id, 0 AS k,
+                   CAST((doc_id * 37) % 1024 - 512 AS BIGINT) AS pred,
+                   CAST(doc_id % 89 AS BIGINT) AS idx
+            FROM documents
+            UNION ALL
+            SELECT doc_id, k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CASE WHEN code >= 8 THEN pred - diff
+                            ELSE pred + diff END)),
+                   GREATEST(0, LEAST(88,
+                       idx + CASE WHEN code % 8 < 4 THEN -1
+                                  ELSE (code % 8 - 3) * 2 END))
+            FROM (
+                SELECT dec.doc_id, dec.k, dec.pred, dec.idx, steptab.step,
+                       {_IMA_CODE} AS code,
+                       {_IMA_DIFF} AS diff
+                FROM dec JOIN steptab ON steptab.i = dec.idx
+                WHERE k < {_IMA_N}
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(pred * pred)::BIGINT AS sumsq,
+                   MAX(ABS(pred))::BIGINT AS peak_i,
+                   SUM(CASE WHEN pred IN (32767, -32768) THEN 1
+                            ELSE 0 END)::BIGINT AS clip_n
+            FROM dec GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               1::INTEGER AS n_channels,
+               4::INTEGER AS bits,
+               {_IMA_N + 1}::INTEGER AS n_samples,
+               (1000.0::DOUBLE * {_IMA_N + 1} / 8000)::FLOAT AS duration_ms,
+               (sqrt(sumsq::DOUBLE / {_IMA_N + 1}) / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / {_IMA_N + 1})::FLOAT AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "audio", "adpcm", "extension"),
+)
+def media_adpcm_features(spark, sf_dir):
+    """REAL compressed-audio decode under the VALUE gate (round 8): IMA
+    ADPCM WAV payloads (format 0x11) — per-doc deterministic 4-bit code
+    streams with per-doc initial predictor/step-index — expanded to
+    16-bit linear by the block decoder in operators/multimodal.py
+    (pure-integer predictor/step-table recurrence, pinned against an
+    independent spec transcription over every code from every step index
+    in tests/test_multimodal_adpcm.py). The recurrence is sequential by
+    construction, so the oracle replays it sample-for-sample as a
+    RECURSIVE CTE and certifies the exact integer energy statistics;
+    the rails are reachable (clip_fraction is live, unlike G.711)."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from crawl_streams_spark.operators.multimodal import (
+            ima_adpcm_wav_bytes,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = np.arange(200, dtype=np.int64)
+                codes = ((did * 11 + k * 5) % 16).tolist()
+                payloads.append(
+                    ima_adpcm_wav_bytes(
+                        codes,
+                        pred0=(did * 37) % 1024 - 512,
+                        idx0=did % 89,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_wav(media)

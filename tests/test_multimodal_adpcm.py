@@ -1,0 +1,167 @@
+"""IMA/DVI ADPCM (WAV format 0x11) decode inside the WAV decoder
+(multimodal._wav_decode_impl): the block decoder is pinned against an
+INDEPENDENT scalar routine transcribed from the published IMA spec
+(step/index tables + the shift-add diff reconstruction), exercised over
+every 4-bit code from every step index. Cross-engine value gate:
+plans/q_crawl.py::media_adpcm_features (the same recurrence replayed as
+a recursive CTE in SQL)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from crawl_streams_spark.operators.multimodal import (
+    IMA_INDEX_TABLE,
+    IMA_STEP_TABLE,
+    _wav_decode_impl,
+    ima_adpcm_wav_bytes,
+)
+
+# -- independent spec transcription (scalar, straight from the IMA text) --
+
+_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _spec_step(pred: int, idx: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step, scalar spec form: reconstruct
+    diff = (step/8) + (b0 ? step/4) + (b1 ? step/2) + (b2 ? step),
+    apply the sign bit b3, clamp sample and index."""
+    step = _STEPS[idx]
+    diff = step >> 3
+    if code & 0x1:
+        diff += step >> 2
+    if code & 0x2:
+        diff += step >> 1
+    if code & 0x4:
+        diff += step
+    pred = pred - diff if code & 0x8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _INDEX[code & 0x7]))
+    return pred, idx
+
+
+def _spec_decode(codes, pred0: int, idx0: int) -> list[int]:
+    out = [pred0]
+    pred, idx = pred0, idx0
+    for c in codes:
+        pred, idx = _spec_step(pred, idx, c)
+        out.append(pred)
+    return out
+
+
+def test_tables_match_spec():
+    assert list(IMA_STEP_TABLE) == _STEPS
+    assert len(IMA_STEP_TABLE) == 89
+    assert list(IMA_INDEX_TABLE) == _INDEX
+
+
+def _features_from_samples(samples):
+    x = np.asarray(samples, dtype=np.int64)
+    n = x.size
+    rms = math.sqrt(int(np.sum(x * x)) / n) / 32768.0
+    peak = int(np.max(np.abs(x))) / 32768.0
+    clip = int(np.sum((x == 32767) | (x == -32768))) / n
+    return n, rms, peak, clip
+
+
+def test_decoder_matches_spec_all_codes_from_every_step_index():
+    """Every 4-bit code from every step index: one block per index whose
+    16 codes sweep 0..15, decoded by the production path and compared
+    against the independent scalar transcription via the exact energy
+    statistics."""
+    decode = _wav_decode_impl()
+    for idx0 in range(89):
+        codes = list(range(16))
+        pred0 = (idx0 * 257) % 1024 - 512
+        feats, err = decode(ima_adpcm_wav_bytes(codes, pred0=pred0, idx0=idx0))
+        assert err is None, err
+        rate, n_ch, bits, n_samples, dur, rms, peak, clip = feats
+        want = _spec_decode(codes, pred0, idx0)
+        wn, wrms, wpeak, wclip = _features_from_samples(want)
+        assert (rate, n_ch, bits) == (8000, 1, 4)
+        assert n_samples == wn == 17
+        assert rms == wrms and peak == wpeak and clip == wclip
+
+
+def test_decoder_clamps_at_rails_and_counts_clip():
+    """Driving the predictor into the int16 rails must clamp (not wrap)
+    and register in clip_fraction."""
+    decode = _wav_decode_impl()
+    # start at max predictor, push up with large positive codes
+    codes = [7] * 16  # +diff, biggest magnitude bits, sign 0
+    feats, err = decode(ima_adpcm_wav_bytes(codes, pred0=32000, idx0=88))
+    assert err is None
+    *_, rms, peak, clip = feats
+    assert peak == 32767 / 32768.0
+    assert clip > 0
+    want = _spec_decode(codes, 32000, 88)
+    assert max(want) == 32767  # the spec routine clamps identically
+
+
+def test_multi_block_streams_and_truncated_tail():
+    """Blocks decode independently (each reseeds predictor/index from its
+    own header); a trailing partial block is ignored, mirroring the PCM16
+    truncation rule."""
+    decode = _wav_decode_impl()
+    one = ima_adpcm_wav_bytes(list(range(16)), pred0=100, idx0=20)
+    # two blocks: duplicate the data chunk's block twice
+    import struct as _s
+
+    # rebuild manually: 2 blocks with different headers
+    b1 = _s.pack("<hBB", 100, 20, 0) + bytes(
+        (i & 0xF) | (((i + 1) & 0xF) << 4) for i in range(0, 16, 2)
+    )
+    b2 = _s.pack("<hBB", -200, 40, 0) + bytes(
+        (i & 0xF) | (((i + 1) & 0xF) << 4) for i in range(0, 16, 2)
+    )
+    block_align = len(b1)
+    fmt = _s.pack(
+        "<4sIHHIIHHHH", b"fmt ", 20, 0x11, 1, 8000, 8000, block_align, 4,
+        2, 17,
+    )
+    payload = b1 + b2 + b"\x01\x02"  # torn third block
+    data = _s.pack("<4sI", b"data", len(payload)) + payload
+    wav = _s.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE") + fmt + data
+    feats, err = decode(wav)
+    assert err is None
+    n_samples = feats[3]
+    assert n_samples == 34  # 2 complete blocks × 17, tail dropped
+    want = _spec_decode([0, 1, 2, 3, 4, 5, 6, 7], 100, 20)
+    # spot-check: block 1's samples are the spec decode of codes 0..7
+    # low-nibble-first packing of range(0,16,2) interleaves (i, i+1)
+    codes1 = []
+    for i in range(0, 16, 2):
+        codes1 += [i & 0xF, (i + 1) & 0xF]
+    want1 = _spec_decode(codes1, 100, 20)
+    want2 = _spec_decode(codes1, -200, 40)
+    wn, wrms, wpeak, wclip = _features_from_samples(want1 + want2)
+    assert feats[5] == wrms and feats[6] == wpeak
+
+
+def test_malformed_adpcm_rejected():
+    decode = _wav_decode_impl()
+    good = ima_adpcm_wav_bytes([0, 1], pred0=0, idx0=0)
+    # step index out of range
+    bad = bytearray(good)
+    # data chunk starts after RIFF(12) + fmt(8+20): header at 12+28+8
+    off = 12 + 28 + 8
+    bad[off + 2] = 90
+    feats, err = decode(bytes(bad))
+    assert feats is None and "out of range" in err
+    # block_align too small
+    bad2 = bytearray(good)
+    struct.pack_into("<H", bad2, 12 + 8 + 12, 4)
+    feats, err = decode(bytes(bad2))
+    assert feats is None and "block align" in err

@@ -38,6 +38,7 @@ def test_round_changed_queries_in_window():
         # round-8 ADDITIONS / re-windowed changes go here as they land
         "media_bmp_features",  # decoder change: bfOffBits lower bound
         "knn_ivf_pq_fixed",  # NEW: composed IVF-PQ under the value gate
+        "media_adpcm_features",  # NEW: IMA ADPCM decode under the gate
     ):
         assert name in window, name
 
