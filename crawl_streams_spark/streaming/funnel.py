@@ -50,7 +50,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["stream_window_funnel", "FUNNEL_OUTPUT_SCHEMA"]
+__all__ = [
+    "stream_window_funnel",
+    "stream_funnel_snapshot",
+    "update_funnel_snapshot",
+    "FUNNEL_OUTPUT_SCHEMA",
+]
 
 _STATE_SCHEMA = StructType([StructField("blob", StringType(), True)])
 
@@ -194,4 +199,84 @@ def stream_window_funnel(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _snapshot_builder(table_path: str):
+    """MergedBuilder for the persistent per-user funnel snapshot: the
+    micro-batch's rows (update mode emits exactly one row — the newest
+    state — per updated user per trigger) overlay the live snapshot;
+    untouched users carry forward. The overlay is idempotent (replaying
+    a batch rewrites identical rows), but idempotence does not survive a
+    TORN overwrite — which is exactly what the staged two-phase protocol
+    closes (see twophase.py; VERDICT r7 item 7 extends it from the sketch
+    folds to this stateful-operator sink edge)."""
+    from ..fs import parquet_if_exists
+
+    def build(spark, batch: DataFrame):
+        existing = parquet_if_exists(spark, table_path)
+        cols = [f.name for f in FUNNEL_OUTPUT_SCHEMA.fields]
+        merged = batch.select(*cols)
+        if existing is not None:
+            merged = merged.unionByName(
+                existing.join(batch.select("user_id"), "user_id", "left_anti")
+                .select(*cols)
+            )
+        return merged, None
+
+    return build
+
+
+def update_funnel_snapshot(spark, batch: DataFrame, table_path: str) -> None:
+    """One-shot (non-streaming) overlay of a batch of funnel rows into
+    the snapshot table — the batch twin of the streaming sink below."""
+    from .sketches import _apply_update
+
+    _apply_update(_snapshot_builder(table_path)(spark, batch), table_path)
+
+
+def stream_funnel_snapshot(
+    events: DataFrame,
+    steps,
+    window,
+    table_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    available_now: bool = False,
+    exactly_once: bool = True,
+):
+    """End-to-end funnel pipeline with a durable snapshot: the stateful
+    per-user DP (stream_window_funnel) feeding a foreachBatch sink that
+    maintains the latest-row-per-user parquet snapshot through the staged
+    two-phase protocol — the same exactly-once discipline as the sketch
+    folds, so a crash at ANY protocol point (including a torn live-table
+    overwrite) recovers without losing or doubling a user's state.
+    ``exactly_once=False`` keeps the direct overwrite as the cheap dial.
+
+    Scale: the snapshot write is O(users), not O(events) — the stateful
+    operator has already reduced the stream; staging doubles only that
+    reduced relation inside the checkpoint for the life of one batch."""
+    from .sketches import _staged_fold_writer
+
+    updated = stream_window_funnel(
+        events,
+        steps,
+        window,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        tiebreak_col=tiebreak_col,
+    )
+    return _staged_fold_writer(
+        updated,
+        checkpoint,
+        "funnel_snapshot",
+        table_path,
+        _snapshot_builder(table_path),
+        available_now,
+        exactly_once,
+        output_mode="update",
     )

@@ -108,6 +108,7 @@ def _staged_fold_writer(
     builder: MergedBuilder,
     available_now: bool,
     exactly_once: bool,
+    output_mode: str | None = None,
 ):
     """foreachBatch writer shared by every sketch fold. With
     ``exactly_once`` each micro-batch runs the staged two-phase protocol;
@@ -126,6 +127,10 @@ def _staged_fold_writer(
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint
     )
+    if output_mode is not None:
+        # stateful operators (applyInPandasWithState) require the writer's
+        # output mode to match theirs even under foreachBatch
+        writer = writer.outputMode(output_mode)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
