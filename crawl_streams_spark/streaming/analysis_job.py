@@ -234,3 +234,36 @@ def session_stats_stream(
             "n_events",
         )
     )
+
+
+def session_log_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_col: str = "host_d",
+    ts_col: str = "event_ts",
+    gap: str = "30 minutes",
+    available_now: bool = False,
+):
+    """Durable finalized-session log: session_stats_stream's append-mode
+    output through Spark's NATIVE parquet file sink. Finalized sessions
+    are append-only facts (each emitted exactly once when the watermark
+    closes it), so the right exactly-once discipline is the file sink's
+    own ``_spark_metadata`` transaction log — committed files are
+    recorded atomically per batch, a replayed batch re-targets the same
+    file names, and readers see only logged files. The staged two-phase
+    protocol (twophase.py) exists for the OTHER shape — merged snapshots
+    that overwrite live state (sketch folds, funnel.py's per-user
+    overlay); using it here would stage O(history) for an append-only
+    relation. Restart-without-duplicates is pinned in
+    tests/test_stream_sessions.py."""
+    writer = (
+        session_stats_stream(events, key_col=key_col, ts_col=ts_col, gap=gap)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

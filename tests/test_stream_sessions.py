@@ -82,3 +82,61 @@ def test_streaming_session_windows_gap_merge(spark, tmp_path):
     }
     assert ends[("a.example", mins(0))] == mins(22)
     assert ends[("b.example", mins(40))] == mins(50)
+
+
+def test_session_log_sink_restart_never_duplicates(spark, tmp_path):
+    """The durable session log (session_log_sink, native file sink):
+    finalized sessions appended across a query RESTART on the same
+    checkpoint are emitted exactly once — the sink's _spark_metadata
+    transaction log is the replay protection, no overlay protocol
+    needed for append-only facts."""
+    from crawl_streams_spark.streaming.analysis_job import session_log_sink
+
+    schema = "host_d string, event_ts timestamp"
+    src = str(tmp_path / "log_src")
+    out = str(tmp_path / "log_out")
+    ck = str(tmp_path / "log_ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("event_ts", "1 minute")
+        )
+        q = session_log_sink(
+            stream, out, ck, gap="10 minutes", available_now=True
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: host a's session closes when the flush event advances the
+    # watermark past it
+    spark.createDataFrame(
+        [_mk("a.example", 0), _mk("a.example", 5)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    spark.createDataFrame(
+        [_mk("flush.one", 120)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    run()
+    first = sorted(
+        (r["host_d"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert ("a.example", 2) in first
+
+    # run 2 (restart, same checkpoint): new host + a later flush; the
+    # previously-emitted sessions must appear exactly once in total
+    spark.createDataFrame(
+        [_mk("b.example", 200), _mk("b.example", 203)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    spark.createDataFrame(
+        [_mk("flush.two", 600)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    run()
+    rows = [
+        (r["host_d"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    assert rows.count(("a.example", 2)) == 1, "restart duplicated a session"
+    assert rows.count(("b.example", 2)) == 1
