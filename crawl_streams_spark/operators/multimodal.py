@@ -332,6 +332,58 @@ IMA_STEP_TABLE = (
 )
 IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
 
+# Microsoft ADPCM (WAV format 0x02) tables — the published WAV spec's
+# seven predictor-coefficient pairs (256-scaled) and the 16-entry
+# delta-adaptation table.
+MS_ADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232),
+)
+MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+    230, 230,
+)
+
+
+def ms_adpcm_wav_bytes(
+    codes,
+    predictor: int = 0,
+    idelta: int = 16,
+    sample1: int = 0,
+    sample2: int = 0,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Minimal MS ADPCM WAV encoder (RIFF + extended fmt + data), one
+    mono block: 7-byte header (bPredictor, iDelta, iSample1, iSample2)
+    then 4-bit codes packed HIGH nibble first — fixture builder for the
+    format-0x02 path. ``codes`` must have even length."""
+    import struct
+
+    codes = list(codes)
+    if len(codes) % 2:
+        raise ValueError("codes must pack into whole bytes")
+    if not 0 <= predictor < len(MS_ADPCM_COEFFS):
+        raise ValueError("predictor index out of range")
+    packed = bytes(
+        ((codes[i] & 0xF) << 4) | (codes[i + 1] & 0xF)
+        for i in range(0, len(codes), 2)
+    )
+    block = struct.pack("<Bhhh", predictor, idelta, sample1, sample2) + packed
+    block_align = len(block)
+    samples_per_block = 2 + len(codes)
+    # fmt extension: cbSize=32 — wSamplesPerBlock, wNumCoef, 7 coef pairs
+    ext = struct.pack("<HH", samples_per_block, 7) + b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in MS_ADPCM_COEFFS
+    )
+    fmt = struct.pack(
+        "<4sIHHIIHHH", b"fmt ", 18 + len(ext), 0x02, 1, sample_rate,
+        (sample_rate * block_align) // max(samples_per_block, 1),
+        block_align, 4, len(ext),
+    ) + ext
+    data = struct.pack("<4sI", b"data", len(block)) + block
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
 
 def ima_adpcm_wav_bytes(
     codes, pred0: int = 0, idx0: int = 0, sample_rate: int = 8000
@@ -452,6 +504,52 @@ def _wav_decode_impl():
                             pred = pred - diff if code & 8 else pred + diff
                             pred = max(-32768, min(32767, pred))
                             idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
+                            out.append(pred)
+                if not out:
+                    return None, "ADPCM: no complete block"
+                x = np.array(out, dtype=np.int64)
+            elif audio_format == 0x02 and bits == 4:
+                # Microsoft ADPCM: per-block 7-byte header (predictor
+                # index, initial delta, two seed samples) then 4-bit
+                # codes HIGH nibble first; second-order linear predictor
+                # with trunc-toward-zero /256 scaling and adaptive
+                # delta. Sequential like IMA — scalar integer math,
+                # replayed by a recursive-CTE oracle.
+                if n_ch != 1:
+                    return None, "ADPCM: only mono supported"
+                if block_align < 8:
+                    return None, f"ADPCM: bad block align {block_align}"
+                out = []
+                usable = len(data) - (len(data) % block_align)
+                for boff in range(0, usable, block_align):
+                    block = data[boff : boff + block_align]
+                    pidx = block[0]
+                    if pidx >= len(MS_ADPCM_COEFFS):
+                        return None, f"ADPCM: predictor {pidx} out of range"
+                    idelta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+                    if idelta <= 0:
+                        # the adaptation floor keeps idelta >= 16 after
+                        # the first step; a nonpositive seed is malformed
+                        # (and floor-vs-trunc division would diverge on it)
+                        return None, f"ADPCM: bad initial delta {idelta}"
+                    c1, c2 = MS_ADPCM_COEFFS[pidx]
+                    out.append(s2)
+                    out.append(s1)
+                    for byte in block[7:]:
+                        for code in (byte >> 4, byte & 0xF):
+                            signed = code - 16 if code >= 8 else code
+                            num = s1 * c1 + s2 * c2
+                            # C integer division truncates toward zero
+                            pred = (
+                                abs(num) // 256 if num >= 0
+                                else -(abs(num) // 256)
+                            )
+                            pred += signed * idelta
+                            pred = max(-32768, min(32767, pred))
+                            s2, s1 = s1, pred
+                            idelta = max(
+                                16, (MS_ADPCM_ADAPT[code] * idelta) // 256
+                            )
                             out.append(pred)
                 if not out:
                     return None, "ADPCM: no complete block"

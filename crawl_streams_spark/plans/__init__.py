@@ -128,11 +128,11 @@ PRIORITY: tuple[str, ...] = (
     "customers_with_open_orders",  # q_tpch, r5
     "customers_without_orders",  # q_tpch, r5
     "dedup_minhash_lsh_pairs",  # q_dedup, r5
-    "dedup_ngram_jaccard",  # q_dedup, r5
     # -- round-8 changes and additions (in-window from birth) ------------
     "media_bmp_features",  # q_crawl: r8 decoder change (bfOffBits bound)
     "knn_ivf_pq_fixed",  # q_similarity: NEW r8 — composed IVF-PQ gate
     "media_adpcm_features",  # q_crawl: NEW r8 — IMA ADPCM decode gate
+    "media_ms_adpcm_features",  # q_crawl: NEW r8 — MS ADPCM decode gate
 )
 
 

@@ -969,3 +969,148 @@ def media_adpcm_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_wav(media)
+
+
+def _ms_case(expr: str, table) -> str:
+    arms = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(table))
+    return f"CASE {expr} {arms} END"
+
+
+def _ms_coeff_cases() -> tuple[str, str]:
+    from ..operators.multimodal import MS_ADPCM_COEFFS
+
+    c1 = _ms_case("doc_id % 7", [c[0] for c in MS_ADPCM_COEFFS])
+    c2 = _ms_case("doc_id % 7", [c[1] for c in MS_ADPCM_COEFFS])
+    return c1, c2
+
+
+# Code stream discipline: adaptation entries > 256 grow idelta
+# geometrically, so a uniform-random code stream overflows int64 within
+# ~50 samples (real encoders emit large codes only transiently). The
+# fixture therefore cycles the seven 230-adapt codes (both signs) with
+# ONE code-8 (the 768 peak) every 16 samples — idelta provably stays in
+# [16, 48]: x3 at the spike, then multiplicative 230/256 decay back to
+# the 16 floor before the next spike.
+_MS_SMALL = (0, 1, 2, 3, 13, 14, 15)
+_MS_CODE = (
+    "CASE WHEN k % 16 = doc_id % 16 THEN 8 ELSE "
+    + "CASE (doc_id * 11 + k * 5) % 7 "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
+    + " END END"
+)
+_MS_N = 200  # codes per payload -> 202 samples with the two header seeds
+
+
+@query(
+    "media_ms_adpcm_features",
+    oracle=(lambda c1c2, adapt: f"""
+        WITH RECURSIVE dec AS (
+            SELECT doc_id, 0 AS k,
+                   CAST((doc_id * 37) % 2048 - 1024 AS BIGINT) AS s1,
+                   CAST((doc_id * 53) % 2048 - 1024 AS BIGINT) AS s2,
+                   CAST(16 + (doc_id * 13) % 1000 AS BIGINT) AS idelta,
+                   CAST({c1c2[0]} AS BIGINT) AS c1,
+                   CAST({c1c2[1]} AS BIGINT) AS c2
+            FROM documents
+            UNION ALL
+            SELECT doc_id, k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CAST(TRUNC((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+                       + (CASE WHEN code >= 8 THEN code - 16
+                               ELSE code END) * idelta)),
+                   s1,
+                   GREATEST(16, (adapt * idelta) // 256),
+                   c1, c2
+            FROM (
+                SELECT doc_id, k, s1, s2, idelta, c1, c2,
+                       {_MS_CODE} AS code,
+                       {adapt} AS adapt
+                FROM dec WHERE k < {_MS_N}
+            )
+        ),
+        samples AS (
+            SELECT doc_id, s2 AS v FROM dec WHERE k = 0
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec WHERE k = 0
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec WHERE k >= 1
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v * v)::BIGINT AS sumsq,
+                   MAX(ABS(v))::BIGINT AS peak_i,
+                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                            ELSE 0 END)::BIGINT AS clip_n
+            FROM samples GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               1::INTEGER AS n_channels,
+               4::INTEGER AS bits,
+               {_MS_N + 2}::INTEGER AS n_samples,
+               (1000.0::DOUBLE * {_MS_N + 2} / 8000)::FLOAT AS duration_ms,
+               (sqrt(sumsq::DOUBLE / {_MS_N + 2}) / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / {_MS_N + 2})::FLOAT AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """)(
+        _ms_coeff_cases(),
+        _ms_case(
+            _MS_CODE,
+            __import__(
+                "crawl_streams_spark.operators.multimodal",
+                fromlist=["MS_ADPCM_ADAPT"],
+            ).MS_ADPCM_ADAPT,
+        ),
+    ),
+    tags=("multimodal", "audio", "adpcm", "extension"),
+)
+def media_ms_adpcm_features(spark, sf_dir):
+    """REAL compressed-audio decode, second flavor (round 8): Microsoft
+    ADPCM WAV payloads (format 0x02) — per-doc deterministic 4-bit code
+    streams with per-doc predictor index, initial delta, and seed
+    samples — expanded by the second-order-predictor recurrence in
+    operators/multimodal.py (trunc-toward-zero /256 scaling, adaptive
+    delta with the 16 floor; pinned against an independent spec
+    transcription in tests/test_multimodal_ms_adpcm.py, including the
+    negative-sum truncation case). The oracle replays the recurrence as
+    a RECURSIVE CTE carrying (s1, s2, idelta) and certifies the exact
+    integer energy statistics."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from crawl_streams_spark.operators.multimodal import (
+            ms_adpcm_wav_bytes,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codes = [
+                    8 if k % 16 == did % 16
+                    else _MS_SMALL[(did * 11 + k * 5) % 7]
+                    for k in range(_MS_N)
+                ]
+                payloads.append(
+                    ms_adpcm_wav_bytes(
+                        codes,
+                        predictor=did % 7,
+                        idelta=16 + (did * 13) % 1000,
+                        sample1=(did * 37) % 2048 - 1024,
+                        sample2=(did * 53) % 2048 - 1024,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_wav(media)
