@@ -43,6 +43,8 @@ __all__ = [
     "balanced_shards",
     "equi_depth_bins",
     "rank_normalize",
+    "dsir_importance_weights",
+    "dsir_select",
 ]
 
 _BUCKETS = 256  # two hex chars of md5
@@ -737,4 +739,121 @@ def rank_normalize(
         .withColumn(out_col, q)
         .withColumnRenamed("__qr", "rank")
         .drop("__n")
+    )
+
+
+def dsir_importance_weights(
+    df: "DataFrame",
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int | None = None,
+) -> "DataFrame":
+    """Per-document importance weights for Data Selection via Importance
+    Resampling (DSIR, Xie et al. 2023, arXiv:2302.03169): fit add-1
+    unigram bag models over a TARGET subset (``is_target`` predicate,
+    e.g. a trusted high-quality slice) and the RAW corpus, then score
+    every document by the log importance ratio
+
+        log w(x) = Σ_f c_f(x) · [ln p_target(f) − ln p_raw(f)]
+
+    Returns (id_col, n_feats, logw_micro): the per-feature log-ratio is
+    quantized to integer MICRO-NATS — floor(λ·10⁶ + 0.5) — so the
+    per-document sums are BIGINT-exact and order-independent (the
+    perplexity gate's float discipline; a raw double Σ would diverge
+    between engines on fold order).
+
+    ``hash_buckets``: None keeps exact token features (vocab-sized λ
+    relation, unhinted joins — Heaps-law growth forbids a broadcast
+    hint; AQE judges at runtime). An integer hashes features into that
+    many buckets with Spark's murmur hash — the published DSIR
+    formulation and the 100 TB shape: the λ relation becomes a BOUNDED
+    broadcastable table and the per-doc join is map-side. The hashed
+    form is NOT SQL-portable (engine-specific hash), so the value gate
+    runs the exact-token form and pytest pins hashed≈exact agreement.
+
+    Scale: two partial-agg shuffles for the count tables (feature-keyed,
+    combiner-friendly), one feature join + one id-keyed rollup for the
+    scores. Nothing quadratic; the corpus text never shuffles (only
+    exploded (id, feat) slim rows)."""
+    from ..functions import text as T
+
+    feat = F.explode(T.tokens(text_col)).alias("feat")
+    tok = df.select(
+        _c(id_col).alias("__id"), is_target.alias("__tgt"), feat
+    )
+    rcnt = tok.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    if hash_buckets is not None:
+        tok = tok.withColumn(
+            "feat", F.pmod(F.hash("feat"), F.lit(hash_buckets))
+        )
+        rcnt = (
+            rcnt.withColumn(
+                "feat", F.pmod(F.hash("feat"), F.lit(hash_buckets))
+            )
+            .groupBy("feat")
+            .agg(F.sum("rc").alias("rc"), F.sum("tc").alias("tc"))
+        )
+    tot = rcnt.agg(
+        F.sum("rc").alias("rtot"),
+        F.sum("tc").alias("ttot"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lam = rcnt.crossJoin(F.broadcast(tot)).select(
+        "feat",
+        F.floor(
+            (
+                F.log((F.col("tc") + 1).cast("double"))
+                - F.log((F.col("rc") + 1).cast("double"))
+                + F.log((F.col("rtot") + F.col("v")).cast("double"))
+                - F.log((F.col("ttot") + F.col("v")).cast("double"))
+            )
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lam_micro"),
+    )
+    joined = tok.join(
+        F.broadcast(lam) if hash_buckets is not None else lam, "feat"
+    )
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lam_micro").alias("logw_micro"),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "logw_micro")
+    )
+
+
+def dsir_select(
+    df: "DataFrame",
+    is_target: Column,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_buckets: int | None = None,
+) -> "DataFrame":
+    """Deterministic DSIR selection: the ``n`` raw documents with the
+    highest importance weights (ties on the id). The published method
+    Gumbel-samples ∝ w to preserve diversity; the deterministic top-n is
+    the temperature→0 limit and the form a reproducibility-first
+    pipeline wants — swap in ``sample_priority`` over
+    ``logw_micro/1e6 + gumbel(hash_uniform)`` for the sampled variant.
+
+    Scale: the weight join is id-keyed; the top-n plans as
+    TakeOrderedAndProject (per-partition partial top-n, no global
+    window)."""
+    w = dsir_importance_weights(
+        df, is_target, text_col=text_col, id_col=id_col,
+        hash_buckets=hash_buckets,
+    )
+    return (
+        df.join(w, id_col)
+        .orderBy(F.desc("logw_micro"), F.asc(id_col))
+        .limit(n)
     )

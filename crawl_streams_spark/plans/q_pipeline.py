@@ -769,3 +769,63 @@ def token_budget_selection(spark, sf_dir):
         budget=_TB_BUDGET,
     )
     return out.select("doc_id", "source", "n_chars", "cum_tokens")
+
+
+@query(
+    "dsir_selected_docs",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')) AS feat
+            FROM documents
+        ),
+        rcnt AS (
+            SELECT feat, COUNT(*) AS rc,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+            FROM tok GROUP BY feat
+        ),
+        tot AS (
+            SELECT SUM(rc) AS rtot, SUM(tc) AS ttot, COUNT(*) AS v
+            FROM rcnt
+        ),
+        lam AS (
+            SELECT feat,
+                   CAST(FLOOR((ln((tc + 1)::DOUBLE) - ln((rc + 1)::DOUBLE)
+                               + ln((rtot + v)::DOUBLE)
+                               - ln((ttot + v)::DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS lam_micro
+            FROM rcnt CROSS JOIN tot
+        ),
+        w AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_feats,
+                   SUM(lam_micro)::BIGINT AS logw_micro
+            FROM tok JOIN lam USING (feat)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.lang, w.n_feats, w.logw_micro
+        FROM documents d JOIN w USING (doc_id)
+        ORDER BY w.logw_micro DESC, d.doc_id
+        LIMIT 100
+    """,
+    tags=("pipeline", "curation", "dsir", "extension"),
+)
+def dsir_selected_docs(spark, sf_dir):
+    """DSIR data selection (operators/pipeline.py::dsir_select — Data
+    Selection via Importance Resampling, arXiv:2302.03169) under the
+    hard cross-engine gate: add-1 unigram models over the English slice
+    (the 'target domain') vs the whole corpus; every document scored by
+    its summed per-token log importance ratio; the 100 highest-weight
+    documents selected deterministically. Per-feature log-ratios
+    quantize to integer micro-nats (the perplexity gate's float
+    discipline), so the BIGINT document scores — and therefore the
+    selected set — hash-match exactly. The hashed-feature scale form
+    (bounded broadcastable λ table) is pinned against this exact form
+    in tests/test_pipeline_dsir.py."""
+    from ..operators.pipeline import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_select(docs, F.col("lang") == "en", 100)
+    return out.select("doc_id", "lang", "n_feats", "logw_micro")

@@ -88,6 +88,12 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/pipeline.py", "partitioned_cumsum"): (1, "per-partition offsets"),
     ("operators/pipeline.py", "rank_normalize"): (1, "1-row count scalar"),
     ("operators/pipeline.py", "cap_source_share"): (1, "1-row grand-total scalar; the per-source rate relation is UNHINTED (unbounded at domain scale)"),
+    ("operators/pipeline.py", "dsir_importance_weights"): (
+        2,
+        "1-row totals scalar + the λ table ONLY in hashed mode (bounded "
+        "by hash_buckets); the exact-token λ relation is UNHINTED "
+        "(vocab-sized, Heaps-law growth)",
+    ),
 }
 
 

@@ -1,0 +1,101 @@
+"""DSIR importance resampling (operators/pipeline.py::
+dsir_importance_weights / dsir_select): behavioral contracts on a
+constructed corpus plus hashed-vs-exact feature agreement. The
+cross-engine value gate is plans/q_pipeline.py::dsir_selected_docs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from crawl_streams_spark.operators.pipeline import (
+    dsir_importance_weights,
+    dsir_select,
+)
+from crawl_streams_spark.tables import load_table
+
+_SCHEMA = "doc_id bigint, text string, tgt boolean"
+
+
+def test_target_vocabulary_outranks_raw_vocabulary(spark):
+    """Documents written in the target slice's vocabulary must score
+    above documents written in the raw-only vocabulary — the defining
+    property of the importance ratio."""
+    rows = [
+        # target slice: speaks 'alpha beta'
+        (1, "alpha beta alpha beta", True),
+        (2, "beta alpha beta", True),
+        # raw-only docs: one echoes the target vocab, one doesn't
+        (10, "alpha beta beta alpha", False),
+        (11, "gamma delta gamma delta", False),
+        (12, "gamma delta delta", False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_importance_weights(df, F.col("tgt")).collect()
+    }
+    assert w[10] > w[11]
+    assert w[10] > w[12]
+    # selection at n=3 keeps the target-speaking docs
+    picked = {
+        r["doc_id"] for r in dsir_select(df, F.col("tgt"), 3).collect()
+    }
+    assert 10 in picked and 11 not in picked
+
+
+def test_weights_scale_with_feature_counts(spark):
+    """log w is additive in token counts: doubling a document's tokens
+    doubles its score (exact integer micro-nat arithmetic)."""
+    rows = [
+        (1, "alpha beta", True),
+        (2, "gamma", False),
+        (10, "alpha beta", False),
+        (11, "alpha beta alpha beta", False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_importance_weights(df, F.col("tgt")).collect()
+    }
+    assert w[11] == 2 * w[10]
+
+
+def test_selected_set_enriches_target_fraction(spark, sf_dir):
+    """On the synthetic corpus, the selected set must be richer in the
+    target language than the corpus base rate — the whole point of the
+    filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("lang") == "en").count() / docs.count()
+    sel = dsir_select(docs, F.col("lang") == "en", 100)
+    got = sel.filter(F.col("lang") == "en").count() / 100
+    assert got > base, f"no enrichment: {got:.2f} <= base {base:.2f}"
+
+
+def test_hashed_features_approximate_exact(spark, sf_dir):
+    """The hashed-ngram scale form (bounded λ table) must agree with the
+    exact-token form up to collision noise: large bucket count → near-
+    identical selections."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"]
+        for r in dsir_select(docs, F.col("lang") == "en", 50).collect()
+    }
+    hashed = {
+        r["doc_id"]
+        for r in dsir_select(
+            docs, F.col("lang") == "en", 50, hash_buckets=1 << 18
+        ).collect()
+    }
+    overlap = len(exact & hashed) / 50
+    assert overlap >= 0.8, f"hashed selection drifted: overlap {overlap:.2f}"
+
+
+def test_hashed_lambda_table_is_bounded(spark, sf_dir):
+    """With hashing, the λ relation is at most hash_buckets rows — the
+    broadcastable-by-construction contract the 100 TB shape rests on."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        docs, F.col("lang") == "en", hash_buckets=64
+    )
+    # scores still computed for every document
+    assert w.count() == docs.count()
