@@ -1,0 +1,444 @@
+"""Pure-NumPy/stdlib FLAC decode (subset) — the ninth REAL codec.
+
+Scope, honestly bounded (same charter as bmp.py/jpeg.py: decode what we
+claim exactly, reject everything else loudly, never silently misdecode):
+
+- container: ``fLaC`` magic + STREAMINFO (other metadata blocks are
+  skipped by length);
+- frames: fixed-blocksize strategy, mono, 16-bit, CRC-8-verified
+  headers and CRC-16-verified frames;
+- subframes: CONSTANT, VERBATIM, and FIXED predictors of order 0-4
+  (the five published polynomial predictors) with 4-bit Rice-coded
+  residuals (partition order 0); LPC subframes and stereo decorrelation
+  are rejected, not guessed.
+
+Everything is integer-exact: zigzag+Rice decode, warm-up samples, and
+the fixed-predictor reconstruction
+
+    o=0: s[i] = r[i]                 o=1: s[i] = s[i-1] + r[i]
+    o=2: s[i] = 2s[i-1] -  s[i-2] + r[i]
+    o=3: s[i] = 3s[i-1] - 3s[i-2] +  s[i-3] + r[i]
+    o=4: s[i] = 4s[i-1] - 6s[i-2] + 4s[i-3] - s[i-4] + r[i]
+
+so a SQL oracle that regenerates the residual stream replays the
+samples exactly (order-1 reconstruction is an integer prefix sum —
+see plans/q_crawl.py::media_flac_features).
+
+Reference surface comparison: the reference toolkit (crawlstreams)
+moves crawl payloads without decoding them; media feature extraction is
+an extension family (SURVEY.md §7.6)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "FlacError",
+    "crc8",
+    "crc16",
+    "encode_flac",
+    "decode_flac",
+]
+
+
+class FlacError(ValueError):
+    """Malformed or out-of-envelope FLAC payload."""
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_CRC8_TABLE = _crc_table(0x07, 8)  # x^8 + x^2 + x + 1, init 0
+_CRC16_TABLE = _crc_table(0x8005, 16)  # x^16 + x^15 + x^2 + 1, init 0
+
+
+def crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[((crc >> 8) ^ b) & 0xFF]
+    return crc
+
+
+# fixed-predictor coefficients on the last o samples, newest first
+_FIXED_COEFFS = {
+    0: (),
+    1: (1,),
+    2: (2, -1),
+    3: (3, -3, 1),
+    4: (4, -6, 4, -1),
+}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        self._acc = (self._acc << bits) | (value & ((1 << bits) - 1))
+        self._n += bits
+        while self._n >= 8:
+            self._n -= 8
+            self._buf.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        # FLAC unary: q zero bits terminated by a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+    def bytes(self) -> bytes:
+        assert self._n == 0
+        return bytes(self._buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._byte = pos
+        self._bit = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            if self._byte >= len(self._data):
+                raise FlacError("truncated bitstream")
+            bit = (self._data[self._byte] >> (7 - self._bit)) & 1
+            out = (out << 1) | bit
+            self._bit += 1
+            if self._bit == 8:
+                self._bit = 0
+                self._byte += 1
+        return out
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise FlacError("unary run too long")
+
+    def align(self) -> None:
+        if self._bit:
+            self._bit = 0
+            self._byte += 1
+
+    def tell(self) -> int:
+        return self._byte
+
+
+def _zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+def _utf8_frame_number(n: int) -> bytes:
+    """FLAC frame numbers use UTF-8-style variable-length coding."""
+    if n < 0x80:
+        return bytes([n])
+    if n < 0x800:
+        return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    if n < 0x10000:
+        return bytes(
+            [0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F), 0x80 | (n & 0x3F)]
+        )
+    raise FlacError("frame number too large for the fixture encoder")
+
+
+def _read_utf8_number(br: "_BitReader") -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_cont = 0
+    mask = 0x40
+    while first & mask:
+        n_cont += 1
+        mask >>= 1
+    if n_cont == 0 or n_cont > 5:
+        raise FlacError(f"bad UTF-8 frame number lead byte {first:#x}")
+    value = first & (mask - 1)
+    for _ in range(n_cont):
+        cont = br.read(8)
+        if cont & 0xC0 != 0x80:
+            raise FlacError("bad UTF-8 continuation in frame number")
+        value = (value << 6) | (cont & 0x3F)
+    return value
+
+
+def encode_flac(
+    samples,
+    sample_rate: int = 8000,
+    block_size: int = 256,
+    order: int = 1,
+    rice_param: int = 4,
+    subframe: str = "fixed",
+) -> bytes:
+    """Fixture FLAC encoder (the decoder's inverse on its whole
+    envelope): mono 16-bit, fixed-blocksize frames, one Rice partition.
+    ``subframe`` picks 'fixed' (order 0-4), 'constant' (requires each
+    block constant), or 'verbatim'."""
+    x = [int(v) for v in np.asarray(samples, dtype=np.int64)]
+    if any(not -32768 <= v <= 32767 for v in x):
+        raise FlacError("samples out of int16 range")
+    if order not in _FIXED_COEFFS:
+        raise FlacError(f"unsupported fixed order {order}")
+
+    # STREAMINFO
+    info = _BitWriter()
+    info.write(block_size, 16)  # min block size
+    info.write(block_size, 16)  # max block size
+    info.write(0, 24)  # min frame size (unknown)
+    info.write(0, 24)  # max frame size (unknown)
+    info.write(sample_rate, 20)
+    info.write(0, 3)  # channels - 1
+    info.write(15, 5)  # bits per sample - 1
+    info.write(len(x), 36)
+    info_body = info.bytes() + b"\x00" * 16  # md5 unknown
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(info_body))[1:]
+    out += info_body
+
+    for fno, start in enumerate(range(0, len(x), block_size)):
+        block = x[start : start + block_size]
+        n = len(block)
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize strategy
+        hdr.write(0b0111, 4)  # blocksize: 16 bits at end of header
+        hdr.write(0b0100, 4)  # sample rate: 8 kHz table code
+        hdr.write(0b0000, 4)  # mono
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)  # reserved
+        head = hdr.bytes() + _utf8_frame_number(fno)
+        tail = _BitWriter()
+        tail.write(n - 1, 16)
+        head += tail.bytes()
+        head += bytes([crc8(head)])
+
+        body = _BitWriter()
+        o = order
+        if subframe == "constant":
+            if any(v != block[0] for v in block):
+                raise FlacError("constant subframe needs a constant block")
+            body.write(0, 1)
+            body.write(0b000000, 6)
+            body.write(0, 1)  # no wasted bits
+            body.write(block[0] & 0xFFFF, 16)
+        elif subframe == "verbatim":
+            body.write(0, 1)
+            body.write(0b000001, 6)
+            body.write(0, 1)
+            for v in block:
+                body.write(v & 0xFFFF, 16)
+        else:
+            if n < o:
+                raise FlacError("block shorter than predictor order")
+            body.write(0, 1)
+            body.write(0b001000 | o, 6)
+            body.write(0, 1)
+            for v in block[:o]:  # warm-up, verbatim at full depth
+                body.write(v & 0xFFFF, 16)
+            body.write(0b00, 2)  # rice method, 4-bit params
+            body.write(0, 4)  # partition order 0
+            body.write(rice_param, 4)
+            coeffs = _FIXED_COEFFS[o]
+            for i in range(o, n):
+                pred = sum(c * block[i - 1 - j] for j, c in enumerate(coeffs))
+                u = _zigzag(block[i] - pred)
+                body.write_unary(u >> rice_param)
+                body.write(u, rice_param)
+        body.align()
+        frame = head + body.bytes()
+        frame += struct.pack(">H", crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+_SAMPLE_RATES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
+                 0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
+
+
+def decode_flac(payload: bytes):
+    """Decode a subset FLAC payload to (meta, samples): meta =
+    (sample_rate, n_channels, bits, total_samples_declared); samples =
+    int64 array of every decoded sample. Raises FlacError on anything
+    malformed or outside the documented envelope, including CRC-8/16
+    mismatches."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        raise FlacError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise FlacError("truncated metadata block header")
+        last = payload[pos] & 0x80
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise FlacError("truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise FlacError(f"bad STREAMINFO length {blen}")
+            br = _BitReader(body)
+            br.read(16)  # min blocksize
+            br.read(16)  # max blocksize
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            n_ch = br.read(3) + 1
+            bits = br.read(5) + 1
+            total = br.read(36)
+            streaminfo = (rate, n_ch, bits, total)
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise FlacError("missing STREAMINFO")
+    rate, n_ch, bits, total = streaminfo
+    if n_ch != 1:
+        raise FlacError(f"only mono supported (got {n_ch} channels)")
+    if bits != 16:
+        raise FlacError(f"only 16-bit supported (got {bits})")
+
+    samples: list[int] = []
+    while pos < len(payload):
+        frame_start = pos
+        br = _BitReader(payload, pos)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise FlacError(f"bad frame sync {sync:#x} at byte {pos}")
+        if br.read(1):
+            raise FlacError("reserved bit set in frame header")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise FlacError("reserved bit set in frame header")
+        if ch_code != 0:
+            raise FlacError(f"unsupported channel assignment {ch_code}")
+        if ss_code != 0b100:
+            raise FlacError(f"unsupported sample size code {ss_code}")
+        _read_utf8_number(br)
+        if bs_code == 0b0110:
+            n = br.read(8) + 1
+        elif bs_code == 0b0111:
+            n = br.read(16) + 1
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            n = 256 << (bs_code - 8)
+        else:
+            raise FlacError(f"unsupported blocksize code {bs_code}")
+        if sr_code in _SAMPLE_RATES:
+            frame_rate = _SAMPLE_RATES[sr_code]
+        elif sr_code == 0:
+            frame_rate = rate
+        else:
+            raise FlacError(f"unsupported sample rate code {sr_code}")
+        if frame_rate != rate:
+            raise FlacError("frame sample rate disagrees with STREAMINFO")
+        hdr_end = br.tell()
+        if br._bit != 0:
+            raise FlacError("frame header not byte-aligned before CRC-8")
+        want_crc8 = br.read(8)
+        if crc8(payload[frame_start:hdr_end]) != want_crc8:
+            raise FlacError("frame header CRC-8 mismatch")
+
+        # subframe
+        if br.read(1):
+            raise FlacError("subframe padding bit set")
+        stype = br.read(6)
+        if br.read(1):
+            raise FlacError("wasted bits unsupported")
+        block: list[int] = []
+
+        def s16(u: int) -> int:
+            return u - 0x10000 if u >= 0x8000 else u
+
+        if stype == 0b000000:
+            v = s16(br.read(16))
+            block = [v] * n
+        elif stype == 0b000001:
+            block = [s16(br.read(16)) for _ in range(n)]
+        elif 0b001000 <= stype <= 0b001100:
+            o = stype & 0x7
+            if n < o:
+                raise FlacError("block shorter than predictor order")
+            block = [s16(br.read(16)) for _ in range(o)]
+            method = br.read(2)
+            if method != 0:
+                raise FlacError(f"unsupported residual method {method}")
+            part_order = br.read(4)
+            if part_order != 0:
+                raise FlacError(
+                    f"unsupported rice partition order {part_order}"
+                )
+            p = br.read(4)
+            if p == 0xF:
+                raise FlacError("escaped rice partition unsupported")
+            coeffs = _FIXED_COEFFS[o]
+            for _ in range(n - o):
+                q = br.read_unary()
+                u = (q << p) | br.read(p)
+                r = _unzigzag(u)
+                pred = sum(
+                    c * block[len(block) - 1 - j]
+                    for j, c in enumerate(coeffs)
+                )
+                block.append(pred + r)
+        else:
+            raise FlacError(f"unsupported subframe type {stype:#08b}")
+
+        br.align()
+        frame_end = br.tell()
+        if frame_end + 2 > len(payload):
+            raise FlacError("truncated frame CRC-16")
+        want_crc16 = struct.unpack_from(">H", payload, frame_end)[0]
+        if crc16(payload[frame_start:frame_end]) != want_crc16:
+            raise FlacError("frame CRC-16 mismatch")
+        samples.extend(block)
+        pos = frame_end + 2
+
+    if total and len(samples) != total:
+        raise FlacError(
+            f"decoded {len(samples)} samples, STREAMINFO declared {total}"
+        )
+    return (rate, n_ch, bits, total or len(samples)), np.array(
+        samples, dtype=np.int64
+    )

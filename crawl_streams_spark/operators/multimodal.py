@@ -6,15 +6,18 @@ opaque ``binary`` payloads + typed metadata, with decode / feature-extract
 The container has no codec LIBRARIES, so the generic decode kernels are
 STUBS behind ``_HAVE_CODECS`` — deterministic fakes with the real
 Spark-side contract (schema, batch iteration, partitioning) — plus one
-honest ``NotImplementedError`` path. But three formats decode for REAL
-with numpy alone: RIFF/PCM16 WAV (``decode_wav``), binary PPM
-(``decode_ppm``/``resize_ppm``), and — since round 5 — baseline JPEG
-(``decode_jpeg_features``, via the pure-NumPy ITU-T T.81 decoder in
-operators/jpeg.py: Huffman, dequant, vectorized IDCT, chroma
-upsampling, restart markers). Only genuinely library-bound codecs (MP3,
-H.264) remain gated. Everything around the stubs (schemas, Arrow batch
-shapes, the mapInPandas plumbing, partition sizing) is real and tested
-(tests/test_multimodal.py, tests/test_jpeg.py).
+honest ``NotImplementedError`` path. But NINE formats decode for REAL
+with numpy/stdlib alone: RIFF WAV in four encodings — PCM16, G.711
+µ-law/A-law, IMA ADPCM (0x11), MS ADPCM (0x02) — all via ``decode_wav``;
+subset FLAC (``decode_flac_features``, operators/flac.py: CRC-verified
+frames, Rice residuals, fixed predictors); binary PPM
+(``decode_ppm``/``resize_ppm``); baseline JPEG (``decode_jpeg_features``
+via the pure-NumPy ITU-T T.81 decoder in operators/jpeg.py: Huffman,
+dequant, vectorized IDCT, chroma upsampling, restart markers); PNG, GIF
+and BMP (operators/png.py, gif.py, bmp.py). Only genuinely library-bound
+codecs (MP3, H.264) remain gated. Everything around the stubs (schemas,
+Arrow batch shapes, the mapInPandas plumbing, partition sizing) is real
+and tested (tests/test_multimodal.py, tests/test_jpeg.py, test_flac.py).
 
 Scale notes: media blobs dominate row width — keep
 ``spark.sql.files.maxPartitionBytes`` low enough that a partition of blobs
@@ -1082,4 +1085,87 @@ def decode_bmp_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=BMP_DECODED_SCHEMA
+    )
+
+
+def decode_flac_features(df: DataFrame) -> DataFrame:
+    """REAL lossless-audio decode over mapInPandas: FLAC payloads →
+    energy features through the subset codec in operators/flac.py
+    (mono/16-bit, CRC-verified frames, constant/verbatim/fixed-predictor
+    subframes with Rice residuals). FLAC is lossless, so the decoded
+    samples — and therefore the exact-integer sufficient statistics —
+    are reproducible by a SQL oracle that regenerates the sample stream
+    (integer prefix sums for the order-1 fixture). Output schema is the
+    WAV feature schema; malformed payloads land in ``error`` per-row.
+
+    Worker-side module import with the same captured-root sys.path
+    fallback as the JPEG/PNG/GIF/BMP stages."""
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import math
+        import sys
+
+        import numpy as np
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.flac import (
+                FlacError,
+                decode_flac,
+            )
+        except ModuleNotFoundError:  # worker missing the package on path
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.flac import (
+                FlacError,
+                decode_flac,
+            )
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 8 + ("null payload",))
+                    continue
+                try:
+                    (rate, n_ch, bits, _total), x = decode_flac(
+                        bytes(payload)
+                    )
+                except FlacError as e:
+                    rows.append((mid,) + (None,) * 8 + (str(e),))
+                    continue
+                n = int(x.size)
+                if n == 0:
+                    rows.append(
+                        (mid, rate, n_ch, bits, 0, 0.0, 0.0, 0.0, 0.0, None)
+                    )
+                    continue
+                sumsq = int(np.sum(x * x))
+                peak_i = int(np.max(np.abs(x)))
+                clip_n = int(np.sum((x == 32767) | (x == -32768)))
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        n_ch,
+                        bits,
+                        n,
+                        1000.0 * n / rate if rate else 0.0,
+                        math.sqrt(sumsq / n) / 32768.0,
+                        peak_i / 32768.0,
+                        clip_n / n,
+                        None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=WAV_FEATURES_SCHEMA
     )

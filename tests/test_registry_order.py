@@ -41,6 +41,7 @@ def test_round_changed_queries_in_window():
         "media_adpcm_features",  # NEW: IMA ADPCM decode under the gate
         "media_ms_adpcm_features",  # NEW: MS ADPCM decode under the gate
         "dsir_selected_docs",  # NEW: DSIR selection under the gate
+        "media_flac_features",  # NEW: subset FLAC decode under the gate
     ):
         assert name in window, name
 
@@ -117,11 +118,11 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 172 registered queries as of round 8 (knn_ivf_pq_fixed,
-    # media_adpcm_features, media_ms_adpcm_features, dsir_selected_docs
-    # added; update this
-    # count deliberately whenever a query is added).
-    assert len(REGISTRY) >= 172
+    # 173 registered queries as of round 8 (knn_ivf_pq_fixed,
+    # media_adpcm_features, media_ms_adpcm_features, dsir_selected_docs,
+    # media_flac_features added; update this count deliberately whenever
+    # a query is added).
+    assert len(REGISTRY) >= 173
 
 
 def test_rotation_planner_invariants():
