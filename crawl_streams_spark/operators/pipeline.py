@@ -45,6 +45,7 @@ __all__ = [
     "rank_normalize",
     "dsir_importance_weights",
     "dsir_select",
+    "chunk_documents",
 ]
 
 _BUCKETS = 256  # two hex chars of md5
@@ -856,4 +857,67 @@ def dsir_select(
         df.join(w, id_col)
         .orderBy(F.desc("logw_micro"), F.asc(id_col))
         .limit(n)
+    )
+
+
+def chunk_documents(
+    df: "DataFrame",
+    chunk_size: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Split documents into overlapping token-window chunks — the
+    context-chunking pass an embedding/retrieval pipeline runs before
+    vectorizing. Chunk k covers tokens [k·stride, k·stride + chunk_size)
+    with stride = chunk_size − overlap; the last chunk may be short;
+    token-less documents produce no chunks. Returns
+    (id_col, chunk_idx, chunk_start, n_chunk_tokens, chunk_text).
+
+    Pure built-ins: tokenize → sequence/explode over the chunk count →
+    array slice → join. One narrow explode (fan-out ≈ n_tokens/stride
+    per doc), no shuffle at all — chunking is embarrassingly parallel
+    and the text never leaves its partition."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    from ..functions import text as T
+
+    stride = chunk_size - overlap
+    toks = df.select(
+        _c(id_col).alias(id_col), T.tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    # number of chunks: ceil(max(n - overlap, 0) / stride), 0 when n == 0
+    n_chunks = F.when(F.col("__n") <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(stride)).cast(
+                "int"
+            ),
+        )
+    )
+    out = (
+        toks.withColumn("__k", n_chunks)
+        .filter(F.col("__k") > 0)
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), F.col("__k") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).alias("chunk_start"),
+            F.slice(
+                "__toks", F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("__chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
     )

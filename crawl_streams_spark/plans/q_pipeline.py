@@ -829,3 +829,56 @@ def dsir_selected_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = dsir_select(docs, F.col("lang") == "en", 100)
     return out.select("doc_id", "lang", "n_feats", "logw_micro")
+
+
+_CHUNK, _OVERLAP = 32, 8  # stride 24
+
+
+@query(
+    "doc_context_chunks",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        ELSE GREATEST(1, CAST(CEIL(
+                            (len(toks) - {_OVERLAP}) /
+                            {_CHUNK - _OVERLAP}.0) AS BIGINT))
+                   END AS k
+            FROM t
+        ),
+        idx AS (SELECT unnest(range(0, 10000)) AS chunk_idx)
+        SELECT n.doc_id,
+               idx.chunk_idx,
+               idx.chunk_idx * {_CHUNK - _OVERLAP} AS chunk_start,
+               len(list_slice(n.toks,
+                              idx.chunk_idx * {_CHUNK - _OVERLAP} + 1,
+                              LEAST(idx.chunk_idx * {_CHUNK - _OVERLAP}
+                                    + {_CHUNK}, n.n))) AS n_chunk_tokens,
+               array_to_string(
+                   list_slice(n.toks,
+                              idx.chunk_idx * {_CHUNK - _OVERLAP} + 1,
+                              LEAST(idx.chunk_idx * {_CHUNK - _OVERLAP}
+                                    + {_CHUNK}, n.n)),
+                   ' ') AS chunk_text
+        FROM n JOIN idx ON idx.chunk_idx < n.k
+    """,
+    tags=("pipeline", "chunking", "rag", "extension"),
+)
+def doc_context_chunks(spark, sf_dir):
+    """Context chunking for embedding/retrieval pipelines
+    (operators/pipeline.py::chunk_documents): overlapping token windows
+    (size 32, overlap 8) over every document — chunk index, start
+    offset, token count, and the reassembled chunk text, all certified
+    against a DuckDB replay of the same slicing. One narrow explode,
+    no shuffle; the scale posture is embarrassingly parallel."""
+    from ..operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)

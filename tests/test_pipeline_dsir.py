@@ -99,3 +99,46 @@ def test_hashed_lambda_table_is_bounded(spark, sf_dir):
     )
     # scores still computed for every document
     assert w.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (context chunking) — stride/overlap contracts
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from crawl_streams_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "solo")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        map(tuple, chunk_documents(df, chunk_size=4, overlap=2).collect())
+    )
+    # doc 1: starts 0,2,4,6 -> 4 full chunks; start 8 would begin past
+    # n - overlap, so the tail tokens are covered by the last chunk
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[2] for r in d1] == [0, 2, 4, 6]
+    assert d1[-1][4] == "t6 t7 t8 t9"
+    # every token index appears in at least one chunk
+    covered = set()
+    for _, idx, start, n, _text in d1:
+        covered |= set(range(start, start + n))
+    assert covered == set(range(10))
+    # consecutive chunks share exactly `overlap` tokens
+    assert d1[0][4].split()[-2:] == d1[1][4].split()[:2]
+    # empty doc -> no chunks; single-token doc -> one short chunk
+    assert not [r for r in rows if r[0] == 2]
+    d3 = [r for r in rows if r[0] == 3]
+    assert len(d3) == 1 and d3[0][3] == 1 and d3[0][4] == "solo"
+
+
+def test_chunk_documents_rejects_degenerate_stride(spark):
+    import pytest as _pytest
+
+    from crawl_streams_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_size=4, overlap=4)

@@ -42,6 +42,7 @@ def test_round_changed_queries_in_window():
         "media_ms_adpcm_features",  # NEW: MS ADPCM decode under the gate
         "dsir_selected_docs",  # NEW: DSIR selection under the gate
         "media_flac_features",  # NEW: subset FLAC decode under the gate
+        "doc_context_chunks",  # NEW: RAG context chunking under the gate
     ):
         assert name in window, name
 
@@ -118,11 +119,11 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 173 registered queries as of round 8 (knn_ivf_pq_fixed,
+    # 174 registered queries as of round 8 (knn_ivf_pq_fixed,
     # media_adpcm_features, media_ms_adpcm_features, dsir_selected_docs,
-    # media_flac_features added; update this count deliberately whenever
-    # a query is added).
-    assert len(REGISTRY) >= 173
+    # media_flac_features, doc_context_chunks added; update this count
+    # deliberately whenever a query is added).
+    assert len(REGISTRY) >= 174
 
 
 def test_rotation_planner_invariants():
