@@ -699,9 +699,21 @@ def ivf_pq_index(
             assigned, m=m, k=k_codes, iters=iters, id_col=id_col,
             vec_col="resid", dim=dim,
         )
+    # carry the cell THROUGH the encode rollup as part of a struct key
+    # (functionally dependent on the id — same group count, no extra
+    # SF-sized join; the naive `codes.join(assigned, id)` planned a
+    # sort-merge join of two corpus-sized relations)
+    packed = assigned.select(
+        F.struct(F.col(id_col).alias("id"), F.col("cell")).alias("__idc"),
+        "resid",
+    )
     codes = pq_encode(
-        assigned, codebook, m=m, dim=dim, id_col=id_col, vec_col="resid"
-    ).join(assigned.select(id_col, "cell"), id_col)
+        packed, codebook, m=m, dim=dim, id_col="__idc", vec_col="resid"
+    ).select(
+        F.col("__idc.id").alias(id_col),
+        F.col("__idc.cell").alias("cell"),
+        "codes",
+    )
     return centroids, codebook, codes
 
 
