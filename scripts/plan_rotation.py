@@ -69,9 +69,18 @@ def _family(name: str) -> str:
     return REGISTRY[name].build.__module__.rsplit(".", 1)[-1]
 
 
-def plan(next_round: int) -> dict:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    max_round, last = _last_verdicts(root)
+def plan(
+    next_round: int,
+    _verdicts: tuple[int, dict[str, int]] | None = None,
+) -> dict:
+    """Compute the recommended window. ``_verdicts`` overrides the
+    checked-in (max_round, last-verdict map) — the seam the overflow
+    stress tests use to simulate MUST sets larger than the window."""
+    if _verdicts is not None:
+        max_round, last = _verdicts[0], dict(_verdicts[1])
+    else:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        max_round, last = _last_verdicts(root)
     # The in-flight round's verdicts have not landed yet, but the CURRENT
     # window's queries WILL receive them — model that, or every
     # just-verified query looks stale and the plan re-windows the whole

@@ -178,3 +178,34 @@ def test_rotation_planner_invariants():
         "more queries"
     )
     assert not p["deferred"]
+
+
+def test_rotation_planner_overflow_defers_youngest_keeps_families():
+    """Stress the over-capacity path the round-7 judge red-flagged: when
+    MUST alone outgrows the window, the planner must (a) keep the OLDEST
+    verdicts, (b) defer only the youngest, loudly, (c) never lose family
+    coverage, and (d) never truncate reps away."""
+    from scripts.plan_rotation import plan
+
+    # synthetic verdict history: EVERY query stranded (verdict r1 or r2)
+    # at next_round 99 — MUST = whole registry, far over 50 slots.
+    names = list(REGISTRY)
+    last = {n: (1 if i % 2 == 0 else 2) for i, n in enumerate(names)}
+    p = plan(99, _verdicts=(97, last))
+    assert len(p["window"]) == DRIVER_WINDOW
+    assert {_family(n) for n in p["window"]} == {
+        _family(n) for n in REGISTRY
+    }
+    # everything is MUST; the kept prefix + deferred tail partition it
+    assert sorted(p["must"]) == sorted(n for n in names if n not in
+                                       set(list(REGISTRY)[:DRIVER_WINDOW]))
+    assert p["kept_must"] + p["deferred"] == p["must"]
+    assert p["deferred"], "overflow case must report deferrals"
+    # oldest-first: every kept verdict round <= every deferred one
+    def eff(n):
+        return max(last.get(n, 0), 98 if n in set(list(REGISTRY)[:DRIVER_WINDOW]) else 0)
+    kept_max = max(eff(n) for n in p["kept_must"])
+    defer_min = min(eff(n) for n in p["deferred"])
+    assert kept_max <= defer_min
+    # reps were inserted INSIDE the cap, not truncated off the end
+    assert all(r in p["window"] for r in p["reps"])
