@@ -46,6 +46,7 @@ __all__ = [
     "dsir_importance_weights",
     "dsir_select",
     "chunk_documents",
+    "temperature_mix",
 ]
 
 _BUCKETS = 256  # two hex chars of md5
@@ -920,4 +921,76 @@ def chunk_documents(
         F.col("chunk_start").cast("bigint").alias("chunk_start"),
         F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
         F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
+def temperature_mix(
+    df: "DataFrame",
+    alpha: float = 0.5,
+    budget_docs: int | None = None,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix",
+) -> "DataFrame":
+    """Temperature-based source resampling — the n^α mixing recipe large
+    training runs use to flatten source imbalance (α = 1 keeps natural
+    proportions, α → 0 approaches uniform-over-sources; multilingual and
+    multi-corpus recipes typically run α ≈ 0.3-0.7).
+
+    Target share of source s ∝ n_s^α. With a ``budget_docs`` total, the
+    per-source keep rate is min(1, budget · share_s / n_s); without one,
+    the budget defaults to the largest total that needs no rate above 1
+    (the corpus is only ever downsampled, never upsampled — duplication
+    is dedup's enemy). Admission is the salted md5 uniform, so every
+    individual decision is growth-stable and oracle-replayable
+    (cap_source_share's discipline — that operator caps the heavy tail,
+    this one reshapes the WHOLE mixture).
+
+    Scale: one source-keyed partial-agg shuffle (rows ∝ #sources), an
+    unhinted rate join (AQE broadcasts while small, shuffles at
+    web-domain cardinality), a stateless narrow filter. α = 0.5 keeps
+    the share math on sqrt — correctly rounded IEEE on every engine."""
+    if alpha != 0.5:
+        # other temperatures need pow(), whose cross-engine last-ulp
+        # behavior is unpinned; the operator supports them, the value
+        # gate runs at 0.5
+        weight = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    else:
+        weight = F.sqrt(F.col("__n").cast("double"))
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(source_col, "__n", weight.alias("__w"))
+    tot = weights.agg(
+        F.sum("__w").alias("__tot_w"), F.sum("__n").alias("__tot_n")
+    )
+    rates = weights.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "__n",
+        (F.col("__w") / F.col("__tot_w")).alias("__share"),
+    )
+    if budget_docs is None:
+        # largest budget with every rate <= 1: min over sources of
+        # n_s / share_s, floored to an integer so the gate is exact
+        budget_col = rates.agg(
+            F.floor(F.min(F.col("__n") / F.col("__share")))
+            .cast("bigint")
+            .alias("__budget")
+        )
+        rates = rates.crossJoin(F.broadcast(budget_col))
+    else:
+        rates = rates.withColumn(
+            "__budget", F.lit(int(budget_docs)).cast("bigint")
+        )
+    rates = rates.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__budget").cast("double")
+            * F.col("__share")
+            / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    return (
+        df.join(rates, source_col)
+        .filter(hash_uniform(key, salt) < F.col("__rate"))
+        .drop("__rate")
     )

@@ -882,3 +882,54 @@ def doc_context_chunks(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
+
+
+_MIX_BUDGET = 250
+
+
+@query(
+    "temperature_mixed_counts",
+    oracle=f"""
+        WITH src AS (
+            SELECT source, COUNT(*)::BIGINT AS n
+            FROM documents GROUP BY source
+        ),
+        w AS (SELECT source, n, sqrt(n::DOUBLE) AS wt FROM src),
+        tot AS (SELECT SUM(wt) AS tw FROM w),
+        rates AS (
+            SELECT source,
+                   LEAST(1.0,
+                         {_MIX_BUDGET}.0 * (wt / tw) / n::DOUBLE) AS rate
+            FROM w CROSS JOIN tot
+        ),
+        kept AS (
+            SELECT d.source, d.doc_id
+            FROM documents d JOIN rates r USING (source)
+            WHERE (('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT)::DOUBLE
+                  / 1152921504606846976.0 < r.rate
+        )
+        SELECT source, COUNT(*)::BIGINT AS kept_docs
+        FROM kept GROUP BY source
+    """,
+    tags=("pipeline", "sampling", "mixing", "extension"),
+)
+def temperature_mixed_counts(spark, sf_dir):
+    """Temperature-based source mixing (round 8,
+    operators/pipeline.py::temperature_mix): resample every source
+    toward n^0.5 proportions under a 250-document budget — the mixture-
+    flattening recipe multilingual/multi-corpus training runs use. The
+    budget binds on every source at sf0.01 (natural shares ≈ 5%, flat
+    sqrt weights → rates ≈ 0.5), so the admission math is exercised
+    everywhere; each keep decision is the salted md5 uniform against the
+    source's rate, replayed bit-for-bit by the oracle. α = 0.5 keeps the
+    share weights on sqrt (correctly-rounded IEEE on both engines —
+    pow()'s last ulp is not portable, so other temperatures run outside
+    the gate)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    kept = P.temperature_mix(
+        docs, alpha=0.5, budget_docs=_MIX_BUDGET, key="doc_id", salt="mix"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs")
+    )

@@ -88,6 +88,11 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("operators/pipeline.py", "partitioned_cumsum"): (1, "per-partition offsets"),
     ("operators/pipeline.py", "rank_normalize"): (1, "1-row count scalar"),
     ("operators/pipeline.py", "cap_source_share"): (1, "1-row grand-total scalar; the per-source rate relation is UNHINTED (unbounded at domain scale)"),
+    ("operators/pipeline.py", "temperature_mix"): (
+        2,
+        "1-row weight-total scalar + 1-row derived-budget scalar; the "
+        "per-source rate relation is UNHINTED (unbounded at domain scale)",
+    ),
     ("operators/pipeline.py", "dsir_importance_weights"): (
         2,
         "1-row totals scalar + the λ table ONLY in hashed mode (bounded "

@@ -142,3 +142,53 @@ def test_chunk_documents_rejects_degenerate_stride(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix — n^alpha source resampling contracts
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_flattens_toward_sqrt_shares(spark):
+    from crawl_streams_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "big" if i < 1800 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_mix(df, alpha=0.5, budget_docs=800)
+    counts = {
+        r["source"]: r["count"]
+        for r in kept.groupBy("source").count().collect()
+    }
+    # sqrt weights ~ 42.4 / 14.1 -> target shares 0.75 / 0.25 of 800
+    assert abs(counts["big"] - 600) < 60
+    assert abs(counts["small"] - 200) < 45
+    # natural share of big was 0.9; mixed share must drop toward 0.75
+    mixed_share = counts["big"] / (counts["big"] + counts["small"])
+    assert mixed_share < 0.85
+
+
+def test_temperature_mix_default_budget_never_upsamples(spark):
+    """Without a budget, rates top out at exactly 1 for the most
+    over-target source and stay <= 1 everywhere: downsample-only."""
+    from crawl_streams_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, "a" if i < 900 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = temperature_mix(df, alpha=0.5)
+    counts = {
+        r["source"]: r["count"]
+        for r in kept.groupBy("source").count().collect()
+    }
+    # source b is under natural share vs sqrt share -> rate 1, all kept
+    assert counts["b"] == 100
+    assert counts["a"] < 900  # a downsampled, never duplicated
+
+
+def test_temperature_mix_alpha_one_is_identityish(spark):
+    """alpha = 1 reproduces natural proportions: with the default
+    budget every rate is exactly 1 and nothing is dropped."""
+    from crawl_streams_spark.operators.pipeline import temperature_mix
+
+    rows = [(i, f"s{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    assert temperature_mix(df, alpha=1.0).count() == 700
