@@ -314,13 +314,15 @@ def cmd_select(args) -> int:
     """Corpus selection pipeline (round-7 operators composed as one
     operational pass, applied in pipeline order):
 
-    1. ``--cap-source FRAC``: no source exceeds FRAC of the corpus
+    1. ``--mix-alpha A [--mix-budget N]``: temperature-resample sources
+       toward n^A proportions (pipeline.temperature_mix — round 8).
+    2. ``--cap-source FRAC``: no source exceeds FRAC of the corpus
        weight (pipeline.cap_source_share — deterministic salted-uniform
        downsampling; the corpus never shuffles).
-    2. ``--budget N``: best-first cut at an inclusive running weight
+    3. ``--budget N``: best-first cut at an inclusive running weight
        total over (weight desc, key) (pipeline.take_token_budget —
        distributed cumsum, no single-partition window).
-    3. ``--clusters PATH``: leakage-safe train/val/test split keyed by
+    4. ``--clusters PATH``: leakage-safe train/val/test split keyed by
        the duplicate-cluster representative (pipeline.leakage_safe_split;
        the parquet at PATH is (key, cluster), e.g. cluster_duplicates
        output). Without it, a plain per-document split_assign.
@@ -333,11 +335,20 @@ def cmd_select(args) -> int:
         leakage_safe_split,
         split_assign,
         take_token_budget,
+        temperature_mix,
     )
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     n0 = df.count()
+    if args.mix_alpha is not None:
+        df = temperature_mix(
+            df,
+            alpha=args.mix_alpha,
+            budget_docs=args.mix_budget,
+            source_col=args.source_col,
+            key=args.key_col,
+        )
     if args.cap_source is not None:
         df = cap_source_share(
             df,
@@ -533,6 +544,16 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument(
         "--cap-source", type=float, default=None,
         help="max share of corpus weight any source may hold (e.g. 0.25)",
+    )
+    se.add_argument(
+        "--mix-alpha", type=float, default=None,
+        help="temperature-mix sources toward n^alpha proportions "
+        "(e.g. 0.5; runs before capping)",
+    )
+    se.add_argument(
+        "--mix-budget", type=int, default=None,
+        help="document budget for --mix-alpha (default: largest "
+        "downsample-only budget)",
     )
     se.add_argument(
         "--budget", type=int, default=None,

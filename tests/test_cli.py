@@ -256,3 +256,31 @@ def test_select_pipeline_end_to_end(capsys, spark, tmp_path):
         assert cl.select("split").distinct().count() == 1
     printed = capsys.readouterr().out
     assert "selected" in printed
+
+
+def test_select_pipeline_with_temperature_mix(capsys, spark, tmp_path):
+    """cli select runs the round-8 mixing stage before capping: a
+    dominant source is flattened toward its sqrt share."""
+    import pyspark.sql.functions as F
+
+    corpus = str(tmp_path / "mix_corpus")
+    rows = [(i, "dominant" if i < 1800 else "minor", 50)
+            for i in range(2000)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.parquet(corpus)
+    out = str(tmp_path / "mix_out")
+    rc = main([
+        "select", "--input", corpus, "--output", out,
+        "--mix-alpha", "0.5", "--mix-budget", "800",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    counts = {
+        r["source"]: r["count"]
+        for r in got.groupBy("source").count().collect()
+    }
+    # natural dominant share 0.9 -> sqrt-share target 0.75
+    share = counts["dominant"] / (counts["dominant"] + counts["minor"])
+    assert share < 0.85
+    assert counts["minor"] > 150  # minor source preserved near target
