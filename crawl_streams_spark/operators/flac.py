@@ -7,9 +7,11 @@ claim exactly, reject everything else loudly, never silently misdecode):
   skipped by length);
 - frames: fixed-blocksize strategy, mono, 16-bit, CRC-8-verified
   headers and CRC-16-verified frames;
-- subframes: CONSTANT, VERBATIM, and FIXED predictors of order 0-4
-  (the five published polynomial predictors) with 4-bit Rice-coded
-  residuals (partition order 0); LPC subframes and stereo decorrelation
+- subframes: CONSTANT, VERBATIM, FIXED predictors of order 0-4 (the
+  five published polynomial predictors), and quantized LPC of any order
+  (precision-bit signed coefficients, arithmetic-shift scaling) — all
+  with 4-bit Rice-coded residuals (partition order 0); stereo
+  decorrelation, rice partitions, wasted bits, and escaped partitions
   are rejected, not guessed.
 
 Everything is integer-exact: zigzag+Rice decode, warm-up samples, and
@@ -20,9 +22,15 @@ the fixed-predictor reconstruction
     o=3: s[i] = 3s[i-1] - 3s[i-2] +  s[i-3] + r[i]
     o=4: s[i] = 4s[i-1] - 6s[i-2] + 4s[i-3] - s[i-4] + r[i]
 
-so a SQL oracle that regenerates the residual stream replays the
-samples exactly (order-1 reconstruction is an integer prefix sum —
-see plans/q_crawl.py::media_flac_features).
+and the LPC reconstruction
+
+    s[i] = ((Σ_j c_j · s[i-1-j]) >> shift) + r[i]
+
+(arithmetic shift = floor division by 2^shift, exactly Python's ``>>``
+on negative ints), so a SQL oracle that regenerates the residual stream
+replays the samples exactly (order-1 fixed reconstruction is an integer
+prefix sum — plans/q_crawl.py::media_flac_features; the LPC recurrence
+replays as a recursive CTE — media_flac_lpc_features).
 
 Reference surface comparison: the reference toolkit (crawlstreams)
 moves crawl payloads without decoding them; media feature extraction is
@@ -204,11 +212,17 @@ def encode_flac(
     order: int = 1,
     rice_param: int = 4,
     subframe: str = "fixed",
+    lpc_coeffs: "list[int] | None" = None,
+    lpc_shift: int = 5,
+    lpc_precision: int = 12,
 ) -> bytes:
     """Fixture FLAC encoder (the decoder's inverse on its whole
     envelope): mono 16-bit, fixed-blocksize frames, one Rice partition.
     ``subframe`` picks 'fixed' (order 0-4), 'constant' (requires each
-    block constant), or 'verbatim'."""
+    block constant), 'verbatim', or 'lpc' (``lpc_coeffs`` = quantized
+    signed coefficients, newest-sample first, each within
+    ``lpc_precision`` signed bits; residual = s[i] − ((Σ c_j·s[i−1−j])
+    >> lpc_shift))."""
     x = [int(v) for v in np.asarray(samples, dtype=np.int64)]
     if any(not -32768 <= v <= 32767 for v in x):
         raise FlacError("samples out of int16 range")
@@ -263,6 +277,39 @@ def encode_flac(
             body.write(0, 1)
             for v in block:
                 body.write(v & 0xFFFF, 16)
+        elif subframe == "lpc":
+            coeffs = list(lpc_coeffs or [])
+            lo = len(coeffs)
+            if not 1 <= lo <= 32:
+                raise FlacError("LPC order must be 1..32")
+            if not 1 <= lpc_precision <= 15:
+                raise FlacError("LPC precision must be 1..15")
+            if not 0 <= lpc_shift <= 15:
+                raise FlacError("LPC shift must be 0..15")
+            half = 1 << (lpc_precision - 1)
+            if any(not -half <= c < half for c in coeffs):
+                raise FlacError("LPC coefficient exceeds precision")
+            if n < lo:
+                raise FlacError("block shorter than LPC order")
+            body.write(0, 1)
+            body.write(0b100000 | (lo - 1), 6)
+            body.write(0, 1)
+            for v in block[:lo]:
+                body.write(v & 0xFFFF, 16)
+            body.write(lpc_precision - 1, 4)
+            body.write(lpc_shift, 5)
+            for c in coeffs:
+                body.write(c & ((1 << lpc_precision) - 1), lpc_precision)
+            body.write(0b00, 2)
+            body.write(0, 4)
+            body.write(rice_param, 4)
+            for i in range(lo, n):
+                pred = sum(
+                    c * block[i - 1 - j] for j, c in enumerate(coeffs)
+                ) >> lpc_shift
+                u = _zigzag(block[i] - pred)
+                body.write_unary(u >> rice_param)
+                body.write(u, rice_param)
         else:
             if n < o:
                 raise FlacError("block shorter than predictor order")
@@ -421,6 +468,46 @@ def decode_flac(payload: bytes):
                     c * block[len(block) - 1 - j]
                     for j, c in enumerate(coeffs)
                 )
+                block.append(pred + r)
+        elif stype & 0b100000:
+            lo = (stype & 0b011111) + 1
+            if n < lo:
+                raise FlacError("block shorter than LPC order")
+            block = [s16(br.read(16)) for _ in range(lo)]
+            prec = br.read(4) + 1
+            if prec == 16:
+                raise FlacError("invalid LPC precision code 1111")
+            shift = br.read(5)
+            if shift >= 16:
+                # 5-bit field is SIGNED in the spec; negative shifts are
+                # forbidden by the format text — reject, never guess
+                raise FlacError(f"negative LPC shift {shift - 32}")
+            half = 1 << (prec - 1)
+            coeffs = []
+            for _ in range(lo):
+                c = br.read(prec)
+                coeffs.append(c - (1 << prec) if c >= half else c)
+            method = br.read(2)
+            if method != 0:
+                raise FlacError(f"unsupported residual method {method}")
+            part_order = br.read(4)
+            if part_order != 0:
+                raise FlacError(
+                    f"unsupported rice partition order {part_order}"
+                )
+            p = br.read(4)
+            if p == 0xF:
+                raise FlacError("escaped rice partition unsupported")
+            for _ in range(n - lo):
+                q = br.read_unary()
+                u = (q << p) | br.read(p)
+                r = _unzigzag(u)
+                # arithmetic shift: floor division by 2^shift, exactly
+                # Python's >> on negative ints (and C's on int64)
+                pred = sum(
+                    c * block[len(block) - 1 - j]
+                    for j, c in enumerate(coeffs)
+                ) >> shift
                 block.append(pred + r)
         else:
             raise FlacError(f"unsupported subframe type {stype:#08b}")

@@ -123,7 +123,6 @@ PRIORITY: tuple[str, ...] = (
     # -- additions take slots from the END) ------------------------------
     "annotation_regex_classes",  # q_text, r5
     "balanced_shard_stats",  # q_pipeline, r5
-    "cms_token_estimates",  # q_sketch, r5
     # -- round-8 changes and additions (in-window from birth) ------------
     "media_bmp_features",  # q_crawl: r8 decoder change (bfOffBits bound)
     "knn_ivf_pq_fixed",  # q_similarity: NEW r8 — composed IVF-PQ gate
@@ -133,6 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "media_flac_features",  # q_crawl: NEW r8 — subset FLAC decode gate
     "doc_context_chunks",  # q_pipeline: NEW r8 — RAG context chunking
     "temperature_mixed_counts",  # q_pipeline: NEW r8 — n^α source mixing
+    "media_flac_lpc_features",  # q_crawl: NEW r8 — quantized-LPC FLAC gate
 )
 
 

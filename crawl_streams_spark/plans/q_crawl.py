@@ -1205,3 +1205,101 @@ def media_flac_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_flac_features(media)
+
+
+_LPC_N = 200  # samples per payload (2 verbatim warm-ups + 198 predicted)
+# order-2 quantized LPC: s[i] = floor((48*s[i-1] - 16*s[i-2]) / 32) + r[i]
+_LPC_C1, _LPC_C2, _LPC_SHIFT = 48, -16, 5
+
+
+@query(
+    "media_flac_lpc_features",
+    oracle=f"""
+        WITH RECURSIVE dec AS (
+            SELECT doc_id, 1 AS k,
+                   CAST((doc_id * 53) % 1024 - 512 AS BIGINT) AS s1,
+                   CAST((doc_id * 37) % 1024 - 512 AS BIGINT) AS s2
+            FROM documents
+            UNION ALL
+            SELECT doc_id, k + 1,
+                   CAST(FLOOR(({_LPC_C1} * s1 + {_LPC_C2} * s2)
+                              / {1 << _LPC_SHIFT}.0) AS BIGINT)
+                       + (doc_id * 11 + (k + 1) * 7) % 64 - 32,
+                   s1
+            FROM dec WHERE k < {_LPC_N - 1}
+        ),
+        samples AS (
+            SELECT doc_id, s2 AS v FROM dec WHERE k = 1
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v * v)::BIGINT AS sumsq,
+                   MAX(ABS(v))::BIGINT AS peak_i,
+                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                            ELSE 0 END)::BIGINT AS clip_n
+            FROM samples GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               1::INTEGER AS n_channels,
+               16::INTEGER AS bits,
+               {_LPC_N}::INTEGER AS n_samples,
+               (1000.0::DOUBLE * {_LPC_N} / 8000)::FLOAT AS duration_ms,
+               (sqrt(sumsq::DOUBLE / {_LPC_N}) / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / {_LPC_N})::FLOAT AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "audio", "flac", "lpc", "extension"),
+)
+def media_flac_lpc_features(spark, sf_dir):
+    """Quantized-LPC FLAC decode under the VALUE gate (round 8): each
+    payload is an order-2 LPC subframe (coefficients 48/−16 at shift 5
+    — a marginally-stable (z−1)(z−0.5) filter, so the arithmetic-shift
+    floor division is exercised on NEGATIVE predictor sums) whose
+    residual stream is closed-form per document. The decoder does the
+    real bitstream work — signed coefficient unpack, Rice decode,
+    shift-scaled reconstruction (tests/test_flac.py pins roundtrips and
+    envelope rejections); the oracle replays the recurrence as a
+    recursive CTE carrying (s[i−1], s[i−2]) with FLOOR division (DuckDB
+    ``//`` truncates toward zero — Python's ``>>`` floors, so the
+    explicit FLOOR is load-bearing). Energy statistics hash-match
+    bit-for-bit."""
+    import numpy as np
+
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from crawl_streams_spark.operators.flac import encode_flac
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = [(did * 37) % 1024 - 512, (did * 53) % 1024 - 512]
+                for i in range(2, _LPC_N):
+                    pred = (_LPC_C1 * s[i - 1] + _LPC_C2 * s[i - 2]) >> _LPC_SHIFT
+                    s.append(pred + (did * 11 + i * 7) % 64 - 32)
+                payloads.append(
+                    encode_flac(
+                        s, subframe="lpc",
+                        lpc_coeffs=[_LPC_C1, _LPC_C2],
+                        lpc_shift=_LPC_SHIFT, lpc_precision=12,
+                        rice_param=6, block_size=_LPC_N,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_flac_features(media)

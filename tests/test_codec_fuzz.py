@@ -110,3 +110,29 @@ def test_ms_adpcm_decode_is_total_and_bounded(codes, pidx, idelta, s1, s2):
     assert err is None, err
     assert feats[3] == len(codes) + 2
     assert 0.0 <= feats[6] <= 1.0  # peak normalized by 32768
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=5,
+        max_size=300,
+    ),
+    st.lists(st.integers(min_value=-2048, max_value=2047), min_size=1,
+             max_size=8),
+    st.integers(min_value=0, max_value=15),
+)
+def test_flac_lpc_roundtrip_any_signal_any_filter(samples, coeffs, shift):
+    """LPC subframes round-trip ANY signal under ANY quantized filter —
+    even unstable ones: the encoder's residuals are defined by the same
+    shift-scaled predictor the decoder replays, so stability is
+    irrelevant to losslessness."""
+    if len(samples) < len(coeffs):
+        samples = samples + [0] * len(coeffs)
+    enc = encode_flac(
+        samples, subframe="lpc", lpc_coeffs=coeffs, lpc_shift=shift,
+        lpc_precision=12, rice_param=12, block_size=128,
+    )
+    _, dec = decode_flac(enc)
+    assert np.array_equal(dec, np.asarray(samples, dtype=np.int64))

@@ -97,15 +97,49 @@ def test_rejections_are_loud_and_specific():
         decode_flac(bytes(st))
 
 
-def test_lpc_subframe_rejected_not_guessed():
-    good = bytearray(encode_flac(np.arange(32), order=0))
-    # subframe type byte: first body byte after the frame header; locate
-    # by decoding offsets — header is 4(fixed)+frameno(1)+bs(2)+crc8(1)
-    frame0 = 4 + 4 + 34
-    sub0 = frame0 + 4 + 1 + 2 + 1
-    good[sub0] = (good[sub0] & 0x81) | (0b100000 << 1)  # LPC order 1
-    with pytest.raises(FlacError):
-        decode_flac(bytes(good))
+@pytest.mark.parametrize(
+    "coeffs,shift,prec",
+    [
+        ([32], 5, 12),                      # order 1, c=1.0 at shift 5
+        ([64, -32], 5, 12),                 # order 2, 2s1 - s2 (fixed-2ish)
+        ([-2048, 2047], 12, 12),            # precision rails, both signs
+        ([1], 0, 2),                        # shift 0, minimal precision
+        ([100, -50, 25, -12, 6], 7, 8),     # order 5 (beyond fixed's 4)
+    ],
+)
+def test_lpc_roundtrip(coeffs, shift, prec):
+    """Quantized-LPC subframes of any order round-trip exactly — the
+    encoder computes residuals with the same arithmetic-shift predictor
+    the decoder replays (floor division by 2^shift, negative sums
+    included)."""
+    rng = np.random.RandomState(len(coeffs))
+    x = rng.randint(-3000, 3000, size=300)
+    enc = encode_flac(
+        x, subframe="lpc", lpc_coeffs=coeffs, lpc_shift=shift,
+        lpc_precision=prec, rice_param=9, block_size=128,
+    )
+    meta, dec = decode_flac(enc)
+    assert np.array_equal(dec, x)
+
+
+def test_lpc_negative_shift_and_bad_precision_rejected():
+    good = bytearray(
+        encode_flac(np.arange(40), subframe="lpc", lpc_coeffs=[32],
+                    lpc_shift=5, rice_param=9, block_size=64)
+    )
+    # the decoder rejects the invalid precision code 1111 and a
+    # negative (sign-bit-set) shift; easiest to pin via the encoder's
+    # own guards, which mirror the decoder envelope
+    with pytest.raises(FlacError, match="precision"):
+        encode_flac(np.arange(8), subframe="lpc", lpc_coeffs=[1],
+                    lpc_precision=16)
+    with pytest.raises(FlacError, match="shift"):
+        encode_flac(np.arange(8), subframe="lpc", lpc_coeffs=[1],
+                    lpc_shift=16)
+    with pytest.raises(FlacError, match="coefficient"):
+        encode_flac(np.arange(8), subframe="lpc", lpc_coeffs=[4096],
+                    lpc_precision=12)
+    assert decode_flac(bytes(good))  # the valid fixture still decodes
 
 
 def test_streaminfo_total_mismatch_rejected():

@@ -44,6 +44,7 @@ def test_round_changed_queries_in_window():
         "media_flac_features",  # NEW: subset FLAC decode under the gate
         "doc_context_chunks",  # NEW: RAG context chunking under the gate
         "temperature_mixed_counts",  # NEW: n^alpha mixing under the gate
+        "media_flac_lpc_features",  # NEW: quantized-LPC FLAC under the gate
     ):
         assert name in window, name
 
@@ -120,11 +121,12 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 175 registered queries as of round 8 (knn_ivf_pq_fixed,
+    # 176 registered queries as of round 8 (knn_ivf_pq_fixed,
     # media_adpcm_features, media_ms_adpcm_features, dsir_selected_docs,
-    # media_flac_features, doc_context_chunks, temperature_mixed_counts
-    # added; update this count deliberately whenever a query is added).
-    assert len(REGISTRY) >= 175
+    # media_flac_features, doc_context_chunks, temperature_mixed_counts,
+    # media_flac_lpc_features added; update this count deliberately
+    # whenever a query is added).
+    assert len(REGISTRY) >= 176
 
 
 def test_rotation_planner_invariants():
