@@ -63,7 +63,10 @@ def main() -> None:
         next(iter(bench_queries.values())).build(spark, sf_dir).collect()
 
     # Environment calibration: fixed job, independent of repo code and of
-    # SF — scales only with the box (CPU + JVM). Warm once, median of 3.
+    # SF — scales only with the box (CPU + JVM). Measured BOTH before and
+    # after the query timings (load can drift within one bench run —
+    # observed 0.52 vs 0.81 s minutes apart on one box), median of all
+    # six readings.
     def _calibration_job():
         return (
             spark.range(0, 50_000_000, 1, int(cpus))
@@ -73,13 +76,15 @@ def main() -> None:
             .collect()
         )
 
-    _calibration_job()
-    cal_runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _calibration_job()
-        cal_runs.append(time.perf_counter() - t0)
-    calibration = round(sorted(cal_runs)[1], 3)
+    def _calibrate(runs: list) -> None:
+        _calibration_job()  # warm
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _calibration_job()
+            runs.append(time.perf_counter() - t0)
+
+    cal_runs: list = []
+    _calibrate(cal_runs)
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         try:
@@ -98,6 +103,9 @@ def main() -> None:
             # erase the whole benchmark record
             print(f"bench query {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+
+    _calibrate(cal_runs)  # post-run bracket
+    calibration = round(sorted(cal_runs)[len(cal_runs) // 2], 3)
 
     ok_times = [t for t in timings.values() if t >= 0]
     total = round(sum(ok_times), 3) if ok_times else -1.0
