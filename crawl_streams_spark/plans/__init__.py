@@ -27,11 +27,15 @@ the 4-round bound = 200-slot capacity):
   trailing r5 fillers are the donation pool: round-8 changes and
   additions take their slots from the END as they are born.
 - Round-8 additions swapped in for the last fillers (in-window from
-  birth): ``knn_ivf_pq`` (NEW — composed IVF prune -> PQ/ADC scan ->
-  exact rerank), ``media_adpcm_features`` (NEW — IMA ADPCM WAV decode),
-  ``media_bmp_features`` re-windowed (decoder tightened: bfOffBits
-  lower-bound check), ``funnel_snapshot_fold`` (NEW — exactly-once
-  two-phase funnel state sink).
+  birth, ten slots): ``media_bmp_features`` re-windowed (decoder
+  tightened: bfOffBits lower-bound check), ``knn_ivf_pq_fixed``
+  (composed IVF-PQ), ``media_adpcm_features`` / ``media_ms_adpcm_features``
+  (IMA + MS ADPCM), ``dsir_selected_docs`` (importance resampling),
+  ``media_flac_features`` / ``media_flac_lpc_features`` (subset FLAC,
+  fixed + quantized-LPC subframes), ``doc_context_chunks`` (RAG
+  chunking), ``temperature_mixed_counts`` (n^α mixing),
+  ``variant_typed_extraction`` (Spark-4 VARIANT). The funnel/session
+  exactly-once sinks are streaming-only (pytest-gated, no SQL twin).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -122,7 +126,6 @@ PRIORITY: tuple[str, ...] = (
     # -- then r5-verdict fillers (donation pool — round-8 changes and
     # -- additions take slots from the END) ------------------------------
     "annotation_regex_classes",  # q_text, r5
-    "balanced_shard_stats",  # q_pipeline, r5
     # -- round-8 changes and additions (in-window from birth) ------------
     "media_bmp_features",  # q_crawl: r8 decoder change (bfOffBits bound)
     "knn_ivf_pq_fixed",  # q_similarity: NEW r8 — composed IVF-PQ gate
@@ -133,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_context_chunks",  # q_pipeline: NEW r8 — RAG context chunking
     "temperature_mixed_counts",  # q_pipeline: NEW r8 — n^α source mixing
     "media_flac_lpc_features",  # q_crawl: NEW r8 — quantized-LPC FLAC gate
+    "variant_typed_extraction",  # q_events: NEW r8 — Spark-4 VARIANT gate
 )
 
 

@@ -447,3 +447,55 @@ def hist_median_by_type(spark, sf_dir):
             quantile_from_hist("hist_value", LO, HI, BINS, 0.5), 6
         ).alias("est_median"),
     )
+
+
+@query(
+    "variant_typed_extraction",
+    oracle="""
+        WITH j AS (
+            SELECT event_id,
+                   '{"meta": {"status": '
+                   || CAST(json_extract(props, '$.k') AS VARCHAR)
+                   || ', "host": "h' || CAST(user_id % 50 AS VARCHAR)
+                   || '.example"}, "tags": ['
+                   || CAST(event_id % 5 AS VARCHAR) || ', '
+                   || CAST(event_id % 3 AS VARCHAR) || ']}' AS js
+            FROM events
+        )
+        SELECT event_id,
+               json_extract(js, '$.meta.status')::INTEGER AS status,
+               json_extract_string(js, '$.meta.host') AS host,
+               json_extract(js, '$.tags[1]')::BIGINT AS second_tag
+        FROM j
+    """,
+    tags=("P-1", "json", "variant", "spark4", "extension"),
+)
+def variant_typed_extraction(spark, sf_dir):
+    """P-1 JSON deserialization through Spark 4's VARIANT type: nested
+    documents synthesized from event columns are parsed ONCE into a
+    variant (``parse_json`` — a binary-encoded semi-structured value,
+    not a string re-parsed per path) and then field-extracted with
+    typed ``variant_get`` paths, including an array index. The oracle
+    walks the identical paths with DuckDB's JSON functions. At 100 TB
+    this is the modern shape for ragged crawl metadata: one parse per
+    row, per-path extraction in codegen, no per-path string re-parse
+    and no UDFs."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"meta": {"status": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "host": "h'),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit('.example"}, "tags": ['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(js)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.meta.status", "int").alias("status"),
+        F.variant_get(v, "$.meta.host", "string").alias("host"),
+        F.variant_get(v, "$.tags[1]", "bigint").alias("second_tag"),
+    )
