@@ -6,7 +6,11 @@ Every reference scan maps to a declarative Spark source:
   SRC-3 continuous subscribe+retry    → kafka.stream_topic (+ checkpoint)
   SRC-4 JSONL crawl-feed scan         → jsonl.read_crawl_feed
   SRC-5 text URI-list scan            → jsonl.read_uri_list
-plus file-based streaming (fixture dirs as streams) so tests need no broker.
+plus file-based streaming (fixture dirs as streams) so tests need no broker,
+and the extension source:
+  SRC-6 WARC archive scan (r8)        → warc.WarcDataSource — ISO 28500
+        records (plain or per-record gzip) through Spark 4's Python
+        DataSource API; spark.read.format("warc").load(path)
 """
 
-from . import jsonl, kafka  # noqa: F401
+from . import jsonl, kafka, warc  # noqa: F401

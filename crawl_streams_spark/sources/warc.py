@@ -1,0 +1,249 @@
+"""WARC (ISO 28500) reader as a Spark 4 Python DataSource.
+
+The reference toolkit consumes crawl-log events ABOUT archived records
+(crawlstreams' Kafka topics carry the log lines Heritrix emits as it
+writes WARCs); reading the archives themselves is the natural source
+extension for a crawl analytics engine — every downstream family here
+(media decode, text curation, dedup) starts from WARC payloads in a
+real deployment.
+
+Format, honestly bounded: WARC/1.0 and WARC/1.1 records — a version
+line, CRLF-terminated named headers, ``Content-Length`` octets of
+payload, and a CRLF CRLF record separator — plain or gzip (including
+the standard one-gzip-member-per-record layout: Python's streaming
+GzipFile consumes concatenated members transparently). Anything
+malformed raises ``WarcError`` with byte context; truncated payloads
+are never silently clipped. HTTP response records additionally surface
+the status code parsed from the enclosed HTTP status line.
+
+Spark integration: ``register_warc_source(spark)`` registers the
+``warc`` format; then
+
+    spark.read.format("warc").load("/path/to/*.warc.gz")
+
+Scale notes: one input partition per FILE — WARC convention caps files
+at ~1 GB, so file-granularity is the natural parallelism at a
+1000-executor crawl archive, and a gzip member stream cannot be split
+finer without an external index anyway. ``max_payload_bytes`` (option,
+default 1 MiB) bounds row width so a single oversized capture cannot
+blow an executor's Arrow batch; the TRUNCATED payload is flagged in
+``payload_truncated`` rather than silently cut. Header-only scans
+(``payload excluded by column pruning``) still read the stream —
+pushdown into gzip is impossible — but never materialize payloads into
+rows.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+import re
+
+__all__ = [
+    "WarcError",
+    "WARC_SCHEMA",
+    "warc_record_bytes",
+    "iter_warc_records",
+    "register_warc_source",
+    "WarcDataSource",
+]
+
+
+class WarcError(ValueError):
+    """Malformed or out-of-envelope WARC content."""
+
+
+WARC_SCHEMA = (
+    "warc_type string, record_id string, warc_date string, "
+    "target_uri string, content_type string, content_length bigint, "
+    "http_status int, payload binary, payload_truncated boolean, "
+    "source_file string"
+)
+
+_VERSION_RE = re.compile(rb"^WARC/(1\.[01])$")
+_STATUS_RE = re.compile(rb"^HTTP/\d\.\d (\d{3})")
+
+
+def warc_record_bytes(
+    warc_type: str,
+    payload: bytes,
+    record_id: str = "<urn:uuid:00000000-0000-0000-0000-000000000000>",
+    warc_date: str = "2024-01-01T00:00:00Z",
+    target_uri: str | None = None,
+    content_type: str | None = None,
+) -> bytes:
+    """Fixture builder: one well-formed WARC/1.0 record."""
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: " + warc_type.encode(),
+        b"WARC-Record-ID: " + record_id.encode(),
+        b"WARC-Date: " + warc_date.encode(),
+    ]
+    if target_uri is not None:
+        lines.append(b"WARC-Target-URI: " + target_uri.encode())
+    if content_type is not None:
+        lines.append(b"Content-Type: " + content_type.encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _read_line(f) -> bytes:
+    line = f.readline()
+    if not line:
+        raise WarcError("unexpected EOF inside a record header")
+    if not line.endswith(b"\n"):
+        raise WarcError("header line missing terminator (truncated file)")
+    return line.rstrip(b"\r\n")
+
+
+def iter_warc_records(f):
+    """Yield (headers: dict[str, str], payload: bytes) from a binary
+    stream of concatenated WARC records. Strict: bad version lines,
+    missing Content-Length, short payloads, and broken separators all
+    raise WarcError."""
+    while True:
+        # skip inter-record blank lines, detect EOF
+        line = f.readline()
+        if not line:
+            return
+        stripped = line.rstrip(b"\r\n")
+        if stripped == b"":
+            continue
+        m = _VERSION_RE.match(stripped)
+        if not m:
+            raise WarcError(f"bad WARC version line {stripped[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            hline = _read_line(f)
+            if hline == b"":
+                break
+            if b":" not in hline:
+                raise WarcError(f"malformed header line {hline[:60]!r}")
+            k, v = hline.split(b":", 1)
+            headers[k.strip().decode("ascii").lower()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        if "content-length" not in headers:
+            raise WarcError("record missing Content-Length")
+        try:
+            n = int(headers["content-length"])
+        except ValueError as e:
+            raise WarcError(f"bad Content-Length: {e}") from None
+        if n < 0:
+            raise WarcError("negative Content-Length")
+        payload = f.read(n)
+        if len(payload) != n:
+            raise WarcError(
+                f"truncated payload: declared {n}, got {len(payload)}"
+            )
+        sep = f.read(4)
+        if sep != b"\r\n\r\n":
+            raise WarcError(f"bad record separator {sep!r}")
+        yield headers, payload
+
+
+def _open_maybe_gzip(path: str):
+    raw = open(path, "rb")
+    magic = raw.read(2)
+    raw.seek(0)
+    if magic == b"\x1f\x8b":
+        # streaming GzipFile consumes concatenated members (the
+        # record-per-member WARC convention) transparently
+        return io.BufferedReader(gzip.GzipFile(fileobj=raw))
+    return io.BufferedReader(raw)
+
+
+def _http_status(headers: dict, payload: bytes) -> int | None:
+    if headers.get("warc-type") != "response":
+        return None
+    m = _STATUS_RE.match(payload[:64])
+    return int(m.group(1)) if m else None
+
+
+def _rows_for_file(path: str, max_payload: int):
+    with _open_maybe_gzip(path) as f:
+        for headers, payload in iter_warc_records(f):
+            truncated = len(payload) > max_payload
+            yield (
+                headers.get("warc-type"),
+                headers.get("warc-record-id"),
+                headers.get("warc-date"),
+                headers.get("warc-target-uri"),
+                headers.get("content-type"),
+                int(headers["content-length"]),
+                _http_status(headers, payload),
+                payload[:max_payload],
+                truncated,
+                path,
+            )
+
+
+def _expand_paths(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(
+                os.path.join(root, x)
+                for x in files
+                if x.endswith((".warc", ".warc.gz"))
+            )
+        return sorted(out)
+    matches = sorted(_glob.glob(path))
+    if not matches:
+        raise WarcError(f"no WARC files match {path!r}")
+    return matches
+
+
+def register_warc_source(spark) -> None:
+    """Register the ``warc`` format on this session (idempotent)."""
+    spark.dataSource.register(WarcDataSource)
+
+
+try:  # the DataSource API needs pyspark >= 4; the parser above does not
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _WarcFilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _WarcReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise WarcError("warc source requires a path")
+            self._max_payload = int(
+                options.get("max_payload_bytes", str(1 << 20))
+            )
+            # resolved on the DRIVER so planning fails fast on bad globs
+            self._files = _expand_paths(self._path)
+
+        def partitions(self):
+            return [_WarcFilePartition(p) for p in self._files]
+
+        def read(self, partition):
+            yield from _rows_for_file(partition.path, self._max_payload)
+
+    class WarcDataSource(DataSource):
+        """``spark.read.format("warc").load(path)`` — path may be a file,
+        a directory (recursive *.warc / *.warc.gz), or a glob."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "warc"
+
+        def schema(self) -> str:
+            return WARC_SCHEMA
+
+        def reader(self, schema):
+            opts = dict(self.options)
+            opts.setdefault("path", opts.get("paths", ""))
+            return _WarcReader(opts)
+
+except ImportError:  # pragma: no cover — pyspark < 4
+    WarcDataSource = None  # type: ignore[assignment]
