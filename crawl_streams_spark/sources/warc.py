@@ -205,6 +205,7 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
     )
 
@@ -229,9 +230,59 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
         def read(self, partition):
             yield from _rows_for_file(partition.path, self._max_payload)
 
+    class _WarcStreamReader(DataSourceStreamReader):
+        """Continuous archive ingestion: watch the path for new WARC
+        files; each micro-batch processes the files that appeared since
+        the last committed offset. The offset is the SORTED LIST of
+        processed file names — name-based, not index-based, so a late
+        file that sorts before an already-consumed one can never remap
+        history (files must be immutable once visible: write elsewhere,
+        rename in — the standard archive-drop convention). Offset size
+        is bounded by the file count (~1 GB/file convention ⇒ thousands
+        per TB — trivially small next to the checkpoint)."""
+
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise WarcError("warc source requires a path")
+            self._max_payload = int(
+                options.get("max_payload_bytes", str(1 << 20))
+            )
+
+        def _listing(self) -> list:
+            try:
+                return _expand_paths(self._path)
+            except WarcError:
+                return []  # an empty watch dir is a quiet stream, not an error
+
+        def initialOffset(self):
+            return {"files": []}
+
+        def latestOffset(self):
+            return {"files": self._listing()}
+
+        def partitions(self, start, end):
+            seen = set(start.get("files", []))
+            new = [p for p in end.get("files", []) if p not in seen]
+            # zero-partition batches are rejected by the engine; emit a
+            # sentinel empty partition when nothing arrived
+            return [
+                _WarcFilePartition(p) for p in new
+            ] or [_WarcFilePartition("")]
+
+        def read(self, partition):
+            if not partition.path:
+                return
+            yield from _rows_for_file(partition.path, self._max_payload)
+
+        def commit(self, end):
+            pass
+
     class WarcDataSource(DataSource):
-        """``spark.read.format("warc").load(path)`` — path may be a file,
-        a directory (recursive *.warc / *.warc.gz), or a glob."""
+        """``spark.read.format("warc").load(path)`` (batch) or
+        ``spark.readStream.format("warc").load(path)`` (continuous
+        directory watch) — path may be a file, a directory (recursive
+        *.warc / *.warc.gz), or a glob."""
 
         @classmethod
         def name(cls) -> str:
@@ -244,6 +295,11 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
             opts = dict(self.options)
             opts.setdefault("path", opts.get("paths", ""))
             return _WarcReader(opts)
+
+        def streamReader(self, schema):
+            opts = dict(self.options)
+            opts.setdefault("path", opts.get("paths", ""))
+            return _WarcStreamReader(opts)
 
 except ImportError:  # pragma: no cover — pyspark < 4
     WarcDataSource = None  # type: ignore[assignment]

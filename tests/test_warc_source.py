@@ -142,3 +142,46 @@ def test_spark_datasource_filters_and_aggregates(spark, tmp_path):
         .collect()
     )
     assert [(r["http_status"], r["count"]) for r in got] == [(404, 2)]
+
+
+def test_streaming_warc_source_picks_up_new_files_exactly_once(
+    spark, tmp_path
+):
+    """Directory-watch streaming: run 1 ingests the initial file; a
+    restart on the same checkpoint after a second file lands ingests
+    ONLY the new file — records are never re-emitted (offset = the
+    processed-file name set)."""
+    d = str(tmp_path / "stream_warcs")
+    out = str(tmp_path / "stream_out")
+    ck = str(tmp_path / "stream_ck")
+    os.makedirs(d)
+    register_warc_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .load(d)
+            .select("warc_type", "target_uri", "source_file")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    with open(os.path.join(d, "a.warc"), "wb") as f:
+        f.write(warc_record_bytes("metadata", b"one"))
+        f.write(warc_record_bytes("metadata", b"two"))
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # second file sorts BEFORE the first (name-based offsets must not
+    # remap history) and arrives between runs
+    with open(os.path.join(d, "0-late.warc"), "wb") as f:
+        f.write(warc_record_bytes("resource", b"three"))
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no duplicates of file a's records
+    assert sum(1 for r in rows if r["warc_type"] == "resource") == 1
