@@ -6,15 +6,15 @@ opaque ``binary`` payloads + typed metadata, with decode / feature-extract
 The container has no codec LIBRARIES, so the generic decode kernels are
 STUBS behind ``_HAVE_CODECS`` — deterministic fakes with the real
 Spark-side contract (schema, batch iteration, partitioning) — plus one
-honest ``NotImplementedError`` path. But NINE formats decode for REAL
+honest ``NotImplementedError`` path. But TEN formats decode for REAL
 with numpy/stdlib alone: RIFF WAV in four encodings — PCM16, G.711
 µ-law/A-law, IMA ADPCM (0x11), MS ADPCM (0x02) — all via ``decode_wav``;
 subset FLAC (``decode_flac_features``, operators/flac.py: CRC-verified
 frames, Rice residuals, fixed predictors); binary PPM
 (``decode_ppm``/``resize_ppm``); baseline JPEG (``decode_jpeg_features``
 via the pure-NumPy ITU-T T.81 decoder in operators/jpeg.py: Huffman,
-dequant, vectorized IDCT, chroma upsampling, restart markers); PNG, GIF
-and BMP (operators/png.py, gif.py, bmp.py). Only genuinely library-bound
+dequant, vectorized IDCT, chroma upsampling, restart markers); PNG, GIF,
+BMP and QOI (operators/png.py, gif.py, bmp.py, qoi.py). Only genuinely library-bound
 codecs (MP3, H.264) remain gated. Everything around the stubs (schemas,
 Arrow batch shapes, the mapInPandas plumbing, partition sizing) is real
 and tested (tests/test_multimodal.py, tests/test_jpeg.py, test_flac.py).
@@ -1168,4 +1168,62 @@ def decode_flac_features(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=WAV_FEATURES_SCHEMA
+    )
+
+
+def decode_qoi_features(df: DataFrame) -> DataFrame:
+    """REAL QOI decode over mapInPandas (operators/qoi.py — the modern
+    lossless web image format): dimensions + exact channel-sample
+    statistics, BMP_DECODED_SCHEMA shape (``bit_depth`` carries the QOI
+    channel count ×8). Lossless, so an analytic SQL oracle over the
+    closed-form pattern matches bit-for-bit. Malformed payloads land in
+    ``error`` per-row.
+
+    Worker-side module import with the same captured-root sys.path
+    fallback as the other codec stages."""
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.qoi import QoiError, decode_qoi
+        except ModuleNotFoundError:  # worker missing the package on path
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.qoi import QoiError, decode_qoi
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 8 + ("null payload",))
+                    continue
+                try:
+                    px = decode_qoi(bytes(payload))
+                except QoiError as e:
+                    rows.append((mid,) + (None,) * 8 + (str(e),))
+                    continue
+                h, w, ch = px.shape
+                total = int(px.sum(dtype="int64"))
+                n = h * w * ch
+                rows.append(
+                    (
+                        mid, w, h, int(ch), int(ch) * 8,
+                        total, total / n,
+                        int(px.min()), int(px.max()), None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BMP_DECODED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=BMP_DECODED_SCHEMA
     )

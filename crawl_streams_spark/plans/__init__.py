@@ -27,14 +27,15 @@ the 4-round bound = 200-slot capacity):
   trailing r5 fillers are the donation pool: round-8 changes and
   additions take their slots from the END as they are born.
 - Round-8 additions swapped in for the last fillers (in-window from
-  birth, ten slots): ``media_bmp_features`` re-windowed (decoder
+  birth, eleven slots): ``media_bmp_features`` re-windowed (decoder
   tightened: bfOffBits lower-bound check), ``knn_ivf_pq_fixed``
   (composed IVF-PQ), ``media_adpcm_features`` / ``media_ms_adpcm_features``
   (IMA + MS ADPCM), ``dsir_selected_docs`` (importance resampling),
   ``media_flac_features`` / ``media_flac_lpc_features`` (subset FLAC,
   fixed + quantized-LPC subframes), ``doc_context_chunks`` (RAG
   chunking), ``temperature_mixed_counts`` (n^α mixing),
-  ``variant_typed_extraction`` (Spark-4 VARIANT). The funnel/session
+  ``variant_typed_extraction`` (Spark-4 VARIANT),
+  ``media_qoi_features`` (QOI — the tenth codec). The funnel/session
   exactly-once sinks are streaming-only (pytest-gated, no SQL twin).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
@@ -123,9 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "url_host_extraction",  # q_crawl, r4
     "user_time_to_convert",  # q_behavior, r4
     "windowed_count",  # q_events, r4
-    # -- then r5-verdict fillers (donation pool — round-8 changes and
-    # -- additions take slots from the END) ------------------------------
-    "annotation_regex_classes",  # q_text, r5
     # -- round-8 changes and additions (in-window from birth) ------------
     "media_bmp_features",  # q_crawl: r8 decoder change (bfOffBits bound)
     "knn_ivf_pq_fixed",  # q_similarity: NEW r8 — composed IVF-PQ gate
@@ -137,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "temperature_mixed_counts",  # q_pipeline: NEW r8 — n^α source mixing
     "media_flac_lpc_features",  # q_crawl: NEW r8 — quantized-LPC FLAC gate
     "variant_typed_extraction",  # q_events: NEW r8 — Spark-4 VARIANT gate
+    "media_qoi_features",  # q_crawl: NEW r8 — QOI decode gate (10th codec)
 )
 
 

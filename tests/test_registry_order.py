@@ -46,6 +46,7 @@ def test_round_changed_queries_in_window():
         "temperature_mixed_counts",  # NEW: n^alpha mixing under the gate
         "media_flac_lpc_features",  # NEW: quantized-LPC FLAC under the gate
         "variant_typed_extraction",  # NEW: Spark-4 VARIANT under the gate
+        "media_qoi_features",  # NEW: QOI decode under the gate
     ):
         assert name in window, name
 
@@ -122,13 +123,13 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 177 registered queries as of round 8 (knn_ivf_pq_fixed,
+    # 178 registered queries as of round 8 (knn_ivf_pq_fixed,
     # media_adpcm_features, media_ms_adpcm_features, dsir_selected_docs,
     # media_flac_features, doc_context_chunks, temperature_mixed_counts,
-    # media_flac_lpc_features, variant_typed_extraction added;
+    # media_flac_lpc_features, variant_typed_extraction, media_qoi_features added;
     # update this count deliberately
     # whenever a query is added).
-    assert len(REGISTRY) >= 177
+    assert len(REGISTRY) >= 178
 
 
 def test_rotation_planner_invariants():
