@@ -10,9 +10,11 @@ claim exactly, reject everything else loudly, never silently misdecode):
 - subframes: CONSTANT, VERBATIM, FIXED predictors of order 0-4 (the
   five published polynomial predictors), and quantized LPC of any order
   (precision-bit signed coefficients, arithmetic-shift scaling) — all
-  with 4-bit Rice-coded residuals (partition order 0); stereo
-  decorrelation, rice partitions, wasted bits, and escaped partitions
-  are rejected, not guessed.
+  with 4-bit Rice-coded residuals (partition order 0);
+- channels: mono, and ALL FOUR stereo assignments — independent L/R,
+  left/side, right/side, mid/side (the side channel at bps+1 bits, the
+  exact integer decorrelation transforms of the spec); rice partitions,
+  wasted bits, and escaped partitions are rejected, not guessed.
 
 Everything is integer-exact: zigzag+Rice decode, warm-up samples, and
 the fixed-predictor reconstruction
@@ -47,6 +49,7 @@ __all__ = [
     "crc8",
     "crc16",
     "encode_flac",
+    "encode_flac_stereo",
     "decode_flac",
 ]
 
@@ -334,6 +337,111 @@ def encode_flac(
     return bytes(out)
 
 
+def _write_fixed_subframe(
+    body: "_BitWriter", block: list, order: int, rice_param: int, sbits: int
+) -> None:
+    """Write one FIXED-predictor subframe at ``sbits`` bits (16 regular,
+    17 side)."""
+    mask = (1 << sbits) - 1
+    body.write(0, 1)
+    body.write(0b001000 | order, 6)
+    body.write(0, 1)
+    for v in block[:order]:
+        body.write(v & mask, sbits)
+    body.write(0b00, 2)
+    body.write(0, 4)
+    body.write(rice_param, 4)
+    coeffs = _FIXED_COEFFS[order]
+    for i in range(order, len(block)):
+        pred = sum(c * block[i - 1 - j] for j, c in enumerate(coeffs))
+        u = _zigzag(block[i] - pred)
+        body.write_unary(u >> rice_param)
+        body.write(u, rice_param)
+
+
+_STEREO_MODES = {"independent": 1, "left_side": 8, "right_side": 9,
+                 "mid_side": 10}
+
+
+def encode_flac_stereo(
+    left,
+    right,
+    mode: str = "mid_side",
+    sample_rate: int = 8000,
+    block_size: int = 256,
+    order: int = 1,
+    rice_param: int = 6,
+) -> bytes:
+    """Fixture stereo FLAC encoder: both channels as FIXED subframes
+    under the chosen channel assignment — independent, left/side,
+    right/side, or mid/side (side = L−R at 17 bits; mid = (L+R)>>1,
+    the spec's exact integer decorrelation)."""
+    if mode not in _STEREO_MODES:
+        raise FlacError(f"unknown stereo mode {mode!r}")
+    l = [int(v) for v in np.asarray(left, dtype=np.int64)]
+    r = [int(v) for v in np.asarray(right, dtype=np.int64)]
+    if len(l) != len(r):
+        raise FlacError("left/right length mismatch")
+    if any(not -32768 <= v <= 32767 for v in l + r):
+        raise FlacError("samples out of int16 range")
+    ch_code = _STEREO_MODES[mode]
+
+    info = _BitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(1, 3)  # channels - 1
+    info.write(15, 5)
+    info.write(len(l), 36)
+    info_body = info.bytes() + b"\x00" * 16
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + struct.pack(">I", len(info_body))[1:]
+    out += info_body
+
+    for fno, start in enumerate(range(0, len(l), block_size)):
+        bl = l[start : start + block_size]
+        brt = r[start : start + block_size]
+        n = len(bl)
+        if n < order:
+            raise FlacError("block shorter than predictor order")
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)
+        hdr.write(0b0111, 4)
+        hdr.write(0b0100, 4)
+        hdr.write(ch_code, 4)
+        hdr.write(0b100, 3)
+        hdr.write(0, 1)
+        head = hdr.bytes() + _utf8_frame_number(fno)
+        tail = _BitWriter()
+        tail.write(n - 1, 16)
+        head += tail.bytes()
+        head += bytes([crc8(head)])
+
+        side = [a - b for a, b in zip(bl, brt)]
+        if mode == "independent":
+            chans = [(bl, 16), (brt, 16)]
+        elif mode == "left_side":
+            chans = [(bl, 16), (side, 17)]
+        elif mode == "right_side":
+            chans = [(side, 17), (brt, 16)]
+        else:
+            mid = [(a + b) >> 1 for a, b in zip(bl, brt)]
+            chans = [(mid, 16), (side, 17)]
+
+        body = _BitWriter()
+        for block, sbits in chans:
+            _write_fixed_subframe(body, block, order, rice_param, sbits)
+        body.align()
+        frame = head + body.bytes()
+        frame += struct.pack(">H", crc16(frame))
+        out += frame
+    return bytes(out)
+
+
 _SAMPLE_RATES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
                  0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
 
@@ -376,12 +484,13 @@ def decode_flac(payload: bytes):
     if streaminfo is None:
         raise FlacError("missing STREAMINFO")
     rate, n_ch, bits, total = streaminfo
-    if n_ch != 1:
-        raise FlacError(f"only mono supported (got {n_ch} channels)")
+    if n_ch not in (1, 2):
+        raise FlacError(f"only mono/stereo supported (got {n_ch} channels)")
     if bits != 16:
         raise FlacError(f"only 16-bit supported (got {bits})")
 
     samples: list[int] = []
+    per_channel = 0
     while pos < len(payload):
         frame_start = pos
         br = _BitReader(payload, pos)
@@ -397,7 +506,12 @@ def decode_flac(payload: bytes):
         ss_code = br.read(3)
         if br.read(1):
             raise FlacError("reserved bit set in frame header")
-        if ch_code != 0:
+        if n_ch == 1:
+            if ch_code != 0:
+                raise FlacError(
+                    f"channel assignment {ch_code} in a mono stream"
+                )
+        elif ch_code not in (1, 8, 9, 10):
             raise FlacError(f"unsupported channel assignment {ch_code}")
         if ss_code != 0b100:
             raise FlacError(f"unsupported sample size code {ss_code}")
@@ -427,90 +541,33 @@ def decode_flac(payload: bytes):
         if crc8(payload[frame_start:hdr_end]) != want_crc8:
             raise FlacError("frame header CRC-8 mismatch")
 
-        # subframe
-        if br.read(1):
-            raise FlacError("subframe padding bit set")
-        stype = br.read(6)
-        if br.read(1):
-            raise FlacError("wasted bits unsupported")
-        block: list[int] = []
+        # subframes (one per channel; side channels carry bps+1 bits —
+        # the spec's decorrelation headroom)
+        if ch_code == 0 or ch_code == 1:
+            ch_bits = [16] * n_ch
+        elif ch_code == 8:  # left/side
+            ch_bits = [16, 17]
+        elif ch_code == 9:  # side/right (channel 0 is the SIDE)
+            ch_bits = [17, 16]
+        else:  # mid/side
+            ch_bits = [16, 17]
+        blocks = [_read_subframe(br, n, b) for b in ch_bits]
 
-        def s16(u: int) -> int:
-            return u - 0x10000 if u >= 0x8000 else u
-
-        if stype == 0b000000:
-            v = s16(br.read(16))
-            block = [v] * n
-        elif stype == 0b000001:
-            block = [s16(br.read(16)) for _ in range(n)]
-        elif 0b001000 <= stype <= 0b001100:
-            o = stype & 0x7
-            if n < o:
-                raise FlacError("block shorter than predictor order")
-            block = [s16(br.read(16)) for _ in range(o)]
-            method = br.read(2)
-            if method != 0:
-                raise FlacError(f"unsupported residual method {method}")
-            part_order = br.read(4)
-            if part_order != 0:
-                raise FlacError(
-                    f"unsupported rice partition order {part_order}"
-                )
-            p = br.read(4)
-            if p == 0xF:
-                raise FlacError("escaped rice partition unsupported")
-            coeffs = _FIXED_COEFFS[o]
-            for _ in range(n - o):
-                q = br.read_unary()
-                u = (q << p) | br.read(p)
-                r = _unzigzag(u)
-                pred = sum(
-                    c * block[len(block) - 1 - j]
-                    for j, c in enumerate(coeffs)
-                )
-                block.append(pred + r)
-        elif stype & 0b100000:
-            lo = (stype & 0b011111) + 1
-            if n < lo:
-                raise FlacError("block shorter than LPC order")
-            block = [s16(br.read(16)) for _ in range(lo)]
-            prec = br.read(4) + 1
-            if prec == 16:
-                raise FlacError("invalid LPC precision code 1111")
-            shift = br.read(5)
-            if shift >= 16:
-                # 5-bit field is SIGNED in the spec; negative shifts are
-                # forbidden by the format text — reject, never guess
-                raise FlacError(f"negative LPC shift {shift - 32}")
-            half = 1 << (prec - 1)
-            coeffs = []
-            for _ in range(lo):
-                c = br.read(prec)
-                coeffs.append(c - (1 << prec) if c >= half else c)
-            method = br.read(2)
-            if method != 0:
-                raise FlacError(f"unsupported residual method {method}")
-            part_order = br.read(4)
-            if part_order != 0:
-                raise FlacError(
-                    f"unsupported rice partition order {part_order}"
-                )
-            p = br.read(4)
-            if p == 0xF:
-                raise FlacError("escaped rice partition unsupported")
-            for _ in range(n - lo):
-                q = br.read_unary()
-                u = (q << p) | br.read(p)
-                r = _unzigzag(u)
-                # arithmetic shift: floor division by 2^shift, exactly
-                # Python's >> on negative ints (and C's on int64)
-                pred = sum(
-                    c * block[len(block) - 1 - j]
-                    for j, c in enumerate(coeffs)
-                ) >> shift
-                block.append(pred + r)
-        else:
-            raise FlacError(f"unsupported subframe type {stype:#08b}")
+        if ch_code in (0, 1):
+            chans = blocks
+        elif ch_code == 8:
+            left = blocks[0]
+            chans = [left, [l - s for l, s in zip(left, blocks[1])]]
+        elif ch_code == 9:
+            right = blocks[1]
+            chans = [[r + s for r, s in zip(right, blocks[0])], right]
+        else:  # mid/side: m carries (l+r)>>1, side's low bit restores parity
+            left, right = [], []
+            for m, s in zip(blocks[0], blocks[1]):
+                lr_sum = (m << 1) | (s & 1)
+                left.append((lr_sum + s) >> 1)
+                right.append((lr_sum - s) >> 1)
+            chans = [left, right]
 
         br.align()
         frame_end = br.tell()
@@ -519,13 +576,98 @@ def decode_flac(payload: bytes):
         want_crc16 = struct.unpack_from(">H", payload, frame_end)[0]
         if crc16(payload[frame_start:frame_end]) != want_crc16:
             raise FlacError("frame CRC-16 mismatch")
-        samples.extend(block)
+        if n_ch == 1:
+            samples.extend(chans[0])
+        else:  # interleaved L R L R ...
+            for pair in zip(chans[0], chans[1]):
+                samples.extend(pair)
+        per_channel += n
         pos = frame_end + 2
 
-    if total and len(samples) != total:
+    if total and per_channel != total:
         raise FlacError(
-            f"decoded {len(samples)} samples, STREAMINFO declared {total}"
+            f"decoded {per_channel} samples, STREAMINFO declared {total}"
         )
-    return (rate, n_ch, bits, total or len(samples)), np.array(
+    return (rate, n_ch, bits, total or per_channel), np.array(
         samples, dtype=np.int64
     )
+
+
+def _read_subframe(br: "_BitReader", n: int, sbits: int) -> list:
+    """Parse one subframe of ``n`` samples at ``sbits`` bits (16 for
+    regular channels, 17 for side channels)."""
+    if br.read(1):
+        raise FlacError("subframe padding bit set")
+    stype = br.read(6)
+    if br.read(1):
+        raise FlacError("wasted bits unsupported")
+    half = 1 << (sbits - 1)
+    full = 1 << sbits
+
+    def sread() -> int:
+        u = br.read(sbits)
+        return u - full if u >= half else u
+
+    def rice_tail(block: list, count: int, predict) -> None:
+        method = br.read(2)
+        if method != 0:
+            raise FlacError(f"unsupported residual method {method}")
+        part_order = br.read(4)
+        if part_order != 0:
+            raise FlacError(
+                f"unsupported rice partition order {part_order}"
+            )
+        p = br.read(4)
+        if p == 0xF:
+            raise FlacError("escaped rice partition unsupported")
+        for _ in range(count):
+            q = br.read_unary()
+            u = (q << p) | br.read(p)
+            block.append(predict(block) + _unzigzag(u))
+
+    if stype == 0b000000:
+        return [sread()] * n
+    if stype == 0b000001:
+        return [sread() for _ in range(n)]
+    if 0b001000 <= stype <= 0b001100:
+        o = stype & 0x7
+        if n < o:
+            raise FlacError("block shorter than predictor order")
+        block = [sread() for _ in range(o)]
+        coeffs = _FIXED_COEFFS[o]
+
+        def predict(b: list) -> int:
+            return sum(c * b[len(b) - 1 - j] for j, c in enumerate(coeffs))
+
+        rice_tail(block, n - o, predict)
+        return block
+    if stype & 0b100000:
+        lo = (stype & 0b011111) + 1
+        if n < lo:
+            raise FlacError("block shorter than LPC order")
+        block = [sread() for _ in range(lo)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise FlacError("invalid LPC precision code 1111")
+        shift = br.read(5)
+        if shift >= 16:
+            # 5-bit field is SIGNED in the spec; negative shifts are
+            # forbidden by the format text — reject, never guess
+            raise FlacError(f"negative LPC shift {shift - 32}")
+        chalf = 1 << (prec - 1)
+        coeffs = []
+        for _ in range(lo):
+            c = br.read(prec)
+            coeffs.append(c - (1 << prec) if c >= chalf else c)
+
+        def predict(b: list) -> int:
+            # arithmetic shift: floor division by 2^shift, exactly
+            # Python's >> on negative ints (and C's on int64)
+            return (
+                sum(c * b[len(b) - 1 - j] for j, c in enumerate(coeffs))
+                >> shift
+            )
+
+        rice_tail(block, n - lo, predict)
+        return block
+    raise FlacError(f"unsupported subframe type {stype:#08b}")

@@ -1155,7 +1155,9 @@ def decode_flac_features(df: DataFrame) -> DataFrame:
                         n_ch,
                         bits,
                         n,
-                        1000.0 * n / rate if rate else 0.0,
+                        # duration counts per-channel frames (stereo
+                        # samples interleave into x)
+                        1000.0 * (n / n_ch) / rate if rate else 0.0,
                         math.sqrt(sumsq / n) / 32768.0,
                         peak_i / 32768.0,
                         clip_n / n,

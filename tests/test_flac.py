@@ -89,12 +89,19 @@ def test_rejections_are_loud_and_specific():
     # truncated mid-frame
     with pytest.raises(FlacError):
         decode_flac(good[:-7])
-    # stereo STREAMINFO rejected
+    # STREAMINFO channel count disagreeing with the frames is rejected
+    # (stereo is supported since r8, but a stereo STREAMINFO over mono
+    # frames is a lie — ch_code 0 is invalid for a 2-channel stream)
     st = bytearray(good)
     # channels-1 lives in STREAMINFO byte 12 bits 1-3 (after 20-bit rate)
     st[8 + 12] |= 0x02  # set channels-1 = 1
-    with pytest.raises(FlacError, match="mono"):
+    with pytest.raises(FlacError, match="channel assignment"):
         decode_flac(bytes(st))
+    # >2 channels rejected outright
+    st2 = bytearray(good)
+    st2[8 + 12] |= 0x04  # channels-1 = 2
+    with pytest.raises(FlacError, match="mono/stereo"):
+        decode_flac(bytes(st2))
 
 
 @pytest.mark.parametrize(
@@ -174,3 +181,64 @@ def test_decode_stage_contains_errors_per_row(spark):
     )
     assert got[2]["error"] is not None and got[2]["n_samples"] is None
     assert got[3]["error"] == "null payload"
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_roundtrip_all_channel_assignments(mode):
+    """All four stereo assignments reconstruct L/R exactly; side
+    channels carry 17 bits, mid/side restores the parity bit from the
+    side channel (the spec's integer decorrelation)."""
+    from crawl_streams_spark.operators.flac import encode_flac_stereo
+
+    rng = np.random.RandomState(hash(mode) % 1000)
+    left = rng.randint(-32768, 32768, size=400)
+    right = rng.randint(-32768, 32768, size=400)
+    enc = encode_flac_stereo(left, right, mode=mode, order=1, rice_param=14,
+                             block_size=128)
+    meta, dec = decode_flac(enc)
+    assert meta == (8000, 2, 16, 400)
+    got = dec.reshape(-1, 2)
+    assert np.array_equal(got[:, 0], left)
+    assert np.array_equal(got[:, 1], right)
+
+
+def test_stereo_decorrelation_actually_compresses():
+    """Correlated channels: mid/side codes fewer bytes than independent
+    (the reason the modes exist)."""
+    from crawl_streams_spark.operators.flac import encode_flac_stereo
+
+    t = np.arange(2048)
+    left = ((t * 13) % 2000 - 1000).astype(np.int64)
+    right = left + ((t * 7) % 9) - 4  # strongly correlated
+    ind = encode_flac_stereo(left, right, mode="independent", order=2,
+                             rice_param=11, block_size=512)
+    ms = encode_flac_stereo(left, right, mode="mid_side", order=2,
+                            rice_param=11, block_size=512)
+    assert len(ms) < len(ind)
+
+
+def test_stereo_mid_side_odd_sum_parity():
+    """The mid channel floors (L+R)/2 — the parity bit lives in the side
+    channel; odd sums are the case that breaks naive implementations."""
+    from crawl_streams_spark.operators.flac import encode_flac_stereo
+
+    left = np.array([1, 3, -5, 32767])
+    right = np.array([0, 2, 2, -32768])  # every sum odd
+    enc = encode_flac_stereo(left, right, mode="mid_side", order=0,
+                             rice_param=14, block_size=4)
+    _, dec = decode_flac(enc)
+    got = dec.reshape(-1, 2)
+    assert got[:, 0].tolist() == left.tolist()
+    assert got[:, 1].tolist() == right.tolist()
+
+
+def test_mono_stream_rejects_stereo_channel_code():
+    good = bytearray(encode_flac(np.arange(16), order=0))
+    # set the frame's channel-assignment nibble to 1 (2 channels): byte
+    # layout after sync: [sync(14) res(1) strat(1)] [bs(4) sr(4)] [ch(4) ss(3) res(1)]
+    frame0 = 4 + 4 + 34
+    good[frame0 + 3] = (good[frame0 + 3] & 0x0F) | (1 << 4)
+    with pytest.raises(FlacError, match="mono stream|CRC-8"):
+        decode_flac(bytes(good))
