@@ -117,9 +117,29 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pw, ph) for every NON-EMPTY pass — empty
+    passes contribute no scanlines at all (not even filter bytes)."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to a uint8 array: (H, W) for grayscale,
-    (H, W, C) otherwise. Palette images expand to RGB."""
+    (H, W, C) otherwise. Palette images expand to RGB. Handles both
+    sequential and Adam7-interlaced streams (each interlace pass is an
+    independently-filtered sub-image scattered onto the x0::dx, y0::dy
+    grid)."""
     header = None
     palette = None
     idat = []
@@ -141,8 +161,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = header
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
-    if interlace != 0:
-        raise PngError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     if depth != 8:
         raise PngError(f"bit depth {depth} not supported (8 only)")
     if color not in _CHANNELS:
@@ -151,7 +171,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngError("zero-dimension image")
     bpp = _CHANNELS[color]
     stride = width * bpp
-    expected = (stride + 1) * height
+    if interlace == 0:
+        expected = (stride + 1) * height
+    else:
+        expected = sum(
+            (pw * bpp + 1) * ph
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
+        )
     try:
         # bound the inflate at expected+1 bytes: a crafted IDAT must not
         # be able to balloon memory (the decode stage quarantines bad
@@ -163,8 +189,25 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != expected or not d.eof or d.unconsumed_tail:
         got = f"> {expected}" if d.unconsumed_tail else str(len(raw))
         raise PngError(f"decompressed size {got} != expected {expected}")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    img = _unfilter(rows, height, stride, bpp)
+    if interlace == 0:
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(
+            height, stride + 1
+        )
+        img = _unfilter(rows, height, stride, bpp)
+    else:
+        # each Adam7 pass is an independently-filtered sub-image; the
+        # per-pass unfilter is the SAME kernel, prior reset per pass
+        img = np.zeros((height, stride), dtype=np.uint8)
+        full = img.reshape(height, width, bpp)
+        off = 0
+        buf = np.frombuffer(raw, dtype=np.uint8)
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            pstride = pw * bpp
+            size = (pstride + 1) * ph
+            rows = buf[off : off + size].reshape(ph, pstride + 1)
+            off += size
+            sub = _unfilter(rows, ph, pstride, bpp).reshape(ph, pw, bpp)
+            full[y0::dy, x0::dx, :] = sub
     if color == 3:
         if palette is None:
             raise PngError("palette image missing PLTE")
@@ -211,42 +254,60 @@ def _filter_row(
     raise PngError(f"unknown filter type {ftype}")
 
 
-def encode_png(arr, filters=None, level: int = 6) -> bytes:
-    """Encode a uint8 array — (H, W) gray or (H, W, 3/4) color — as a
-    non-interlaced 8-bit PNG. ``filters`` picks the filter type per row:
-    an int, a sequence of ints, or None (default: cycle ``y % 5`` so a
-    round-trip exercises every filter path)."""
+def encode_png(arr, filters=None, level: int = 6, interlace: bool = False) -> bytes:
+    """Encode a uint8 array — (H, W) gray or (H, W, 3/4) color — as an
+    8-bit PNG, sequential or Adam7-interlaced. ``filters`` picks the
+    filter type per row: an int, a sequence of ints, or None (default:
+    cycle ``y % 5`` so a round-trip exercises every filter path; under
+    interlace the cycle applies within each pass)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         color, bpp = 0, 1
-        flat = a
+        img3 = a[:, :, None]
     elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
         color = {2: 4, 3: 2, 4: 6}[a.shape[2]]
         bpp = a.shape[2]
-        flat = a.reshape(a.shape[0], -1)
+        img3 = a
     else:
         raise PngError(f"unsupported array shape {a.shape}")
-    height, stride = flat.shape
-    width = stride // bpp
-    if filters is None:
-        ftypes = [y % 5 for y in range(height)]
-    elif isinstance(filters, int):
-        ftypes = [filters] * height
-    else:
-        ftypes = list(filters)
-        if len(ftypes) != height:
+    height, width = img3.shape[:2]
+
+    def ftype_for(y: int, n_rows: int) -> int:
+        if filters is None:
+            return y % 5
+        if isinstance(filters, int):
+            return filters
+        fl = list(filters)
+        if len(fl) != n_rows:
             raise PngError("filters sequence length != height")
-    body = bytearray()
-    prior = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        body.append(ftypes[y])
-        body.extend(_filter_row(ftypes[y], flat[y], prior, bpp).tobytes())
-        prior = flat[y]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+        return fl[y]
+
+    def filter_image(sub: np.ndarray) -> bytes:
+        h, w = sub.shape[:2]
+        flat = sub.reshape(h, w * bpp)
+        body = bytearray()
+        prior = np.zeros(w * bpp, dtype=np.uint8)
+        for y in range(h):
+            ft = ftype_for(y, h)
+            body.append(ft)
+            body.extend(_filter_row(ft, flat[y], prior, bpp).tobytes())
+            prior = flat[y]
+        return bytes(body)
+
+    if not interlace:
+        body = filter_image(img3)
+    else:
+        body = b"".join(
+            filter_image(np.ascontiguousarray(img3[y0::dy, x0::dx]))
+            for x0, y0, dx, dy, _pw, _ph in _adam7_passes(width, height)
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(body), level))
+        + _chunk(b"IDAT", zlib.compress(body, level))
         + _chunk(b"IEND", b"")
     )
 

@@ -148,14 +148,15 @@ def test_crc_tamper_detected():
         decode_png(bytes(blob))
 
 
-def test_adam7_and_bit_depth_gates():
+def test_bit_depth_and_interlace_method_gates():
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     blob16 = _SIGNATURE + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
     with pytest.raises(PngError, match="bit depth"):
         decode_png(blob16)
-    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # Adam7 is SUPPORTED since r8; only unknown interlace methods reject
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     blob_i = _SIGNATURE + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
-    with pytest.raises(PngError, match="Adam7"):
+    with pytest.raises(PngError, match="interlace method"):
         decode_png(blob_i)
 
 
@@ -279,3 +280,62 @@ def test_inflate_bomb_is_bounded():
     )
     with pytest.raises(PngError, match="decompressed size"):
         decode_png(blob)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlacing (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_adam7_passes_tile_exactly_once():
+    """The 7 pass grids partition the 8x8 block — every pixel claimed by
+    exactly one pass (the spec's interlace matrix)."""
+    import numpy as np
+
+    from crawl_streams_spark.operators.png import _ADAM7
+
+    grid = np.zeros((8, 8), dtype=int)
+    for x0, y0, dx, dy in _ADAM7:
+        grid[y0::dy, x0::dx] += 1
+    assert (grid == 1).all()
+
+
+@pytest.mark.parametrize(
+    "shape", [(9, 7), (1, 1), (2, 3), (16, 16), (5, 13, 3), (11, 4, 4),
+              (7, 1), (1, 9)]
+)
+def test_adam7_roundtrip(shape):
+    """Interlaced roundtrips across gray/RGB/RGBA and odd sizes that
+    produce EMPTY passes (which contribute no scanlines at all)."""
+    import numpy as np
+
+    rng = np.random.RandomState(sum(shape))
+    a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(a, interlace=True)), a)
+
+
+def test_adam7_size_accounting_is_strict():
+    """A truncated interlaced stream must be rejected by the expected-
+    size check (empty passes excluded from the accounting)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from crawl_streams_spark.operators.png import _chunk
+
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = encode_png(a, interlace=True)
+    # re-deflate a shortened body under the same header
+    idat_start = enc.index(b"IDAT") - 4
+    idat_len = struct.unpack(">I", enc[idat_start : idat_start + 4])[0]
+    body = zlib.decompress(
+        enc[idat_start + 8 : idat_start + 8 + idat_len]
+    )
+    short = (
+        enc[:idat_start]
+        + _chunk(b"IDAT", zlib.compress(body[:-3]))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="decompressed size"):
+        decode_png(short)
