@@ -219,9 +219,11 @@ def _sub_blocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(arr) -> bytes:
+def encode_gif(arr, interlace: bool = False) -> bytes:
     """Encode a (h, w) uint8 index array as a single-frame GIF89a with a
-    256-entry grayscale global color table (index i → RGB (i, i, i))."""
+    256-entry grayscale global color table (index i → RGB (i, i, i)).
+    ``interlace`` stores rows in the spec's 4-pass order and sets the
+    descriptor flag."""
     px = np.asarray(arr, dtype=np.uint8)
     if px.ndim != 2:
         raise GifError(f"expected (h, w) index array, got shape {px.shape}")
@@ -234,9 +236,11 @@ def encode_gif(arr) -> bytes:
     out += struct.pack("<HHBBB", wth, h, 0xF7, 0, 0)
     gct = np.repeat(np.arange(256, dtype=np.uint8), 3)
     out += gct.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, wth, h, 0)  # image descriptor
+    ipacked = 0x40 if interlace else 0
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, wth, h, ipacked)
     out.append(8)  # LZW minimum code size
-    out += _sub_blocks(lzw_encode(px.reshape(-1).tolist(), 8))
+    stream = px[_interlace_order(h)] if interlace else px
+    out += _sub_blocks(lzw_encode(stream.reshape(-1).tolist(), 8))
     out.append(0x3B)  # trailer
     return bytes(out)
 
@@ -256,12 +260,26 @@ def _read_sub_blocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+def _interlace_order(height: int) -> "np.ndarray":
+    """GIF 4-pass interlace row order (spec appendix E): rows are stored
+    as passes 0::8, 4::8, 2::4, 1::2 — returns the display row index of
+    each stored row."""
+    return np.concatenate(
+        [
+            np.arange(0, height, 8),
+            np.arange(4, height, 8),
+            np.arange(2, height, 4),
+            np.arange(1, height, 2),
+        ]
+    )
+
+
 def decode_gif(payload: bytes):
     """Decode the first image of a GIF87a/89a payload → (pixels, palette):
     ``pixels`` an (h, w) uint8 index array, ``palette`` a (n, 3) uint8
     RGB table (local table wins over global, per spec). Extensions are
-    skipped; interlaced images are rejected (the encoder here never
-    produces them)."""
+    skipped; interlaced images (the 4-pass row interleave) are
+    de-interlaced on decode."""
     if len(payload) < 13:
         raise GifError("payload shorter than GIF header")
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -299,8 +317,7 @@ def decode_gif(payload: bytes):
     pos += 9
     if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
         raise GifError(f"image {iw}x{ih}@{left},{top} outside screen {sw}x{sh}")
-    if ipacked & 0x40:
-        raise GifError("interlaced images unsupported")
+    interlaced = bool(ipacked & 0x40)
     if ipacked & 0x80:  # local color table
         n = 2 << (ipacked & 0x07)
         if pos + 3 * n > len(payload):
@@ -324,7 +341,12 @@ def decode_gif(payload: bytes):
     px = np.frombuffer(indices, dtype=np.uint8)
     if int(px.max(initial=0)) >= palette.shape[0]:
         raise GifError("palette index beyond color table")
-    return px.reshape(ih, iw), palette
+    img = px.reshape(ih, iw)
+    if interlaced:
+        out = np.empty_like(img)
+        out[_interlace_order(ih)] = img  # stored pass order → display rows
+        img = out
+    return img, palette
 
 
 # ---------------------------------------------------------------------------

@@ -188,14 +188,20 @@ def test_malformed_payloads_raise_giferror():
             decode_gif(blob)
 
 
-def test_interlace_flag_rejected():
+def test_interlace_flag_deinterlaces():
+    """Since r8 the flag is honored, not rejected: flipping it on a
+    sequential stream decodes the SAME pixels permuted by the 4-pass
+    row order — proving the de-interlace path is a pure row gather."""
+    from crawl_streams_spark.operators.gif import _interlace_order
+
     payload = bytearray(pattern_gif(2, 8, 8))
     idx = _IMAGE_DESC_OFFSET
     assert payload[idx] == 0x2C
     # descriptor = introducer, then 2+2+2+2 coords/dims, then packed
     payload[idx + 9] |= 0x40
-    with pytest.raises(GifError, match="interlaced"):
-        decode_gif(bytes(payload))
+    straight, _ = decode_gif(pattern_gif(2, 8, 8))
+    bent, _ = decode_gif(bytes(payload))
+    assert np.array_equal(bent[_interlace_order(8)], straight)
 
 
 def test_encode_rejects_bad_shapes():
@@ -277,3 +283,35 @@ def test_decode_gif_features_stage(spark):
     assert got[1]["width"] == 16
     assert got[2]["error"] is not None and got[2]["width"] is None
     assert got[3]["error"] == "null payload"
+
+
+# ---------------------------------------------------------------------------
+# 4-pass interlacing (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_interlace_order_is_a_permutation():
+    import numpy as np
+
+    from crawl_streams_spark.operators.gif import _interlace_order
+
+    for h in (1, 2, 3, 7, 8, 9, 16, 33):
+        order = _interlace_order(h)
+        assert sorted(order.tolist()) == list(range(h)), h
+    # the canonical 8-row example from the spec appendix
+    assert _interlace_order(8).tolist() == [0, 4, 2, 6, 1, 3, 5, 7]
+
+
+@pytest.mark.parametrize("h,w", [(1, 5), (2, 4), (8, 8), (9, 7), (33, 3)])
+def test_interlaced_roundtrip(h, w):
+    import numpy as np
+
+    from crawl_streams_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(h * 100 + w)
+    img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+    px, pal = decode_gif(encode_gif(img, interlace=True))
+    assert np.array_equal(px, img)
+    # sequential path untouched
+    px2, _ = decode_gif(encode_gif(img))
+    assert np.array_equal(px2, img)
