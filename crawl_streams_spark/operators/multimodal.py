@@ -7,7 +7,7 @@ The container has no codec LIBRARIES, so the generic decode kernels are
 STUBS behind ``_HAVE_CODECS`` — deterministic fakes with the real
 Spark-side contract (schema, batch iteration, partitioning) — plus one
 honest ``NotImplementedError`` path. But TEN formats decode for REAL
-with numpy/stdlib alone: RIFF WAV in four encodings — PCM16, G.711
+with numpy/stdlib alone: RIFF WAV in seven encodings — PCM16/PCM8/PCM24/float32, G.711
 µ-law/A-law, IMA ADPCM (0x11), MS ADPCM (0x02) — all via ``decode_wav``;
 subset FLAC (``decode_flac_features``, operators/flac.py: CRC-verified
 frames, Rice residuals, fixed predictors); binary PPM
@@ -448,6 +448,42 @@ def _wav_decode_impl():
                 x = np.frombuffer(
                     data[: len(data) - (len(data) % (2 * n_ch))], dtype="<i2"
                 )
+            elif audio_format == 1 and bits == 8:
+                # 8-bit PCM is UNSIGNED with a 128 bias (the WAV quirk);
+                # scale to 16-bit range so the energy features compare
+                b = np.frombuffer(
+                    data[: len(data) - (len(data) % n_ch)], dtype=np.uint8
+                )
+                x = (b.astype(np.int64) - 128) << 8
+            elif audio_format == 1 and bits == 24:
+                # 3-byte little-endian signed, widened via a zero pad
+                usable = len(data) - (len(data) % (3 * n_ch))
+                b = np.frombuffer(data[:usable], dtype=np.uint8)
+                b = b.reshape(-1, 3)
+                raw = (
+                    b[:, 0].astype(np.int64)
+                    | (b[:, 1].astype(np.int64) << 8)
+                    | (b[:, 2].astype(np.int64) << 16)
+                )
+                x = np.where(raw >= 1 << 23, raw - (1 << 24), raw)
+                # features are 16-bit-normalized; scale down exactly
+                x = x >> 8
+            elif audio_format == 3 and bits == 32:
+                # IEEE float PCM in [-1, 1]; out-of-range samples clamp
+                # (the float-WAV convention), NaN rejects loudly
+                f = np.frombuffer(
+                    data[: len(data) - (len(data) % (4 * n_ch))],
+                    dtype="<f4",
+                ).astype(np.float64)
+                if np.isnan(f).any():
+                    return None, "float PCM contains NaN samples"
+                f = np.clip(f, -1.0, 1.0)
+                # symmetric scale, round-half-away like a converter
+                x = np.where(
+                    f >= 0,
+                    np.floor(f * 32767.0 + 0.5),
+                    np.ceil(f * 32768.0 - 0.5),
+                ).astype(np.int64)
             elif audio_format in (6, 7) and bits == 8:
                 # G.711 companded audio (format 6 = A-law, 7 = µ-law):
                 # expand each byte to 16-bit linear via the canonical

@@ -165,3 +165,65 @@ def test_malformed_adpcm_rejected():
     struct.pack_into("<H", bad2, 12 + 8 + 12, 4)
     feats, err = decode(bytes(bad2))
     assert feats is None and "block align" in err
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions to the PCM family: 8-bit unsigned, 24-bit, float32
+# ---------------------------------------------------------------------------
+
+
+def _wav(raw: bytes, fmt_code: int, bits: int, rate: int = 8000,
+         n_ch: int = 1) -> bytes:
+    block = n_ch * max(bits // 8, 1)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, fmt_code, n_ch, rate,
+        rate * block, block, bits,
+    )
+    data = struct.pack("<4sI", b"data", len(raw)) + raw
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+        + fmt + data
+    )
+
+
+def test_pcm8_unsigned_bias_and_scale():
+    decode = _wav_decode_impl()
+    # 0 -> -32768 (rail), 128 -> 0, 255 -> +32512
+    feats, err = decode(_wav(bytes([0, 128, 255]), 1, 8))
+    assert err is None
+    rate, n_ch, bits, n, dur, rms, peak, clip = feats
+    assert (bits, n) == (8, 3)
+    want = np.array([-32768, 0, 32512], dtype=np.int64)
+    assert peak == 32768 / 32768.0
+    assert rms == math.sqrt(int(np.sum(want * want)) / 3) / 32768.0
+    assert clip == 1 / 3  # the biased zero byte IS the negative rail
+
+
+def test_pcm24_sign_extension_and_scaling():
+    decode = _wav_decode_impl()
+    vals24 = [0x000001, 0x7FFFFF, 0x800000, 0xFFFFFF]  # +1, max, min, -1
+    raw = b"".join(v.to_bytes(3, "little") for v in vals24)
+    feats, err = decode(_wav(raw, 1, 24))
+    assert err is None
+    want = np.array([1, 0x7FFFFF, -0x800000, -1], dtype=np.int64) >> 8
+    assert feats[2] == 24 and feats[3] == 4
+    assert feats[6] == int(np.max(np.abs(want))) / 32768.0
+
+
+def test_float32_pcm_clamps_and_scales():
+    decode = _wav_decode_impl()
+    f = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 2.5, -3.0], dtype="<f4")
+    feats, err = decode(_wav(f.tobytes(), 3, 32))
+    assert err is None
+    want = np.array([0, 16384, -16384, 32767, -32768, 32767, -32768])
+    assert feats[3] == 7
+    assert feats[6] == 32768 / 32768.0
+    assert feats[7] == 4 / 7  # the two clamps + the two exact rails clip
+    assert feats[5] == math.sqrt(int(np.sum(want * want)) / 7) / 32768.0
+
+
+def test_float32_nan_rejected():
+    decode = _wav_decode_impl()
+    f = np.array([0.0, np.nan], dtype="<f4")
+    feats, err = decode(_wav(f.tobytes(), 3, 32))
+    assert feats is None and "NaN" in err
