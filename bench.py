@@ -105,7 +105,11 @@ def main() -> None:
             timings[name] = -1.0
 
     _calibrate(cal_runs)  # post-run bracket
-    calibration = round(sorted(cal_runs)[len(cal_runs) // 2], 3)
+    # true median of the 6 readings (mean of the middle pair — the
+    # upper-middle pick biased toward the slower bracket under drift)
+    import statistics
+
+    calibration = round(statistics.median(cal_runs), 3)
 
     ok_times = [t for t in timings.values() if t >= 0]
     total = round(sum(ok_times), 3) if ok_times else -1.0

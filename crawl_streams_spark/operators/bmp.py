@@ -147,14 +147,14 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
         pal = np.frombuffer(payload, dtype=np.uint8, count=4 * n_colors,
                             offset=pal_off).reshape(n_colors, 4)
         palette_rgb = pal[:, 2::-1]  # BGRA -> RGB
-        min_off = pal_end
-    else:
-        min_off = _FILE_HEADER.size + _INFO_HEADER.size
-    if off < min_off:
-        # a bfOffBits pointing inside the headers/palette would decode
-        # header bytes as pixels — reject, never silently misdecode
+        # (an off inside the palette is already rejected above by the
+        # pal_end > off check — no separate overlap guard needed here)
+    elif off < _FILE_HEADER.size + _INFO_HEADER.size:
+        # a bfOffBits pointing inside the headers would decode header
+        # bytes as pixels — reject, never silently misdecode
         raise BmpError(
-            f"pixel offset {off} overlaps headers (min {min_off})"
+            f"pixel offset {off} overlaps headers "
+            f"(min {_FILE_HEADER.size + _INFO_HEADER.size})"
         )
     stride = _row_stride(w, bits)
     need = off + stride * h

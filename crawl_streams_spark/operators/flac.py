@@ -232,6 +232,9 @@ def encode_flac(
     if order not in _FIXED_COEFFS:
         raise FlacError(f"unsupported fixed order {order}")
 
+    if subframe not in ("fixed", "constant", "verbatim", "lpc"):
+        raise FlacError(f"unknown subframe mode {subframe!r}")
+
     # STREAMINFO
     info = _BitWriter()
     info.write(block_size, 16)  # min block size
@@ -255,7 +258,7 @@ def encode_flac(
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed blocksize strategy
         hdr.write(0b0111, 4)  # blocksize: 16 bits at end of header
-        hdr.write(0b0100, 4)  # sample rate: 8 kHz table code
+        hdr.write(_sr_code(sample_rate), 4)
         hdr.write(0b0000, 4)  # mono
         hdr.write(0b100, 3)  # 16 bits per sample
         hdr.write(0, 1)  # reserved
@@ -313,28 +316,28 @@ def encode_flac(
                 u = _zigzag(block[i] - pred)
                 body.write_unary(u >> rice_param)
                 body.write(u, rice_param)
-        else:
+        else:  # "fixed" — validated above; shares the stereo encoder's writer
             if n < o:
                 raise FlacError("block shorter than predictor order")
-            body.write(0, 1)
-            body.write(0b001000 | o, 6)
-            body.write(0, 1)
-            for v in block[:o]:  # warm-up, verbatim at full depth
-                body.write(v & 0xFFFF, 16)
-            body.write(0b00, 2)  # rice method, 4-bit params
-            body.write(0, 4)  # partition order 0
-            body.write(rice_param, 4)
-            coeffs = _FIXED_COEFFS[o]
-            for i in range(o, n):
-                pred = sum(c * block[i - 1 - j] for j, c in enumerate(coeffs))
-                u = _zigzag(block[i] - pred)
-                body.write_unary(u >> rice_param)
-                body.write(u, rice_param)
+            _write_fixed_subframe(body, block, o, rice_param, 16)
         body.align()
         frame = head + body.bytes()
         frame += struct.pack(">H", crc16(frame))
         out += frame
     return bytes(out)
+
+
+_SAMPLE_RATES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
+                 0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
+_SR_CODES = {v: k for k, v in _SAMPLE_RATES.items()}
+
+
+def _sr_code(rate: int) -> int:
+    """Frame-header sample-rate code: the table code when the rate has
+    one, else 0b0000 = 'get from STREAMINFO' (spec-legal for any rate —
+    the old hardcoded 8 kHz code made the encoder's own output
+    undecodable at other rates)."""
+    return _SR_CODES.get(rate, 0b0000)
 
 
 def _write_fixed_subframe(
@@ -411,7 +414,7 @@ def encode_flac_stereo(
         hdr.write(0, 1)
         hdr.write(0, 1)
         hdr.write(0b0111, 4)
-        hdr.write(0b0100, 4)
+        hdr.write(_sr_code(sample_rate), 4)
         hdr.write(ch_code, 4)
         hdr.write(0b100, 3)
         hdr.write(0, 1)
@@ -442,8 +445,7 @@ def encode_flac_stereo(
     return bytes(out)
 
 
-_SAMPLE_RATES = {0b0100: 8000, 0b0101: 16000, 0b0110: 22050, 0b0111: 24000,
-                 0b1000: 32000, 0b1001: 44100, 0b1010: 48000, 0b1011: 96000}
+
 
 
 def decode_flac(payload: bytes):

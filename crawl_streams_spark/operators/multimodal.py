@@ -433,11 +433,16 @@ def _wav_decode_impl():
             if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
                 return None, "not a RIFF/WAVE payload"
             pos, fmt, data = 12, None, None
+            spb = None  # wSamplesPerBlock from the fmt extension
             while pos + 8 <= len(payload):
                 cid, size = struct.unpack_from("<4sI", payload, pos)
                 body = payload[pos + 8 : pos + 8 + size]
                 if cid == b"fmt ":
                     fmt = struct.unpack_from("<HHIIHH", body, 0)
+                    if len(body) >= 20:
+                        # extended fmt: cbSize at 16, then (for both
+                        # ADPCM flavors) wSamplesPerBlock at 18
+                        spb = struct.unpack_from("<H", body, 18)[0]
                 elif cid == b"data":
                     data = body
                 pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -529,7 +534,7 @@ def _wav_decode_impl():
                     idx = block[2]
                     if idx > 88:
                         return None, f"ADPCM: step index {idx} out of range"
-                    out.append(pred)
+                    bout = [pred]
                     for byte in block[4:]:
                         for code in (byte & 0xF, byte >> 4):
                             step = IMA_STEP_TABLE[idx]
@@ -543,7 +548,12 @@ def _wav_decode_impl():
                             pred = pred - diff if code & 8 else pred + diff
                             pred = max(-32768, min(32767, pred))
                             idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
-                            out.append(pred)
+                            bout.append(pred)
+                    # wSamplesPerBlock (fmt extension) bounds the block's
+                    # REAL samples — the remaining nibbles are encoder
+                    # padding, not audio (decoding them would skew every
+                    # statistic; the 'never silently misdecode' charter)
+                    out.extend(bout if spb is None else bout[:spb])
                 if not out:
                     return None, "ADPCM: no complete block"
                 x = np.array(out, dtype=np.int64)
@@ -572,8 +582,7 @@ def _wav_decode_impl():
                         # (and floor-vs-trunc division would diverge on it)
                         return None, f"ADPCM: bad initial delta {idelta}"
                     c1, c2 = MS_ADPCM_COEFFS[pidx]
-                    out.append(s2)
-                    out.append(s1)
+                    bout = [s2, s1]
                     for byte in block[7:]:
                         for code in (byte >> 4, byte & 0xF):
                             signed = code - 16 if code >= 8 else code
@@ -589,7 +598,9 @@ def _wav_decode_impl():
                             idelta = max(
                                 16, (MS_ADPCM_ADAPT[code] * idelta) // 256
                             )
-                            out.append(pred)
+                            bout.append(pred)
+                    # trim encoder padding to wSamplesPerBlock (see IMA)
+                    out.extend(bout if spb is None else bout[:spb])
                 if not out:
                     return None, "ADPCM: no complete block"
                 x = np.array(out, dtype=np.int64)

@@ -257,9 +257,11 @@ def _filter_row(
 def encode_png(arr, filters=None, level: int = 6, interlace: bool = False) -> bytes:
     """Encode a uint8 array — (H, W) gray or (H, W, 3/4) color — as an
     8-bit PNG, sequential or Adam7-interlaced. ``filters`` picks the
-    filter type per row: an int, a sequence of ints, or None (default:
-    cycle ``y % 5`` so a round-trip exercises every filter path; under
-    interlace the cycle applies within each pass)."""
+    filter type per row: an int, a sequence of ints indexed by DISPLAY
+    row (length == image height, also under interlace — each display
+    row keeps its designated filter in whichever pass stores it), or
+    None (default: cycle ``y % 5`` within each stored image so a
+    round-trip exercises every filter path)."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         color, bpp = 0, 1
@@ -272,33 +274,38 @@ def encode_png(arr, filters=None, level: int = 6, interlace: bool = False) -> by
         raise PngError(f"unsupported array shape {a.shape}")
     height, width = img3.shape[:2]
 
-    def ftype_for(y: int, n_rows: int) -> int:
+    if filters is not None and not isinstance(filters, int):
+        filters = list(filters)
+        if len(filters) != height:
+            raise PngError("filters sequence length != height")
+
+    def ftype_for(display_y: int, pass_y: int) -> int:
         if filters is None:
-            return y % 5
+            return pass_y % 5  # cycle within the stored image
         if isinstance(filters, int):
             return filters
-        fl = list(filters)
-        if len(fl) != n_rows:
-            raise PngError("filters sequence length != height")
-        return fl[y]
+        return filters[display_y]
 
-    def filter_image(sub: np.ndarray) -> bytes:
+    def filter_image(sub: np.ndarray, display_rows) -> bytes:
         h, w = sub.shape[:2]
         flat = sub.reshape(h, w * bpp)
         body = bytearray()
         prior = np.zeros(w * bpp, dtype=np.uint8)
         for y in range(h):
-            ft = ftype_for(y, h)
+            ft = ftype_for(display_rows[y], y)
             body.append(ft)
             body.extend(_filter_row(ft, flat[y], prior, bpp).tobytes())
             prior = flat[y]
         return bytes(body)
 
     if not interlace:
-        body = filter_image(img3)
+        body = filter_image(img3, range(height))
     else:
         body = b"".join(
-            filter_image(np.ascontiguousarray(img3[y0::dy, x0::dx]))
+            filter_image(
+                np.ascontiguousarray(img3[y0::dy, x0::dx]),
+                range(y0, height, dy),
+            )
             for x0, y0, dx, dy, _pw, _ph in _adam7_passes(width, height)
         )
     ihdr = struct.pack(

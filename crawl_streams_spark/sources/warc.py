@@ -189,6 +189,10 @@ def _expand_paths(path: str) -> list[str]:
                 for x in files
                 if x.endswith((".warc", ".warc.gz"))
             )
+        if not out:
+            # same fail-fast contract as the glob form: a wrong (but
+            # existing) directory must not read as an empty archive
+            raise WarcError(f"no WARC files match {path!r}")
         return sorted(out)
     matches = sorted(_glob.glob(path))
     if not matches:

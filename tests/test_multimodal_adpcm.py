@@ -227,3 +227,21 @@ def test_float32_nan_rejected():
     f = np.array([0.0, np.nan], dtype="<f4")
     feats, err = decode(_wav(f.tobytes(), 3, 32))
     assert feats is None and "NaN" in err
+
+
+def test_wsamplesperblock_trims_padding_nibbles():
+    """An encoder's final partial block pads to block_align; the fmt
+    extension's wSamplesPerBlock says how many samples are REAL — the
+    pad nibbles must not decode as audio (code-review r8 finding)."""
+    decode = _wav_decode_impl()
+    # capacity 1 + 8*2 = 17 samples, but declare only 11 real ones
+    full = ima_adpcm_wav_bytes(list(range(16)), pred0=50, idx0=10)
+    trimmed = bytearray(full)
+    # wSamplesPerBlock lives at fmt body offset 18 = file offset 12+8+18
+    struct.pack_into("<H", trimmed, 12 + 8 + 18, 11)
+    feats, err = decode(bytes(trimmed))
+    assert err is None
+    assert feats[3] == 11  # 17 capacity - 6 pad samples dropped
+    want = _spec_decode(list(range(16)), 50, 10)[:11]
+    wn, wrms, wpeak, wclip = _features_from_samples(want)
+    assert feats[5] == wrms and feats[6] == wpeak
