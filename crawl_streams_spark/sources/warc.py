@@ -122,9 +122,17 @@ def iter_warc_records(f):
             if b":" not in hline:
                 raise WarcError(f"malformed header line {hline[:60]!r}")
             k, v = hline.split(b":", 1)
-            headers[k.strip().decode("ascii").lower()] = v.strip().decode(
-                "utf-8", "replace"
-            )
+            try:
+                key = k.strip().decode("ascii").lower()
+            except UnicodeDecodeError as e:
+                # header NAMES are ASCII by spec; a corrupt byte must be
+                # a WarcError (the Spark stage catches exactly that), not
+                # a UnicodeDecodeError that kills the task — found by
+                # the totality fuzz
+                raise WarcError(
+                    f"non-ASCII header name {k[:40]!r}"
+                ) from e
+            headers[key] = v.strip().decode("utf-8", "replace")
         if "content-length" not in headers:
             raise WarcError("record missing Content-Length")
         try:
