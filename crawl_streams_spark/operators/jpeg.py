@@ -225,6 +225,10 @@ def _decode(payload: bytes) -> np.ndarray:
         if i + 2 > n:
             raise JpegError("truncated marker segment")
         (seglen,) = struct.unpack_from(">H", payload, i)
+        if seglen < 2 or i + seglen > n:
+            raise JpegError(
+                f"segment length {seglen} overruns the payload at {i}"
+            )
         body = payload[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -232,9 +236,13 @@ def _decode(payload: bytes) -> np.ndarray:
                 pq, tq = body[p] >> 4, body[p] & 15
                 p += 1
                 if pq == 0:
+                    if len(body) - p < 64:
+                        raise JpegError("truncated DQT table")
                     q = np.frombuffer(body, np.uint8, 64, p).astype(np.int32)
                     p += 64
                 elif pq == 1:
+                    if len(body) - p < 128:
+                        raise JpegError("truncated DQT table")
                     q = np.frombuffer(body, ">u2", 64, p).astype(np.int32)
                     p += 128
                 else:
@@ -245,12 +253,20 @@ def _decode(payload: bytes) -> np.ndarray:
             while p < len(body):
                 tc, th = body[p] >> 4, body[p] & 15
                 bits = list(body[p + 1 : p + 17])
+                if len(bits) < 16:
+                    raise JpegError("truncated DHT counts")
                 nv = sum(bits)
+                if len(body) - (p + 17) < nv:
+                    raise JpegError("truncated DHT values")
                 vals = list(body[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            if len(body) < 6:
+                raise JpegError("truncated SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise JpegError("truncated SOF components")
             if prec != 8:
                 raise JpegError(f"unsupported precision {prec}")
             comps = []
@@ -279,6 +295,8 @@ def _decode(payload: bytes) -> np.ndarray:
             segs, _ = _split_scan(payload, i + seglen)
             return _decode_scan(frame, sel, qtables, huff, segs, restart)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("truncated DRI segment")
             (restart,) = struct.unpack_from(">H", body, 0)
         # APPn, COM, DNL: skip
         i += seglen

@@ -118,3 +118,50 @@ def test_warc_parser_is_total(data):
         list(iter_warc_records(io.BufferedReader(io.BytesIO(blob))))
     except WarcError:
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_jpeg_decoder_is_total(data):
+    from crawl_streams_spark.operators.jpeg import (
+        JpegError,
+        decode_jpeg,
+        gray_jpeg,
+    )
+
+    mode = data.draw(st.sampled_from(["garbage", "truncate", "mutate"]))
+    good = gray_jpeg(16, 8, 128)
+    if mode == "garbage":
+        blob = data.draw(st.binary(min_size=0, max_size=200))
+    elif mode == "truncate":
+        blob = good[: data.draw(st.integers(0, len(good)))]
+    else:
+        i = data.draw(st.integers(0, len(good) - 1))
+        blob = good[:i] + bytes([data.draw(st.integers(0, 255))]) + good[i + 1 :]
+    try:
+        decode_jpeg(blob)
+    except JpegError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_ppm_parser_is_total(data):
+    from crawl_streams_spark.operators.multimodal import (
+        _ppm_parse_impl,
+        ppm_bytes,
+    )
+
+    parse = _ppm_parse_impl()
+    mode = data.draw(st.sampled_from(["garbage", "truncate", "mutate"]))
+    good = ppm_bytes(np.arange(60, dtype=np.uint8).reshape(4, 5, 3))
+    if mode == "garbage":
+        blob = data.draw(st.binary(min_size=0, max_size=200))
+    elif mode == "truncate":
+        blob = good[: data.draw(st.integers(0, len(good)))]
+    else:
+        i = data.draw(st.integers(0, len(good) - 1))
+        blob = good[:i] + bytes([data.draw(st.integers(0, 255))]) + good[i + 1 :]
+    # the PPM parser returns (result, err) tuples — raising is the bug
+    arr, err = parse(blob)
+    assert (arr is None) != (err is None)
