@@ -133,7 +133,14 @@ def _extend(v: int, s: int) -> int:
 def _decode_block(br, dc_tbl, ac_tbl, pred: int):
     """One 8x8 block of quantized coefficients in ZIGZAG order."""
     s = _read_huff(br, dc_tbl)
+    if s > 11:
+        # T.81 F.1.2.1.2: 8-bit baseline DC categories are 0..11; a
+        # larger symbol only arises from a corrupt table and would make
+        # bits(s) astronomically large (totality-fuzz finding)
+        raise JpegError(f"DC magnitude category {s} out of range")
     pred += _extend(br.bits(s), s)
+    if not -(1 << 31) <= pred < (1 << 31):
+        raise JpegError("DC predictor out of int32 range (corrupt scan)")
     zz = np.zeros(64, dtype=np.int32)
     zz[0] = pred
     k = 1
