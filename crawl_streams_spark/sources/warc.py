@@ -31,6 +31,28 @@ blow an executor's Arrow batch; the TRUNCATED payload is flagged in
 (``payload excluded by column pruning``) still read the stream —
 pushdown into gzip is impossible — but never materialize payloads into
 rows.
+
+Error envelope: ``mode`` option, ``failfast`` (default — a malformed
+archive raises ``WarcError``, the right posture for a bounded batch
+read) or ``permissive`` (records parsed before the corruption stand;
+the corruption itself becomes ONE quarantine row with ``error`` set and
+every other column NULL except ``source_file``, and the rest of that
+file is skipped — same per-row quarantine discipline as the multimodal
+decoders, and the posture a continuous directory watch needs so one
+corrupt archive cannot poison-pill the stream; the reference's analysis
+loop likewise skips bad records rather than failing the job,
+crawl-streams analysis.py:140-141).
+
+Streaming offsets are BOUNDED (the round-8 form — the sorted list of
+every file name ever processed — wrote O(N) offset bytes per microbatch
+over a long watch): the offset is a modification-time high-water mark
+plus the listing within ``max_file_age_sec`` (default 7 days) of it,
+mirroring Spark's native FileStreamSource ``maxFileAge`` semantics.
+Files whose mtime has aged past the window purge from the offset;
+a file that first APPEARS with an mtime older than the committed
+watermark minus the window is ignored by design (exactly the native
+source's documented contract — drop files with fresh mtimes, e.g.
+write-elsewhere + rename preserves content but a copy refreshes mtime).
 """
 
 from __future__ import annotations
@@ -59,7 +81,7 @@ WARC_SCHEMA = (
     "warc_type string, record_id string, warc_date string, "
     "target_uri string, content_type string, content_length bigint, "
     "http_status int, payload binary, payload_truncated boolean, "
-    "source_file string"
+    "source_file string, error string"
 )
 
 _VERSION_RE = re.compile(rb"^WARC/(1\.[01])$")
@@ -170,22 +192,33 @@ def _http_status(headers: dict, payload: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _rows_for_file(path: str, max_payload: int):
-    with _open_maybe_gzip(path) as f:
-        for headers, payload in iter_warc_records(f):
-            truncated = len(payload) > max_payload
-            yield (
-                headers.get("warc-type"),
-                headers.get("warc-record-id"),
-                headers.get("warc-date"),
-                headers.get("warc-target-uri"),
-                headers.get("content-type"),
-                int(headers["content-length"]),
-                _http_status(headers, payload),
-                payload[:max_payload],
-                truncated,
-                path,
-            )
+def _rows_for_file(path: str, max_payload: int, permissive: bool = False):
+    """Rows for one archive. ``permissive``: a mid-file ``WarcError``
+    (or a bad gzip stream) yields ONE quarantine row — ``error`` set,
+    ``source_file`` kept, everything else NULL — after the records that
+    parsed cleanly; the remainder of the file is skipped (a corrupt
+    framing byte makes every later record boundary untrustworthy)."""
+    try:
+        with _open_maybe_gzip(path) as f:
+            for headers, payload in iter_warc_records(f):
+                truncated = len(payload) > max_payload
+                yield (
+                    headers.get("warc-type"),
+                    headers.get("warc-record-id"),
+                    headers.get("warc-date"),
+                    headers.get("warc-target-uri"),
+                    headers.get("content-type"),
+                    int(headers["content-length"]),
+                    _http_status(headers, payload),
+                    payload[:max_payload],
+                    truncated,
+                    path,
+                    None,
+                )
+    except (WarcError, gzip.BadGzipFile, EOFError, OSError) as e:
+        if not permissive:
+            raise
+        yield (None,) * 9 + (path, f"{type(e).__name__}: {e}")
 
 
 def _expand_paths(path: str) -> list[str]:
@@ -225,6 +258,12 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
         def __init__(self, path: str):
             self.path = path
 
+    def _parse_mode(options) -> bool:
+        mode = options.get("mode", "failfast").lower()
+        if mode not in ("failfast", "permissive"):
+            raise WarcError(f"unknown mode {mode!r} (failfast|permissive)")
+        return mode == "permissive"
+
     class _WarcReader(DataSourceReader):
         def __init__(self, options):
             self._path = options.get("path")
@@ -233,6 +272,7 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
             self._max_payload = int(
                 options.get("max_payload_bytes", str(1 << 20))
             )
+            self._permissive = _parse_mode(options)
             # resolved on the DRIVER so planning fails fast on bad globs
             self._files = _expand_paths(self._path)
 
@@ -240,18 +280,33 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
             return [_WarcFilePartition(p) for p in self._files]
 
         def read(self, partition):
-            yield from _rows_for_file(partition.path, self._max_payload)
+            yield from _rows_for_file(
+                partition.path, self._max_payload, self._permissive
+            )
+
+    _DEFAULT_MAX_FILE_AGE_SEC = 7 * 86400  # FileStreamSource's default
 
     class _WarcStreamReader(DataSourceStreamReader):
         """Continuous archive ingestion: watch the path for new WARC
         files; each micro-batch processes the files that appeared since
-        the last committed offset. The offset is the SORTED LIST of
-        processed file names — name-based, not index-based, so a late
+        the last committed offset.
+
+        The offset is BOUNDED: ``{"wm": <max mtime ever seen>,
+        "recent": {name: mtime for listed files within
+        max_file_age_sec of wm}}``. Name-based membership means a late
         file that sorts before an already-consumed one can never remap
         history (files must be immutable once visible: write elsewhere,
-        rename in — the standard archive-drop convention). Offset size
-        is bounded by the file count (~1 GB/file convention ⇒ thousands
-        per TB — trivially small next to the checkpoint)."""
+        rename in — the standard archive-drop convention); the mtime
+        watermark means names purge from the offset once they age past
+        the window, so a long-running watch over a 100k-file archive
+        writes O(files-per-window) offset bytes per microbatch, not
+        O(all files ever) — the same compaction contract as Spark's
+        native FileStreamSource ``maxFileAge``. The flip side is the
+        native source's too: a file FIRST APPEARING with an mtime older
+        than ``committed wm - max_file_age_sec`` is ignored (partitions
+        filters on the START offset's horizon, so a watermark that
+        regressed across a restart — newest files deleted — can never
+        re-admit a purged, already-processed name)."""
 
         def __init__(self, options):
             self._path = options.get("path")
@@ -260,22 +315,63 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
             self._max_payload = int(
                 options.get("max_payload_bytes", str(1 << 20))
             )
+            self._permissive = _parse_mode(options)
+            self._max_age = float(
+                options.get(
+                    "max_file_age_sec", str(_DEFAULT_MAX_FILE_AGE_SEC)
+                )
+            )
+            if self._max_age <= 0:
+                raise WarcError("max_file_age_sec must be positive")
+            self._wm = 0.0  # monotone high-water mark of seen mtimes
 
-        def _listing(self) -> list:
+        def _listing(self) -> dict:
+            """name -> mtime for every matching file present right now."""
             try:
-                return _expand_paths(self._path)
+                paths = _expand_paths(self._path)
             except WarcError:
-                return []  # an empty watch dir is a quiet stream, not an error
+                return {}  # an empty watch dir is a quiet stream, not an error
+            out = {}
+            for p in paths:
+                try:
+                    out[p] = os.stat(p).st_mtime
+                except OSError:
+                    pass  # raced deletion between glob and stat
+            return out
 
         def initialOffset(self):
-            return {"files": []}
+            return {"wm": 0.0, "recent": {}}
 
         def latestOffset(self):
-            return {"files": self._listing()}
+            listing = self._listing()
+            if listing:
+                self._wm = max(self._wm, max(listing.values()))
+            horizon = self._wm - self._max_age
+            recent = {p: mt for p, mt in listing.items() if mt >= horizon}
+            return {"wm": self._wm, "recent": recent}
+
+        @staticmethod
+        def _offset_parts(off):
+            if "files" in off:  # legacy round-8 checkpoint: full name list
+                return None, {p: 0.0 for p in off["files"]}
+            return float(off.get("wm", 0.0)), dict(off.get("recent", {}))
 
         def partitions(self, start, end):
-            seen = set(start.get("files", []))
-            new = [p for p in end.get("files", []) if p not in seen]
+            s_wm, s_recent = self._offset_parts(start)
+            _e_wm, e_recent = self._offset_parts(end)
+            if s_wm is not None:
+                # recover watermark monotonicity across a restart before
+                # the next latestOffset builds on self._wm
+                self._wm = max(self._wm, s_wm)
+                horizon = s_wm - self._max_age if s_wm > 0.0 else None
+            else:
+                horizon = None  # legacy offset carries no watermark
+            new = sorted(
+                p
+                for p, mt in e_recent.items()
+                if p not in s_recent
+                and (horizon is None or mt >= horizon)
+            )
             # zero-partition batches are rejected by the engine; emit a
             # sentinel empty partition when nothing arrived
             return [
@@ -285,7 +381,9 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
         def read(self, partition):
             if not partition.path:
                 return
-            yield from _rows_for_file(partition.path, self._max_payload)
+            yield from _rows_for_file(
+                partition.path, self._max_payload, self._permissive
+            )
 
         def commit(self, end):
             pass

@@ -149,8 +149,8 @@ def test_streaming_warc_source_picks_up_new_files_exactly_once(
 ):
     """Directory-watch streaming: run 1 ingests the initial file; a
     restart on the same checkpoint after a second file lands ingests
-    ONLY the new file — records are never re-emitted (offset = the
-    processed-file name set)."""
+    ONLY the new file — records are never re-emitted (offset =
+    mtime watermark + in-window processed-name set)."""
     d = str(tmp_path / "stream_warcs")
     out = str(tmp_path / "stream_out")
     ck = str(tmp_path / "stream_ck")
@@ -185,3 +185,164 @@ def test_streaming_warc_source_picks_up_new_files_exactly_once(
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3  # no duplicates of file a's records
     assert sum(1 for r in rows if r["warc_type"] == "resource") == 1
+
+
+# ---------------------------------------------------------------------
+# round 9: bounded streaming offsets + permissive quarantine mode
+# ---------------------------------------------------------------------
+
+
+def _stream_reader(path: str, **opts):
+    from crawl_streams_spark.sources import warc as W
+
+    options = {"path": path}
+    options.update({k: str(v) for k, v in opts.items()})
+    return W._WarcStreamReader(options)
+
+
+def test_stream_offset_is_bounded_by_file_age_window(tmp_path):
+    """A long watch must NOT serialize every name ever processed: files
+    whose mtime has aged past max_file_age_sec purge from the offset,
+    so offset size tracks the in-window count, not history."""
+    import time
+
+    d = str(tmp_path / "many")
+    os.makedirs(d)
+    now = time.time()
+    # 40 aged files (mtimes 1000..1039s old) + 3 fresh ones
+    for i in range(40):
+        p = os.path.join(d, f"old{i:03d}.warc")
+        with open(p, "wb") as f:
+            f.write(warc_record_bytes("metadata", b"x"))
+        os.utime(p, (now - 1000 - i, now - 1000 - i))
+    for i in range(3):
+        p = os.path.join(d, f"new{i}.warc")
+        with open(p, "wb") as f:
+            f.write(warc_record_bytes("metadata", b"y"))
+        os.utime(p, (now, now))
+
+    r = _stream_reader(d, max_file_age_sec=60)
+    off = r.latestOffset()
+    assert set(off) == {"wm", "recent"}
+    assert abs(off["wm"] - now) < 5
+    # only the fresh files survive the window — the 40 aged names are
+    # NOT in the offset (bounded), matching FileStreamSource maxFileAge
+    assert sorted(os.path.basename(p) for p in off["recent"]) == [
+        "new0.warc", "new1.warc", "new2.warc",
+    ]
+    # and a fresh start processes exactly the in-window files
+    parts = r.partitions(r.initialOffset(), off)
+    assert sorted(os.path.basename(p.path) for p in parts) == [
+        "new0.warc", "new1.warc", "new2.warc",
+    ]
+
+
+def test_stream_offset_horizon_never_readmits_purged_names(tmp_path):
+    """A watermark that regressed across a restart (newest files
+    deleted) must not re-admit a name that was processed and then
+    purged: partitions filters on the START offset's horizon."""
+    d = str(tmp_path / "regress")
+    os.makedirs(d)
+    r = _stream_reader(d, max_file_age_sec=60)
+    start = {"wm": 10_000.0, "recent": {}}  # "old.warc" already purged
+    end = {"wm": 10_000.0, "recent": {"old.warc": 9_000.0}}
+    parts = r.partitions(start, end)
+    assert [p.path for p in parts] == [""]  # sentinel only — ignored
+
+
+def test_stream_offset_legacy_round8_checkpoint_still_works(tmp_path):
+    """Checkpoints written by the round-8 full-name-list offset form
+    deserialize and diff correctly against the new bounded form."""
+    d = str(tmp_path / "legacy")
+    os.makedirs(d)
+    import time
+
+    now = time.time()
+    legacy = {"files": ["a.warc"]}
+    end = {"wm": now, "recent": {"a.warc": now, "b.warc": now}}
+    r = _stream_reader(d, max_file_age_sec=60)
+    parts = r.partitions(legacy, end)
+    assert [p.path for p in parts] == ["b.warc"]
+
+
+def test_batch_permissive_mode_quarantines_corrupt_archive(
+    spark, tmp_path
+):
+    """mode=permissive: records before the corruption stand; the
+    corruption becomes one quarantine row (error set, source_file kept);
+    other files in the same read are unaffected."""
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    with open(os.path.join(d, "good.warc"), "wb") as f:
+        f.write(warc_record_bytes("metadata", b"fine"))
+    with open(os.path.join(d, "bad.warc"), "wb") as f:
+        f.write(warc_record_bytes("metadata", b"first"))
+        f.write(b"NOT A WARC RECORD\r\n")
+    register_warc_source(spark)
+
+    # failfast (default) still raises
+    with pytest.raises(Exception, match="WarcError"):
+        spark.read.format("warc").load(os.path.join(d, "bad.warc")).collect()
+
+    df = (
+        spark.read.format("warc")
+        .option("mode", "permissive")
+        .load(d)
+    )
+    rows = df.collect()
+    ok = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(ok) == 2  # good.warc's record + bad.warc's leading record
+    assert len(bad) == 1
+    assert bad[0]["source_file"].endswith("bad.warc")
+    assert "WarcError" in bad[0]["error"]
+    assert bad[0]["warc_type"] is None and bad[0]["payload"] is None
+
+
+def test_streaming_permissive_poison_file_does_not_kill_the_stream(
+    spark, tmp_path
+):
+    """A corrupt archive landing in the watched directory yields a
+    quarantine row and the stream keeps ingesting later files."""
+    d = str(tmp_path / "poison_watch")
+    out = str(tmp_path / "poison_out")
+    ck = str(tmp_path / "poison_ck")
+    os.makedirs(d)
+    register_warc_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .option("mode", "permissive")
+            .load(d)
+            .select("warc_type", "source_file", "error")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    with open(os.path.join(d, "poison.warc"), "wb") as f:
+        f.write(b"GARBAGE BYTES THAT ARE NOT A WARC")
+    run()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["error"] is not None
+
+    with open(os.path.join(d, "later.warc"), "wb") as f:
+        f.write(warc_record_bytes("metadata", b"alive"))
+    run()
+    got = {r["warc_type"]: r for r in spark.read.parquet(out).collect()}
+    assert got["metadata"]["error"] is None  # stream survived the poison
+    assert len(got) == 2
+
+
+def test_stream_reader_rejects_bad_mode_and_age(tmp_path):
+    d = str(tmp_path / "opts")
+    os.makedirs(d)
+    with pytest.raises(WarcError, match="unknown mode"):
+        _stream_reader(d, mode="lenient")
+    with pytest.raises(WarcError, match="positive"):
+        _stream_reader(d, max_file_age_sec=0)
