@@ -524,6 +524,12 @@ def _wav_decode_impl():
                 # inside one.
                 if n_ch != 1:
                     return None, "ADPCM: only mono supported"
+                if spb is None or spb < 1:
+                    # conformant ADPCM WAVs always carry wSamplesPerBlock
+                    # (the cbSize fmt extension); without it the trailing
+                    # padding nibbles of every block would decode as
+                    # audio — a silent misdecode, so reject loudly
+                    return None, "ADPCM: fmt chunk missing wSamplesPerBlock"
                 if block_align < 5:
                     return None, f"ADPCM: bad block align {block_align}"
                 out = []
@@ -553,7 +559,7 @@ def _wav_decode_impl():
                     # REAL samples — the remaining nibbles are encoder
                     # padding, not audio (decoding them would skew every
                     # statistic; the 'never silently misdecode' charter)
-                    out.extend(bout if spb is None else bout[:spb])
+                    out.extend(bout[:spb])
                 if not out:
                     return None, "ADPCM: no complete block"
                 x = np.array(out, dtype=np.int64)
@@ -566,6 +572,10 @@ def _wav_decode_impl():
                 # replayed by a recursive-CTE oracle.
                 if n_ch != 1:
                     return None, "ADPCM: only mono supported"
+                if spb is None or spb < 2:
+                    # see the IMA branch — reject rather than decode
+                    # padding ( < 2 cannot even hold the two seed samples)
+                    return None, "ADPCM: fmt chunk missing wSamplesPerBlock"
                 if block_align < 8:
                     return None, f"ADPCM: bad block align {block_align}"
                 out = []
@@ -600,7 +610,7 @@ def _wav_decode_impl():
                             )
                             bout.append(pred)
                     # trim encoder padding to wSamplesPerBlock (see IMA)
-                    out.extend(bout if spb is None else bout[:spb])
+                    out.extend(bout[:spb])
                 if not out:
                     return None, "ADPCM: no complete block"
                 x = np.array(out, dtype=np.int64)

@@ -822,23 +822,40 @@ def knn_ivf_pq(
     )
     # stage 2 — pruned ADC scan: codes join the probed (query, cell)
     # pairs on the int cell id; only probed cells' codes are scored
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(
+                F.element_at(F.col("dtable"), j), c
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # a code or subspace absent from the dtable makes element_at NULL,
+    # and a NULL adc_dist would sort FIRST under the ascending shortlist
+    # window — silently promoting unscored candidates. An inconsistent
+    # codebook/codes pair must fail loudly instead (the encode stage
+    # only ever emits codes present in the book, so NULL = mismatch).
     scored = (
         codes.join(F.broadcast(qtab), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda c, j: F.element_at(
-                        F.element_at(F.col("dtable"), j), c
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("adc_dist"),
+            F.when(
+                adc.isNull(),
+                F.raise_error(
+                    F.lit(
+                        "knn_ivf_pq: ADC lookup missed — codes/codebook "
+                        "mismatch (code id or subspace absent from the "
+                        "distance table)"
+                    )
+                ).cast("double"),
+            )
+            .otherwise(adc)
+            .alias("adc_dist"),
         )
     )
     sw = Window.partitionBy("query_id").orderBy(
