@@ -1286,3 +1286,88 @@ def decode_qoi_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         batches, schema=BMP_DECODED_SCHEMA
     )
+
+
+TIFF_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("compression", IntegerType(), True),
+        StructField("photometric", IntegerType(), True),
+        StructField("sum_rgb", LongType(), True),
+        StructField("mean_sample", DoubleType(), True),
+        StructField("min_sample", IntegerType(), True),
+        StructField("max_sample", IntegerType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def decode_tiff_features(df: DataFrame) -> DataFrame:
+    """REAL baseline-TIFF decode over mapInPandas: payloads →
+    dimensions + exact RGB sample statistics via the pure-NumPy codec
+    in operators/tiff.py (both byte orders, gray/WhiteIsZero/RGB,
+    multi-strip, uncompressed + PackBits). PackBits is lossless RLE, so
+    the statistics are EXACT integers — ``sum_rgb`` the int64 sum over
+    every channel sample, ``mean_sample`` its exact division — and an
+    analytic SQL oracle matches bit-for-bit (the GIF/PNG/BMP
+    discipline). Malformed payloads land in ``error`` per-row instead
+    of failing the stage.
+
+    Worker-side module import with the same ``--py-files`` contract as
+    the JPEG/PNG/GIF/BMP stages (captured-root sys.path fallback)."""
+    import os
+
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.tiff import (
+                TiffError,
+                decode_tiff,
+            )
+        except ModuleNotFoundError:  # worker missing the package on path
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.tiff import (
+                TiffError,
+                decode_tiff,
+            )
+
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid,) + (None,) * 9 + ("null payload",))
+                    continue
+                try:
+                    rgb, info = decode_tiff(bytes(payload))
+                except TiffError as e:
+                    rows.append((mid,) + (None,) * 9 + (str(e),))
+                    continue
+                h, w, _ = rgb.shape
+                total = int(rgb.sum(dtype="int64"))
+                n = h * w * 3
+                rows.append(
+                    (
+                        mid, w, h, 3,
+                        info["compression"], info["photometric"],
+                        total, total / n,
+                        int(rgb.min()), int(rgb.max()), None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TIFF_DECODED_SCHEMA.fields]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, schema=TIFF_DECODED_SCHEMA
+    )

@@ -750,6 +750,8 @@ def dsir_importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_buckets: int | None = None,
+    ngram: int = 1,
+    hasher: str = "spark",
 ) -> "DataFrame":
     """Per-document importance weights for Data Selection via Importance
     Resampling (DSIR, Xie et al. 2023, arXiv:2302.03169): fit add-1
@@ -768,11 +770,21 @@ def dsir_importance_weights(
     ``hash_buckets``: None keeps exact token features (vocab-sized λ
     relation, unhinted joins — Heaps-law growth forbids a broadcast
     hint; AQE judges at runtime). An integer hashes features into that
-    many buckets with Spark's murmur hash — the published DSIR
-    formulation and the 100 TB shape: the λ relation becomes a BOUNDED
-    broadcastable table and the per-doc join is map-side. The hashed
-    form is NOT SQL-portable (engine-specific hash), so the value gate
-    runs the exact-token form and pytest pins hashed≈exact agreement.
+    many buckets — the published DSIR formulation and the 100 TB shape:
+    the λ relation becomes a BOUNDED broadcastable table and the
+    per-doc join is map-side.
+
+    ``ngram``: 1 (unigram bags) or 2 — the paper's fidelity claim rests
+    on HASHED BIGRAMS (arXiv:2302.03169 §3: hashed n-gram features),
+    built as consecutive space-joined token pairs.
+
+    ``hasher`` (only with ``hash_buckets``): ``"spark"`` buckets with
+    the native murmur ``F.hash`` — the production path, cheapest, but
+    engine-specific; ``"md5"`` buckets through the cross-engine-stable
+    md5→60-bit-int idiom (functions/hashing.py::shingle_hashes31 /
+    plans/q_dedup.py::_duck_hash60), so a DuckDB oracle replays the
+    bucketed model bit-for-bit — the same production-vs-oracle hash
+    split as the MinHash family (operators/dedup.py::_hash_fns).
 
     Scale: two partial-agg shuffles for the count tables (feature-keyed,
     combiner-friendly), one feature join + one id-keyed rollup for the
@@ -780,22 +792,56 @@ def dsir_importance_weights(
     exploded (id, feat) slim rows)."""
     from ..functions import text as T
 
-    feat = F.explode(T.tokens(text_col)).alias("feat")
-    tok = df.select(
-        _c(id_col).alias("__id"), is_target.alias("__tgt"), feat
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    # tokens as a NAMED column: the bigram transform references the
+    # array once per element, and an inline tokenize subtree would be
+    # re-evaluated each time (the shingle_hashes31 lesson)
+    base = df.select(
+        _c(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        T.tokens(text_col).alias("__toks"),
+    )
+    if ngram == 1:
+        feat_arr = F.col("__toks")
+    else:
+        # consecutive space-joined token pairs; < 2 tokens → no features
+        feat_arr = F.when(
+            F.size("__toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks"), i),
+                    F.element_at(F.col("__toks"), i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    if hasher == "spark":
+        def bucket(c):
+            return F.pmod(F.hash(c), F.lit(hash_buckets))
+    elif hasher == "md5":
+        def bucket(c):
+            return F.pmod(
+                F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(hash_buckets),
+            )
+    else:
+        raise ValueError(f"unknown hasher {hasher!r} (spark|md5)")
+
+    tok = base.select(
+        "__id", "__tgt", F.explode(feat_arr).alias("feat")
     )
     rcnt = tok.groupBy("feat").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tc"),
     )
     if hash_buckets is not None:
-        tok = tok.withColumn(
-            "feat", F.pmod(F.hash("feat"), F.lit(hash_buckets))
-        )
+        tok = tok.withColumn("feat", bucket(F.col("feat")))
         rcnt = (
-            rcnt.withColumn(
-                "feat", F.pmod(F.hash("feat"), F.lit(hash_buckets))
-            )
+            rcnt.withColumn("feat", bucket(F.col("feat")))
             .groupBy("feat")
             .agg(F.sum("rc").alias("rc"), F.sum("tc").alias("tc"))
         )
@@ -839,6 +885,8 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_buckets: int | None = None,
+    ngram: int = 1,
+    hasher: str = "spark",
 ) -> "DataFrame":
     """Deterministic DSIR selection: the ``n`` raw documents with the
     highest importance weights (ties on the id). The published method
@@ -852,7 +900,7 @@ def dsir_select(
     window)."""
     w = dsir_importance_weights(
         df, is_target, text_col=text_col, id_col=id_col,
-        hash_buckets=hash_buckets,
+        hash_buckets=hash_buckets, ngram=ngram, hasher=hasher,
     )
     return (
         df.join(w, id_col)

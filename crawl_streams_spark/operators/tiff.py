@@ -1,0 +1,397 @@
+"""Baseline TIFF codec in pure Python/NumPy — uncompressed and PackBits
+strips, the eleventh REAL codec in the media family (WAV, G.711, IMA/MS
+ADPCM, FLAC, PPM, JPEG, PNG, GIF, BMP, QOI, now TIFF).
+
+Why this exists (reference parity): crawl logs in the wild carry
+``image/tiff`` mimetypes — TIFF is the last major legacy web image
+format this engine could not decode; the multimodal posture (SURVEY
+extension) is that decode happens INSIDE the engine as Arrow-batched
+mapInPandas stages, so the payloads must parse here, not in a library
+the container doesn't have.
+
+Spec: TIFF 6.0 (public Adobe/ISO 12639 specification). Supported on
+decode — honestly bounded, everything else raises ``TiffError``, never
+a silent misdecode:
+
+- both byte orders (``II`` little-endian, ``MM`` big-endian);
+- the FIRST IFD only (multi-page files reject rather than silently
+  decoding page 1 as "the" image);
+- 8 bits per sample, 1 (grayscale) or 3 (RGB) samples per pixel,
+  chunky planar configuration;
+- PhotometricInterpretation 0 (WhiteIsZero — inverted on decode),
+  1 (BlackIsZero) and 2 (RGB);
+- Compression 1 (none) and 32773 (PackBits — the spec's byte-oriented
+  run-length scheme: n in [0,127] copies n+1 literals, n in [-127,-1]
+  repeats the next byte 1-n times, -128 is a no-op), decompressed
+  per strip with exact expected-size accounting (overrun AND underrun
+  are errors);
+- any RowsPerStrip / strip count (offsets and byte counts validated
+  against the payload before any allocation; declared dimensions are
+  bounded by what the payload could possibly encode, so a forged
+  header cannot allocate unbounded memory — the decoder-totality-fuzz
+  discipline).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "TiffError",
+    "encode_tiff",
+    "decode_tiff",
+    "pattern_tiff",
+    "packbits_encode",
+    "packbits_decode",
+]
+
+_COMPRESSION_NONE = 1
+_COMPRESSION_PACKBITS = 32773
+
+# tag ids (TIFF 6.0 baseline)
+_T_WIDTH = 256
+_T_LENGTH = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+
+_TYPE_SHORT = 3
+_TYPE_LONG = 4
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+
+
+class TiffError(ValueError):
+    """Malformed or unsupported TIFF payload."""
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): greedy — runs of >=3 identical bytes
+    become replicate packets, everything else literal packets."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting here
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        lit = i
+        while (
+            lit < n
+            and lit - i < 128
+            and not (
+                lit + 2 < n
+                and data[lit] == data[lit + 1] == data[lit + 2]
+            )
+        ):
+            lit += 1
+        out += bytes([lit - i - 1]) + data[i:lit]
+        i = lit
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Decode exactly ``expected`` bytes; overrun, underrun, and a
+    replicate packet missing its value byte all raise TiffError."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        ctl = data[i]
+        i += 1
+        if ctl == 128:  # no-op
+            continue
+        if ctl < 128:  # literal: ctl+1 bytes follow
+            need = ctl + 1
+            if i + need > n:
+                raise TiffError("PackBits literal packet truncated")
+            out += data[i : i + need]
+            i += need
+        else:  # replicate: next byte repeated 257-ctl times
+            if i >= n:
+                raise TiffError("PackBits replicate packet truncated")
+            out += bytes([data[i]]) * (257 - ctl)
+            i += 1
+    if len(out) != expected:
+        raise TiffError(
+            f"PackBits strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def encode_tiff(
+    arr: "np.ndarray",
+    photometric: str = "rgb",
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Encode an image as a baseline TIFF.
+
+    ``photometric='rgb'``: ``arr`` is (h, w, 3) uint8. ``'gray'`` /
+    ``'gray_inverted'``: (h, w) uint8 (the inverted form stores 255-v
+    with PhotometricInterpretation 0 — WhiteIsZero). ``compression``:
+    ``'none'`` or ``'packbits'``. ``rows_per_strip=0`` means one strip
+    for the whole image."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if photometric == "rgb":
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise ValueError("rgb TIFF needs an (h, w, 3) array")
+        h, w = a.shape[:2]
+        spp, pmi = 3, 2
+    elif photometric in ("gray", "gray_inverted"):
+        if a.ndim != 2:
+            raise ValueError("gray TIFF needs an (h, w) array")
+        h, w = a.shape
+        spp = 1
+        if photometric == "gray_inverted":
+            a, pmi = 255 - a, 0
+        else:
+            pmi = 1
+    else:
+        raise ValueError(f"unknown photometric {photometric!r}")
+    if compression not in ("none", "packbits"):
+        raise ValueError(f"unknown compression {compression!r}")
+    comp = (
+        _COMPRESSION_NONE if compression == "none" else _COMPRESSION_PACKBITS
+    )
+    rps = rows_per_strip or h
+    e = ">" if big_endian else "<"
+    flat = a.reshape(h, w * spp)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = flat[y0 : y0 + rps].tobytes()
+        strips.append(
+            raw if comp == _COMPRESSION_NONE else packbits_encode(raw)
+        )
+    n_strips = len(strips)
+
+    # layout: header(8) | strip data | out-of-line values | IFD
+    out = bytearray(struct.pack(e + "2sHI", b"MM" if big_endian else b"II",
+                                42, 0))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+
+    extra = bytearray()  # out-of-line value area, filled as entries build
+    entries = []
+
+    def add(tag, typ, values):
+        unit = _TYPE_SIZES[typ]
+        code = "H" if typ == _TYPE_SHORT else "I"
+        packed = struct.pack(f"{e}{len(values)}{code}", *values)
+        if len(packed) <= 4:
+            entries.append((tag, typ, len(values),
+                            packed + b"\x00" * (4 - len(packed)), None))
+        else:
+            entries.append((tag, typ, len(values), None, bytes(packed)))
+        del unit
+
+    add(_T_WIDTH, _TYPE_LONG, [w])
+    add(_T_LENGTH, _TYPE_LONG, [h])
+    add(_T_BITS, _TYPE_SHORT, [8] * spp)
+    add(_T_COMPRESSION, _TYPE_SHORT, [comp])
+    add(_T_PHOTOMETRIC, _TYPE_SHORT, [pmi])
+    add(_T_STRIP_OFFSETS, _TYPE_LONG, strip_offsets)
+    add(_T_SPP, _TYPE_SHORT, [spp])
+    add(_T_ROWS_PER_STRIP, _TYPE_LONG, [rps])
+    add(_T_STRIP_COUNTS, _TYPE_LONG, [len(s) for s in strips])
+    add(_T_PLANAR, _TYPE_SHORT, [1])
+    del n_strips
+
+    # out-of-line values sit between strip data and the IFD
+    oov_base = len(out)
+    resolved = []
+    for tag, typ, count, inline, oov in sorted(entries):
+        if inline is not None:
+            resolved.append((tag, typ, count, inline))
+        else:
+            resolved.append(
+                (tag, typ, count,
+                 struct.pack(e + "I", oov_base + len(extra)))
+            )
+            extra += oov
+    out += extra
+
+    ifd_off = len(out)
+    out += struct.pack(e + "H", len(resolved))
+    for tag, typ, count, value4 in resolved:
+        out += struct.pack(e + "HHI", tag, typ, count) + value4
+    out += struct.pack(e + "I", 0)  # no next IFD
+    struct.pack_into(e + "I", out, 4, ifd_off)
+    return bytes(out)
+
+
+def _read_values(payload, e, typ, count, value_field, tag):
+    unit = _TYPE_SIZES.get(typ)
+    if typ not in (_TYPE_SHORT, _TYPE_LONG):
+        raise TiffError(f"unsupported type {typ} for required tag {tag}")
+    code = "H" if typ == _TYPE_SHORT else "I"
+    size = unit * count
+    if size <= 4:
+        return list(struct.unpack_from(f"{e}{count}{code}", value_field, 0))
+    (off,) = struct.unpack_from(e + "I", value_field, 0)
+    if off + size > len(payload):
+        raise TiffError(f"tag {tag} values truncated")
+    return list(struct.unpack_from(f"{e}{count}{code}", payload, off))
+
+
+def decode_tiff(payload: bytes):
+    """Decode a baseline TIFF to ``((h, w, 3) uint8 RGB, info)`` where
+    ``info = {"compression", "photometric", "spp"}``. Raises TiffError
+    on anything malformed or outside the documented envelope."""
+    if len(payload) < 8:
+        raise TiffError("truncated header")
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise TiffError(f"bad byte-order mark {order!r}")
+    magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42:
+        raise TiffError(f"bad magic {magic}")
+    if ifd_off + 2 > len(payload):
+        raise TiffError("IFD offset past end of payload")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if n_entries == 0:
+        raise TiffError("empty IFD")
+    end = ifd_off + 2 + 12 * n_entries + 4
+    if end > len(payload):
+        raise TiffError("IFD truncated")
+    (next_ifd,) = struct.unpack_from(e + "I", payload, end - 4)
+    if next_ifd != 0:
+        raise TiffError("multi-page TIFF not supported")
+
+    raw_entries = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, base)
+        raw_entries[tag] = (typ, count, payload[base + 8 : base + 12])
+
+    def tag_values(tag, default=None):
+        if tag not in raw_entries:
+            if default is not None:
+                return default
+            raise TiffError(f"missing required tag {tag}")
+        typ, count, vf = raw_entries[tag]
+        if count == 0 or count > (1 << 20):
+            raise TiffError(f"tag {tag} has implausible count {count}")
+        return _read_values(payload, e, typ, count, vf, tag)
+
+    w = tag_values(_T_WIDTH)[0]
+    h = tag_values(_T_LENGTH)[0]
+    if w <= 0 or h <= 0:
+        raise TiffError(f"bad dimensions {w}x{h}")
+    spp = tag_values(_T_SPP, [1])[0]
+    if spp not in (1, 3):
+        raise TiffError(f"unsupported samples/pixel {spp}")
+    bits = tag_values(_T_BITS, [8] * spp)
+    if len(bits) != spp or any(b != 8 for b in bits):
+        raise TiffError(f"unsupported bits/sample {bits}")
+    comp = tag_values(_T_COMPRESSION, [_COMPRESSION_NONE])[0]
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_PACKBITS):
+        raise TiffError(f"unsupported compression {comp}")
+    pmi = tag_values(_T_PHOTOMETRIC)[0]
+    if pmi not in (0, 1, 2):
+        raise TiffError(f"unsupported photometric {pmi}")
+    if (pmi == 2) != (spp == 3):
+        raise TiffError(f"photometric {pmi} inconsistent with spp {spp}")
+    planar = tag_values(_T_PLANAR, [1])[0]
+    if planar != 1:
+        raise TiffError(f"unsupported planar configuration {planar}")
+    rps = tag_values(_T_ROWS_PER_STRIP, [h])[0]
+    if rps <= 0:
+        raise TiffError(f"bad rows/strip {rps}")
+    rps = min(rps, h)
+    offsets = tag_values(_T_STRIP_OFFSETS)
+    counts = tag_values(_T_STRIP_COUNTS)
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) != n_strips or len(counts) != n_strips:
+        raise TiffError(
+            f"strip table size {len(offsets)}/{len(counts)} "
+            f"disagrees with {n_strips} strips"
+        )
+
+    # a forged header must not allocate unbounded memory: PackBits can
+    # expand one input byte to at most 128 output bytes, and an
+    # uncompressed image needs all its bytes present — so any honest
+    # payload bounds the decoded size
+    total = h * w * spp
+    if total > 128 * len(payload):
+        raise TiffError(
+            f"declared dimensions ({w}x{h}x{spp}) exceed what the "
+            f"payload could encode"
+        )
+
+    row_bytes = w * spp
+    chunks = []
+    for s in range(n_strips):
+        rows = min(rps, h - s * rps)
+        expected = rows * row_bytes
+        off, cnt = offsets[s], counts[s]
+        if off + cnt > len(payload) or cnt < 0:
+            raise TiffError(f"strip {s} extends past end of payload")
+        raw = payload[off : off + cnt]
+        if comp == _COMPRESSION_NONE:
+            if cnt != expected:
+                raise TiffError(
+                    f"strip {s} has {cnt} bytes, expected {expected}"
+                )
+            chunks.append(raw)
+        else:
+            chunks.append(packbits_decode(raw, expected))
+
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    if pmi == 0:  # WhiteIsZero
+        flat = 255 - flat
+    if spp == 3:
+        rgb = flat.reshape(h, w, 3)
+    else:
+        rgb = np.repeat(flat.reshape(h, w)[:, :, None], 3, axis=2)
+    info = {"compression": int(comp), "photometric": int(pmi),
+            "spp": int(spp)}
+    return np.ascontiguousarray(rgb), info
+
+
+def pattern_tiff(seed: int, width: int, height: int) -> bytes:
+    """Deterministic test image with the shared closed-form pixel value
+    — but row-alternating so PackBits compresses FOR REAL: even rows
+    are constant (replicate packets), odd rows a gradient (literals).
+    sample (y, x) = (seed*31 + y*7 + (x*13 if y odd else 0)) % 256.
+    The seed cycles the codec surface: compression none/packbits by
+    seed%2, little/big endian by seed%4//2, and photometric
+    gray / WhiteIsZero-gray / RGB by seed%3 (channels replicate, so
+    RGB statistics are the same closed form for every arm)."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    v = ((seed * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256).astype(
+        np.uint8
+    )
+    compression = "none" if seed % 2 == 0 else "packbits"
+    big_endian = bool((seed % 4) // 2)
+    arm = seed % 3
+    if arm == 2:
+        arr = np.repeat(v[:, :, None], 3, axis=2)
+        pm = "rgb"
+    else:
+        arr = v
+        pm = "gray" if arm == 1 else "gray_inverted"
+    return encode_tiff(
+        arr, photometric=pm, compression=compression,
+        big_endian=big_endian, rows_per_strip=2,
+    )

@@ -7,36 +7,36 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 8 — planner-generated via
-``python -m scripts.plan_rotation 8`` under the NEW 4-round freshness
-bound; VERDICT r7 items 1-3. The old 3-round bound was mathematically
-over capacity at 168 queries > 50 slots x 3 rounds, so round 8 adopted
-the 4-round bound = 200-slot capacity):
+Ordering policy (round 9 — planner-generated via
+``python -m scripts.plan_rotation 9`` at the 181-query registry, after
+the round-9 additions were registered; VERDICT r8 item 2 plus the
+ADVICE note to regenerate at the final registry state):
 
-- MUST is empty at round 8 under the 4-round bound (nothing holds a
-  verdict older than r4), so the window is reps + fillers, both chosen
-  OLDEST VERDICT FIRST — which windows all 30 r4-verdict queries the
-  round-7 close pre-enumerated, exactly as planned.
-- Slots 1-24: one representative per family, oldest verdicts first
-  (15 of them are r4-verdict members of the pre-enumerated 30).
-  ``parts_bought_together`` / ``status_pivot`` /
-  ``orders_validation_report`` are sole members of their families and
-  therefore recur every round.
-- Slots 25-50: oldest-verdict fillers — the remaining 15 r4-verdict
-  queries from the pre-enumerated 30, then r5-verdict queries. The
-  trailing r5 fillers are the donation pool: round-8 changes and
-  additions take their slots from the END as they are born.
-- Round-8 additions swapped in for the last fillers (in-window from
-  birth, eleven slots): ``media_bmp_features`` re-windowed (decoder
-  tightened: bfOffBits lower-bound check), ``knn_ivf_pq_fixed``
-  (composed IVF-PQ), ``media_adpcm_features`` / ``media_ms_adpcm_features``
-  (IMA + MS ADPCM), ``dsir_selected_docs`` (importance resampling),
-  ``media_flac_features`` / ``media_flac_lpc_features`` (subset FLAC,
-  fixed + quantized-LPC subframes), ``doc_context_chunks`` (RAG
-  chunking), ``temperature_mixed_counts`` (n^α mixing),
-  ``variant_typed_extraction`` (Spark-4 VARIANT),
-  ``media_qoi_features`` (QOI — the tenth codec). The funnel/session
-  exactly-once sinks are streaming-only (pytest-gated, no SQL twin).
+- Slots 1-3 (MUST): the round-9 additions, in-window from birth —
+  ``dsir_bigram_selected_docs`` (hashed-bigram DSIR, the paper's
+  fidelity form, md5-bucketed so DuckDB replays the model),
+  ``media_flac_stereo_features`` (all four stereo channel assignments
+  under the value gate), ``media_tiff_features`` (baseline TIFF, the
+  eleventh real codec: both byte orders, PackBits, WhiteIsZero).
+- Slots 4-7: round-9 implementation changes re-windowed for
+  post-change verdicts (the round-6/7 hint-drop precedent):
+  ``dsir_selected_docs`` (dsir_importance_weights restructured for
+  ngram/hasher), ``knn_ivf_pq_fixed`` (ADC loud-failure guard),
+  ``media_adpcm_features`` / ``media_ms_adpcm_features``
+  (wSamplesPerBlock now required — ADVICE r8).
+- Slots 8-29: one representative per family the MUST set misses,
+  oldest verdicts first (16 of them r5-verdict — the aging cohort the
+  round-8 close pre-enumerated). ``parts_bought_together`` /
+  ``status_pivot`` / ``orders_validation_report`` are sole members of
+  their families; the first and last recur here, ``status_pivot``'s
+  family (q_pivot) is covered by ``unpivot_lineitem_metrics``.
+- Slots 30-50: oldest-verdict fillers — 21 more r5-verdict queries.
+  34 of the 39 r5-verdict queries land in this window; the other five
+  (``windowed_funnel_levels``, ``token_array_ops``, ``top_tokens``,
+  ``user_interarrival_stats``, ``wayback_timestamps``) are the
+  planner's projected round-10 MUST entries (the printed projection —
+  guaranteed slots next round because MUST precedes reps and
+  fillers; 5 + reps fits the window with 24 slots to spare).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -82,60 +82,60 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
+    # -- MUST: round-9 additions, in-window from birth (planner sect. 1)
+    "dsir_bigram_selected_docs",  # q_pipeline: NEW r9 — hashed-bigram DSIR
+    "media_flac_stereo_features",  # q_crawl: NEW r9 — 4 stereo assignments
+    "media_tiff_features",  # q_crawl: NEW r9 — TIFF, the 11th codec
+    # -- round-9 implementation changes re-windowed (post-change verdicts)
+    "dsir_selected_docs",  # dsir_importance_weights restructured (ngram)
+    "knn_ivf_pq_fixed",  # ADC lookup-miss loud-failure guard added
+    "media_adpcm_features",  # wSamplesPerBlock now required (IMA)
+    "media_ms_adpcm_features",  # wSamplesPerBlock now required (MS)
     # -- family reps, oldest verdicts first (planner section 2) ----------
-    "ab_test_conversion_ztest",  # q_behavior, r4
-    "source_lang_entropy",  # q_corpus, r4
-    "annotation_classification",  # q_crawl, r4
-    "dedup_minhash_signatures",  # q_dedup, r4
-    "orders_snapshot_diff",  # q_diff, r4
-    "hourly_counts",  # q_events, r4
-    "host_graph_distances",  # q_graph, r5
-    "concurrent_sessions",  # q_interval, r6
-    "asof_last_purchase",  # q_joins_advanced, r4
-    "parts_bought_together",  # q_market, r7 — sole member, recurs
-    "brand_target_encoding",  # q_pipeline, r4
-    "status_pivot",  # q_pivot, r7 — sole member, recurs
-    "hopping_window_counts",  # q_schedule, r4
-    "approx_distinct_users",  # q_sessions, r6
-    "label_centroid_sim",  # q_similarity, r4
-    "cms_join_size_estimate",  # q_sketch, r4
-    "dup_span_doc_stats",  # q_spans, r5
-    "customer_rfm_scores",  # q_sql_extra, r4
-    "doc_repetition",  # q_text, r4
-    "decayed_event_counts",  # q_timeseries, r5
-    "part_supplier_union",  # q_tpch, r4
-    "brand_small_qty_revenue",  # q_tpch2, r6
-    "late_order_priority_counts",  # q_tpch3, r4
-    "orders_validation_report",  # q_validate, r7 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): first the remaining
-    # -- r4-verdict queries from the pre-enumerated 30 -------------------
-    "binary_column_plumbing",  # q_crawl, r4
-    "dedup_simhash",  # q_dedup, r4
-    "doc_length_quantile_norm",  # q_pipeline, r4
-    "hop_and_status",  # q_crawl, r4
-    "kmv_distinct_users",  # q_sketch, r4
-    "kmv_user_overlap",  # q_sketch, r4
-    "latest_events_topk",  # q_events, r4
-    "price_mad_by_flag",  # q_sql_extra, r4
-    "price_percentiles",  # q_sql_extra, r4
-    "returnflag_status_chisq",  # q_sql_extra, r4
-    "rollup_order_priority",  # q_tpch, r4
-    "top_orders_per_customer",  # q_tpch, r4
-    "url_host_extraction",  # q_crawl, r4
-    "user_time_to_convert",  # q_behavior, r4
-    "windowed_count",  # q_events, r4
-    # -- round-8 changes and additions (in-window from birth) ------------
-    "media_bmp_features",  # q_crawl: r8 decoder change (bfOffBits bound)
-    "knn_ivf_pq_fixed",  # q_similarity: NEW r8 — composed IVF-PQ gate
-    "media_adpcm_features",  # q_crawl: NEW r8 — IMA ADPCM decode gate
-    "media_ms_adpcm_features",  # q_crawl: NEW r8 — MS ADPCM decode gate
-    "dsir_selected_docs",  # q_pipeline: NEW r8 — DSIR importance resampling
-    "media_flac_features",  # q_crawl: NEW r8 — subset FLAC decode gate
-    "doc_context_chunks",  # q_pipeline: NEW r8 — RAG context chunking
-    "temperature_mixed_counts",  # q_pipeline: NEW r8 — n^α source mixing
-    "media_flac_lpc_features",  # q_crawl: NEW r8 — quantized-LPC FLAC gate
-    "variant_typed_extraction",  # q_events: NEW r8 — Spark-4 VARIANT gate
-    "media_qoi_features",  # q_crawl: NEW r8 — QOI decode gate (10th codec)
+    "purchase_attribution",  # q_behavior, r5
+    "doc_lm_perplexity",  # q_corpus, r5
+    "dedup_minhash_lsh_pairs",  # q_dedup, r5
+    "orders_scd2_incremental",  # q_diff, r5
+    "event_type_dist_users",  # q_events, r5
+    "host_graph_kcore",  # q_graph, r5
+    "active_sessions_at_purchase",  # q_interval, r7
+    "clicks_before_purchase",  # q_joins_advanced, r6
+    "parts_bought_together",  # q_market, r8 — sole member, recurs
+    "unpivot_lineitem_metrics",  # q_pivot, r7
+    "launch_ts_and_source_tags",  # q_schedule, r5
+    "native_session_window_stats",  # q_sessions, r7
+    "embedding_density_dedup",  # q_similarity, r5
+    "cms_token_estimates",  # q_sketch, r5
+    "doc_span_excision",  # q_spans, r6
+    "equi_depth_price_bins",  # q_sql_extra, r5
+    "annotation_regex_classes",  # q_text, r5
+    "hourly_series_filled",  # q_timeseries, r6
+    "customer_order_left_join",  # q_tpch, r5
+    "disjunctive_part_revenue",  # q_tpch2, r6
+    "discount_revenue_forecast",  # q_tpch3, r5
+    "orders_validation_report",  # q_validate, r8 — sole member, recurs
+    # -- oldest-verdict fillers (planner section 3): 25 r5-verdict -------
+    "balanced_shard_stats",  # q_pipeline, r5
+    "customers_with_open_orders",  # q_tpch, r5
+    "customers_without_orders",  # q_tpch, r5
+    "dedup_ngram_jaccard",  # q_dedup, r5
+    "doc_fingerprints",  # q_text, r5
+    "doc_lang_id",  # q_text, r5
+    "doc_quality",  # q_text, r5
+    "embedding_norms",  # q_similarity, r5
+    "formatted_log_lines",  # q_events, r5
+    "heavy_hitter_keys",  # q_sketch, r5
+    "hist_median_by_type",  # q_events, r5
+    "lang_source_rollup",  # q_text, r5
+    "media_jpeg_features",  # q_crawl, r5
+    "media_png_features",  # q_crawl, r5
+    "media_wav_features",  # q_crawl, r5
+    "null_coalesce_projection",  # q_events, r5
+    "order_value_running",  # q_tpch, r5
+    "price_quantile_sketch",  # q_sketch, r5
+    "recent_window_topk",  # q_events, r5
+    "sessionized_set_ops",  # q_events, r5
+    "status_code_histogram",  # q_events, r5
 )
 
 

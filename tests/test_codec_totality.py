@@ -27,6 +27,11 @@ from crawl_streams_spark.operators.multimodal import (
 )
 from crawl_streams_spark.operators.png import PngError, decode_png, pattern_png
 from crawl_streams_spark.operators.qoi import QoiError, decode_qoi, pattern_qoi
+from crawl_streams_spark.operators.tiff import (
+    TiffError,
+    decode_tiff,
+    pattern_tiff,
+)
 from crawl_streams_spark.sources.warc import (
     WarcError,
     iter_warc_records,
@@ -48,6 +53,8 @@ _CODECS = [
     ("png", decode_png, PngError, lambda: pattern_png(3, 9, 5)),
     ("gif", decode_gif, GifError, lambda: pattern_gif(3, 8, 8)),
     ("qoi", decode_qoi, QoiError, lambda: pattern_qoi(3, 9, 5)),
+    ("tiff", decode_tiff, TiffError, lambda: pattern_tiff(3, 9, 5)),
+    ("tiff_pb", decode_tiff, TiffError, lambda: pattern_tiff(5, 9, 6)),
     (
         "flac",
         decode_flac,

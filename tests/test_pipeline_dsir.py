@@ -192,3 +192,74 @@ def test_temperature_mix_alpha_one_is_identityish(spark):
     rows = [(i, f"s{i % 7}") for i in range(700)]
     df = spark.createDataFrame(rows, "doc_id bigint, source string")
     assert temperature_mix(df, alpha=1.0).count() == 700
+
+
+def test_bigram_features_count_and_ordering(spark):
+    """ngram=2: a document contributes len(tokens)-1 features; bigrams
+    are ORDERED pairs, so reversing the text changes the feature set
+    (target 'alpha beta' must outrank raw-only 'beta alpha')."""
+    rows = [
+        (1, "alpha beta alpha beta", True),
+        (2, "alpha beta", True),
+        (10, "alpha beta alpha", False),     # speaks the target bigrams
+        (11, "beta alpha", False),           # the REVERSED pair only
+        (12, "gamma delta gamma", False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            df, F.col("tgt"), ngram=2
+        ).collect()
+    }
+    assert got[1]["n_feats"] == 3
+    assert got[10]["n_feats"] == 2
+    assert got[10]["logw_micro"] > got[11]["logw_micro"]
+    assert got[10]["logw_micro"] > got[12]["logw_micro"]
+
+
+def test_bigram_short_docs_produce_no_features(spark):
+    """Documents with fewer than two tokens have no bigrams and drop
+    out of the weight relation (no NULL scores, no empty-array rows)."""
+    rows = [
+        (1, "alpha beta gamma", True),
+        (2, "solo", False),
+        (3, "   ", False),
+        (4, "alpha beta", False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        r["doc_id"]: r["n_feats"]
+        for r in dsir_importance_weights(
+            df, F.col("tgt"), ngram=2
+        ).collect()
+    }
+    assert got == {1: 2, 4: 1}
+
+
+def test_md5_hasher_matches_spark_hasher_shape(spark, sf_dir):
+    """The md5 (oracle-replayable) and spark (production) hashers build
+    the same bounded model — identical n_feats everywhere, and bucketed
+    scores that agree in rank for the clear-cut top documents."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # enough buckets that collision noise (hasher-specific) stays small
+    # next to the signal — at 256 the bigram vocab aliases heavily and
+    # the two models genuinely diverge
+    kw = dict(hash_buckets=4096, ngram=2)
+    a = {
+        r["doc_id"]: (r["n_feats"], r["logw_micro"])
+        for r in dsir_importance_weights(
+            docs, F.col("lang") == "en", hasher="md5", **kw
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_feats"], r["logw_micro"])
+        for r in dsir_importance_weights(
+            docs, F.col("lang") == "en", hasher="spark", **kw
+        ).collect()
+    }
+    assert set(a) == set(b)
+    assert all(a[k][0] == b[k][0] for k in a)  # same feature counts
+    top_a = sorted(a, key=lambda k: -a[k][1])[:20]
+    top_b = sorted(b, key=lambda k: -b[k][1])[:20]
+    assert len(set(top_a) & set(top_b)) >= 14  # bucketing noise only

@@ -32,21 +32,17 @@ def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
     # Implementations changed this round that lack a post-change driver
     # verdict must sit in the verification prefix (additions take a slot
-    # from birth — the round-4 lesson). Round-6/7 entries retired: all
-    # received r7 verdicts (CORRECTNESS_r07.json, 50/50 pass).
+    # from birth — the round-4 lesson). Round-8 entries retired: all
+    # received r8 verdicts (CORRECTNESS_r08.json, 50/50 pass).
     for name in (
-        # round-8 ADDITIONS / re-windowed changes go here as they land
-        "media_bmp_features",  # decoder change: bfOffBits lower bound
-        "knn_ivf_pq_fixed",  # NEW: composed IVF-PQ under the value gate
-        "media_adpcm_features",  # NEW: IMA ADPCM decode under the gate
-        "media_ms_adpcm_features",  # NEW: MS ADPCM decode under the gate
-        "dsir_selected_docs",  # NEW: DSIR selection under the gate
-        "media_flac_features",  # NEW: subset FLAC decode under the gate
-        "doc_context_chunks",  # NEW: RAG context chunking under the gate
-        "temperature_mixed_counts",  # NEW: n^alpha mixing under the gate
-        "media_flac_lpc_features",  # NEW: quantized-LPC FLAC under the gate
-        "variant_typed_extraction",  # NEW: Spark-4 VARIANT under the gate
-        "media_qoi_features",  # NEW: QOI decode under the gate
+        # round-9 ADDITIONS / re-windowed changes go here as they land
+        "dsir_bigram_selected_docs",  # NEW: hashed-bigram DSIR gate
+        "media_flac_stereo_features",  # NEW: stereo FLAC under the gate
+        "media_tiff_features",  # NEW: baseline TIFF under the gate
+        "dsir_selected_docs",  # changed: weights restructured (ngram)
+        "knn_ivf_pq_fixed",  # changed: ADC loud-failure guard
+        "media_adpcm_features",  # changed: wSamplesPerBlock required
+        "media_ms_adpcm_features",  # changed: wSamplesPerBlock required
     ):
         assert name in window, name
 
@@ -123,13 +119,10 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 178 registered queries as of round 8 (knn_ivf_pq_fixed,
-    # media_adpcm_features, media_ms_adpcm_features, dsir_selected_docs,
-    # media_flac_features, doc_context_chunks, temperature_mixed_counts,
-    # media_flac_lpc_features, variant_typed_extraction, media_qoi_features added;
-    # update this count deliberately
-    # whenever a query is added).
-    assert len(REGISTRY) >= 178
+    # 181 registered queries as of round 9 (dsir_bigram_selected_docs,
+    # media_flac_stereo_features, media_tiff_features added; update
+    # this count deliberately whenever a query is added).
+    assert len(REGISTRY) >= 181
 
 
 def test_rotation_planner_invariants():

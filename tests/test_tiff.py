@@ -1,0 +1,183 @@
+"""Baseline TIFF codec (operators/tiff.py): encode/decode roundtrips
+across byte orders, photometrics, and compressions; PackBits exactness;
+specific rejections for everything outside the documented envelope; and
+the Spark feature stage (decode_tiff_features)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from crawl_streams_spark.operators.tiff import (
+    TiffError,
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    pattern_tiff,
+)
+
+
+def _grad(h, w):
+    return (np.arange(h * w, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(h, w)
+
+
+# ------------------------------------------------------------------ packbits
+def test_packbits_spec_vectors():
+    # the TIFF 6.0 spec's worked example
+    data = bytes.fromhex("aa aa aa 80 00 2a aa aa aa aa 80 00 2a 22 aa aa aa aa aa aa aa aa aa aa".replace(" ", ""))
+    enc = bytes.fromhex("fe aa 02 80 00 2a fd aa 03 80 00 2a 22 f7 aa".replace(" ", ""))
+    assert packbits_encode(data) == enc
+    assert packbits_decode(enc, len(data)) == data
+
+
+def test_packbits_noop_and_truncations():
+    # 0x80 control bytes are no-ops on decode
+    assert packbits_decode(b"\x80\x00A", 1) == b"A"
+    with pytest.raises(TiffError, match="literal packet truncated"):
+        packbits_decode(b"\x05AB", 6)
+    with pytest.raises(TiffError, match="replicate packet truncated"):
+        packbits_decode(b"\xfe", 3)
+    with pytest.raises(TiffError, match="expected"):
+        packbits_decode(b"\x00A", 2)  # underrun
+    with pytest.raises(TiffError, match="expected"):
+        packbits_decode(b"\x01AB", 1)  # overrun
+
+
+def test_packbits_roundtrip_edge_lengths():
+    for data in (b"", b"A", b"A" * 2, b"A" * 3, b"A" * 128, b"A" * 129,
+                 b"A" * 400, bytes(range(128)) * 3,
+                 b"ab" + b"C" * 130 + b"de"):
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+# ---------------------------------------------------------------- roundtrips
+@pytest.mark.parametrize("big_endian", [False, True])
+@pytest.mark.parametrize("compression", ["none", "packbits"])
+def test_roundtrip_gray_multistrip(big_endian, compression):
+    a = _grad(11, 7)  # 11 rows, rows_per_strip=3 -> 4 strips, last short
+    p = encode_tiff(a, "gray", compression, big_endian, rows_per_strip=3)
+    rgb, info = decode_tiff(p)
+    assert rgb.shape == (11, 7, 3)
+    assert (rgb == np.repeat(a[:, :, None], 3, axis=2)).all()
+    assert info["photometric"] == 1 and info["spp"] == 1
+
+
+def test_roundtrip_white_is_zero_inverts_back():
+    a = _grad(4, 5)
+    p = encode_tiff(a, "gray_inverted", "packbits")
+    # the stored strip bytes are 255 - v; decode restores v
+    rgb, info = decode_tiff(p)
+    assert info["photometric"] == 0
+    assert (rgb[:, :, 0] == a).all()
+
+
+def test_roundtrip_rgb_both_orders():
+    a = (np.arange(6 * 5 * 3, dtype=np.int64) % 256).astype(
+        np.uint8
+    ).reshape(6, 5, 3)
+    for be in (False, True):
+        rgb, info = decode_tiff(encode_tiff(a, "rgb", "none", be))
+        assert (rgb == a).all()
+        assert info["spp"] == 3 and info["photometric"] == 2
+
+
+def test_pattern_covers_every_arm():
+    seen = set()
+    for seed in range(12):
+        rgb, info = decode_tiff(pattern_tiff(seed, 9, 6))
+        seen.add((info["compression"], info["photometric"]))
+    assert len(seen) == 6  # {1, 32773} x {0, 1, 2}
+
+
+# ---------------------------------------------------------------- rejections
+def test_rejections_are_specific():
+    good = encode_tiff(_grad(4, 4), "gray", "none")
+    with pytest.raises(TiffError, match="byte-order"):
+        decode_tiff(b"XX" + good[2:])
+    with pytest.raises(TiffError, match="magic"):
+        decode_tiff(good[:2] + struct.pack("<H", 43) + good[4:])
+    with pytest.raises(TiffError, match="truncated header"):
+        decode_tiff(good[:6])
+    with pytest.raises(TiffError, match="IFD"):
+        decode_tiff(good[: len(good) - 20])  # cut inside the trailing IFD
+
+
+def _entry_patch(payload, tag, new_value_u32):
+    """Patch an inline LONG/SHORT tag value in a little-endian fixture."""
+    (ifd,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd)
+    out = bytearray(payload)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        t, typ, _cnt = struct.unpack_from("<HHI", payload, base)
+        if t == tag:
+            code = "<H" if typ == 3 else "<I"
+            struct.pack_into(code, out, base + 8, new_value_u32)
+            return bytes(out)
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_forged_header_rejections():
+    good = encode_tiff(_grad(4, 4), "gray", "none")
+    with pytest.raises(TiffError, match="exceed"):
+        decode_tiff(_entry_patch(good, 256, 1 << 30))  # width bomb
+    with pytest.raises(TiffError, match="compression"):
+        decode_tiff(_entry_patch(good, 259, 5))  # LZW unsupported
+    with pytest.raises(TiffError, match="photometric 2 inconsistent"):
+        decode_tiff(_entry_patch(good, 262, 2))
+    with pytest.raises(TiffError, match="planar"):
+        decode_tiff(_entry_patch(good, 284, 2))
+    with pytest.raises(TiffError, match="strip 0 has"):
+        decode_tiff(_entry_patch(good, 279, 3))  # byte count mismatch
+    with pytest.raises(TiffError, match="past end"):
+        decode_tiff(_entry_patch(good, 273, len(good)))  # offset bomb
+    rgb_good = encode_tiff(
+        np.zeros((2, 2, 3), dtype=np.uint8), "rgb", "none"
+    )
+    with pytest.raises(TiffError, match="bits/sample"):
+        # BitsPerSample is out-of-line for RGB; point its offset at the
+        # header so the values read 42/0/... instead of 8/8/8
+        decode_tiff(_entry_patch(rgb_good, 258, 2))
+
+
+def test_multipage_rejected():
+    good = encode_tiff(_grad(2, 2), "gray", "none")
+    out = bytearray(good)
+    struct.pack_into("<I", out, len(out) - 4, 8)  # next-IFD != 0
+    with pytest.raises(TiffError, match="multi-page"):
+        decode_tiff(bytes(out))
+
+
+# ------------------------------------------------------------- Spark stage
+def test_decode_tiff_features_stage(spark):
+    import pandas as pd
+
+    from crawl_streams_spark.operators.multimodal import (
+        decode_tiff_features,
+    )
+
+    rows = [
+        (1, pattern_tiff(1, 9, 6)),
+        (2, pattern_tiff(2, 6, 4)),
+        (3, b"not a tiff"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"])
+    )
+    got = {r["media_id"]: r for r in decode_tiff_features(df).collect()}
+    assert got[1]["width"] == 9 and got[1]["height"] == 6
+    assert got[1]["error"] is None
+    y = np.arange(6)[:, None]
+    x = np.arange(9)[None, :]
+    v = (1 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
+    assert got[1]["sum_rgb"] == 3 * int(v.sum())
+    assert got[2]["compression"] == 1  # seed 2 -> uncompressed
+    assert got[1]["compression"] == 32773  # seed 1 -> packbits
+    assert got[3]["error"] is not None and got[3]["width"] is None
+    assert got[4]["error"] == "null payload"
