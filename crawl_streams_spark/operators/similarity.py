@@ -1098,3 +1098,178 @@ def density_dedup_flags(
     ).select(
         id_col, "density", F.col("__loser").isNull().alias("kept")
     )
+
+
+# -- OPQ: rotation-optimized product quantization ---------------------------
+
+
+def rotate_embeddings(
+    df: DataFrame,
+    rotation: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Apply a fixed d×d linear map to every vector: out[i] = Σ_j
+    R[i][j]·v[j], folded LEFT in j order (the cross-engine discipline —
+    a SQL oracle replays the same sequential double chain). The matrix
+    ships as a literal expression, so the whole rotation is ONE narrow
+    per-row map: no shuffle, no join, embarrassingly parallel at any
+    corpus size. The input array is staged through a named column so
+    the d row-dot-products share one double-cast evaluation
+    (the _subspace_rows lesson)."""
+    out_col = out_col or vec_col
+    rows = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row])
+            for row in rotation
+        ]
+    )
+    staged = df.withColumn("__rv", V.to_double_array(vec_col))
+    rotated = F.transform(
+        rows,
+        lambda r: F.aggregate(
+            F.zip_with(r, F.col("__rv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return staged.withColumn(out_col, rotated).drop("__rv")
+
+
+def opq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Parametric OPQ (Ge et al., "Optimized Product Quantization",
+    CVPR 2013 — the eigenvalue-allocation closed form): learn an
+    orthogonal rotation R that decorrelates the data and balances
+    variance across the m PQ subspaces, then train an ordinary PQ
+    codebook on the rotated vectors. Returns ``(rotation, codebook)``
+    where rotation is a d×d row-major list (apply with
+    ``rotate_embeddings``) and codebook is the (subspace, cell,
+    centroid) relation of ``pq_train``.
+
+    Distribution-of-work honesty: everything DATA-SIZED is DataFrame —
+    the d×d second-moment matrix accumulates through one slim
+    posexplode + grouped elementwise sums (map-side partial agg, one
+    shuffle of d·n scalar-keyed rows), the rotation applies as a
+    narrow map, and the codebook trains with pq_train's joint Lloyd's
+    iteration. Only the d×d eigendecomposition runs driver-side in
+    NumPy — a 64×64 solve, the same driver-scale step as collecting
+    k-means centroids between rounds (kmeans_train), and NOT a
+    DataFrame-expressible computation (LAPACK iteration). The paper's
+    non-parametric alternation (SVD per iteration) buys little over
+    the parametric form at PQ's operating points and would add a
+    driver SVD per round, so the closed form is the right
+    Spark-first choice.
+
+    Eigenvalue allocation: eigenvectors greedily assigned to the
+    subspace with the smallest running log-eigenvalue product (§4's
+    balanced-variance criterion), so no subspace hogs the spectrum —
+    the failure mode that makes plain PQ waste codewords on
+    low-variance dims when the data is anisotropic. On isotropic data
+    R converges to an arbitrary orthonormal basis and OPQ ≡ PQ (no
+    win, no loss) — measured in tests/test_similarity.py on both a
+    correlated fixture (OPQ > PQ) and the near-isotropic synthetic
+    embeddings (parity)."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    sub = dim // m
+    v = V.to_double_array(vec_col)
+    # Σ x·xᵀ and Σ x in one pass: slim (j, v_j, v) rows, grouped
+    # elementwise sums — d rows × (d sums + 1) out, broadcast-tiny
+    rows = corpus.select(v.alias("__v")).select(
+        "__v", F.posexplode("__v").alias("j", "__vj")
+    )
+    stats = (
+        rows.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__vj").alias("s"),
+            *[
+                F.sum(F.element_at("__v", i + 1) * F.col("__vj")).alias(
+                    f"m{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("opq_train: empty corpus")
+    n = stats[0]["n"]
+    mu = np.zeros(dim)
+    mom = np.zeros((dim, dim))
+    for r in stats:
+        j = r["j"]
+        mu[j] = r["s"] / n
+        mom[j] = [r[f"m{i}"] for i in range(dim)]
+    cov = mom / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # Greedy balanced allocation on log-eigenvalue products (the paper's
+    # min-product rule). The textbook greedy breaks when eigenvalues sit
+    # below 1 — every log is negative, so the "minimum product" bucket
+    # is the one that already swallowed the most spectrum and it keeps
+    # winning (a runaway that stuffs the top eigenvectors into ONE
+    # subspace — measured on the correlated fixture: ADC recall 0.21
+    # vs plain PQ's 0.38; 0.45 with the fix below). Every
+    # bucket ends with exactly dim/m items, so the balance objective is
+    # invariant to a global shift of the logs: shift them non-negative
+    # and the classic least-loaded greedy (LPT) applies at any scale.
+    logs = np.log(np.maximum(evals, 1e-12))
+    logs = logs - logs.min()
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = [0.0] * m
+    for idx in range(dim):  # evals sorted descending, so logs are too
+        cands = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(cands, key=lambda b: (load[b], b))
+        buckets[b].append(idx)
+        load[b] += float(logs[idx])
+    perm = [idx for b in range(m) for idx in buckets[b]]
+    rotation = evecs[:, perm].T  # row i = eigenvector for output dim i
+    rot_list = [[float(x) for x in row] for row in rotation]
+    rotated = rotate_embeddings(
+        corpus, rot_list, id_col=id_col, vec_col=vec_col
+    )
+    book = pq_train(
+        rotated, m=m, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        dim=dim,
+    )
+    return rot_list, book
+
+
+def knn_opq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    rotation: list,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ search = rotate, then the standard PQ ADC + exact-rerank
+    pipeline (pq_knn_rerank) in the rotated space. Rotation is
+    orthogonal, so rotated L2 distances ARE the original distances (to
+    double rounding) and the rerank stays exact; the composition adds
+    one narrow map per side and nothing else — same scale posture as
+    pq_knn_rerank (codes-table scan + broadcast semi-probe)."""
+    rc = rotate_embeddings(corpus, rotation, id_col=id_col, vec_col=vec_col)
+    rq = rotate_embeddings(queries, rotation, id_col=id_col, vec_col=vec_col)
+    return pq_knn_rerank(
+        rc, codes, codebook, rq, k=k, shortlist=shortlist, m=m, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -18,25 +18,28 @@ ADVICE note to regenerate at the final registry state):
   ``media_flac_stereo_features`` (all four stereo channel assignments
   under the value gate), ``media_tiff_features`` (baseline TIFF, the
   eleventh real codec: both byte orders, PackBits, WhiteIsZero).
-- Slots 4-7: round-9 implementation changes re-windowed for
+- Slot 4 (``knn_opq_fixed``) is also NEW r9 — the OPQ rotate+PQ
+  pipeline against a fixed 2x2-block rotation.
+- Slots 5-8: round-9 implementation changes re-windowed for
   post-change verdicts (the round-6/7 hint-drop precedent):
   ``dsir_selected_docs`` (dsir_importance_weights restructured for
   ngram/hasher), ``knn_ivf_pq_fixed`` (ADC loud-failure guard),
   ``media_adpcm_features`` / ``media_ms_adpcm_features``
   (wSamplesPerBlock now required — ADVICE r8).
-- Slots 8-29: one representative per family the MUST set misses,
+- Slots 9-30: one representative per family the MUST set misses,
   oldest verdicts first (16 of them r5-verdict — the aging cohort the
   round-8 close pre-enumerated). ``parts_bought_together`` /
   ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families; the first and last recur here, ``status_pivot``'s
   family (q_pivot) is covered by ``unpivot_lineitem_metrics``.
-- Slots 30-50: oldest-verdict fillers — 21 more r5-verdict queries.
-  34 of the 39 r5-verdict queries land in this window; the other five
-  (``windowed_funnel_levels``, ``token_array_ops``, ``top_tokens``,
-  ``user_interarrival_stats``, ``wayback_timestamps``) are the
+- Slots 31-50: oldest-verdict fillers — 20 more r5-verdict queries.
+  33 of the 39 r5-verdict queries land in this window; the other six
+  (``windowed_funnel_levels``, ``status_code_histogram``,
+  ``token_array_ops``, ``top_tokens``, ``user_interarrival_stats``,
+  ``wayback_timestamps``) are the
   planner's projected round-10 MUST entries (the printed projection —
   guaranteed slots next round because MUST precedes reps and
-  fillers; 5 + reps fits the window with 24 slots to spare).
+  fillers; 6 + reps fits the window with ~23 slots to spare).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -86,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "dsir_bigram_selected_docs",  # q_pipeline: NEW r9 — hashed-bigram DSIR
     "media_flac_stereo_features",  # q_crawl: NEW r9 — 4 stereo assignments
     "media_tiff_features",  # q_crawl: NEW r9 — TIFF, the 11th codec
+    "knn_opq_fixed",  # q_similarity: NEW r9 — OPQ rotate+PQ pipeline
     # -- round-9 implementation changes re-windowed (post-change verdicts)
     "dsir_selected_docs",  # dsir_importance_weights restructured (ngram)
     "knn_ivf_pq_fixed",  # ADC lookup-miss loud-failure guard added
@@ -114,7 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "disjunctive_part_revenue",  # q_tpch2, r6
     "discount_revenue_forecast",  # q_tpch3, r5
     "orders_validation_report",  # q_validate, r8 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): 25 r5-verdict -------
+    # -- oldest-verdict fillers (planner section 3): 20 r5-verdict -------
     "balanced_shard_stats",  # q_pipeline, r5
     "customers_with_open_orders",  # q_tpch, r5
     "customers_without_orders",  # q_tpch, r5
@@ -135,7 +139,6 @@ PRIORITY: tuple[str, ...] = (
     "price_quantile_sketch",  # q_sketch, r5
     "recent_window_topk",  # q_events, r5
     "sessionized_set_ops",  # q_events, r5
-    "status_code_histogram",  # q_events, r5
 )
 
 

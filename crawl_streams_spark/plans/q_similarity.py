@@ -660,3 +660,175 @@ def embedding_density_dedup(spark, sf_dir):
     return flags.join(
         emb.select("vec_id", "label"), "vec_id"
     ).select("vec_id", "label", "density", "kept")
+
+
+# -- OPQ search under the cross-engine gate ---------------------------------
+# Fixed 2×2-block rotation: out[2t] = c·(v[2t] + v[2t+1]),
+# out[2t+1] = c·(v[2t] − v[2t+1]) with c the double nearest 1/√2 —
+# orthogonal to 1 ulp, and every output is a two-product chain both
+# engines evaluate identically (the Spark side folds the full 64-term
+# row with 62 exact-zero products, which cannot perturb a finite sum).
+_OPQ_C = 0.7071067811865476
+
+
+def _opq_rotation() -> list:
+    rows = []
+    for i in range(64):
+        row = [0.0] * 64
+        t = i // 2
+        if i % 2 == 0:
+            row[2 * t], row[2 * t + 1] = _OPQ_C, _OPQ_C
+        else:
+            row[2 * t], row[2 * t + 1] = _OPQ_C, -_OPQ_C
+        rows.append(row)
+    return rows
+
+
+def _opq_rvec_sql(vec: str) -> str:
+    """The rotated vector as a 64-element DOUBLE list whose every entry
+    replays rotate_embeddings' left fold: a leading ``0.0 +`` mirrors the
+    fold's zero accumulator (insurance against the one IEEE case where
+    it matters, a ±0.0 input)."""
+    elems = []
+    for i in range(64):  # 0-based output index
+        a, b = 2 * (i // 2) + 1, 2 * (i // 2) + 2  # 1-based input pair
+        if i % 2 == 0:
+            elems.append(
+                f"(0.0 + {_OPQ_C!r} * CAST({vec}[{a}] AS DOUBLE))"
+                f" + {_OPQ_C!r} * CAST({vec}[{b}] AS DOUBLE)"
+            )
+        else:
+            elems.append(
+                f"(0.0 + {_OPQ_C!r} * CAST({vec}[{a}] AS DOUBLE))"
+                f" + {-_OPQ_C!r} * CAST({vec}[{b}] AS DOUBLE)"
+            )
+    return "[" + ", ".join(elems) + "]"
+
+
+def _opq_sub_dist_sql() -> str:
+    terms = [
+        f"(rvec[subspace * {_PQ_SUB} + {i}] - centroid[{i}])"
+        f" * (rvec[subspace * {_PQ_SUB} + {i}] - centroid[{i}])"
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    return " + ".join(terms)
+
+
+def _opq_rerank_sql() -> str:
+    terms = [
+        f"(qa.rvec[{i}] - nb.rvec[{i}]) * (qa.rvec[{i}] - nb.rvec[{i}])"
+        for i in range(1, 65)
+    ]
+    return " + ".join(terms)
+
+
+_OPQ_SHORTLIST, _OPQ_TOPK = 10, 5
+
+
+@query(
+    "knn_opq_fixed",
+    oracle=f"""
+        WITH book AS ({_pq_book_sql()}),
+        rot AS (
+            SELECT vec_id, {_opq_rvec_sql('embedding')} AS rvec
+            FROM embeddings
+        ),
+        dist AS (
+            SELECT vec_id, subspace, cell, {_opq_sub_dist_sql()} AS d
+            FROM rot CROSS JOIN book
+        ),
+        vcodes AS (
+            SELECT vec_id, subspace, cell FROM (
+                SELECT vec_id, subspace, cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id, subspace
+                           ORDER BY d, cell) AS rn
+                FROM dist) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT vec_id AS query_id, subspace, cell,
+                   {_opq_sub_dist_sql()} AS pd
+            FROM rot CROSS JOIN book
+            WHERE vec_id % 50 = 0
+        ),
+        adc AS (
+            SELECT t.query_id, v.vec_id AS neighbor_id, t.subspace, t.pd
+            FROM vcodes v
+            JOIN qtab t USING (subspace, cell)
+            WHERE v.vec_id <> t.query_id
+        ),
+        adcsum AS (
+            SELECT query_id, neighbor_id,
+                   list(pd ORDER BY subspace) AS ps
+            FROM adc GROUP BY 1, 2
+        ),
+        shortl AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY ((ps[1] + ps[2]) + ps[3]) + ps[4],
+                                    neighbor_id) AS rn
+                FROM adcsum) WHERE rn <= {_OPQ_SHORTLIST}
+        ),
+        rer AS (
+            SELECT s.query_id, s.neighbor_id, {_opq_rerank_sql()} AS sq_dist
+            FROM shortl s
+            JOIN rot qa ON qa.vec_id = s.query_id
+            JOIN rot nb ON nb.vec_id = s.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sq_dist, rnk FROM (
+            SELECT query_id, neighbor_id, sq_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sq_dist, neighbor_id) AS rnk
+            FROM rer) WHERE rnk <= {_OPQ_TOPK}
+    """,
+    tags=("similarity", "pq", "opq", "extension"),
+)
+def knn_opq_fixed(spark, sf_dir):
+    """OPQ search (operators/similarity.py::knn_opq_rerank — rotate,
+    then the standard PQ ADC + exact-rerank pipeline) under the hard
+    cross-engine gate: a FIXED near-orthogonal 2×2-block rotation (the
+    double closest to a 45° Givens block, so both engines parse the
+    identical literal) applies through rotate_embeddings' left fold,
+    the fixed binary-exact codebook encodes the rotated space, ADC
+    scores the probed codes, and the shortlist reranks exactly in
+    rotated coordinates — every distance a left-associated double
+    chain, every argmin/top-k lexicographically tie-broken, so sq_dist
+    hash-matches bit-for-bit. The TRAINED path (opq_train: DataFrame
+    moment matrix → driver 64×64 eigh → eigenvalue allocation) is
+    pinned by tests/test_similarity.py (beats plain PQ on correlated
+    data 0.45 vs 0.38 ADC recall@5; parity on isotropic)."""
+    from ..operators.similarity import (
+        knn_opq_rerank,
+        pq_encode,
+        rotate_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rotation = _opq_rotation()
+    book = spark.createDataFrame(
+        [(j, c, _pq_word(c)) for j in range(_PQ_M) for c in range(_PQ_K)],
+        "subspace int, cell bigint, centroid array<double>",
+    )
+    codes = pq_encode(
+        rotate_embeddings(emb, rotation), book, m=_PQ_M, dim=64
+    )
+    res = knn_opq_rerank(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        rotation,
+        book,
+        codes,
+        k=_OPQ_TOPK,
+        shortlist=_OPQ_SHORTLIST,
+        m=_PQ_M,
+        dim=64,
+    )
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        "sq_dist",
+        F.col("rnk").cast("bigint").alias("rnk"),
+    )

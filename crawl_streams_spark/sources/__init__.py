@@ -10,7 +10,9 @@ plus file-based streaming (fixture dirs as streams) so tests need no broker,
 and the extension source:
   SRC-6 WARC archive scan (r8)        → warc.WarcDataSource — ISO 28500
         records (plain or per-record gzip) through Spark 4's Python
-        DataSource API; spark.read.format("warc").load(path)
+        DataSource API; spark.read.format("warc").load(path); streaming
+        watch with bounded mtime-watermark offsets and mode=permissive
+        corrupt-archive quarantine (r9)
 """
 
 from . import jsonl, kafka, warc  # noqa: F401

@@ -274,6 +274,39 @@ def main() -> int:
             )
         ivf_codes.unpersist()
 
+    # OPQ (rotate → PQ): same byte accounting as the PQ rows — the
+    # rotation is a per-row map at encode/query time and adds NOTHING
+    # to the scan (codes table + rerank bytes identical to plain PQ at
+    # the same m/k/shortlist). The honest question on this corpus is
+    # whether the learned rotation moves recall at all: the synthetic
+    # embeddings are near-isotropic, so the expected answer is parity
+    # (OPQ's win needs anisotropy — measured on a correlated fixture in
+    # tests/test_similarity.py: 0.45 vs 0.38 ADC recall@5).
+    for m, kcode in ((8, 16), (16, 64)):
+        rot, obook = S.opq_train(emb, m=m, k=kcode, iters=3)
+        ocodes = S.pq_encode(
+            S.rotate_embeddings(emb, rot), obook, m=m
+        ).cache()
+        ocodes.count()
+        for shortlist in (20, 50):
+            t0 = time.perf_counter()
+            approx = _topk_sets(
+                S.knn_opq_rerank(
+                    emb, queries, rot, obook, ocodes,
+                    k=k, shortlist=shortlist, m=m,
+                )
+            )
+            secs = time.perf_counter() - t0
+            add(
+                f"OPQ m={m} k={kcode} shortlist={shortlist} (+codes scan)",
+                _recall(exact, approx),
+                n_queries * shortlist,
+                secs,
+                scanned_bytes=n_queries
+                * (n_corpus * m + shortlist * 64 * 4),
+            )
+        ocodes.unpersist()
+
     print(f"\ncorpus={n_corpus} queries={n_queries} k={k} ({sf_dir})\n")
     print("| config | recall@10 | scanned fraction | scanned bytes fraction | wall s |")
     print("|---|---|---|---|---|")

@@ -39,6 +39,7 @@ def test_round_changed_queries_in_window():
         "dsir_bigram_selected_docs",  # NEW: hashed-bigram DSIR gate
         "media_flac_stereo_features",  # NEW: stereo FLAC under the gate
         "media_tiff_features",  # NEW: baseline TIFF under the gate
+        "knn_opq_fixed",  # NEW: OPQ rotate+PQ under the gate
         "dsir_selected_docs",  # changed: weights restructured (ngram)
         "knn_ivf_pq_fixed",  # changed: ADC loud-failure guard
         "media_adpcm_features",  # changed: wSamplesPerBlock required
@@ -119,10 +120,11 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 181 registered queries as of round 9 (dsir_bigram_selected_docs,
-    # media_flac_stereo_features, media_tiff_features added; update
+    # 182 registered queries as of round 9 (dsir_bigram_selected_docs,
+    # media_flac_stereo_features, media_tiff_features, knn_opq_fixed
+    # added; update
     # this count deliberately whenever a query is added).
-    assert len(REGISTRY) >= 181
+    assert len(REGISTRY) >= 182
 
 
 def test_rotation_planner_invariants():

@@ -703,3 +703,110 @@ def test_semantic_dedup_argmin_never_groups_on_vector(spark, sf_dir):
     for m in re.finditer(r"HashAggregate\(keys=\[([^\]]*)\]", plan):
         keys = m.group(1)
         assert "__v" not in keys, f"vector used as a grouping key: {keys}"
+
+
+def _np_exact_top5(vecs: dict):
+    exact = {}
+    for q, qv in vecs.items():
+        if q % 25 != 0:
+            continue
+        d = sorted(
+            (sum((x - y) ** 2 for x, y in zip(qv, vecs[i])), i)
+            for i in vecs if i != q
+        )[:5]
+        exact[q] = {i for _, i in d}
+    return exact
+
+
+def _adc_recall(spark, emb, vecs, rotation=None, m=8, k_codes=16):
+    """recall@5 of ADC-only PQ top-5 (no rerank — the most
+    codebook-sensitive reading) against exact numpy neighbors."""
+    exact = _np_exact_top5(vecs)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    if rotation is None:
+        book = S.pq_train(emb, m=m, k=k_codes, iters=3)
+        codes = S.pq_encode(emb, book, m=m)
+        res = S.pq_knn(codes, book, queries, k=5, m=m)
+    else:
+        re = S.rotate_embeddings(emb, rotation)
+        rq = S.rotate_embeddings(queries, rotation)
+        book = S.pq_train(re, m=m, k=k_codes, iters=3)
+        codes = S.pq_encode(re, book, m=m)
+        res = S.pq_knn(codes, book, rq, k=5, m=m)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(len(exact[q] & got.get(q, set())) for q in exact) / (
+        5 * len(exact)
+    )
+
+
+def test_opq_beats_pq_on_correlated_data(spark, sf_dir):
+    """The OPQ claim itself (Ge et al. CVPR'13): on ANISOTROPIC,
+    cross-subspace-correlated data, the learned rotation decorrelates
+    and variance-balances the subspaces, so the same m×k codebook
+    budget quantizes tighter and ADC recall rises. Fixture: the
+    synthetic embeddings pushed through a fixed mixing map Q·diag(s)
+    with a decaying spectrum (s_i = 0.94^i) — every raw coordinate ends
+    up a mixture of a few dominant directions, plain PQ's fixed
+    coordinate slices straddle them, OPQ's eigen-allocation recovers
+    them."""
+    import numpy as np
+
+    base = load_table(spark, sf_dir, "embeddings").limit(400).collect()
+    rng = np.random.RandomState(7)
+    q_mix, _ = np.linalg.qr(rng.randn(64, 64))
+    mix = q_mix @ np.diag(0.94 ** np.arange(64))
+    rows = [
+        (r["vec_id"], [float(x) for x in mix @ np.array(r["embedding"])])
+        for r in base
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).cache()
+    vecs = dict(rows)
+
+    r_pq = _adc_recall(spark, emb, vecs)
+    rotation, _book = S.opq_train(emb, m=8, k=16, iters=3)
+    r_opq = _adc_recall(spark, emb, vecs, rotation=rotation)
+    assert r_opq > r_pq + 0.05, (
+        f"OPQ should clearly beat PQ on correlated data: "
+        f"opq={r_opq:.3f} pq={r_pq:.3f}"
+    )
+
+
+def test_opq_matches_pq_on_isotropic_data(spark, sf_dir):
+    """On the near-isotropic synthetic embeddings a rotation has
+    nothing to exploit — OPQ must neither help nor HURT (the learned R
+    is just another orthonormal basis). Parity within noise."""
+    base = load_table(spark, sf_dir, "embeddings").limit(400).cache()
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in base.collect()
+    }
+    r_pq = _adc_recall(spark, base, vecs)
+    rotation, _book = S.opq_train(base, m=8, k=16, iters=3)
+    r_opq = _adc_recall(spark, base, vecs, rotation=rotation)
+    assert abs(r_opq - r_pq) <= 0.15, (
+        f"OPQ diverged from PQ on isotropic data: "
+        f"opq={r_opq:.3f} pq={r_pq:.3f}"
+    )
+
+
+def test_opq_rotation_is_orthogonal_and_distance_preserving(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).cache()
+    rotation, _ = S.opq_train(emb, m=8, k=16, iters=2)
+    R = np.array(rotation)
+    assert np.abs(R @ R.T - np.eye(64)).max() < 1e-9
+    # rotated pairwise distance == original (to double rounding)
+    rows = S.rotate_embeddings(emb.limit(2), rotation).collect()
+    orig = {r["vec_id"]: None for r in rows}
+    base = {r["vec_id"]: np.array(r["embedding"]) for r in emb.limit(2).collect()}
+    rot = {r["vec_id"]: np.array(r["embedding"]) for r in rows}
+    (a, b) = list(base)
+    d0 = np.sum((base[a] - base[b]) ** 2)
+    d1 = np.sum((rot[a] - rot[b]) ** 2)
+    assert abs(d0 - d1) < 1e-9 * max(d0, 1.0)
+    del orig
