@@ -419,6 +419,51 @@ def ima_adpcm_wav_bytes(
     return riff + fmt + data
 
 
+def ima_adpcm_stereo_wav_bytes(
+    codes_l,
+    codes_r,
+    pred_l: int = 0,
+    idx_l: int = 0,
+    pred_r: int = 0,
+    idx_r: int = 0,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Minimal STEREO IMA ADPCM WAV encoder, one block: per-channel
+    4-byte headers, then the spec's channel-group interleave — 4 bytes
+    (8 low-nibble-first codes) of LEFT, 4 bytes of RIGHT, alternating.
+    Each channel's code count must be equal and a multiple of 8."""
+    import struct
+
+    codes_l, codes_r = list(codes_l), list(codes_r)
+    if len(codes_l) != len(codes_r):
+        raise ValueError("stereo channels need equal code counts")
+    if len(codes_l) % 8:
+        raise ValueError("stereo codes must fill whole 8-nibble groups")
+
+    def pack4(codes):
+        return bytes(
+            (codes[i] & 0xF) | ((codes[i + 1] & 0xF) << 4)
+            for i in range(0, len(codes), 2)
+        )
+
+    body = bytearray()
+    body += struct.pack("<hBB", pred_l, idx_l, 0)
+    body += struct.pack("<hBB", pred_r, idx_r, 0)
+    for g in range(0, len(codes_l), 8):
+        body += pack4(codes_l[g : g + 8])
+        body += pack4(codes_r[g : g + 8])
+    block_align = len(body)
+    samples_per_block = 1 + len(codes_l)  # per channel
+    fmt = struct.pack(
+        "<4sIHHIIHHHH", b"fmt ", 20, 0x11, 2, sample_rate,
+        (sample_rate * block_align) // max(samples_per_block, 1),
+        block_align, 4, 2, samples_per_block,
+    )
+    data = struct.pack("<4sI", b"data", len(body)) + bytes(body)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
 def _wav_decode_impl():
     """Factory (closure-pickled by value) for the real RIFF/PCM16 parser:
     walks the chunk list, reads fmt, frombuffers the data chunk, and
@@ -513,35 +558,39 @@ def _wav_decode_impl():
                     x = np.where(a >= 128, t, -t)
                 x = x.astype(np.int64)
             elif audio_format == 0x11 and bits == 4:
-                # IMA/DVI ADPCM: per-block 4-byte header (initial
-                # predictor int16, initial step index) then 4-bit codes,
-                # LOW nibble first. The predictor recurrence is
-                # inherently sequential WITHIN a block (each sample
-                # conditions the next step size), so the inner loop is
-                # scalar integer math — exact by construction, replayed
-                # step-for-step by a recursive-CTE SQL oracle; Spark's
-                # parallelism lives ACROSS payloads (Arrow batches), not
-                # inside one.
-                if n_ch != 1:
-                    return None, "ADPCM: only mono supported"
+                # IMA/DVI ADPCM: per-block per-CHANNEL 4-byte headers
+                # (initial predictor int16, initial step index), then
+                # 4-bit codes LOW nibble first — mono as a flat byte
+                # run, stereo in the spec's 4-byte channel groups (8
+                # nibbles of L, 8 of R, alternating). The predictor
+                # recurrence is inherently sequential WITHIN a channel
+                # (each sample conditions the next step size), so the
+                # inner loop is scalar integer math — exact by
+                # construction, replayed step-for-step by a
+                # recursive-CTE SQL oracle; Spark's parallelism lives
+                # ACROSS payloads (Arrow batches), not inside one.
+                if n_ch not in (1, 2):
+                    return None, "ADPCM: 1 or 2 channels supported"
                 if spb is None or spb < 1:
                     # conformant ADPCM WAVs always carry wSamplesPerBlock
                     # (the cbSize fmt extension); without it the trailing
                     # padding nibbles of every block would decode as
                     # audio — a silent misdecode, so reject loudly
                     return None, "ADPCM: fmt chunk missing wSamplesPerBlock"
-                if block_align < 5:
-                    return None, f"ADPCM: bad block align {block_align}"
-                out = []
-                usable = len(data) - (len(data) % block_align)
-                for boff in range(0, usable, block_align):
-                    block = data[boff : boff + block_align]
-                    pred = struct.unpack_from("<h", block, 0)[0]
-                    idx = block[2]
-                    if idx > 88:
-                        return None, f"ADPCM: step index {idx} out of range"
-                    bout = [pred]
-                    for byte in block[4:]:
+                hdr = 4 * n_ch
+                if n_ch == 1:
+                    if block_align < 5:
+                        return None, f"ADPCM: bad block align {block_align}"
+                elif block_align < 16 or (block_align - hdr) % 8 != 0:
+                    # stereo data interleaves in whole 4-byte-per-channel
+                    # groups; anything else cannot be framed
+                    return None, (
+                        f"ADPCM: stereo block align {block_align} not "
+                        f"8 + 8k"
+                    )
+
+                def ima_run(codes_bytes, pred, idx, bout):
+                    for byte in codes_bytes:
                         for code in (byte & 0xF, byte >> 4):
                             step = IMA_STEP_TABLE[idx]
                             diff = step >> 3
@@ -553,13 +602,49 @@ def _wav_decode_impl():
                                 diff += step
                             pred = pred - diff if code & 8 else pred + diff
                             pred = max(-32768, min(32767, pred))
-                            idx = max(0, min(88, idx + IMA_INDEX_TABLE[code & 7]))
+                            idx = max(
+                                0, min(88, idx + IMA_INDEX_TABLE[code & 7])
+                            )
                             bout.append(pred)
+                    return pred, idx
+
+                out = []
+                usable = len(data) - (len(data) % block_align)
+                for boff in range(0, usable, block_align):
+                    block = data[boff : boff + block_align]
+                    preds, idxs, bouts = [], [], []
+                    for ch in range(n_ch):
+                        p = struct.unpack_from("<h", block, 4 * ch)[0]
+                        ix = block[4 * ch + 2]
+                        if ix > 88:
+                            return None, (
+                                f"ADPCM: step index {ix} out of range"
+                            )
+                        preds.append(p)
+                        idxs.append(ix)
+                        bouts.append([p])
+                    if n_ch == 1:
+                        ima_run(block[4:], preds[0], idxs[0], bouts[0])
+                    else:
+                        dpos = hdr
+                        while dpos < block_align:
+                            for ch in range(n_ch):
+                                preds[ch], idxs[ch] = ima_run(
+                                    block[dpos : dpos + 4],
+                                    preds[ch],
+                                    idxs[ch],
+                                    bouts[ch],
+                                )
+                                dpos += 4
                     # wSamplesPerBlock (fmt extension) bounds the block's
-                    # REAL samples — the remaining nibbles are encoder
-                    # padding, not audio (decoding them would skew every
-                    # statistic; the 'never silently misdecode' charter)
-                    out.extend(bout[:spb])
+                    # REAL samples PER CHANNEL — the remaining nibbles are
+                    # encoder padding, not audio (decoding them would skew
+                    # every statistic; 'never silently misdecode')
+                    if n_ch == 1:
+                        out.extend(bouts[0][:spb])
+                    else:
+                        for pair in zip(bouts[0][:spb], bouts[1][:spb]):
+                            out.extend(pair)
                 if not out:
                     return None, "ADPCM: no complete block"
                 x = np.array(out, dtype=np.int64)

@@ -20,11 +20,15 @@ a silent misdecode:
   chunky planar configuration;
 - PhotometricInterpretation 0 (WhiteIsZero — inverted on decode),
   1 (BlackIsZero) and 2 (RGB);
-- Compression 1 (none) and 32773 (PackBits — the spec's byte-oriented
+- Compression 1 (none), 32773 (PackBits — the spec's byte-oriented
   run-length scheme: n in [0,127] copies n+1 literals, n in [-127,-1]
-  repeats the next byte 1-n times, -128 is a no-op), decompressed
-  per strip with exact expected-size accounting (overrun AND underrun
-  are errors);
+  repeats the next byte 1-n times, -128 is a no-op) and 5 (LZW, §13:
+  MSB-first code packing, ClearCode 256 / EOI 257, 9→12-bit codes with
+  the TIFF "early change" — the width grows one code EARLIER than
+  classic LZW, at table size 2^w−1; the encoder keeps a simulated
+  decoder counter so both sides bump at the same code by construction,
+  the gif.py width-schedule lesson), each decompressed per strip with
+  exact expected-size accounting (overrun AND underrun are errors);
 - any RowsPerStrip / strip count (offsets and byte counts validated
   against the payload before any allocation; declared dimensions are
   bounded by what the payload could possibly encode, so a forged
@@ -45,10 +49,19 @@ __all__ = [
     "pattern_tiff",
     "packbits_encode",
     "packbits_decode",
+    "lzw_encode",
+    "lzw_decode",
 ]
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_LZW = 5
 _COMPRESSION_PACKBITS = 32773
+
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_MAX_WIDTH = 12
+# encoder clears before the table is literally full (the spec's
+# recommendation), leaving headroom below 2^12
+_LZW_CLEAR_AT = 4094
 
 # tag ids (TIFF 6.0 baseline)
 _T_WIDTH = 256
@@ -130,6 +143,143 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_width(next_entry: int) -> int:
+    """Code width for the next read/emit given the DECODER's next free
+    table index — the TIFF early-change schedule: grow at 2^w−1, one
+    code earlier than classic LZW's 2^w."""
+    width = 9
+    while next_entry >= (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+        width += 1
+    return width
+
+
+class _MsbWriter:
+    """MSB-first bit packer (TIFF §13; GIF packs LSB-first)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(self.buf)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW for one strip. Emit widths follow the SIMULATED decoder
+    counter (``dec_next`` — what the decoder's next free entry will be
+    when it extracts the code being emitted), so encoder and decoder
+    bump at the same code by construction whatever the off-by-one
+    folklore says; the early-change rule itself lives in _lzw_width."""
+    w = _MsbWriter()
+    state = {"dcodes": 0}  # data codes emitted since the last clear
+
+    def width_now() -> int:
+        # decoder's next free entry when it extracts the code emitted
+        # now: it adds one entry per data code after its first
+        return _lzw_width(_LZW_FIRST + max(0, state["dcodes"] - 1))
+
+    def put_data(code: int) -> None:
+        w.put(code, width_now())
+        state["dcodes"] += 1
+
+    def put_clear() -> None:
+        w.put(_LZW_CLEAR, width_now())
+        state["dcodes"] = 0
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_e = _LZW_FIRST
+    put_clear()
+    prev = b""
+    for byte in data:
+        cand = prev + bytes([byte])
+        if cand in table:
+            prev = cand
+            continue
+        put_data(table[prev])
+        table[cand] = next_e
+        next_e += 1
+        if next_e == _LZW_CLEAR_AT:
+            # flush the dangling byte under the old table, then reset —
+            # the decoder mirrors the reset on the clear code
+            put_data(byte)
+            put_clear()
+            table = {bytes([i]): i for i in range(256)}
+            next_e = _LZW_FIRST
+            prev = b""
+        else:
+            prev = bytes([byte])
+    if prev:
+        put_data(table[prev])
+    w.put(_LZW_EOI, width_now())
+    return w.done()
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Decode one TIFF LZW strip to exactly ``expected`` bytes; overrun,
+    underrun, codes past the table, a missing leading ClearCode, and
+    table overflow without a clear all raise TiffError."""
+    out = bytearray()
+    table: list[bytes] | None = None
+    next_d = _LZW_FIRST
+    prev: bytes | None = None
+    pos = 0  # bit position
+    total_bits = 8 * len(data)
+    while True:
+        width = _lzw_width(next_d if table is not None else _LZW_FIRST)
+        if pos + width > total_bits:
+            raise TiffError("LZW strip ends without an EOI code")
+        code = 0
+        for _ in range(width):  # MSB-first extraction
+            code = (code << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            next_d = _LZW_FIRST
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if table is None:
+            raise TiffError("LZW data code before the initial ClearCode")
+        if prev is None:
+            if code >= 256:
+                raise TiffError(f"LZW first code {code} is not a literal")
+            entry = table[code]
+        else:
+            if code < next_d:
+                entry = table[code]
+            elif code == next_d:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise TiffError(f"LZW code {code} past table end {next_d}")
+            if next_d >= (1 << _LZW_MAX_WIDTH):
+                raise TiffError("LZW table overflow without a clear code")
+            table.append(prev + entry[:1])
+            next_d += 1
+        out += entry
+        if len(out) > expected:
+            raise TiffError(
+                f"LZW strip decoded past expected size {expected}"
+            )
+        prev = entry
+    if len(out) != expected:
+        raise TiffError(
+            f"LZW strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
 def encode_tiff(
     arr: "np.ndarray",
     photometric: str = "rgb",
@@ -161,11 +311,14 @@ def encode_tiff(
             pmi = 1
     else:
         raise ValueError(f"unknown photometric {photometric!r}")
-    if compression not in ("none", "packbits"):
+    comps = {
+        "none": _COMPRESSION_NONE,
+        "packbits": _COMPRESSION_PACKBITS,
+        "lzw": _COMPRESSION_LZW,
+    }
+    if compression not in comps:
         raise ValueError(f"unknown compression {compression!r}")
-    comp = (
-        _COMPRESSION_NONE if compression == "none" else _COMPRESSION_PACKBITS
-    )
+    comp = comps[compression]
     rps = rows_per_strip or h
     e = ">" if big_endian else "<"
     flat = a.reshape(h, w * spp)
@@ -173,9 +326,11 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rps):
         raw = flat[y0 : y0 + rps].tobytes()
-        strips.append(
-            raw if comp == _COMPRESSION_NONE else packbits_encode(raw)
-        )
+        if comp == _COMPRESSION_PACKBITS:
+            raw = packbits_encode(raw)
+        elif comp == _COMPRESSION_LZW:
+            raw = lzw_encode(raw)
+        strips.append(raw)
     n_strips = len(strips)
 
     # layout: header(8) | strip data | out-of-line values | IFD
@@ -304,7 +459,8 @@ def decode_tiff(payload: bytes):
     if len(bits) != spp or any(b != 8 for b in bits):
         raise TiffError(f"unsupported bits/sample {bits}")
     comp = tag_values(_T_COMPRESSION, [_COMPRESSION_NONE])[0]
-    if comp not in (_COMPRESSION_NONE, _COMPRESSION_PACKBITS):
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_PACKBITS,
+                    _COMPRESSION_LZW):
         raise TiffError(f"unsupported compression {comp}")
     pmi = tag_values(_T_PHOTOMETRIC)[0]
     if pmi not in (0, 1, 2):
@@ -328,9 +484,11 @@ def decode_tiff(payload: bytes):
         )
 
     # a forged header must not allocate unbounded memory: PackBits can
-    # expand one input byte to at most 128 output bytes, and an
-    # uncompressed image needs all its bytes present — so any honest
-    # payload bounds the decoded size
+    # expand one input byte to at most 128 output bytes, LZW at most
+    # ~4096/0.75 per 12-bit code (still far under 128x/byte for any
+    # real strip, and lzw_decode additionally hard-stops past
+    # `expected`), and an uncompressed image needs all its bytes
+    # present — so any honest payload bounds the decoded size
     total = h * w * spp
     if total > 128 * len(payload):
         raise TiffError(
@@ -353,8 +511,10 @@ def decode_tiff(payload: bytes):
                     f"strip {s} has {cnt} bytes, expected {expected}"
                 )
             chunks.append(raw)
-        else:
+        elif comp == _COMPRESSION_PACKBITS:
             chunks.append(packbits_decode(raw, expected))
+        else:
+            chunks.append(lzw_decode(raw, expected))
 
     flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
     if pmi == 0:  # WhiteIsZero
@@ -394,4 +554,28 @@ def pattern_tiff(seed: int, width: int, height: int) -> bytes:
     return encode_tiff(
         arr, photometric=pm, compression=compression,
         big_endian=big_endian, rows_per_strip=2,
+    )
+
+
+def pattern_tiff_lzw(seed: int, width: int, height: int) -> bytes:
+    """LZW-compressed sibling of pattern_tiff (same closed-form pixels,
+    same photometric cycle by seed%3, endian by seed%2) at
+    rows_per_strip=3 — every strip runs the real variable-width coder:
+    constant even rows build long matches (table hits), gradient odd
+    rows force fresh table entries."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    v = ((seed * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256).astype(
+        np.uint8
+    )
+    arm = seed % 3
+    if arm == 2:
+        arr = np.repeat(v[:, :, None], 3, axis=2)
+        pm = "rgb"
+    else:
+        arr = v
+        pm = "gray" if arm == 1 else "gray_inverted"
+    return encode_tiff(
+        arr, photometric=pm, compression="lzw",
+        big_endian=bool(seed % 2), rows_per_strip=3,
     )

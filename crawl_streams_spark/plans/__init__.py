@@ -18,28 +18,33 @@ ADVICE note to regenerate at the final registry state):
   ``media_flac_stereo_features`` (all four stereo channel assignments
   under the value gate), ``media_tiff_features`` (baseline TIFF, the
   eleventh real codec: both byte orders, PackBits, WhiteIsZero).
-- Slot 4 (``knn_opq_fixed``) is also NEW r9 — the OPQ rotate+PQ
-  pipeline against a fixed 2x2-block rotation.
-- Slots 5-8: round-9 implementation changes re-windowed for
+- Slots 4-6 are also NEW r9 — ``knn_opq_fixed`` (the OPQ rotate+PQ
+  pipeline against a fixed 2x2-block rotation),
+  ``media_tiff_lzw_features`` (TIFF §13 LZW: MSB-first codes,
+  early-change widths, clear-reset) and
+  ``media_adpcm_stereo_features`` (stereo IMA: per-channel headers,
+  4-byte channel-group interleave).
+- Slots 7-10: round-9 implementation changes re-windowed for
   post-change verdicts (the round-6/7 hint-drop precedent):
   ``dsir_selected_docs`` (dsir_importance_weights restructured for
   ngram/hasher), ``knn_ivf_pq_fixed`` (ADC loud-failure guard),
   ``media_adpcm_features`` / ``media_ms_adpcm_features``
   (wSamplesPerBlock now required — ADVICE r8).
-- Slots 9-30: one representative per family the MUST set misses,
+- Slots 11-32: one representative per family the MUST set misses,
   oldest verdicts first (16 of them r5-verdict — the aging cohort the
   round-8 close pre-enumerated). ``parts_bought_together`` /
   ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families; the first and last recur here, ``status_pivot``'s
   family (q_pivot) is covered by ``unpivot_lineitem_metrics``.
-- Slots 31-50: oldest-verdict fillers — 20 more r5-verdict queries.
-  33 of the 39 r5-verdict queries land in this window; the other six
+- Slots 33-50: oldest-verdict fillers — 18 more r5-verdict queries.
+  31 of the 39 r5-verdict queries land in this window; the other eight
   (``windowed_funnel_levels``, ``status_code_histogram``,
+  ``recent_window_topk``, ``sessionized_set_ops``,
   ``token_array_ops``, ``top_tokens``, ``user_interarrival_stats``,
-  ``wayback_timestamps``) are the
-  planner's projected round-10 MUST entries (the printed projection —
-  guaranteed slots next round because MUST precedes reps and
-  fillers; 6 + reps fits the window with ~23 slots to spare).
+  ``wayback_timestamps``) are the planner's projected round-10 MUST
+  entries (the printed projection — guaranteed slots next round
+  because MUST precedes reps and fillers; 8 + reps fits the window
+  with ~21 slots to spare).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -90,6 +95,8 @@ PRIORITY: tuple[str, ...] = (
     "media_flac_stereo_features",  # q_crawl: NEW r9 — 4 stereo assignments
     "media_tiff_features",  # q_crawl: NEW r9 — TIFF, the 11th codec
     "knn_opq_fixed",  # q_similarity: NEW r9 — OPQ rotate+PQ pipeline
+    "media_tiff_lzw_features",  # q_crawl: NEW r9 — TIFF LZW arm
+    "media_adpcm_stereo_features",  # q_crawl: NEW r9 — stereo IMA ADPCM
     # -- round-9 implementation changes re-windowed (post-change verdicts)
     "dsir_selected_docs",  # dsir_importance_weights restructured (ngram)
     "knn_ivf_pq_fixed",  # ADC lookup-miss loud-failure guard added
@@ -118,7 +125,7 @@ PRIORITY: tuple[str, ...] = (
     "disjunctive_part_revenue",  # q_tpch2, r6
     "discount_revenue_forecast",  # q_tpch3, r5
     "orders_validation_report",  # q_validate, r8 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): 20 r5-verdict -------
+    # -- oldest-verdict fillers (planner section 3): 18 r5-verdict -------
     "balanced_shard_stats",  # q_pipeline, r5
     "customers_with_open_orders",  # q_tpch, r5
     "customers_without_orders",  # q_tpch, r5
@@ -137,8 +144,6 @@ PRIORITY: tuple[str, ...] = (
     "null_coalesce_projection",  # q_events, r5
     "order_value_running",  # q_tpch, r5
     "price_quantile_sketch",  # q_sketch, r5
-    "recent_window_topk",  # q_events, r5
-    "sessionized_set_ops",  # q_events, r5
 )
 
 

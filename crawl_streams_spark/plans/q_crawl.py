@@ -871,10 +871,18 @@ def _ima_step_sql() -> str:
 
 # one IMA code per recursion level: code_k = (doc_id*11 + k*5) % 16
 _IMA_CODE = "(doc_id * 11 + k * 5) % 16"
-_IMA_DIFF = f"""step // 8
-                 + CASE WHEN ({_IMA_CODE}) % 2 = 1 THEN step // 4 ELSE 0 END
-                 + CASE WHEN (({_IMA_CODE}) // 2) % 2 = 1 THEN step // 2 ELSE 0 END
-                 + CASE WHEN (({_IMA_CODE}) // 4) % 2 = 1 THEN step ELSE 0 END"""
+
+
+def _ima_diff_sql(code: str) -> str:
+    """The IMA magnitude reconstruction diff for a given code expr —
+    step/8 + conditional step/4, step/2, step terms."""
+    return f"""step // 8
+                 + CASE WHEN ({code}) % 2 = 1 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (({code}) // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (({code}) // 4) % 2 = 1 THEN step ELSE 0 END"""
+
+
+_IMA_DIFF = _ima_diff_sql(_IMA_CODE)
 _IMA_N = 200  # codes per payload -> 201 samples with the header predictor
 
 
@@ -1571,3 +1579,210 @@ def media_tiff_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_tiff_features(media)
+
+
+@query(
+    "media_tiff_lzw_features",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id * 31 + y.y * 7
+                     + CASE WHEN y.y % 2 = 1 THEN x.x * 13 ELSE 0 END)
+                    % 256) AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+            CROSS JOIN (SELECT unnest(range(0, 18)) AS x) x
+            WHERE y.y < 2 * (1 + d.doc_id % 4)
+              AND x.x < 3 * (1 + d.doc_id % 6)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n,
+                   MIN(v)::INTEGER AS mn,
+                   MAX(v)::INTEGER AS mx
+            FROM px GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               (3 * (1 + doc_id % 6))::INTEGER AS width,
+               (2 * (1 + doc_id % 4))::INTEGER AS height,
+               3::INTEGER AS n_channels,
+               5::INTEGER AS compression,
+               (doc_id % 3)::INTEGER AS photometric,
+               (3 * s) AS sum_rgb,
+               (s::DOUBLE / n) AS mean_sample,
+               mn AS min_sample,
+               mx AS max_sample,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "image", "tiff", "lzw", "extension"),
+)
+def media_tiff_lzw_features(spark, sf_dir):
+    """TIFF LZW decode under the VALUE gate (round 9, pulled forward
+    from the round-10 candidates — LZW is the other common legacy TIFF
+    arm in real web archives): operators/tiff.py implements TIFF 6.0
+    §13 LZW for real — MSB-first code packing (GIF's LZW packs
+    LSB-first), ClearCode/EOI, 9→12-bit codes under the EARLY-CHANGE
+    width schedule (grow at table size 2^w−1, one code earlier than
+    classic LZW; encoder and decoder share the same simulated-counter
+    width function so they bump at the same code by construction), 4094
+    clear-reset, exact expected-size accounting; the spec's worked
+    example is byte-pinned and a 30k-case totality soak is clean. Every
+    payload is multi-strip (rows_per_strip=3) with constant even rows
+    (long LZW matches) and gradient odd rows (fresh table entries);
+    photometric cycles gray / WhiteIsZero / RGB by doc_id and endian by
+    parity. LZW is lossless, so the SQL oracle predicts the exact
+    integer statistics analytically — the same discipline as the
+    PackBits gate."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def synth(batches):
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.tiff import pattern_tiff_lzw
+        except ModuleNotFoundError:
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.tiff import pattern_tiff_lzw
+
+        for pdf in batches:
+            payloads = [
+                pattern_tiff_lzw(
+                    int(d),
+                    3 * (1 + int(d) % 6),
+                    2 * (1 + int(d) % 4),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_tiff_features(media)
+
+
+_IMA_ST_N = 192  # codes per channel -> 193 samples per channel
+_IMA_ST_CODE = (
+    "CASE ch WHEN 0 THEN (doc_id * 11 + k * 5) % 16 "
+    "ELSE (doc_id * 13 + k * 7) % 16 END"
+)
+
+
+@query(
+    "media_adpcm_stereo_features",
+    oracle=f"""
+        WITH RECURSIVE steptab AS ({_ima_step_sql()}),
+        dec AS (
+            SELECT d.doc_id, c.ch, 0 AS k,
+                   CAST(CASE c.ch WHEN 0
+                        THEN (d.doc_id * 37) % 1024 - 512
+                        ELSE (d.doc_id * 29) % 1024 - 512
+                   END AS BIGINT) AS pred,
+                   CAST(CASE c.ch WHEN 0 THEN d.doc_id % 89
+                        ELSE (d.doc_id * 3) % 89
+                   END AS BIGINT) AS idx
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) c
+            UNION ALL
+            SELECT doc_id, ch, k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CASE WHEN code >= 8 THEN pred - diff
+                            ELSE pred + diff END)),
+                   GREATEST(0, LEAST(88,
+                       idx + CASE WHEN code % 8 < 4 THEN -1
+                                  ELSE (code % 8 - 3) * 2 END))
+            FROM (
+                SELECT dec.doc_id, dec.ch, dec.k, dec.pred, dec.idx,
+                       steptab.step,
+                       {_IMA_ST_CODE} AS code,
+                       {_ima_diff_sql(_IMA_ST_CODE)} AS diff
+                FROM dec JOIN steptab ON steptab.i = dec.idx
+                WHERE k < {_IMA_ST_N}
+            )
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(pred * pred)::BIGINT AS sumsq,
+                   MAX(ABS(pred))::BIGINT AS peak_i,
+                   SUM(CASE WHEN pred IN (32767, -32768) THEN 1
+                            ELSE 0 END)::BIGINT AS clip_n
+            FROM dec GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               2::INTEGER AS n_channels,
+               4::INTEGER AS bits,
+               {_IMA_ST_N + 1}::INTEGER AS n_samples,
+               (1000.0::DOUBLE * {_IMA_ST_N + 1} / 8000)::FLOAT
+                   AS duration_ms,
+               (sqrt(sumsq::DOUBLE / {2 * (_IMA_ST_N + 1)})
+                   / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / {2 * (_IMA_ST_N + 1)})::FLOAT
+                   AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "audio", "adpcm", "stereo", "extension"),
+)
+def media_adpcm_stereo_features(spark, sf_dir):
+    """STEREO IMA ADPCM decode under the VALUE gate (round 9, pulled
+    forward from the round-10 candidates): per-channel block headers
+    and the spec's 4-byte channel-group interleave (8 nibbles of L,
+    8 of R, alternating — operators/multimodal.py's stereo branch),
+    per-doc deterministic code streams and seeds that DIFFER between
+    channels, so a group-order or header-order mistake cannot cancel
+    out. Two independent sequential recurrences per document; the
+    oracle replays BOTH as one recursive CTE with a channel dimension
+    and certifies the exact integer energy statistics over the
+    interleaved stream. n_samples counts per-channel frames (the WAV
+    feature contract); rms/clip divide by the full interleaved count."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from crawl_streams_spark.operators.multimodal import (
+            ima_adpcm_stereo_wav_bytes,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = np.arange(_IMA_ST_N, dtype=np.int64)
+                payloads.append(
+                    ima_adpcm_stereo_wav_bytes(
+                        ((did * 11 + k * 5) % 16).tolist(),
+                        ((did * 13 + k * 7) % 16).tolist(),
+                        pred_l=(did * 37) % 1024 - 512,
+                        idx_l=did % 89,
+                        pred_r=(did * 29) % 1024 - 512,
+                        idx_r=(did * 3) % 89,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_wav(media)

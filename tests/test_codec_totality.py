@@ -21,6 +21,7 @@ from crawl_streams_spark.operators.flac import FlacError, decode_flac, encode_fl
 from crawl_streams_spark.operators.gif import GifError, decode_gif, pattern_gif
 from crawl_streams_spark.operators.multimodal import (
     _wav_decode_impl,
+    ima_adpcm_stereo_wav_bytes,
     ima_adpcm_wav_bytes,
     ms_adpcm_wav_bytes,
     wav_bytes,
@@ -31,6 +32,7 @@ from crawl_streams_spark.operators.tiff import (
     TiffError,
     decode_tiff,
     pattern_tiff,
+    pattern_tiff_lzw,
 )
 from crawl_streams_spark.sources.warc import (
     WarcError,
@@ -55,6 +57,7 @@ _CODECS = [
     ("qoi", decode_qoi, QoiError, lambda: pattern_qoi(3, 9, 5)),
     ("tiff", decode_tiff, TiffError, lambda: pattern_tiff(3, 9, 5)),
     ("tiff_pb", decode_tiff, TiffError, lambda: pattern_tiff(5, 9, 6)),
+    ("tiff_lzw", decode_tiff, TiffError, lambda: pattern_tiff_lzw(5, 9, 6)),
     (
         "flac",
         decode_flac,
@@ -88,11 +91,15 @@ def test_decoders_are_total(name, dec, err, mk, data):
 @given(data=st.data())
 def test_wav_decoder_never_raises(data):
     mode = data.draw(st.sampled_from(["garbage", "truncate", "mutate"]))
-    kind = data.draw(st.sampled_from(["pcm", "ima", "ms"]))
+    kind = data.draw(st.sampled_from(["pcm", "ima", "ima_st", "ms"]))
     if kind == "pcm":
         good = wav_bytes(np.arange(-50, 50, dtype=np.int16))
     elif kind == "ima":
         good = ima_adpcm_wav_bytes(list(range(16)), pred0=10, idx0=5)
+    elif kind == "ima_st":
+        good = ima_adpcm_stereo_wav_bytes(
+            list(range(16)), list(range(15, -1, -1)), pred_l=10, idx_l=5
+        )
     else:
         good = ms_adpcm_wav_bytes(list(range(16)), predictor=1, idelta=20,
                                   sample1=5, sample2=-5)

@@ -245,3 +245,136 @@ def test_wsamplesperblock_trims_padding_nibbles():
     want = _spec_decode(list(range(16)), 50, 10)[:11]
     wn, wrms, wpeak, wclip = _features_from_samples(want)
     assert feats[5] == wrms and feats[6] == wpeak
+
+
+# ---------------------------------------------------------------- stereo
+def _ref_ima(codes, pred, idx):
+    from crawl_streams_spark.operators.multimodal import (
+        IMA_INDEX_TABLE,
+        IMA_STEP_TABLE,
+    )
+
+    out = [pred]
+    for c in codes:
+        step = IMA_STEP_TABLE[idx]
+        d = step >> 3
+        if c & 1:
+            d += step >> 2
+        if c & 2:
+            d += step >> 1
+        if c & 4:
+            d += step
+        pred = pred - d if c & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[c & 7]))
+        out.append(pred)
+    return out
+
+
+def test_stereo_ima_matches_independent_per_channel_recurrences():
+    """Stereo blocks carry per-channel headers and 4-byte channel
+    groups; the decoded interleaved stream must equal the two mono
+    recurrences zipped L,R — asymmetric codes/seeds so a group-order
+    or header-order mistake cannot cancel."""
+    import math
+
+    from crawl_streams_spark.operators.multimodal import (
+        _wav_decode_impl,
+        ima_adpcm_stereo_wav_bytes,
+    )
+
+    decode = _wav_decode_impl()
+    cl = [(7 * i + 3) % 16 for i in range(24)]
+    cr = [(5 * i + 11) % 16 for i in range(24)]
+    feats, err = decode(
+        ima_adpcm_stereo_wav_bytes(
+            cl, cr, pred_l=100, idx_l=5, pred_r=-200, idx_r=40
+        )
+    )
+    assert err is None
+    rate, n_ch, bits, n_samples, dur, rms, peak, clip = feats
+    assert (n_ch, bits, n_samples) == (2, 4, 25)
+    assert dur == 1000.0 * 25 / 8000
+    inter = [
+        v
+        for pair in zip(_ref_ima(cl, 100, 5), _ref_ima(cr, -200, 40))
+        for v in pair
+    ]
+    assert rms == math.sqrt(
+        sum(v * v for v in inter) / len(inter)
+    ) / 32768.0
+    assert peak == max(abs(v) for v in inter) / 32768.0
+
+
+def test_stereo_ima_channels_are_independent():
+    """Changing only the RIGHT channel's codes must leave the decoded
+    LEFT recurrence untouched: for each run, the decoded statistics
+    equal the zip of two INDEPENDENTLY-computed reference recurrences —
+    any state leak across the group boundary would break at least one
+    run's exact match."""
+    import math
+
+    from crawl_streams_spark.operators.multimodal import (
+        _wav_decode_impl,
+        ima_adpcm_stereo_wav_bytes,
+    )
+
+    decode = _wav_decode_impl()
+    cl = [(3 * i) % 16 for i in range(16)]
+    left_ref = _ref_ima(cl, 50, 10)
+    for cr_seed in (1, 9):
+        cr = [(cr_seed * i + 2) % 16 for i in range(16)]
+        feats, err = decode(
+            ima_adpcm_stereo_wav_bytes(cl, cr, pred_l=50, idx_l=10)
+        )
+        assert err is None
+        inter = [
+            v for p in zip(left_ref, _ref_ima(cr, 0, 0)) for v in p
+        ]
+        assert feats[5] == math.sqrt(
+            sum(v * v for v in inter) / len(inter)
+        ) / 32768.0
+        assert feats[6] == max(abs(v) for v in inter) / 32768.0
+
+
+def test_stereo_ima_rejects_unframeable_block_align():
+    """A stereo block whose data area is not whole 4-byte-per-channel
+    groups cannot be framed — loud rejection, never a misdecode."""
+    import struct
+
+    from crawl_streams_spark.operators.multimodal import (
+        _wav_decode_impl,
+        ima_adpcm_stereo_wav_bytes,
+    )
+
+    decode = _wav_decode_impl()
+    good = ima_adpcm_stereo_wav_bytes([0] * 8, [0] * 8)
+    # fmt chunk starts at byte 12; wBlockAlign at offset 12+8+12 = 32
+    bad = bytearray(good)
+    (ba,) = struct.unpack_from("<H", bad, 32)
+    struct.pack_into("<H", bad, 32, ba - 4)  # tear one L group in half
+    feats, err = decode(bytes(bad))
+    assert feats is None and "not 8 + 8k" in err
+
+
+def test_stereo_ima_multiblock_and_padding_trim():
+    """Two blocks; wSamplesPerBlock trims per channel within each."""
+    from crawl_streams_spark.operators.multimodal import (
+        _wav_decode_impl,
+        ima_adpcm_stereo_wav_bytes,
+    )
+    import struct
+
+    decode = _wav_decode_impl()
+    one = ima_adpcm_stereo_wav_bytes(
+        [1] * 8, [2] * 8, pred_l=10, pred_r=20
+    )
+    # duplicate the single data block: grow the data chunk in place
+    hdr_end = one.index(b"data") + 8
+    block = one[hdr_end:]
+    two = bytearray(one[:hdr_end]) + block + block
+    struct.pack_into("<I", two, hdr_end - 4, 2 * len(block))
+    struct.pack_into("<I", two, 4, len(two) - 8)
+    feats, err = decode(bytes(two))
+    assert err is None
+    assert feats[3] == 18  # 2 blocks x 9 per-channel samples

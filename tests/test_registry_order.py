@@ -40,6 +40,8 @@ def test_round_changed_queries_in_window():
         "media_flac_stereo_features",  # NEW: stereo FLAC under the gate
         "media_tiff_features",  # NEW: baseline TIFF under the gate
         "knn_opq_fixed",  # NEW: OPQ rotate+PQ under the gate
+        "media_tiff_lzw_features",  # NEW: TIFF LZW under the gate
+        "media_adpcm_stereo_features",  # NEW: stereo IMA under the gate
         "dsir_selected_docs",  # changed: weights restructured (ngram)
         "knn_ivf_pq_fixed",  # changed: ADC loud-failure guard
         "media_adpcm_features",  # changed: wSamplesPerBlock required
@@ -120,11 +122,11 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 182 registered queries as of round 9 (dsir_bigram_selected_docs,
-    # media_flac_stereo_features, media_tiff_features, knn_opq_fixed
-    # added; update
+    # 184 registered queries as of round 9 (dsir_bigram_selected_docs,
+    # media_flac_stereo_features, media_tiff_features, knn_opq_fixed,
+    # media_tiff_lzw_features, media_adpcm_stereo_features added; update
     # this count deliberately whenever a query is added).
-    assert len(REGISTRY) >= 182
+    assert len(REGISTRY) >= 184
 
 
 def test_rotation_planner_invariants():

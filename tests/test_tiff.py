@@ -127,7 +127,7 @@ def test_forged_header_rejections():
     with pytest.raises(TiffError, match="exceed"):
         decode_tiff(_entry_patch(good, 256, 1 << 30))  # width bomb
     with pytest.raises(TiffError, match="compression"):
-        decode_tiff(_entry_patch(good, 259, 5))  # LZW unsupported
+        decode_tiff(_entry_patch(good, 259, 7))  # JPEG-in-TIFF unsupported
     with pytest.raises(TiffError, match="photometric 2 inconsistent"):
         decode_tiff(_entry_patch(good, 262, 2))
     with pytest.raises(TiffError, match="planar"):
@@ -181,3 +181,81 @@ def test_decode_tiff_features_stage(spark):
     assert got[1]["compression"] == 32773  # seed 1 -> packbits
     assert got[3]["error"] is not None and got[3]["width"] is None
     assert got[4]["error"] == "null payload"
+
+
+# ------------------------------------------------------------------ LZW
+def test_lzw_spec_worked_example():
+    """TIFF 6.0 §13's example stream: input 7 7 7 8 8 7 7 6 6 must emit
+    codes 256,7,258,8,8,258,6,6,257 — packed MSB-first at 9 bits
+    (pinned through an independent packer, not the codec's writer)."""
+    from crawl_streams_spark.operators.tiff import lzw_decode, lzw_encode
+
+    data = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc, nb, buf = 0, 0, bytearray()
+    for c in codes:
+        acc, nb = (acc << 9) | c, nb + 9
+        while nb >= 8:
+            nb -= 8
+            buf.append((acc >> nb) & 0xFF)
+        acc &= (1 << nb) - 1
+    if nb:
+        buf.append((acc << (8 - nb)) & 0xFF)
+    assert lzw_encode(data) == bytes(buf)
+    assert lzw_decode(bytes(buf), len(data)) == data
+
+
+def test_lzw_roundtrip_across_every_width_boundary():
+    """Lengths chosen to land the 9→10→11→12-bit transitions and the
+    4094-entry clear-reset at varied code alignments; incompressible,
+    low-entropy, and constant (KwKwK-heavy) signals all roundtrip."""
+    import numpy as np
+
+    from crawl_streams_spark.operators.tiff import lzw_decode, lzw_encode
+
+    rng = np.random.RandomState(3)
+    for n in (0, 1, 253, 254, 255, 256, 1020, 1022, 1024, 2044, 2046,
+              2048, 5000, 20000, 60000):
+        for gen in (
+            lambda: bytes(rng.randint(0, 256, n, dtype=np.uint8)),
+            lambda: bytes(rng.randint(0, 3, n, dtype=np.uint8)),
+            lambda: b"\x07" * n,
+        ):
+            d = gen()
+            assert lzw_decode(lzw_encode(d), n) == d, n
+
+
+def test_lzw_rejections_are_specific():
+    from crawl_streams_spark.operators.tiff import lzw_decode, lzw_encode
+
+    good = lzw_encode(b"hello hello hello")
+    with pytest.raises(TiffError, match="EOI"):
+        lzw_decode(good[:-2], 17)  # cut the EOI off
+    with pytest.raises(TiffError, match="expected"):
+        lzw_decode(good, 16)  # decoded past expected (overrun)
+    with pytest.raises(TiffError, match="expected|EOI"):
+        lzw_decode(good, 18)  # underrun
+    # a data code before the initial clear: first 9 bits = 7
+    with pytest.raises(TiffError, match="ClearCode|past table"):
+        lzw_decode(bytes([0b00000011, 0b10000000, 0]), 5)
+    # first code after clear must be a literal
+    acc = (256 << 9) | 300  # clear, then code 300 with an empty table
+    raw = bytes([(acc >> 10) & 0xFF, (acc >> 2) & 0xFF, (acc & 3) << 6])
+    with pytest.raises(TiffError, match="not a literal"):
+        lzw_decode(raw, 5)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_roundtrip_lzw_multistrip(big_endian):
+    from crawl_streams_spark.operators.tiff import pattern_tiff_lzw
+
+    for seed in range(6):
+        p = pattern_tiff_lzw(seed * 2 + int(big_endian), 9, 7)
+        rgb, info = decode_tiff(p)
+        assert info["compression"] == 5
+        y = np.arange(7)[:, None]
+        x = np.arange(9)[None, :]
+        s = seed * 2 + int(big_endian)
+        v = (s * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
+        assert (rgb[:, :, 0] == v).all()
+        assert (rgb[:, :, 1] == v).all()
