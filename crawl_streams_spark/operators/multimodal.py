@@ -1052,11 +1052,13 @@ def decode_png_features(df: DataFrame) -> DataFrame:
                     h, w, nc = px.shape[0], px.shape[1], 1
                 else:
                     h, w, nc = px.shape
+                # depth follows the decoded dtype (uint16 since r9)
+                bd = 16 if px.dtype.itemsize == 2 else 8
                 total = int(px.sum(dtype="int64"))
                 n = h * w * nc
                 rows.append(
                     (
-                        mid, w, h, nc, 8,
+                        mid, w, h, nc, bd,
                         total, total / n,
                         int(px.min()), int(px.max()), None,
                     )

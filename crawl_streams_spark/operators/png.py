@@ -135,11 +135,12 @@ def _adam7_passes(width: int, height: int):
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode a PNG payload to a uint8 array: (H, W) for grayscale,
-    (H, W, C) otherwise. Palette images expand to RGB. Handles both
-    sequential and Adam7-interlaced streams (each interlace pass is an
-    independently-filtered sub-image scattered onto the x0::dx, y0::dy
-    grid)."""
+    """Decode a PNG payload: (H, W) for grayscale, (H, W, C) otherwise —
+    uint8 at depth 8, uint16 at depth 16 (big-endian samples; the
+    bytewise filters run at bpp = 2·channels). Palette images expand to
+    RGB. Handles both sequential and Adam7-interlaced streams (each
+    interlace pass is an independently-filtered sub-image scattered
+    onto the x0::dx, y0::dy grid)."""
     header = None
     palette = None
     idat = []
@@ -163,13 +164,18 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise PngError("unknown compression/filter method")
     if interlace not in (0, 1):
         raise PngError(f"unknown interlace method {interlace}")
-    if depth != 8:
-        raise PngError(f"bit depth {depth} not supported (8 only)")
+    if depth not in (8, 16):
+        raise PngError(f"bit depth {depth} not supported (8/16 only)")
     if color not in _CHANNELS:
         raise PngError(f"unknown color type {color}")
+    if depth == 16 and color == 3:
+        raise PngError("16-bit palette images are not legal PNG")
     if width == 0 or height == 0:
         raise PngError("zero-dimension image")
-    bpp = _CHANNELS[color]
+    channels = _CHANNELS[color]
+    # filters are defined BYTE-wise with bpp = bytes per complete pixel
+    # (RFC 2083 §6.2) — at depth 16 each sample is two big-endian bytes
+    bpp = channels * (depth // 8)
     stride = width * bpp
     if interlace == 0:
         expected = (stride + 1) * height
@@ -214,9 +220,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         if int(img.max(initial=0)) >= len(palette):
             raise PngError("palette index out of range")
         return palette[img.reshape(height, width)]
-    if bpp == 1:
+    if depth == 16:
+        by = img.reshape(height, width, channels, 2)
+        img16 = (by[..., 0].astype(np.uint16) << 8) | by[..., 1]
+        return img16[:, :, 0] if channels == 1 else img16
+    if channels == 1:
         return img.reshape(height, width)
-    return img.reshape(height, width, bpp)
+    return img.reshape(height, width, channels)
 
 
 # ---------------------------------------------------------------------------
@@ -256,23 +266,32 @@ def _filter_row(
 
 def encode_png(arr, filters=None, level: int = 6, interlace: bool = False) -> bytes:
     """Encode a uint8 array — (H, W) gray or (H, W, 3/4) color — as an
-    8-bit PNG, sequential or Adam7-interlaced. ``filters`` picks the
+    8-bit PNG (a uint16 array encodes as 16-bit big-endian samples),
+    sequential or Adam7-interlaced. ``filters`` picks the
     filter type per row: an int, a sequence of ints indexed by DISPLAY
     row (length == image height, also under interlace — each display
     row keeps its designated filter in whichever pass stores it), or
     None (default: cycle ``y % 5`` within each stored image so a
     round-trip exercises every filter path)."""
-    a = np.asarray(arr, dtype=np.uint8)
+    a0 = np.asarray(arr)
+    depth = 16 if a0.dtype == np.uint16 else 8
+    a = a0 if depth == 16 else np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
-        color, bpp = 0, 1
+        color, channels = 0, 1
         img3 = a[:, :, None]
     elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
         color = {2: 4, 3: 2, 4: 6}[a.shape[2]]
-        bpp = a.shape[2]
+        channels = a.shape[2]
         img3 = a
     else:
         raise PngError(f"unsupported array shape {a.shape}")
     height, width = img3.shape[:2]
+    if depth == 16:
+        # big-endian sample bytes; the filter pipeline below is bytewise
+        img3 = (
+            img3.astype(">u2").view(np.uint8).reshape(height, width, -1)
+        )
+    bpp = channels * (depth // 8)
 
     if filters is not None and not isinstance(filters, int):
         filters = list(filters)
@@ -309,7 +328,8 @@ def encode_png(arr, filters=None, level: int = 6, interlace: bool = False) -> by
             for x0, y0, dx, dy, _pw, _ph in _adam7_passes(width, height)
         )
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color, 0, 0,
+        1 if interlace else 0,
     )
     return (
         _SIGNATURE
@@ -328,3 +348,16 @@ def pattern_png(seed: int, width: int, height: int) -> bytes:
     x = np.arange(width, dtype=np.int64)[None, :]
     img = ((seed * 31 + y * 7 + x * 13) % 256).astype(np.uint8)
     return encode_png(img)
+
+
+def pattern_png16(seed: int, width: int, height: int) -> bytes:
+    """16-bit fixture: sample(y, x) = (seed*4099 + y*709 + x*1303)
+    % 65536 — even seeds grayscale, odd seeds RGB with all channels
+    equal (so the closed form predicts every channel), rows on the
+    default y % 5 filter cycle at bpp 2 / 6 bytes."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    v = ((seed * 4099 + y * 709 + x * 1303) % 65536).astype(np.uint16)
+    if seed % 2 == 0:
+        return encode_png(v)
+    return encode_png(np.repeat(v[:, :, None], 3, axis=2))

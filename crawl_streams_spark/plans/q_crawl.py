@@ -1786,3 +1786,91 @@ def media_adpcm_stereo_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_wav(media)
+
+
+@query(
+    "media_png16_features",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id * 4099 + y.y * 709 + x.x * 1303)
+                    % 65536) AS v
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 9)) AS y) y
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+            WHERE y.y < 3 * (1 + d.doc_id % 3)
+              AND x.x < 4 * (1 + d.doc_id % 4)
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v)::BIGINT AS s,
+                   COUNT(*)::BIGINT AS n,
+                   MIN(v)::INTEGER AS mn,
+                   MAX(v)::INTEGER AS mx
+            FROM px GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               (4 * (1 + doc_id % 4))::INTEGER AS width,
+               (3 * (1 + doc_id % 3))::INTEGER AS height,
+               (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)::INTEGER
+                   AS n_channels,
+               16::INTEGER AS bit_depth,
+               (CASE WHEN doc_id % 2 = 0 THEN s ELSE 3 * s END)
+                   AS sum_luma,
+               (s::DOUBLE / n) AS mean_luma,
+               mn AS min_luma,
+               mx AS max_luma,
+               NULL::VARCHAR AS error
+        FROM agg
+    """,
+    tags=("multimodal", "image", "png", "png16", "extension"),
+)
+def media_png16_features(spark, sf_dir):
+    """16-bit PNG decode under the VALUE gate (round 9, pulled forward
+    from the round-10 candidates): each sample is two big-endian bytes
+    and the scanline filters run BYTEWISE at bpp = 2·channels (RFC 2083
+    §6.2) — the arithmetic a depth-8 decoder gets silently wrong.
+    Fixtures cycle grayscale (even doc_ids, bpp 2) and RGB (odd, bpp 6)
+    on the default every-filter y%5 cycle; the sample order is pinned
+    against a hand-built stream in tests/test_png.py. PNG is lossless
+    and the 16-bit closed form is exact, so the oracle predicts the
+    integer statistics analytically — same discipline as the 8-bit
+    gate, now over the full 0..65535 range."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    import os as _os
+
+    pkg_root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+
+    def synth(batches):
+        import sys
+
+        import pandas as pd
+
+        try:
+            from crawl_streams_spark.operators.png import pattern_png16
+        except ModuleNotFoundError:
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from crawl_streams_spark.operators.png import pattern_png16
+
+        for pdf in batches:
+            payloads = [
+                pattern_png16(
+                    int(d),
+                    4 * (1 + int(d) % 4),
+                    3 * (1 + int(d) % 3),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_png_features(media)

@@ -26,7 +26,12 @@ from crawl_streams_spark.operators.multimodal import (
     ms_adpcm_wav_bytes,
     wav_bytes,
 )
-from crawl_streams_spark.operators.png import PngError, decode_png, pattern_png
+from crawl_streams_spark.operators.png import (
+    PngError,
+    decode_png,
+    pattern_png,
+    pattern_png16,
+)
 from crawl_streams_spark.operators.qoi import QoiError, decode_qoi, pattern_qoi
 from crawl_streams_spark.operators.tiff import (
     TiffError,
@@ -53,6 +58,7 @@ def _wav_total(payload: bytes):
 _CODECS = [
     ("bmp", decode_bmp, BmpError, lambda: pattern_bmp(3, 9, 5, bits=24)),
     ("png", decode_png, PngError, lambda: pattern_png(3, 9, 5)),
+    ("png16", decode_png, PngError, lambda: pattern_png16(3, 9, 5)),
     ("gif", decode_gif, GifError, lambda: pattern_gif(3, 8, 8)),
     ("qoi", decode_qoi, QoiError, lambda: pattern_qoi(3, 9, 5)),
     ("tiff", decode_tiff, TiffError, lambda: pattern_tiff(3, 9, 5)),

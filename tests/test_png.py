@@ -149,10 +149,16 @@ def test_crc_tamper_detected():
 
 
 def test_bit_depth_and_interlace_method_gates():
-    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    blob16 = _SIGNATURE + _chunk(b"IHDR", ihdr16) + _chunk(b"IEND", b"")
+    # 16-bit is SUPPORTED since r9; sub-byte depths reject
+    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    blob4 = _SIGNATURE + _chunk(b"IHDR", ihdr4) + _chunk(b"IEND", b"")
     with pytest.raises(PngError, match="bit depth"):
-        decode_png(blob16)
+        decode_png(blob4)
+    # 16-bit palette is illegal PNG
+    ihdr16p = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    blob16p = _SIGNATURE + _chunk(b"IHDR", ihdr16p) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError, match="16-bit palette"):
+        decode_png(blob16p)
     # Adam7 is SUPPORTED since r8; only unknown interlace methods reject
     ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     blob_i = _SIGNATURE + _chunk(b"IHDR", ihdr_i) + _chunk(b"IEND", b"")
@@ -339,3 +345,62 @@ def test_adam7_size_accounting_is_strict():
     )
     with pytest.raises(PngError, match="decompressed size"):
         decode_png(short)
+
+
+# ------------------------------------------------------------- 16-bit (r9)
+def test_png16_roundtrips_all_filters_and_interlace():
+    """16-bit samples are two big-endian bytes; the filters run
+    BYTEWISE at bpp = 2·channels (RFC 2083 §6.2). Roundtrips over
+    random gray/RGB/RGBA data, sequential and Adam7, default y%5
+    filter cycle — any bpp slip corrupts the sample reassembly."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for mk in (
+        lambda: rng.randint(0, 65536, (11, 7), dtype=np.uint16),
+        lambda: rng.randint(0, 65536, (9, 5, 3), dtype=np.uint16),
+        lambda: rng.randint(0, 65536, (6, 4, 4), dtype=np.uint16),
+    ):
+        a = mk()
+        for interlace in (False, True):
+            out = decode_png(encode_png(a, interlace=interlace))
+            assert out.dtype == np.uint16
+            assert (out == a).all()
+
+
+def test_png16_big_endian_sample_order_pinned():
+    """A single 16-bit pixel 0x0102 must store bytes 01 02 (network
+    order) in the filtered scanline — pinned by decoding a hand-built
+    stream, independent of the encoder."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    raw = b"\x00\x01\x02"  # filter None + big-endian 0x0102
+    blob = (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(blob)
+    assert out.dtype == np.uint16 and out.shape == (1, 1)
+    assert int(out[0, 0]) == 0x0102
+
+
+def test_png16_pattern_gate_fixture():
+    import numpy as np
+
+    from crawl_streams_spark.operators.png import pattern_png16
+
+    for seed in range(4):
+        out = decode_png(pattern_png16(seed, 7, 5))
+        y = np.arange(5, dtype=np.int64)[:, None]
+        x = np.arange(7, dtype=np.int64)[None, :]
+        v = (seed * 4099 + y * 709 + x * 1303) % 65536
+        if seed % 2 == 0:
+            assert out.shape == (5, 7) and (out == v).all()
+        else:
+            assert out.shape == (5, 7, 3)
+            assert (out == v[:, :, None]).all()
