@@ -419,6 +419,57 @@ def ima_adpcm_wav_bytes(
     return riff + fmt + data
 
 
+def ms_adpcm_stereo_wav_bytes(
+    codes_l,
+    codes_r,
+    predictor_l: int = 0,
+    predictor_r: int = 0,
+    idelta_l: int = 16,
+    idelta_r: int = 16,
+    s1_l: int = 0,
+    s2_l: int = 0,
+    s1_r: int = 0,
+    s2_r: int = 0,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Minimal STEREO MS ADPCM WAV encoder, one block: channel-
+    interleaved header fields (bPredictor[2], iDelta[2], iSample1[2],
+    iSample2[2]), then each data byte carrying one LEFT code (high
+    nibble) and one RIGHT code (low nibble) — per-sample interleave,
+    the spec's stereo layout. Channels need equal code counts."""
+    import struct
+
+    codes_l, codes_r = list(codes_l), list(codes_r)
+    if len(codes_l) != len(codes_r):
+        raise ValueError("stereo channels need equal code counts")
+    for p in (predictor_l, predictor_r):
+        if not 0 <= p < len(MS_ADPCM_COEFFS):
+            raise ValueError("predictor index out of range")
+    packed = bytes(
+        ((l & 0xF) << 4) | (r & 0xF) for l, r in zip(codes_l, codes_r)
+    )
+    block = (
+        struct.pack("<BB", predictor_l, predictor_r)
+        + struct.pack("<hh", idelta_l, idelta_r)
+        + struct.pack("<hh", s1_l, s1_r)
+        + struct.pack("<hh", s2_l, s2_r)
+        + packed
+    )
+    block_align = len(block)
+    samples_per_block = 2 + len(codes_l)  # per channel
+    ext = struct.pack("<HH", samples_per_block, 7) + b"".join(
+        struct.pack("<hh", c1, c2) for c1, c2 in MS_ADPCM_COEFFS
+    )
+    fmt = struct.pack(
+        "<4sIHHIIHHH", b"fmt ", 18 + len(ext), 0x02, 2, sample_rate,
+        (sample_rate * block_align) // max(samples_per_block, 1),
+        block_align, 4, len(ext),
+    ) + ext
+    data = struct.pack("<4sI", b"data", len(block)) + block
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
 def ima_adpcm_stereo_wav_bytes(
     codes_l,
     codes_r,
@@ -655,31 +706,57 @@ def _wav_decode_impl():
                 # with trunc-toward-zero /256 scaling and adaptive
                 # delta. Sequential like IMA — scalar integer math,
                 # replayed by a recursive-CTE oracle.
-                if n_ch != 1:
-                    return None, "ADPCM: only mono supported"
+                # Per-channel header fields are channel-interleaved
+                # (bPredictor[ch], then iDelta[ch], iSample1[ch],
+                # iSample2[ch]); data nibbles alternate channels PER
+                # SAMPLE — high nibble channel 0, low nibble channel 1
+                # (unlike IMA's 4-byte channel groups). Mono is the
+                # n_ch=1 degenerate case of the same layout.
+                if n_ch not in (1, 2):
+                    return None, "ADPCM: 1 or 2 channels supported"
                 if spb is None or spb < 2:
                     # see the IMA branch — reject rather than decode
                     # padding ( < 2 cannot even hold the two seed samples)
                     return None, "ADPCM: fmt chunk missing wSamplesPerBlock"
-                if block_align < 8:
+                hdr = 7 * n_ch
+                if block_align < hdr + 1:
                     return None, f"ADPCM: bad block align {block_align}"
                 out = []
                 usable = len(data) - (len(data) % block_align)
                 for boff in range(0, usable, block_align):
                     block = data[boff : boff + block_align]
-                    pidx = block[0]
-                    if pidx >= len(MS_ADPCM_COEFFS):
-                        return None, f"ADPCM: predictor {pidx} out of range"
-                    idelta, s1, s2 = struct.unpack_from("<hhh", block, 1)
-                    if idelta <= 0:
-                        # the adaptation floor keeps idelta >= 16 after
-                        # the first step; a nonpositive seed is malformed
-                        # (and floor-vs-trunc division would diverge on it)
-                        return None, f"ADPCM: bad initial delta {idelta}"
-                    c1, c2 = MS_ADPCM_COEFFS[pidx]
-                    bout = [s2, s1]
-                    for byte in block[7:]:
-                        for code in (byte >> 4, byte & 0xF):
+                    st = []  # per-channel [c1, c2, s1, s2, idelta]
+                    bouts = []
+                    for ch in range(n_ch):
+                        pidx = block[ch]
+                        if pidx >= len(MS_ADPCM_COEFFS):
+                            return None, (
+                                f"ADPCM: predictor {pidx} out of range"
+                            )
+                        idelta = struct.unpack_from(
+                            "<h", block, n_ch + 2 * ch
+                        )[0]
+                        s1 = struct.unpack_from(
+                            "<h", block, 3 * n_ch + 2 * ch
+                        )[0]
+                        s2 = struct.unpack_from(
+                            "<h", block, 5 * n_ch + 2 * ch
+                        )[0]
+                        if idelta <= 0:
+                            # the adaptation floor keeps idelta >= 16
+                            # after the first step; a nonpositive seed is
+                            # malformed (and floor-vs-trunc division
+                            # would diverge on it)
+                            return None, (
+                                f"ADPCM: bad initial delta {idelta}"
+                            )
+                        c1, c2 = MS_ADPCM_COEFFS[pidx]
+                        st.append([c1, c2, s1, s2, idelta])
+                        bouts.append([s2, s1])
+                    for byte in block[hdr:]:
+                        for ci, code in enumerate((byte >> 4, byte & 0xF)):
+                            ch = ci if n_ch == 2 else 0
+                            c1, c2, s1, s2, idelta = st[ch]
                             signed = code - 16 if code >= 8 else code
                             num = s1 * c1 + s2 * c2
                             # C integer division truncates toward zero
@@ -689,13 +766,20 @@ def _wav_decode_impl():
                             )
                             pred += signed * idelta
                             pred = max(-32768, min(32767, pred))
-                            s2, s1 = s1, pred
-                            idelta = max(
-                                16, (MS_ADPCM_ADAPT[code] * idelta) // 256
-                            )
-                            bout.append(pred)
+                            st[ch] = [
+                                c1, c2, pred, s1,
+                                max(
+                                    16,
+                                    (MS_ADPCM_ADAPT[code] * idelta) // 256,
+                                ),
+                            ]
+                            bouts[ch].append(pred)
                     # trim encoder padding to wSamplesPerBlock (see IMA)
-                    out.extend(bout[:spb])
+                    if n_ch == 1:
+                        out.extend(bouts[0][:spb])
+                    else:
+                        for pair in zip(bouts[0][:spb], bouts[1][:spb]):
+                            out.extend(pair)
                 if not out:
                     return None, "ADPCM: no complete block"
                 x = np.array(out, dtype=np.int64)

@@ -24,7 +24,7 @@ ADVICE note to regenerate at the final registry state):
   early-change widths, clear-reset) and
   ``media_adpcm_stereo_features`` (stereo IMA: per-channel headers,
   4-byte channel-group interleave).
-- Slots 8-11: round-9 implementation changes (plus the
+- Slots 9-12: round-9 implementation changes (plus the
   ``media_png_features`` filler below, whose 8-bit decode path was
   refactored for the 16-bit support) re-windowed for
   post-change verdicts (the round-6/7 hint-drop precedent):
@@ -32,21 +32,21 @@ ADVICE note to regenerate at the final registry state):
   ngram/hasher), ``knn_ivf_pq_fixed`` (ADC loud-failure guard),
   ``media_adpcm_features`` / ``media_ms_adpcm_features``
   (wSamplesPerBlock now required — ADVICE r8).
-- Slots 12-33: one representative per family the MUST set misses,
+- Slots 13-34: one representative per family the MUST set misses,
   oldest verdicts first (16 of them r5-verdict — the aging cohort the
   round-8 close pre-enumerated). ``parts_bought_together`` /
   ``status_pivot`` / ``orders_validation_report`` are sole members of
   their families; the first and last recur here, ``status_pivot``'s
   family (q_pivot) is covered by ``unpivot_lineitem_metrics``.
-- Slots 34-50: oldest-verdict fillers — 17 more r5-verdict queries.
-  30 of the 39 r5-verdict queries land in this window; the other nine
+- Slots 35-50: oldest-verdict fillers — 16 more r5-verdict queries.
+  29 of the 39 r5-verdict queries land in this window; the other ten
   (``windowed_funnel_levels``, ``status_code_histogram``,
-  ``price_quantile_sketch``, ``recent_window_topk``,
-  ``sessionized_set_ops``, ``token_array_ops``, ``top_tokens``,
-  ``user_interarrival_stats``, ``wayback_timestamps``) are the
-  planner's projected round-10 MUST entries (the printed projection —
-  guaranteed slots next round because MUST precedes reps and fillers;
-  9 + reps fits the window with ~20 slots to spare).
+  ``order_value_running``, ``price_quantile_sketch``,
+  ``recent_window_topk``, ``sessionized_set_ops``, ``token_array_ops``,
+  ``top_tokens``, ``user_interarrival_stats``, ``wayback_timestamps``)
+  are the planner's projected round-10 MUST entries (the printed
+  projection — guaranteed slots next round because MUST precedes reps
+  and fillers; 10 + reps fits the window with ~19 slots to spare).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -100,6 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "media_tiff_lzw_features",  # q_crawl: NEW r9 — TIFF LZW arm
     "media_adpcm_stereo_features",  # q_crawl: NEW r9 — stereo IMA ADPCM
     "media_png16_features",  # q_crawl: NEW r9 — 16-bit PNG (bpp 2/6 filters)
+    "media_ms_adpcm_stereo_features",  # q_crawl: NEW r9 — stereo MS ADPCM
     # -- round-9 implementation changes re-windowed (post-change verdicts)
     "dsir_selected_docs",  # dsir_importance_weights restructured (ngram)
     "knn_ivf_pq_fixed",  # ADC lookup-miss loud-failure guard added
@@ -128,7 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "disjunctive_part_revenue",  # q_tpch2, r6
     "discount_revenue_forecast",  # q_tpch3, r5
     "orders_validation_report",  # q_validate, r8 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): 17 r5-verdict -------
+    # -- oldest-verdict fillers (planner section 3): 16 r5-verdict -------
     "balanced_shard_stats",  # q_pipeline, r5
     "customers_with_open_orders",  # q_tpch, r5
     "customers_without_orders",  # q_tpch, r5
@@ -145,7 +146,6 @@ PRIORITY: tuple[str, ...] = (
     "media_png_features",  # q_crawl, r5
     "media_wav_features",  # q_crawl, r5
     "null_coalesce_projection",  # q_events, r5
-    "order_value_running",  # q_tpch, r5
 )
 
 

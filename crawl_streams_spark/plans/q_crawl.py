@@ -1874,3 +1874,160 @@ def media_png16_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_png_features(media)
+
+
+_MS_ST_N = 192  # codes per channel -> 194 samples per channel
+_MS_ST_CODE_L = (
+    "CASE WHEN k % 16 = doc_id % 16 THEN 8 ELSE "
+    + "CASE (doc_id * 11 + k * 5) % 7 "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
+    + " END END"
+)
+_MS_ST_CODE_R = (
+    "CASE WHEN k % 16 = (doc_id * 5) % 16 THEN 8 ELSE "
+    + "CASE (doc_id * 7 + k * 3) % 7 "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
+    + " END END"
+)
+_MS_ST_CODE = (
+    f"CASE ch WHEN 0 THEN {_MS_ST_CODE_L} ELSE {_MS_ST_CODE_R} END"
+)
+_MS_ST_PRED = "CASE ch WHEN 0 THEN doc_id % 7 ELSE (doc_id * 3) % 7 END"
+
+
+def _ms_stereo_oracle() -> str:
+    from ..operators.multimodal import MS_ADPCM_ADAPT, MS_ADPCM_COEFFS
+
+    c1 = _ms_case(_MS_ST_PRED, [c[0] for c in MS_ADPCM_COEFFS])
+    c2 = _ms_case(_MS_ST_PRED, [c[1] for c in MS_ADPCM_COEFFS])
+    adapt = _ms_case(_MS_ST_CODE, MS_ADPCM_ADAPT)
+    return f"""
+        WITH RECURSIVE dec AS (
+            SELECT d.doc_id, c.ch, 0 AS k,
+                   CAST(CASE c.ch WHEN 0
+                        THEN (d.doc_id * 37) % 2048 - 1024
+                        ELSE (d.doc_id * 29) % 2048 - 1024
+                   END AS BIGINT) AS s1,
+                   CAST(CASE c.ch WHEN 0
+                        THEN (d.doc_id * 53) % 2048 - 1024
+                        ELSE (d.doc_id * 41) % 2048 - 1024
+                   END AS BIGINT) AS s2,
+                   CAST(CASE c.ch WHEN 0
+                        THEN 16 + (d.doc_id * 13) % 1000
+                        ELSE 16 + (d.doc_id * 17) % 1000
+                   END AS BIGINT) AS idelta
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) c
+            UNION ALL
+            SELECT doc_id, ch, k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CAST(TRUNC((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+                       + (CASE WHEN code >= 8 THEN code - 16
+                               ELSE code END) * idelta)),
+                   s1,
+                   GREATEST(16, (adapt * idelta) // 256)
+            FROM (
+                SELECT doc_id, ch, k, s1, s2, idelta,
+                       CAST({c1} AS BIGINT) AS c1,
+                       CAST({c2} AS BIGINT) AS c2,
+                       {_MS_ST_CODE} AS code,
+                       {adapt} AS adapt
+                FROM dec WHERE k < {_MS_ST_N}
+            )
+        ),
+        samples AS (
+            SELECT doc_id, s2 AS v FROM dec WHERE k = 0
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec WHERE k = 0
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec WHERE k >= 1
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v * v)::BIGINT AS sumsq,
+                   MAX(ABS(v))::BIGINT AS peak_i,
+                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                            ELSE 0 END)::BIGINT AS clip_n
+            FROM samples GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               2::INTEGER AS n_channels,
+               4::INTEGER AS bits,
+               {_MS_ST_N + 2}::INTEGER AS n_samples,
+               (1000.0::DOUBLE * {_MS_ST_N + 2} / 8000)::FLOAT
+                   AS duration_ms,
+               (sqrt(sumsq::DOUBLE / {2 * (_MS_ST_N + 2)})
+                   / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / {2 * (_MS_ST_N + 2)})::FLOAT
+                   AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """
+
+
+@query(
+    "media_ms_adpcm_stereo_features",
+    oracle=_ms_stereo_oracle(),
+    tags=("multimodal", "audio", "adpcm", "stereo", "extension"),
+)
+def media_ms_adpcm_stereo_features(spark, sf_dir):
+    """STEREO MS ADPCM decode under the VALUE gate (round 9): the
+    spec's stereo layout differs from IMA's in BOTH dimensions —
+    channel-interleaved header fields (bPredictor[2], iDelta[2],
+    iSample1[2], iSample2[2]) and PER-SAMPLE nibble interleave (high
+    nibble left, low nibble right, every data byte) — so this gate
+    certifies a genuinely different framing than media_adpcm_stereo.
+    Per-channel predictors, deltas, seeds, and code streams all differ
+    (spike phases offset), and the oracle replays both second-order
+    recurrences as one recursive CTE with a channel dimension. The
+    same adaptation-bounded code discipline as the mono gate keeps
+    idelta in range (one code-8 spike per 16 samples, 230-adapt codes
+    otherwise)."""
+    from ..operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from crawl_streams_spark.operators.multimodal import (
+            ms_adpcm_stereo_wav_bytes,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                cl = [
+                    8 if k % 16 == did % 16
+                    else _MS_SMALL[(did * 11 + k * 5) % 7]
+                    for k in range(_MS_ST_N)
+                ]
+                cr = [
+                    8 if k % 16 == (did * 5) % 16
+                    else _MS_SMALL[(did * 7 + k * 3) % 7]
+                    for k in range(_MS_ST_N)
+                ]
+                payloads.append(
+                    ms_adpcm_stereo_wav_bytes(
+                        cl, cr,
+                        predictor_l=did % 7,
+                        predictor_r=(did * 3) % 7,
+                        idelta_l=16 + (did * 13) % 1000,
+                        idelta_r=16 + (did * 17) % 1000,
+                        s1_l=(did * 37) % 2048 - 1024,
+                        s2_l=(did * 53) % 2048 - 1024,
+                        s1_r=(did * 29) % 2048 - 1024,
+                        s2_r=(did * 41) % 2048 - 1024,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    return MM.decode_wav(media)

@@ -23,6 +23,7 @@ from crawl_streams_spark.operators.multimodal import (
     _wav_decode_impl,
     ima_adpcm_stereo_wav_bytes,
     ima_adpcm_wav_bytes,
+    ms_adpcm_stereo_wav_bytes,
     ms_adpcm_wav_bytes,
     wav_bytes,
 )
@@ -97,7 +98,9 @@ def test_decoders_are_total(name, dec, err, mk, data):
 @given(data=st.data())
 def test_wav_decoder_never_raises(data):
     mode = data.draw(st.sampled_from(["garbage", "truncate", "mutate"]))
-    kind = data.draw(st.sampled_from(["pcm", "ima", "ima_st", "ms"]))
+    kind = data.draw(
+        st.sampled_from(["pcm", "ima", "ima_st", "ms", "ms_st"])
+    )
     if kind == "pcm":
         good = wav_bytes(np.arange(-50, 50, dtype=np.int16))
     elif kind == "ima":
@@ -106,9 +109,14 @@ def test_wav_decoder_never_raises(data):
         good = ima_adpcm_stereo_wav_bytes(
             list(range(16)), list(range(15, -1, -1)), pred_l=10, idx_l=5
         )
-    else:
+    elif kind == "ms":
         good = ms_adpcm_wav_bytes(list(range(16)), predictor=1, idelta=20,
                                   sample1=5, sample2=-5)
+    else:
+        good = ms_adpcm_stereo_wav_bytes(
+            list(range(16)), list(range(15, -1, -1)),
+            predictor_l=1, predictor_r=4, idelta_l=20, idelta_r=25,
+        )
     if mode == "garbage":
         blob = data.draw(st.binary(min_size=0, max_size=200))
     elif mode == "truncate":

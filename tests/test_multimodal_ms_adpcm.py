@@ -153,3 +153,88 @@ def test_multi_block_and_malformed():
     struct.pack_into("<h", bad2, hdr + 1, 0)
     feats, err = decode(bytes(bad2))
     assert feats is None and "delta" in err
+
+
+# ---------------------------------------------------------------- stereo
+def _ref_ms(codes, pidx, idelta, s1, s2):
+    from crawl_streams_spark.operators.multimodal import (
+        MS_ADPCM_ADAPT,
+        MS_ADPCM_COEFFS,
+    )
+
+    c1, c2 = MS_ADPCM_COEFFS[pidx]
+    out = [s2, s1]
+    for code in codes:
+        signed = code - 16 if code >= 8 else code
+        num = s1 * c1 + s2 * c2
+        pred = abs(num) // 256 if num >= 0 else -(abs(num) // 256)
+        pred += signed * idelta
+        pred = max(-32768, min(32767, pred))
+        s2, s1 = s1, pred
+        idelta = max(16, (MS_ADPCM_ADAPT[code] * idelta) // 256)
+        out.append(pred)
+    return out
+
+
+_SMALL = (0, 1, 2, 3, 13, 14, 15)
+
+
+def test_stereo_ms_matches_independent_per_channel_recurrences():
+    """Stereo MS blocks interleave header fields by channel and data
+    nibbles PER SAMPLE (high=L, low=R) — the decoded interleaved stream
+    must equal the two mono recurrences zipped; every per-channel
+    parameter differs so a layout mistake cannot cancel."""
+    import math
+
+    from crawl_streams_spark.operators.multimodal import (
+        _wav_decode_impl,
+        ms_adpcm_stereo_wav_bytes,
+    )
+
+    decode = _wav_decode_impl()
+    cl = [8 if k % 16 == 3 else _SMALL[(11 + k * 5) % 7] for k in range(32)]
+    cr = [8 if k % 16 == 9 else _SMALL[(7 + k * 3) % 7] for k in range(32)]
+    feats, err = decode(
+        ms_adpcm_stereo_wav_bytes(
+            cl, cr, predictor_l=1, predictor_r=4,
+            idelta_l=20, idelta_r=33,
+            s1_l=100, s2_l=-50, s1_r=-300, s2_r=70,
+        )
+    )
+    assert err is None
+    assert (feats[1], feats[3]) == (2, 34)
+    inter = [
+        v
+        for p in zip(
+            _ref_ms(cl, 1, 20, 100, -50), _ref_ms(cr, 4, 33, -300, 70)
+        )
+        for v in p
+    ]
+    assert feats[5] == math.sqrt(
+        sum(v * v for v in inter) / len(inter)
+    ) / 32768.0
+    assert feats[6] == max(abs(v) for v in inter) / 32768.0
+
+
+def test_stereo_ms_per_channel_rejections():
+    """A bad predictor or delta in EITHER channel's header slot rejects
+    — proving the per-channel header offsets are actually read."""
+    from crawl_streams_spark.operators.multimodal import (
+        _wav_decode_impl,
+        ms_adpcm_stereo_wav_bytes,
+    )
+
+    decode = _wav_decode_impl()
+    feats, err = decode(
+        ms_adpcm_stereo_wav_bytes([0] * 4, [0] * 4, predictor_r=4,
+                                  idelta_r=0)
+    )
+    assert feats is None and "bad initial delta" in err
+    good = bytearray(
+        ms_adpcm_stereo_wav_bytes([0] * 4, [0] * 4, predictor_r=4)
+    )
+    # bPredictor[1] is the second byte of the block (after 'data' size)
+    doff = good.index(b"data") + 8
+    good[doff + 1] = 9  # out-of-range predictor for the RIGHT channel
+    feats, err = decode(bytes(good))
+    assert feats is None and "predictor 9 out of range" in err

@@ -43,6 +43,7 @@ def test_round_changed_queries_in_window():
         "media_tiff_lzw_features",  # NEW: TIFF LZW under the gate
         "media_adpcm_stereo_features",  # NEW: stereo IMA under the gate
         "media_png16_features",  # NEW: 16-bit PNG under the gate
+        "media_ms_adpcm_stereo_features",  # NEW: stereo MS under the gate
         "media_png_features",  # changed: decode_png refactored for 16-bit
         "dsir_selected_docs",  # changed: weights restructured (ngram)
         "knn_ivf_pq_fixed",  # changed: ADC loud-failure guard
@@ -124,12 +125,12 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 185 registered queries as of round 9 (dsir_bigram_selected_docs,
+    # 186 registered queries as of round 9 (dsir_bigram_selected_docs,
     # media_flac_stereo_features, media_tiff_features, knn_opq_fixed,
     # media_tiff_lzw_features, media_adpcm_stereo_features,
-    # media_png16_features added; update this count deliberately
-    # whenever a query is added).
-    assert len(REGISTRY) >= 185
+    # media_png16_features, media_ms_adpcm_stereo_features added;
+    # update this count deliberately whenever a query is added).
+    assert len(REGISTRY) >= 186
 
 
 def test_rotation_planner_invariants():
