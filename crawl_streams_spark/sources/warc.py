@@ -323,7 +323,25 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
             )
             if self._max_age <= 0:
                 raise WarcError("max_file_age_sec must be positive")
+            # fetch cap (the reference's W-8 discipline / Spark's
+            # maxFilesPerTrigger): a long-running watch paces ingestion
+            # at most this many NEW files per latestOffset call —
+            # per microbatch under a processing-time trigger. The FIRST
+            # snapshot of a fresh process is exempt: the reader cannot
+            # yet distinguish backlog from already-committed history
+            # (the committed name set only becomes visible in the first
+            # partitions() call, which the engine orders AFTER
+            # latestOffset), and capping it can permanently stall an
+            # availableNow drain on names the checkpoint already holds.
+            # 0 = unlimited.
+            self._max_files = int(options.get("max_files_per_trigger", "0"))
+            if self._max_files < 0:
+                raise WarcError("max_files_per_trigger must be >= 0")
             self._wm = 0.0  # monotone high-water mark of seen mtimes
+            # names already offered through a latestOffset this process;
+            # only used to meter the cap — correctness (exactly-once)
+            # derives from the committed offsets alone
+            self._offered: set = set()
 
         def _listing(self) -> dict:
             """name -> mtime for every matching file present right now."""
@@ -344,11 +362,36 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
 
         def latestOffset(self):
             listing = self._listing()
-            if listing:
-                self._wm = max(self._wm, max(listing.values()))
-            horizon = self._wm - self._max_age
-            recent = {p: mt for p, mt in listing.items() if mt >= horizon}
-            return {"wm": self._wm, "recent": recent}
+            if not listing:
+                return {"wm": self._wm, "recent": {}}
+            horizon = max(self._wm, max(listing.values())) - self._max_age
+            in_window = {
+                p: mt for p, mt in listing.items() if mt >= horizon
+            }
+            if self._max_files and self._offered:
+                # drain a backlog oldest-mtime-first, at most
+                # max_files_per_trigger NEW names per latestOffset
+                # (exempt while self._offered is empty — the fresh-
+                # process first snapshot, see __init__). Exactly-once
+                # membership never depends on this in-memory meter: a
+                # restart just re-offers, and partitions() diffs
+                # against the committed set.
+                fresh = sorted(
+                    (p for p in in_window if p not in self._offered),
+                    key=lambda p: (in_window[p], p),
+                )
+                drop = set(fresh[self._max_files :])
+                in_window = {
+                    p: mt for p, mt in in_window.items() if p not in drop
+                }
+            self._offered = {p for p in self._offered if p in listing}
+            self._offered.update(in_window)
+            if in_window:
+                # the watermark advances only to the newest INCLUDED
+                # file, so deferring a backlog can never push the age
+                # horizon past a file still waiting its turn
+                self._wm = max(self._wm, max(in_window.values()))
+            return {"wm": self._wm, "recent": in_window}
 
         @staticmethod
         def _offset_parts(off):
@@ -359,6 +402,9 @@ try:  # the DataSource API needs pyspark >= 4; the parser above does not
         def partitions(self, start, end):
             s_wm, s_recent = self._offset_parts(start)
             _e_wm, e_recent = self._offset_parts(end)
+            # learn the committed membership for the fetch-cap meter
+            # (a restarted process sees it here first)
+            self._offered.update(s_recent)
             if s_wm is not None:
                 # recover watermark monotonicity across a restart before
                 # the next latestOffset builds on self._wm

@@ -346,3 +346,93 @@ def test_stream_reader_rejects_bad_mode_and_age(tmp_path):
         _stream_reader(d, mode="lenient")
     with pytest.raises(WarcError, match="positive"):
         _stream_reader(d, max_file_age_sec=0)
+
+
+def test_stream_fetch_cap_drains_backlog_across_triggers(tmp_path):
+    """max_files_per_trigger: in a running watch (past the exempt
+    fresh-process snapshot), a 9-file backlog drains oldest-first in
+    bounded latestOffset steps; the watermark never outruns deferred
+    files, so nothing is age-skipped mid-drain."""
+    import time
+
+    d = str(tmp_path / "backlog")
+    os.makedirs(d)
+    now = time.time()
+
+    def add(name, age):
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(warc_record_bytes("metadata", b"x"))
+        os.utime(p, (now - age, now - age))
+
+    add("seed.warc", 500)
+    r = _stream_reader(d, max_files_per_trigger=4, max_file_age_sec=3600)
+    start = r.initialOffset()
+    end = r.latestOffset()  # fresh snapshot (exempt): just the seed
+    assert [
+        os.path.basename(p.path) for p in r.partitions(start, end)
+    ] == ["seed.warc"]
+    start = end
+
+    for i in range(9):  # the backlog lands mid-watch
+        add(f"f{i}.warc", 90 - i * 10)
+    seen = []
+    for expected in (4, 4, 1):
+        end = r.latestOffset()
+        parts = [p.path for p in r.partitions(start, end) if p.path]
+        assert len(parts) == expected
+        # oldest-first drain: each batch's files all older than the next
+        seen.extend(sorted(parts))
+        start = end
+    assert [os.path.basename(p) for p in seen] == [
+        f"f{i}.warc" for i in range(9)
+    ]
+    # drained: the next trigger is a quiet (sentinel-only) batch
+    end = r.latestOffset()
+    assert [p.path for p in r.partitions(start, end)] == [""]
+
+
+def test_stream_fetch_cap_end_to_end_exactly_once(spark, tmp_path):
+    """With the cap set, availableNow runs stay correct: the fresh
+    snapshot is exempt (a capped fresh offer could stall forever on
+    names the checkpoint already holds), so each run drains everything
+    available, exactly once across restarts."""
+    d = str(tmp_path / "cap_watch")
+    out = str(tmp_path / "cap_out")
+    ck = str(tmp_path / "cap_ck")
+    os.makedirs(d)
+    for i in range(5):
+        with open(os.path.join(d, f"n{i}.warc"), "wb") as f:
+            f.write(warc_record_bytes("metadata", f"rec{i}".encode()))
+    register_warc_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .option("max_files_per_trigger", "2")
+            .load(d)
+            .select("source_file")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return sorted(
+            os.path.basename(r["source_file"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    assert run() == [f"n{i}.warc" for i in range(5)]
+    with open(os.path.join(d, "n5.warc"), "wb") as f:
+        f.write(warc_record_bytes("metadata", b"later"))
+    assert run() == [f"n{i}.warc" for i in range(6)]  # no dups, no stall
+
+
+def test_stream_fetch_cap_option_validation(tmp_path):
+    d = str(tmp_path / "opts2")
+    os.makedirs(d)
+    with pytest.raises(WarcError, match=">= 0"):
+        _stream_reader(d, max_files_per_trigger=-1)
