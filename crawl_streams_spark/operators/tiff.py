@@ -74,6 +74,7 @@ _T_SPP = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
+_T_PREDICTOR = 317
 
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
@@ -286,6 +287,7 @@ def encode_tiff(
     compression: str = "none",
     big_endian: bool = False,
     rows_per_strip: int = 0,
+    predictor: int = 1,
 ) -> bytes:
     """Encode an image as a baseline TIFF.
 
@@ -319,13 +321,24 @@ def encode_tiff(
     if compression not in comps:
         raise ValueError(f"unknown compression {compression!r}")
     comp = comps[compression]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and comp != _COMPRESSION_LZW:
+        raise ValueError("predictor 2 is only supported with LZW")
     rps = rows_per_strip or h
     e = ">" if big_endian else "<"
     flat = a.reshape(h, w * spp)
 
     strips = []
     for y0 in range(0, h, rps):
-        raw = flat[y0 : y0 + rps].tobytes()
+        rows = flat[y0 : y0 + rps]
+        if predictor == 2:
+            # horizontal differencing per row, per sample channel
+            # (mod-256): raw[x] = v[x] - v[x-spp]
+            d = rows.reshape(rows.shape[0], -1, spp).astype(np.int16)
+            d[:, 1:, :] -= d[:, :-1, :].copy()
+            rows = (d % 256).astype(np.uint8).reshape(rows.shape)
+        raw = rows.tobytes()
         if comp == _COMPRESSION_PACKBITS:
             raw = packbits_encode(raw)
         elif comp == _COMPRESSION_LZW:
@@ -365,6 +378,8 @@ def encode_tiff(
     add(_T_ROWS_PER_STRIP, _TYPE_LONG, [rps])
     add(_T_STRIP_COUNTS, _TYPE_LONG, [len(s) for s in strips])
     add(_T_PLANAR, _TYPE_SHORT, [1])
+    if predictor != 1:
+        add(_T_PREDICTOR, _TYPE_SHORT, [predictor])
     del n_strips
 
     # out-of-line values sit between strip data and the IFD
@@ -470,6 +485,13 @@ def decode_tiff(payload: bytes):
     planar = tag_values(_T_PLANAR, [1])[0]
     if planar != 1:
         raise TiffError(f"unsupported planar configuration {planar}")
+    pred = tag_values(_T_PREDICTOR, [1])[0]
+    if pred not in (1, 2):
+        raise TiffError(f"unsupported predictor {pred}")
+    if pred == 2 and comp != _COMPRESSION_LZW:
+        raise TiffError(
+            f"predictor 2 with compression {comp} not supported"
+        )
     rps = tag_values(_T_ROWS_PER_STRIP, [h])[0]
     if rps <= 0:
         raise TiffError(f"bad rows/strip {rps}")
@@ -514,7 +536,17 @@ def decode_tiff(payload: bytes):
         elif comp == _COMPRESSION_PACKBITS:
             chunks.append(packbits_decode(raw, expected))
         else:
-            chunks.append(lzw_decode(raw, expected))
+            strip = lzw_decode(raw, expected)
+            if pred == 2:
+                # undo horizontal differencing: per-row, per-channel
+                # cumulative sum mod 256
+                a = np.frombuffer(strip, dtype=np.uint8).reshape(
+                    rows, w, spp
+                )
+                strip = (
+                    np.cumsum(a.astype(np.int64), axis=1) % 256
+                ).astype(np.uint8).tobytes()
+            chunks.append(strip)
 
     flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
     if pmi == 0:  # WhiteIsZero
@@ -524,7 +556,7 @@ def decode_tiff(payload: bytes):
     else:
         rgb = np.repeat(flat.reshape(h, w)[:, :, None], 3, axis=2)
     info = {"compression": int(comp), "photometric": int(pmi),
-            "spp": int(spp)}
+            "spp": int(spp), "predictor": int(pred)}
     return np.ascontiguousarray(rgb), info
 
 
@@ -562,7 +594,10 @@ def pattern_tiff_lzw(seed: int, width: int, height: int) -> bytes:
     same photometric cycle by seed%3, endian by seed%2) at
     rows_per_strip=3 — every strip runs the real variable-width coder:
     constant even rows build long matches (table hits), gradient odd
-    rows force fresh table entries."""
+    rows force fresh table entries. seed%4 >= 2 additionally applies
+    PREDICTOR 2 (tag 317 horizontal differencing — the spec's LZW
+    pairing); decoded pixels are identical by construction, so the same
+    analytic oracle certifies both arms."""
     y = np.arange(height, dtype=np.int64)[:, None]
     x = np.arange(width, dtype=np.int64)[None, :]
     v = ((seed * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256).astype(
@@ -578,4 +613,5 @@ def pattern_tiff_lzw(seed: int, width: int, height: int) -> bytes:
     return encode_tiff(
         arr, photometric=pm, compression="lzw",
         big_endian=bool(seed % 2), rows_per_strip=3,
+        predictor=2 if seed % 4 >= 2 else 1,
     )

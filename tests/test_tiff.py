@@ -259,3 +259,55 @@ def test_roundtrip_lzw_multistrip(big_endian):
         v = (s * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
         assert (rgb[:, :, 0] == v).all()
         assert (rgb[:, :, 1] == v).all()
+
+
+# ------------------------------------------------------------- predictor 2
+def test_predictor2_roundtrips_and_compresses_gradients():
+    """Tag 317 horizontal differencing: per-row per-channel deltas
+    before LZW. Roundtrips across photometrics/endians; on a smooth
+    gradient the differenced stream must compress strictly better than
+    raw LZW (the whole point of the predictor)."""
+    from crawl_streams_spark.operators.tiff import pattern_tiff_lzw
+
+    g = np.add.outer(
+        np.arange(32, dtype=np.int64) * 3, np.arange(48, dtype=np.int64)
+    ) % 256
+    g = g.astype(np.uint8)
+    p1 = encode_tiff(g, "gray", "lzw", predictor=1)
+    p2 = encode_tiff(g, "gray", "lzw", predictor=2)
+    assert len(p2) < len(p1)
+    rgb, info = decode_tiff(p2)
+    assert info["predictor"] == 2 and (rgb[:, :, 0] == g).all()
+    # the gate fixture cycles predictor arms with identical pixels
+    a1, _ = decode_tiff(pattern_tiff_lzw(1, 9, 6))  # predictor 1
+    a2, _ = decode_tiff(pattern_tiff_lzw(5, 9, 6))  # predictor 2
+    y = np.arange(6)[:, None]
+    x = np.arange(9)[None, :]
+    assert (a1[:, :, 0] == (1 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256).all()
+    assert (a2[:, :, 0] == (5 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256).all()
+
+
+def test_predictor2_rgb_differences_per_channel():
+    """RGB differencing runs per sample channel (recon[x] += recon[x-3],
+    not x-1) — a channel-mixing bug would corrupt any image whose
+    channels differ."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    rgb, info = decode_tiff(encode_tiff(a, "rgb", "lzw", predictor=2))
+    assert (rgb == a).all()
+
+
+def test_predictor_rejections():
+    good = encode_tiff(_grad(4, 4), "gray", "lzw", predictor=2)
+    with pytest.raises(TiffError, match="unsupported predictor"):
+        decode_tiff(_entry_patch(good, 317, 3))
+    pb = encode_tiff(_grad(4, 4), "gray", "packbits")
+    # forge predictor=2 onto a PackBits file: needs a new IFD entry —
+    # simplest spec check is the encode-side pairing guard plus the
+    # decode gate on an LZW file whose compression tag is re-forged
+    forged = _entry_patch(good, 259, 32773)
+    with pytest.raises(TiffError, match="predictor 2 with compression"):
+        decode_tiff(forged)
+    del pb
+    with pytest.raises(ValueError, match="only supported with LZW"):
+        encode_tiff(_grad(2, 2), "gray", "none", predictor=2)
