@@ -354,10 +354,16 @@ def pattern_png16(seed: int, width: int, height: int) -> bytes:
     """16-bit fixture: sample(y, x) = (seed*4099 + y*709 + x*1303)
     % 65536 — even seeds grayscale, odd seeds RGB with all channels
     equal (so the closed form predicts every channel), rows on the
-    default y % 5 filter cycle at bpp 2 / 6 bytes."""
+    default y % 5 filter cycle at bpp 2 / 6 bytes. seed % 4 >= 2
+    additionally stores the image Adam7-INTERLACED (per-pass bytewise
+    unfilter at 16-bit bpp); decoded pixels are identical by
+    construction, so one oracle certifies both storage orders."""
     y = np.arange(height, dtype=np.int64)[:, None]
     x = np.arange(width, dtype=np.int64)[None, :]
     v = ((seed * 4099 + y * 709 + x * 1303) % 65536).astype(np.uint16)
+    interlace = seed % 4 >= 2
     if seed % 2 == 0:
-        return encode_png(v)
-    return encode_png(np.repeat(v[:, :, None], 3, axis=2))
+        return encode_png(v, interlace=interlace)
+    return encode_png(
+        np.repeat(v[:, :, None], 3, axis=2), interlace=interlace
+    )

@@ -29,6 +29,9 @@ a silent misdecode:
   decoder counter so both sides bump at the same code by construction,
   the gif.py width-schedule lesson), each decompressed per strip with
   exact expected-size accounting (overrun AND underrun are errors);
+- TILED organization (tags 322-325, §15): 16-multiple tile dims,
+  left-to-right top-to-bottom, edge tiles stored padded and cropped on
+  decode; compression and predictor apply per tile;
 - any RowsPerStrip / strip count (offsets and byte counts validated
   against the payload before any allocation; declared dimensions are
   bounded by what the payload could possibly encode, so a forged
@@ -75,6 +78,10 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_PREDICTOR = 317
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
@@ -288,6 +295,7 @@ def encode_tiff(
     big_endian: bool = False,
     rows_per_strip: int = 0,
     predictor: int = 1,
+    tile_size: tuple | None = None,
 ) -> bytes:
     """Encode an image as a baseline TIFF.
 
@@ -295,7 +303,9 @@ def encode_tiff(
     ``'gray_inverted'``: (h, w) uint8 (the inverted form stores 255-v
     with PhotometricInterpretation 0 — WhiteIsZero). ``compression``:
     ``'none'`` or ``'packbits'``. ``rows_per_strip=0`` means one strip
-    for the whole image."""
+    for the whole image. ``tile_size=(tw, th)`` stores TILES instead of
+    strips (§15: dimensions multiples of 16, edge tiles zero-padded to
+    full size, left-to-right top-to-bottom order)."""
     a = np.asarray(arr, dtype=np.uint8)
     if photometric == "rgb":
         if a.ndim != 3 or a.shape[2] != 3:
@@ -329,9 +339,7 @@ def encode_tiff(
     e = ">" if big_endian else "<"
     flat = a.reshape(h, w * spp)
 
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = flat[y0 : y0 + rps]
+    def pack_rows(rows):
         if predictor == 2:
             # horizontal differencing per row, per sample channel
             # (mod-256): raw[x] = v[x] - v[x-spp]
@@ -343,7 +351,23 @@ def encode_tiff(
             raw = packbits_encode(raw)
         elif comp == _COMPRESSION_LZW:
             raw = lzw_encode(raw)
-        strips.append(raw)
+        return raw
+
+    strips = []
+    if tile_size is None:
+        for y0 in range(0, h, rps):
+            strips.append(pack_rows(flat[y0 : y0 + rps]))
+    else:
+        tw, th = tile_size
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dimensions must be multiples of 16")
+        px = a.reshape(h, w, spp)
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                tile = np.zeros((th, tw, spp), dtype=np.uint8)
+                sub = px[y0 : y0 + th, x0 : x0 + tw]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                strips.append(pack_rows(tile.reshape(th, tw * spp)))
     n_strips = len(strips)
 
     # layout: header(8) | strip data | out-of-line values | IFD
@@ -373,10 +397,16 @@ def encode_tiff(
     add(_T_BITS, _TYPE_SHORT, [8] * spp)
     add(_T_COMPRESSION, _TYPE_SHORT, [comp])
     add(_T_PHOTOMETRIC, _TYPE_SHORT, [pmi])
-    add(_T_STRIP_OFFSETS, _TYPE_LONG, strip_offsets)
+    if tile_size is None:
+        add(_T_STRIP_OFFSETS, _TYPE_LONG, strip_offsets)
+        add(_T_ROWS_PER_STRIP, _TYPE_LONG, [rps])
+        add(_T_STRIP_COUNTS, _TYPE_LONG, [len(s) for s in strips])
+    else:
+        add(_T_TILE_WIDTH, _TYPE_LONG, [tile_size[0]])
+        add(_T_TILE_LENGTH, _TYPE_LONG, [tile_size[1]])
+        add(_T_TILE_OFFSETS, _TYPE_LONG, strip_offsets)
+        add(_T_TILE_COUNTS, _TYPE_LONG, [len(s) for s in strips])
     add(_T_SPP, _TYPE_SHORT, [spp])
-    add(_T_ROWS_PER_STRIP, _TYPE_LONG, [rps])
-    add(_T_STRIP_COUNTS, _TYPE_LONG, [len(s) for s in strips])
     add(_T_PLANAR, _TYPE_SHORT, [1])
     if predictor != 1:
         add(_T_PREDICTOR, _TYPE_SHORT, [predictor])
@@ -492,63 +522,108 @@ def decode_tiff(payload: bytes):
         raise TiffError(
             f"predictor 2 with compression {comp} not supported"
         )
-    rps = tag_values(_T_ROWS_PER_STRIP, [h])[0]
-    if rps <= 0:
-        raise TiffError(f"bad rows/strip {rps}")
-    rps = min(rps, h)
-    offsets = tag_values(_T_STRIP_OFFSETS)
-    counts = tag_values(_T_STRIP_COUNTS)
-    n_strips = (h + rps - 1) // rps
-    if len(offsets) != n_strips or len(counts) != n_strips:
-        raise TiffError(
-            f"strip table size {len(offsets)}/{len(counts)} "
-            f"disagrees with {n_strips} strips"
-        )
+    tiled = _T_TILE_OFFSETS in raw_entries
+    if tiled and _T_STRIP_OFFSETS in raw_entries:
+        raise TiffError("both strip and tile offset tags present")
+
+    def unpack_segment(raw, label, expected, seg_w, seg_rows):
+        if comp == _COMPRESSION_NONE:
+            if len(raw) != expected:
+                raise TiffError(
+                    f"{label} has {len(raw)} bytes, expected {expected}"
+                )
+            return raw
+        if comp == _COMPRESSION_PACKBITS:
+            return packbits_decode(raw, expected)
+        seg = lzw_decode(raw, expected)
+        if pred == 2:
+            # undo horizontal differencing: per-row, per-channel
+            # cumulative sum mod 256 (rows are SEGMENT-wide — a tile's
+            # rows difference within the tile, not across the image)
+            a = np.frombuffer(seg, dtype=np.uint8).reshape(
+                seg_rows, seg_w, spp
+            )
+            seg = (
+                np.cumsum(a.astype(np.int64), axis=1) % 256
+            ).astype(np.uint8).tobytes()
+        return seg
+
+    def read_segment(offsets, counts, i, label):
+        off, cnt = offsets[i], counts[i]
+        if off + cnt > len(payload) or cnt < 0:
+            raise TiffError(f"{label} extends past end of payload")
+        return payload[off : off + cnt]
 
     # a forged header must not allocate unbounded memory: PackBits can
     # expand one input byte to at most 128 output bytes, LZW at most
     # ~4096/0.75 per 12-bit code (still far under 128x/byte for any
     # real strip, and lzw_decode additionally hard-stops past
     # `expected`), and an uncompressed image needs all its bytes
-    # present — so any honest payload bounds the decoded size
-    total = h * w * spp
-    if total > 128 * len(payload):
-        raise TiffError(
-            f"declared dimensions ({w}x{h}x{spp}) exceed what the "
-            f"payload could encode"
-        )
-
-    row_bytes = w * spp
-    chunks = []
-    for s in range(n_strips):
-        rows = min(rps, h - s * rps)
-        expected = rows * row_bytes
-        off, cnt = offsets[s], counts[s]
-        if off + cnt > len(payload) or cnt < 0:
-            raise TiffError(f"strip {s} extends past end of payload")
-        raw = payload[off : off + cnt]
-        if comp == _COMPRESSION_NONE:
-            if cnt != expected:
-                raise TiffError(
-                    f"strip {s} has {cnt} bytes, expected {expected}"
+    # present — so any honest payload bounds the decoded size. Tiled
+    # images bound the PADDED pixel count (edge tiles are stored full).
+    if not tiled:
+        rps = tag_values(_T_ROWS_PER_STRIP, [h])[0]
+        if rps <= 0:
+            raise TiffError(f"bad rows/strip {rps}")
+        rps = min(rps, h)
+        offsets = tag_values(_T_STRIP_OFFSETS)
+        counts = tag_values(_T_STRIP_COUNTS)
+        n_strips = (h + rps - 1) // rps
+        if len(offsets) != n_strips or len(counts) != n_strips:
+            raise TiffError(
+                f"strip table size {len(offsets)}/{len(counts)} "
+                f"disagrees with {n_strips} strips"
+            )
+        if h * w * spp > 128 * len(payload):
+            raise TiffError(
+                f"declared dimensions ({w}x{h}x{spp}) exceed what the "
+                f"payload could encode"
+            )
+        row_bytes = w * spp
+        chunks = []
+        for s in range(n_strips):
+            rows = min(rps, h - s * rps)
+            raw = read_segment(offsets, counts, s, f"strip {s}")
+            chunks.append(
+                unpack_segment(raw, f"strip {s}", rows * row_bytes, w, rows)
+            )
+        flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    else:
+        tw = tag_values(_T_TILE_WIDTH)[0]
+        th = tag_values(_T_TILE_LENGTH)[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise TiffError(
+                f"tile dimensions {tw}x{th} not positive multiples of 16"
+            )
+        offsets = tag_values(_T_TILE_OFFSETS)
+        counts = tag_values(_T_TILE_COUNTS)
+        ta = (w + tw - 1) // tw
+        td = (h + th - 1) // th
+        if len(offsets) != ta * td or len(counts) != ta * td:
+            raise TiffError(
+                f"tile table size {len(offsets)}/{len(counts)} "
+                f"disagrees with {ta * td} tiles"
+            )
+        if ta * td * tw * th * spp > 128 * len(payload):
+            raise TiffError(
+                f"declared tile grid ({ta}x{td} of {tw}x{th}x{spp}) "
+                f"exceeds what the payload could encode"
+            )
+        img = np.zeros((h, w, spp), dtype=np.uint8)
+        expected = tw * th * spp
+        for ty in range(td):
+            for tx in range(ta):
+                i = ty * ta + tx
+                raw = read_segment(offsets, counts, i, f"tile {i}")
+                seg = unpack_segment(raw, f"tile {i}", expected, tw, th)
+                tile = np.frombuffer(seg, dtype=np.uint8).reshape(
+                    th, tw, spp
                 )
-            chunks.append(raw)
-        elif comp == _COMPRESSION_PACKBITS:
-            chunks.append(packbits_decode(raw, expected))
-        else:
-            strip = lzw_decode(raw, expected)
-            if pred == 2:
-                # undo horizontal differencing: per-row, per-channel
-                # cumulative sum mod 256
-                a = np.frombuffer(strip, dtype=np.uint8).reshape(
-                    rows, w, spp
-                )
-                strip = (
-                    np.cumsum(a.astype(np.int64), axis=1) % 256
-                ).astype(np.uint8).tobytes()
-            chunks.append(strip)
-
-    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+                y0, x0 = ty * th, tx * tw
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                # edge padding is storage, not image — cropped here
+                img[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+        flat = img.reshape(-1)
     if pmi == 0:  # WhiteIsZero
         flat = 255 - flat
     if spp == 3:
@@ -556,7 +631,8 @@ def decode_tiff(payload: bytes):
     else:
         rgb = np.repeat(flat.reshape(h, w)[:, :, None], 3, axis=2)
     info = {"compression": int(comp), "photometric": int(pmi),
-            "spp": int(spp), "predictor": int(pred)}
+            "spp": int(spp), "predictor": int(pred),
+            "tiled": bool(tiled)}
     return np.ascontiguousarray(rgb), info
 
 
@@ -566,9 +642,12 @@ def pattern_tiff(seed: int, width: int, height: int) -> bytes:
     are constant (replicate packets), odd rows a gradient (literals).
     sample (y, x) = (seed*31 + y*7 + (x*13 if y odd else 0)) % 256.
     The seed cycles the codec surface: compression none/packbits by
-    seed%2, little/big endian by seed%4//2, and photometric
+    seed%2, little/big endian by seed%4//2, photometric
     gray / WhiteIsZero-gray / RGB by seed%3 (channels replicate, so
-    RGB statistics are the same closed form for every arm)."""
+    RGB statistics are the same closed form for every arm), and
+    seed%5==4 stores the image TILED (one 16x16 tile, edge-padded —
+    the image is smaller than a tile, so the decode-side crop runs for
+    real; decoded pixels identical, same oracle)."""
     y = np.arange(height, dtype=np.int64)[:, None]
     x = np.arange(width, dtype=np.int64)[None, :]
     v = ((seed * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256).astype(
@@ -583,6 +662,11 @@ def pattern_tiff(seed: int, width: int, height: int) -> bytes:
     else:
         arr = v
         pm = "gray" if arm == 1 else "gray_inverted"
+    if seed % 5 == 4:
+        return encode_tiff(
+            arr, photometric=pm, compression=compression,
+            big_endian=big_endian, tile_size=(16, 16),
+        )
     return encode_tiff(
         arr, photometric=pm, compression=compression,
         big_endian=big_endian, rows_per_strip=2,

@@ -311,3 +311,62 @@ def test_predictor_rejections():
     del pb
     with pytest.raises(ValueError, match="only supported with LZW"):
         encode_tiff(_grad(2, 2), "gray", "none", predictor=2)
+
+
+# ---------------------------------------------------------------- tiles
+def test_tiled_roundtrips_every_compression_and_predictor():
+    """Tags 322-325: 16-multiple tiles, row-major order, edge tiles
+    stored padded and cropped on decode; compression and predictor
+    apply per tile."""
+    rng = np.random.default_rng(11)
+    for shape, pm in (((40, 50), "gray"), ((17, 33, 3), "rgb")):
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        for comp, pred in (("none", 1), ("packbits", 1), ("lzw", 2)):
+            p = encode_tiff(a, pm, comp, predictor=pred,
+                            tile_size=(16, 16))
+            rgb, info = decode_tiff(p)
+            assert info["tiled"] and info["predictor"] == pred
+            ref = a if a.ndim == 3 else a[:, :, None].repeat(3, axis=2)
+            assert (rgb == ref).all(), (shape, comp, pred)
+
+
+def test_tiled_forged_header_rejections():
+    good = encode_tiff(_grad(20, 20), "gray", "none", tile_size=(16, 16))
+    with pytest.raises(TiffError, match="multiples of 16"):
+        decode_tiff(_entry_patch(good, 322, 8))
+    # a width bomb trips the table-size cross-check (4 stored tiles
+    # cannot cover the forged grid) — loud and allocation-free either way
+    with pytest.raises(TiffError, match="tile table size|tile grid"):
+        decode_tiff(_entry_patch(good, 256, 1 << 28))  # width bomb
+    # a grid that MATCHES the forged width needs the byte bound: forge
+    # width so the grid is 2 tiles wide (table still 4) -> size check;
+    # the pure byte-bound path is covered by construction in decode
+    with pytest.raises(TiffError, match="tile table size"):
+        decode_tiff(_entry_patch(good, 257, 40))  # more tiles than table
+    # both strip and tile tables present is unframeable
+    import struct as _struct
+
+    strips = encode_tiff(_grad(4, 4), "gray", "none")
+    (ifd,) = _struct.unpack_from("<I", strips, 4)
+    (n,) = _struct.unpack_from("<H", strips, ifd)
+    out = bytearray(strips)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        t, = _struct.unpack_from("<H", out, base)
+        if t == 278:  # rewrite RowsPerStrip as TileOffsets
+            _struct.pack_into("<H", out, base, 324)
+    with pytest.raises(TiffError, match="both strip and tile"):
+        decode_tiff(bytes(out))
+
+
+def test_pattern_tiff_tiled_arm_pixels_identical():
+    from crawl_streams_spark.operators.tiff import pattern_tiff
+
+    rgb, info = decode_tiff(pattern_tiff(4, 9, 6))  # seed%5==4 -> tiled
+    assert info["tiled"]
+    y = np.arange(6)[:, None]
+    x = np.arange(9)[None, :]
+    v = (4 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
+    assert (rgb[:, :, 0] == v).all()
+    rgb2, info2 = decode_tiff(pattern_tiff(3, 9, 6))
+    assert not info2["tiled"]
