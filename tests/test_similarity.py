@@ -810,3 +810,43 @@ def test_opq_rotation_is_orthogonal_and_distance_preserving(spark, sf_dir):
     d1 = np.sum((rot[a] - rot[b]) ** 2)
     assert abs(d0 - d1) < 1e-9 * max(d0, 1.0)
     del orig
+
+
+def test_opq_composes_with_ivf_pq(spark, sf_dir):
+    """The production composition SCALING.md names: opq_train's R feeds
+    the UNCHANGED IVF-PQ pipeline (rotate corpus and queries, then
+    ivf_pq_index + knn_ivf_pq). On the isotropic corpus the rotation is
+    recall-neutral, so the composed recall must sit at the plain IVF-PQ
+    operating point — this pins that the composition is wired correctly
+    (a rotation applied to only ONE side would crater recall toward
+    zero, since query and corpus would live in different bases)."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(400).cache()
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    exact = {}
+    for q in emb.limit(12).collect():
+        qv = q["embedding"]
+        d = sorted(
+            (sum((x - y) ** 2 for x, y in zip(qv, vecs[i])), i)
+            for i in vecs if i != q["vec_id"]
+        )[:5]
+        exact[q["vec_id"]] = {i for _, i in d}
+
+    rotation, _ = S.opq_train(emb, m=16, k=64, iters=2)
+    rot = S.rotate_embeddings(emb, rotation)
+    rot_q = S.rotate_embeddings(emb.limit(12), rotation)
+    cents, book, codes = S.ivf_pq_index(
+        rot, k_cells=8, m=16, k_codes=64, iters=3
+    )
+    res = S.knn_ivf_pq(
+        rot, rot_q, cents, book, codes,
+        k=5, n_probe=4, shortlist=50, m=16,
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(exact[q] & got.get(q, set())) for q in exact) / (
+        5 * len(exact)
+    )
+    # plain IVF-PQ floors at 0.5 on this operating point (measured
+    # 0.72); a one-sided-rotation wiring bug lands near 0.0
+    assert recall >= 0.5, f"OPQ-IVF composed recall too low: {recall:.2f}"
