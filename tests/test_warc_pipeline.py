@@ -110,3 +110,73 @@ def test_archive_to_features_pipeline(spark, tmp_path):
     )
     assert txt[0]["n_tokens"] >= 6
     assert txt[0]["quality"] is not None
+
+
+def test_streaming_archive_to_features_pipeline(spark, tmp_path):
+    """The 'crawl archive in, curated features out' composition UNDER
+    STRUCTURED STREAMING: a directory watch ingests WARC archives as
+    they land, TIFF captures route through the Arrow-batched decode
+    stage (mapInPandas on a streaming DataFrame), and features land in
+    a parquet sink — exactly once across a restart that adds a second
+    archive."""
+    from crawl_streams_spark.operators.multimodal import (
+        decode_tiff_features,
+    )
+    from crawl_streams_spark.operators.tiff import pattern_tiff
+
+    d = str(tmp_path / "s_archive")
+    out = str(tmp_path / "s_feats")
+    ck = str(tmp_path / "s_ck")
+    os.makedirs(d)
+    register_warc_source(spark)
+
+    def write_archive(name, media_ids):
+        recs = b"".join(
+            warc_record_bytes(
+                "response",
+                _http(pattern_tiff(mid, 9, 6), "image/tiff"),
+                target_uri=f"https://site.example/{mid}.tiff",
+            )
+            for mid in media_ids
+        )
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(recs)
+
+    def run():
+        captures = (
+            spark.readStream.format("warc")
+            .load(d)
+            .filter(F.col("http_status") == 200)
+            .select(
+                # id recovered from the URI so restarts are deterministic
+                F.regexp_extract("target_uri", r"/(\d+)\.tiff$", 1)
+                .cast("bigint")
+                .alias("media_id"),
+                _strip_http("payload").cast("binary").alias("payload"),
+            )
+        )
+        q = (
+            decode_tiff_features(captures)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write_archive("batch1.warc", [1, 2, 3])
+    run()
+    got = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [1, 2, 3]
+    assert all(r["error"] is None for r in got.values())
+    y = np.arange(6)[:, None]
+    x = np.arange(9)[None, :]
+    v = (2 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
+    assert got[2]["sum_rgb"] == 3 * int(v.sum())
+
+    write_archive("batch2.warc", [7])
+    run()
+    got = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(got) == [1, 2, 3, 7]  # no re-decodes, no dups
