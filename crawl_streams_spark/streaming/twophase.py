@@ -16,7 +16,11 @@ has two residual failure modes:
 
 This module closes both with a write-ahead *intent* (the classic
 two-phase pattern; Spark's own file sink does the same with its
-transaction log, and a transactional table format subsumes it):
+transaction log, and a transactional table format subsumes it — since
+round 9 the repo HAS one: operators/txlog.py::TxTable, whose atomic
+log claims + ``txn`` idempotence tokens provide the same exactly-once
+fold for table-shaped state; this staged protocol remains for
+POST-STATE folds that aren't key-mergeable tables):
 
 - **Phase 1 (stage)**: compute the merged POST-STATE of everything the
   batch touches — reading only the live table and the batch — and write

@@ -1,0 +1,312 @@
+"""Transactional parquet tables (operators/txlog.py): the from-scratch
+Delta-protocol commit log. Crash matrix (orphaned data files, torn temp
+logs), optimistic-concurrency races (append always wins a retry,
+partition rewrites conflict loudly on overlap and merge on ANY advance),
+checkpoint-bounded replay, snapshot isolation / time travel, and the
+partition-pruned MERGE with its key-containment guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from crawl_streams_spark.operators.txlog import TxConflict, TxError, TxTable
+
+_SCHEMA = "id bigint, v string, day string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _ids(t, version=None):
+    df = t.read() if version is None else t.read_version(version)
+    return sorted(r["id"] for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        _df(spark, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]),
+        partition_by=["day"],
+    )
+
+
+# ------------------------------------------------------------------ basics
+def test_create_append_read_and_time_travel(spark, table):
+    assert _ids(table) == [1, 2, 3]
+    v1 = table.append(_df(spark, [(4, "d", "d2")]))
+    assert v1 == 1 and _ids(table) == [1, 2, 3, 4]
+    assert _ids(table, version=0) == [1, 2, 3]  # time travel
+    assert [h["operation"] for h in table.history()] == [
+        "CREATE", "APPEND",
+    ]
+    # partition column survives the round trip with its DECLARED type
+    assert {r["day"] for r in table.read().collect()} == {"d1", "d2"}
+    assert table.read().schema.simpleString() == (
+        "struct<id:bigint,v:string,day:string>"
+    )
+
+
+def test_reopen_and_double_create_rejected(spark, table, tmp_path):
+    t2 = TxTable(spark, table.path)
+    assert _ids(t2) == [1, 2, 3]
+    with pytest.raises(TxError, match="already exists"):
+        TxTable.create(spark, table.path, _df(spark, []), ["day"])
+    with pytest.raises(TxError, match="not a transactional table"):
+        TxTable(spark, str(tmp_path / "nope"))
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, table):
+    table.overwrite_partitions(_df(spark, [(9, "z", "d1")]))
+    rows = {r["id"]: r["day"] for r in table.read().collect()}
+    assert rows == {9: "d1", 3: "d2"}
+
+
+def test_merge_upsert_and_insert(spark, table):
+    table.merge_into(
+        _df(spark, [(3, "C", "d2"), (5, "e", "d3")]), key=["id"]
+    )
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {1: "a", 2: "b", 3: "C", 5: "e"}
+
+
+def test_merge_key_containment_guard(spark, table):
+    # id=1 lives in d1; an update claiming it moved to d3 would
+    # duplicate it under partition pruning — the guard fails loudly
+    with pytest.raises(TxError, match="outside the touched partitions"):
+        table.merge_into(_df(spark, [(1, "X", "d3")]), key=["id"])
+    # with the guard off (keys partition-stable by construction),
+    # same-partition updates work without the full scan
+    table.merge_into(
+        _df(spark, [(1, "A", "d1")]), key=["id"],
+        check_key_containment=False,
+    )
+    assert {r["v"] for r in table.read().collect()} == {"A", "b", "c"}
+
+
+# --------------------------------------------------------------- crash box
+def test_orphaned_data_files_are_invisible_and_vacuumable(spark, table):
+    """A writer that crashed between writing data files and claiming
+    its commit leaves orphans: no snapshot sees them; vacuum removes
+    exactly them and never a referenced file (incl. files REMOVED by
+    later versions — time travel still needs those)."""
+    before = _ids(table)
+    # simulate the crash: data written, commit never claimed
+    table._write_data_files(_df(spark, [(99, "x", "d9")]), ["day"])
+    assert _ids(table) == before
+    table.overwrite_partitions(_df(spark, [(7, "q", "d1")]))
+    deleted = table.vacuum_orphans()
+    assert len(deleted) >= 1 and all("d9" in p for p in deleted)
+    assert _ids(table) == [3, 7]
+    # historical (removed) files survived vacuum: version 0 still reads
+    assert _ids(table, version=0) == [1, 2, 3]
+
+
+def test_torn_temp_log_files_are_ignored(spark, table):
+    with open(os.path.join(table.log_dir, ".tmp-dead"), "w") as f:
+        f.write('{"add": {"path": "torn')  # incomplete JSON
+    assert _ids(table) == [1, 2, 3]
+    assert table.latest_version() == 0
+
+
+# ------------------------------------------------------------- concurrency
+def _with_interloper(t, commit_actions):
+    """Wrap t._claim so a competing commit wins exactly one version
+    right before t's next claim attempt — the optimistic-concurrency
+    race, deterministically."""
+    orig = t._claim
+    state = {"done": False}
+
+    def racing(version, actions):
+        if not state["done"]:
+            state["done"] = True
+            assert orig(version, commit_actions)
+        return orig(version, actions)
+
+    t._claim = racing
+    return t
+
+
+def test_append_retries_through_a_lost_race(spark, table):
+    other = TxTable(spark, table.path)
+    adds = other._write_data_files(_df(spark, [(50, "w", "d1")]), ["day"])
+    _with_interloper(
+        table,
+        [{"commitInfo": {"operation": "APPEND"}}]
+        + [{"add": a} for a in adds],
+    )
+    table.append(_df(spark, [(60, "y", "d2")]))
+    # both the interloper's and our rows are visible — nothing lost
+    assert _ids(table) == [1, 2, 3, 50, 60]
+    assert table.latest_version() == 2
+
+
+def test_overwrite_conflicts_on_touched_partition(spark, table):
+    other = TxTable(spark, table.path)
+    adds = other._write_data_files(_df(spark, [(50, "w", "d1")]), ["day"])
+    _with_interloper(
+        table,
+        [{"commitInfo": {"operation": "APPEND"}}]
+        + [{"add": a} for a in adds],
+    )
+    # our rewrite of d1 would silently clobber the interloper's d1 row
+    with pytest.raises(TxConflict, match="changed concurrently"):
+        table.overwrite_partitions(_df(spark, [(9, "z", "d1")]))
+    # the interloper's commit survives untouched
+    assert _ids(table) == [1, 2, 3, 50]
+
+
+def test_overwrite_retries_past_unrelated_commit(spark, table):
+    other = TxTable(spark, table.path)
+    adds = other._write_data_files(_df(spark, [(70, "w", "d2")]), ["day"])
+    _with_interloper(
+        table,
+        [{"commitInfo": {"operation": "APPEND"}}]
+        + [{"add": a} for a in adds],
+    )
+    table.overwrite_partitions(_df(spark, [(9, "z", "d1")]))
+    rows = {r["id"]: r["day"] for r in table.read().collect()}
+    # d1 rewritten to {9}; the concurrent d2 append survives
+    assert rows == {9: "d1", 3: "d2", 70: "d2"}
+
+
+def test_merge_conflicts_on_any_concurrent_advance(spark, table):
+    other = TxTable(spark, table.path)
+    adds = other._write_data_files(_df(spark, [(70, "w", "d3")]), ["day"])
+    _with_interloper(
+        table,
+        [{"commitInfo": {"operation": "APPEND"}}]
+        + [{"add": a} for a in adds],
+    )
+    with pytest.raises(TxConflict, match="advanced during merge"):
+        table.merge_into(_df(spark, [(3, "C", "d2")]), key=["id"])
+    # retrying the whole operation on the fresh state succeeds
+    table.merge_into(_df(spark, [(3, "C", "d2")]), key=["id"])
+    assert {r["v"] for r in table.read().collect()} == {
+        "a", "b", "C", "w",
+    }
+
+
+# -------------------------------------------------------------- checkpoints
+def test_checkpoint_bounds_replay(spark, tmp_path):
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "ck"),
+        _df(spark, [(0, "r", "d0")]),
+        partition_by=["day"],
+        checkpoint_interval=3,
+    )
+    for i in range(1, 8):
+        t.append(_df(spark, [(i, "r", f"d{i % 2}")]))
+    names = os.listdir(t.log_dir)
+    assert any(n.endswith(".checkpoint.json") for n in names)
+    with open(os.path.join(t.log_dir, "_last_checkpoint")) as f:
+        ckpt_v = json.load(f)["version"]
+    assert ckpt_v == 6
+    # replay starts AT the checkpoint: pre-checkpoint commit files are
+    # not even read for the latest snapshot
+    for v in range(0, ckpt_v):
+        os.rename(
+            os.path.join(t.log_dir, f"{v:020d}.json"),
+            os.path.join(t.log_dir, f"{v:020d}.json.bak"),
+        )
+    t2 = TxTable(spark, t.path, checkpoint_interval=3)
+    assert _ids(t2) == list(range(8))
+    # restore for hygiene
+    for v in range(0, ckpt_v):
+        os.rename(
+            os.path.join(t.log_dir, f"{v:020d}.json.bak"),
+            os.path.join(t.log_dir, f"{v:020d}.json"),
+        )
+
+
+def test_snapshot_isolation_across_mutation(spark, table):
+    old = table.read_version(0)
+    table.overwrite_partitions(_df(spark, [(9, "z", "d1")]))
+    table.append(_df(spark, [(10, "y", "d3")]))
+    # the captured DataFrame still reads version-0 files (immutable)
+    assert sorted(r["id"] for r in old.collect()) == [1, 2, 3]
+    assert _ids(table) == [3, 9, 10]
+
+
+# ---------------------------------------------------------- txn idempotence
+def test_txn_token_makes_merge_replay_a_noop(spark, table):
+    """The Delta ``txn`` pattern: a foreachBatch fold stamps each
+    microbatch commit; replaying the same batch after a crash is a
+    no-op because the token is only visible if the WHOLE merge
+    committed (the commit is one atomic log claim)."""
+    up = _df(spark, [(3, "C", "d2")])
+    v = table.merge_into(up, key=["id"], txn="q1-batch-0")
+    assert {r["v"] for r in table.read().collect()} == {"a", "b", "C"}
+    # crash-replay of the same batch: skipped, version unchanged
+    assert table.merge_into(up, key=["id"], txn="q1-batch-0") == v
+    assert table.latest_version() == v
+    # the NEXT batch proceeds normally
+    table.merge_into(
+        _df(spark, [(3, "CC", "d2")]), key=["id"], txn="q1-batch-1"
+    )
+    assert {r["v"] for r in table.read().collect()} == {"a", "b", "CC"}
+
+
+def test_txn_token_streaming_fold_exactly_once(spark, tmp_path):
+    """End to end under Structured Streaming: a rate-limited file
+    stream folds into a TxTable via foreachBatch merge_into with
+    (query, batch) tokens; a restart on the same checkpoint replays
+    the last batch and the table stays exactly-once."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "fold_ck")
+    os.makedirs(src)
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "fold_tbl"),
+        _df(spark, []),
+        partition_by=["day"],
+    )
+
+    def fold(batch_df, batch_id):
+        upd = batch_df.select(
+            F.col("id"), F.col("v"), F.col("day")
+        )
+        t.merge_into(
+            upd, key=["id"], check_key_containment=False,
+            txn=f"fold-{batch_id}",
+        )
+
+    def run():
+        q = (
+            spark.readStream.schema(_SCHEMA).json(src)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"id": 1, "v": "x", "day": "d1"}\n')
+        f.write('{"id": 2, "v": "y", "day": "d1"}\n')
+    run()
+    assert _ids(t) == [1, 2]
+    v_after_first = t.latest_version()
+    # replay the FOLD manually (simulating a crash after merge but
+    # before the sink checkpoint advanced): no-op
+    fold(
+        spark.createDataFrame(
+            [(1, "x", "d1"), (2, "y", "d1")], _SCHEMA
+        ),
+        0,
+    )
+    assert t.latest_version() == v_after_first
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write('{"id": 2, "v": "Y", "day": "d1"}\n')
+    run()
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "x", 2: "Y"}
