@@ -310,3 +310,76 @@ def test_txn_token_streaming_fold_exactly_once(spark, tmp_path):
     run()
     rows = {r["id"]: r["v"] for r in t.read().collect()}
     assert rows == {1: "x", 2: "Y"}
+
+
+# --------------------------------------------------------- model-based fuzz
+def test_random_operation_sequences_match_reference_model(spark, tmp_path):
+    """Model-based check: a seeded random sequence of appends, partition
+    overwrites, partition-stable merges, crash-orphans, and vacuums must
+    keep the table equal to a plain in-memory dict model after every
+    step — and every historical version must still read back exactly
+    (time travel is never invalidated by later operations)."""
+    import random
+
+    rng = random.Random(20260815)
+    days = ["d0", "d1", "d2"]
+
+    def day_of(key):
+        return days[key % len(days)]  # keys are partition-stable
+
+    model = {1: "a", 2: "b"}
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "fuzz"),
+        _df(spark, [(k, v, day_of(k)) for k, v in model.items()]),
+        partition_by=["day"],
+        checkpoint_interval=4,
+    )
+    snapshots = {0: dict(model)}
+
+    for step in range(18):
+        op = rng.choice(["append", "overwrite", "merge", "orphan",
+                         "vacuum"])
+        if op == "append":
+            k = max(model, default=0) + 1 + rng.randrange(3)
+            rows = [(k, f"v{step}", day_of(k))]
+            t.append(_df(spark, rows))
+            model[k] = f"v{step}"
+        elif op == "overwrite":
+            day = rng.choice(days)
+            k = max(model, default=0) + 1
+            while day_of(k) != day:
+                k += 1
+            t.overwrite_partitions(_df(spark, [(k, f"o{step}", day)]))
+            model = {
+                kk: vv for kk, vv in model.items() if day_of(kk) != day
+            }
+            model[k] = f"o{step}"
+        elif op == "merge":
+            if not model:
+                continue
+            upd_k = rng.choice(list(model))
+            new_k = max(model) + 1
+            rows = [
+                (upd_k, f"m{step}", day_of(upd_k)),
+                (new_k, f"n{step}", day_of(new_k)),
+            ]
+            t.merge_into(_df(spark, rows), key=["id"])
+            model[upd_k] = f"m{step}"
+            model[new_k] = f"n{step}"
+        elif op == "orphan":
+            # a crashed writer: data files written, commit never claimed
+            t._write_data_files(
+                _df(spark, [(999, "dead", "d0")]), ["day"]
+            )
+        else:
+            t.vacuum_orphans()
+        if op in ("append", "overwrite", "merge"):
+            snapshots[t.latest_version()] = dict(model)
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got == model, f"step {step} ({op}): {got} != {model}"
+
+    # every recorded version still reads exactly (snapshot immutability)
+    for v, want in snapshots.items():
+        got = {r["id"]: r["v"] for r in t.read_version(v).collect()}
+        assert got == want, f"version {v}: {got} != {want}"
