@@ -7,46 +7,39 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 9 — planner-generated via
-``python -m scripts.plan_rotation 9`` at the 181-query registry, after
-the round-9 additions were registered; VERDICT r8 item 2 plus the
-ADVICE note to regenerate at the final registry state):
+Ordering policy (round 10 — planner-generated via
+``python -m scripts.plan_rotation 10`` at the 186-query registry, then
+three filler slots donated from the END to round-10 implementation
+changes, per the planner's own donation rule):
 
-- Slots 1-3 (MUST): the round-9 additions, in-window from birth —
-  ``dsir_bigram_selected_docs`` (hashed-bigram DSIR, the paper's
-  fidelity form, md5-bucketed so DuckDB replays the model),
-  ``media_flac_stereo_features`` (all four stereo channel assignments
-  under the value gate), ``media_tiff_features`` (baseline TIFF, the
-  eleventh real codec: both byte orders, PackBits, WhiteIsZero).
-- Slots 4-6 are also NEW r9 — ``knn_opq_fixed`` (the OPQ rotate+PQ
-  pipeline against a fixed 2x2-block rotation),
-  ``media_tiff_lzw_features`` (TIFF §13 LZW: MSB-first codes,
-  early-change widths, clear-reset) and
-  ``media_adpcm_stereo_features`` (stereo IMA: per-channel headers,
-  4-byte channel-group interleave).
-- Slots 9-12: round-9 implementation changes (plus the
-  ``media_png_features`` filler below, whose 8-bit decode path was
-  refactored for the 16-bit support) re-windowed for
+- Slots 1-10 (MUST): the ten r5-verdict queries the round-9 close and
+  the r9 judge both pre-enumerated — they age past the 4-round
+  freshness bound at r10 if left un-windowed
+  (``order_value_running``, ``price_quantile_sketch``,
+  ``recent_window_topk``, ``sessionized_set_ops``,
+  ``status_code_histogram``, ``token_array_ops``, ``top_tokens``,
+  ``user_interarrival_stats``, ``wayback_timestamps``,
+  ``windowed_funnel_levels``).
+- Slots 11-13: round-10 implementation changes re-windowed for
   post-change verdicts (the round-6/7 hint-drop precedent):
-  ``dsir_selected_docs`` (dsir_importance_weights restructured for
-  ngram/hasher), ``knn_ivf_pq_fixed`` (ADC loud-failure guard),
-  ``media_adpcm_features`` / ``media_ms_adpcm_features``
-  (wSamplesPerBlock now required — ADVICE r8).
-- Slots 13-34: one representative per family the MUST set misses,
-  oldest verdicts first (16 of them r5-verdict — the aging cohort the
-  round-8 close pre-enumerated). ``parts_bought_together`` /
-  ``status_pivot`` / ``orders_validation_report`` are sole members of
-  their families; the first and last recur here, ``status_pivot``'s
-  family (q_pivot) is covered by ``unpivot_lineitem_metrics``.
-- Slots 35-50: oldest-verdict fillers — 16 more r5-verdict queries.
-  29 of the 39 r5-verdict queries land in this window; the other ten
-  (``windowed_funnel_levels``, ``status_code_histogram``,
-  ``order_value_running``, ``price_quantile_sketch``,
-  ``recent_window_topk``, ``sessionized_set_ops``, ``token_array_ops``,
-  ``top_tokens``, ``user_interarrival_stats``, ``wayback_timestamps``)
-  are the planner's projected round-10 MUST entries (the printed
-  projection — guaranteed slots next round because MUST precedes reps
-  and fillers; 10 + reps fits the window with ~19 slots to spare).
+  ``media_tiff_features`` / ``media_tiff_lzw_features`` (the
+  forged-header expansion bound is now compression-aware — ADVICE r9
+  said the flat 128x/byte cap falsely rejects highly-compressible
+  LZW; LZW's per-strip hard-stop already bounds memory) and
+  ``knn_opq_fixed`` (opq_train gained sample-based rotation training
+  for high dims — VERDICT r9 item 6).
+- Slots 14-32: one representative per family the MUST set misses,
+  oldest verdicts first, including ``media_gif_features`` (VERDICT r9
+  item 7 asked for it by name). ``parts_bought_together`` /
+  ``orders_validation_report`` are sole members of their families and
+  recur every round by construction.
+- Slots 33-50: oldest-verdict fillers, all r6-verdict. The donated
+  three (``small_quantity_orders``, ``sql_interface_revenue``,
+  ``stratified_sample_counts``, all r6) join the projected round-11
+  MUST set (10 total with the planner's 7 — well under capacity).
+  ``regional_revenue`` is deliberately kept in-window: the r9 verdict
+  flagged a +4.7% bench move on untouched code and wants a fresh
+  verdict + bench eye on it.
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -92,60 +85,60 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- MUST: round-9 additions, in-window from birth (planner sect. 1)
-    "dsir_bigram_selected_docs",  # q_pipeline: NEW r9 — hashed-bigram DSIR
-    "media_flac_stereo_features",  # q_crawl: NEW r9 — 4 stereo assignments
-    "media_tiff_features",  # q_crawl: NEW r9 — TIFF, the 11th codec
-    "knn_opq_fixed",  # q_similarity: NEW r9 — OPQ rotate+PQ pipeline
-    "media_tiff_lzw_features",  # q_crawl: NEW r9 — TIFF LZW arm
-    "media_adpcm_stereo_features",  # q_crawl: NEW r9 — stereo IMA ADPCM
-    "media_png16_features",  # q_crawl: NEW r9 — 16-bit PNG (bpp 2/6 filters)
-    "media_ms_adpcm_stereo_features",  # q_crawl: NEW r9 — stereo MS ADPCM
-    # -- round-9 implementation changes re-windowed (post-change verdicts)
-    "dsir_selected_docs",  # dsir_importance_weights restructured (ngram)
-    "knn_ivf_pq_fixed",  # ADC lookup-miss loud-failure guard added
-    "media_adpcm_features",  # wSamplesPerBlock now required (IMA)
-    "media_ms_adpcm_features",  # wSamplesPerBlock now required (MS)
+    # -- MUST: r5-verdict queries aging past the bound (planner sect. 1)
+    "order_value_running",  # q_tpch, r5
+    "price_quantile_sketch",  # q_sketch, r5
+    "recent_window_topk",  # q_events, r5
+    "sessionized_set_ops",  # q_events, r5
+    "status_code_histogram",  # q_events, r5
+    "token_array_ops",  # q_text, r5
+    "top_tokens",  # q_text, r5
+    "user_interarrival_stats",  # q_behavior, r5
+    "wayback_timestamps",  # q_events, r5
+    "windowed_funnel_levels",  # q_behavior, r5
+    # -- round-10 implementation changes re-windowed (post-change verdicts)
+    "media_tiff_features",  # compression-aware expansion bound (ADVICE r9)
+    "media_tiff_lzw_features",  # compression-aware expansion bound
+    "knn_opq_fixed",  # opq_train sample-based rotation training path
     # -- family reps, oldest verdicts first (planner section 2) ----------
-    "purchase_attribution",  # q_behavior, r5
-    "doc_lm_perplexity",  # q_corpus, r5
-    "dedup_minhash_lsh_pairs",  # q_dedup, r5
-    "orders_scd2_incremental",  # q_diff, r5
-    "event_type_dist_users",  # q_events, r5
-    "host_graph_kcore",  # q_graph, r5
-    "active_sessions_at_purchase",  # q_interval, r7
-    "clicks_before_purchase",  # q_joins_advanced, r6
-    "parts_bought_together",  # q_market, r8 — sole member, recurs
-    "unpivot_lineitem_metrics",  # q_pivot, r7
-    "launch_ts_and_source_tags",  # q_schedule, r5
-    "native_session_window_stats",  # q_sessions, r7
-    "embedding_density_dedup",  # q_similarity, r5
-    "cms_token_estimates",  # q_sketch, r5
-    "doc_span_excision",  # q_spans, r6
-    "equi_depth_price_bins",  # q_sql_extra, r5
-    "annotation_regex_classes",  # q_text, r5
-    "hourly_series_filled",  # q_timeseries, r6
-    "customer_order_left_join",  # q_tpch, r5
-    "disjunctive_part_revenue",  # q_tpch2, r6
-    "discount_revenue_forecast",  # q_tpch3, r5
-    "orders_validation_report",  # q_validate, r8 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): 16 r5-verdict -------
-    "balanced_shard_stats",  # q_pipeline, r5
-    "customers_with_open_orders",  # q_tpch, r5
-    "customers_without_orders",  # q_tpch, r5
-    "dedup_ngram_jaccard",  # q_dedup, r5
-    "doc_fingerprints",  # q_text, r5
-    "doc_lang_id",  # q_text, r5
-    "doc_quality",  # q_text, r5
-    "embedding_norms",  # q_similarity, r5
-    "formatted_log_lines",  # q_events, r5
-    "heavy_hitter_keys",  # q_sketch, r5
-    "hist_median_by_type",  # q_events, r5
-    "lang_source_rollup",  # q_text, r5
-    "media_jpeg_features",  # q_crawl, r5
-    "media_png_features",  # q_crawl, r5
-    "media_wav_features",  # q_crawl, r5
-    "null_coalesce_projection",  # q_events, r5
+    "bigram_pmi_collocations",  # q_corpus, r6
+    "media_gif_features",  # q_crawl, r6 — VERDICT r9 item 7 by name
+    "cluster_golden_records",  # q_dedup, r7
+    "lineitem_price_asof_scd2",  # q_diff, r6
+    "graph_unit_propagation",  # q_graph, r6
+    "concurrent_sessions",  # q_interval, r8
+    "idle_rich_customers",  # q_joins_advanced, r6
+    "parts_bought_together",  # q_market, r9 — sole member, recurs
+    "benchmark_contamination",  # q_pipeline, r6
+    "status_pivot",  # q_pivot, r8
+    "mimetype_fallback_chain",  # q_schedule, r6
+    "user_sessions",  # q_sessions, r7
+    "embedding_near_dup",  # q_similarity, r6
+    "dup_token_spans",  # q_spans, r7
+    "cheapest_supplier_per_part",  # q_sql_extra, r6
+    "hourly_value_anomalies",  # q_timeseries, r7
+    "last_shipper_per_order",  # q_tpch2, r6
+    "large_volume_customers",  # q_tpch3, r6
+    "orders_validation_report",  # q_validate, r9 — sole member, recurs
+    # -- oldest-verdict fillers (planner section 3): all r6-verdict ------
+    "bloom_part_membership",  # q_sketch, r6
+    "bpe_learned_merges",  # q_pipeline, r6
+    "conditional_aggregation",  # q_sql_extra, r6
+    "cube_lineitem_status",  # q_sql_extra, r6
+    "daily_cohort_retention",  # q_behavior, r6
+    "date_function_suite",  # q_sql_extra, r6
+    "doc_pii_scan",  # q_pipeline, r6
+    "doc_token_stats",  # q_text, r6
+    "event_type_stats",  # q_events, r6
+    "important_part_value",  # q_joins_advanced, r6
+    "late_shipment_priority",  # q_tpch2, r6
+    "mmh3_partition_keys",  # q_schedule, r6
+    "orders_in_top_segments",  # q_sql_extra, r6
+    "pack_sequences",  # q_pipeline, r6
+    "pricing_summary",  # q_tpch, r6
+    "promo_revenue_share",  # q_tpch2, r6
+    "regional_revenue",  # q_tpch, r6 — r9 bench-watch, fresh verdict
+    "returned_item_customers",  # q_tpch3, r6
 )
 
 

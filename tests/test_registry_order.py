@@ -32,23 +32,13 @@ def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
     # Implementations changed this round that lack a post-change driver
     # verdict must sit in the verification prefix (additions take a slot
-    # from birth — the round-4 lesson). Round-8 entries retired: all
-    # received r8 verdicts (CORRECTNESS_r08.json, 50/50 pass).
+    # from birth — the round-4 lesson). Round-9 entries retired: all
+    # received r9 verdicts (CORRECTNESS_r09.json, 50/50 pass).
     for name in (
-        # round-9 ADDITIONS / re-windowed changes go here as they land
-        "dsir_bigram_selected_docs",  # NEW: hashed-bigram DSIR gate
-        "media_flac_stereo_features",  # NEW: stereo FLAC under the gate
-        "media_tiff_features",  # NEW: baseline TIFF under the gate
-        "knn_opq_fixed",  # NEW: OPQ rotate+PQ under the gate
-        "media_tiff_lzw_features",  # NEW: TIFF LZW under the gate
-        "media_adpcm_stereo_features",  # NEW: stereo IMA under the gate
-        "media_png16_features",  # NEW: 16-bit PNG under the gate
-        "media_ms_adpcm_stereo_features",  # NEW: stereo MS under the gate
-        "media_png_features",  # changed: decode_png refactored for 16-bit
-        "dsir_selected_docs",  # changed: weights restructured (ngram)
-        "knn_ivf_pq_fixed",  # changed: ADC loud-failure guard
-        "media_adpcm_features",  # changed: wSamplesPerBlock required
-        "media_ms_adpcm_features",  # changed: wSamplesPerBlock required
+        # round-10 ADDITIONS / re-windowed changes go here as they land
+        "media_tiff_features",  # changed: compression-aware decode bound
+        "media_tiff_lzw_features",  # changed: compression-aware bound
+        "knn_opq_fixed",  # changed: opq_train sample-based rotation path
     ):
         assert name in window, name
 
@@ -170,7 +160,11 @@ def test_rotation_planner_invariants():
     assert ages == sorted(ages)
     # the proposed window strands nothing at next_round beyond what the
     # planner explicitly declared over-capacity (empty while the
-    # registry fits 50 x FRESHNESS_BOUND slots)
+    # registry fits 50 x FRESHNESS_BOUND slots). Compare MEMBERSHIP —
+    # `stranded` is in registry order while the planner orders
+    # `deferred` oldest-verdict-first (r9 judge: the old `==` compare
+    # failed on equal sets with different orderings); the age ordering
+    # itself is asserted above on the full MUST list.
     wset = set(p["window"])
     stranded = [
         n
@@ -178,7 +172,7 @@ def test_rotation_planner_invariants():
         if n not in wset
         and next_round - eff.get(n, -999) > FRESHNESS_BOUND
     ]
-    assert stranded == p["deferred"]
+    assert sorted(stranded) == sorted(p["deferred"])
     assert len(REGISTRY) <= DRIVER_WINDOW * FRESHNESS_BOUND, (
         "registry has outgrown the freshness policy's steady-state "
         "capacity — widen the bound or tier the policy before adding "
