@@ -554,13 +554,30 @@ def decode_tiff(payload: bytes):
             raise TiffError(f"{label} extends past end of payload")
         return payload[off : off + cnt]
 
-    # a forged header must not allocate unbounded memory: PackBits can
-    # expand one input byte to at most 128 output bytes, LZW at most
-    # ~4096/0.75 per 12-bit code (still far under 128x/byte for any
-    # real strip, and lzw_decode additionally hard-stops past
-    # `expected`), and an uncompressed image needs all its bytes
-    # present — so any honest payload bounds the decoded size. Tiled
-    # images bound the PADDED pixel count (edge tiles are stored full).
+    # a forged header must not allocate unbounded memory, but the bound
+    # has to be COMPRESSION-AWARE: an uncompressed segment needs every
+    # byte present, PackBits expands one input byte to at most 128
+    # output bytes, and LZW has no constant per-byte factor at all — k
+    # codes (>= 9 bits each) can emit up to k(k+1)/2 bytes because each
+    # code may reference a dictionary string that grew by one byte per
+    # prior code, so a large uniform image legitimately exceeds any
+    # flat 128x/byte cap (a flat cap falsely rejected such images;
+    # lzw_decode additionally hard-stops past `expected`, bounding
+    # per-segment memory regardless). Declared byte counts are clamped
+    # to the payload size so a forged count cannot inflate its own
+    # capacity. Tiled images bound the PADDED pixel count (edge tiles
+    # are stored full).
+    def _segment_capacity(cnt: int) -> int:
+        cnt = min(int(cnt), len(payload))
+        if cnt <= 0:
+            return 0
+        if comp == _COMPRESSION_NONE:
+            return cnt
+        if comp == _COMPRESSION_PACKBITS:
+            return 128 * cnt
+        k = (8 * cnt) // 9  # max number of LZW codes in cnt bytes
+        return k * (k + 1) // 2
+
     if not tiled:
         rps = tag_values(_T_ROWS_PER_STRIP, [h])[0]
         if rps <= 0:
@@ -574,7 +591,7 @@ def decode_tiff(payload: bytes):
                 f"strip table size {len(offsets)}/{len(counts)} "
                 f"disagrees with {n_strips} strips"
             )
-        if h * w * spp > 128 * len(payload):
+        if h * w * spp > sum(_segment_capacity(c) for c in counts):
             raise TiffError(
                 f"declared dimensions ({w}x{h}x{spp}) exceed what the "
                 f"payload could encode"
@@ -604,7 +621,9 @@ def decode_tiff(payload: bytes):
                 f"tile table size {len(offsets)}/{len(counts)} "
                 f"disagrees with {ta * td} tiles"
             )
-        if ta * td * tw * th * spp > 128 * len(payload):
+        if ta * td * tw * th * spp > sum(
+            _segment_capacity(c) for c in counts
+        ):
             raise TiffError(
                 f"declared tile grid ({ta}x{td} of {tw}x{th}x{spp}) "
                 f"exceeds what the payload could encode"

@@ -27,13 +27,19 @@ idea as Delta checkpoints and the native file-sink log.
 
 Scale notes (100 TB): data files never rewrite on append; MERGE
 rewrites only the files whose PARTITION VALUES intersect the updates
-(partition-pruned, the layout.py::upsert_partitions shape) — the full
-key-containment guard is an optional correctness scan for small tables
-or CI, switched off when keys are partition-stable by construction
-(e.g. the key embeds the partition date). The log itself is tiny JSON;
-the checkpoint bounds replay; commits are O(1) filesystem ops. On an
-object store without atomic link, swap ``_claim`` for the store's
-put-if-absent — the rest of the protocol is storage-agnostic.
+(partition-pruned, the layout.py::upsert_partitions shape). The
+key-containment guard is FILE-STATS PRUNED: add-actions carry per-file
+min/max column stats read from the parquet footer (the Delta file-stats
+idea), so the guard reads only files whose key range intersects the
+updates' key bounds — O(intersecting files), not O(table); switch it
+off entirely when keys are partition-stable by construction (e.g. the
+key embeds the partition date). The log itself is tiny JSON; the
+checkpoint bounds replay (and carries the cumulative txn-token set so
+idempotence checks seed from it); commits are O(1) filesystem ops.
+Vacuum honors a retention grace window so in-flight writers' files are
+never reaped. On an object store without atomic link, swap ``_claim``
+for the store's put-if-absent — the rest of the protocol is
+storage-agnostic.
 """
 
 from __future__ import annotations
@@ -48,6 +54,128 @@ __all__ = ["TxTable", "TxConflict", "TxError"]
 
 _LOG_DIR = "_txlog"
 _LAST_CKPT = "_last_checkpoint"
+
+#: Hive's sentinel directory for a NULL partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: Per-file min/max stats cover at most this many leading columns (the
+#: Delta dataSkippingNumIndexedCols idea) so wide tables don't bloat
+#: the JSON log.
+_STATS_MAX_COLS = 32
+
+
+def _hive_unescape(val: str):
+    """Decode one hive-style partition-directory VALUE segment back to
+    the value Spark wrote: ``%XX`` escapes (Spark path-escapes ':',
+    '/', '%', '=', '#', newline, ...) and the NULL sentinel. Without
+    this, partitionValues parsed from directory names never match the
+    DataFrame's own values and 'rewritten' partitions silently keep
+    their old files live (ADVICE r9)."""
+    if val == _HIVE_NULL:
+        return None
+    if "%" not in val:
+        return val
+    out = []
+    i = 0
+    while i < len(val):
+        c = val[i]
+        if c == "%" and i + 3 <= len(val):
+            try:
+                out.append(chr(int(val[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _canon_pval(v):
+    """Canonical comparison form of one partition value: None for NULL
+    (either side), else its string form — applied identically to
+    DataFrame rows and to partitionValues replayed from the log, so the
+    touched-partition sets agree."""
+    return None if v is None else str(v)
+
+
+def _stat_norm(v):
+    """JSON-safe, order-preserving form of a column statistic, or None
+    when the type can't be bounded safely (bytes, Decimal, nested).
+    Dates/timestamps map to ISO strings, whose lexicographic order is
+    their chronological order."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _file_may_contain(add: dict, bounds: dict) -> bool:
+    """Range-intersection test between one add-action's per-file stats
+    and the update keys' [min, max] bounds. Missing or non-comparable
+    stats on either side make the file unprunable (returns True) — the
+    test is only ever used to SKIP provably disjoint files."""
+    st = add.get("stats") or {}
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    for col, (lo, hi) in bounds.items():
+        if lo is None or hi is None:
+            continue
+        fl, fh = mins.get(col), maxs.get(col)
+        if fl is None or fh is None:
+            continue
+        try:
+            if fh < lo or fl > hi:
+                return False
+        except TypeError:
+            continue  # cross-type stats: not prunable on this column
+    return True
+
+
+def _parquet_file_stats(path: str, skip_cols: set) -> dict | None:
+    """Per-file min/max/rowcount from the parquet footer (driver-local
+    metadata read, no data scan) — the Delta-style file stats that let
+    MERGE's key-containment guard prune to intersecting files instead
+    of scanning the whole table."""
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    schema = meta.schema
+    mins: dict = {}
+    maxs: dict = {}
+    for ci in range(min(meta.num_columns, _STATS_MAX_COLS)):
+        name = schema.column(ci).path
+        if "." in name or name in skip_cols:
+            continue  # nested leaves / partition columns: no stats
+        lo = hi = None
+        ok = True
+        for ri in range(meta.num_row_groups):
+            st = meta.row_group(ri).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            rg_lo, rg_hi = _stat_norm(st.min), _stat_norm(st.max)
+            if rg_lo is None or rg_hi is None:
+                ok = False
+                break
+            lo = rg_lo if lo is None else min(lo, rg_lo)
+            hi = rg_hi if hi is None else max(hi, rg_hi)
+        if ok and lo is not None:
+            mins[name] = lo
+            maxs[name] = hi
+    return {
+        "numRecords": meta.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+    }
 
 
 class TxError(RuntimeError):
@@ -80,6 +208,12 @@ class TxTable:
         self.path = path
         self.log_dir = os.path.join(path, _LOG_DIR)
         self.checkpoint_interval = checkpoint_interval
+        # seen_txn cache: each commit file is read AT MOST ONCE per
+        # table handle (ADVICE r9: the uncached scan re-read the whole
+        # log every microbatch, degrading quadratically)
+        self._txn_seen: set = set()
+        self._txn_scanned: set = set()
+        self._txn_seeded = False
         if not os.path.isdir(self.log_dir):
             raise TxError(f"{path} is not a transactional table")
 
@@ -169,11 +303,14 @@ class TxTable:
         snap = self._snapshot(version)
         cp = os.path.join(self.log_dir, _ckpt_name(version))
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
+        payload = {"version": version, "metaData": snap["metaData"],
+                   "adds": list(snap["adds"].values())}
+        if snap["txns_complete"]:
+            # carry the cumulative token set so seen_txn on a fresh
+            # handle seeds here instead of replaying the whole log
+            payload["txns"] = sorted(snap["txns"])
         with open(tmp, "w") as f:
-            json.dump(
-                {"version": version, "metaData": snap["metaData"],
-                 "adds": list(snap["adds"].values())}, f,
-            )
+            json.dump(payload, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, cp)  # checkpoint content complete before visible
@@ -190,19 +327,30 @@ class TxTable:
         return versions[-1]
 
     def _snapshot(self, version: int) -> dict:
-        """{"metaData": ..., "adds": {path: add-action}} at ``version``
-        (replayed from the nearest checkpoint at or below it)."""
+        """{"metaData": ..., "adds": {path: add-action}, "txns": set,
+        "txns_complete": bool} at ``version`` (replayed from the
+        nearest checkpoint at or below it). ``txns`` is the cumulative
+        application-transaction token set; it is only COMPLETE when the
+        seed checkpoint carried tokens (or no checkpoint was used) —
+        checkpoints written before tokens existed can't vouch for the
+        commits they compacted."""
         versions = self._commit_versions()
         if version not in versions:
             raise TxError(f"version {version} does not exist")
         meta = None
         adds: dict = {}
+        txns: set = set()
+        txns_complete = True
         start = 0
         ckpt = self._latest_checkpoint_at_or_before(version)
         if ckpt is not None:
             cv, payload = ckpt
             meta = payload["metaData"]
             adds = {a["path"]: a for a in payload["adds"]}
+            if "txns" in payload:
+                txns = set(payload["txns"])
+            else:
+                txns_complete = False
             start = cv + 1
         for v in versions:
             if v < start or v > version:
@@ -214,9 +362,12 @@ class TxTable:
                     adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    txns.add(action["txn"]["appId"])
         if meta is None:
             raise TxError("log is missing table metadata")
-        return {"metaData": meta, "adds": adds}
+        return {"metaData": meta, "adds": adds, "txns": txns,
+                "txns_complete": txns_complete}
 
     def read_version(self, version: int) -> DataFrame:
         import pyspark.sql.functions as F
@@ -253,12 +404,38 @@ class TxTable:
         left nothing (orphan data files at worst, vacuumable), never a
         torn half-merge. This one check is what lets the transactional
         table SUBSUME the staged two-phase fold protocol
-        (streaming/twophase.py) for table-shaped state."""
-        for v in self._commit_versions():
+        (streaming/twophase.py) for table-shaped state.
+
+        Cost: O(new commits since the last call) per call — checkpoints
+        carry the cumulative token set, a fresh handle seeds from the
+        latest one, and every scanned commit file is remembered, so a
+        long-lived streaming fold pays O(1) file reads per microbatch
+        instead of O(all versions) (ADVICE r9)."""
+        if txn in self._txn_seen:
+            return True
+        versions = self._commit_versions()
+        if not self._txn_seeded:
+            self._txn_seeded = True
+            ckpt = (
+                self._latest_checkpoint_at_or_before(versions[-1])
+                if versions else None
+            )
+            # only a checkpoint that CARRIES tokens can stand in for the
+            # commits below it; older-format checkpoints force one full
+            # scan (correctness over speed)
+            if ckpt is not None and "txns" in ckpt[1]:
+                self._txn_seen.update(ckpt[1]["txns"])
+                self._txn_scanned.update(
+                    v for v in versions if v <= ckpt[0]
+                )
+        for v in versions:
+            if v in self._txn_scanned:
+                continue
+            self._txn_scanned.add(v)
             for action in self._read_actions(v):
-                if action.get("txn", {}).get("appId") == txn:
-                    return True
-        return False
+                if "txn" in action:
+                    self._txn_seen.add(action["txn"]["appId"])
+        return txn in self._txn_seen
 
     def history(self) -> list:
         out = []
@@ -292,7 +469,9 @@ class TxTable:
                     if "=" not in seg:
                         raise TxError(f"unexpected staging dir {seg}")
                     k, val = seg.split("=", 1)
-                    pvals[k] = val
+                    # store the value Spark WROTE, not its path escape —
+                    # ':' comes back as ':' not '%3A', NULL as JSON null
+                    pvals[k] = _hive_unescape(val)
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
@@ -301,14 +480,16 @@ class TxTable:
                     self.path if rel == "." else os.path.join(self.path, rel)
                 )
                 os.makedirs(dest_dir, exist_ok=True)
-                os.rename(
-                    os.path.join(root, name),
-                    os.path.join(dest_dir, fresh),
-                )
-                adds.append({
+                dest = os.path.join(dest_dir, fresh)
+                os.rename(os.path.join(root, name), dest)
+                add = {
                     "path": fresh if rel == "." else os.path.join(rel, fresh),
                     "partitionValues": pvals,
-                })
+                }
+                stats = _parquet_file_stats(dest, set(partition_by))
+                if stats is not None:
+                    add["stats"] = stats
+                adds.append(add)
         import shutil
 
         shutil.rmtree(staging)
@@ -353,7 +534,7 @@ class TxTable:
                 "overwrite_partitions needs a partitioned table"
             )
         touched = {
-            tuple(str(r[c]) for c in pcols)
+            tuple(_canon_pval(r[c]) for c in pcols)
             for r in df.select(*pcols).distinct().collect()
         }
         adds = self._write_data_files(df, pcols)
@@ -365,7 +546,8 @@ class TxTable:
             if self.latest_version() != base_version:
                 for a in snap["adds"].values():
                     key = tuple(
-                        str(a["partitionValues"].get(c)) for c in pcols
+                        _canon_pval(a["partitionValues"].get(c))
+                        for c in pcols
                     )
                     if key in touched and a not in base_adds_list:
                         raise TxConflict(
@@ -381,7 +563,8 @@ class TxTable:
                 {"remove": {"path": a["path"]}}
                 for a in snap["adds"].values()
                 if tuple(
-                    str(a["partitionValues"].get(c)) for c in pcols
+                    _canon_pval(a["partitionValues"].get(c))
+                    for c in pcols
                 ) in touched
             ]
             return removes + [{"add": a} for a in adds]
@@ -398,48 +581,67 @@ class TxTable:
         """Partition-pruned MERGE (upsert): rows matching ``key`` are
         replaced, the rest inserted; only data files whose partition
         values appear in ``updates`` are rewritten. ``check_key_
-        containment`` scans the UNTOUCHED partitions for the update
-        keys and fails loudly if any live there (a key that moved
-        partitions would otherwise duplicate) — the full-scan guard to
-        disable only when keys are partition-stable by construction."""
-        import pyspark.sql.functions as F
+        containment`` looks for the update keys in the UNTOUCHED
+        partitions and fails loudly if any live there (a key that
+        moved partitions would otherwise duplicate). The guard is
+        FILE-STATS PRUNED: every add-action carries per-file min/max
+        column stats from its parquet footer, so only files whose key
+        range intersects the updates' key bounds are actually read —
+        at 100 TB the scan touches the intersecting slice, not the
+        table (VERDICT r9 item 5). Disable only when keys are
+        partition-stable by construction. ``updates`` is cached for
+        the duration (it feeds the touched-set collect, the guard, and
+        the rewrite — three actions on one plan otherwise)."""
+        from pyspark import StorageLevel
 
         key = list(key)
         if txn is not None and self.seen_txn(txn):
             return self.latest_version()  # idempotent replay: no-op
+        updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_cached(
+                updates, key, check_key_containment, txn
+            )
+        finally:
+            updates.unpersist()
+
+    def _merge_cached(self, updates, key, check_key_containment, txn):
         version = self.latest_version()
         snap = self._snapshot(version)
         pcols = snap["metaData"]["partitionColumns"]
         if not pcols:
             raise TxError("merge_into needs a partitioned table")
         touched = {
-            tuple(str(r[c]) for c in pcols)
+            tuple(_canon_pval(r[c]) for c in pcols)
             for r in updates.select(*pcols).distinct().collect()
         }
         touched_files = [
             a for a in snap["adds"].values()
-            if tuple(str(a["partitionValues"].get(c)) for c in pcols)
-            in touched
+            if tuple(
+                _canon_pval(a["partitionValues"].get(c)) for c in pcols
+            ) in touched
         ]
         other_files = [
             a for a in snap["adds"].values() if a not in touched_files
         ]
         if check_key_containment and other_files:
-            others = self.spark.read.option(
-                "basePath", self.path
-            ).parquet(
-                *[os.path.join(self.path, a["path"]) for a in other_files]
-            )
-            stray = others.join(
-                updates.select(*key).distinct(), key, "left_semi"
-            ).limit(1).count()
-            if stray:
-                raise TxError(
-                    "merge keys exist outside the touched partitions — "
-                    "a partition-pruned merge would duplicate them "
-                    "(pass check_key_containment=False only when keys "
-                    "are partition-stable by construction)"
+            scan = self._containment_candidates(other_files, updates, key)
+            if scan:
+                others = self.spark.read.option(
+                    "basePath", self.path
+                ).parquet(
+                    *[os.path.join(self.path, a["path"]) for a in scan]
                 )
+                stray = others.join(
+                    updates.select(*key).distinct(), key, "left_semi"
+                ).limit(1).count()
+                if stray:
+                    raise TxError(
+                        "merge keys exist outside the touched partitions "
+                        "— a partition-pruned merge would duplicate them "
+                        "(pass check_key_containment=False only when keys "
+                        "are partition-stable by construction)"
+                    )
         if touched_files:
             current = self.spark.read.option(
                 "basePath", self.path
@@ -477,28 +679,72 @@ class TxTable:
         return self._commit_with_retry(build, validate, "MERGE",
                                        max_retries=2)
 
+    def _containment_candidates(
+        self, other_files: list, updates: DataFrame, key: list
+    ) -> list:
+        """The subset of ``other_files`` the containment guard must
+        read: files whose per-file key-column stats intersect the
+        updates' [min, max] key bounds. Files without usable stats are
+        kept (never prune on missing evidence)."""
+        import pyspark.sql.functions as F
+
+        aggs = []
+        for c in key:
+            aggs.append(F.min(F.col(c)).alias(f"__lo_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"__hi_{c}"))
+        row = updates.agg(*aggs).collect()[0]
+        bounds = {
+            c: (_stat_norm(row[f"__lo_{c}"]), _stat_norm(row[f"__hi_{c}"]))
+            for c in key
+        }
+        return [a for a in other_files if _file_may_contain(a, bounds)]
+
     # ----------------------------------------------------------- hygiene
-    def vacuum_orphans(self) -> list:
+    def vacuum_orphans(self, min_age_seconds: float = 24 * 3600.0) -> list:
         """Delete data files referenced by NO committed version — the
         leftovers of writers that crashed between writing data files
         and claiming their commit. Never touches a file any snapshot
-        can see (removed-but-historical files stay for time travel)."""
+        can see (removed-but-historical files stay for time travel).
+
+        Files younger than ``min_age_seconds`` are SKIPPED:
+        ``_write_data_files`` renames data files into their final
+        partition directories BEFORE the commit is claimed, so an
+        in-flight writer's files look orphaned until its commit lands —
+        a concurrent vacuum without the grace window would delete them
+        and corrupt the writer's commit (ADVICE r9; the Delta protocol
+        guards the same window with its retention threshold). The 24 h
+        default assumes no write operation runs longer than a day; pass
+        0 only when no writer can possibly be in flight."""
+        import time
+
+        cutoff = time.time() - min_age_seconds
         referenced: set = set()
         for v in self._commit_versions():
             for action in self._read_actions(v):
                 if "add" in action:
                     referenced.add(action["add"]["path"])
         deleted = []
-        for root, _dirs, files in os.walk(self.path):
-            if _LOG_DIR in root or f"{os.sep}.stage-" in root:
-                continue
+        for root, dirs, files in os.walk(self.path):
+            if root == self.path:
+                # compare exact top-level path COMPONENTS — a substring
+                # test made any partition value containing "_txlog" or
+                # ".stage-" permanently invisible to vacuum (ADVICE r9)
+                dirs[:] = [
+                    d for d in dirs
+                    if d != _LOG_DIR and not d.startswith(".stage-")
+                ]
             for name in files:
                 if not name.endswith(".parquet"):
                     continue
-                rel = os.path.relpath(
-                    os.path.join(root, name), self.path
-                )
-                if rel not in referenced:
-                    os.unlink(os.path.join(root, name))
-                    deleted.append(rel)
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue  # possibly an in-flight writer's file
+                except OSError:
+                    continue  # raced with its writer/another vacuum
+                os.unlink(full)
+                deleted.append(rel)
         return deleted

@@ -53,6 +53,7 @@ from pyspark.sql.types import (
 __all__ = [
     "stream_window_funnel",
     "stream_funnel_snapshot",
+    "stream_funnel_snapshot_tx",
     "update_funnel_snapshot",
     "FUNNEL_OUTPUT_SCHEMA",
 ]
@@ -278,5 +279,58 @@ def stream_funnel_snapshot(
         _snapshot_builder(table_path),
         available_now,
         exactly_once,
+        output_mode="update",
+    )
+
+
+def stream_funnel_snapshot_tx(
+    events: DataFrame,
+    steps,
+    window,
+    table_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    available_now: bool = False,
+    n_buckets: int = 16,
+):
+    """The funnel snapshot on the TRANSACTIONAL path (VERDICT r9 item
+    4): the same stateful DP, but the sink folds each micro-batch into
+    a bucket-partitioned ``TxTable`` via ``merge_into`` with a
+    per-batch txn idempotence token instead of the staged two-phase
+    overwrite. Exactly-once holds with a shorter crash matrix — a torn
+    live table is structurally impossible (immutable data files behind
+    an atomic log claim; see streaming/txsink.py) — and the write cost
+    drops from O(users) per trigger to O(touched buckets). Read the
+    snapshot back with ``txsink.read_tx_snapshot(TxTable(spark,
+    table_path))``."""
+    from .txsink import ensure_tx_snapshot, tx_fold_writer
+
+    updated = stream_window_funnel(
+        events,
+        steps,
+        window,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        tiebreak_col=tiebreak_col,
+    )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in FUNNEL_OUTPUT_SCHEMA.fields
+    )
+    table = ensure_tx_snapshot(
+        updated.sparkSession, table_path, schema_ddl, "user_id", n_buckets
+    )
+    return tx_fold_writer(
+        updated,
+        checkpoint,
+        "funnel_snapshot",
+        table,
+        "user_id",
+        n_buckets=n_buckets,
+        available_now=available_now,
         output_mode="update",
     )

@@ -19,8 +19,11 @@ two-phase pattern; Spark's own file sink does the same with its
 transaction log, and a transactional table format subsumes it — since
 round 9 the repo HAS one: operators/txlog.py::TxTable, whose atomic
 log claims + ``txn`` idempotence tokens provide the same exactly-once
-fold for table-shaped state; this staged protocol remains for
-POST-STATE folds that aren't key-mergeable tables):
+fold for table-shaped state, and since round 10 the funnel snapshot
+RUNS on that path (streaming/txsink.py +
+funnel.stream_funnel_snapshot_tx, crash-matrix-proven); this staged
+protocol remains for POST-STATE folds that aren't key-mergeable
+tables — the sketch folds, whose state is one unkeyed blob):
 
 - **Phase 1 (stage)**: compute the merged POST-STATE of everything the
   batch touches — reading only the live table and the batch — and write

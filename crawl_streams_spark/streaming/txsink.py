@@ -1,0 +1,126 @@
+"""TxTable-backed exactly-once streaming sinks.
+
+``twophase.py`` has said since round 9 that a transactional table
+format subsumes its staged two-phase fold protocol for TABLE-SHAPED
+state, and ``operators/txlog.py`` provides one — this module closes the
+loop (VERDICT r9 item 4): a foreachBatch sink that folds each
+micro-batch into a ``TxTable`` via ``merge_into`` stamped with a
+per-batch ``txn`` idempotence token.
+
+Exactly-once with a SHORTER crash matrix than the staged protocol,
+because two of its failure modes cannot exist here:
+
+- **crash before the commit claim** (including mid-write of the data
+  files): the files are uncommitted orphans no reader can see; the
+  replayed batch recomputes the merge against the unchanged live
+  snapshot, and vacuum reaps the orphans after the retention window.
+- **crash after the claim, before the stream checkpoint advances**:
+  the replay sees the batch's txn token (``seen_txn``) and no-ops —
+  the commit was one atomic log claim, so the token is visible iff the
+  WHOLE merge landed.
+- **a torn live table is impossible**: data files are immutable and
+  become visible only through the atomic claim; there is no
+  delete-then-rewrite window to tear (the failure mode the staged
+  protocol exists to close on bare parquet).
+
+Scale: the snapshot table is BUCKET-partitioned (``pmod(key,
+n_buckets)``), so a micro-batch rewrites only the buckets it touches —
+O(touched buckets x bucket size), never O(table) — and the bucket is a
+pure function of the merge key, so keys are partition-stable by
+construction and the merge runs with the containment guard off. The
+token check is O(new commits) per batch (txlog's seen_txn cache +
+checkpoint-carried token sets).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.txlog import TxTable
+
+__all__ = [
+    "ensure_tx_snapshot",
+    "tx_snapshot_fold",
+    "read_tx_snapshot",
+    "tx_fold_writer",
+]
+
+_BUCKET = "__bucket"
+
+
+def ensure_tx_snapshot(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    key_col: str,
+    n_buckets: int = 16,
+) -> TxTable:
+    """Open the snapshot TxTable at ``path``, creating it empty (with
+    the bucket partition column appended) on first use."""
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        return TxTable(spark, path)
+    empty = spark.createDataFrame([], schema_ddl).withColumn(
+        _BUCKET, F.lit(0).cast("int")
+    )
+    return TxTable.create(spark, path, empty, partition_by=[_BUCKET])
+
+
+def tx_snapshot_fold(
+    table: TxTable,
+    batch: DataFrame,
+    batch_id: int,
+    key_col: str,
+    name: str,
+    n_buckets: int = 16,
+) -> None:
+    """Fold one micro-batch of latest-state rows into the snapshot:
+    rows matching ``key_col`` are replaced, new keys inserted, untouched
+    keys carried forward by construction (their files are never
+    rewritten unless their bucket is touched, and the in-bucket
+    anti-join keeps them). Module-level so the crash-matrix tests drive
+    the EXACT production callable."""
+    upd = batch.withColumn(
+        _BUCKET, F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
+    )
+    table.merge_into(
+        upd,
+        key=[key_col],
+        check_key_containment=False,  # bucket = f(key): partition-stable
+        txn=f"{name}-{batch_id}",
+    )
+
+
+def read_tx_snapshot(table: TxTable) -> DataFrame:
+    """The snapshot without its internal bucket column."""
+    return table.read().drop(_BUCKET)
+
+
+def tx_fold_writer(
+    stream_df: DataFrame,
+    checkpoint: str,
+    name: str,
+    table: TxTable,
+    key_col: str,
+    n_buckets: int = 16,
+    available_now: bool = False,
+    output_mode: str | None = None,
+):
+    """Start a foreachBatch stream folding into ``table`` exactly-once.
+    The txn token namespace is ``name`` — one per logical sink, same
+    lifetime discipline as the stream checkpoint."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        tx_snapshot_fold(table, batch_df, batch_id, key_col, name,
+                         n_buckets)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

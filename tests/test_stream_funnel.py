@@ -403,3 +403,158 @@ def test_stream_funnel_snapshot_end_to_end(spark, tmp_path):
     }
     for uid, want_level in batch.items():
         assert snap[uid]["provisional_level"] == want_level, uid
+
+
+# ---------------------------------------------------------------------------
+# Snapshot sink on the TRANSACTIONAL path (VERDICT r9 item 4): the same
+# overlay semantics, but through TxTable.merge_into with per-batch txn
+# tokens — the crash matrix is shorter because a torn live table cannot
+# exist (immutable files behind an atomic log claim).
+# ---------------------------------------------------------------------------
+
+
+def _tx_table(spark, path):
+    from crawl_streams_spark.streaming.txsink import ensure_tx_snapshot
+
+    return ensure_tx_snapshot(spark, path, _SNAP_SCHEMA, "user_id",
+                              n_buckets=4)
+
+
+def _tx_fold_once(spark, table, rows, batch_id):
+    from crawl_streams_spark.streaming.txsink import tx_snapshot_fold
+
+    tx_snapshot_fold(table, _snap_rows(spark, rows), batch_id,
+                     "user_id", "funnel_snapshot", n_buckets=4)
+
+
+def _tx_read(table):
+    from crawl_streams_spark.streaming.txsink import read_tx_snapshot
+
+    return sorted(map(tuple, read_tx_snapshot(table).collect()))
+
+
+def test_tx_snapshot_crash_matrix_recovers_exactly_once(spark, tmp_path):
+    """Kill the TxTable fold at each protocol point, replay, and prove
+    the snapshot equals the straight overlay — no user lost, doubled,
+    or reverted. Drives the exact production callable
+    (txsink.tx_snapshot_fold)."""
+    import pytest
+
+    from crawl_streams_spark.streaming.twophase import SimulatedCrash
+
+    # -- crash BEFORE the commit claim (data files already renamed in) --
+    t = _tx_table(spark, str(tmp_path / "tx_preclaim"))
+    _tx_fold_once(spark, t, _B0, 0)
+    orig_claim = t._claim
+    calls = {"n": 0}
+
+    def dying_claim(version, actions):
+        calls["n"] += 1
+        raise SimulatedCrash("before_claim")
+
+    t._claim = dying_claim
+    with pytest.raises(SimulatedCrash):
+        _tx_fold_once(spark, t, _B1, 1)
+    t._claim = orig_claim
+    assert calls["n"] == 1
+    # nothing committed: live snapshot unchanged; the crashed writer's
+    # files are invisible orphans
+    assert _tx_read(t) == sorted(_B0)
+    # replay recomputes the merge against the unchanged snapshot
+    _tx_fold_once(spark, t, _B1, 1)
+    assert _tx_read(t) == _WANT
+    # vacuum (forced window) reaps exactly the orphans, snapshot intact
+    assert len(t.vacuum_orphans(min_age_seconds=0)) >= 1
+    assert _tx_read(t) == _WANT
+
+    # -- crash AFTER the claim, before the stream checkpoint advanced --
+    t2 = _tx_table(spark, str(tmp_path / "tx_postclaim"))
+    _tx_fold_once(spark, t2, _B0, 0)
+    _tx_fold_once(spark, t2, _B1, 1)  # committed; then "crash"
+    v = t2.latest_version()
+    _tx_fold_once(spark, t2, _B1, 1)  # replay of the same batch id
+    assert t2.latest_version() == v, "txn token must no-op the replay"
+    assert _tx_read(t2) == _WANT
+    # a FRESH handle (driver restart) also honors the token
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    t3 = TxTable(spark, t2.path)
+    _tx_fold_once(spark, t3, _B1, 1)
+    assert t3.latest_version() == v
+    assert _tx_read(t3) == _WANT
+
+
+def test_tx_snapshot_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract: a micro-batch touching one user rewrites only
+    that user's bucket — every other bucket's files survive by path."""
+    t = _tx_table(spark, str(tmp_path / "tx_buckets"))
+    _tx_fold_once(spark, t, [(u, 0, 0, 0, 0) for u in range(1, 9)], 0)
+    before = set(t._snapshot(t.latest_version())["adds"])
+    _tx_fold_once(spark, t, [(5, 3, 3, 0, 0)], 1)  # bucket 5%4 == 1
+    after = t._snapshot(t.latest_version())["adds"]
+    untouched_kept = {
+        p for p in before
+        if not p.startswith("__bucket=1/")
+    }
+    assert untouched_kept <= set(after), "untouched buckets were rewritten"
+    assert all(
+        p.startswith("__bucket=1/") or p in before for p in after
+    )
+    rows = {r[0]: r[1] for r in _tx_read(t)}
+    assert rows[5] == 3 and len(rows) == 8
+
+
+def test_stream_funnel_snapshot_tx_end_to_end(spark, tmp_path):
+    """File-source stream through stream_funnel_snapshot_tx across a
+    query RESTART on the same checkpoint: the transactional snapshot
+    holds one latest row per user and provisional levels agree with the
+    batch kernel."""
+    from crawl_streams_spark.operators.txlog import TxTable
+    from crawl_streams_spark.streaming.funnel import (
+        stream_funnel_snapshot_tx,
+    )
+    from crawl_streams_spark.streaming.txsink import read_tx_snapshot
+
+    f1 = [
+        _ev(1, 1, 0, "view"), _ev(1, 2, 10, "click"),
+        _ev(2, 4, 0, "view"),
+    ]
+    f2 = [
+        _ev(1, 3, 20, "purchase"),
+        _ev(2, 6, 30, "click"),
+        _ev(9, 99, 3600 * 24, "view"),  # watermark flush
+    ]
+    src = str(tmp_path / "txsnap_src")
+    table = str(tmp_path / "txsnap_table")
+    ck = src + "_ck"
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 minute")
+        )
+        q = stream_funnel_snapshot_tx(
+            stream, STEPS, 60, table, ck, available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _write(spark, f1, src)
+    run()
+    _write(spark, f2, src)
+    run()  # restart on the same checkpoint
+    snap = {
+        r["user_id"]: r.asDict()
+        for r in read_tx_snapshot(TxTable(spark, table)).collect()
+    }
+    assert set(snap) == {1, 2, 9}
+    batch = {
+        r["user_id"]: r["funnel_level"]
+        for r in window_funnel(
+            spark.createDataFrame(f1 + f2, SCHEMA), STEPS, 60
+        ).collect()
+    }
+    for uid, want_level in batch.items():
+        assert snap[uid]["provisional_level"] == want_level, uid

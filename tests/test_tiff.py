@@ -132,8 +132,13 @@ def test_forged_header_rejections():
         decode_tiff(_entry_patch(good, 262, 2))
     with pytest.raises(TiffError, match="planar"):
         decode_tiff(_entry_patch(good, 284, 2))
-    with pytest.raises(TiffError, match="strip 0 has"):
+    # shrinking the byte count below the pixel count now trips the
+    # summed-capacity bound (which runs before any strip is touched);
+    # a per-strip mismatch that still covers the pixels stays specific
+    with pytest.raises(TiffError, match="exceed"):
         decode_tiff(_entry_patch(good, 279, 3))  # byte count mismatch
+    with pytest.raises(TiffError, match="strip 0 has"):
+        decode_tiff(_entry_patch(good, 279, 17))  # count > expected
     with pytest.raises(TiffError, match="past end"):
         decode_tiff(_entry_patch(good, 273, len(good)))  # offset bomb
     rgb_good = encode_tiff(
@@ -357,6 +362,29 @@ def test_tiled_forged_header_rejections():
             _struct.pack_into("<H", out, base, 324)
     with pytest.raises(TiffError, match="both strip and tile"):
         decode_tiff(bytes(out))
+
+
+def test_lzw_bound_accepts_highly_compressible_images():
+    """ADVICE r9 (tiff.py forged-header bound): LZW has no constant
+    per-byte expansion factor — k codes can emit up to k(k+1)/2 bytes —
+    so the old flat 128x/byte cap falsely rejected legitimate highly
+    compressible images. A large uniform LZW image must decode, and the
+    forged-dimension rejection must still fire under LZW."""
+    a = np.zeros((512, 512), dtype=np.uint8)
+    p = encode_tiff(a, "gray", "lzw")
+    # the fixture really is past the old cap, else this test proves nothing
+    assert 512 * 512 > 128 * len(p)
+    rgb, info = decode_tiff(p)
+    assert info["compression"] == 5
+    assert rgb.shape == (512, 512, 3) and not rgb.any()
+    with pytest.raises(TiffError, match="exceed"):
+        decode_tiff(_entry_patch(p, 256, 1 << 30))  # width bomb, LZW arm
+    # tiled LZW: uniform 64x64 in 16x16 tiles decodes under the summed
+    # per-tile capacity; a forged grid is still rejected
+    t = encode_tiff(np.zeros((64, 64), dtype=np.uint8), "gray", "lzw",
+                    tile_size=(16, 16))
+    rgb2, info2 = decode_tiff(t)
+    assert info2["tiled"] and not rgb2.any()
 
 
 def test_pattern_tiff_tiled_arm_pixels_identical():

@@ -100,7 +100,10 @@ def test_orphaned_data_files_are_invisible_and_vacuumable(spark, table):
     table._write_data_files(_df(spark, [(99, "x", "d9")]), ["day"])
     assert _ids(table) == before
     table.overwrite_partitions(_df(spark, [(7, "q", "d1")]))
-    deleted = table.vacuum_orphans()
+    # default retention SKIPS the fresh orphan (it could belong to an
+    # in-flight writer — ADVICE r9); forcing the window reaps it
+    assert table.vacuum_orphans() == []
+    deleted = table.vacuum_orphans(min_age_seconds=0)
     assert len(deleted) >= 1 and all("d9" in p for p in deleted)
     assert _ids(table) == [3, 7]
     # historical (removed) files survived vacuum: version 0 still reads
@@ -373,7 +376,7 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
                 _df(spark, [(999, "dead", "d0")]), ["day"]
             )
         else:
-            t.vacuum_orphans()
+            t.vacuum_orphans(min_age_seconds=0)
         if op in ("append", "overwrite", "merge"):
             snapshots[t.latest_version()] = dict(model)
         got = {r["id"]: r["v"] for r in t.read().collect()}
@@ -383,3 +386,146 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     for v, want in snapshots.items():
         got = {r["id"]: r["v"] for r in t.read_version(v).collect()}
         assert got == want, f"version {v}: {got} != {want}"
+
+
+# ------------------------------------------------- round-10 hardening
+def test_escaped_partition_values_overwrite_and_merge(spark, tmp_path):
+    """Partition values Spark path-escapes (':', '/', '%', '=', '#')
+    must still match the touched set — before the hive-unescape fix the
+    'rewritten' partition's old files silently stayed live and reads
+    returned duplicates (ADVICE r9)."""
+    days = ["a:b", "p/q", "50%", "k=v", "x#y"]
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "esc"),
+        _df(spark, [(i, "old", d) for i, d in enumerate(days)]),
+        partition_by=["day"],
+    )
+    t.overwrite_partitions(_df(spark, [(10, "new", "a:b")]))
+    rows = {r["id"]: (r["v"], r["day"]) for r in t.read().collect()}
+    assert rows[10] == ("new", "a:b")
+    assert 0 not in rows, "old file in the escaped partition stayed live"
+    assert len(rows) == len(days)
+    t.merge_into(_df(spark, [(2, "merged", "50%")]), key=["id"])
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[2] == "merged"
+    assert sorted(rows) == [1, 2, 3, 4, 10]
+
+
+def test_null_partition_values_canonicalized(spark, tmp_path):
+    """A NULL partition value round-trips through Hive's
+    __HIVE_DEFAULT_PARTITION__ directory; overwrite/merge must treat it
+    as the same partition as a NULL in the incoming DataFrame."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "nulls"),
+        _df(spark, [(1, "a", None), (2, "b", "d1")]),
+        partition_by=["day"],
+    )
+    assert {r["id"]: r["day"] for r in t.read().collect()} == {
+        1: None, 2: "d1",
+    }
+    t.overwrite_partitions(_df(spark, [(9, "z", None)]))
+    rows = {r["id"]: r["day"] for r in t.read().collect()}
+    assert rows == {9: None, 2: "d1"}
+    t.merge_into(_df(spark, [(9, "Z", None), (3, "c", None)]), key=["id"])
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {9: "Z", 3: "c", 2: "b"}
+
+
+def test_vacuum_sees_partitions_with_log_like_names(spark, tmp_path):
+    """A partition VALUE containing '_txlog' or '.stage-' must not hide
+    its directory from vacuum — the skip compares exact top-level path
+    components, not substrings (ADVICE r9)."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "names"),
+        _df(spark, [(1, "a", "has_txlog_inside"), (2, "b", "x.stage-y")]),
+        partition_by=["day"],
+    )
+    t._write_data_files(
+        _df(spark, [(99, "dead", "has_txlog_inside")]), ["day"]
+    )
+    deleted = t.vacuum_orphans(min_age_seconds=0)
+    assert len(deleted) == 1 and "has_txlog_inside" in deleted[0]
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
+
+
+def test_seen_txn_reads_each_commit_once(spark, table):
+    """ADVICE r9: seen_txn re-read and re-parsed the whole log on every
+    call. Now each commit file is read at most once per handle, and a
+    fresh handle seeds from the checkpoint's carried token set."""
+    table.merge_into(_df(spark, [(3, "C", "d2")]), key=["id"],
+                     txn="q-0")
+    reads = []
+    orig = table._read_actions
+    table._read_actions = lambda v: (reads.append(v), orig(v))[1]
+    assert table.seen_txn("q-0")
+    first = len(reads)
+    assert first >= 1
+    assert table.seen_txn("q-0") and table.seen_txn("nope") is False
+    # the second/third calls re-read nothing already scanned
+    assert len(reads) == first
+    table.merge_into(_df(spark, [(3, "D", "d2")]), key=["id"],
+                     txn="q-1")
+    base = len(reads)  # the merge itself replays snapshots; not counted
+    assert table.seen_txn("q-1")
+    assert len(reads) == base + 1  # only the ONE new commit was read
+    assert table.seen_txn("q-1") and len(reads) == base + 1
+
+
+def test_seen_txn_seeds_from_checkpoint_tokens(spark, tmp_path):
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "seed"),
+        _df(spark, [(1, "a", "d1")]),
+        partition_by=["day"],
+        checkpoint_interval=2,
+    )
+    for b in range(4):  # versions 1..4; checkpoints at 2 and 4
+        t.merge_into(_df(spark, [(1, f"v{b}", "d1")]), key=["id"],
+                     txn=f"q-{b}")
+    t2 = TxTable(spark, t.path, checkpoint_interval=2)
+    reads = []
+    orig = t2._read_actions
+    t2._read_actions = lambda v: (reads.append(v), orig(v))[1]
+    assert all(t2.seen_txn(f"q-{b}") for b in range(4))
+    # versions at or below the checkpoint came from its token set
+    assert all(v > 4 for v in reads), reads
+
+
+def test_merge_containment_guard_is_stats_pruned(spark, tmp_path):
+    """VERDICT r9 item 5: the guard must read only untouched files whose
+    per-file key stats intersect the update keys — not the whole table."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "stats"),
+        _df(spark, [(i, f"v{i}", f"d{i // 100}") for i in range(400)]),
+        partition_by=["day"],
+    )
+    snap = t._snapshot(t.latest_version())
+    # every add-action carries footer stats for the data columns
+    for a in snap["adds"].values():
+        assert "stats" in a and "id" in a["stats"]["minValues"]
+    upd = _df(spark, [(150, "X", "d1")])  # keys within d1's range only
+    others = [
+        a for a in snap["adds"].values()
+        if a["partitionValues"]["day"] != "d1"
+    ]
+    scan = t._containment_candidates(others, upd, ["id"])
+    assert scan == [], "disjoint key ranges must prune every file"
+    # a key range spanning d2 keeps exactly d2's files in the scan
+    upd2 = _df(spark, [(150, "X", "d1"), (250, "Y", "d1")])
+    scan2 = t._containment_candidates(others, upd2, ["id"])
+    assert scan2 and all(
+        a["partitionValues"]["day"] == "d2" for a in scan2
+    )
+    # end to end: the pruned guard still catches a real cross-partition
+    # key (250 lives in d2; claiming it moved to d1 must fail loudly)
+    with pytest.raises(TxError, match="outside the touched partitions"):
+        t.merge_into(upd2, key=["id"])
+    # and a genuinely partition-stable merge sails through with no scan
+    v = t.merge_into(_df(spark, [(150, "X", "d1")]), key=["id"])
+    assert v == 1
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows[150] == "X" and len(rows) == 400
