@@ -1137,6 +1137,111 @@ def rotate_embeddings(
     return staged.withColumn(out_col, rotated).drop("__rv")
 
 
+def _opq_moments_exact(corpus: DataFrame, vec_col: str, dim: int):
+    """Σ x·xᵀ, Σ x, n through pure aggregate expressions: slim
+    (j, v_j, v) rows, grouped elementwise sums — d rows × (d sums + 1)
+    out. Exact and shuffle-light, but the d² aggregate expressions kill
+    codegen past dim≈128 (VERDICT r9 item 6) — the sampled kernel below
+    takes over there."""
+    import numpy as np
+
+    v = V.to_double_array(vec_col)
+    rows = corpus.select(v.alias("__v")).select(
+        "__v", F.posexplode("__v").alias("j", "__vj")
+    )
+    stats = (
+        rows.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__vj").alias("s"),
+            *[
+                F.sum(F.element_at("__v", i + 1) * F.col("__vj")).alias(
+                    f"m{i}"
+                )
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("opq_train: empty corpus")
+    n = stats[0]["n"]
+    mu = np.zeros(dim)
+    mom = np.zeros((dim, dim))
+    for r in stats:
+        j = r["j"]
+        mu[j] = r["s"] / n
+        mom[j] = [r[f"m{i}"] for i in range(dim)]
+    return n, mu, mom
+
+
+def _opq_moments_sampled(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    sample_fraction: float,
+    stats_partitions: int,
+    seed: int,
+):
+    """Σ x·xᵀ, Σ x, n via a mapInPandas PARTIAL-COVARIANCE kernel over a
+    bounded sample — the high-dim path (VERDICT r9 item 6): each
+    partition emits one (n, Σx, Σx·xᵀ) partial as Arrow arrays (a d²
+    BLAS gemm per batch, no per-element expressions), the driver sums
+    ``stats_partitions`` partials and runs the d×d eigh. Driver collect
+    volume is stats_partitions × d² doubles (dim 1536 → ~19 MB × 16
+    partials), independent of corpus size; the rotation only needs a
+    covariance ESTIMATE, so a sample is the right trade at scale (the
+    codebook still trains on the full rotated corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    src = corpus.select(V.to_double_array(vec_col).alias("__v"))
+    if sample_fraction < 1.0:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    src = src.repartition(stats_partitions)
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(dim)
+        mom = np.zeros((dim, dim))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if x.ndim != 2 or x.shape[1] != dim:
+                raise ValueError(
+                    f"opq_train: vectors must have dim {dim}, got "
+                    f"shape {x.shape}"
+                )
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            mom += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "m": [mom.reshape(-1).tolist()],
+                }
+            )
+
+    parts = src.mapInPandas(
+        partial, "n long, s array<double>, m array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("opq_train: empty corpus (or empty sample)")
+    n = sum(p["n"] for p in parts)
+    mu = np.zeros(dim)
+    mom = np.zeros((dim, dim))
+    for p in parts:
+        mu += np.asarray(p["s"])
+        mom += np.asarray(p["m"]).reshape(dim, dim)
+    mu /= n
+    return n, mu, mom
+
+
 def opq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -1145,6 +1250,9 @@ def opq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    sample_fraction: float | None = None,
+    stats_partitions: int = 16,
+    seed: int = 0,
 ):
     """Parametric OPQ (Ge et al., "Optimized Product Quantization",
     CVPR 2013 — the eigenvalue-allocation closed form): learn an
@@ -1177,41 +1285,31 @@ def opq_train(
     R converges to an arbitrary orthonormal basis and OPQ ≡ PQ (no
     win, no loss) — measured in tests/test_similarity.py on both a
     correlated fixture (OPQ > PQ) and the near-isotropic synthetic
-    embeddings (parity)."""
+    embeddings (parity).
+
+    Moments path selection: the exact aggregate-expression pass runs
+    for ``dim <= 128`` with no ``sample_fraction`` (the value-gate
+    contract at dim=64, deterministic and codegen-friendly); a higher
+    dim or an explicit ``sample_fraction`` switches to the mapInPandas
+    partial-covariance kernel — d² aggregate expressions at dim 512+
+    would generate 10⁵-10⁶ codegen terms (VERDICT r9 item 6), while
+    the kernel is one BLAS gemm per Arrow batch and bounds the driver
+    collect at stats_partitions × d² doubles regardless of corpus
+    size. The rotation is an estimate either way; the codebook always
+    trains on the FULL rotated corpus."""
     import numpy as np
 
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     sub = dim // m
-    v = V.to_double_array(vec_col)
-    # Σ x·xᵀ and Σ x in one pass: slim (j, v_j, v) rows, grouped
-    # elementwise sums — d rows × (d sums + 1) out, broadcast-tiny
-    rows = corpus.select(v.alias("__v")).select(
-        "__v", F.posexplode("__v").alias("j", "__vj")
-    )
-    stats = (
-        rows.groupBy("j")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("__vj").alias("s"),
-            *[
-                F.sum(F.element_at("__v", i + 1) * F.col("__vj")).alias(
-                    f"m{i}"
-                )
-                for i in range(dim)
-            ],
+    if sample_fraction is None and dim <= 128:
+        n, mu, mom = _opq_moments_exact(corpus, vec_col, dim)
+    else:
+        n, mu, mom = _opq_moments_sampled(
+            corpus, vec_col, dim,
+            1.0 if sample_fraction is None else float(sample_fraction),
+            stats_partitions, seed,
         )
-        .collect()
-    )
-    if not stats:
-        raise ValueError("opq_train: empty corpus")
-    n = stats[0]["n"]
-    mu = np.zeros(dim)
-    mom = np.zeros((dim, dim))
-    for r in stats:
-        j = r["j"]
-        mu[j] = r["s"] / n
-        mom[j] = [r[f"m{i}"] for i in range(dim)]
     cov = mom / n - np.outer(mu, mu)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1]
