@@ -50,6 +50,9 @@ __all__ = [
     "write_rollup",
     "update_rollup",
     "stream_rollup",
+    "stream_rollup_tx",
+    "ensure_rollup_txtable",
+    "tx_rollup_fold",
     "rollup_to_grain",
 ]
 
@@ -360,6 +363,101 @@ def stream_rollup(
         staged_exactly_once_fold(
             spark, batch_id, checkpoint, "rollup", stage, apply
         )
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ensure_rollup_txtable(
+    spark: SparkSession,
+    path: str,
+    event_schema,
+    ts_col: str,
+    dims: list[str],
+    metrics: list[str],
+    grain: str = "hour",
+):
+    """Open the rollup TxTable at ``path``, creating it EMPTY (schema
+    derived from an empty rollup of ``event_schema``) on first use.
+    Creating up front — not lazily on the first non-empty batch — keeps
+    every data-bearing commit token-stamped, so no crash point can
+    replay an unstamped create into a double-count."""
+    import os
+
+    from .txlog import TxTable
+
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        return TxTable(spark, path)
+    empty = rollup_rows(
+        spark.createDataFrame([], event_schema), ts_col, dims, metrics,
+        grain,
+    ).limit(0)
+    return TxTable.create(spark, path, empty, partition_by=[_DATE_COL])
+
+
+def tx_rollup_fold(
+    table,
+    batch_df: DataFrame,
+    batch_id: int,
+    ts_col: str,
+    dims: list[str],
+    metrics: list[str],
+    grain: str = "hour",
+) -> None:
+    """One micro-batch of the TRANSACTIONAL rollup fold: aggregate the
+    batch, merge with the touched dates' live partials read through the
+    table SNAPSHOT (never the raw directory — uncommitted orphans must
+    stay invisible), then overwrite those date partitions in one
+    token-stamped atomic commit. Module-level so the crash-matrix tests
+    drive the exact production callable."""
+    token = f"rollup-{batch_id}"
+    if table.seen_txn(token):
+        return
+    batch = rollup_rows(batch_df, ts_col, dims, metrics, grain)
+    batch.persist()
+    try:
+        dates = [r[0] for r in batch.select(_DATE_COL).distinct().collect()]
+        if not dates:
+            return  # empty batch: replay is naturally a no-op
+        existing = table.read().filter(F.col(_DATE_COL).isin(dates))
+        merged = merge_rollup(existing, batch, dims, metrics, None)
+        table.overwrite_partitions(merged, txn=token)
+    finally:
+        batch.unpersist()
+
+
+def stream_rollup_tx(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str,
+    dims: list[str],
+    metrics: list[str],
+    grain: str = "hour",
+    available_now: bool = False,
+):
+    """Streaming rollup maintenance on the TRANSACTIONAL path (VERDICT
+    r9 item 4, the rollup half): each micro-batch's merged post-state
+    overwrites its touched date partitions through
+    ``TxTable.overwrite_partitions(txn=...)`` instead of the staged
+    two-phase protocol. Exactly-once with the shorter crash matrix
+    (streaming/txsink.py): a crash before the log claim leaves only
+    invisible orphans and the replay recomputes against the unchanged
+    snapshot; a crash after it no-ops on the token; a torn partition
+    rewrite is structurally impossible. Cost per trigger is unchanged —
+    O(touched dates), never O(history) — plus one tiny JSON commit."""
+    table = ensure_rollup_txtable(
+        stream_df.sparkSession, path, stream_df.schema, ts_col, dims,
+        metrics, grain,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        tx_rollup_fold(table, batch_df, batch_id, ts_col, dims, metrics,
+                       grain)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

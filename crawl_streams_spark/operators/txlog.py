@@ -522,11 +522,18 @@ class TxTable:
             "APPEND",
         )
 
-    def overwrite_partitions(self, df: DataFrame) -> int:
+    def overwrite_partitions(self, df: DataFrame,
+                             txn: str | None = None) -> int:
         """Dynamic partition overwrite: replace exactly the partitions
         ``df`` carries rows for. Conflicts with any concurrent commit
         touching those partitions (fail loudly, caller retries the
-        whole operation with fresh data)."""
+        whole operation with fresh data). ``txn`` stamps the commit
+        with an application-transaction token and makes a replay of the
+        same token a no-op — the same exactly-once discipline as
+        ``merge_into`` (streaming post-state folds overwrite their
+        touched partitions per micro-batch)."""
+        if txn is not None and self.seen_txn(txn):
+            return self.latest_version()  # idempotent replay: no-op
         meta = self._snapshot(self.latest_version())["metaData"]
         pcols = meta["partitionColumns"]
         if not pcols:
@@ -567,7 +574,10 @@ class TxTable:
                     for c in pcols
                 ) in touched
             ]
-            return removes + [{"add": a} for a in adds]
+            actions = removes + [{"add": a} for a in adds]
+            if txn is not None:
+                actions.append({"txn": {"appId": txn}})
+            return actions
 
         return self._commit_with_retry(build, validate, "OVERWRITE")
 

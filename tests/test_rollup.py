@@ -410,3 +410,119 @@ def test_rollup_crash_matrix_recovers_exactly_once(spark, sf_dir, tmp_path):
         # replaying again after the marker is a no-op
         assert fold(b1, 1, path, ckpt) is False
         assert _snapshot(spark, path) == want
+
+
+# ---------------------------------------------------------------------------
+# Rollup maintenance on the TRANSACTIONAL path (VERDICT r9 item 4, the
+# rollup half): token-stamped partition overwrites through TxTable.
+# ---------------------------------------------------------------------------
+
+
+def _tx_snapshot(spark, path):
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    rows = (
+        TxTable(spark, path)
+        .read()
+        .select(
+            "bucket_date",
+            "bucket_start",
+            "event_type",
+            "cnt",
+            F.round("sum_value", 6).alias("sum_value"),
+            "min_value",
+            "max_value",
+        )
+        .collect()
+    )
+    return sorted(
+        (str(r[0]), str(r[1]), r[2], r[3], r[4], r[5], r[6]) for r in rows
+    )
+
+
+def test_stream_rollup_tx_matches_batch(spark, sf_dir, tmp_path):
+    """The transactional streaming fold converges to the same rollup as
+    the one-shot batch build, across a stream restart."""
+    from crawl_streams_spark.operators.rollup import stream_rollup_tx
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    out, full = str(tmp_path / "txroll"), str(tmp_path / "full")
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        q = stream_rollup_tx(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            out,
+            str(tmp_path / "ckpt"),
+            "ts",
+            DIMS,
+            METRICS,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    run()  # restart on the same checkpoint
+    write_rollup(spark.read.parquet(src), full, "ts", DIMS, METRICS)
+    assert _tx_snapshot(spark, out) == _snapshot(spark, full)
+
+
+def test_tx_rollup_crash_matrix_recovers_exactly_once(spark, sf_dir, tmp_path):
+    """Kill the transactional fold before and after the log claim and
+    prove the replay neither loses nor double-counts — driving the exact
+    production callable (tx_rollup_fold)."""
+    import pytest
+
+    from crawl_streams_spark.operators.rollup import (
+        ensure_rollup_txtable,
+        tx_rollup_fold,
+    )
+    from crawl_streams_spark.streaming.twophase import SimulatedCrash
+
+    ev = _events(spark, sf_dir).limit(600).cache()
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    path, full = str(tmp_path / "txcrash"), str(tmp_path / "full")
+    t = ensure_rollup_txtable(spark, path, ev.schema, "ts", DIMS, METRICS)
+    tx_rollup_fold(t, b0, 0, "ts", DIMS, METRICS)
+
+    # crash BEFORE the claim: data files orphaned, nothing visible
+    before = _tx_snapshot(spark, path)
+    orig = t._claim
+
+    def dying(version, actions):
+        raise SimulatedCrash("before_claim")
+
+    t._claim = dying
+    with pytest.raises(SimulatedCrash):
+        tx_rollup_fold(t, b1, 1, "ts", DIMS, METRICS)
+    t._claim = orig
+    assert _tx_snapshot(spark, path) == before
+    # replay recomputes against the unchanged snapshot
+    tx_rollup_fold(t, b1, 1, "ts", DIMS, METRICS)
+    write_rollup(ev, full, "ts", DIMS, METRICS)
+    want = _snapshot(spark, full)
+    assert _tx_snapshot(spark, path) == want
+
+    # crash AFTER the claim: the token no-ops every replay, including
+    # from a fresh handle (driver restart), so no double-count
+    v = t.latest_version()
+    tx_rollup_fold(t, b1, 1, "ts", DIMS, METRICS)
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    tx_rollup_fold(TxTable(spark, path), b1, 1, "ts", DIMS, METRICS)
+    assert t.latest_version() == v
+    assert _tx_snapshot(spark, path) == want
+    # orphans from the injected crash vacuum away without touching state
+    assert len(t.vacuum_orphans(min_age_seconds=0)) >= 1
+    assert _tx_snapshot(spark, path) == want
