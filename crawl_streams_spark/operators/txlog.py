@@ -395,6 +395,110 @@ class TxTable:
     def read(self) -> DataFrame:
         return self.read_version(self.latest_version())
 
+    def read_changes(
+        self,
+        start_version: int,
+        end_version: int | None = None,
+        ignore_changes: bool = False,
+    ) -> DataFrame:
+        """Rows ADDED after ``start_version``, up to and including
+        ``end_version`` (default: latest) — the incremental-consumption
+        seam (the Delta streaming-source idea): a downstream job
+        remembers the last version it processed and reads only the new
+        commits' data files, O(new data) instead of O(table).
+
+        Append-only by default: a commit in the range that REMOVES
+        files (overwrite, merge, compaction) rewrote rows, and its
+        add-files carry rows the consumer already saw — reading them
+        would double-count, so this raises TxError instead.
+        ``ignore_changes=True`` opts into the at-least-once reading
+        (every add-file in range, duplicates possible), the same dial
+        Delta exposes."""
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import StructType
+
+        last = self.latest_version()
+        end = last if end_version is None else end_version
+        if end > last:
+            raise TxError(f"version {end} does not exist")
+        adds: list = []
+        for v in self._commit_versions():
+            if v <= start_version or v > end:
+                continue
+            actions = self._read_actions(v)
+            if not ignore_changes and any("remove" in a for a in actions):
+                op = next(
+                    (a["commitInfo"].get("operation", "?")
+                     for a in actions if "commitInfo" in a),
+                    "?",
+                )
+                raise TxError(
+                    f"version {v} ({op}) rewrote data files — its adds "
+                    "carry rows older versions already delivered; pass "
+                    "ignore_changes=True for at-least-once reads"
+                )
+            adds.extend(a["add"] for a in actions if "add" in a)
+        schema = StructType.fromJson(
+            json.loads(self._snapshot(end)["metaData"]["schema"])
+        )
+        if not adds:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, a["path"]) for a in adds]
+        )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+
+    def compact(self, min_files: int = 2) -> int:
+        """Bin-pack small files: every partition holding at least
+        ``min_files`` live files is rewritten as one file (hash-
+        clustered by the partition columns, so each partition's rows
+        land in a single task). Pure physical reorganization — the
+        committed rows are identical, old files stay for time travel,
+        and the commit is atomic like any other. Returns the number of
+        partitions compacted.
+
+        This is what keeps a streaming fold's table scannable at scale:
+        every micro-batch commit adds files, and without compaction a
+        long-lived table degenerates into millions of tiny parquet
+        files whose open/footer costs dominate the scan. Conflicts
+        loudly if the table advances concurrently (compaction recomputes
+        cheaply; rerun it)."""
+        version = self.latest_version()
+        snap = self._snapshot(version)
+        pcols = snap["metaData"]["partitionColumns"]
+        groups: dict = {}
+        for a in snap["adds"].values():
+            key = tuple(
+                _canon_pval(a["partitionValues"].get(c)) for c in pcols
+            )
+            groups.setdefault(key, []).append(a)
+        victims = [g for g in groups.values() if len(g) >= min_files]
+        if not victims:
+            return 0
+        old = [a for g in victims for a in g]
+        df = self.spark.read.option("basePath", self.path).parquet(
+            *[os.path.join(self.path, a["path"]) for a in old]
+        )
+        packed = df.repartition(*pcols) if pcols else df.coalesce(1)
+        adds = self._write_data_files(packed, pcols)
+
+        def validate(snap2):
+            if self.latest_version() != version:
+                raise TxConflict(
+                    "table advanced during compaction; rerun it"
+                )
+
+        def build(snap2):
+            return (
+                [{"remove": {"path": a["path"]}} for a in old]
+                + [{"add": a} for a in adds]
+            )
+
+        self._commit_with_retry(build, validate, "COMPACT", max_retries=2)
+        return len(victims)
+
     def seen_txn(self, txn: str) -> bool:
         """Has an APPLICATION TRANSACTION token been committed? The
         Delta ``txn`` idea: a streaming foreachBatch fold stamps each

@@ -529,3 +529,88 @@ def test_merge_containment_guard_is_stats_pruned(spark, tmp_path):
     assert v == 1
     rows = {r["id"]: r["v"] for r in t.read().collect()}
     assert rows[150] == "X" and len(rows) == 400
+
+
+# ------------------------------------------ incremental reads + compaction
+def test_read_changes_incremental_appends(spark, table):
+    """A consumer that remembers its last version reads exactly the new
+    commits' rows — O(new data), never O(table)."""
+    v0 = table.latest_version()
+    v1 = table.append(_df(spark, [(4, "d", "d2")]))
+    v2 = table.append(_df(spark, [(5, "e", "d3"), (6, "f", "d1")]))
+    got = sorted(
+        r["id"] for r in table.read_changes(v0).collect()
+    )
+    assert got == [4, 5, 6]
+    # bounded range: only version v1's rows
+    assert sorted(
+        r["id"] for r in table.read_changes(v0, end_version=v1).collect()
+    ) == [4]
+    # fully-consumed position yields an EMPTY frame with the table schema
+    empty = table.read_changes(v2)
+    assert empty.count() == 0
+    assert empty.schema == table.read().schema
+    with pytest.raises(TxError, match="does not exist"):
+        table.read_changes(0, end_version=99)
+
+
+def test_read_changes_rejects_rewrites_unless_opted_in(spark, table):
+    v0 = table.latest_version()
+    table.merge_into(_df(spark, [(3, "C", "d2")]), key=["id"])
+    with pytest.raises(TxError, match="rewrote data files"):
+        table.read_changes(v0)
+    # at-least-once opt-in: the merge's add-files, duplicates possible
+    got = {r["id"] for r in table.read_changes(v0, ignore_changes=True).collect()}
+    assert got == {3}
+
+
+def test_compact_packs_small_files_without_changing_rows(spark, table):
+    """Five appends leave many files per partition; compaction rewrites
+    each fat partition to ONE file, rows identical, history intact."""
+    for i in range(5):
+        table.append(_df(spark, [(10 + i, f"x{i}", "d1")]))
+    before_rows = sorted(
+        map(tuple, table.read().collect())
+    )
+    snap = table._snapshot(table.latest_version())
+    d1_before = [
+        a for a in snap["adds"].values()
+        if a["partitionValues"]["day"] == "d1"
+    ]
+    assert len(d1_before) >= 6
+    v_pre = table.latest_version()
+    n = table.compact()
+    assert n >= 1
+    snap2 = table._snapshot(table.latest_version())
+    d1_after = [
+        a for a in snap2["adds"].values()
+        if a["partitionValues"]["day"] == "d1"
+    ]
+    assert len(d1_after) == 1
+    assert sorted(map(tuple, table.read().collect())) == before_rows
+    # stats survive the rewrite (pruning keeps working post-compact)
+    assert "stats" in d1_after[0]
+    # time travel to the pre-compaction version still reads
+    assert sorted(
+        map(tuple, table.read_version(v_pre).collect())
+    ) == before_rows
+    # idempotent-ish: nothing left to pack
+    assert table.compact() == 0
+
+
+def test_compact_conflicts_on_concurrent_advance(spark, table):
+    table.append(_df(spark, [(7, "g", "d1")]))
+    other = TxTable(spark, table.path)
+    adds = other._write_data_files(_df(spark, [(50, "w", "d2")]), ["day"])
+    _with_interloper(
+        table,
+        [{"commitInfo": {"operation": "APPEND"}}]
+        + [{"add": a} for a in adds],
+    )
+    with pytest.raises(TxConflict, match="advanced during compaction"):
+        table.compact()
+    # the interloper's row is intact; a rerun compacts cleanly
+    assert table.compact() >= 1
+    assert sorted(r["id"] for r in table.read().collect()) == [
+        1, 2, 3, 7, 50,
+    ]
