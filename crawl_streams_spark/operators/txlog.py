@@ -369,27 +369,37 @@ class TxTable:
         return {"metaData": meta, "adds": adds, "txns": txns,
                 "txns_complete": txns_complete}
 
-    def read_version(self, version: int) -> DataFrame:
-        import pyspark.sql.functions as F
+    def _declared_schema(self, snap):
         from pyspark.sql.types import StructType
 
-        snap = self._snapshot(version)
-        schema = StructType.fromJson(
-            json.loads(snap["metaData"]["schema"])
-        )
-        files = [
-            os.path.join(self.path, a["path"])
-            for a in snap["adds"].values()
-        ]
+        return StructType.fromJson(json.loads(snap["metaData"]["schema"]))
+
+    def _read_adds(self, add_actions, schema) -> DataFrame:
+        """Read a set of add-actions' data files UNDER THE DECLARED
+        SCHEMA. The explicit schema does three jobs: partition columns
+        reconstruct with their declared types (not directory-inferred
+        ones — a string day must not come back DATE), files written
+        BEFORE a schema evolution null-fill the newer columns, and
+        column order canonicalizes — every internal read (snapshot,
+        merge, compaction) sees the table's one schema."""
+        import pyspark.sql.functions as F
+
+        files = [os.path.join(self.path, a["path"]) for a in add_actions]
         if not files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("basePath", self.path).parquet(*files)
-        # partition columns come back through Spark's directory-type
-        # inference (a string day becomes DATE); cast to the DECLARED
-        # schema and canonicalize column order so every snapshot reads
-        # with the table's one schema
+        df = (
+            self.spark.read.schema(schema)
+            .option("basePath", self.path)
+            .parquet(*files)
+        )
         return df.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+
+    def read_version(self, version: int) -> DataFrame:
+        snap = self._snapshot(version)
+        return self._read_adds(
+            list(snap["adds"].values()), self._declared_schema(snap)
         )
 
     def read(self) -> DataFrame:
@@ -414,9 +424,6 @@ class TxTable:
         ``ignore_changes=True`` opts into the at-least-once reading
         (every add-file in range, duplicates possible), the same dial
         Delta exposes."""
-        import pyspark.sql.functions as F
-        from pyspark.sql.types import StructType
-
         last = self.latest_version()
         end = last if end_version is None else end_version
         if end > last:
@@ -438,16 +445,8 @@ class TxTable:
                     "ignore_changes=True for at-least-once reads"
                 )
             adds.extend(a["add"] for a in actions if "add" in a)
-        schema = StructType.fromJson(
-            json.loads(self._snapshot(end)["metaData"]["schema"])
-        )
-        if not adds:
-            return self.spark.createDataFrame([], schema)
-        df = self.spark.read.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, a["path"]) for a in adds]
-        )
-        return df.select(
-            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        return self._read_adds(
+            adds, self._declared_schema(self._snapshot(end))
         )
 
     def compact(self, min_files: int = 2) -> int:
@@ -478,9 +477,7 @@ class TxTable:
         if not victims:
             return 0
         old = [a for g in victims for a in g]
-        df = self.spark.read.option("basePath", self.path).parquet(
-            *[os.path.join(self.path, a["path"]) for a in old]
-        )
+        df = self._read_adds(old, self._declared_schema(snap))
         packed = df.repartition(*pcols) if pcols else df.coalesce(1)
         adds = self._write_data_files(packed, pcols)
 
@@ -616,12 +613,56 @@ class TxTable:
             f"{operation} lost {max_retries} commit races; giving up"
         )
 
-    def append(self, df: DataFrame) -> int:
-        """Blind append: always valid under concurrency (no reads)."""
+    def _schema_guard(self, df: DataFrame, meta: dict, op: str,
+                      merge_schema: bool = False):
+        """Fail loudly when a write's schema disagrees with the table's
+        — without this, an extra column silently vanished on read and a
+        missing one broke later reads mid-analysis. Returns the evolved
+        metaData action when ``merge_schema`` admits NEW columns (append
+        only — a partition rewrite with half a schema would null out
+        surviving rows' data)."""
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(json.loads(meta["schema"]))
+        dd = {f.name: f.dataType for f in declared.fields}
+        got = {f.name: f.dataType for f in df.schema.fields}
+        missing = sorted(n for n in dd if n not in got)
+        extra = [f for f in df.schema.fields if f.name not in dd]
+        wrong = sorted(
+            f"{n}: {got[n].simpleString()} != {dd[n].simpleString()}"
+            for n in dd
+            if n in got and got[n] != dd[n]
+        )
+        if missing or wrong:
+            raise TxError(
+                f"{op}: schema mismatch — missing columns {missing}, "
+                f"type conflicts {wrong}"
+            )
+        if not extra:
+            return None
+        if not merge_schema:
+            raise TxError(
+                f"{op}: columns not in the table schema: "
+                f"{[f.name for f in extra]} (append with "
+                "merge_schema=True to evolve the table)"
+            )
+        evolved = StructType(list(declared.fields) + list(extra))
+        return {
+            "schema": evolved.json(),
+            "partitionColumns": meta["partitionColumns"],
+        }
+
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Blind append: always valid under concurrency (no reads).
+        ``merge_schema=True`` admits NEW columns — the commit carries
+        the widened metaData, and older files null-fill the new columns
+        on read (the declared-schema read path)."""
         meta = self._snapshot(self.latest_version())["metaData"]
+        new_meta = self._schema_guard(df, meta, "append", merge_schema)
         adds = self._write_data_files(df, meta["partitionColumns"])
+        head = [] if new_meta is None else [{"metaData": new_meta}]
         return self._commit_with_retry(
-            lambda snap: [{"add": a} for a in adds],
+            lambda snap: head + [{"add": a} for a in adds],
             lambda snap: None,
             "APPEND",
         )
@@ -639,6 +680,7 @@ class TxTable:
         if txn is not None and self.seen_txn(txn):
             return self.latest_version()  # idempotent replay: no-op
         meta = self._snapshot(self.latest_version())["metaData"]
+        self._schema_guard(df, meta, "overwrite_partitions")
         pcols = meta["partitionColumns"]
         if not pcols:
             raise TxError(
@@ -722,6 +764,8 @@ class TxTable:
     def _merge_cached(self, updates, key, check_key_containment, txn):
         version = self.latest_version()
         snap = self._snapshot(version)
+        self._schema_guard(updates, snap["metaData"], "merge_into")
+        schema = self._declared_schema(snap)
         pcols = snap["metaData"]["partitionColumns"]
         if not pcols:
             raise TxError("merge_into needs a partitioned table")
@@ -741,11 +785,7 @@ class TxTable:
         if check_key_containment and other_files:
             scan = self._containment_candidates(other_files, updates, key)
             if scan:
-                others = self.spark.read.option(
-                    "basePath", self.path
-                ).parquet(
-                    *[os.path.join(self.path, a["path"]) for a in scan]
-                )
+                others = self._read_adds(scan, schema)
                 stray = others.join(
                     updates.select(*key).distinct(), key, "left_semi"
                 ).limit(1).count()
@@ -757,12 +797,7 @@ class TxTable:
                         "are partition-stable by construction)"
                     )
         if touched_files:
-            current = self.spark.read.option(
-                "basePath", self.path
-            ).parquet(
-                *[os.path.join(self.path, a["path"])
-                  for a in touched_files]
-            )
+            current = self._read_adds(touched_files, schema)
             merged = current.join(
                 updates.select(*key).distinct(), key, "left_anti"
             ).unionByName(updates)

@@ -614,3 +614,67 @@ def test_compact_conflicts_on_concurrent_advance(spark, table):
     assert sorted(r["id"] for r in table.read().collect()) == [
         1, 2, 3, 7, 50,
     ]
+
+
+# ----------------------------------------------------- schema guard/evolution
+def test_writes_with_mismatched_schema_fail_loudly(spark, table):
+    """An extra column used to vanish silently on read; a missing one
+    broke later reads mid-analysis. Every write now validates against
+    the declared schema up front."""
+    import pyspark.sql.functions as F
+
+    extra = _df(spark, [(9, "z", "d1")]).withColumn("boost", F.lit(1))
+    with pytest.raises(TxError, match="not in the table schema"):
+        table.append(extra)
+    with pytest.raises(TxError, match="not in the table schema"):
+        table.overwrite_partitions(extra)
+    with pytest.raises(TxError, match="not in the table schema"):
+        table.merge_into(extra, key=["id"], check_key_containment=False)
+    missing = spark.createDataFrame([(9, "d1")], "id bigint, day string")
+    with pytest.raises(TxError, match="missing columns \\['v'\\]"):
+        table.append(missing)
+    wrong = spark.createDataFrame(
+        [(9, 1.5, "d1")], "id bigint, v double, day string"
+    )
+    with pytest.raises(TxError, match="type conflicts"):
+        table.append(wrong)
+    assert _ids(table) == [1, 2, 3]  # nothing landed
+
+
+def test_append_merge_schema_evolves_and_nullfills_old_files(spark, table):
+    """merge_schema=True widens the table: the commit carries the new
+    metaData, old files null-fill the new column on read, and time
+    travel below the evolution still reads the original schema."""
+    import pyspark.sql.functions as F
+
+    wide = _df(spark, [(4, "d", "d2")]).withColumn(
+        "score", F.lit(0.5).cast("double")
+    )
+    v = table.append(wide, merge_schema=True)
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert got == {1: None, 2: None, 3: None, 4: 0.5}
+    assert table.read().schema.simpleString() == (
+        "struct<id:bigint,v:string,day:string,score:double>"
+    )
+    # pre-evolution version still reads with the ORIGINAL schema
+    assert "score" not in table.read_version(v - 1).schema.fieldNames()
+    # post-evolution strict writes now require the new column
+    with pytest.raises(TxError, match="missing columns \\['score'\\]"):
+        table.append(_df(spark, [(5, "e", "d1")]))
+    # merge against the widened schema works; old rows keep NULL score
+    upd = _df(spark, [(1, "A", "d1")]).withColumn(
+        "score", F.lit(0.9).cast("double")
+    )
+    table.merge_into(upd, key=["id"], check_key_containment=False)
+    got = {r["id"]: (r["v"], r["score"]) for r in table.read().collect()}
+    assert got[1] == ("A", 0.9) and got[2] == ("b", None)
+    # compaction across the evolution boundary keeps the null-fill
+    for i in range(3):
+        table.append(
+            _df(spark, [(10 + i, "x", "d2")]).withColumn(
+                "score", F.lit(float(i)).cast("double")
+            )
+        )
+    assert table.compact() >= 1
+    got = {r["id"]: r["score"] for r in table.read().collect()}
+    assert got[3] is None and got[11] == 1.0
