@@ -1,0 +1,170 @@
+"""TxTable as a Spark DataSource (sources/txtable.py): batch snapshot
+reads for format symmetry, and the STREAMING (CDC) source — version
+offsets, exactly-once across restarts, loud failure on rewrites,
+partition-value typing, pre-evolution null-fill."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from crawl_streams_spark.operators.txlog import TxTable
+from crawl_streams_spark.sources.txtable import (
+    register_txtable_source,
+    stream_table_changes,
+)
+
+_SCHEMA = "id bigint, v string, day string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return TxTable.create(
+        spark,
+        str(tmp_path / "tbl"),
+        _df(spark, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]),
+        partition_by=["day"],
+    )
+
+
+def _drain(spark, path, ckpt, sink, **options):
+    q = (
+        stream_table_changes(spark, path, **options)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def test_batch_format_reads_latest_snapshot(spark, table):
+    register_txtable_source(spark)
+    table.append(_df(spark, [(4, "d", "d3")]))
+    got = spark.read.format("txtable").load(table.path)
+    assert got.schema.simpleString() == (
+        "struct<id:bigint,v:string,day:string>"
+    )
+    rows = {r["id"]: (r["v"], r["day"]) for r in got.collect()}
+    assert rows == {1: ("a", "d1"), 2: ("b", "d1"), 3: ("c", "d2"),
+                    4: ("d", "d3")}
+    # filters/projections compose like any source
+    assert got.filter(F.col("day") == "d1").count() == 2
+
+
+def test_stream_delivers_appends_exactly_once_across_restart(
+    spark, table, tmp_path
+):
+    """The CDC loop: each availableNow drain delivers exactly the
+    commits after the checkpointed version — a restart repeats
+    nothing, an idle drain delivers nothing."""
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["id"], r["v"], r["day"]) for r in batch_df.collect()
+        )
+
+    ckpt = str(tmp_path / "ck")
+    _drain(spark, table.path, ckpt, sink)
+    assert sorted(seen) == [(1, "a", "d1"), (2, "b", "d1"),
+                            (3, "c", "d2")]
+    table.append(_df(spark, [(4, "d", "d2")]))
+    table.append(_df(spark, [(5, "e", "d3")]))
+    seen.clear()
+    _drain(spark, table.path, ckpt, sink)  # restart, same checkpoint
+    assert sorted(seen) == [(4, "d", "d2"), (5, "e", "d3")]
+    seen.clear()
+    _drain(spark, table.path, ckpt, sink)  # nothing new
+    assert seen == []
+
+
+def test_stream_starting_version_and_latest(spark, table, tmp_path):
+    v1 = table.append(_df(spark, [(4, "d", "d2")]))
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    # from an explicit version: only commits AFTER it
+    _drain(spark, table.path, str(tmp_path / "ck1"), sink,
+           starting_version=v1 - 1)
+    assert sorted(seen) == [4]
+    # from "latest": an immediate drain sees nothing...
+    seen.clear()
+    _drain(spark, table.path, str(tmp_path / "ck2"), sink,
+           starting_version="latest")
+    assert seen == []
+    # ...and the next append arrives on the same checkpoint
+    table.append(_df(spark, [(9, "z", "d1")]))
+    _drain(spark, table.path, str(tmp_path / "ck2"), sink,
+           starting_version="latest")
+    assert seen == [9]
+
+
+def test_stream_fails_loudly_on_rewrites_unless_opted_in(
+    spark, table, tmp_path
+):
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    ckpt = str(tmp_path / "ck")
+    _drain(spark, table.path, ckpt, sink)
+    table.merge_into(_df(spark, [(3, "C", "d2")]), key=["id"])
+    q = (
+        stream_table_changes(spark, table.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrote data files"):
+        q.awaitTermination(120)
+        raise AssertionError("stream must fail on a rewrite commit")
+    q.stop()
+    # opted in: at-least-once delivery of the merge's add-files
+    seen.clear()
+    _drain(spark, table.path, ckpt, sink, ignore_changes=True)
+    assert 3 in seen
+
+
+def test_partition_value_typing_and_evolution_nullfill(spark, tmp_path):
+    """Int partition values come back as ints (converted from the log's
+    directory strings), and files written before a schema evolution
+    null-fill the new column in streamed batches."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "typed"),
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id bigint, v string, part int"
+        ),
+        partition_by=["part"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 10, 0.5)],
+            "id bigint, v string, part int, score double",
+        ),
+        merge_schema=True,
+    )
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        assert batch_df.schema.simpleString() == (
+            "struct<id:bigint,v:string,part:int,score:double>"
+        )
+        seen.extend(
+            (r["id"], r["part"], r["score"]) for r in batch_df.collect()
+        )
+
+    _drain(spark, t.path, str(tmp_path / "ck"), sink)
+    assert sorted(seen) == [(1, 10, None), (2, 20, None), (3, 10, 0.5)]
