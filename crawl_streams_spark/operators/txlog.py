@@ -449,7 +449,9 @@ class TxTable:
             adds, self._declared_schema(self._snapshot(end))
         )
 
-    def compact(self, min_files: int = 2) -> int:
+    def compact(self, min_files: int = 2,
+                cluster_by: list | None = None,
+                max_rows_per_file: int | None = None) -> int:
         """Bin-pack small files: every partition holding at least
         ``min_files`` live files is rewritten as one file (hash-
         clustered by the partition columns, so each partition's rows
@@ -457,6 +459,14 @@ class TxTable:
         committed rows are identical, old files stay for time travel,
         and the commit is atomic like any other. Returns the number of
         partitions compacted.
+
+        ``cluster_by`` additionally SORTS the rewritten rows within
+        each partition (the OPTIMIZE-with-clustering idea, 1-D form):
+        the regenerated per-file min/max stats become tight — disjoint
+        when ``max_rows_per_file`` splits a partition at sorted
+        boundaries — so the stats-pruned MERGE containment guard and
+        any min/max-aware scan skip harder. Compaction and data
+        skipping compound.
 
         This is what keeps a streaming fold's table scannable at scale:
         every micro-batch commit adds files, and without compaction a
@@ -479,7 +489,13 @@ class TxTable:
         old = [a for g in victims for a in g]
         df = self._read_adds(old, self._declared_schema(snap))
         packed = df.repartition(*pcols) if pcols else df.coalesce(1)
-        adds = self._write_data_files(packed, pcols)
+        if cluster_by:
+            packed = packed.sortWithinPartitions(
+                *(list(pcols) + list(cluster_by))
+            )
+        adds = self._write_data_files(
+            packed, pcols, max_rows_per_file=max_rows_per_file
+        )
 
         def validate(snap2):
             if self.latest_version() != version:
@@ -550,7 +566,8 @@ class TxTable:
         return out
 
     # ------------------------------------------------------- data files
-    def _write_data_files(self, df: DataFrame, partition_by: list):
+    def _write_data_files(self, df: DataFrame, partition_by: list,
+                          max_rows_per_file: int | None = None):
         """Write ``df`` as immutable parquet files inside the table and
         return their add-actions. Files land under their hive-style
         partition directories (read back with basePath so the partition
@@ -560,6 +577,11 @@ class TxTable:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        if max_rows_per_file:
+            # files split at task-local row boundaries — after a
+            # sortWithinPartitions those boundaries are SORTED, so the
+            # split files carry disjoint cluster-key ranges
+            writer = writer.option("maxRecordsPerFile", max_rows_per_file)
         writer.parquet(staging)
         adds = []
         for root, _dirs, files in os.walk(staging):

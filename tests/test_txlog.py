@@ -678,3 +678,51 @@ def test_append_merge_schema_evolves_and_nullfills_old_files(spark, table):
     assert table.compact() >= 1
     got = {r["id"]: r["score"] for r in table.read().collect()}
     assert got[3] is None and got[11] == 1.0
+
+
+def test_clustered_compaction_tightens_file_stats(spark, tmp_path):
+    """compact(cluster_by=...) sorts rows within each partition before
+    the rewrite, and max_rows_per_file splits at sorted boundaries — so
+    the regenerated per-file id ranges are DISJOINT and the stats-pruned
+    containment guard can skip all but one file for a point lookup."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "clustered"),
+        _df(spark, [(i, "seed", "d1") for i in range(0, 200, 2)]),
+        partition_by=["day"],
+    )
+    # interleaved appends: every file's id range spans ~the whole
+    # keyspace (coalesce(1) keeps each append one wide-range file)
+    for lo in range(1, 9, 2):
+        t.append(
+            _df(spark, [(i, "x", "d1") for i in range(lo, 200, 8)])
+            .coalesce(1)
+        )
+    before = [
+        a for a in t._snapshot(t.latest_version())["adds"].values()
+    ]
+    overlapping = [
+        a for a in before
+        if a["stats"]["minValues"]["id"] < 50
+        and a["stats"]["maxValues"]["id"] > 150
+    ]
+    assert len(overlapping) >= 3, "fixture must start range-overlapped"
+    rows_before = sorted(map(tuple, t.read().collect()))
+
+    assert t.compact(cluster_by=["id"], max_rows_per_file=40) == 1
+    after = list(t._snapshot(t.latest_version())["adds"].values())
+    assert len(after) >= 3  # the row cap split the partition
+    ranges = sorted(
+        (a["stats"]["minValues"]["id"], a["stats"]["maxValues"]["id"])
+        for a in after
+    )
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap after clustering: {ranges}"
+    assert sorted(map(tuple, t.read().collect())) == rows_before
+    # the guard now prunes to exactly one file for a point key
+    upd = _df(spark, [(57, "y", "d9")])  # d9 untouched partition set
+    scan = t._containment_candidates(after, upd, ["id"])
+    assert len(scan) == 1
+    lo, hi = (scan[0]["stats"]["minValues"]["id"],
+              scan[0]["stats"]["maxValues"]["id"])
+    assert lo <= 57 <= hi

@@ -180,3 +180,114 @@ def test_streaming_archive_to_features_pipeline(spark, tmp_path):
     run()
     got = {r["media_id"]: r for r in spark.read.parquet(out).collect()}
     assert sorted(got) == [1, 2, 3, 7]  # no re-decodes, no dups
+
+
+def test_archive_to_txtable_to_cdc_pipeline(spark, tmp_path):
+    """The full transactional platform loop, all layers exactly-once
+    across restarts: WARC archives land in a watched directory; a
+    streaming decode folds TIFF features into a TxTable through the
+    token-stamped transactional sink; a SECOND, independent stream
+    consumes the table's commit log as CDC (sources/txtable.py) and
+    sees each feature row exactly once. The media ids are chosen so
+    each micro-batch merges into fresh buckets (pure-add commits) —
+    the strict CDC mode's contract; a consumer of a bucket-REWRITING
+    fold would run ignore_changes + key-dedup instead (pinned in
+    tests/test_txtable_source.py)."""
+    from crawl_streams_spark.operators.multimodal import (
+        decode_tiff_features,
+    )
+    from crawl_streams_spark.operators.tiff import pattern_tiff
+    from crawl_streams_spark.operators.txlog import TxTable
+    from crawl_streams_spark.streaming.txsink import (
+        ensure_tx_snapshot,
+        read_tx_snapshot,
+        tx_fold_writer,
+    )
+    from crawl_streams_spark.sources.txtable import stream_table_changes
+
+    d = str(tmp_path / "tx_archive")
+    tbl = str(tmp_path / "tx_features")
+    ck_in = str(tmp_path / "tx_ck_in")
+    ck_out = str(tmp_path / "tx_ck_out")
+    os.makedirs(d)
+    register_warc_source(spark)
+
+    def write_archive(name, media_ids):
+        recs = b"".join(
+            warc_record_bytes(
+                "response",
+                _http(pattern_tiff(mid, 9, 6), "image/tiff"),
+                target_uri=f"https://site.example/{mid}.tiff",
+            )
+            for mid in media_ids
+        )
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(recs)
+
+    table = ensure_tx_snapshot(
+        spark, tbl, "media_id bigint, sum_rgb bigint", "media_id",
+        n_buckets=4,
+    )
+
+    def run_ingest():
+        captures = (
+            spark.readStream.format("warc")
+            .load(d)
+            .filter(F.col("http_status") == 200)
+            .select(
+                F.regexp_extract("target_uri", r"/(\d+)\.tiff$", 1)
+                .cast("bigint")
+                .alias("media_id"),
+                _strip_http("payload").cast("binary").alias("payload"),
+            )
+        )
+        feats = decode_tiff_features(captures).select(
+            "media_id", F.col("sum_rgb").cast("bigint").alias("sum_rgb")
+        )
+        q = tx_fold_writer(
+            feats, ck_in, "tiff_features", table, "media_id",
+            n_buckets=4, available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    downstream: list = []
+
+    def run_cdc():
+        q = (
+            stream_table_changes(spark, tbl)
+            .writeStream.foreachBatch(
+                lambda b, _i: downstream.extend(
+                    (r["media_id"], r["sum_rgb"]) for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ck_out)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # batch 1: ids 1,2,3 -> buckets 1,2,3 (fresh -> pure-add merge)
+    write_archive("batch1.warc", [1, 2, 3])
+    run_ingest()
+    run_cdc()
+    assert sorted(m for m, _s in downstream) == [1, 2, 3]
+    y = np.arange(6)[:, None]
+    x = np.arange(9)[None, :]
+    v = (2 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
+    assert dict(downstream)[2] == 3 * int(v.sum())
+
+    # restart every layer; batch 2: id 8 -> bucket 0 (fresh again)
+    write_archive("batch2.warc", [8])
+    run_ingest()
+    downstream.clear()
+    run_cdc()  # same checkpoint: only the NEW commit arrives
+    assert sorted(m for m, _s in downstream) == [8]
+
+    # the table itself agrees with everything the CDC stream delivered
+    snap = {
+        r["media_id"]: r["sum_rgb"]
+        for r in read_tx_snapshot(TxTable(spark, tbl)).collect()
+    }
+    assert sorted(snap) == [1, 2, 3, 8]
