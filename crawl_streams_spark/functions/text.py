@@ -225,3 +225,59 @@ def dup_ngram_fraction(grams: Column) -> Column:
     the "duplicate n-gram fraction" companion filter (high ⇒ looping or
     stuttering generation artifacts)."""
     return _gram_run_stats(grams)["dup"] / F.size(grams)
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (the crawl-pipeline step between a fetched page
+# and every text operator above: strip script/style/comments/tags, decode
+# the common entities, normalize whitespace). Pure regexp/replace chain —
+# whole-stage codegen, zero shuffle, and every pattern is RE2-compatible
+# (no backreferences or lookaround) so a DuckDB oracle replays it exactly.
+# --------------------------------------------------------------------------
+
+#: decode order matters: &amp; LAST, or '&amp;lt;' would double-decode.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+#: strip order matters: script/style/comment BLOCKS before the generic
+#: tag strip (their bodies may contain '<'), tags before entity decode
+#: (decoded '<' must not fabricate tags — the classic sanitizer bug).
+HTML_STRIP_PATTERNS: tuple[str, ...] = (
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]*>",
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Visible text of an HTML page: script/style/comment blocks out,
+    tags out (each leaves a space, so adjacent block elements never fuse
+    words), common entities decoded, whitespace collapsed and trimmed."""
+    c = _c(html)
+    for pat in HTML_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.btrim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_title(html: Column | str) -> Column:
+    """<title> content ('' when absent), entity-decoded and trimmed."""
+    c = F.regexp_extract(_c(html), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.btrim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_links(html: Column | str) -> Column:
+    """Array of double-quoted href values, document order."""
+    return F.regexp_extract_all(
+        _c(html), F.lit(r'(?is)href="([^"]*)"'), 1
+    )

@@ -20,7 +20,11 @@ changes, per the planner's own donation rule):
   ``status_code_histogram``, ``token_array_ops``, ``top_tokens``,
   ``user_interarrival_stats``, ``wayback_timestamps``,
   ``windowed_funnel_levels``).
-- Slots 11-13: round-10 implementation changes re-windowed for
+- Slot 11: the round-10 ADDITION ``doc_html_extract`` (HTML -> text /
+  title / links — the crawl-pipeline extraction step), in-window from
+  birth per the capacity policy (187 registered, soft cap 196; the
+  fourth filler donated from the end was ``returned_item_customers``).
+- Slots 12-14: round-10 implementation changes re-windowed for
   post-change verdicts (the round-6/7 hint-drop precedent):
   ``media_tiff_features`` / ``media_tiff_lzw_features`` (the
   forged-header expansion bound is now compression-aware — ADVICE r9
@@ -96,6 +100,8 @@ PRIORITY: tuple[str, ...] = (
     "user_interarrival_stats",  # q_behavior, r5
     "wayback_timestamps",  # q_events, r5
     "windowed_funnel_levels",  # q_behavior, r5
+    # -- round-10 ADDITIONS, in-window from birth ------------------------
+    "doc_html_extract",  # q_text: NEW r10 — HTML->text/title/links chain
     # -- round-10 implementation changes re-windowed (post-change verdicts)
     "media_tiff_features",  # compression-aware expansion bound (ADVICE r9)
     "media_tiff_lzw_features",  # compression-aware expansion bound
@@ -138,7 +144,6 @@ PRIORITY: tuple[str, ...] = (
     "pricing_summary",  # q_tpch, r6
     "promo_revenue_share",  # q_tpch2, r6
     "regional_revenue",  # q_tpch, r6 — r9 bench-watch, fresh verdict
-    "returned_item_customers",  # q_tpch3, r6
 )
 
 

@@ -382,3 +382,101 @@ def doc_repetition(spark, sf_dir):
         F.round(T.top_ngram_fraction(F.col("g2")), 6).alias("top_2gram_fraction"),
         F.round(T.dup_ngram_fraction(F.col("g3")), 6).alias("dup_3gram_fraction"),
     )
+
+
+# -- HTML -> text extraction (r10) ------------------------------------------
+# The fixture synthesizes a page around each document's text (title with an
+# entity, style + comment + script blocks with embedded '<' and '</p>'
+# decoys, per-doc links); the oracle replays the IDENTICAL strip/decode
+# chain from the shared constants, so the two cannot drift.
+
+_HTML_PREFIX = "<html><head><title>Doc "
+_HTML_TITLE_TAIL = " &amp; friends</title><style>body div</style></head><body><!-- hidden "
+_HTML_BODY_OPEN = " --><h1>Heading</h1><p>"
+_HTML_LINK_OPEN = '</p><a href="https://ex.org/'
+_HTML_LINK_TAIL = '">x</a>'
+_HTML_ALT_LINK = '<a href="https://ex.org/alt">y</a>'
+_HTML_SUFFIX = (
+    '<script>var x = 1 < 2; s = "</p>";</script>&nbsp;&lt;fin&gt;'
+    "</body></html>"
+)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _duck_html_fixture() -> str:
+    return (
+        f"{_sql_quote(_HTML_PREFIX)} || CAST(doc_id AS VARCHAR) || "
+        f"{_sql_quote(_HTML_TITLE_TAIL)} || CAST(doc_id AS VARCHAR) || "
+        f"{_sql_quote(_HTML_BODY_OPEN)} || text || "
+        f"{_sql_quote(_HTML_LINK_OPEN)} || CAST(doc_id AS VARCHAR) || "
+        f"{_sql_quote(_HTML_LINK_TAIL)} || "
+        f"CASE WHEN doc_id % 3 = 0 THEN {_sql_quote(_HTML_ALT_LINK)} "
+        f"ELSE '' END || {_sql_quote(_HTML_SUFFIX)}"
+    )
+
+
+def _duck_entity_chain(expr: str) -> str:
+    for ent, ch in T.HTML_ENTITIES:
+        expr = f"replace({expr}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    return expr
+
+
+def _duck_html_clean(expr: str) -> str:
+    for pat in T.HTML_STRIP_PATTERNS:
+        expr = f"regexp_replace({expr}, {_sql_quote(pat)}, ' ', 'g')"
+    expr = _duck_entity_chain(expr)
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+def _duck_html_title(expr: str) -> str:
+    t = f"regexp_extract({expr}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    t = _duck_entity_chain(t)
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "doc_html_extract",
+    oracle=f"""
+        WITH pages AS (SELECT doc_id, {_duck_html_fixture()} AS html
+                       FROM documents)
+        SELECT doc_id,
+               {_duck_html_title('html')} AS title,
+               {_duck_html_clean('html')} AS clean_text,
+               CAST(len(regexp_extract_all(html, '(?is)href="([^"]*)"', 1)) AS BIGINT) AS n_links,
+               array_to_string(regexp_extract_all(html, '(?is)href="([^"]*)"', 1), '|') AS links_joined
+        FROM pages
+    """,
+    tags=("text", "extension", "html"),
+)
+def doc_html_extract(spark, sf_dir):
+    """HTML -> text extraction (functions/text.py::html_to_text): the
+    crawl-pipeline step between a fetched page and every text operator —
+    strip script/style/comment blocks (their bodies carry '<' and
+    '</p>' decoys), strip tags, decode entities (&amp; last), collapse
+    whitespace; plus <title> recovery and href harvesting. Pure
+    regexp/replace chain: whole-stage codegen, zero shuffle, 100 TB =
+    embarrassingly parallel narrow map. Every pattern is
+    RE2-compatible, so the oracle replays the exact chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(_HTML_PREFIX), did,
+        F.lit(_HTML_TITLE_TAIL), did,
+        F.lit(_HTML_BODY_OPEN), F.col("text"),
+        F.lit(_HTML_LINK_OPEN), did,
+        F.lit(_HTML_LINK_TAIL),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_ALT_LINK))
+        .otherwise(F.lit("")),
+        F.lit(_HTML_SUFFIX),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        T.html_title("html").alias("title"),
+        T.html_to_text("html").alias("clean_text"),
+        F.size(T.html_links("html")).cast("bigint").alias("n_links"),
+        F.concat_ws("|", T.html_links("html")).alias("links_joined"),
+    )

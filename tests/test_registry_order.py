@@ -36,6 +36,7 @@ def test_round_changed_queries_in_window():
     # received r9 verdicts (CORRECTNESS_r09.json, 50/50 pass).
     for name in (
         # round-10 ADDITIONS / re-windowed changes go here as they land
+        "doc_html_extract",  # NEW: HTML->text extraction gate
         "media_tiff_features",  # changed: compression-aware decode bound
         "media_tiff_lzw_features",  # changed: compression-aware bound
         "knn_opq_fixed",  # changed: opq_train sample-based rotation path
@@ -115,12 +116,10 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 186 registered queries as of round 9 (dsir_bigram_selected_docs,
-    # media_flac_stereo_features, media_tiff_features, knn_opq_fixed,
-    # media_tiff_lzw_features, media_adpcm_stereo_features,
-    # media_png16_features, media_ms_adpcm_stereo_features added;
+    # 187 registered queries as of round 10 (doc_html_extract added —
+    # capacity policy: soft cap 196 of the 200 steady-state slots;
     # update this count deliberately whenever a query is added).
-    assert len(REGISTRY) >= 186
+    assert len(REGISTRY) >= 187
 
 
 def test_rotation_planner_invariants():

@@ -318,10 +318,12 @@ def test_txn_token_streaming_fold_exactly_once(spark, tmp_path):
 # --------------------------------------------------------- model-based fuzz
 def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     """Model-based check: a seeded random sequence of appends, partition
-    overwrites, partition-stable merges, crash-orphans, and vacuums must
-    keep the table equal to a plain in-memory dict model after every
-    step — and every historical version must still read back exactly
-    (time travel is never invalidated by later operations)."""
+    overwrites, partition-stable merges, txn-stamped merge REPLAYS,
+    compactions, crash-orphans, and vacuums must keep the table equal to
+    a plain in-memory dict model after every step — every historical
+    version must still read back exactly (time travel is never
+    invalidated by later operations), and every append version must be
+    consumable through read_changes as exactly its own rows."""
     import random
 
     rng = random.Random(20260815)
@@ -339,14 +341,16 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
         checkpoint_interval=4,
     )
     snapshots = {0: dict(model)}
+    append_versions: dict[int, list] = {}
 
-    for step in range(18):
-        op = rng.choice(["append", "overwrite", "merge", "orphan",
-                         "vacuum"])
+    for step in range(24):
+        op = rng.choice(["append", "overwrite", "merge", "merge_replay",
+                         "compact", "orphan", "vacuum"])
         if op == "append":
             k = max(model, default=0) + 1 + rng.randrange(3)
             rows = [(k, f"v{step}", day_of(k))]
-            t.append(_df(spark, rows))
+            v = t.append(_df(spark, rows))
+            append_versions[v] = rows
             model[k] = f"v{step}"
         elif op == "overwrite":
             day = rng.choice(days)
@@ -358,7 +362,7 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
                 kk: vv for kk, vv in model.items() if day_of(kk) != day
             }
             model[k] = f"o{step}"
-        elif op == "merge":
+        elif op in ("merge", "merge_replay"):
             if not model:
                 continue
             upd_k = rng.choice(list(model))
@@ -367,9 +371,20 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
                 (upd_k, f"m{step}", day_of(upd_k)),
                 (new_k, f"n{step}", day_of(new_k)),
             ]
-            t.merge_into(_df(spark, rows), key=["id"])
+            token = f"fuzz-{step}" if op == "merge_replay" else None
+            t.merge_into(_df(spark, rows), key=["id"], txn=token)
+            if op == "merge_replay":
+                # a crash-replay of the same batch must be a no-op,
+                # even through a FRESH handle (driver restart)
+                v = t.latest_version()
+                TxTable(spark, t.path).merge_into(
+                    _df(spark, rows), key=["id"], txn=token
+                )
+                assert t.latest_version() == v
             model[upd_k] = f"m{step}"
             model[new_k] = f"n{step}"
+        elif op == "compact":
+            t.compact(cluster_by=["id"])
         elif op == "orphan":
             # a crashed writer: data files written, commit never claimed
             t._write_data_files(
@@ -377,7 +392,7 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
             )
         else:
             t.vacuum_orphans(min_age_seconds=0)
-        if op in ("append", "overwrite", "merge"):
+        if op in ("append", "overwrite", "merge", "merge_replay"):
             snapshots[t.latest_version()] = dict(model)
         got = {r["id"]: r["v"] for r in t.read().collect()}
         assert got == model, f"step {step} ({op}): {got} != {model}"
@@ -386,6 +401,13 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     for v, want in snapshots.items():
         got = {r["id"]: r["v"] for r in t.read_version(v).collect()}
         assert got == want, f"version {v}: {got} != {want}"
+    # every append version is independently consumable as a change set
+    for v, rows in append_versions.items():
+        got = sorted(
+            (r["id"], r["v"], r["day"])
+            for r in t.read_changes(v - 1, end_version=v).collect()
+        )
+        assert got == sorted(rows), f"read_changes({v}): {got}"
 
 
 # ------------------------------------------------- round-10 hardening
