@@ -23,6 +23,15 @@ Options:
   the consumer already saw — silently re-delivering them would
   double-count); ``"true"`` opts into at-least-once delivery of such
   commits' add-files, the same dial Delta exposes.
+- ``max_files_per_trigger``: ``"0"`` (default, unlimited) or K — pace a
+  backlog at roughly K added files per micro-batch by capping how far
+  ``latestOffset`` advances (whole versions only — a commit is atomic,
+  so a version never splits across batches; a single commit larger than
+  K still arrives whole). The first offer after a (re)start is exempt,
+  the WARC-source precedent: the reader learns the committed position
+  only at the first ``partitions`` call, and capping before knowing it
+  could stall an ``availableNow`` drain. Exactly-once never depends on
+  the cap — offsets commit whatever was actually offered.
 
 Execution model: one input partition per added data file; executors
 read their file with pyarrow directly (no nested Spark), append the
@@ -201,19 +210,53 @@ try:  # the DataSource API needs pyspark >= 4
                 options.get("ignore_changes", "false").lower() == "true"
             )
             self._starting = options.get("starting_version", "-1")
+            self._max_files = int(
+                options.get("max_files_per_trigger", "0")
+            )
+            if self._max_files < 0:
+                raise ValueError("max_files_per_trigger must be >= 0")
+            # last version this process OFFERED (None until the first
+            # offer or the first partitions() call reveals the committed
+            # position) — the pacing meter, never a correctness input
+            self._last_end: int | None = None
 
         def initialOffset(self):
             if self._starting == "latest":
                 vs = _log_versions(self._log_dir)
-                return {"version": vs[-1] if vs else -1}
-            return {"version": int(self._starting)}
+                off = {"version": vs[-1] if vs else -1}
+            else:
+                off = {"version": int(self._starting)}
+            self._last_end = off["version"]
+            return off
 
         def latestOffset(self):
             vs = _log_versions(self._log_dir)
-            return {"version": vs[-1] if vs else -1}
+            latest = vs[-1] if vs else -1
+            if not self._max_files or self._last_end is None:
+                # unlimited, or a restarted process before its first
+                # partitions() call — the first-offer exemption
+                self._last_end = latest
+                return {"version": latest}
+            end, files = self._last_end, 0
+            for v in vs:
+                if v <= self._last_end or v > latest:
+                    continue
+                n_adds = sum(
+                    1 for a in _read_actions(self._log_dir, v)
+                    if "add" in a
+                )
+                if files and files + n_adds > self._max_files:
+                    break  # versions are atomic: never split a commit
+                end, files = v, files + n_adds
+            self._last_end = end
+            return {"version": end}
 
         def partitions(self, start, end):
             s, e = int(start["version"]), int(end["version"])
+            # a restarted process learns its committed position here;
+            # the next latestOffset paces from it instead of re-offering
+            # the whole history uncapped
+            self._last_end = max(self._last_end or e, e)
             adds = []
             for v in _log_versions(self._log_dir):
                 if v <= s or v > e:

@@ -168,3 +168,54 @@ def test_partition_value_typing_and_evolution_nullfill(spark, tmp_path):
 
     _drain(spark, t.path, str(tmp_path / "ck"), sink)
     assert sorted(seen) == [(1, 10, None), (2, 20, None), (3, 10, 0.5)]
+
+
+def test_max_files_per_trigger_paces_backlog(spark, table, tmp_path):
+    """Backlog pacing (the WARC source's W-8 discipline): latestOffset
+    advances at most ~K added files per call, whole versions only, and
+    a restarted reader learns its committed position from partitions()
+    before pacing resumes. Driven against the reader object directly —
+    trigger mechanics add nothing to the contract."""
+    from crawl_streams_spark.sources.txtable import TxTableDataSource
+
+    for i in range(4, 10):  # versions 1..6, one file each
+        table.append(_df(spark, [(i, "x", "d1")]).coalesce(1))
+    latest = table.latest_version()
+    assert latest == 6
+
+    def reader(**opts):
+        o = {"path": table.path, **{k: str(v) for k, v in opts.items()}}
+        ds = TxTableDataSource(o)
+        return ds.streamReader(None)
+
+    # fresh stream: initialOffset anchors the meter, then each
+    # latestOffset advances by at most 2 files (here 2 versions)
+    r = reader(starting_version=0, max_files_per_trigger=2)
+    assert r.initialOffset() == {"version": 0}
+    o1 = r.latestOffset()
+    assert o1["version"] < latest
+    parts = [p for p in r.partitions({"version": 0}, o1) if p.path]
+    assert 1 <= len(parts) <= 2
+    o2 = r.latestOffset()
+    assert o1["version"] < o2["version"] <= latest
+    # the meter converges on the head and then idles
+    while r.latestOffset()["version"] < latest:
+        pass
+    assert r.latestOffset() == {"version": latest}
+
+    # restarted process (no initialOffset): first offer is exempt...
+    r2 = reader(max_files_per_trigger=2)
+    assert r2.latestOffset() == {"version": latest}
+    # ...and after partitions() reveals the committed position, pacing
+    # resumes from it rather than re-offering history
+    r3 = reader(max_files_per_trigger=2)
+    r3.partitions({"version": 1}, {"version": 2})
+    assert r3.latestOffset()["version"] < latest
+
+    # a single commit larger than the cap still arrives WHOLE
+    table.append(
+        _df(spark, [(20, "y", "d1"), (21, "y", "d2"), (22, "y", "d3")])
+    )
+    r4 = reader(starting_version=latest, max_files_per_trigger=1)
+    assert r4.initialOffset() == {"version": latest}
+    assert r4.latestOffset() == {"version": latest + 1}
