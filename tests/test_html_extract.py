@@ -67,3 +67,42 @@ def test_comments_and_whitespace_collapse(spark):
 def test_block_tags_separate_words(spark):
     # adjacent block elements must not fuse 'one' and 'two'
     assert _one(spark, "<p>one</p><p>two</p>")["text"] == "one two"
+
+
+# ------------------------------------------------------------- properties
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_soup = st.lists(
+    st.sampled_from(
+        list("abc <>/&;\"'=!-\n\t") + ["<p>", "</p>", "&amp;", "&lt;",
+                                       "<script>", "</script>", "<!--",
+                                       "-->", 'href="x"', "<title>"]
+    ),
+    min_size=0,
+    max_size=40,
+).map("".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_soup)
+def test_html_to_text_total_on_arbitrary_soup(spark, soup):
+    """Totality: any byte soup — unbalanced tags, truncated comments,
+    stray entities — extracts WITHOUT error, and the result is clean:
+    no whitespace runs, no leading/trailing space, and a second pass
+    through the chain never strips further text content (tag removal is
+    what makes the chain non-idempotent only when the INPUT decoded
+    into tag-shaped text — the sanitizer-order tests pin that case)."""
+    row = (
+        spark.createDataFrame([(soup,)], "html string")
+        .select(
+            T.html_to_text("html").alias("text"),
+            T.html_title("html").alias("title"),
+            T.html_links("html").alias("links"),
+        )
+        .collect()[0]
+    )
+    assert "  " not in row["text"]
+    assert row["text"] == row["text"].strip()
+    assert "\n" not in row["text"] and "\t" not in row["text"]
+    assert isinstance(row["links"], list)
