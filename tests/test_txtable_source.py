@@ -219,3 +219,61 @@ def test_max_files_per_trigger_paces_backlog(spark, table, tmp_path):
     r4 = reader(starting_version=latest, max_files_per_trigger=1)
     assert r4.initialOffset() == {"version": latest}
     assert r4.latestOffset() == {"version": latest + 1}
+
+
+def test_cdc_feeds_incremental_dedup_pipeline(spark, tmp_path):
+    """Composition proof: raw documents land in a TxTable; a CDC stream
+    over its commit log feeds the cross-batch exact-dedup index; only
+    novel content is admitted downstream, exactly once across restarts
+    of the consumer — the ingest→curate backbone, all existing pieces."""
+    from crawl_streams_spark.operators.dedup import incremental_exact_dedup
+
+    raw = TxTable.create(
+        spark,
+        str(tmp_path / "raw_docs"),
+        spark.createDataFrame(
+            [(1, "alpha text", "d1"), (2, "beta text", "d1")],
+            "doc_id bigint, text string, day string",
+        ),
+        partition_by=["day"],
+    )
+    index = str(tmp_path / "digest_index")
+    admitted_path = str(tmp_path / "admitted")
+    ck = str(tmp_path / "ck")
+
+    def fold(batch_df, batch_id):
+        novel = incremental_exact_dedup(
+            spark, batch_df.select("doc_id", "text"), index,
+            batch_id=f"cdc-{batch_id}",
+        )
+        novel.write.mode("append").parquet(admitted_path)
+
+    def drain():
+        q = (
+            stream_table_changes(spark, raw.path)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    got = {r["doc_id"] for r in spark.read.parquet(admitted_path).collect()}
+    assert got == {1, 2}
+    # batch 2 lands in the table: one duplicate of doc 1's text, one novel
+    raw.append(
+        spark.createDataFrame(
+            [(3, "alpha text", "d2"), (4, "gamma text", "d2")],
+            "doc_id bigint, text string, day string",
+        )
+    )
+    drain()  # consumer restart on the same checkpoint
+    got = {r["doc_id"] for r in spark.read.parquet(admitted_path).collect()}
+    assert got == {1, 2, 4}, "duplicate content must not re-admit"
+    drain()  # idle drain: nothing re-delivered, nothing re-admitted
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(admitted_path).collect()
+    )
+    assert got == [1, 2, 4]
