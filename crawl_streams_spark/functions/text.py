@@ -281,3 +281,97 @@ def html_links(html: Column | str) -> Column:
     return F.regexp_extract_all(
         _c(html), F.lit(r'(?is)href="([^"]*)"'), 1
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...",
+# §A1.1 — the published heuristic battery large-corpus curation pipelines
+# apply before model-based filtering). Pure built-ins over one tokens()
+# pass: narrow map, zero shuffle, composes with quality_score and the
+# repetition filters above.
+# --------------------------------------------------------------------------
+
+#: Gopher's "must contain at least two of these" stop words.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The Gopher rule battery as one struct column of booleans plus the
+    conjunctive ``passes`` verdict. Thresholds default to the paper's;
+    every rule is independently surfaced so curation can report WHICH
+    rule rejected a document (the per-rule rejection histogram is the
+    first thing anyone tunes)."""
+    t = _c(text)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1))
+    # symbols the paper counts: '#' and the ellipsis (literal or '...')
+    n_symbols = (
+        F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + F.size(F.split(t, r"\.\.\.|…")) - 1
+    )
+    lines = F.filter(F.split(t, "\n"), lambda x: F.btrim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.btrim(x).rlike(r"^(•|\*|-|‣)"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.btrim(x).rlike(r"(\.\.\.|…)$"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(
+                F.transform(toks, F.lower), w
+            ),
+        )
+    )
+    flags = {
+        "word_count_ok": (n_words >= min_words)
+        & (n_words <= max_words),
+        "mean_word_len_ok": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ratio_ok": n_symbols
+        <= max_symbol_word_ratio * F.greatest(n_words, F.lit(1)),
+        "bullet_lines_ok": bullet_frac <= max_bullet_line_frac,
+        "ellipsis_lines_ok": ellipsis_frac <= max_ellipsis_line_frac,
+        "alpha_words_ok": alpha_frac >= min_alpha_word_frac,
+        "stopwords_ok": stop_hits >= min_stopword_hits,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()],
+        passes.alias("passes"),
+    )
