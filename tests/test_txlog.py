@@ -748,3 +748,38 @@ def test_clustered_compaction_tightens_file_stats(spark, tmp_path):
     lo, hi = (scan[0]["stats"]["minValues"]["id"],
               scan[0]["stats"]["maxValues"]["id"])
     assert lo <= 57 <= hi
+
+
+def test_hostile_partition_values_roundtrip_and_rewrite(spark, tmp_path):
+    """Escape-battery for the ADVICE-r9 hive-unescape fix: every value
+    Spark path-escapes differently (':', '/', '%', '=', '#', literal
+    '%3A', newline, tab, unicode, the NULL sentinel spelled as TEXT)
+    must read back verbatim AND overwrite as ONE partition — in one
+    table, so cross-value collisions (two values escaping to the same
+    directory) would also surface."""
+    values = [
+        "plain", "a:b", "p/q", "50%", "k=v", "x#y", "two words",
+        "x%3Ay",  # literal text that LOOKS like an escape
+        "%", "%%", "a\nb", "a\tb", "日本語", "café",
+        "__HIVE_DEFAULT_PARTITION_",  # one char short of the sentinel
+    ]
+    rows = [(i, "old", v) for i, v in enumerate(values)]
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "hostile"),
+        _df(spark, rows),
+        partition_by=["day"],
+    )
+    got = {r["id"]: r["day"] for r in t.read().collect()}
+    assert got == {i: v for i, v in enumerate(values)}, (
+        "a partition value failed the escape round-trip"
+    )
+    # overwrite each value's partition: exactly one fresh row survives
+    for i, v in enumerate(values):
+        t.overwrite_partitions(_df(spark, [(100 + i, "new", v)]))
+    final = {r["day"]: (r["id"], r["v"]) for r in t.read().collect()}
+    assert len(final) == len(values)
+    for i, v in enumerate(values):
+        assert final[v] == (100 + i, "new"), (
+            f"partition {v!r} kept stale files after its rewrite"
+        )
