@@ -557,26 +557,32 @@ def decode_tiff(payload: bytes):
     # a forged header must not allocate unbounded memory, but the bound
     # has to be COMPRESSION-AWARE: an uncompressed segment needs every
     # byte present, PackBits expands one input byte to at most 128
-    # output bytes, and LZW has no constant per-byte factor at all — k
-    # codes (>= 9 bits each) can emit up to k(k+1)/2 bytes because each
-    # code may reference a dictionary string that grew by one byte per
-    # prior code, so a large uniform image legitimately exceeds any
-    # flat 128x/byte cap (a flat cap falsely rejected such images;
-    # lzw_decode additionally hard-stops past `expected`, bounding
-    # per-segment memory regardless). Declared byte counts are clamped
-    # to the payload size so a forged count cannot inflate its own
-    # capacity. Tiled images bound the PADDED pixel count (edge tiles
-    # are stored full).
-    def _segment_capacity(cnt: int) -> int:
-        cnt = min(int(cnt), len(payload))
-        if cnt <= 0:
+    # output bytes, and LZW codes emit dictionary strings that grow one
+    # byte per prior code — but lzw_decode caps the table at
+    # 2^_LZW_MAX_WIDTH (= 4096) entries, so no string (and hence no
+    # single code's emission) ever exceeds ~4096 bytes: achievable
+    # expansion is LINEAR at ~4096 bytes/code, not the quadratic
+    # k(k+1)/2 an uncapped dictionary would allow (ADVICE r10: the
+    # quadratic formula authorized ~100x more than the decoder can
+    # produce). The quadratic term still applies below ~8k codes, where
+    # it is the tighter bound, so take the min. Equally important, the
+    # bound is GLOBAL: declared segment counts are summed and the sum
+    # clamped to the payload size, because segments may legally overlap
+    # (read_segment only checks off+cnt<=len) and a per-segment clamp
+    # would let N segments aliasing the same bytes multiply the cap
+    # N-fold (ADVICE r10 part b). Tiled images bound the PADDED pixel
+    # count (edge tiles are stored full).
+    def _payload_capacity(counts) -> int:
+        total = min(sum(max(int(c), 0) for c in counts), len(payload))
+        if total <= 0:
             return 0
         if comp == _COMPRESSION_NONE:
-            return cnt
+            return total
         if comp == _COMPRESSION_PACKBITS:
-            return 128 * cnt
-        k = (8 * cnt) // 9  # max number of LZW codes in cnt bytes
-        return k * (k + 1) // 2
+            return 128 * total
+        k = (8 * total) // 9  # max number of LZW codes in total bytes
+        max_string = 1 << _LZW_MAX_WIDTH  # decoder's 12-bit table cap
+        return min(k * (k + 1) // 2, max_string * k)
 
     if not tiled:
         rps = tag_values(_T_ROWS_PER_STRIP, [h])[0]
@@ -591,7 +597,7 @@ def decode_tiff(payload: bytes):
                 f"strip table size {len(offsets)}/{len(counts)} "
                 f"disagrees with {n_strips} strips"
             )
-        if h * w * spp > sum(_segment_capacity(c) for c in counts):
+        if h * w * spp > _payload_capacity(counts):
             raise TiffError(
                 f"declared dimensions ({w}x{h}x{spp}) exceed what the "
                 f"payload could encode"
@@ -621,9 +627,7 @@ def decode_tiff(payload: bytes):
                 f"tile table size {len(offsets)}/{len(counts)} "
                 f"disagrees with {ta * td} tiles"
             )
-        if ta * td * tw * th * spp > sum(
-            _segment_capacity(c) for c in counts
-        ):
+        if ta * td * tw * th * spp > _payload_capacity(counts):
             raise TiffError(
                 f"declared tile grid ({ta}x{td} of {tw}x{th}x{spp}) "
                 f"exceeds what the payload could encode"

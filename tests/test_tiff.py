@@ -387,6 +387,62 @@ def test_lzw_bound_accepts_highly_compressible_images():
     assert info2["tiled"] and not rgb2.any()
 
 
+def _array_patch(payload, tag, values):
+    """Rewrite an out-of-line LONG array tag (e.g. strip offsets/counts)
+    in a little-endian fixture to ``values`` (same length)."""
+    (ifd,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd)
+    out = bytearray(payload)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        t, typ, cnt, val = struct.unpack_from("<HHII", payload, base)
+        if t == tag:
+            assert typ == 4 and cnt == len(values) and cnt > 1
+            for j, v in enumerate(values):
+                struct.pack_into("<I", out, val + 4 * j, v)
+            return bytes(out)
+    raise AssertionError(f"tag {tag} not found as out-of-line array")
+
+
+def test_capacity_bound_is_global_not_per_segment():
+    """ADVICE r10 (tiff.py capacity bound, part b): segments may legally
+    overlap (read_segment only checks off+cnt<=len), so a per-segment
+    clamp lets N strips aliasing the same bytes multiply the capacity
+    N-fold. Forge an 8-strip file whose every strip claims the ENTIRE
+    payload: the declared pixel count (3x payload) passed the old
+    summed-per-segment bound (8x payload) but must now trip the global
+    payload-clamped ceiling before any allocation."""
+    good = encode_tiff(_grad(64, 64), "gray", "none", rows_per_strip=8)
+    n_strips, total = 8, len(good)
+    forged = _array_patch(good, 273, [0] * n_strips)  # all offsets -> 0
+    forged = _array_patch(forged, 279, [total] * n_strips)  # counts -> len
+    # width chosen so pixels sit between the global cap (1x payload) and
+    # the old overlapping-segment cap (8x payload)
+    forged = _entry_patch(forged, 256, (3 * total) // 64 + 1)
+    with pytest.raises(TiffError, match="exceed"):
+        decode_tiff(forged)
+
+
+def test_lzw_capacity_bound_is_linear_in_codes():
+    """ADVICE r10 (tiff.py capacity bound, part a): lzw_decode caps the
+    dictionary at 2^12 entries, so achievable expansion is ~4096
+    bytes/code (linear), not the quadratic k(k+1)/2 — a forged pixel
+    count above the linear bound but under the quadratic one must be
+    rejected, where the r10 bound admitted it and authorized the
+    allocation."""
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, size=(128, 128), dtype=np.uint8)
+    p = encode_tiff(a, "gray", "lzw")  # incompressible -> big payload
+    k = (8 * len(p)) // 9
+    linear, quadratic = 4096 * k, k * (k + 1) // 2
+    assert quadratic > 2 * linear, "fixture too small to separate bounds"
+    forged_w = (linear + (quadratic - linear) // 2) // 128 + 1
+    assert forged_w < 1 << 31
+    assert 128 * forged_w > linear  # past the decoder-achievable max
+    with pytest.raises(TiffError, match="exceed"):
+        decode_tiff(_entry_patch(p, 256, forged_w))
+
+
 def test_pattern_tiff_tiled_arm_pixels_identical():
     from crawl_streams_spark.operators.tiff import pattern_tiff
 
