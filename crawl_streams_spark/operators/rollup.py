@@ -407,14 +407,21 @@ def tx_rollup_fold(
     dims: list[str],
     metrics: list[str],
     grain: str = "hour",
+    name: str = "rollup",
 ) -> None:
     """One micro-batch of the TRANSACTIONAL rollup fold: aggregate the
     batch, merge with the touched dates' live partials read through the
     table SNAPSHOT (never the raw directory — uncommitted orphans must
     stay invisible), then overwrite those date partitions in one
     token-stamped atomic commit. Module-level so the crash-matrix tests
-    drive the exact production callable."""
-    token = f"rollup-{batch_id}"
+    drive the exact production callable.
+
+    ``name`` namespaces the txn token per logical sink, exactly as
+    tx_fold_writer does (ADVICE r10: a hardcoded namespace made two
+    rollup streams folding into one table — or one stream after a
+    checkpoint reset restarted batch_ids at 0 — collide on tokens and
+    silently no-op data-bearing batches)."""
+    token = f"{name}-{batch_id}"
     if table.seen_txn(token):
         return
     batch = rollup_rows(batch_df, ts_col, dims, metrics, grain)
@@ -439,6 +446,7 @@ def stream_rollup_tx(
     metrics: list[str],
     grain: str = "hour",
     available_now: bool = False,
+    name: str = "rollup",
 ):
     """Streaming rollup maintenance on the TRANSACTIONAL path (VERDICT
     r9 item 4, the rollup half): each micro-batch's merged post-state
@@ -457,7 +465,7 @@ def stream_rollup_tx(
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         tx_rollup_fold(table, batch_df, batch_id, ts_col, dims, metrics,
-                       grain)
+                       grain, name=name)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

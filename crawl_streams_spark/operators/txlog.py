@@ -101,16 +101,24 @@ def _canon_pval(v):
 
 def _stat_norm(v):
     """JSON-safe, order-preserving form of a column statistic, or None
-    when the type can't be bounded safely (bytes, Decimal, nested).
-    Dates/timestamps map to ISO strings, whose lexicographic order is
-    their chronological order."""
+    when the type can't be bounded safely (bytes, Decimal, nested,
+    TIMESTAMPS). Dates map to ISO strings, whose lexicographic order is
+    their chronological order. Timestamps are deliberately unprunable:
+    update-key bounds come from Spark collect() (naive, session-local
+    wall times) while file stats come from pyarrow parquet footers
+    (UTC, typically tz-aware), so isoformat strings from the two sides
+    compare wrongly ('+00:00' suffixes, tz-shifted wall clocks) and a
+    file actually containing the keys could be PRUNED — a silently
+    wrong merge, not a slow one (ADVICE r10)."""
     import datetime
 
     if isinstance(v, bool) or v is None:
         return None
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        return None
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return None
 
@@ -418,12 +426,15 @@ class TxTable:
         commits' data files, O(new data) instead of O(table).
 
         Append-only by default: a commit in the range that REMOVES
-        files (overwrite, merge, compaction) rewrote rows, and its
-        add-files carry rows the consumer already saw — reading them
-        would double-count, so this raises TxError instead.
-        ``ignore_changes=True`` opts into the at-least-once reading
-        (every add-file in range, duplicates possible), the same dial
-        Delta exposes."""
+        files (overwrite, merge) rewrote rows, and its add-files carry
+        rows the consumer already saw — reading them would double-count,
+        so this raises TxError instead. ``ignore_changes=True`` opts
+        into the at-least-once reading (every row-bearing add-file in
+        range, duplicates possible), the same dial Delta exposes.
+        Compaction commits are exempt either way: their actions carry
+        ``dataChange: false`` (the Delta OPTIMIZE marker — bytes moved,
+        no rows changed), so they are skipped silently, never failed on
+        and never re-delivered."""
         last = self.latest_version()
         end = last if end_version is None else end_version
         if end > last:
@@ -433,7 +444,11 @@ class TxTable:
             if v <= start_version or v > end:
                 continue
             actions = self._read_actions(v)
-            if not ignore_changes and any("remove" in a for a in actions):
+            rewrote = any(
+                a["remove"].get("dataChange", True)
+                for a in actions if "remove" in a
+            )
+            if rewrote and not ignore_changes:
                 op = next(
                     (a["commitInfo"].get("operation", "?")
                      for a in actions if "commitInfo" in a),
@@ -444,7 +459,10 @@ class TxTable:
                     "carry rows older versions already delivered; pass "
                     "ignore_changes=True for at-least-once reads"
                 )
-            adds.extend(a["add"] for a in actions if "add" in a)
+            adds.extend(
+                a["add"] for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            )
         return self._read_adds(
             adds, self._declared_schema(self._snapshot(end))
         )
@@ -504,12 +522,34 @@ class TxTable:
                 )
 
         def build(snap2):
+            # dataChange:false — the public Delta protocol's OPTIMIZE
+            # marker: this commit reorganizes bytes but adds/removes no
+            # ROWS, so incremental consumers (read_changes, the txtable
+            # CDC stream) skip it instead of failing loudly or
+            # re-delivering every compacted row (VERDICT r10 item 2:
+            # without it, continuous compaction and live CDC could not
+            # run against the same table).
             return (
-                [{"remove": {"path": a["path"]}} for a in old]
-                + [{"add": a} for a in adds]
+                [{"remove": {"path": a["path"], "dataChange": False}}
+                 for a in old]
+                + [{"add": {**a, "dataChange": False}} for a in adds]
             )
 
-        self._commit_with_retry(build, validate, "COMPACT", max_retries=2)
+        # max_retries=1: validate pins the pre-rewrite version, so a
+        # retry against the same stale baseline can never succeed — the
+        # loud fail-and-rerun contract IS the conflict policy (ADVICE
+        # r10: the 2-attempt budget was dead code whose only effect was
+        # a pointless second validation cycle). A lost claim race is the
+        # same condition validate guards (the table advanced), so it
+        # re-raises under the documented message.
+        try:
+            self._commit_with_retry(
+                build, validate, "COMPACT", max_retries=1
+            )
+        except TxConflict:
+            raise TxConflict(
+                "table advanced during compaction; rerun it"
+            ) from None
         return len(victims)
 
     def seen_txn(self, txn: str) -> bool:
@@ -682,12 +722,35 @@ class TxTable:
         meta = self._snapshot(self.latest_version())["metaData"]
         new_meta = self._schema_guard(df, meta, "append", merge_schema)
         adds = self._write_data_files(df, meta["partitionColumns"])
-        head = [] if new_meta is None else [{"metaData": new_meta}]
-        return self._commit_with_retry(
-            lambda snap: head + [{"add": a} for a in adds],
-            lambda snap: None,
-            "APPEND",
-        )
+
+        def build(snap):
+            # the evolved metaData must be built against the snapshot
+            # the commit actually claims over — computing it only from
+            # the pre-loop snapshot let a racing schema evolution be
+            # silently overwritten by a metaData built from the stale
+            # schema, dropping the other writer's columns (ADVICE r10:
+            # last-writer-wins schema loss). Unchanged schema (the
+            # common case, including ordinary append races) keeps the
+            # precomputed head; a changed one re-runs the guard against
+            # the winner's schema so the commit carries BOTH writers'
+            # columns, or fails as a loud conflict when the df can no
+            # longer satisfy the evolved table.
+            fresh = snap["metaData"]
+            if fresh["schema"] == meta["schema"]:
+                head = [] if new_meta is None else [{"metaData": new_meta}]
+            else:
+                try:
+                    nm = self._schema_guard(
+                        df, fresh, "append", merge_schema
+                    )
+                except TxError as e:
+                    raise TxConflict(
+                        f"schema evolved concurrently during append: {e}"
+                    ) from e
+                head = [] if nm is None else [{"metaData": nm}]
+            return head + [{"add": a} for a in adds]
+
+        return self._commit_with_retry(build, lambda snap: None, "APPEND")
 
     def overwrite_partitions(self, df: DataFrame,
                              txn: str | None = None) -> int:

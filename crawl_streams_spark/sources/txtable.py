@@ -243,7 +243,7 @@ try:  # the DataSource API needs pyspark >= 4
                     continue
                 n_adds = sum(
                     1 for a in _read_actions(self._log_dir, v)
-                    if "add" in a
+                    if "add" in a and a["add"].get("dataChange", True)
                 )
                 if files and files + n_adds > self._max_files:
                     break  # versions are atomic: never split a commit
@@ -262,9 +262,16 @@ try:  # the DataSource API needs pyspark >= 4
                 if v <= s or v > e:
                     continue
                 actions = _read_actions(self._log_dir, v)
-                if not self._ignore_changes and any(
-                    "remove" in a for a in actions
-                ):
+                # dataChange:false actions (compaction / OPTIMIZE) moved
+                # bytes, not rows — skip them silently so continuous
+                # compaction can run against a live CDC consumer
+                # (VERDICT r10 item 2). Only a remove that CHANGED data
+                # (merge/overwrite rewrite) is the loud-failure case.
+                rewrote = any(
+                    a["remove"].get("dataChange", True)
+                    for a in actions if "remove" in a
+                )
+                if rewrote and not self._ignore_changes:
                     op = next(
                         (a["commitInfo"].get("operation", "?")
                          for a in actions if "commitInfo" in a),
@@ -278,7 +285,7 @@ try:  # the DataSource API needs pyspark >= 4
                         f"starting_version={v} to skip it."
                     )
                 for a in actions:
-                    if "add" in a:
+                    if "add" in a and a["add"].get("dataChange", True):
                         add = dict(a["add"])
                         add["abs_path"] = os.path.join(
                             self._path, add["path"]

@@ -477,6 +477,34 @@ def test_stream_rollup_tx_matches_batch(spark, sf_dir, tmp_path):
     assert _tx_snapshot(spark, out) == _snapshot(spark, full)
 
 
+def test_tx_rollup_tokens_namespaced_per_sink(spark, sf_dir, tmp_path):
+    """ADVICE r10 (rollup.py): the txn token hardcoded 'rollup-' as its
+    namespace, so two rollup streams folding into one table (or one
+    stream after a checkpoint reset restarted batch_ids at 0) collided
+    on tokens and silently no-opped data-bearing batches. Tokens now
+    carry the sink name, as tx_fold_writer's always did."""
+    from crawl_streams_spark.operators.rollup import (
+        ensure_rollup_txtable,
+        tx_rollup_fold,
+    )
+
+    ev = _events(spark, sf_dir).limit(400).cache()
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    path, full = str(tmp_path / "ns"), str(tmp_path / "full")
+    t = ensure_rollup_txtable(spark, path, ev.schema, "ts", DIMS, METRICS)
+    # two logical sinks, SAME batch_id 0 — both must land
+    tx_rollup_fold(t, b0, 0, "ts", DIMS, METRICS, name="even-stream")
+    tx_rollup_fold(t, b1, 0, "ts", DIMS, METRICS, name="odd-stream")
+    write_rollup(ev, full, "ts", DIMS, METRICS)
+    assert _tx_snapshot(spark, path) == _snapshot(spark, full)
+    # replay under each namespace still no-ops (exactly-once preserved)
+    v = t.latest_version()
+    tx_rollup_fold(t, b0, 0, "ts", DIMS, METRICS, name="even-stream")
+    tx_rollup_fold(t, b1, 0, "ts", DIMS, METRICS, name="odd-stream")
+    assert t.latest_version() == v
+
+
 def test_tx_rollup_crash_matrix_recovers_exactly_once(spark, sf_dir, tmp_path):
     """Kill the transactional fold before and after the log claim and
     prove the replay neither loses nor double-counts — driving the exact

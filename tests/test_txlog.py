@@ -576,6 +576,30 @@ def test_read_changes_incremental_appends(spark, table):
         table.read_changes(0, end_version=99)
 
 
+def test_read_changes_skips_compaction_commits(spark, table):
+    """Compaction commits carry dataChange:false (the Delta OPTIMIZE
+    marker): incremental consumers skip them silently — no loud failure
+    (append-only mode) and no re-delivery of every compacted row
+    (ignore_changes mode). VERDICT r10 item 2: without this, continuous
+    compaction and live CDC could not share a table."""
+    v0 = table.latest_version()
+    table.append(_df(spark, [(4, "d", "d1")]))
+    assert table.compact() >= 1
+    table.append(_df(spark, [(5, "e", "d2")]))
+    got = sorted(r["id"] for r in table.read_changes(v0).collect())
+    assert got == [4, 5]  # compacted rows 1-3 NOT re-delivered
+    got = sorted(
+        r["id"]
+        for r in table.read_changes(v0, ignore_changes=True).collect()
+    )
+    assert got == [4, 5]  # ignore_changes must not re-deliver either
+    # a range that is ONLY the compaction commit is an empty change set
+    vs = table._commit_versions()
+    compact_v = vs[-2]  # append, compact, append
+    assert table.read_changes(compact_v - 1,
+                              end_version=compact_v).count() == 0
+
+
 def test_read_changes_rejects_rewrites_unless_opted_in(spark, table):
     v0 = table.latest_version()
     table.merge_into(_df(spark, [(3, "C", "d2")]), key=["id"])
@@ -700,6 +724,95 @@ def test_append_merge_schema_evolves_and_nullfills_old_files(spark, table):
     assert table.compact() >= 1
     got = {r["id"]: r["score"] for r in table.read().collect()}
     assert got[3] is None and got[11] == 1.0
+
+
+def test_merge_schema_race_keeps_both_writers_columns(spark, table):
+    """ADVICE r10 (txlog.py append): the evolved metaData used to be
+    computed from a snapshot taken BEFORE the commit loop, so a racing
+    schema evolution was silently overwritten by a metaData built from
+    the stale schema — last-writer-wins schema loss. The evolved
+    metaData is now rebuilt inside each claim attempt against the fresh
+    snapshot: after losing the race, the retry carries BOTH writers'
+    columns."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    meta = table._snapshot(table.latest_version())["metaData"]
+    declared = StructType.fromJson(_json.loads(meta["schema"]))
+    other = StructType(
+        list(declared.fields) + [StructField("x_other", DoubleType())]
+    )
+    evolve_actions = [
+        {"commitInfo": {"operation": "APPEND"}},
+        {"metaData": {"schema": other.json(),
+                      "partitionColumns": meta["partitionColumns"]}},
+    ]
+    # compatible race: our df satisfies the winner's schema too — the
+    # retry recomputes and the commit carries BOTH writers' columns
+    _with_interloper(table, evolve_actions)
+    wide = _df(spark, [(4, "d", "d2")]).withColumn(
+        "x_other", F.lit(1.5).cast("double")
+    ).withColumn("score", F.lit(0.5).cast("double"))
+    table.append(wide, merge_schema=True)
+    names = table.read().schema.fieldNames()
+    assert "x_other" in names, "racing writer's evolution was dropped"
+    assert "score" in names
+    got = {r["id"]: (r["score"], r["x_other"])
+           for r in table.read().collect()}
+    assert got[4] == (0.5, 1.5) and got[1] == (None, None)
+
+
+def test_merge_schema_race_incompatible_conflicts_loudly(spark, table):
+    """Same race, but the df cannot satisfy the winner's evolved schema
+    (it lacks the racer's column): a loud TxConflict, never a commit
+    whose metaData silently drops the other writer's column."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    meta = table._snapshot(table.latest_version())["metaData"]
+    declared = StructType.fromJson(_json.loads(meta["schema"]))
+    other = StructType(
+        list(declared.fields) + [StructField("x_other", DoubleType())]
+    )
+    _with_interloper(
+        table,
+        [
+            {"commitInfo": {"operation": "APPEND"}},
+            {"metaData": {"schema": other.json(),
+                          "partitionColumns": meta["partitionColumns"]}},
+        ],
+    )
+    wide = _df(spark, [(4, "d", "d2")]).withColumn(
+        "score", F.lit(0.5).cast("double")
+    )
+    with pytest.raises(TxConflict, match="schema evolved concurrently"):
+        table.append(wide, merge_schema=True)
+    names = table.read().schema.fieldNames()
+    assert "x_other" in names and "score" not in names
+    assert sorted(r["id"] for r in table.read().collect()) == [1, 2, 3]
+
+
+def test_stat_norm_timestamps_unprunable():
+    """ADVICE r10: update-key bounds (Spark collect(), naive local
+    datetimes) and file stats (pyarrow footers, tz-aware UTC) isoformat
+    to strings that compare WRONGLY, so a file containing the keys
+    could be pruned — timestamp stats must normalize to None (both
+    sides unprunable) while dates stay prunable."""
+    import datetime
+
+    from crawl_streams_spark.operators.txlog import _stat_norm
+
+    assert _stat_norm(datetime.datetime(2026, 1, 2, 3, 4, 5)) is None
+    aware = datetime.datetime(
+        2026, 1, 2, 3, 4, 5, tzinfo=datetime.timezone.utc
+    )
+    assert _stat_norm(aware) is None
+    assert _stat_norm(datetime.date(2026, 1, 2)) == "2026-01-02"
+    assert _stat_norm(7) == 7 and _stat_norm("a") == "a"
 
 
 def test_clustered_compaction_tightens_file_stats(spark, tmp_path):
