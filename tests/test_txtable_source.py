@@ -247,6 +247,50 @@ def test_max_files_per_trigger_paces_backlog(spark, table, tmp_path):
     assert r4.latestOffset() == {"version": latest + 1}
 
 
+def test_reader_yields_arrow_record_batches(spark, table, tmp_path):
+    """VERDICT r10 item 3: the read path must hand Spark
+    ``pyarrow.RecordBatch``es (Arrow buffers), not per-row Python
+    tuples — drive the executor-side generator directly and pin the
+    yield type, declared-schema column order, partition-constant
+    append, and pre-evolution null-fill."""
+    import pyarrow as pa
+
+    from crawl_streams_spark.sources.txtable import (
+        TxTableDataSource,
+        _file_batches,
+    )
+
+    # evolve so one file PREDATES a column (null-fill arm)
+    table.append(
+        _df(spark, [(4, "d", "d2")]).withColumn(
+            "score", F.lit(0.5).cast("double")
+        ),
+        merge_schema=True,
+    )
+    ds = TxTableDataSource(options={"path": table.path})
+    reader = ds.reader(ds.schema())
+    parts = reader.partitions()
+    assert parts and all(p.path for p in parts)
+    schema_names = [f.name for f in ds.schema().fields]
+    got = {}
+    for p in parts:
+        batches = list(_file_batches(p, reader._arrow_schema))
+        assert batches, f"file {p.path} yielded no batches"
+        for rb in batches:
+            assert isinstance(rb, pa.RecordBatch)
+            assert rb.schema.names == schema_names
+            # partition column arrives as a constant Arrow array
+            assert rb.column(schema_names.index("day")).null_count == 0
+            for r in rb.to_pylist():
+                got[r["id"]] = (r["v"], r["day"], r["score"])
+    assert got == {
+        1: ("a", "d1", None),  # pre-evolution file: Arrow null-fill
+        2: ("b", "d1", None),
+        3: ("c", "d2", None),
+        4: ("d", "d2", 0.5),
+    }
+
+
 def test_cdc_feeds_incremental_dedup_pipeline(spark, tmp_path):
     """Composition proof: raw documents land in a TxTable; a CDC stream
     over its commit log feeds the cross-batch exact-dedup index; only
