@@ -81,9 +81,19 @@ def tx_snapshot_fold(
     keys carried forward by construction (their files are never
     rewritten unless their bucket is touched, and the in-bucket
     anti-join keeps them). Module-level so the crash-matrix tests drive
-    the EXACT production callable."""
+    the EXACT production callable.
+
+    Bucket = pmod(abs(xxhash64(key)), n): deterministic and
+    TYPE-AGNOSTIC, so the crawl domain's natural string merge keys
+    (content_digest, host, url) work directly — pmod over the raw
+    column required a numeric key and raised CAST_INVALID_INPUT on
+    strings (VERDICT r10 item 4). Still partition-stable by
+    construction: bucket is a pure function of the key, so a key's rows
+    always land in (and MERGE only ever touches) one bucket."""
     upd = batch.withColumn(
-        _BUCKET, F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int")
+        _BUCKET,
+        F.pmod(F.abs(F.xxhash64(F.col(key_col))), F.lit(n_buckets))
+        .cast("int"),
     )
     table.merge_into(
         upd,

@@ -490,7 +490,8 @@ def test_tx_snapshot_rewrites_only_touched_buckets(spark, tmp_path):
     t = _tx_table(spark, str(tmp_path / "tx_buckets"))
     _tx_fold_once(spark, t, [(u, 0, 0, 0, 0) for u in range(1, 9)], 0)
     before = set(t._snapshot(t.latest_version())["adds"])
-    _tx_fold_once(spark, t, [(5, 3, 3, 0, 0)], 1)  # bucket 5%4 == 1
+    # pmod(abs(xxhash64(bigint 5)), 4) == 1
+    _tx_fold_once(spark, t, [(5, 3, 3, 0, 0)], 1)
     after = t._snapshot(t.latest_version())["adds"]
     untouched_kept = {
         p for p in before
@@ -502,6 +503,78 @@ def test_tx_snapshot_rewrites_only_touched_buckets(spark, tmp_path):
     )
     rows = {r[0]: r[1] for r in _tx_read(t)}
     assert rows[5] == 3 and len(rows) == 8
+
+
+def test_tx_fold_string_key_content_digest(spark, tmp_path):
+    """VERDICT r10 item 4: the tx sink's bucket is now
+    pmod(abs(xxhash64(key)), n), so the crawl domain's natural STRING
+    merge keys work directly — drive a digest-index fold keyed on
+    content_digest through update, replay idempotence (fresh handle
+    included), and a crash-before-claim arm. pmod over the raw column
+    raised CAST_INVALID_INPUT on the first string batch."""
+    import pytest
+
+    from crawl_streams_spark.operators.txlog import TxTable
+    from crawl_streams_spark.streaming.twophase import SimulatedCrash
+    from crawl_streams_spark.streaming.txsink import (
+        ensure_tx_snapshot,
+        read_tx_snapshot,
+        tx_snapshot_fold,
+    )
+
+    schema = "content_digest string, url string, hits bigint"
+
+    def rows(spark, data):
+        return spark.createDataFrame(data, schema)
+
+    d = [f"sha1:{i:040x}" for i in range(4)]
+    t = ensure_tx_snapshot(
+        spark, str(tmp_path / "digest_idx"), schema, "content_digest",
+        n_buckets=4,
+    )
+    b0 = [(d[0], "http://a/0", 1), (d[1], "http://a/1", 1)]
+    tx_snapshot_fold(t, rows(spark, b0), 0, "content_digest",
+                     "digest_index", n_buckets=4)
+    # replay of batch 0 (same token) no-ops — exactly-once on strings
+    v = t.latest_version()
+    tx_snapshot_fold(t, rows(spark, b0), 0, "content_digest",
+                     "digest_index", n_buckets=4)
+    assert t.latest_version() == v
+    # batch 1: one re-seen digest (row replaced), two novel
+    b1 = [(d[0], "http://mirror/0", 2), (d[2], "http://a/2", 1),
+          (d[3], "http://a/3", 1)]
+    tx_snapshot_fold(t, rows(spark, b1), 1, "content_digest",
+                     "digest_index", n_buckets=4)
+    got = {r["content_digest"]: (r["url"], r["hits"])
+           for r in read_tx_snapshot(t).collect()}
+    assert got == {
+        d[0]: ("http://mirror/0", 2), d[1]: ("http://a/1", 1),
+        d[2]: ("http://a/2", 1), d[3]: ("http://a/3", 1),
+    }
+    # fresh-handle replay of batch 1 (driver restart) no-ops too
+    v = t.latest_version()
+    tx_snapshot_fold(TxTable(spark, t.path), rows(spark, b1), 1,
+                     "content_digest", "digest_index", n_buckets=4)
+    assert t.latest_version() == v
+    # crash before the claim: nothing visible, replay lands exactly once
+    b2 = [(d[1], "http://mirror/1", 2)]
+    orig = t._claim
+
+    def dying(version, actions):
+        raise SimulatedCrash("before_claim")
+
+    t._claim = dying
+    with pytest.raises(SimulatedCrash):
+        tx_snapshot_fold(t, rows(spark, b2), 2, "content_digest",
+                         "digest_index", n_buckets=4)
+    t._claim = orig
+    assert {r["content_digest"]: r["hits"]
+            for r in read_tx_snapshot(t).collect()}[d[1]] == 1
+    tx_snapshot_fold(t, rows(spark, b2), 2, "content_digest",
+                     "digest_index", n_buckets=4)
+    got = {r["content_digest"]: (r["url"], r["hits"])
+           for r in read_tx_snapshot(t).collect()}
+    assert got[d[1]] == ("http://mirror/1", 2) and len(got) == 4
 
 
 def test_stream_funnel_snapshot_tx_end_to_end(spark, tmp_path):

@@ -268,7 +268,8 @@ def test_archive_to_txtable_to_cdc_pipeline(spark, tmp_path):
         q.awaitTermination(120)
         q.stop()
 
-    # batch 1: ids 1,2,3 -> buckets 1,2,3 (fresh -> pure-add merge)
+    # batch 1: ids 1,2,3 -> xxhash64 buckets 2,3,3 (empty table:
+    # pure-add merge)
     write_archive("batch1.warc", [1, 2, 3])
     run_ingest()
     run_cdc()
@@ -278,7 +279,8 @@ def test_archive_to_txtable_to_cdc_pipeline(spark, tmp_path):
     v = (2 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
     assert dict(downstream)[2] == 3 * int(v.sum())
 
-    # restart every layer; batch 2: id 8 -> bucket 0 (fresh again)
+    # restart every layer; batch 2: id 8 -> xxhash64 bucket 1 (fresh
+    # again — untouched by batch 1's {2, 3})
     write_archive("batch2.warc", [8])
     run_ingest()
     downstream.clear()
