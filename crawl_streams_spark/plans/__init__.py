@@ -7,43 +7,35 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 10 — planner-generated via
-``python -m scripts.plan_rotation 10`` at the 186-query registry, then
-three filler slots donated from the END to round-10 implementation
-changes, per the planner's own donation rule):
+Ordering policy (round 11 — planner-generated via
+``python -m scripts.plan_rotation 11`` at the 188-query registry, then
+four filler slots donated from the END to round-11 changes/additions,
+per the planner's own donation rule):
 
-- Slots 1-10 (MUST): the ten r5-verdict queries the round-9 close and
-  the r9 judge both pre-enumerated — they age past the 4-round
-  freshness bound at r10 if left un-windowed
-  (``order_value_running``, ``price_quantile_sketch``,
-  ``recent_window_topk``, ``sessionized_set_ops``,
-  ``status_code_histogram``, ``token_array_ops``, ``top_tokens``,
-  ``user_interarrival_stats``, ``wayback_timestamps``,
-  ``windowed_funnel_levels``).
-- Slot 11: the round-10 ADDITION ``doc_html_extract`` (HTML -> text /
-  title / links — the crawl-pipeline extraction step), in-window from
-  birth per the capacity policy (187 registered, soft cap 196; the
-  fourth filler donated from the end was ``returned_item_customers``).
-- Slots 12-14: round-10 implementation changes re-windowed for
-  post-change verdicts (the round-6/7 hint-drop precedent):
-  ``media_tiff_features`` / ``media_tiff_lzw_features`` (the
-  forged-header expansion bound is now compression-aware — ADVICE r9
-  said the flat 128x/byte cap falsely rejects highly-compressible
-  LZW; LZW's per-strip hard-stop already bounds memory) and
-  ``knn_opq_fixed`` (opq_train gained sample-based rotation training
-  for high dims — VERDICT r9 item 6).
-- Slots 14-32: one representative per family the MUST set misses,
-  oldest verdicts first, including ``media_gif_features`` (VERDICT r9
-  item 7 asked for it by name). ``parts_bought_together`` /
+- Slots 1-11 (MUST): the eleven r6-verdict queries the planner, the
+  r10 judge, and the rotation guard's projection all pre-enumerated —
+  they age past the 4-round freshness bound at r11 if left un-windowed
+  (``returned_item_customers`` … ``url_canonicalization``; the r10
+  judge independently re-oracled all 11 green, so this is pure
+  rotation execution — VERDICT r10 item 5).
+- Slot 12: the round-11 ADDITION ``doc_gopher_quality`` (the Gopher
+  rule battery oracle-gated — VERDICT r10 item 6), in-window from
+  birth per the capacity policy (188 registered, soft cap 196).
+- Slots 13-15: round-11 implementation changes re-windowed for
+  post-change verdicts: ``doc_html_extract`` (entity decode extended
+  to numeric charrefs — VERDICT r10 item 7) and
+  ``media_tiff_features`` / ``media_tiff_lzw_features`` (the LZW
+  expansion bound is now linear in codes and globally payload-clamped
+  — ADVICE r10 high).
+- Slots 16-33: one representative per family the MUST set misses,
+  oldest verdicts first. ``parts_bought_together`` /
   ``orders_validation_report`` are sole members of their families and
   recur every round by construction.
-- Slots 33-50: oldest-verdict fillers, all r6-verdict. The donated
-  three (``small_quantity_orders``, ``sql_interface_revenue``,
-  ``stratified_sample_counts``, all r6) join the projected round-11
-  MUST set (10 total with the planner's 7 — well under capacity).
-  ``regional_revenue`` is deliberately kept in-window: the r9 verdict
-  flagged a +4.7% bench move on untouched code and wants a fresh
-  verdict + bench eye on it.
+- Slots 34-50: oldest-verdict fillers (r7), the last four donated to
+  the round-11 changes above (``semantic_dedup_pairs``,
+  ``schedule_launch_decisions``, ``rollup_day_reaggregation``,
+  ``qty_price_regression_stats`` — all r7, re-windowable through
+  round 11+4 without stranding).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -51,7 +43,7 @@ changes, per the planner's own donation rule):
   as a non-failing warning; the bound constant lives in
   scripts/plan_rotation.py (``FRESHNESS_BOUND = 4``).
 
-Retired windows (rounds 1-7) are recorded in ROUNDLOG.md and git history.
+Retired windows (rounds 1-8) are recorded in ROUNDLOG.md and git history.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -89,61 +81,61 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- MUST: r5-verdict queries aging past the bound (planner sect. 1)
-    "order_value_running",  # q_tpch, r5
-    "price_quantile_sketch",  # q_sketch, r5
-    "recent_window_topk",  # q_events, r5
-    "sessionized_set_ops",  # q_events, r5
-    "status_code_histogram",  # q_events, r5
-    "token_array_ops",  # q_text, r5
-    "top_tokens",  # q_text, r5
-    "user_interarrival_stats",  # q_behavior, r5
-    "wayback_timestamps",  # q_events, r5
-    "windowed_funnel_levels",  # q_behavior, r5
-    # -- round-10 ADDITIONS, in-window from birth ------------------------
-    "doc_html_extract",  # q_text: NEW r10 — HTML->text/title/links chain
-    # -- round-10 implementation changes re-windowed (post-change verdicts)
-    "media_tiff_features",  # compression-aware expansion bound (ADVICE r9)
-    "media_tiff_lzw_features",  # compression-aware expansion bound
-    "knn_opq_fixed",  # opq_train sample-based rotation training path
+    # -- MUST: r6-verdict queries aging past the bound (planner sect. 1)
+    "returned_item_customers",  # q_tpch3, r6
+    "small_quantity_orders",  # q_sql_extra, r6
+    "sql_interface_revenue",  # q_schedule, r6
+    "stratified_sample_counts",  # q_pipeline, r6
+    "string_function_suite",  # q_sql_extra, r6
+    "supplier_count_by_part",  # q_tpch3, r6
+    "suppliers_of_bulk_parts",  # q_joins_advanced, r6
+    "top_revenue_supplier",  # q_tpch3, r6
+    "train_split_counts",  # q_pipeline, r6
+    "tumbling_window_counts",  # q_schedule, r6
+    "url_canonicalization",  # q_crawl, r6
+    # -- round-11 ADDITION, in-window from birth -------------------------
+    "doc_gopher_quality",  # q_text: NEW r11 — Gopher battery oracle gate
+    # -- round-11 implementation changes re-windowed (post-change verdicts)
+    "doc_html_extract",  # numeric charref entity decode (VERDICT r10 #7)
+    "media_tiff_features",  # linear+global LZW capacity bound (ADVICE r10)
+    "media_tiff_lzw_features",  # linear+global LZW capacity bound
     # -- family reps, oldest verdicts first (planner section 2) ----------
-    "bigram_pmi_collocations",  # q_corpus, r6
-    "media_gif_features",  # q_crawl, r6 — VERDICT r9 item 7 by name
-    "cluster_golden_records",  # q_dedup, r7
-    "lineitem_price_asof_scd2",  # q_diff, r6
-    "graph_unit_propagation",  # q_graph, r6
-    "concurrent_sessions",  # q_interval, r8
-    "idle_rich_customers",  # q_joins_advanced, r6
-    "parts_bought_together",  # q_market, r9 — sole member, recurs
-    "benchmark_contamination",  # q_pipeline, r6
-    "status_pivot",  # q_pivot, r8
-    "mimetype_fallback_chain",  # q_schedule, r6
-    "user_sessions",  # q_sessions, r7
-    "embedding_near_dup",  # q_similarity, r6
-    "dup_token_spans",  # q_spans, r7
-    "cheapest_supplier_per_part",  # q_sql_extra, r6
-    "hourly_value_anomalies",  # q_timeseries, r7
-    "last_shipper_per_order",  # q_tpch2, r6
-    "large_volume_customers",  # q_tpch3, r6
-    "orders_validation_report",  # q_validate, r9 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): all r6-verdict ------
-    "bloom_part_membership",  # q_sketch, r6
-    "bpe_learned_merges",  # q_pipeline, r6
-    "conditional_aggregation",  # q_sql_extra, r6
-    "cube_lineitem_status",  # q_sql_extra, r6
-    "daily_cohort_retention",  # q_behavior, r6
-    "date_function_suite",  # q_sql_extra, r6
-    "doc_pii_scan",  # q_pipeline, r6
-    "doc_token_stats",  # q_text, r6
-    "event_type_stats",  # q_events, r6
-    "important_part_value",  # q_joins_advanced, r6
-    "late_shipment_priority",  # q_tpch2, r6
-    "mmh3_partition_keys",  # q_schedule, r6
-    "orders_in_top_segments",  # q_sql_extra, r6
-    "pack_sequences",  # q_pipeline, r6
-    "pricing_summary",  # q_tpch, r6
-    "promo_revenue_share",  # q_tpch2, r6
-    "regional_revenue",  # q_tpch, r6 — r9 bench-watch, fresh verdict
+    "event_transition_matrix",  # q_behavior, r7
+    "doc_tfidf_topk",  # q_corpus, r7
+    "dedup_cluster_assignment",  # q_dedup, r7
+    "orders_scd2_history",  # q_diff, r7
+    "per_user_summary",  # q_events, r7
+    "host_graph_degrees",  # q_graph, r7
+    "active_sessions_at_purchase",  # q_interval, r9
+    "parts_bought_together",  # q_market, r10 — sole member, recurs
+    "unpivot_lineitem_metrics",  # q_pivot, r9
+    "approx_distinct_users",  # q_sessions, r8
+    "knn_bruteforce",  # q_similarity, r7
+    "hll_distinct_users",  # q_sketch, r7
+    "dup_span_doc_stats",  # q_spans, r8
+    "doc_bpe_tokens",  # q_text, r7
+    "decayed_event_counts",  # q_timeseries, r8
+    "top_unshipped_orders",  # q_tpch, r7
+    "nation_market_share",  # q_tpch2, r7
+    "orders_validation_report",  # q_validate, r10 — sole member, recurs
+    # -- oldest-verdict fillers (planner section 3): all r7-verdict ------
+    "corpus_curation_funnel",  # q_pipeline, r7
+    "dedup_collapsed_lsh_pairs",  # q_dedup, r7
+    "dedup_exact",  # q_dedup, r7
+    "dedup_minhash_est_jaccard",  # q_dedup, r7
+    "doc_unigram_freq",  # q_corpus, r7
+    "funnel_conversion_by_user",  # q_behavior, r7
+    "fuzzy_part_name_pairs",  # q_joins_advanced, r7
+    "host_graph_triangles",  # q_graph, r7
+    "leakage_safe_split_assign",  # q_dedup, r7
+    "media_g711_features",  # q_crawl, r7
+    "nation_product_profit",  # q_tpch2, r7
+    "nation_trade_volume",  # q_tpch2, r7
+    "order_count_distribution",  # q_tpch3, r7
+    "pareto_price_size_parts",  # q_sql_extra, r7
+    "per_source_doc_sample",  # q_pipeline, r7
+    "pq_codes_fixed_book",  # q_similarity, r7
+    "prefix_filter_jaccard_pairs",  # q_dedup, r7
 )
 
 

@@ -480,3 +480,119 @@ def doc_html_extract(spark, sf_dir):
         F.size(T.html_links("html")).cast("bigint").alias("n_links"),
         F.concat_ws("|", T.html_links("html")).alias("links_joined"),
     )
+
+
+# ---------------------------------------------------------------- gopher
+# Fixture arms for the Gopher battery gate: doc_id % 8 selects either the
+# document's own text (arm 0 — the battery on real data) or a synthetic
+# text built to trip a specific rule, so the oracle pins every rule's
+# arithmetic (symbol counting, line fractions, stopword hits) against an
+# independent engine. Strings are shared verbatim with the DuckDB SQL.
+_GOPHER_SENT = "the be to of and that have with"  # all 8 stopwords
+_GOPHER_ARMS: tuple[tuple[int, str, int], ...] = (
+    # (arm, unit string, repeat count)
+    (1, "word ", 60),                       # stopword hits = 0
+    (2, "the be " + "a" * 30 + " ", 60),    # mean word len ~11.7 > 10
+    (3, "the be 12345 ", 60),               # alpha word frac 2/3 < 0.8
+    (4, "the be to of and", 1),             # 5 words < 50
+    (5, "* " + _GOPHER_SENT + "\n", 60),    # every line a bullet
+    (6, _GOPHER_SENT + "...\n", 60),        # every line ends in ellipsis
+    (7, _GOPHER_SENT + " #\n", 60),         # 60 '#' > 0.1 * 540 words
+)
+
+_GOPHER_FLAG_ORDER = (
+    "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+    "bullet_lines_ok", "ellipsis_lines_ok", "alpha_words_ok",
+    "stopwords_ok", "passes",
+)
+
+
+def _duck_sql_str(s: str) -> str:
+    """A DuckDB string literal; newlines spliced in as chr(10) so the
+    SQL text itself stays single-line."""
+    return " || chr(10) || ".join(f"'{p}'" for p in s.split("\n"))
+
+
+def _duck_gopher_case() -> str:
+    whens = "\n".join(
+        f"WHEN {arm} THEN repeat({_duck_sql_str(unit)}, {n})"
+        for arm, unit, n in _GOPHER_ARMS
+    )
+    return f"CASE doc_id % 8\n{whens}\nELSE text END"
+
+
+_DUCK_GOPHER_STOPS = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+
+
+@query(
+    "doc_gopher_quality",
+    oracle=f"""
+        WITH src AS (
+            SELECT doc_id, {{GCASE}} AS t FROM documents
+        ),
+        staged AS (
+            SELECT doc_id, t,
+                   list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                               x -> x <> '') AS toks,
+                   list_filter(str_split(t, chr(10)),
+                               x -> trim(x) <> '') AS lines
+            FROM src
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   COALESCE(list_aggregate(
+                       list_transform(toks, x -> length(x)), 'sum'
+                   ), 0) / GREATEST(len(toks), 1)::DOUBLE AS mean_len,
+                   length(t) - length(replace(t, '#', ''))
+                     + len(str_split_regex(t, '\\.\\.\\.|…')) - 1
+                     AS n_symbols,
+                   len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '^(•|\\*|-|‣)')))
+                     / GREATEST(len(lines), 1)::DOUBLE AS bullet_frac,
+                   len(list_filter(lines,
+                       x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                     / GREATEST(len(lines), 1)::DOUBLE AS ellipsis_frac,
+                   len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                     / GREATEST(len(toks), 1)::DOUBLE AS alpha_frac,
+                   len(list_intersect([{{STOPS}}],
+                       list_transform(toks, x -> lower(x)))) AS stop_hits
+            FROM staged
+        )
+        SELECT doc_id,
+               n_words BETWEEN 50 AND 100000 AS word_count_ok,
+               mean_len BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+               n_symbols <= 0.1 * GREATEST(n_words, 1) AS symbol_ratio_ok,
+               bullet_frac <= 0.9 AS bullet_lines_ok,
+               ellipsis_frac <= 0.3 AS ellipsis_lines_ok,
+               alpha_frac >= 0.8 AS alpha_words_ok,
+               stop_hits >= 2 AS stopwords_ok,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (mean_len BETWEEN 3.0 AND 10.0)
+                 AND (n_symbols <= 0.1 * GREATEST(n_words, 1))
+                 AND (bullet_frac <= 0.9)
+                 AND (ellipsis_frac <= 0.3)
+                 AND (alpha_frac >= 0.8)
+                 AND (stop_hits >= 2) AS passes
+        FROM m
+    """.replace("{GCASE}", _duck_gopher_case())
+       .replace("{STOPS}", _DUCK_GOPHER_STOPS),
+    tags=("text", "extension", "gopher"),
+)
+def doc_gopher_quality(spark, sf_dir):
+    """Gopher quality-rule battery (functions/text.py::
+    gopher_quality_flags; Rae et al. 2021 §A1.1) as a driver-gated
+    query: doc_id %% 8 routes each document through its own text or a
+    fixture arm built to trip one specific rule, and the oracle replays
+    the full rule arithmetic — token/line splitting, symbol counting,
+    per-rule fractions, distinct-stopword hits — in DuckDB SQL
+    (VERDICT r10 item 6: the rule arithmetic is exactly the kind of
+    per-engine divergence the hash gate exists to pin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arm = F.col("doc_id") % 8
+    qtext = F.col("text")
+    for a, unit, n in _GOPHER_ARMS:
+        qtext = F.when(arm == a, F.repeat(F.lit(unit), n)).otherwise(qtext)
+    g = T.gopher_quality_flags(qtext)
+    return docs.select("doc_id", g.alias("g")).select("doc_id", "g.*")
