@@ -391,14 +391,23 @@ def doc_repetition(spark, sf_dir):
 # chain from the shared constants, so the two cannot drift.
 
 _HTML_PREFIX = "<html><head><title>Doc "
-_HTML_TITLE_TAIL = " &amp; friends</title><style>body div</style></head><body><!-- hidden "
+_HTML_TITLE_TAIL = (
+    "&#8217;s &#8212; &amp; friends</title>"
+    "<style>body div</style></head><body><!-- hidden "
+)
 _HTML_BODY_OPEN = " --><h1>Heading</h1><p>"
 _HTML_LINK_OPEN = '</p><a href="https://ex.org/'
 _HTML_LINK_TAIL = '">x</a>'
 _HTML_ALT_LINK = '<a href="https://ex.org/alt">y</a>'
+# suffix arms (VERDICT r10 item 7 — numeric charrefs): decimal + hex
+# refs decode; &amp;#39; must yield literal '&#39;' (ampersand class
+# decodes LAST, so no double-decode); &#37; is deliberately unknown and
+# passes through as literal text; &#60;tag&#62; decodes AFTER the tag
+# strip, so the '<tag>' it produces is visible text, never a tag.
 _HTML_SUFFIX = (
-    '<script>var x = 1 < 2; s = "</p>";</script>&nbsp;&lt;fin&gt;'
-    "</body></html>"
+    '<script>var x = 1 < 2; s = "</p>";</script>&nbsp;&lt;fin&gt; '
+    "It&#8217;s &#8220;fine&#8221; &#8211; 100&#37; &amp;#39; "
+    "&#x27;quoted&#x27; &#60;tag&#62;</body></html>"
 )
 
 

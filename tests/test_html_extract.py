@@ -37,6 +37,22 @@ def test_entities_decode_in_order_amp_last(spark):
     assert r["text"] == "a &lt; b <i> \"q\" 's'"
 
 
+def test_numeric_charrefs_decode(spark):
+    """VERDICT r10 item 7: real crawl HTML is full of &#NNN;/&#xNN;
+    refs. Decimal and lowercase-hex forms of the table's refs decode;
+    &amp;#39; yields the literal text '&#39;' (ampersand class decodes
+    last — no double decode); unknown refs pass through untouched."""
+    r = _one(
+        spark,
+        "<p>It&#8217;s &#8220;fine&#8221; &#8211; A&#8212;B "
+        "&#x27;q&#x27; &#34;d&#34; a&#160;b 100&#37; &amp;#39; "
+        "&#60;i&#62; &#1606;</p>",
+    )
+    assert r["text"] == (
+        "It’s “fine” – A—B 'q' \"d\" a b 100&#37; &#39; <i> &#1606;"
+    )
+
+
 def test_decoded_lt_never_fabricates_tags(spark):
     # tags strip BEFORE entities decode: '&lt;script&gt;' is text
     r = _one(spark, "<p>&lt;script&gt;x&lt;/script&gt;</p>")
