@@ -43,6 +43,9 @@ __all__ = [
     "update_mrl_table",
     "stream_hll",
     "stream_cms",
+    "stream_cms_tx",
+    "ensure_cms_txtable",
+    "tx_cms_fold",
     "stream_kmv",
     "stream_mg",
     "stream_mrl",
@@ -265,6 +268,87 @@ def stream_cms(
         available_now,
         exactly_once,
     )
+
+
+# -- CMS on the TRANSACTIONAL path (VERDICT r10 item 8): the sum-merge
+# sketch was the last streaming sink on marker-suppressed staged
+# commits; folding into a TxTable with per-batch txn tokens gives the
+# same exactly-once with the shorter crash matrix (a torn live table is
+# structurally impossible behind the atomic log claim), and retires the
+# marker protocol's last user. The table partitions by the depth row
+# ``d`` — sketch-sized by construction, so the whole post-state
+# overwrite per micro-batch costs KBs, like the staged stage it
+# replaces. HLL/KMV stay as they are: idempotent by algebra.
+
+_CMS_SCHEMA = "d int, bucket bigint, cnt bigint"
+
+
+def ensure_cms_txtable(spark: SparkSession, path: str):
+    """Open the CMS TxTable at ``path``, creating it EMPTY on first use
+    so every data-bearing commit is token-stamped (the rollup-table
+    discipline: no crash point can replay an unstamped create into a
+    double-count)."""
+    import os
+
+    from ..operators.txlog import TxTable
+
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        return TxTable(spark, path)
+    empty = spark.createDataFrame([], _CMS_SCHEMA)
+    return TxTable.create(spark, path, empty, partition_by=["d"])
+
+
+def tx_cms_fold(
+    table,
+    batch_df: DataFrame,
+    batch_id: int,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+    name: str = "cms",
+) -> None:
+    """One micro-batch of the transactional CMS fold: sketch the batch,
+    sum-merge with the live counters read through the table SNAPSHOT,
+    overwrite in one token-stamped atomic commit. A replay of the same
+    (name, batch_id) no-ops on the token — exactly-once without the
+    staged two-phase marker protocol. Module-level so the crash-matrix
+    tests drive the exact production callable."""
+    token = f"{name}-{batch_id}"
+    if table.seen_txn(token):
+        return
+    sk = S.cms_build(
+        batch_df, item_col, depth=depth, width=width, weight_col=weight_col
+    )
+    merged = S.cms_merge(table.read(), sk)
+    table.overwrite_partitions(merged, txn=token)
+
+
+def stream_cms_tx(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+    available_now: bool = False,
+    name: str = "cms",
+):
+    """Continuous frequency sketching on the transactional path (see
+    tx_cms_fold)."""
+    table = ensure_cms_txtable(stream_df.sparkSession, path)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        tx_cms_fold(table, batch_df, batch_id, item_col, depth, width,
+                    weight_col, name=name)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 # --------------------------------------------------------------------------
