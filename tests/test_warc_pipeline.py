@@ -279,6 +279,11 @@ def test_archive_to_txtable_to_cdc_pipeline(spark, tmp_path):
     v = (2 * 31 + y * 7 + np.where(y % 2 == 1, x * 13, 0)) % 256
     assert dict(downstream)[2] == 3 * int(v.sum())
 
+    # mid-stream compaction (VERDICT r10 item 2): its commit carries
+    # dataChange:false, so the live CDC consumer below must neither
+    # fail nor re-see rows 1-3
+    assert TxTable(spark, tbl).compact(min_files=1) >= 1
+
     # restart every layer; batch 2: id 8 -> xxhash64 bucket 1 (fresh
     # again — untouched by batch 1's {2, 3})
     write_archive("batch2.warc", [8])
