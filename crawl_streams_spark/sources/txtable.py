@@ -79,11 +79,45 @@ def _read_actions(log_dir: str, version: int) -> list:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def _latest_checkpoint(log_dir: str):
+    """(version, payload) of the latest checkpoint, or None. Checkpoints
+    are a replay OPTIMIZATION (full replay is always correct), so a
+    torn write — pointer ahead of its file — falls back silently, but a
+    corrupt pointer file fails loudly, mirroring operators/txlog.py.
+    Without this seam every query start replayed the ENTIRE commit log:
+    O(all versions) planning on a long-lived streaming table, exactly
+    the cost the writer's checkpoints exist to bound."""
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            v = json.load(f)["version"]
+    except (ValueError, KeyError) as e:
+        raise ValueError(f"corrupt _last_checkpoint: {e}") from e
+    cp = os.path.join(log_dir, f"{v:020d}.checkpoint.json")
+    if not os.path.exists(cp):
+        return None  # torn checkpoint write: pointer ahead of file
+    with open(cp) as f:
+        return v, json.load(f)
+
+
 def _latest_schema_json(log_dir: str) -> tuple[str, list]:
-    """(schema json, partitionColumns) at the latest version — replayed
-    forward so an evolved schema wins."""
+    """(schema json, partitionColumns) at the latest version — seeded
+    from the latest checkpoint's metaData, then replayed forward over
+    only the commits above it so an evolved schema wins."""
     schema, pcols = None, []
+    start = -1
+    ckpt = _latest_checkpoint(log_dir)
+    if ckpt is not None:
+        start = ckpt[0]
+        meta = ckpt[1].get("metaData")
+        if meta is not None:
+            schema = meta["schema"]
+            pcols = meta["partitionColumns"]
     for v in _log_versions(log_dir):
+        if v <= start:
+            continue
         for a in _read_actions(log_dir, v):
             if "metaData" in a:
                 schema = a["metaData"]["schema"]
@@ -206,8 +240,18 @@ try:  # the DataSource API needs pyspark >= 4
             self._pcols = pcols
             self._arrow_schema = arrow_schema
             log_dir = os.path.join(self._path, _LOG_DIR)
+            # live-file set: seed from the latest checkpoint, replay
+            # only the commits above it — O(checkpoint_interval)
+            # planning, never O(log)
             adds: dict = {}
+            start = -1
+            ckpt = _latest_checkpoint(log_dir)
+            if ckpt is not None:
+                start = ckpt[0]
+                adds = {a["path"]: a for a in ckpt[1].get("adds", [])}
             for v in _log_versions(log_dir):
+                if v <= start:
+                    continue
                 for a in _read_actions(log_dir, v):
                     if "add" in a:
                         adds[a["add"]["path"]] = a["add"]

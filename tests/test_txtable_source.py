@@ -137,6 +137,41 @@ def test_stream_fails_loudly_on_rewrites_unless_opted_in(
     assert 3 in seen
 
 
+def test_batch_reader_seeds_from_checkpoint(spark, tmp_path, monkeypatch):
+    """Query-start planning must be O(checkpoint_interval), not O(log):
+    the batch reader seeds its live-file set (and the schema replay its
+    metaData) from the latest checkpoint and reads only the commit
+    files above it."""
+    from crawl_streams_spark.sources import txtable as mod
+
+    t = TxTable.create(
+        spark, str(tmp_path / "ckpt_tbl"),
+        _df(spark, [(0, "v0", "d0")]), partition_by=["day"],
+        checkpoint_interval=5,
+    )
+    for i in range(1, 12):  # versions 1..11; checkpoints at 5 and 10
+        t.append(_df(spark, [(i, f"v{i}", f"d{i % 2}")]))
+    reads: list = []
+    orig = mod._read_actions
+
+    def counting(log_dir, version):
+        reads.append(version)
+        return orig(log_dir, version)
+
+    monkeypatch.setattr(mod, "_read_actions", counting)
+    ds = mod.TxTableDataSource(options={"path": t.path})
+    reader = ds.reader(ds.schema())
+    assert reads and min(reads) > 10, (
+        f"reader replayed commits at/below the checkpoint: {sorted(set(reads))}"
+    )
+    got = {}
+    for p in reader.partitions():
+        for rb in mod._file_batches(p, reader._arrow_schema):
+            for r in rb.to_pylist():
+                got[r["id"]] = r["v"]
+    assert got == {i: f"v{i}" for i in range(12)}
+
+
 def test_stream_survives_midstream_compaction(spark, table, tmp_path):
     """A compact() between two drains must neither fail the CDC stream
     nor re-deliver the compacted rows (its commit's actions carry
