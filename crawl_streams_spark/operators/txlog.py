@@ -344,6 +344,12 @@ class TxTable:
         commits they compacted."""
         versions = self._commit_versions()
         if version not in versions:
+            if versions and version < versions[0]:
+                raise TxError(
+                    f"version {version} predates the log horizon "
+                    f"(earliest retained commit {versions[0]} — "
+                    "clean_log removed older history)"
+                )
             raise TxError(f"version {version} does not exist")
         meta = None
         adds: dict = {}
@@ -439,8 +445,18 @@ class TxTable:
         end = last if end_version is None else end_version
         if end > last:
             raise TxError(f"version {end} does not exist")
+        versions = self._commit_versions()
+        if versions and start_version < versions[0] - 1:
+            # commits in (start, earliest) were clean_log'd — reading
+            # onward would silently skip their rows
+            raise TxError(
+                f"start_version {start_version} predates the log "
+                f"horizon (earliest retained commit {versions[0]}) — "
+                "re-seed from a snapshot read, then consume changes "
+                f"from version {versions[0] - 1}"
+            )
         adds: list = []
-        for v in self._commit_versions():
+        for v in versions:
             if v <= start_version or v > end:
                 continue
             actions = self._read_actions(v)
@@ -957,6 +973,17 @@ class TxTable:
             for action in self._read_actions(v):
                 if "add" in action:
                     referenced.add(action["add"]["path"])
+        # checkpoints also vouch for files: after clean_log() removes
+        # the commits a checkpoint compacted, the live set's add-actions
+        # exist ONLY in the checkpoint payload — without this, vacuum
+        # would read live data as orphaned and delete it
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".checkpoint.json"):
+                with open(os.path.join(self.log_dir, name)) as f:
+                    payload = json.load(f)
+                referenced.update(
+                    a["path"] for a in payload.get("adds", [])
+                )
         deleted = []
         for root, dirs, files in os.walk(self.path):
             if root == self.path:
@@ -981,4 +1008,66 @@ class TxTable:
                     continue  # raced with its writer/another vacuum
                 os.unlink(full)
                 deleted.append(rel)
+        return deleted
+
+    def clean_log(self, min_age_seconds: float = 7 * 24 * 3600.0) -> list:
+        """Delete commit files (and superseded checkpoints) STRICTLY
+        BELOW the latest checkpoint — the Delta ``logRetentionDuration``
+        idea: a year-old streaming table otherwise accretes one tiny
+        JSON per micro-batch forever, and every fresh reader pays the
+        listing. The horizon checkpoint carries the full live-file set
+        and the cumulative txn-token set, so current reads, replay
+        idempotence, and incremental consumption from the horizon
+        forward are unaffected; TIME TRAVEL BELOW THE HORIZON IS
+        FORFEITED (those versions raise "does not exist", and
+        change-readers positioned below it fail loudly with a re-seed
+        hint — never silently skip).
+
+        Refuses (TxError) when the horizon checkpoint does not carry
+        txn tokens — cleaning would orphan the tokens of compacted
+        commits and let a crashed fold's replay double-apply. Files
+        younger than ``min_age_seconds`` are kept: a reader that
+        listed versions just before cleanup may still be replaying
+        them (the same grace-window reasoning as vacuum_orphans).
+        Returns the deleted log-file names."""
+        import time
+
+        ckpt_p = os.path.join(self.log_dir, _LAST_CKPT)
+        if not os.path.exists(ckpt_p):
+            return []
+        with open(ckpt_p) as f:
+            horizon = json.load(f)["version"]
+        cp = os.path.join(self.log_dir, _ckpt_name(horizon))
+        if not os.path.exists(cp):
+            return []  # torn checkpoint write: nothing safe to clean
+        with open(cp) as f:
+            payload = json.load(f)
+        if "txns" not in payload:
+            raise TxError(
+                "clean_log refused: the horizon checkpoint carries no "
+                "txn-token set, so cleaning would orphan compacted "
+                "commits' idempotence tokens (rewrite the checkpoint "
+                "first by committing past the next interval)"
+            )
+        cutoff = time.time() - min_age_seconds
+        deleted = []
+        for name in sorted(os.listdir(self.log_dir)):
+            if name.startswith(".") or name == _LAST_CKPT:
+                continue
+            if name.endswith(".checkpoint.json"):
+                v = int(name[: -len(".checkpoint.json")])
+            elif name.endswith(".json"):
+                v = int(name[:-5])
+            else:
+                continue
+            if v >= horizon:
+                continue
+            full = os.path.join(self.log_dir, name)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue  # raced with another cleaner
+            os.unlink(full)
+            deleted.append(name)
         return deleted

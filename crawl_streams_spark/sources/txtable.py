@@ -329,8 +329,20 @@ try:  # the DataSource API needs pyspark >= 4
             # the next latestOffset paces from it instead of re-offering
             # the whole history uncapped
             self._last_end = max(self._last_end or e, e)
+            versions = _log_versions(self._log_dir)
+            if versions and s < versions[0] - 1:
+                # commits in (s, earliest) were clean_log'd away —
+                # continuing would silently drop their rows from the
+                # stream
+                raise ValueError(
+                    f"txtable stream: offset {s} predates the log "
+                    f"horizon (earliest retained commit {versions[0]}) "
+                    "— re-seed downstream state from a snapshot read "
+                    "and restart the stream with "
+                    f"starting_version={versions[0] - 1} or 'latest'"
+                )
             adds = []
-            for v in _log_versions(self._log_dir):
+            for v in versions:
                 if v <= s or v > e:
                     continue
                 actions = _read_actions(self._log_dir, v)

@@ -726,6 +726,89 @@ def test_append_merge_schema_evolves_and_nullfills_old_files(spark, table):
     assert got[3] is None and got[11] == 1.0
 
 
+def test_clean_log_retention_lifecycle(spark, tmp_path):
+    """clean_log (the Delta logRetentionDuration idea): commit files
+    below the latest token-carrying checkpoint delete; current reads,
+    incremental consumption from the horizon, txn idempotence across a
+    FRESH handle, and the vacuum interplay all survive; time travel and
+    change-reads below the horizon fail loudly, never silently skip."""
+    t = TxTable.create(
+        spark, str(tmp_path / "cl"),
+        _df(spark, [(0, "a", "d0")]), partition_by=["day"],
+        checkpoint_interval=5,
+    )
+    # v1: rewrite d0 so v0's file becomes unreachable history post-clean
+    t.overwrite_partitions(_df(spark, [(0, "a2", "d0")]))
+    token = "fold-7"
+    t.merge_into(_df(spark, [(7, "g", "d1")]), key=["id"], txn=token,
+                 check_key_containment=False)
+    for i in range(3, 12):  # versions 3..11; checkpoints at 5 and 10
+        t.append(_df(spark, [(100 + i, "x", f"d{i % 2}")]))
+    want = sorted(r["id"] for r in t.read().collect())
+
+    # grace window: young log files are kept
+    assert t.clean_log() == []
+    deleted = t.clean_log(min_age_seconds=0)
+    assert deleted, "nothing cleaned"
+    vs = t._commit_versions()
+    assert vs[0] == 10, vs  # horizon checkpoint version
+    assert all(int(n.split(".")[0]) < 10 for n in deleted)
+
+    # current state and post-horizon time travel are unaffected
+    assert sorted(r["id"] for r in t.read().collect()) == want
+    assert t.read_version(11).count() == t.read().count()
+    with pytest.raises(TxError, match="predates the log horizon"):
+        t.read_version(3)
+
+    # incremental consumption: valid from horizon-1, loud below it
+    got = sorted(r["id"] for r in t.read_changes(9).collect())
+    assert got == [110, 111]
+    with pytest.raises(TxError, match="predates the log horizon"):
+        t.read_changes(5)
+
+    # txn idempotence survives through the checkpoint's token set,
+    # fresh handle (driver restart) included
+    t2 = TxTable(spark, t.path)
+    assert t2.seen_txn(token)
+    v = t2.latest_version()
+    t2.merge_into(_df(spark, [(7, "G2", "d1")]), key=["id"], txn=token,
+                  check_key_containment=False)
+    assert t2.latest_version() == v  # replay no-opped
+
+    # vacuum after clean: live files (referenced only via the
+    # checkpoint now) are safe; the pre-horizon overwritten file is
+    # unreachable history and reaps
+    reaped = t.vacuum_orphans(min_age_seconds=0)
+    assert reaped, "the overwritten v0 file should be vacuumable"
+    assert sorted(r["id"] for r in t.read().collect()) == want
+
+    # appends continue normally on the cleaned log
+    t.append(_df(spark, [(999, "z", "d0")]))
+    assert 999 in {r["id"] for r in t.read().collect()}
+
+
+def test_clean_log_refuses_tokenless_checkpoint(spark, tmp_path):
+    """A checkpoint without a txn-token set cannot vouch for the
+    commits it compacted — cleaning below it would let a crashed
+    fold's replay double-apply; clean_log must refuse."""
+    import json as _json
+
+    t = TxTable.create(
+        spark, str(tmp_path / "clr"),
+        _df(spark, [(0, "a", "d0")]), partition_by=["day"],
+        checkpoint_interval=5,
+    )
+    for i in range(1, 7):
+        t.append(_df(spark, [(i, "x", "d0")]))
+    cp = os.path.join(t.log_dir, f"{5:020d}.checkpoint.json")
+    payload = _json.load(open(cp))
+    payload.pop("txns", None)
+    with open(cp, "w") as f:
+        _json.dump(payload, f)
+    with pytest.raises(TxError, match="clean_log refused"):
+        t.clean_log(min_age_seconds=0)
+
+
 def test_merge_schema_race_keeps_both_writers_columns(spark, table):
     """ADVICE r10 (txlog.py append): the evolved metaData used to be
     computed from a snapshot taken BEFORE the commit loop, so a racing

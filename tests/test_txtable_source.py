@@ -326,6 +326,35 @@ def test_reader_yields_arrow_record_batches(spark, table, tmp_path):
     }
 
 
+def test_stream_offset_below_log_horizon_fails_loudly(spark, tmp_path):
+    """A consumer whose committed offset predates a clean_log horizon
+    must fail with the re-seed hint — silently skipping the cleaned
+    commits' rows would be data loss."""
+    from crawl_streams_spark.sources import txtable as mod
+
+    t = TxTable.create(
+        spark, str(tmp_path / "hz"),
+        _df(spark, [(0, "a", "d0")]), partition_by=["day"],
+        checkpoint_interval=5,
+    )
+    for i in range(1, 12):
+        t.append(_df(spark, [(i, "x", "d0")]))
+    assert t.clean_log(min_age_seconds=0)
+    ds = mod.TxTableDataSource(options={"path": t.path})
+    reader = ds.streamReader(ds.schema())
+    with pytest.raises(ValueError, match="predates the log horizon"):
+        reader.partitions({"version": 3}, {"version": 11})
+    # from the horizon forward the stream is healthy
+    parts = reader.partitions({"version": 9}, {"version": 11})
+    rows = [
+        r["id"]
+        for p in parts
+        for rb in mod._file_batches(p, reader._arrow_schema)
+        for r in rb.to_pylist()
+    ]
+    assert sorted(rows) == [10, 11]
+
+
 def test_cdc_feeds_incremental_dedup_pipeline(spark, tmp_path):
     """Composition proof: raw documents land in a TxTable; a CDC stream
     over its commit log feeds the cross-batch exact-dedup index; only
