@@ -33,6 +33,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let Python DataSources (txtable, warc) see query filters at
+    # planning time — the txtable reader prunes whole files by
+    # partition value and footer min/max stats (default false in 4.1).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

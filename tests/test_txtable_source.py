@@ -326,6 +326,65 @@ def test_reader_yields_arrow_record_batches(spark, table, tmp_path):
     }
 
 
+def test_batch_reader_prunes_files_by_filter_pushdown(spark, tmp_path):
+    """Planning-time file pruning from pushed filters: partition
+    columns evaluate exactly, data columns by footer min/max stats;
+    anything unprovable stays unpruned; Spark re-applies every filter
+    row-level, so results stay correct end to end."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
+
+    from crawl_streams_spark.sources import txtable as mod
+
+    t = TxTable.create(
+        spark, str(tmp_path / "prune"),
+        _df(spark, [(1, "a", "d1"), (2, "b", "d1")]),
+        partition_by=["day"],
+    )
+    t.append(_df(spark, [(100, "c", "d2"), (101, "d", "d2")]))
+    ds = mod.TxTableDataSource(options={"path": t.path})
+
+    def parts(filters):
+        reader = ds.reader(ds.schema())
+        kept = reader.pushFilters(list(filters))
+        assert list(kept) == list(filters)  # all handed back to Spark
+        return [p for p in reader.partitions() if p.path]
+
+    all_parts = parts([])
+    n_all = len(all_parts)
+    n_d1 = sum(1 for p in all_parts if p.pvals["day"] == "d1")
+    n_d2 = n_all - n_d1
+    assert n_d1 and n_d2
+    # partition-value pruning: exact evaluation
+    p_d1 = parts([EqualTo(("day",), "d1")])
+    assert len(p_d1) == n_d1
+    assert all(p.pvals["day"] == "d1" for p in p_d1)
+    # footer-stats pruning: ids 1,2 live in d1 files, 100,101 in d2
+    assert 1 <= len(parts([EqualTo(("id",), 100)])) <= n_d2
+    assert len(parts([GreaterThan(("id",), 2)])) == n_d2
+    assert len(parts([GreaterThan(("id",), 101)])) == 0
+    # conjuncts compose (AND): every d2 file fails id<100
+    from pyspark.sql.datasource import LessThan
+
+    assert len(parts([EqualTo(("day",), "d2"),
+                      LessThan(("id",), 100)])) == 0
+    # unprovable arms never prune: IsNotNull on stats columns, unknown
+    # string filters
+    from pyspark.sql.datasource import StringStartsWith
+
+    assert len(parts([IsNotNull(("id",))])) == n_all
+    assert len(parts([StringStartsWith(("v",), "a")])) == n_all
+
+    # end to end through the session (filter pushdown conf is on in
+    # session.py): values correct after pruning
+    register_txtable_source(spark)
+    got = (
+        spark.read.format("txtable").load(t.path)
+        .filter("day = 'd2' and id >= 101")
+        .collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(101, "d")]
+
+
 def test_stream_offset_below_log_horizon_fails_loudly(spark, tmp_path):
     """A consumer whose committed offset predates a clean_log horizon
     must fail with the re-seed hint — silently skipping the cleaned
