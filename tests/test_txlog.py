@@ -319,11 +319,13 @@ def test_txn_token_streaming_fold_exactly_once(spark, tmp_path):
 def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     """Model-based check: a seeded random sequence of appends, partition
     overwrites, partition-stable merges, txn-stamped merge REPLAYS,
-    compactions, crash-orphans, and vacuums must keep the table equal to
-    a plain in-memory dict model after every step — every historical
-    version must still read back exactly (time travel is never
-    invalidated by later operations), and every append version must be
-    consumable through read_changes as exactly its own rows."""
+    compactions, crash-orphans, vacuums, and log-retention cleanups
+    must keep the table equal to a plain in-memory dict model after
+    every step — every historical version above the retention horizon
+    must still read back exactly (below it, reads RAISE and the model
+    forgets them — never a silent wrong answer), and every append
+    version above the horizon must be consumable through read_changes
+    as exactly its own rows."""
     import random
 
     rng = random.Random(20260815)
@@ -345,7 +347,7 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
 
     for step in range(24):
         op = rng.choice(["append", "overwrite", "merge", "merge_replay",
-                         "compact", "orphan", "vacuum"])
+                         "compact", "orphan", "vacuum", "clean"])
         if op == "append":
             k = max(model, default=0) + 1 + rng.randrange(3)
             rows = [(k, f"v{step}", day_of(k))]
@@ -390,6 +392,21 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
             t._write_data_files(
                 _df(spark, [(999, "dead", "d0")]), ["day"]
             )
+        elif op == "clean":
+            # log retention mid-fuzz: current state must be untouched,
+            # below-horizon time travel / change reads must RAISE (the
+            # model forgets them), and every later op keeps working
+            t.clean_log(min_age_seconds=0)
+            vs = t._commit_versions()
+            horizon = vs[0]
+            for v in [x for x in snapshots if x < horizon]:
+                with pytest.raises(TxError, match="predates|not exist"):
+                    t.read_version(v)
+                del snapshots[v]
+            for v in [x for x in append_versions if x < horizon]:
+                with pytest.raises(TxError, match="predates"):
+                    t.read_changes(v - 1, end_version=v)
+                del append_versions[v]
         else:
             t.vacuum_orphans(min_age_seconds=0)
         if op in ("append", "overwrite", "merge", "merge_replay"):
