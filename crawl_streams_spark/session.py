@@ -33,10 +33,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let Python DataSources (txtable, warc) see query filters at
-    # planning time — the txtable reader prunes whole files by
-    # partition value and footer min/max stats (default false in 4.1).
-    "spark.sql.python.filterPushdown.enabled": "true",
+    # Python DataSource filter pushdown stays OFF (the 4.1 default):
+    # the JVM caches a reused base DataFrame's planned scan and does
+    # not re-plan filterless queries, so any filter-dependent
+    # partitions() silently loses rows under ordinary DataFrame reuse
+    # (measured r11 — see the note in sources/txtable.py and the
+    # canary test it names).
+    "spark.sql.python.filterPushdown.enabled": "false",
 }
 
 

@@ -226,85 +226,25 @@ try:  # the DataSource API needs pyspark >= 4
             parts.append(_TxFilePartition(a["abs_path"], pvals))
         return parts
 
-    def _file_may_match(add, flt, pcols, ptypes) -> bool:
-        """Conservative can-this-file-hold-a-matching-row test for ONE
-        pushed filter conjunct: partition columns evaluate EXACTLY
-        against the add-action's typed partition value; data columns
-        evaluate as a range test against the add-action's parquet-footer
-        min/max stats. Anything unrecognized — nested attribute,
-        missing stats, cross-type comparison — returns True (never
-        prune on a guess). Spark re-applies every filter row-level
-        regardless (pushFilters returns them all), so pruning here is
-        pure scan savings, but a wrong False would still lose rows:
-        every arm is provable, not heuristic."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            IsNotNull,
-            IsNull,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        attr = tuple(flt.attribute) if hasattr(flt, "attribute") else ()
-        if len(attr) != 1:
-            return True
-        col = attr[0]
-        try:
-            if col in pcols:
-                v = _pv_convert(
-                    add["partitionValues"].get(col),
-                    ptypes.get(col, "string"),
-                )
-                if isinstance(flt, IsNull):
-                    return v is None
-                if isinstance(flt, IsNotNull):
-                    return v is not None
-                if v is None:
-                    return False  # comparisons below never match NULL
-                if isinstance(flt, EqualTo):
-                    return v == flt.value
-                if isinstance(flt, In):
-                    return v in flt.value
-                if isinstance(flt, GreaterThan):
-                    return v > flt.value
-                if isinstance(flt, GreaterThanOrEqual):
-                    return v >= flt.value
-                if isinstance(flt, LessThan):
-                    return v < flt.value
-                if isinstance(flt, LessThanOrEqual):
-                    return v <= flt.value
-                return True
-            st = add.get("stats") or {}
-            lo = (st.get("minValues") or {}).get(col)
-            hi = (st.get("maxValues") or {}).get(col)
-            if lo is None or hi is None:
-                return True  # no stats: unprunable (incl. null-only)
-            if isinstance(flt, EqualTo):
-                return lo <= flt.value <= hi
-            if isinstance(flt, In):
-                return any(lo <= x <= hi for x in flt.value)
-            if isinstance(flt, GreaterThan):
-                return hi > flt.value
-            if isinstance(flt, GreaterThanOrEqual):
-                return hi >= flt.value
-            if isinstance(flt, LessThan):
-                return lo < flt.value
-            if isinstance(flt, LessThanOrEqual):
-                return lo <= flt.value
-            return True
-        except TypeError:
-            return True  # cross-type compare (e.g. date vs str stats)
-
-    def _prune_adds(adds, filters, pcols, ptypes):
-        if not filters:
-            return adds
-        return [
-            a for a in adds
-            if all(_file_may_match(a, f, pcols, ptypes) for f in filters)
-        ]
+    # NOTE on filter pushdown (investigated r11, deliberately NOT
+    # implemented): pyspark 4.1's DataSourceReader.pushFilters +
+    # spark.sql.python.filterPushdown.enabled would let partitions()
+    # prune files from pushed conjuncts — but the JVM caches the planned
+    # scan (read function + partitions) on the shared relation of a
+    # reused base DataFrame and DOES NOT re-plan queries whose pushable
+    # filter set is empty. Measured in-env: after
+    # `src.filter("day='nope'").count()`, both `src.count()` and an
+    # OR-predicate query on the same `src` reused the pruned-to-zero
+    # scan and silently returned wrong results; claiming the filters as
+    # SUPPORTED re-planned filtered queries but still served the stale
+    # scan to filterless ones. Until the cache keys on the pushed
+    # filter set, ANY filter-dependent partitions() loses rows under
+    # ordinary DataFrame reuse, so this reader keeps the stateless
+    # default (all filters handed back, partitions filter-independent —
+    # exactly the contract the cache is sound for).
+    # tests/test_txtable_source.py::
+    # test_shared_dataframe_reuse_with_filters_is_correct is the canary
+    # that must stay green if pushdown is ever revisited.
 
     class _TxReader(DataSourceReader):
         """Batch: the latest snapshot (checkpoint-free replay here is
@@ -340,24 +280,10 @@ try:  # the DataSource API needs pyspark >= 4
             for a in adds.values():
                 a["abs_path"] = os.path.join(self._path, a["path"])
             self._adds = list(adds.values())
-            self._pushed: list = []
-
-        def pushFilters(self, filters):
-            """Record every conjunct for file pruning, hand every one
-            back to Spark for row-level re-application — the pruning is
-            pure scan savings, never a correctness dependency. Enabled
-            by spark.sql.python.filterPushdown.enabled (on in
-            session.py)."""
-            self._pushed = list(filters)
-            return filters
 
         def partitions(self):
-            pruned = _prune_adds(
-                self._adds, self._pushed, set(self._pcols),
-                dict(self._fields),
-            )
             return _adds_to_partitions(
-                pruned, self._fields, self._pcols
+                self._adds, self._fields, self._pcols
             ) or [_TxFilePartition("", {})]
 
         def read(self, partition):

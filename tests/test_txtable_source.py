@@ -326,63 +326,45 @@ def test_reader_yields_arrow_record_batches(spark, table, tmp_path):
     }
 
 
-def test_batch_reader_prunes_files_by_filter_pushdown(spark, tmp_path):
-    """Planning-time file pruning from pushed filters: partition
-    columns evaluate exactly, data columns by footer min/max stats;
-    anything unprovable stays unpruned; Spark re-applies every filter
-    row-level, so results stay correct end to end."""
-    from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull
-
-    from crawl_streams_spark.sources import txtable as mod
+def test_shared_dataframe_reuse_with_filters_is_correct(spark, tmp_path):
+    """The canary for the r11 pushdown investigation: Spark caches a
+    reused base DataFrame's planned Python-source scan and does NOT
+    re-plan filterless queries, so filter-DEPENDENT partitions() would
+    serve one query's pruning to the next (measured: after
+    .filter(day='nope').count(), an unfiltered count() on the same df
+    returned 0). This test drives many differently-filtered queries
+    (plus an unfiltered one) through ONE shared base DataFrame and
+    compares each against the plain snapshot read — it must stay green
+    under any future pushFilters implementation."""
+    from crawl_streams_spark.sources.txtable import register_txtable_source
 
     t = TxTable.create(
-        spark, str(tmp_path / "prune"),
-        _df(spark, [(1, "a", "d1"), (2, "b", "d1")]),
+        spark, str(tmp_path / "equiv"),
+        _df(spark, [(1, "alpha", "d1"), (2, "beta", "d2")]),
         partition_by=["day"],
     )
-    t.append(_df(spark, [(100, "c", "d2"), (101, "d", "d2")]))
-    ds = mod.TxTableDataSource(options={"path": t.path})
-
-    def parts(filters):
-        reader = ds.reader(ds.schema())
-        kept = reader.pushFilters(list(filters))
-        assert list(kept) == list(filters)  # all handed back to Spark
-        return [p for p in reader.partitions() if p.path]
-
-    all_parts = parts([])
-    n_all = len(all_parts)
-    n_d1 = sum(1 for p in all_parts if p.pvals["day"] == "d1")
-    n_d2 = n_all - n_d1
-    assert n_d1 and n_d2
-    # partition-value pruning: exact evaluation
-    p_d1 = parts([EqualTo(("day",), "d1")])
-    assert len(p_d1) == n_d1
-    assert all(p.pvals["day"] == "d1" for p in p_d1)
-    # footer-stats pruning: ids 1,2 live in d1 files, 100,101 in d2
-    assert 1 <= len(parts([EqualTo(("id",), 100)])) <= n_d2
-    assert len(parts([GreaterThan(("id",), 2)])) == n_d2
-    assert len(parts([GreaterThan(("id",), 101)])) == 0
-    # conjuncts compose (AND): every d2 file fails id<100
-    from pyspark.sql.datasource import LessThan
-
-    assert len(parts([EqualTo(("day",), "d2"),
-                      LessThan(("id",), 100)])) == 0
-    # unprovable arms never prune: IsNotNull on stats columns, unknown
-    # string filters
-    from pyspark.sql.datasource import StringStartsWith
-
-    assert len(parts([IsNotNull(("id",))])) == n_all
-    assert len(parts([StringStartsWith(("v",), "a")])) == n_all
-
-    # end to end through the session (filter pushdown conf is on in
-    # session.py): values correct after pruning
+    t.append(_df(spark, [(10, "gamma", "d1"), (20, "delta", "d3"),
+                         (30, None, "d2")]))
+    t.append(_df(spark, [(100, "epsilon", "d1")]))
     register_txtable_source(spark)
-    got = (
-        spark.read.format("txtable").load(t.path)
-        .filter("day = 'd2' and id >= 101")
-        .collect()
-    )
-    assert [(r["id"], r["v"]) for r in got] == [(101, "d")]
+    via_source = spark.read.format("txtable").load(t.path)
+    plain = t.read()
+    predicates = [
+        "day = 'd1'", "day != 'd2'", "day in ('d1','d3')",
+        "day > 'd1'", "id = 20", "id >= 10 and id < 100",
+        "id in (1, 30, 100)", "v is null", "v is not null",
+        "v like 'a%'", "day = 'd1' and id > 50", "id < 0",
+        "day = 'nope'",  # prunes to zero files under any pushdown
+        "id = 10 or day = 'd2'",  # OR: not expressible as conjuncts
+        "not (day = 'd1')",
+    ]
+    for pred in predicates:
+        got = sorted(map(tuple, via_source.filter(pred).collect()))
+        want = sorted(map(tuple, plain.filter(pred).collect()))
+        assert got == want, f"filtered reuse changed results for: {pred}"
+    # the unfiltered read AFTER filtered queries — the exact stale-scan
+    # reuse arm that silently returned 0 rows under stateful pushdown
+    assert via_source.count() == plain.count()
 
 
 def test_stream_offset_below_log_horizon_fails_loudly(spark, tmp_path):
