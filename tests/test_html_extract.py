@@ -37,6 +37,27 @@ def test_entities_decode_in_order_amp_last(spark):
     assert r["text"] == "a &lt; b <i> \"q\" 's'"
 
 
+def test_entity_table_matches_stdlib():
+    """Every entity-table entry must decode to exactly what the
+    stdlib's html.unescape produces — the guard against codepoint
+    typos in the literal table. Sole deliberate divergence: the nbsp
+    family maps to a PLAIN space (the text pipeline collapses
+    whitespace anyway, and '\\xa0' would leak into tokenization)."""
+    import html
+
+    for ent, ch in T.HTML_ENTITIES:
+        std = html.unescape(ent)
+        if ent in ("&nbsp;", "&#160;", "&#xa0;"):
+            assert std == "\xa0" and ch == " "
+        else:
+            assert std == ch, f"{ent!r}: table {ch!r} != stdlib {std!r}"
+    # decode-order invariant: every ampersand-PRODUCING entity sits at
+    # the tail, after every other entry (the no-double-decode contract)
+    amp_idx = [i for i, (e, c) in enumerate(T.HTML_ENTITIES) if c == "&"]
+    assert amp_idx == list(range(len(T.HTML_ENTITIES) - len(amp_idx),
+                                 len(T.HTML_ENTITIES)))
+
+
 def test_numeric_charrefs_decode(spark):
     """VERDICT r10 item 7: real crawl HTML is full of &#NNN;/&#xNN;
     refs. Decimal and lowercase-hex forms of the table's refs decode;
