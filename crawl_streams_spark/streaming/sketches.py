@@ -48,7 +48,14 @@ __all__ = [
     "tx_cms_fold",
     "stream_kmv",
     "stream_mg",
+    "stream_mg_tx",
     "stream_mrl",
+    "stream_mrl_tx",
+    "ensure_mg_txtable",
+    "ensure_mrl_txtable",
+    "read_summary_txtable",
+    "tx_mg_fold",
+    "tx_mrl_fold",
 ]
 
 #: merged-state builder: (spark, batch) -> (merged DataFrame, cleanup|None).
@@ -540,3 +547,148 @@ def stream_mrl(
         available_now,
         exactly_once,
     )
+
+
+# -- MG / MRL on the TRANSACTIONAL path (r11, completing the CMS move):
+# the other two sum-like sketch folds, same discipline — merge the
+# batch's summaries with the live state read through the table
+# SNAPSHOT, overwrite in one token-stamped atomic commit. With these,
+# NO streaming sketch fold depends on the staged marker protocol
+# (which remains available as the generic two-phase surface). The
+# summary schemas are data-dependent (item/value column types), so the
+# tables partition by a constant column and the ensure helpers derive
+# the schema from an empty summary of the stream's own schema.
+
+_SUMMARY_P = "__p"
+
+
+def _ensure_summary_txtable(spark: SparkSession, path: str,
+                            empty: DataFrame):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.txlog import TxTable
+
+    if os.path.isdir(os.path.join(path, "_txlog")):
+        return TxTable(spark, path)
+    return TxTable.create(
+        spark, path,
+        empty.limit(0).withColumn(_SUMMARY_P, F.lit(0).cast("int")),
+        partition_by=[_SUMMARY_P],
+    )
+
+
+def ensure_mg_txtable(spark: SparkSession, path: str, stream_schema,
+                      item_col: str, k: int = 256):
+    """Open the MG heavy-hitters TxTable, creating it EMPTY (summary
+    schema derived from the stream's own schema) on first use."""
+    empty = S.mg_partition_summaries(
+        spark.createDataFrame([], stream_schema), item_col, k
+    )
+    return _ensure_summary_txtable(spark, path, empty)
+
+
+def ensure_mrl_txtable(spark: SparkSession, path: str, stream_schema,
+                       value_col: str, c: int = 200):
+    """Open the MRL quantile-summary TxTable, creating it EMPTY on
+    first use."""
+    empty = S.mrl_partition_summaries(
+        spark.createDataFrame([], stream_schema), value_col, c
+    )
+    return _ensure_summary_txtable(spark, path, empty)
+
+
+def read_summary_txtable(table) -> DataFrame:
+    """The summary without its internal constant partition column —
+    loads into any MG/MRL consumer (mg_prune / mrl_quantiles)."""
+    return table.read().drop(_SUMMARY_P)
+
+
+def tx_mg_fold(table, batch_df: DataFrame, batch_id: int, item_col: str,
+               k: int = 256, name: str = "mg") -> None:
+    """One micro-batch of the transactional Misra-Gries fold (see the
+    CMS twin for the protocol). Module-level for the crash-matrix
+    tests."""
+    from pyspark.sql import functions as F
+
+    token = f"{name}-{batch_id}"
+    if table.seen_txn(token):
+        return
+    parts = S.mg_partition_summaries(batch_df, item_col, k)
+    combined = read_summary_txtable(table).unionByName(parts)
+    # mg_prune fans its input into three branches — pin the tiny
+    # combined summary once (the builder's r6 discipline)
+    combined = combined.localCheckpoint(eager=True)
+    try:
+        merged = S.mg_prune(combined, k).withColumn(
+            _SUMMARY_P, F.lit(0).cast("int")
+        )
+        table.overwrite_partitions(merged, txn=token)
+    finally:
+        unpin(combined)
+
+
+def tx_mrl_fold(table, batch_df: DataFrame, batch_id: int,
+                value_col: str, c: int = 200, name: str = "mrl") -> None:
+    """One micro-batch of the transactional MRL quantile fold."""
+    from pyspark.sql import functions as F
+
+    token = f"{name}-{batch_id}"
+    if table.seen_txn(token):
+        return
+    parts = S.mrl_partition_summaries(batch_df, value_col, c)
+    combined = read_summary_txtable(table).unionByName(parts)
+    merged = S.mrl_merge(combined, c).withColumn(
+        _SUMMARY_P, F.lit(0).cast("int")
+    )
+    table.overwrite_partitions(merged, txn=token)
+
+
+def stream_mg_tx(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    item_col: str,
+    k: int = 256,
+    available_now: bool = False,
+    name: str = "mg",
+):
+    """Continuous heavy-hitters maintenance on the transactional path."""
+    table = ensure_mg_txtable(stream_df.sparkSession, path,
+                              stream_df.schema, item_col, k)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        tx_mg_fold(table, batch_df, batch_id, item_col, k, name=name)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_mrl_tx(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    value_col: str,
+    c: int = 200,
+    available_now: bool = False,
+    name: str = "mrl",
+):
+    """Continuous quantile-sketch maintenance on the transactional
+    path."""
+    table = ensure_mrl_txtable(stream_df.sparkSession, path,
+                               stream_df.schema, value_col, c)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        tx_mrl_fold(table, batch_df, batch_id, value_col, c, name=name)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -226,6 +226,95 @@ def test_cms_tx_crash_matrix_recovers_exactly_once(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == want
 
 
+def test_stream_mg_tx_bounds_and_replay(spark, tmp_path):
+    """MG on the transactional path (r11, completing the CMS move):
+    the maintained table keeps the mergeable-summaries guarantees, and
+    a replayed micro-batch no-ops on its txn token."""
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    df, src = _src(spark, tmp_path)
+    path, ckpt = str(tmp_path / "mg_tx"), str(tmp_path / "ckmgtx")
+    k = 8
+
+    def run():
+        q = SS.stream_mg_tx(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            path, ckpt, "item", k=k, available_now=True,
+        )
+        _await(spark, q)
+
+    run()
+    t = TxTable(spark, path)
+    rows = SS.read_summary_txtable(t).collect()
+    counters = {r["item"]: r["cnt"] for r in rows if not r["meta"]}
+    err = sum(r["cnt"] for r in rows if r["meta"])
+    true = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(true.values())
+    assert len(counters) <= k
+    assert 0 < err <= n // (k + 1)
+    for item, tr in true.items():
+        est = counters.get(item, 0)
+        assert tr - err <= est <= tr, item
+    # replay: token suppression — no new version, summary unchanged
+    v = t.latest_version()
+    before = sorted(map(tuple, rows))
+    _inject_replay(ckpt)
+    run()
+    t2 = TxTable(spark, path)
+    assert t2.latest_version() == v
+    assert sorted(map(tuple, SS.read_summary_txtable(t2).collect())) == before
+
+
+def test_stream_mrl_tx_rank_bounds_and_replay(spark, tmp_path):
+    """MRL on the transactional path: rank bounds hold off the
+    maintained table and a replayed micro-batch adds no mass."""
+    import math
+
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    rows = [(float((i * 37) % 1009),) for i in range(2000)]
+    df = spark.createDataFrame(rows, "v double")
+    src = str(tmp_path / "vsrc_tx")
+    df.filter(F.col("v") < 500).coalesce(1).write.parquet(src, mode="append")
+    df.filter(F.col("v") >= 500).coalesce(1).write.parquet(src, mode="append")
+    path, ckpt = str(tmp_path / "mrl_tx"), str(tmp_path / "ckqtx")
+
+    def run():
+        q = SS.stream_mrl_tx(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            path, ckpt, "v", c=64, available_now=True,
+        )
+        _await(spark, q)
+
+    run()
+    t = TxTable(spark, path)
+    summary = SS.read_summary_txtable(t).collect()
+    ests, err, n, w_max = S.mrl_quantiles(summary, [0.1, 0.5, 0.9])
+    vals = sorted(x[0] for x in rows)
+    assert n == len(vals)
+    for qq, est in ests.items():
+        tr = max(1, int(math.ceil(qq * n)))
+        below = sum(1 for v in vals if v < est)
+        at_or_below = sum(1 for v in vals if v <= est)
+        assert below <= tr + err + w_max, (qq, below, tr, err, w_max)
+        assert at_or_below >= tr - err, (qq, at_or_below, tr, err)
+    # replay adds no mass and no version
+    v = t.latest_version()
+    _inject_replay(ckpt)
+    run()
+    t2 = TxTable(spark, path)
+    assert t2.latest_version() == v
+    _, _, n_after, _ = S.mrl_quantiles(
+        SS.read_summary_txtable(t2).collect(), [0.5]
+    )
+    assert n_after == 2000
+
+
 def test_stream_kmv_matches_batch_build(spark, tmp_path):
     df, src = _src(spark, tmp_path)
     table = str(tmp_path / "kmv")
