@@ -260,9 +260,27 @@ HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&mdash;", "—"), ("&#8212;", "—"),
     ("&hellip;", "…"), ("&#8230;", "…"),
     ("&copy;", "©"), ("&reg;", "®"),
-    # ampersand class: strictly last
+    # ampersand class: strictly last, and decoded in ONE regexp pass
+    # (AMP_CLASS_PATTERN below) — sequential literal replaces would
+    # double-decode INSIDE the class itself: ('&amp;','&') first turns
+    # '&amp;#38;' into '&#38;', which ('&#38;','&') then wrongly takes
+    # to '&' (html.unescape says the literal text '&#38;') — ADVICE r11.
     ("&amp;", "&"), ("&#38;", "&"), ("&#x26;", "&"),
 )
+
+#: the single-scan decode of the ampersand class (RE2-safe — no
+#: backreferences/lookaround, so the DuckDB oracle replays it exactly).
+AMP_CLASS_PATTERN = r"&(amp|#38|#x26);"
+
+
+def _decode_entities(c: Column) -> Column:
+    """Apply HTML_ENTITIES: literal replaces for every non-ampersand
+    entry, then the whole ampersand class in one regexp pass."""
+    for ent, ch in HTML_ENTITIES:
+        if ch == "&":
+            continue
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.regexp_replace(c, AMP_CLASS_PATTERN, "&")
 
 #: strip order matters: script/style/comment BLOCKS before the generic
 #: tag strip (their bodies may contain '<'), tags before entity decode
@@ -282,16 +300,14 @@ def html_to_text(html: Column | str) -> Column:
     c = _c(html)
     for pat in HTML_STRIP_PATTERNS:
         c = F.regexp_replace(c, pat, " ")
-    for ent, ch in HTML_ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = _decode_entities(c)
     return F.btrim(F.regexp_replace(c, r"\s+", " "))
 
 
 def html_title(html: Column | str) -> Column:
     """<title> content ('' when absent), entity-decoded and trimmed."""
     c = F.regexp_extract(_c(html), r"(?is)<title[^>]*>(.*?)</title>", 1)
-    for ent, ch in HTML_ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = _decode_entities(c)
     return F.btrim(F.regexp_replace(c, r"\s+", " "))
 
 

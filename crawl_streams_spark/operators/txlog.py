@@ -123,6 +123,22 @@ def _stat_norm(v):
     return None
 
 
+def _null_safe_key_cond(left: "DataFrame", right: "DataFrame", key: list):
+    """Join condition matching ``key`` columns with NULL treated as one
+    more key value (``eqNullSafe``) — the name-list equi-join form
+    silently never matches NULL keys, which made MERGE accumulate one
+    duplicate NULL-key row per fold (VERDICT r11 item 1). Column
+    references are bound to the two frames explicitly, so the caller
+    never hits ambiguous-attribute resolution."""
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.and_,
+        [left[k].eqNullSafe(right[k]) for k in key],
+    )
+
+
 def _file_may_contain(add: dict, bounds: dict) -> bool:
     """Range-intersection test between one add-action's per-file stats
     and the update keys' [min, max] bounds. Missing or non-comparable
@@ -848,7 +864,17 @@ class TxTable:
         table (VERDICT r9 item 5). Disable only when keys are
         partition-stable by construction. ``updates`` is cached for
         the duration (it feeds the touched-set collect, the guard, and
-        the rewrite — three actions on one plan otherwise)."""
+        the rewrite — three actions on one plan otherwise).
+
+        NULL merge keys are one more key value (VERDICT r11 item 1):
+        the replace anti-join and the containment guard are NULL-SAFE
+        (``eqNullSafe``), so a batch's NULL-key rows REPLACE the live
+        NULL-key rows instead of silently accumulating a duplicate per
+        fold — the crawl domain's flagship key, ``content_digest``, is
+        null on failed fetches, so this is a live path, not an edge.
+        When updates carry a NULL in a key column, that column's file
+        stats can't prune the guard scan (parquet min/max says nothing
+        about NULL rows)."""
         from pyspark import StorageLevel
 
         key = list(key)
@@ -880,15 +906,20 @@ class TxTable:
                 _canon_pval(a["partitionValues"].get(c)) for c in pcols
             ) in touched
         ]
+        touched_paths = {a["path"] for a in touched_files}
         other_files = [
-            a for a in snap["adds"].values() if a not in touched_files
+            a for a in snap["adds"].values()
+            if a["path"] not in touched_paths
         ]
         if check_key_containment and other_files:
             scan = self._containment_candidates(other_files, updates, key)
             if scan:
                 others = self._read_adds(scan, schema)
+                guard_keys = updates.select(*key).distinct()
                 stray = others.join(
-                    updates.select(*key).distinct(), key, "left_semi"
+                    guard_keys,
+                    _null_safe_key_cond(others, guard_keys, key),
+                    "left_semi",
                 ).limit(1).count()
                 if stray:
                     raise TxError(
@@ -898,9 +929,19 @@ class TxTable:
                         "are partition-stable by construction)"
                     )
         if touched_files:
+            # NULL-SAFE anti-join (VERDICT r11 item 1): a name-list
+            # equi-join never matches NULL keys, so a live NULL-key row
+            # was never replaced — every fold UNIONED one more copy in,
+            # silent duplicate accumulation on exactly the crawl
+            # domain's flagship case (content_digest is null on failed
+            # fetches). eqNullSafe treats NULL as one more key value:
+            # the batch's null-key rows REPLACE the live null-key rows.
             current = self._read_adds(touched_files, schema)
+            upd_keys = updates.select(*key).distinct()
             merged = current.join(
-                updates.select(*key).distinct(), key, "left_anti"
+                upd_keys,
+                _null_safe_key_cond(current, upd_keys, key),
+                "left_anti",
             ).unionByName(updates)
         else:
             merged = updates
@@ -942,9 +983,23 @@ class TxTable:
         for c in key:
             aggs.append(F.min(F.col(c)).alias(f"__lo_{c}"))
             aggs.append(F.max(F.col(c)).alias(f"__hi_{c}"))
+            aggs.append(
+                F.max(F.col(c).isNull().cast("int")).alias(f"__nl_{c}")
+            )
         row = updates.agg(*aggs).collect()[0]
+        # a NULL key in updates makes that column unprunable: parquet
+        # min/max stats say nothing about a file's NULL rows, so a file
+        # whose non-null range is disjoint could still hold the matching
+        # NULL-key row (the guard is null-safe — VERDICT r11 item 1)
         bounds = {
-            c: (_stat_norm(row[f"__lo_{c}"]), _stat_norm(row[f"__hi_{c}"]))
+            c: (
+                (None, None)
+                if row[f"__nl_{c}"]
+                else (
+                    _stat_norm(row[f"__lo_{c}"]),
+                    _stat_norm(row[f"__hi_{c}"]),
+                )
+            )
             for c in key
         }
         return [a for a in other_files if _file_may_contain(a, bounds)]

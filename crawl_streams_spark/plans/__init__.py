@@ -7,35 +7,35 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 11 — planner-generated via
-``python -m scripts.plan_rotation 11`` at the 188-query registry, then
-four filler slots donated from the END to round-11 changes/additions,
-per the planner's own donation rule):
+Ordering policy (round 12 — planner-generated via
+``python -m scripts.plan_rotation 12`` at the 184-query registry
+(188 minus the four names freed by the media-arm folds below), then
+four filler slots donated from the END to round-12 changes, per the
+planner's own donation rule):
 
-- Slots 1-11 (MUST): the eleven r6-verdict queries the planner, the
-  r10 judge, and the rotation guard's projection all pre-enumerated —
-  they age past the 4-round freshness bound at r11 if left un-windowed
-  (``returned_item_customers`` … ``url_canonicalization``; the r10
-  judge independently re-oracled all 11 green, so this is pure
-  rotation execution — VERDICT r10 item 5).
-- Slot 12: the round-11 ADDITION ``doc_gopher_quality`` (the Gopher
-  rule battery oracle-gated — VERDICT r10 item 6), in-window from
-  birth per the capacity policy (188 registered, soft cap 196).
-- Slots 13-15: round-11 implementation changes re-windowed for
-  post-change verdicts: ``doc_html_extract`` (entity decode extended
-  to numeric charrefs — VERDICT r10 item 7) and
-  ``media_tiff_features`` / ``media_tiff_lzw_features`` (the LZW
-  expansion bound is now linear in codes and globally payload-clamped
-  — ADVICE r10 high).
-- Slots 16-33: one representative per family the MUST set misses,
+- Slots 1-11 (MUST): the eleven r7-verdict queries the planner, the
+  r11 judge, and the rotation guard's projection all pre-enumerated —
+  they age past the 4-round freshness bound at r12 if left un-windowed
+  (``qty_price_regression_stats`` … ``zorder_curve``; the r11 judge's
+  full 188/188 harness run re-oracled all 11 green, so this is pure
+  rotation execution — VERDICT r11 item 2).
+- Slots 12-15: round-12 implementation changes re-windowed for
+  post-change verdicts: ``doc_html_extract`` (the ampersand entity
+  class now decodes in ONE regexp pass — ADVICE r11) and the three
+  registry-consolidation folds (VERDICT r11 item 4):
+  ``media_adpcm_features`` / ``media_ms_adpcm_features`` absorb their
+  former stereo twin gates as doc_id-parity-cycled fixture arms, and
+  ``media_flac_features`` absorbs the former LPC and stereo gates as
+  doc_id%3-cycled arms — identical coverage, four names cheaper
+  (184 registered, soft cap 196).
+- Slots 16-31: one representative per family the MUST set misses,
   oldest verdicts first. ``parts_bought_together`` /
   ``orders_validation_report`` are sole members of their families and
   recur every round by construction.
-- Slots 34-50: oldest-verdict fillers (r7), the last four donated to
-  the round-11 changes above (``semantic_dedup_pairs``,
-  ``schedule_launch_decisions``, ``rollup_day_reaggregation``,
-  ``qty_price_regression_stats`` — all r7, re-windowable through
-  round 11+4 without stranding).
+- Slots 32-50: oldest-verdict fillers (r8), the planner's last four
+  donated to the round-12 changes above (two of the four donated slots
+  were the planner-listed ``media_flac_features`` filler itself and
+  the now-deleted ``media_flac_lpc_features``).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -43,7 +43,7 @@ per the planner's own donation rule):
   as a non-failing warning; the bound constant lives in
   scripts/plan_rotation.py (``FRESHNESS_BOUND = 4``).
 
-Retired windows (rounds 1-8) are recorded in ROUNDLOG.md and git history.
+Retired windows (rounds 1-9) are recorded in ROUNDLOG.md and git history.
 """
 
 from .registry import REGISTRY, Query, query  # noqa: F401
@@ -81,61 +81,60 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- MUST: r6-verdict queries aging past the bound (planner sect. 1)
-    "returned_item_customers",  # q_tpch3, r6
-    "small_quantity_orders",  # q_sql_extra, r6
-    "sql_interface_revenue",  # q_schedule, r6
-    "stratified_sample_counts",  # q_pipeline, r6
-    "string_function_suite",  # q_sql_extra, r6
-    "supplier_count_by_part",  # q_tpch3, r6
-    "suppliers_of_bulk_parts",  # q_joins_advanced, r6
-    "top_revenue_supplier",  # q_tpch3, r6
-    "train_split_counts",  # q_pipeline, r6
-    "tumbling_window_counts",  # q_schedule, r6
-    "url_canonicalization",  # q_crawl, r6
-    # -- round-11 ADDITION, in-window from birth -------------------------
-    "doc_gopher_quality",  # q_text: NEW r11 — Gopher battery oracle gate
-    # -- round-11 implementation changes re-windowed (post-change verdicts)
-    "doc_html_extract",  # numeric charref entity decode (VERDICT r10 #7)
-    "media_tiff_features",  # linear+global LZW capacity bound (ADVICE r10)
-    "media_tiff_lzw_features",  # linear+global LZW capacity bound
+    # -- MUST: r7-verdict queries aging past the bound (planner sect. 1)
+    "qty_price_regression_stats",  # q_sql_extra, r7
+    "rollup_day_reaggregation",  # q_events, r7
+    "schedule_launch_decisions",  # q_schedule, r7
+    "semantic_dedup_pairs",  # q_similarity, r7
+    "snapshot_diff_summary",  # q_diff, r7
+    "source_share_capped_counts",  # q_pipeline, r7
+    "term_posting_lists",  # q_corpus, r7
+    "token_budget_selection",  # q_pipeline, r7
+    "uri_normalization",  # q_crawl, r7
+    "weighted_sample_orders",  # q_pipeline, r7
+    "zorder_curve",  # q_sql_extra, r7
+    # -- round-12 implementation changes re-windowed (post-change verdicts)
+    "doc_html_extract",  # changed: amp class decodes in one pass (ADVICE r11)
+    "media_adpcm_features",  # folded: +stereo arm, cycled by parity (r11 #4)
+    "media_ms_adpcm_features",  # folded: +stereo arm, cycled by parity
+    "media_flac_features",  # folded: fixed/LPC/stereo arms, cycled by %3
     # -- family reps, oldest verdicts first (planner section 2) ----------
-    "event_transition_matrix",  # q_behavior, r7
-    "doc_tfidf_topk",  # q_corpus, r7
-    "dedup_cluster_assignment",  # q_dedup, r7
-    "orders_scd2_history",  # q_diff, r7
-    "per_user_summary",  # q_events, r7
-    "host_graph_degrees",  # q_graph, r7
-    "active_sessions_at_purchase",  # q_interval, r9
-    "parts_bought_together",  # q_market, r10 — sole member, recurs
-    "unpivot_lineitem_metrics",  # q_pivot, r9
-    "approx_distinct_users",  # q_sessions, r8
-    "knn_bruteforce",  # q_similarity, r7
-    "hll_distinct_users",  # q_sketch, r7
-    "dup_span_doc_stats",  # q_spans, r8
-    "doc_bpe_tokens",  # q_text, r7
-    "decayed_event_counts",  # q_timeseries, r8
-    "top_unshipped_orders",  # q_tpch, r7
-    "nation_market_share",  # q_tpch2, r7
-    "orders_validation_report",  # q_validate, r10 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): all r7-verdict ------
-    "corpus_curation_funnel",  # q_pipeline, r7
-    "dedup_collapsed_lsh_pairs",  # q_dedup, r7
-    "dedup_exact",  # q_dedup, r7
-    "dedup_minhash_est_jaccard",  # q_dedup, r7
-    "doc_unigram_freq",  # q_corpus, r7
-    "funnel_conversion_by_user",  # q_behavior, r7
-    "fuzzy_part_name_pairs",  # q_joins_advanced, r7
-    "host_graph_triangles",  # q_graph, r7
-    "leakage_safe_split_assign",  # q_dedup, r7
-    "media_g711_features",  # q_crawl, r7
-    "nation_product_profit",  # q_tpch2, r7
-    "nation_trade_volume",  # q_tpch2, r7
-    "order_count_distribution",  # q_tpch3, r7
-    "pareto_price_size_parts",  # q_sql_extra, r7
-    "per_source_doc_sample",  # q_pipeline, r7
-    "pq_codes_fixed_book",  # q_similarity, r7
-    "prefix_filter_jaccard_pairs",  # q_dedup, r7
+    "ab_test_conversion_ztest",  # q_behavior, r8
+    "dedup_minhash_signatures",  # q_dedup, r8
+    "host_graph_distances",  # q_graph, r8
+    "concurrent_sessions",  # q_interval, r10
+    "asof_last_purchase",  # q_joins_advanced, r8
+    "parts_bought_together",  # q_market, r11 — sole member, recurs
+    "status_pivot",  # q_pivot, r10
+    "native_session_window_stats",  # q_sessions, r9
+    "cms_join_size_estimate",  # q_sketch, r8
+    "doc_span_excision",  # q_spans, r9
+    "doc_repetition",  # q_text, r8
+    "hourly_series_filled",  # q_timeseries, r9
+    "part_supplier_union",  # q_tpch, r8
+    "brand_small_qty_revenue",  # q_tpch2, r8
+    "late_order_priority_counts",  # q_tpch3, r8
+    "orders_validation_report",  # q_validate, r11 — sole member, recurs
+    # -- oldest-verdict fillers (planner section 3): all r8-verdict ------
+    "annotation_classification",  # q_crawl, r8
+    "binary_column_plumbing",  # q_crawl, r8
+    "brand_target_encoding",  # q_pipeline, r8
+    "customer_rfm_scores",  # q_sql_extra, r8
+    "dedup_simhash",  # q_dedup, r8
+    "doc_context_chunks",  # q_pipeline, r8
+    "doc_length_quantile_norm",  # q_pipeline, r8
+    "hop_and_status",  # q_crawl, r8
+    "hopping_window_counts",  # q_schedule, r8
+    "hourly_counts",  # q_events, r8
+    "kmv_distinct_users",  # q_sketch, r8
+    "kmv_user_overlap",  # q_sketch, r8
+    "label_centroid_sim",  # q_similarity, r8
+    "latest_events_topk",  # q_events, r8
+    "media_bmp_features",  # q_crawl, r8
+    "media_qoi_features",  # q_crawl, r8
+    "orders_snapshot_diff",  # q_diff, r8
+    "price_mad_by_flag",  # q_sql_extra, r8
+    "price_percentiles",  # q_sql_extra, r8
 )
 
 

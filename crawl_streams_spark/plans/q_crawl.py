@@ -886,64 +886,147 @@ _IMA_DIFF = _ima_diff_sql(_IMA_CODE)
 _IMA_N = 200  # codes per payload -> 201 samples with the header predictor
 
 
+_IMA_ST_N = 192  # stereo arm: codes per channel -> 193 samples per channel
+_IMA_ST_CODE = (
+    "CASE ch WHEN 0 THEN (doc_id * 11 + k * 5) % 16 "
+    "ELSE (doc_id * 13 + k * 7) % 16 END"
+)
+
+
 @query(
     "media_adpcm_features",
     oracle=f"""
-        WITH RECURSIVE steptab AS ({_ima_step_sql()}),
-        dec AS (
-            SELECT doc_id, 0 AS k,
-                   CAST((doc_id * 37) % 1024 - 512 AS BIGINT) AS pred,
-                   CAST(doc_id % 89 AS BIGINT) AS idx
-            FROM documents
-            UNION ALL
-            SELECT doc_id, k + 1,
-                   GREATEST(-32768, LEAST(32767,
-                       CASE WHEN code >= 8 THEN pred - diff
-                            ELSE pred + diff END)),
-                   GREATEST(0, LEAST(88,
-                       idx + CASE WHEN code % 8 < 4 THEN -1
-                                  ELSE (code % 8 - 3) * 2 END))
-            FROM (
-                SELECT dec.doc_id, dec.k, dec.pred, dec.idx, steptab.step,
-                       {_IMA_CODE} AS code,
-                       {_IMA_DIFF} AS diff
-                FROM dec JOIN steptab ON steptab.i = dec.idx
-                WHERE k < {_IMA_N}
+        SELECT * FROM (
+            WITH RECURSIVE steptab AS ({_ima_step_sql()}),
+            dec AS (
+                SELECT doc_id, 0 AS k,
+                       CAST((doc_id * 37) % 1024 - 512 AS BIGINT) AS pred,
+                       CAST(doc_id % 89 AS BIGINT) AS idx
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, k + 1,
+                       GREATEST(-32768, LEAST(32767,
+                           CASE WHEN code >= 8 THEN pred - diff
+                                ELSE pred + diff END)),
+                       GREATEST(0, LEAST(88,
+                           idx + CASE WHEN code % 8 < 4 THEN -1
+                                      ELSE (code % 8 - 3) * 2 END))
+                FROM (
+                    SELECT dec.doc_id, dec.k, dec.pred, dec.idx,
+                           steptab.step,
+                           {_IMA_CODE} AS code,
+                           {_IMA_DIFF} AS diff
+                    FROM dec JOIN steptab ON steptab.i = dec.idx
+                    WHERE k < {_IMA_N}
+                )
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(pred * pred)::BIGINT AS sumsq,
+                       MAX(ABS(pred))::BIGINT AS peak_i,
+                       SUM(CASE WHEN pred IN (32767, -32768) THEN 1
+                                ELSE 0 END)::BIGINT AS clip_n
+                FROM dec GROUP BY doc_id
             )
-        ),
-        agg AS (
-            SELECT doc_id,
-                   SUM(pred * pred)::BIGINT AS sumsq,
-                   MAX(ABS(pred))::BIGINT AS peak_i,
-                   SUM(CASE WHEN pred IN (32767, -32768) THEN 1
-                            ELSE 0 END)::BIGINT AS clip_n
-            FROM dec GROUP BY doc_id
+            SELECT doc_id AS media_id,
+                   8000::INTEGER AS sample_rate,
+                   1::INTEGER AS n_channels,
+                   4::INTEGER AS bits,
+                   {_IMA_N + 1}::INTEGER AS n_samples,
+                   (1000.0::DOUBLE * {_IMA_N + 1} / 8000)::FLOAT
+                       AS duration_ms,
+                   (sqrt(sumsq::DOUBLE / {_IMA_N + 1})
+                       / 32768.0::DOUBLE)::FLOAT AS rms,
+                   (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+                   (clip_n::DOUBLE / {_IMA_N + 1})::FLOAT
+                       AS clip_fraction,
+                   NULL::VARCHAR AS error
+            FROM agg
         )
-        SELECT doc_id AS media_id,
-               8000::INTEGER AS sample_rate,
-               1::INTEGER AS n_channels,
-               4::INTEGER AS bits,
-               {_IMA_N + 1}::INTEGER AS n_samples,
-               (1000.0::DOUBLE * {_IMA_N + 1} / 8000)::FLOAT AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {_IMA_N + 1}) / 32768.0::DOUBLE)::FLOAT AS rms,
-               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
-               (clip_n::DOUBLE / {_IMA_N + 1})::FLOAT AS clip_fraction,
-               NULL::VARCHAR AS error
-        FROM agg
+        UNION ALL
+        SELECT * FROM (
+            WITH RECURSIVE steptab AS ({_ima_step_sql()}),
+            dec AS (
+                SELECT d.doc_id, c.ch, 0 AS k,
+                       CAST(CASE c.ch WHEN 0
+                            THEN (d.doc_id * 37) % 1024 - 512
+                            ELSE (d.doc_id * 29) % 1024 - 512
+                       END AS BIGINT) AS pred,
+                       CAST(CASE c.ch WHEN 0 THEN d.doc_id % 89
+                            ELSE (d.doc_id * 3) % 89
+                       END AS BIGINT) AS idx
+                FROM documents d
+                CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) c
+                WHERE d.doc_id % 2 = 1
+                UNION ALL
+                SELECT doc_id, ch, k + 1,
+                       GREATEST(-32768, LEAST(32767,
+                           CASE WHEN code >= 8 THEN pred - diff
+                                ELSE pred + diff END)),
+                       GREATEST(0, LEAST(88,
+                           idx + CASE WHEN code % 8 < 4 THEN -1
+                                      ELSE (code % 8 - 3) * 2 END))
+                FROM (
+                    SELECT dec.doc_id, dec.ch, dec.k, dec.pred, dec.idx,
+                           steptab.step,
+                           {_IMA_ST_CODE} AS code,
+                           {_ima_diff_sql(_IMA_ST_CODE)} AS diff
+                    FROM dec JOIN steptab ON steptab.i = dec.idx
+                    WHERE k < {_IMA_ST_N}
+                )
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(pred * pred)::BIGINT AS sumsq,
+                       MAX(ABS(pred))::BIGINT AS peak_i,
+                       SUM(CASE WHEN pred IN (32767, -32768) THEN 1
+                                ELSE 0 END)::BIGINT AS clip_n
+                FROM dec GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id,
+                   8000::INTEGER AS sample_rate,
+                   2::INTEGER AS n_channels,
+                   4::INTEGER AS bits,
+                   {_IMA_ST_N + 1}::INTEGER AS n_samples,
+                   (1000.0::DOUBLE * {_IMA_ST_N + 1} / 8000)::FLOAT
+                       AS duration_ms,
+                   (sqrt(sumsq::DOUBLE / {2 * (_IMA_ST_N + 1)})
+                       / 32768.0::DOUBLE)::FLOAT AS rms,
+                   (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+                   (clip_n::DOUBLE / {2 * (_IMA_ST_N + 1)})::FLOAT
+                       AS clip_fraction,
+                   NULL::VARCHAR AS error
+            FROM agg
+        )
     """,
-    tags=("multimodal", "audio", "adpcm", "extension"),
+    tags=("multimodal", "audio", "adpcm", "stereo", "extension"),
 )
 def media_adpcm_features(spark, sf_dir):
-    """REAL compressed-audio decode under the VALUE gate (round 8): IMA
-    ADPCM WAV payloads (format 0x11) — per-doc deterministic 4-bit code
-    streams with per-doc initial predictor/step-index — expanded to
-    16-bit linear by the block decoder in operators/multimodal.py
-    (pure-integer predictor/step-table recurrence, pinned against an
-    independent spec transcription over every code from every step index
-    in tests/test_multimodal_adpcm.py). The recurrence is sequential by
-    construction, so the oracle replays it sample-for-sample as a
-    RECURSIVE CTE and certifies the exact integer energy statistics;
-    the rails are reachable (clip_fraction is live, unlike G.711)."""
+    """REAL compressed-audio decode under the VALUE gate, mono AND
+    stereo arms CYCLED BY doc_id PARITY in one gate (round-12 registry
+    consolidation, VERDICT r11 item 4 — the arms are the former r8
+    ``media_adpcm_features`` and r9 ``media_adpcm_stereo_features``
+    gates, folded verbatim; coverage is identical, one name cheaper).
+
+    EVEN doc_ids — mono IMA ADPCM WAV payloads (format 0x11): per-doc
+    deterministic 4-bit code streams with per-doc initial
+    predictor/step-index, expanded to 16-bit linear by the block
+    decoder in operators/multimodal.py (pure-integer
+    predictor/step-table recurrence, pinned against an independent
+    spec transcription over every code from every step index in
+    tests/test_multimodal_adpcm.py).
+
+    ODD doc_ids — STEREO payloads: per-channel block headers and the
+    spec's 4-byte channel-group interleave (8 nibbles of L, 8 of R,
+    alternating — the stereo branch of the same decoder), with code
+    streams and seeds that DIFFER between channels so a group-order or
+    header-order mistake cannot cancel out.
+
+    Both recurrences are sequential by construction, so the oracle
+    replays them sample-for-sample as RECURSIVE CTEs (the stereo arm
+    carrying a channel dimension) and certifies the exact integer
+    energy statistics; the rails are reachable (clip_fraction is
+    live, unlike G.711)."""
     from ..operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -953,6 +1036,7 @@ def media_adpcm_features(spark, sf_dir):
         import pandas as pd
 
         from crawl_streams_spark.operators.multimodal import (
+            ima_adpcm_stereo_wav_bytes,
             ima_adpcm_wav_bytes,
         )
 
@@ -960,15 +1044,27 @@ def media_adpcm_features(spark, sf_dir):
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                k = np.arange(200, dtype=np.int64)
-                codes = ((did * 11 + k * 5) % 16).tolist()
-                payloads.append(
-                    ima_adpcm_wav_bytes(
-                        codes,
-                        pred0=(did * 37) % 1024 - 512,
-                        idx0=did % 89,
+                if did % 2 == 0:
+                    k = np.arange(_IMA_N, dtype=np.int64)
+                    payloads.append(
+                        ima_adpcm_wav_bytes(
+                            ((did * 11 + k * 5) % 16).tolist(),
+                            pred0=(did * 37) % 1024 - 512,
+                            idx0=did % 89,
+                        )
                     )
-                )
+                else:
+                    k = np.arange(_IMA_ST_N, dtype=np.int64)
+                    payloads.append(
+                        ima_adpcm_stereo_wav_bytes(
+                            ((did * 11 + k * 5) % 16).tolist(),
+                            ((did * 13 + k * 7) % 16).tolist(),
+                            pred_l=(did * 37) % 1024 - 512,
+                            idx_l=did % 89,
+                            pred_r=(did * 29) % 1024 - 512,
+                            idx_r=(did * 3) % 89,
+                        )
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1009,17 +1105,41 @@ _MS_CODE = (
 _MS_N = 200  # codes per payload -> 202 samples with the two header seeds
 
 
-@query(
-    "media_ms_adpcm_features",
-    oracle=(lambda c1c2, adapt: f"""
+_MS_ST_N = 192  # stereo arm: codes per channel -> 194 samples per channel
+_MS_ST_CODE_L = (
+    "CASE WHEN k % 16 = doc_id % 16 THEN 8 ELSE "
+    + "CASE (doc_id * 11 + k * 5) % 7 "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
+    + " END END"
+)
+_MS_ST_CODE_R = (
+    "CASE WHEN k % 16 = (doc_id * 5) % 16 THEN 8 ELSE "
+    + "CASE (doc_id * 7 + k * 3) % 7 "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
+    + " END END"
+)
+_MS_ST_CODE = (
+    f"CASE ch WHEN 0 THEN {_MS_ST_CODE_L} ELSE {_MS_ST_CODE_R} END"
+)
+_MS_ST_PRED = "CASE ch WHEN 0 THEN doc_id % 7 ELSE (doc_id * 3) % 7 END"
+
+
+def _ms_mono_arm_sql(where: str) -> str:
+    """The mono MS-ADPCM replay (the former ``media_ms_adpcm_features``
+    oracle body, verbatim) over ``documents`` rows matching ``where``."""
+    from ..operators.multimodal import MS_ADPCM_ADAPT
+
+    c1, c2 = _ms_coeff_cases()
+    adapt = _ms_case(_MS_CODE, MS_ADPCM_ADAPT)
+    return f"""
         WITH RECURSIVE dec AS (
             SELECT doc_id, 0 AS k,
                    CAST((doc_id * 37) % 2048 - 1024 AS BIGINT) AS s1,
                    CAST((doc_id * 53) % 2048 - 1024 AS BIGINT) AS s2,
                    CAST(16 + (doc_id * 13) % 1000 AS BIGINT) AS idelta,
-                   CAST({c1c2[0]} AS BIGINT) AS c1,
-                   CAST({c1c2[1]} AS BIGINT) AS c2
-            FROM documents
+                   CAST({c1} AS BIGINT) AS c1,
+                   CAST({c2} AS BIGINT) AS c2
+            FROM documents {where}
             UNION ALL
             SELECT doc_id, k + 1,
                    GREATEST(-32768, LEAST(32767,
@@ -1057,34 +1177,129 @@ _MS_N = 200  # codes per payload -> 202 samples with the two header seeds
                4::INTEGER AS bits,
                {_MS_N + 2}::INTEGER AS n_samples,
                (1000.0::DOUBLE * {_MS_N + 2} / 8000)::FLOAT AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {_MS_N + 2}) / 32768.0::DOUBLE)::FLOAT AS rms,
+               (sqrt(sumsq::DOUBLE / {_MS_N + 2})
+                   / 32768.0::DOUBLE)::FLOAT AS rms,
                (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
                (clip_n::DOUBLE / {_MS_N + 2})::FLOAT AS clip_fraction,
                NULL::VARCHAR AS error
         FROM agg
-    """)(
-        _ms_coeff_cases(),
-        _ms_case(
-            _MS_CODE,
-            __import__(
-                "crawl_streams_spark.operators.multimodal",
-                fromlist=["MS_ADPCM_ADAPT"],
-            ).MS_ADPCM_ADAPT,
+    """
+
+
+def _ms_stereo_arm_sql(where: str) -> str:
+    """The stereo MS-ADPCM replay (the former
+    ``media_ms_adpcm_stereo_features`` oracle body, verbatim) over
+    ``documents`` rows matching ``where``."""
+    from ..operators.multimodal import MS_ADPCM_ADAPT, MS_ADPCM_COEFFS
+
+    c1 = _ms_case(_MS_ST_PRED, [c[0] for c in MS_ADPCM_COEFFS])
+    c2 = _ms_case(_MS_ST_PRED, [c[1] for c in MS_ADPCM_COEFFS])
+    adapt = _ms_case(_MS_ST_CODE, MS_ADPCM_ADAPT)
+    return f"""
+        WITH RECURSIVE dec AS (
+            SELECT d.doc_id, c.ch, 0 AS k,
+                   CAST(CASE c.ch WHEN 0
+                        THEN (d.doc_id * 37) % 2048 - 1024
+                        ELSE (d.doc_id * 29) % 2048 - 1024
+                   END AS BIGINT) AS s1,
+                   CAST(CASE c.ch WHEN 0
+                        THEN (d.doc_id * 53) % 2048 - 1024
+                        ELSE (d.doc_id * 41) % 2048 - 1024
+                   END AS BIGINT) AS s2,
+                   CAST(CASE c.ch WHEN 0
+                        THEN 16 + (d.doc_id * 13) % 1000
+                        ELSE 16 + (d.doc_id * 17) % 1000
+                   END AS BIGINT) AS idelta
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) c
+            {where}
+            UNION ALL
+            SELECT doc_id, ch, k + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       CAST(TRUNC((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
+                       + (CASE WHEN code >= 8 THEN code - 16
+                               ELSE code END) * idelta)),
+                   s1,
+                   GREATEST(16, (adapt * idelta) // 256)
+            FROM (
+                SELECT doc_id, ch, k, s1, s2, idelta,
+                       CAST({c1} AS BIGINT) AS c1,
+                       CAST({c2} AS BIGINT) AS c2,
+                       {_MS_ST_CODE} AS code,
+                       {adapt} AS adapt
+                FROM dec WHERE k < {_MS_ST_N}
+            )
         ),
+        samples AS (
+            SELECT doc_id, s2 AS v FROM dec WHERE k = 0
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec WHERE k = 0
+            UNION ALL
+            SELECT doc_id, s1 AS v FROM dec WHERE k >= 1
+        ),
+        agg AS (
+            SELECT doc_id,
+                   SUM(v * v)::BIGINT AS sumsq,
+                   MAX(ABS(v))::BIGINT AS peak_i,
+                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                            ELSE 0 END)::BIGINT AS clip_n
+            FROM samples GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id,
+               8000::INTEGER AS sample_rate,
+               2::INTEGER AS n_channels,
+               4::INTEGER AS bits,
+               {_MS_ST_N + 2}::INTEGER AS n_samples,
+               (1000.0::DOUBLE * {_MS_ST_N + 2} / 8000)::FLOAT
+                   AS duration_ms,
+               (sqrt(sumsq::DOUBLE / {2 * (_MS_ST_N + 2)})
+                   / 32768.0::DOUBLE)::FLOAT AS rms,
+               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+               (clip_n::DOUBLE / {2 * (_MS_ST_N + 2)})::FLOAT
+                   AS clip_fraction,
+               NULL::VARCHAR AS error
+        FROM agg
+    """
+
+
+@query(
+    "media_ms_adpcm_features",
+    oracle=(
+        "SELECT * FROM ("
+        + _ms_mono_arm_sql("WHERE doc_id % 2 = 0")
+        + ") UNION ALL SELECT * FROM ("
+        + _ms_stereo_arm_sql("WHERE d.doc_id % 2 = 1")
+        + ")"
     ),
-    tags=("multimodal", "audio", "adpcm", "extension"),
+    tags=("multimodal", "audio", "adpcm", "stereo", "extension"),
 )
 def media_ms_adpcm_features(spark, sf_dir):
-    """REAL compressed-audio decode, second flavor (round 8): Microsoft
-    ADPCM WAV payloads (format 0x02) — per-doc deterministic 4-bit code
+    """REAL compressed-audio decode, second flavor — Microsoft ADPCM
+    (WAV format 0x02), mono AND stereo arms CYCLED BY doc_id PARITY in
+    one gate (round-12 registry consolidation, VERDICT r11 item 4 —
+    the arms are the former r8 ``media_ms_adpcm_features`` and r9
+    ``media_ms_adpcm_stereo_features`` gates, folded verbatim).
+
+    EVEN doc_ids — mono payloads: per-doc deterministic 4-bit code
     streams with per-doc predictor index, initial delta, and seed
-    samples — expanded by the second-order-predictor recurrence in
+    samples, expanded by the second-order-predictor recurrence in
     operators/multimodal.py (trunc-toward-zero /256 scaling, adaptive
     delta with the 16 floor; pinned against an independent spec
     transcription in tests/test_multimodal_ms_adpcm.py, including the
-    negative-sum truncation case). The oracle replays the recurrence as
-    a RECURSIVE CTE carrying (s1, s2, idelta) and certifies the exact
-    integer energy statistics."""
+    negative-sum truncation case).
+
+    ODD doc_ids — STEREO payloads: the spec's stereo layout differs
+    from IMA's in BOTH dimensions — channel-interleaved header fields
+    (bPredictor[2], iDelta[2], iSample1[2], iSample2[2]) and
+    PER-SAMPLE nibble interleave (high nibble left, low nibble right,
+    every data byte) — with per-channel predictors, deltas, seeds, and
+    code streams that all differ (spike phases offset).
+
+    The oracle replays the recurrences as RECURSIVE CTEs carrying
+    (s1, s2, idelta) — the stereo arm with a channel dimension — and
+    certifies the exact integer energy statistics. The same
+    adaptation-bounded code discipline as always keeps idelta in range
+    (one code-8 spike per 16 samples, 230-adapt codes otherwise)."""
     from ..operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1093,6 +1308,7 @@ def media_ms_adpcm_features(spark, sf_dir):
         import pandas as pd
 
         from crawl_streams_spark.operators.multimodal import (
+            ms_adpcm_stereo_wav_bytes,
             ms_adpcm_wav_bytes,
         )
 
@@ -1100,20 +1316,45 @@ def media_ms_adpcm_features(spark, sf_dir):
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                codes = [
-                    8 if k % 16 == did % 16
-                    else _MS_SMALL[(did * 11 + k * 5) % 7]
-                    for k in range(_MS_N)
-                ]
-                payloads.append(
-                    ms_adpcm_wav_bytes(
-                        codes,
-                        predictor=did % 7,
-                        idelta=16 + (did * 13) % 1000,
-                        sample1=(did * 37) % 2048 - 1024,
-                        sample2=(did * 53) % 2048 - 1024,
+                if did % 2 == 0:
+                    codes = [
+                        8 if k % 16 == did % 16
+                        else _MS_SMALL[(did * 11 + k * 5) % 7]
+                        for k in range(_MS_N)
+                    ]
+                    payloads.append(
+                        ms_adpcm_wav_bytes(
+                            codes,
+                            predictor=did % 7,
+                            idelta=16 + (did * 13) % 1000,
+                            sample1=(did * 37) % 2048 - 1024,
+                            sample2=(did * 53) % 2048 - 1024,
+                        )
                     )
-                )
+                else:
+                    cl = [
+                        8 if k % 16 == did % 16
+                        else _MS_SMALL[(did * 11 + k * 5) % 7]
+                        for k in range(_MS_ST_N)
+                    ]
+                    cr = [
+                        8 if k % 16 == (did * 5) % 16
+                        else _MS_SMALL[(did * 7 + k * 3) % 7]
+                        for k in range(_MS_ST_N)
+                    ]
+                    payloads.append(
+                        ms_adpcm_stereo_wav_bytes(
+                            cl, cr,
+                            predictor_l=did % 7,
+                            predictor_r=(did * 3) % 7,
+                            idelta_l=16 + (did * 13) % 1000,
+                            idelta_r=16 + (did * 17) % 1000,
+                            s1_l=(did * 37) % 2048 - 1024,
+                            s2_l=(did * 53) % 2048 - 1024,
+                            s1_r=(did * 29) % 2048 - 1024,
+                            s2_r=(did * 41) % 2048 - 1024,
+                        )
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1127,59 +1368,185 @@ def media_ms_adpcm_features(spark, sf_dir):
 _FLAC_N = 256  # one 256-sample frame per payload
 
 
+_LPC_N = 200  # LPC arm: samples per payload (2 verbatim + 198 predicted)
+# order-2 quantized LPC: s[i] = floor((48*s[i-1] - 16*s[i-2]) / 32) + r[i]
+_LPC_C1, _LPC_C2, _LPC_SHIFT = 48, -16, 5
+_FLACST_N = 256  # stereo arm: per-channel samples; one frame per payload
+
+
 @query(
     "media_flac_features",
     oracle=f"""
-        WITH ks AS (SELECT unnest(range(0, {_FLAC_N})) AS k),
-        terms AS (
-            SELECT d.doc_id, ks.k,
-                   CASE WHEN ks.k = 0
-                        THEN (d.doc_id * 37) % 1024 - 512
-                        ELSE ((d.doc_id * 11 + ks.k * 7) % 64) - 32
-                   END AS term
-            FROM documents d CROSS JOIN ks
-        ),
-        s AS (
-            SELECT doc_id, k,
-                   SUM(term) OVER (
-                       PARTITION BY doc_id ORDER BY k
-                       ROWS UNBOUNDED PRECEDING) AS v
-            FROM terms
-        ),
-        agg AS (
-            SELECT doc_id,
-                   SUM(v * v)::BIGINT AS sumsq,
-                   MAX(ABS(v))::BIGINT AS peak_i,
-                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
-                            ELSE 0 END)::BIGINT AS clip_n
-            FROM s GROUP BY doc_id
+        SELECT * FROM (
+            WITH ks AS (SELECT unnest(range(0, {_FLAC_N})) AS k),
+            terms AS (
+                SELECT d.doc_id, ks.k,
+                       CASE WHEN ks.k = 0
+                            THEN (d.doc_id * 37) % 1024 - 512
+                            ELSE ((d.doc_id * 11 + ks.k * 7) % 64) - 32
+                       END AS term
+                FROM documents d CROSS JOIN ks
+                WHERE d.doc_id % 3 = 0
+            ),
+            s AS (
+                SELECT doc_id, k,
+                       SUM(term) OVER (
+                           PARTITION BY doc_id ORDER BY k
+                           ROWS UNBOUNDED PRECEDING) AS v
+                FROM terms
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(v * v)::BIGINT AS sumsq,
+                       MAX(ABS(v))::BIGINT AS peak_i,
+                       SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                                ELSE 0 END)::BIGINT AS clip_n
+                FROM s GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id,
+                   8000::INTEGER AS sample_rate,
+                   1::INTEGER AS n_channels,
+                   16::INTEGER AS bits,
+                   {_FLAC_N}::INTEGER AS n_samples,
+                   (1000.0::DOUBLE * {_FLAC_N} / 8000)::FLOAT
+                       AS duration_ms,
+                   (sqrt(sumsq::DOUBLE / {_FLAC_N})
+                       / 32768.0::DOUBLE)::FLOAT AS rms,
+                   (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+                   (clip_n::DOUBLE / {_FLAC_N})::FLOAT AS clip_fraction,
+                   NULL::VARCHAR AS error
+            FROM agg
         )
-        SELECT doc_id AS media_id,
-               8000::INTEGER AS sample_rate,
-               1::INTEGER AS n_channels,
-               16::INTEGER AS bits,
-               {_FLAC_N}::INTEGER AS n_samples,
-               (1000.0::DOUBLE * {_FLAC_N} / 8000)::FLOAT AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {_FLAC_N}) / 32768.0::DOUBLE)::FLOAT AS rms,
-               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
-               (clip_n::DOUBLE / {_FLAC_N})::FLOAT AS clip_fraction,
-               NULL::VARCHAR AS error
-        FROM agg
+        UNION ALL
+        SELECT * FROM (
+            WITH RECURSIVE dec AS (
+                SELECT doc_id, 1 AS k,
+                       CAST((doc_id * 53) % 1024 - 512 AS BIGINT) AS s1,
+                       CAST((doc_id * 37) % 1024 - 512 AS BIGINT) AS s2
+                FROM documents WHERE doc_id % 3 = 1
+                UNION ALL
+                SELECT doc_id, k + 1,
+                       CAST(FLOOR(({_LPC_C1} * s1 + {_LPC_C2} * s2)
+                                  / {1 << _LPC_SHIFT}.0) AS BIGINT)
+                           + (doc_id * 11 + (k + 1) * 7) % 64 - 32,
+                       s1
+                FROM dec WHERE k < {_LPC_N - 1}
+            ),
+            samples AS (
+                SELECT doc_id, s2 AS v FROM dec WHERE k = 1
+                UNION ALL
+                SELECT doc_id, s1 AS v FROM dec
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(v * v)::BIGINT AS sumsq,
+                       MAX(ABS(v))::BIGINT AS peak_i,
+                       SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                                ELSE 0 END)::BIGINT AS clip_n
+                FROM samples GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id,
+                   8000::INTEGER AS sample_rate,
+                   1::INTEGER AS n_channels,
+                   16::INTEGER AS bits,
+                   {_LPC_N}::INTEGER AS n_samples,
+                   (1000.0::DOUBLE * {_LPC_N} / 8000)::FLOAT
+                       AS duration_ms,
+                   (sqrt(sumsq::DOUBLE / {_LPC_N})
+                       / 32768.0::DOUBLE)::FLOAT AS rms,
+                   (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+                   (clip_n::DOUBLE / {_LPC_N})::FLOAT AS clip_fraction,
+                   NULL::VARCHAR AS error
+            FROM agg
+        )
+        UNION ALL
+        SELECT * FROM (
+            WITH ks AS (SELECT unnest(range(0, {_FLACST_N})) AS k),
+            terms AS (
+                SELECT d.doc_id, ks.k, ch.ch,
+                       CASE
+                           WHEN ks.k = 0 AND ch.ch = 0
+                                THEN (d.doc_id * 37) % 1024 - 512
+                           WHEN ks.k = 0
+                                THEN (d.doc_id * 29) % 1024 - 512
+                           WHEN ch.ch = 0
+                                THEN ((d.doc_id * 11 + ks.k * 7) % 64) - 32
+                           ELSE ((d.doc_id * 13 + ks.k * 5) % 64) - 32
+                       END AS term
+                FROM documents d
+                CROSS JOIN ks
+                CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) ch
+                WHERE d.doc_id % 3 = 2
+            ),
+            s AS (
+                SELECT doc_id, ch, k,
+                       SUM(term) OVER (
+                           PARTITION BY doc_id, ch ORDER BY k
+                           ROWS UNBOUNDED PRECEDING) AS v
+                FROM terms
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(v * v)::BIGINT AS sumsq,
+                       MAX(ABS(v))::BIGINT AS peak_i,
+                       SUM(CASE WHEN v IN (32767, -32768) THEN 1
+                                ELSE 0 END)::BIGINT AS clip_n
+                FROM s GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id,
+                   8000::INTEGER AS sample_rate,
+                   2::INTEGER AS n_channels,
+                   16::INTEGER AS bits,
+                   {2 * _FLACST_N}::INTEGER AS n_samples,
+                   (1000.0::DOUBLE * {_FLACST_N} / 8000)::FLOAT
+                       AS duration_ms,
+                   (sqrt(sumsq::DOUBLE / {2 * _FLACST_N})
+                       / 32768.0::DOUBLE)::FLOAT AS rms,
+                   (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
+                   (clip_n::DOUBLE / {2 * _FLACST_N})::FLOAT
+                       AS clip_fraction,
+                   NULL::VARCHAR AS error
+            FROM agg
+        )
     """,
-    tags=("multimodal", "audio", "flac", "extension"),
+    tags=("multimodal", "audio", "flac", "lpc", "stereo", "extension"),
 )
 def media_flac_features(spark, sf_dir):
-    """REAL lossless-audio decode under the VALUE gate (round 8): FLAC
-    payloads — order-1 fixed-predictor subframes whose Rice-coded
-    residual streams are closed-form per document — decoded by the
-    subset codec in operators/flac.py (CRC-8/16-verified bitstream,
-    zigzag Rice decode, polynomial predictor reconstruction; roundtrip
-    and published-CRC-check-value pins in tests/test_flac.py). FLAC is
-    lossless and the order-1 reconstruction is an integer prefix sum,
-    so the oracle regenerates every sample with a window SUM and the
-    exact integer energy statistics hash-match bit-for-bit — the gate
-    certifies that the bitstream round-trips the signal, not merely
-    that rows appear."""
+    """REAL lossless-audio decode under the VALUE gate — THREE FLAC
+    arms CYCLED BY doc_id % 3 in one gate (round-12 registry
+    consolidation, VERDICT r11 item 4 — the arms are the former r8
+    ``media_flac_features`` / ``media_flac_lpc_features`` and r9
+    ``media_flac_stereo_features`` gates, folded verbatim).
+
+    doc_id % 3 == 0 — mono order-1 fixed-predictor subframes whose
+    Rice-coded residual streams are closed-form per document, decoded
+    by the subset codec in operators/flac.py (CRC-8/16-verified
+    bitstream, zigzag Rice decode, polynomial predictor
+    reconstruction; roundtrip and published-CRC-check-value pins in
+    tests/test_flac.py). The order-1 reconstruction is an integer
+    prefix sum, so the oracle regenerates every sample with a window
+    SUM.
+
+    doc_id % 3 == 1 — order-2 quantized-LPC subframes (coefficients
+    48/-16 at shift 5, a marginally-stable (z-1)(z-0.5) filter, so the
+    arithmetic-shift floor division is exercised on NEGATIVE predictor
+    sums). The oracle replays the recurrence as a recursive CTE
+    carrying (s[i-1], s[i-2]) with FLOOR division (DuckDB ``//``
+    truncates toward zero — Python's ``>>`` floors, so the explicit
+    FLOOR is load-bearing).
+
+    doc_id % 3 == 2 — STEREO frames whose channel ASSIGNMENT cycles
+    through all four spec forms by doc_id % 4: independent L/R,
+    left/side, right/side, mid/side (side at 17 bits, mid = (L+R)>>1
+    with the side's low bit restoring parity). Every assignment is
+    lossless, so one arm covers all four: the oracle regenerates L and
+    R as integer prefix sums and certifies the decorrelation
+    arithmetic (operators/flac.py:546-573), not merely mono
+    passthrough.
+
+    FLAC is lossless in every arm, so the exact integer energy
+    statistics hash-match bit-for-bit — the gate certifies that the
+    bitstream round-trips the signal, not merely that rows appear."""
     import numpy as np
 
     from ..operators import multimodal as MM
@@ -1189,120 +1556,56 @@ def media_flac_features(spark, sf_dir):
     def synth(batches):
         import pandas as pd
 
-        from crawl_streams_spark.operators.flac import encode_flac
-
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                k = np.arange(_FLAC_N, dtype=np.int64)
-                terms = (did * 11 + k * 7) % 64 - 32
-                terms[0] = (did * 37) % 1024 - 512
-                samples = np.cumsum(terms)
-                payloads.append(
-                    encode_flac(
-                        samples, order=1, rice_param=6,
-                        block_size=_FLAC_N,
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
-    )
-    return MM.decode_flac_features(media)
-
-
-_LPC_N = 200  # samples per payload (2 verbatim warm-ups + 198 predicted)
-# order-2 quantized LPC: s[i] = floor((48*s[i-1] - 16*s[i-2]) / 32) + r[i]
-_LPC_C1, _LPC_C2, _LPC_SHIFT = 48, -16, 5
-
-
-@query(
-    "media_flac_lpc_features",
-    oracle=f"""
-        WITH RECURSIVE dec AS (
-            SELECT doc_id, 1 AS k,
-                   CAST((doc_id * 53) % 1024 - 512 AS BIGINT) AS s1,
-                   CAST((doc_id * 37) % 1024 - 512 AS BIGINT) AS s2
-            FROM documents
-            UNION ALL
-            SELECT doc_id, k + 1,
-                   CAST(FLOOR(({_LPC_C1} * s1 + {_LPC_C2} * s2)
-                              / {1 << _LPC_SHIFT}.0) AS BIGINT)
-                       + (doc_id * 11 + (k + 1) * 7) % 64 - 32,
-                   s1
-            FROM dec WHERE k < {_LPC_N - 1}
-        ),
-        samples AS (
-            SELECT doc_id, s2 AS v FROM dec WHERE k = 1
-            UNION ALL
-            SELECT doc_id, s1 AS v FROM dec
-        ),
-        agg AS (
-            SELECT doc_id,
-                   SUM(v * v)::BIGINT AS sumsq,
-                   MAX(ABS(v))::BIGINT AS peak_i,
-                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
-                            ELSE 0 END)::BIGINT AS clip_n
-            FROM samples GROUP BY doc_id
+        from crawl_streams_spark.operators.flac import (
+            encode_flac,
+            encode_flac_stereo,
         )
-        SELECT doc_id AS media_id,
-               8000::INTEGER AS sample_rate,
-               1::INTEGER AS n_channels,
-               16::INTEGER AS bits,
-               {_LPC_N}::INTEGER AS n_samples,
-               (1000.0::DOUBLE * {_LPC_N} / 8000)::FLOAT AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {_LPC_N}) / 32768.0::DOUBLE)::FLOAT AS rms,
-               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
-               (clip_n::DOUBLE / {_LPC_N})::FLOAT AS clip_fraction,
-               NULL::VARCHAR AS error
-        FROM agg
-    """,
-    tags=("multimodal", "audio", "flac", "lpc", "extension"),
-)
-def media_flac_lpc_features(spark, sf_dir):
-    """Quantized-LPC FLAC decode under the VALUE gate (round 8): each
-    payload is an order-2 LPC subframe (coefficients 48/−16 at shift 5
-    — a marginally-stable (z−1)(z−0.5) filter, so the arithmetic-shift
-    floor division is exercised on NEGATIVE predictor sums) whose
-    residual stream is closed-form per document. The decoder does the
-    real bitstream work — signed coefficient unpack, Rice decode,
-    shift-scaled reconstruction (tests/test_flac.py pins roundtrips and
-    envelope rejections); the oracle replays the recurrence as a
-    recursive CTE carrying (s[i−1], s[i−2]) with FLOOR division (DuckDB
-    ``//`` truncates toward zero — Python's ``>>`` floors, so the
-    explicit FLOOR is load-bearing). Energy statistics hash-match
-    bit-for-bit."""
-    import numpy as np
 
-    from ..operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches):
-        import pandas as pd
-
-        from crawl_streams_spark.operators.flac import encode_flac
-
+        modes = ("independent", "left_side", "right_side", "mid_side")
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                s = [(did * 37) % 1024 - 512, (did * 53) % 1024 - 512]
-                for i in range(2, _LPC_N):
-                    pred = (_LPC_C1 * s[i - 1] + _LPC_C2 * s[i - 2]) >> _LPC_SHIFT
-                    s.append(pred + (did * 11 + i * 7) % 64 - 32)
-                payloads.append(
-                    encode_flac(
-                        s, subframe="lpc",
-                        lpc_coeffs=[_LPC_C1, _LPC_C2],
-                        lpc_shift=_LPC_SHIFT, lpc_precision=12,
-                        rice_param=6, block_size=_LPC_N,
+                if did % 3 == 0:
+                    k = np.arange(_FLAC_N, dtype=np.int64)
+                    terms = (did * 11 + k * 7) % 64 - 32
+                    terms[0] = (did * 37) % 1024 - 512
+                    payloads.append(
+                        encode_flac(
+                            np.cumsum(terms), order=1, rice_param=6,
+                            block_size=_FLAC_N,
+                        )
                     )
-                )
+                elif did % 3 == 1:
+                    s = [(did * 37) % 1024 - 512,
+                         (did * 53) % 1024 - 512]
+                    for i in range(2, _LPC_N):
+                        pred = (
+                            _LPC_C1 * s[i - 1] + _LPC_C2 * s[i - 2]
+                        ) >> _LPC_SHIFT
+                        s.append(pred + (did * 11 + i * 7) % 64 - 32)
+                    payloads.append(
+                        encode_flac(
+                            s, subframe="lpc",
+                            lpc_coeffs=[_LPC_C1, _LPC_C2],
+                            lpc_shift=_LPC_SHIFT, lpc_precision=12,
+                            rice_param=6, block_size=_LPC_N,
+                        )
+                    )
+                else:
+                    k = np.arange(_FLACST_N, dtype=np.int64)
+                    lt = (did * 11 + k * 7) % 64 - 32
+                    lt[0] = (did * 37) % 1024 - 512
+                    rt = (did * 13 + k * 5) % 64 - 32
+                    rt[0] = (did * 29) % 1024 - 512
+                    payloads.append(
+                        encode_flac_stereo(
+                            np.cumsum(lt), np.cumsum(rt),
+                            mode=modes[did % 4],
+                            block_size=_FLACST_N, order=1,
+                            rice_param=6,
+                        )
+                    )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -1382,110 +1685,6 @@ def media_qoi_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_qoi_features(media)
-
-
-_FLACST_N = 256  # per-channel samples; one frame per payload
-
-
-@query(
-    "media_flac_stereo_features",
-    oracle=f"""
-        WITH ks AS (SELECT unnest(range(0, {_FLACST_N})) AS k),
-        terms AS (
-            SELECT d.doc_id, ks.k, ch.ch,
-                   CASE
-                       WHEN ks.k = 0 AND ch.ch = 0
-                            THEN (d.doc_id * 37) % 1024 - 512
-                       WHEN ks.k = 0
-                            THEN (d.doc_id * 29) % 1024 - 512
-                       WHEN ch.ch = 0
-                            THEN ((d.doc_id * 11 + ks.k * 7) % 64) - 32
-                       ELSE ((d.doc_id * 13 + ks.k * 5) % 64) - 32
-                   END AS term
-            FROM documents d
-            CROSS JOIN ks
-            CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) ch
-        ),
-        s AS (
-            SELECT doc_id, ch, k,
-                   SUM(term) OVER (
-                       PARTITION BY doc_id, ch ORDER BY k
-                       ROWS UNBOUNDED PRECEDING) AS v
-            FROM terms
-        ),
-        agg AS (
-            SELECT doc_id,
-                   SUM(v * v)::BIGINT AS sumsq,
-                   MAX(ABS(v))::BIGINT AS peak_i,
-                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
-                            ELSE 0 END)::BIGINT AS clip_n
-            FROM s GROUP BY doc_id
-        )
-        SELECT doc_id AS media_id,
-               8000::INTEGER AS sample_rate,
-               2::INTEGER AS n_channels,
-               16::INTEGER AS bits,
-               {2 * _FLACST_N}::INTEGER AS n_samples,
-               (1000.0::DOUBLE * {_FLACST_N} / 8000)::FLOAT AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {2 * _FLACST_N})
-                   / 32768.0::DOUBLE)::FLOAT AS rms,
-               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
-               (clip_n::DOUBLE / {2 * _FLACST_N})::FLOAT AS clip_fraction,
-               NULL::VARCHAR AS error
-        FROM agg
-    """,
-    tags=("multimodal", "audio", "flac", "stereo", "extension"),
-)
-def media_flac_stereo_features(spark, sf_dir):
-    """Stereo FLAC decode under the VALUE gate (round 9 — VERDICT r8
-    item 3): each document encodes TWO closed-form channels, and the
-    channel ASSIGNMENT cycles through all four spec forms by doc_id —
-    independent L/R, left/side, right/side, mid/side (side at 17 bits,
-    mid = (L+R)>>1 with the side's low bit restoring parity). Every
-    assignment is lossless, so one oracle covers all four: it
-    regenerates L and R as integer prefix sums (a window SUM per
-    channel) and the exact integer energy statistics over the
-    interleaved stream hash-match bit-for-bit — certifying the
-    decorrelation arithmetic (operators/flac.py:546-573), not merely
-    mono passthrough. Decoder internals pinned by tests/test_flac.py;
-    this gate puts the stereo paths under the driver's DuckDB oracle
-    (they were pytest-only through round 8)."""
-    import numpy as np
-
-    from ..operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches):
-        import pandas as pd
-
-        from crawl_streams_spark.operators.flac import encode_flac_stereo
-
-        modes = ("independent", "left_side", "right_side", "mid_side")
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                k = np.arange(_FLACST_N, dtype=np.int64)
-                lt = (did * 11 + k * 7) % 64 - 32
-                lt[0] = (did * 37) % 1024 - 512
-                rt = (did * 13 + k * 5) % 64 - 32
-                rt[0] = (did * 29) % 1024 - 512
-                payloads.append(
-                    encode_flac_stereo(
-                        np.cumsum(lt), np.cumsum(rt),
-                        mode=modes[did % 4],
-                        block_size=_FLACST_N, order=1, rice_param=6,
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
-    )
-    return MM.decode_flac_features(media)
 
 
 @query(
@@ -1675,119 +1874,6 @@ def media_tiff_lzw_features(spark, sf_dir):
     return MM.decode_tiff_features(media)
 
 
-_IMA_ST_N = 192  # codes per channel -> 193 samples per channel
-_IMA_ST_CODE = (
-    "CASE ch WHEN 0 THEN (doc_id * 11 + k * 5) % 16 "
-    "ELSE (doc_id * 13 + k * 7) % 16 END"
-)
-
-
-@query(
-    "media_adpcm_stereo_features",
-    oracle=f"""
-        WITH RECURSIVE steptab AS ({_ima_step_sql()}),
-        dec AS (
-            SELECT d.doc_id, c.ch, 0 AS k,
-                   CAST(CASE c.ch WHEN 0
-                        THEN (d.doc_id * 37) % 1024 - 512
-                        ELSE (d.doc_id * 29) % 1024 - 512
-                   END AS BIGINT) AS pred,
-                   CAST(CASE c.ch WHEN 0 THEN d.doc_id % 89
-                        ELSE (d.doc_id * 3) % 89
-                   END AS BIGINT) AS idx
-            FROM documents d
-            CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) c
-            UNION ALL
-            SELECT doc_id, ch, k + 1,
-                   GREATEST(-32768, LEAST(32767,
-                       CASE WHEN code >= 8 THEN pred - diff
-                            ELSE pred + diff END)),
-                   GREATEST(0, LEAST(88,
-                       idx + CASE WHEN code % 8 < 4 THEN -1
-                                  ELSE (code % 8 - 3) * 2 END))
-            FROM (
-                SELECT dec.doc_id, dec.ch, dec.k, dec.pred, dec.idx,
-                       steptab.step,
-                       {_IMA_ST_CODE} AS code,
-                       {_ima_diff_sql(_IMA_ST_CODE)} AS diff
-                FROM dec JOIN steptab ON steptab.i = dec.idx
-                WHERE k < {_IMA_ST_N}
-            )
-        ),
-        agg AS (
-            SELECT doc_id,
-                   SUM(pred * pred)::BIGINT AS sumsq,
-                   MAX(ABS(pred))::BIGINT AS peak_i,
-                   SUM(CASE WHEN pred IN (32767, -32768) THEN 1
-                            ELSE 0 END)::BIGINT AS clip_n
-            FROM dec GROUP BY doc_id
-        )
-        SELECT doc_id AS media_id,
-               8000::INTEGER AS sample_rate,
-               2::INTEGER AS n_channels,
-               4::INTEGER AS bits,
-               {_IMA_ST_N + 1}::INTEGER AS n_samples,
-               (1000.0::DOUBLE * {_IMA_ST_N + 1} / 8000)::FLOAT
-                   AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {2 * (_IMA_ST_N + 1)})
-                   / 32768.0::DOUBLE)::FLOAT AS rms,
-               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
-               (clip_n::DOUBLE / {2 * (_IMA_ST_N + 1)})::FLOAT
-                   AS clip_fraction,
-               NULL::VARCHAR AS error
-        FROM agg
-    """,
-    tags=("multimodal", "audio", "adpcm", "stereo", "extension"),
-)
-def media_adpcm_stereo_features(spark, sf_dir):
-    """STEREO IMA ADPCM decode under the VALUE gate (round 9, pulled
-    forward from the round-10 candidates): per-channel block headers
-    and the spec's 4-byte channel-group interleave (8 nibbles of L,
-    8 of R, alternating — operators/multimodal.py's stereo branch),
-    per-doc deterministic code streams and seeds that DIFFER between
-    channels, so a group-order or header-order mistake cannot cancel
-    out. Two independent sequential recurrences per document; the
-    oracle replays BOTH as one recursive CTE with a channel dimension
-    and certifies the exact integer energy statistics over the
-    interleaved stream. n_samples counts per-channel frames (the WAV
-    feature contract); rms/clip divide by the full interleaved count."""
-    from ..operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches):
-        import numpy as np
-        import pandas as pd
-
-        from crawl_streams_spark.operators.multimodal import (
-            ima_adpcm_stereo_wav_bytes,
-        )
-
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                k = np.arange(_IMA_ST_N, dtype=np.int64)
-                payloads.append(
-                    ima_adpcm_stereo_wav_bytes(
-                        ((did * 11 + k * 5) % 16).tolist(),
-                        ((did * 13 + k * 7) % 16).tolist(),
-                        pred_l=(did * 37) % 1024 - 512,
-                        idx_l=did % 89,
-                        pred_r=(did * 29) % 1024 - 512,
-                        idx_r=(did * 3) % 89,
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
-    )
-    return MM.decode_wav(media)
-
-
 @query(
     "media_png16_features",
     oracle="""
@@ -1874,160 +1960,3 @@ def media_png16_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_png_features(media)
-
-
-_MS_ST_N = 192  # codes per channel -> 194 samples per channel
-_MS_ST_CODE_L = (
-    "CASE WHEN k % 16 = doc_id % 16 THEN 8 ELSE "
-    + "CASE (doc_id * 11 + k * 5) % 7 "
-    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
-    + " END END"
-)
-_MS_ST_CODE_R = (
-    "CASE WHEN k % 16 = (doc_id * 5) % 16 THEN 8 ELSE "
-    + "CASE (doc_id * 7 + k * 3) % 7 "
-    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_MS_SMALL))
-    + " END END"
-)
-_MS_ST_CODE = (
-    f"CASE ch WHEN 0 THEN {_MS_ST_CODE_L} ELSE {_MS_ST_CODE_R} END"
-)
-_MS_ST_PRED = "CASE ch WHEN 0 THEN doc_id % 7 ELSE (doc_id * 3) % 7 END"
-
-
-def _ms_stereo_oracle() -> str:
-    from ..operators.multimodal import MS_ADPCM_ADAPT, MS_ADPCM_COEFFS
-
-    c1 = _ms_case(_MS_ST_PRED, [c[0] for c in MS_ADPCM_COEFFS])
-    c2 = _ms_case(_MS_ST_PRED, [c[1] for c in MS_ADPCM_COEFFS])
-    adapt = _ms_case(_MS_ST_CODE, MS_ADPCM_ADAPT)
-    return f"""
-        WITH RECURSIVE dec AS (
-            SELECT d.doc_id, c.ch, 0 AS k,
-                   CAST(CASE c.ch WHEN 0
-                        THEN (d.doc_id * 37) % 2048 - 1024
-                        ELSE (d.doc_id * 29) % 2048 - 1024
-                   END AS BIGINT) AS s1,
-                   CAST(CASE c.ch WHEN 0
-                        THEN (d.doc_id * 53) % 2048 - 1024
-                        ELSE (d.doc_id * 41) % 2048 - 1024
-                   END AS BIGINT) AS s2,
-                   CAST(CASE c.ch WHEN 0
-                        THEN 16 + (d.doc_id * 13) % 1000
-                        ELSE 16 + (d.doc_id * 17) % 1000
-                   END AS BIGINT) AS idelta
-            FROM documents d
-            CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) c
-            UNION ALL
-            SELECT doc_id, ch, k + 1,
-                   GREATEST(-32768, LEAST(32767,
-                       CAST(TRUNC((s1 * c1 + s2 * c2) / 256.0) AS BIGINT)
-                       + (CASE WHEN code >= 8 THEN code - 16
-                               ELSE code END) * idelta)),
-                   s1,
-                   GREATEST(16, (adapt * idelta) // 256)
-            FROM (
-                SELECT doc_id, ch, k, s1, s2, idelta,
-                       CAST({c1} AS BIGINT) AS c1,
-                       CAST({c2} AS BIGINT) AS c2,
-                       {_MS_ST_CODE} AS code,
-                       {adapt} AS adapt
-                FROM dec WHERE k < {_MS_ST_N}
-            )
-        ),
-        samples AS (
-            SELECT doc_id, s2 AS v FROM dec WHERE k = 0
-            UNION ALL
-            SELECT doc_id, s1 AS v FROM dec WHERE k = 0
-            UNION ALL
-            SELECT doc_id, s1 AS v FROM dec WHERE k >= 1
-        ),
-        agg AS (
-            SELECT doc_id,
-                   SUM(v * v)::BIGINT AS sumsq,
-                   MAX(ABS(v))::BIGINT AS peak_i,
-                   SUM(CASE WHEN v IN (32767, -32768) THEN 1
-                            ELSE 0 END)::BIGINT AS clip_n
-            FROM samples GROUP BY doc_id
-        )
-        SELECT doc_id AS media_id,
-               8000::INTEGER AS sample_rate,
-               2::INTEGER AS n_channels,
-               4::INTEGER AS bits,
-               {_MS_ST_N + 2}::INTEGER AS n_samples,
-               (1000.0::DOUBLE * {_MS_ST_N + 2} / 8000)::FLOAT
-                   AS duration_ms,
-               (sqrt(sumsq::DOUBLE / {2 * (_MS_ST_N + 2)})
-                   / 32768.0::DOUBLE)::FLOAT AS rms,
-               (peak_i::DOUBLE / 32768.0::DOUBLE)::FLOAT AS peak,
-               (clip_n::DOUBLE / {2 * (_MS_ST_N + 2)})::FLOAT
-                   AS clip_fraction,
-               NULL::VARCHAR AS error
-        FROM agg
-    """
-
-
-@query(
-    "media_ms_adpcm_stereo_features",
-    oracle=_ms_stereo_oracle(),
-    tags=("multimodal", "audio", "adpcm", "stereo", "extension"),
-)
-def media_ms_adpcm_stereo_features(spark, sf_dir):
-    """STEREO MS ADPCM decode under the VALUE gate (round 9): the
-    spec's stereo layout differs from IMA's in BOTH dimensions —
-    channel-interleaved header fields (bPredictor[2], iDelta[2],
-    iSample1[2], iSample2[2]) and PER-SAMPLE nibble interleave (high
-    nibble left, low nibble right, every data byte) — so this gate
-    certifies a genuinely different framing than media_adpcm_stereo.
-    Per-channel predictors, deltas, seeds, and code streams all differ
-    (spike phases offset), and the oracle replays both second-order
-    recurrences as one recursive CTE with a channel dimension. The
-    same adaptation-bounded code discipline as the mono gate keeps
-    idelta in range (one code-8 spike per 16 samples, 230-adapt codes
-    otherwise)."""
-    from ..operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def synth(batches):
-        import pandas as pd
-
-        from crawl_streams_spark.operators.multimodal import (
-            ms_adpcm_stereo_wav_bytes,
-        )
-
-        for pdf in batches:
-            payloads = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                cl = [
-                    8 if k % 16 == did % 16
-                    else _MS_SMALL[(did * 11 + k * 5) % 7]
-                    for k in range(_MS_ST_N)
-                ]
-                cr = [
-                    8 if k % 16 == (did * 5) % 16
-                    else _MS_SMALL[(did * 7 + k * 3) % 7]
-                    for k in range(_MS_ST_N)
-                ]
-                payloads.append(
-                    ms_adpcm_stereo_wav_bytes(
-                        cl, cr,
-                        predictor_l=did % 7,
-                        predictor_r=(did * 3) % 7,
-                        idelta_l=16 + (did * 13) % 1000,
-                        idelta_r=16 + (did * 17) % 1000,
-                        s1_l=(did * 37) % 2048 - 1024,
-                        s2_l=(did * 53) % 2048 - 1024,
-                        s1_r=(did * 29) % 2048 - 1024,
-                        s2_r=(did * 41) % 2048 - 1024,
-                    )
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["doc_id"], "payload": payloads}
-            )
-
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
-    )
-    return MM.decode_wav(media)

@@ -401,12 +401,16 @@ _HTML_LINK_TAIL = '">x</a>'
 _HTML_ALT_LINK = '<a href="https://ex.org/alt">y</a>'
 # suffix arms (VERDICT r10 item 7 — numeric charrefs): decimal + hex
 # refs decode; &amp;#39; must yield literal '&#39;' (ampersand class
-# decodes LAST, so no double-decode); &#37; is deliberately unknown and
-# passes through as literal text; &#60;tag&#62; decodes AFTER the tag
-# strip, so the '<tag>' it produces is visible text, never a tag.
+# decodes LAST, so no double-decode); &amp;#38; and &amp;#x26; must
+# yield the literal '&#38;'/'&#x26;' (ADVICE r11 — the class decodes in
+# ONE pass, so no double-decode WITHIN the class either); &#37; is
+# deliberately unknown and passes through as literal text; &#60;tag&#62;
+# decodes AFTER the tag strip, so the '<tag>' it produces is visible
+# text, never a tag.
 _HTML_SUFFIX = (
     '<script>var x = 1 < 2; s = "</p>";</script>&nbsp;&lt;fin&gt; '
     "It&#8217;s &#8220;fine&#8221; &#8211; 100&#37; &amp;#39; "
+    "&amp;#38; &amp;#x26; &#38;x &#x26;y "
     "&#x27;quoted&#x27; &#60;tag&#62;</body></html>"
 )
 
@@ -428,9 +432,18 @@ def _duck_html_fixture() -> str:
 
 
 def _duck_entity_chain(expr: str) -> str:
+    # mirror functions/text.py::_decode_entities exactly: literal
+    # replaces for the non-ampersand entries, then the whole ampersand
+    # class in ONE regexp pass (ADVICE r11 — sequential literal
+    # replaces double-decode '&amp;#38;'/'&amp;#x26;' inside the class)
     for ent, ch in T.HTML_ENTITIES:
+        if ch == "&":
+            continue
         expr = f"replace({expr}, {_sql_quote(ent)}, {_sql_quote(ch)})"
-    return expr
+    return (
+        f"regexp_replace({expr}, {_sql_quote(T.AMP_CLASS_PATTERN)}, "
+        f"'&', 'g')"
+    )
 
 
 def _duck_html_clean(expr: str) -> str:

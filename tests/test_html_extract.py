@@ -74,6 +74,20 @@ def test_numeric_charrefs_decode(spark):
     )
 
 
+def test_amp_class_never_double_decodes_itself(spark):
+    """ADVICE r11: the ampersand class decodes in ONE pass, so
+    '&amp;#38;' / '&amp;#x26;' yield the LITERAL text '&#38;' /
+    '&#x26;' — exactly what html.unescape produces — instead of the
+    sequential-chain bug's '&' (('&amp;','&') ran first and fabricated
+    fresh '&#38;'/'&#x26;' matches for the later class entries)."""
+    import html
+
+    src = "&amp;#38; &amp;#x26; &amp;amp; &#38;x &#x26;y"
+    r = _one(spark, f"<p>{src}</p>")
+    assert r["text"] == "&#38; &#x26; &amp; &x &y"
+    assert r["text"] == html.unescape(src)
+
+
 def test_decoded_lt_never_fabricates_tags(spark):
     # tags strip BEFORE entities decode: '&lt;script&gt;' is text
     r = _one(spark, "<p>&lt;script&gt;x&lt;/script&gt;</p>")

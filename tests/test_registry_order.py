@@ -32,14 +32,14 @@ def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
     # Implementations changed this round that lack a post-change driver
     # verdict must sit in the verification prefix (additions take a slot
-    # from birth — the round-4 lesson). Round-10 entries retired: all
-    # received r10 verdicts (CORRECTNESS_r10.json, 50/50 pass).
+    # from birth — the round-4 lesson). Round-11 entries retired: all
+    # received r11 verdicts (CORRECTNESS_r11.json, 50/50 pass).
     for name in (
-        # round-11 ADDITIONS / re-windowed changes go here as they land
-        "doc_gopher_quality",  # NEW: Gopher rule-battery oracle gate
-        "doc_html_extract",  # changed: numeric charref entity decode
-        "media_tiff_features",  # changed: linear+global LZW bound
-        "media_tiff_lzw_features",  # changed: linear+global LZW bound
+        # round-12 re-windowed changes go here as they land
+        "doc_html_extract",  # changed: amp class decodes in one pass
+        "media_adpcm_features",  # folded: +stereo arm by parity
+        "media_ms_adpcm_features",  # folded: +stereo arm by parity
+        "media_flac_features",  # folded: fixed/LPC/stereo arms by %3
     ):
         assert name in window, name
 
@@ -121,10 +121,11 @@ def test_no_query_strands_beyond_k_rounds():
 
 
 def test_no_query_lost_by_reorder():
-    # 188 registered queries as of round 11 (doc_gopher_quality added —
-    # capacity policy: soft cap 196 of the 200 steady-state slots;
-    # update this count deliberately whenever a query is added).
-    assert len(REGISTRY) >= 188
+    # 184 registered queries as of round 12 (the media-arm folds retired
+    # four names with identical coverage — VERDICT r11 item 4; capacity
+    # policy: soft cap 196 of the 200 steady-state slots; update this
+    # count deliberately whenever a query is added or folded).
+    assert len(REGISTRY) >= 184
 
 
 def _check_planner_invariants(max_round: int, last: dict[str, int]) -> None:

@@ -577,6 +577,56 @@ def test_tx_fold_string_key_content_digest(spark, tmp_path):
     assert got[d[1]] == ("http://mirror/1", 2) and len(got) == 4
 
 
+def test_tx_fold_null_digest_converges(spark, tmp_path):
+    """VERDICT r11 item 1, threaded through the tx sink: content_digest
+    is NULL on failed fetches (SURVEY §1.2), so a digest-keyed fold
+    over real crawl events carries null keys on the flagship path. The
+    null-safe merge makes the fold converge to exactly ONE null-key row
+    (the latest) instead of accumulating a duplicate per micro-batch —
+    across token replays and a fresh handle."""
+    from crawl_streams_spark.operators.txlog import TxTable
+    from crawl_streams_spark.streaming.txsink import (
+        ensure_tx_snapshot,
+        read_tx_snapshot,
+        tx_snapshot_fold,
+    )
+
+    schema = "content_digest string, url string, hits bigint"
+
+    def rows(data):
+        return spark.createDataFrame(data, schema)
+
+    t = ensure_tx_snapshot(
+        spark, str(tmp_path / "null_digest"), schema, "content_digest",
+        n_buckets=4,
+    )
+    tx_snapshot_fold(t, rows([(None, "http://fail/0", 1),
+                              ("sha1:aa", "http://a/0", 1)]),
+                     0, "content_digest", "nulldig", n_buckets=4)
+    got = {r["content_digest"]: (r["url"], r["hits"])
+           for r in read_tx_snapshot(t).collect()}
+    assert got == {None: ("http://fail/0", 1), "sha1:aa": ("http://a/0", 1)}
+    # the regression arm: every later batch's null row REPLACES the
+    # live null row — no accumulation
+    tx_snapshot_fold(t, rows([(None, "http://fail/1", 2)]),
+                     1, "content_digest", "nulldig", n_buckets=4)
+    tx_snapshot_fold(t, rows([(None, "http://fail/2", 3)]),
+                     2, "content_digest", "nulldig", n_buckets=4)
+    got = {r["content_digest"]: (r["url"], r["hits"])
+           for r in read_tx_snapshot(t).collect()}
+    assert got == {None: ("http://fail/2", 3), "sha1:aa": ("http://a/0", 1)}
+    # token replay no-ops (same batch id), fresh handle included
+    v = t.latest_version()
+    tx_snapshot_fold(t, rows([(None, "http://fail/2", 3)]),
+                     2, "content_digest", "nulldig", n_buckets=4)
+    assert t.latest_version() == v
+    tx_snapshot_fold(TxTable(spark, t.path),
+                     rows([(None, "http://fail/2", 3)]),
+                     2, "content_digest", "nulldig", n_buckets=4)
+    assert t.latest_version() == v
+    assert read_tx_snapshot(t).count() == 2
+
+
 def test_stream_funnel_snapshot_tx_end_to_end(spark, tmp_path):
     """File-source stream through stream_funnel_snapshot_tx across a
     query RESTART on the same checkpoint: the transactional snapshot
