@@ -250,7 +250,15 @@ class TxTable:
         df: DataFrame,
         partition_by: list | None = None,
         checkpoint_interval: int = 10,
+        configuration: dict | None = None,
     ) -> "TxTable":
+        """``configuration`` stamps immutable key/value properties into
+        the table's metaData at birth (the Delta-protocol configuration
+        field) — the seam layers above use to record structural choices
+        a later reader/writer MUST agree on (e.g. the tx sink's bucket
+        function and count: silently re-bucketing an existing table
+        strands its rows in buckets merges no longer touch — ADVICE
+        r11)."""
         partition_by = list(partition_by or [])
         log_dir = os.path.join(path, _LOG_DIR)
         if os.path.exists(log_dir):
@@ -258,16 +266,27 @@ class TxTable:
         os.makedirs(log_dir)
         self = cls(spark, path, checkpoint_interval)
         adds = self._write_data_files(df, partition_by)
+        meta = {
+            "schema": df.schema.json(),
+            "partitionColumns": partition_by,
+        }
+        if configuration:
+            meta["configuration"] = {
+                str(k): str(v) for k, v in configuration.items()
+            }
         actions = [
-            {"metaData": {
-                "schema": df.schema.json(),
-                "partitionColumns": partition_by,
-            }},
+            {"metaData": meta},
             {"commitInfo": {"operation": "CREATE"}},
         ] + [{"add": a} for a in adds]
         if not self._claim(0, actions):
             raise TxError(f"lost the create race for {path}")
         return self
+
+    def table_configuration(self) -> dict:
+        """The key/value configuration stamped at create — empty for
+        tables created before stamping existed (or without one)."""
+        snap = self._snapshot(self.latest_version())
+        return dict(snap["metaData"].get("configuration") or {})
 
     # ------------------------------------------------------ log plumbing
     def _claim(self, version: int, actions: list) -> bool:
@@ -382,9 +401,24 @@ class TxTable:
             else:
                 txns_complete = False
             start = cv + 1
-        for v in versions:
-            if v < start or v > version:
-                continue
+        # replay-continuity guard (ADVICE r11): clean_log's mtime grace
+        # window can retain a young below-horizon commit while deleting
+        # its older predecessors or intermediate commits. Replaying
+        # across the gap would either raise a confusing "missing table
+        # metadata" or — worse — return a snapshot silently missing
+        # every add in the deleted commits. Below-horizon versions are
+        # FORFEITED regardless of whether their commit file survived.
+        replayed = [v for v in versions if start <= v <= version]
+        if len(replayed) != version - start + 1:
+            gaps = sorted(set(range(start, version + 1)) - set(replayed))
+            raise TxError(
+                f"version {version} is below the log-retention horizon: "
+                f"commits {gaps[:5]}{'...' if len(gaps) > 5 else ''} were "
+                "removed by clean_log and its own file merely outlived "
+                "them through the deletion grace window — below-horizon "
+                "versions do not exist"
+            )
+        for v in replayed:
             for action in self._read_actions(v):
                 if "metaData" in action:
                     meta = action["metaData"]
@@ -471,10 +505,22 @@ class TxTable:
                 "re-seed from a snapshot read, then consume changes "
                 f"from version {versions[0] - 1}"
             )
+        in_range = [v for v in versions if start_version < v <= end]
+        if len(in_range) != end - start_version:
+            # an INTERIOR gap: clean_log's grace window deleted some
+            # commits in range while younger neighbors survived —
+            # silently skipping them would drop their rows (ADVICE r11)
+            gaps = sorted(
+                set(range(start_version + 1, end + 1)) - set(in_range)
+            )
+            raise TxError(
+                f"commits {gaps[:5]}{'...' if len(gaps) > 5 else ''} in "
+                f"({start_version}, {end}] were removed by clean_log — "
+                "re-seed from a snapshot read, then consume changes "
+                f"from version {end}"
+            )
         adds: list = []
-        for v in versions:
-            if v <= start_version or v > end:
-                continue
+        for v in in_range:
             actions = self._read_actions(v)
             rewrote = any(
                 a["remove"].get("dataChange", True)
@@ -501,7 +547,9 @@ class TxTable:
 
     def compact(self, min_files: int = 2,
                 cluster_by: list | None = None,
-                max_rows_per_file: int | None = None) -> int:
+                max_rows_per_file: int | None = None,
+                zorder_by: list | None = None,
+                zorder_bits: int = 12) -> int:
         """Bin-pack small files: every partition holding at least
         ``min_files`` live files is rewritten as one file (hash-
         clustered by the partition columns, so each partition's rows
@@ -517,6 +565,16 @@ class TxTable:
         boundaries — so the stats-pruned MERGE containment guard and
         any min/max-aware scan skip harder. Compaction and data
         skipping compound.
+
+        ``zorder_by`` is the MULTI-dimensional form (Delta/Iceberg
+        OPTIMIZE ZORDER BY, r12): rows sort by their Morton curve value
+        over the named columns (operators/layout.py::zorder_key — pure
+        Column bit arithmetic, one bounded stats job for the ranges),
+        so every rewritten file covers a narrow min/max range in EVERY
+        z-ordered column at once, where a lexicographic ``cluster_by``
+        tightens only its leading column and leaves the trailing ones
+        at full-domain coverage per file. Mutually exclusive with
+        ``cluster_by``.
 
         This is what keeps a streaming fold's table scannable at scale:
         every micro-batch commit adds files, and without compaction a
@@ -536,10 +594,22 @@ class TxTable:
         victims = [g for g in groups.values() if len(g) >= min_files]
         if not victims:
             return 0
+        if cluster_by and zorder_by:
+            raise TxError(
+                "compact: pass cluster_by (1-D sort) or zorder_by "
+                "(multi-dimensional Morton clustering), not both"
+            )
         old = [a for g in victims for a in g]
         df = self._read_adds(old, self._declared_schema(snap))
         packed = df.repartition(*pcols) if pcols else df.coalesce(1)
-        if cluster_by:
+        if zorder_by:
+            from .layout import column_ranges, zorder_key
+
+            ranges = column_ranges(df, list(zorder_by))
+            packed = packed.withColumn(
+                "__z", zorder_key(list(zorder_by), ranges, zorder_bits)
+            ).sortWithinPartitions(*(list(pcols) + ["__z"])).drop("__z")
+        elif cluster_by:
             packed = packed.sortWithinPartitions(
                 *(list(pcols) + list(cluster_by))
             )
@@ -741,10 +811,11 @@ class TxTable:
                 "merge_schema=True to evolve the table)"
             )
         evolved = StructType(list(declared.fields) + list(extra))
-        return {
-            "schema": evolved.json(),
-            "partitionColumns": meta["partitionColumns"],
-        }
+        # preserve every other metaData key (configuration, future
+        # fields) — rebuilding from scratch silently dropped them
+        out = dict(meta)
+        out["schema"] = evolved.json()
+        return out
 
     def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """Blind append: always valid under concurrency (no reads).
@@ -1064,6 +1135,119 @@ class TxTable:
                 os.unlink(full)
                 deleted.append(rel)
         return deleted
+
+    def restore(self, version: int) -> int:
+        """Roll the LIVE table state back to ``version`` as a NEW
+        commit (the Delta RESTORE idea, r12): history is never
+        rewritten — time travel to the bad versions still works, the
+        restore itself appears in ``history()`` and can in turn be
+        restored — and the commit is an ordinary remove/add rewrite,
+        so incremental consumers hear about it the standard way
+        (``read_changes`` fails loudly under its append-only default,
+        delivers at-least-once under ``ignore_changes=True``, exactly
+        like any MERGE).
+
+        Fails when ``version`` is below the log-retention horizon (its
+        file set is no longer replayable) and when any file that would
+        come back live has been vacuumed (restoring to just above the
+        vacuum window is the documented trade in SCALING.md — RESTORE
+        reaches exactly as far back as retained history). Conflicts
+        loudly if the table advances concurrently. Returns the new
+        version."""
+        target = self._snapshot(version)
+        base = self.latest_version()
+        if version == base:
+            return base  # restoring to the present: nothing to do
+        cur = self._snapshot(base)
+        removes = sorted(p for p in cur["adds"] if p not in target["adds"])
+        adds = [a for p, a in sorted(target["adds"].items())
+                if p not in cur["adds"]]
+        missing = [
+            a["path"] for a in adds
+            if not os.path.exists(os.path.join(self.path, a["path"]))
+        ]
+        if missing:
+            raise TxError(
+                f"restore to version {version} needs "
+                f"{len(missing)} data files vacuum already deleted "
+                f"(e.g. {missing[0]}) — only versions whose removed "
+                "files survive the vacuum retention window are "
+                "restorable"
+            )
+
+        def validate(snap2):
+            if self.latest_version() != base:
+                raise TxConflict(
+                    "table advanced during restore; retry the operation"
+                )
+
+        def build(snap2):
+            head = []
+            if snap2["metaData"] != target["metaData"]:
+                # RESTORE brings the schema (and configuration) back too
+                head.append({"metaData": target["metaData"]})
+            return (
+                head
+                + [{"remove": {"path": p}} for p in removes]
+                + [{"add": a} for a in adds]
+            )
+
+        return self._commit_with_retry(build, validate, "RESTORE",
+                                       max_retries=1)
+
+    def maintain(
+        self,
+        every_n_commits: int = 50,
+        compact_min_files: int = 4,
+        log_retention_seconds: float = 7 * 24 * 3600.0,
+        vacuum_retention_seconds: float = 24 * 3600.0,
+        cluster_by: list | None = None,
+        zorder_by: list | None = None,
+        force: bool = False,
+    ) -> dict:
+        """The whole table lifecycle in one policy-gated call (VERDICT
+        r11 item 3): compact (``dataChange: false``) -> clean_log ->
+        vacuum_orphans. Cheap enough to call after EVERY micro-batch
+        from a foreachBatch fold: when not due it pays one directory
+        listing and returns ``{"ran": False}``.
+
+        Due = ``latest_version()`` is a positive multiple of
+        ``every_n_commits`` — stateless by design, so a restarted fold
+        keeps the cadence without remembering anything. Checkpoints
+        need no explicit step: ``_maybe_checkpoint`` writes one every
+        ``checkpoint_interval`` commits, and ``clean_log`` deletes only
+        below the latest token-carrying checkpoint, so a long-lived
+        fold's log stays O(checkpoint_interval + commits younger than
+        the retention window) instead of O(stream lifetime).
+
+        The retention knobs trade history for space (see SCALING.md):
+        ``log_retention_seconds`` forfeits time travel and CDC reads
+        below the horizon once files age out; ``vacuum_retention_
+        seconds`` bounds how long a crashed writer's uncommitted files
+        survive (never set below the longest possible in-flight write).
+        ``clean_log``'s tokenless-checkpoint refusal is recorded in the
+        report instead of raised — maintenance must never kill the fold
+        that hosts it. A ``TxConflict`` from compaction (a concurrent
+        writer advanced the table mid-rewrite) does propagate: it
+        signals a second writer, which a single-writer fold should hear
+        about loudly."""
+        version = self.latest_version()
+        if not force and (version <= 0 or version % every_n_commits):
+            return {"ran": False, "version": version}
+        report: dict = {"ran": True, "version": version}
+        report["compacted"] = self.compact(
+            min_files=compact_min_files, cluster_by=cluster_by,
+            zorder_by=zorder_by,
+        )
+        try:
+            report["log_deleted"] = self.clean_log(log_retention_seconds)
+        except TxError as e:
+            report["log_deleted"] = []
+            report["log_skipped_reason"] = str(e)
+        report["orphans_deleted"] = self.vacuum_orphans(
+            vacuum_retention_seconds
+        )
+        return report
 
     def clean_log(self, min_age_seconds: float = 7 * 24 * 3600.0) -> list:
         """Delete commit files (and superseded checkpoints) STRICTLY

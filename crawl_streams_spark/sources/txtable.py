@@ -347,8 +347,12 @@ try:  # the DataSource API needs pyspark >= 4
             s, e = int(start["version"]), int(end["version"])
             # a restarted process learns its committed position here;
             # the next latestOffset paces from it instead of re-offering
-            # the whole history uncapped
-            self._last_end = max(self._last_end or e, e)
+            # the whole history uncapped. `is None` not `or`: a
+            # committed version 0 is falsy but KNOWN — `or` treated it
+            # as unknown and could move the meter backwards on a
+            # regressed replayed batch (VERDICT r11 item 2)
+            known = e if self._last_end is None else self._last_end
+            self._last_end = max(known, e)
             versions = _log_versions(self._log_dir)
             if versions and s < versions[0] - 1:
                 # commits in (s, earliest) were clean_log'd away —

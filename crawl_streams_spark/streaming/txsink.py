@@ -39,7 +39,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.txlog import TxTable
+from ..operators.txlog import TxError, TxTable
 
 __all__ = [
     "ensure_tx_snapshot",
@@ -50,6 +50,45 @@ __all__ = [
 
 _BUCKET = "__bucket"
 
+#: identifier of the bucket function rows are partitioned by. Bucket
+#: assignment is STRUCTURAL: changing it (as round 11 did, pmod(key) ->
+#: pmod(abs(xxhash64(key)))) silently re-buckets every key of a table
+#: built under the old function — merges then land updates in a bucket
+#: the key's existing row doesn't live in, the in-bucket anti-join
+#: never removes the old row, and the table accumulates duplicates
+#: with no error (ADVICE r11). The id and n_buckets are therefore
+#: stamped into the table at create and verified on every open/fold;
+#: a table stamped differently (or not at all — pre-stamp tables must
+#: be rebuilt) fails loudly instead of corrupting.
+_BUCKET_FN = "pmod-abs-xxhash64-v1"
+
+
+def _check_bucket_stamp(table: TxTable, key_col: str,
+                        n_buckets: int) -> None:
+    """Fail loudly unless the table's stamped bucket discipline matches
+    what this writer is about to assume. Verified once per handle (the
+    stamp is immutable, and merge replays a snapshot anyway)."""
+    cached = getattr(table, "_txsink_stamp_ok", None)
+    want = (_BUCKET_FN, str(n_buckets), key_col)
+    if cached == want:
+        return
+    conf = table.table_configuration()
+    got = (
+        conf.get("txsink.bucket_fn"),
+        conf.get("txsink.n_buckets"),
+        conf.get("txsink.key_col"),
+    )
+    if got != want:
+        raise TxError(
+            f"tx snapshot at {table.path} was built with bucket stamp "
+            f"{got} but this writer assumes {want} — merging would "
+            "land keys in buckets their existing rows don't live in "
+            "and silently duplicate them. Rebuild the table (or open "
+            "it with the stamped parameters). Tables created before "
+            "stamping existed carry no stamp and must be rebuilt."
+        )
+    table._txsink_stamp_ok = want
+
 
 def ensure_tx_snapshot(
     spark: SparkSession,
@@ -59,13 +98,24 @@ def ensure_tx_snapshot(
     n_buckets: int = 16,
 ) -> TxTable:
     """Open the snapshot TxTable at ``path``, creating it empty (with
-    the bucket partition column appended) on first use."""
+    the bucket partition column appended) on first use. The bucket
+    function id, bucket count, and key column are stamped into the
+    table at create and VERIFIED on open — see ``_BUCKET_FN``."""
     if os.path.isdir(os.path.join(path, "_txlog")):
-        return TxTable(spark, path)
+        table = TxTable(spark, path)
+        _check_bucket_stamp(table, key_col, n_buckets)
+        return table
     empty = spark.createDataFrame([], schema_ddl).withColumn(
         _BUCKET, F.lit(0).cast("int")
     )
-    return TxTable.create(spark, path, empty, partition_by=[_BUCKET])
+    return TxTable.create(
+        spark, path, empty, partition_by=[_BUCKET],
+        configuration={
+            "txsink.bucket_fn": _BUCKET_FN,
+            "txsink.n_buckets": n_buckets,
+            "txsink.key_col": key_col,
+        },
+    )
 
 
 def tx_snapshot_fold(
@@ -89,7 +139,11 @@ def tx_snapshot_fold(
     column required a numeric key and raised CAST_INVALID_INPUT on
     strings (VERDICT r10 item 4). Still partition-stable by
     construction: bucket is a pure function of the key, so a key's rows
-    always land in (and MERGE only ever touches) one bucket."""
+    always land in (and MERGE only ever touches) one bucket. The
+    table's bucket stamp is verified first (ADVICE r11): a table built
+    under a different bucket function/count/key would silently
+    accumulate duplicates, so a mismatch fails loudly instead."""
+    _check_bucket_stamp(table, key_col, n_buckets)
     upd = batch.withColumn(
         _BUCKET,
         F.pmod(F.abs(F.xxhash64(F.col(key_col))), F.lit(n_buckets))
@@ -117,14 +171,24 @@ def tx_fold_writer(
     n_buckets: int = 16,
     available_now: bool = False,
     output_mode: str | None = None,
+    maintain: dict | None = None,
 ):
     """Start a foreachBatch stream folding into ``table`` exactly-once.
     The txn token namespace is ``name`` — one per logical sink, same
-    lifetime discipline as the stream checkpoint."""
+    lifetime discipline as the stream checkpoint.
+
+    ``maintain`` (kwargs for :meth:`TxTable.maintain`) runs the table
+    lifecycle — compact, log retention, vacuum — after each fold; the
+    policy gate inside ``maintain`` makes the per-batch cost a single
+    directory listing until it's due, so a year-long fold's commit log
+    and file count stay bounded instead of growing one tiny JSON and a
+    handful of parquet files per micro-batch."""
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         tx_snapshot_fold(table, batch_df, batch_id, key_col, name,
                          n_buckets)
+        if maintain is not None:
+            table.maintain(**maintain)
 
     writer = stream_df.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

@@ -843,6 +843,53 @@ def test_clean_log_retention_lifecycle(spark, tmp_path):
     assert 999 in {r["id"] for r in t.read().collect()}
 
 
+def test_clean_log_grace_stragglers_forfeited(spark, tmp_path):
+    """ADVICE r11: clean_log's mtime grace window can retain a YOUNG
+    below-horizon commit while deleting its older predecessors (and the
+    checkpoint that would seed its replay). Such a straggler passes the
+    'predates the log horizon' check (it IS the earliest retained file)
+    but replays over a gap — previously a confusing 'missing table
+    metadata' or a snapshot silently missing the deleted commits' adds.
+    Every below-horizon version is now forfeited regardless of whether
+    its own file survived, and change-reads refuse interior gaps."""
+    import os as _os
+
+    t = TxTable.create(
+        spark, str(tmp_path / "straggler"),
+        _df(spark, [(0, "a", "d0")]), partition_by=["day"],
+        checkpoint_interval=5,
+    )
+    for i in range(1, 12):  # versions 1..11; checkpoints at 5 and 10
+        t.append(_df(spark, [(100 + i, "x", f"d{i % 2}")]))
+    want = sorted(r["id"] for r in t.read().collect())
+
+    # simulate the partial clean: below horizon 10, commits 0..7 and
+    # the seed checkpoint at 5 age out, but 8 and 9 are young stragglers
+    for v in range(0, 8):
+        _os.unlink(_os.path.join(t.log_dir, f"{v:020d}.json"))
+    _os.unlink(_os.path.join(t.log_dir, "00000000000000000005.checkpoint.json"))
+
+    # stragglers are forfeited LOUDLY (not "missing table metadata",
+    # not a silently partial snapshot)
+    with pytest.raises(TxError, match="below the log-retention horizon"):
+        t.read_version(8)
+    with pytest.raises(TxError, match="below the log-retention horizon"):
+        TxTable(spark, t.path).read_version(9)
+    # current state and post-horizon reads are unaffected
+    assert sorted(r["id"] for r in t.read().collect()) == want
+    assert t.read_version(10).count() == t.read().count() - 1
+
+    # an INTERIOR gap in a change-read range refuses instead of
+    # silently dropping the deleted commit's rows
+    _os.unlink(_os.path.join(t.log_dir, f"{9:020d}.json"))
+    with pytest.raises(TxError, match="removed by clean_log"):
+        t.read_changes(8)
+    # from the horizon forward, incremental consumption still works
+    assert sorted(
+        r["id"] for r in t.read_changes(10).collect()
+    ) == [111]
+
+
 def test_clean_log_refuses_tokenless_checkpoint(spark, tmp_path):
     """A checkpoint without a txn-token set cannot vouch for the
     commits it compacted — cleaning below it would let a crashed
@@ -1000,6 +1047,90 @@ def test_clustered_compaction_tightens_file_stats(spark, tmp_path):
     lo, hi = (scan[0]["stats"]["minValues"]["id"],
               scan[0]["stats"]["maxValues"]["id"])
     assert lo <= 57 <= hi
+
+
+def test_compact_zorder_tightens_both_dimensions(spark, tmp_path):
+    """compact(zorder_by=[x, y]) sorts the rewrite by the Morton curve
+    value, so every split file covers a narrow min/max range in BOTH
+    dimensions at once — where cluster_by=['x'] leaves y's per-file
+    range at the full domain (no pruning on y). The 2-D analog of the
+    OPTIMIZE ZORDER BY layout, inside the transactional table."""
+    schema = "x bigint, y bigint, day string"
+
+    def grid(xs):
+        return spark.createDataFrame(
+            [(x, y, "d1") for x in xs for y in range(32)], schema
+        ).coalesce(1)
+
+    t = TxTable.create(
+        spark, str(tmp_path / "zorder"), grid(range(0, 32, 4)),
+        partition_by=["day"],
+    )
+    for lo in range(1, 4):
+        t.append(grid(range(lo, 32, 4)))  # wide-range files, both dims
+    before = list(t._snapshot(t.latest_version())["adds"].values())
+    assert all(
+        a["stats"]["maxValues"]["y"] - a["stats"]["minValues"]["y"] == 31
+        for a in before
+    ), "fixture files must start full-domain in y"
+    rows_before = sorted(map(tuple, t.read().collect()))
+
+    with pytest.raises(TxError, match="not both"):
+        t.compact(cluster_by=["x"], zorder_by=["x", "y"])
+    assert t.compact(zorder_by=["x", "y"], max_rows_per_file=64) == 1
+    after = list(t._snapshot(t.latest_version())["adds"].values())
+    assert len(after) >= 12  # 1024 rows / 64-row cap
+    widths = [
+        (a["stats"]["maxValues"]["x"] - a["stats"]["minValues"]["x"],
+         a["stats"]["maxValues"]["y"] - a["stats"]["minValues"]["y"])
+        for a in after
+    ]
+    # every file's coverage shrinks on BOTH dims (a 64-row z-range of a
+    # 32x32 grid is ~an 8x8 block; curve-boundary straddle at most
+    # doubles it). A 1-D sort would pin one of these at 31.
+    assert all(wx <= 16 and wy <= 16 for wx, wy in widths), widths
+    assert sorted(map(tuple, t.read().collect())) == rows_before
+    # the rewrite is pure reorganization: CDC consumers skip it
+    assert t.read_changes(t.latest_version() - 1).count() == 0
+
+
+def test_restore_rolls_back_as_new_commit(spark, table, tmp_path):
+    """TxTable.restore (the Delta RESTORE idea): the live state rolls
+    back to an old version as a NEW commit — history intact, time
+    travel to the 'bad' versions still works, change-readers hear a
+    loud rewrite, a restore can itself be restored, and a version
+    whose files were (manually) lost refuses instead of committing a
+    table that cannot be read."""
+    base = sorted(map(tuple, table.read().collect()))
+    table.append(_df(spark, [(4, "d", "d2")]))                   # v1
+    table.merge_into(_df(spark, [(3, "C", "d2"), (5, "e", "d3")]),
+                     key=["id"])                                 # v2
+    v2_rows = sorted(map(tuple, table.read().collect()))
+
+    rv = table.restore(0)
+    assert rv == 3
+    assert sorted(map(tuple, table.read().collect())) == base
+    assert [h["operation"] for h in table.history()][-1] == "RESTORE"
+    # history is additive: the rolled-back versions still time-travel
+    assert sorted(map(tuple, table.read_version(2).collect())) == v2_rows
+    # a restore is an ordinary rewrite to change-readers: loud under
+    # append-only, at-least-once under ignore_changes
+    with pytest.raises(TxError, match="rewrote data files"):
+        table.read_changes(2)
+    assert table.read_changes(2, ignore_changes=True).count() >= 0
+    # restore of the restore: roll forward again
+    table.restore(2)
+    assert sorted(map(tuple, table.read().collect())) == v2_rows
+    # restoring to the present is a no-op (no empty commit)
+    v = table.latest_version()
+    assert table.restore(v) == v
+    assert table.latest_version() == v
+    # a version whose files no longer exist refuses loudly
+    snap0 = table._snapshot(0)
+    victim = next(iter(snap0["adds"]))
+    os.unlink(os.path.join(table.path, victim))
+    with pytest.raises(TxError, match="vacuum already deleted"):
+        table.restore(0)
 
 
 def test_hostile_partition_values_roundtrip_and_rewrite(spark, tmp_path):
