@@ -358,9 +358,10 @@ def test_txn_token_streaming_fold_exactly_once(spark, tmp_path):
 def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     """Model-based check: a seeded random sequence of appends, partition
     overwrites, partition-stable merges, txn-stamped merge REPLAYS,
-    compactions, crash-orphans, vacuums, and log-retention cleanups
-    must keep the table equal to a plain in-memory dict model after
-    every step — every historical version above the retention horizon
+    compactions, crash-orphans, vacuums, log-retention cleanups,
+    RESTOREs to random retained versions, and one-call maintain()
+    lifecycles (r12) must keep the table equal to a plain in-memory
+    dict model after every step — every historical version above the retention horizon
     must still read back exactly (below it, reads RAISE and the model
     forgets them — never a silent wrong answer), and every append
     version above the horizon must be consumable through read_changes
@@ -384,9 +385,13 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     snapshots = {0: dict(model)}
     append_versions: dict[int, list] = {}
 
-    for step in range(24):
-        op = rng.choice(["append", "overwrite", "merge", "merge_replay",
-                         "compact", "orphan", "vacuum", "clean"])
+    all_ops = ["append", "overwrite", "merge", "merge_replay",
+               "compact", "orphan", "vacuum", "clean",
+               "restore", "maintain"]
+    seen_ops: set = set()
+    for step in range(40):
+        op = rng.choice(all_ops)
+        seen_ops.add(op)
         if op == "append":
             k = max(model, default=0) + 1 + rng.randrange(3)
             rows = [(k, f"v{step}", day_of(k))]
@@ -446,13 +451,39 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
                 with pytest.raises(TxError, match="predates"):
                     t.read_changes(v - 1, end_version=v)
                 del append_versions[v]
+        elif op == "restore":
+            # roll the live state back to any retained recorded version
+            # (r12): the model simply becomes that snapshot, and the
+            # restore itself is a recorded version like any other
+            v = rng.choice(sorted(snapshots))
+            t.restore(v)
+            model = dict(snapshots[v])
+            # commits are immutable, so every retained append version's
+            # change-set still reads back exactly — the final loop
+            # verifies that THROUGH the restore
+        elif op == "maintain":
+            # the one-call lifecycle (r12): compact + clean + vacuum;
+            # the model forgets versions below the new horizon exactly
+            # as for the explicit clean arm
+            t.maintain(force=True, compact_min_files=2,
+                       log_retention_seconds=0.0,
+                       vacuum_retention_seconds=0.0)
+            horizon = t._commit_versions()[0]
+            snapshots = {v: s for v, s in snapshots.items()
+                         if v >= horizon}
+            append_versions = {v: r for v, r in append_versions.items()
+                               if v >= horizon}
         else:
             t.vacuum_orphans(min_age_seconds=0)
-        if op in ("append", "overwrite", "merge", "merge_replay"):
+        if op in ("append", "overwrite", "merge", "merge_replay",
+                  "restore"):
             snapshots[t.latest_version()] = dict(model)
         got = {r["id"]: r["v"] for r in t.read().collect()}
         assert got == model, f"step {step} ({op}): {got} != {model}"
 
+    # the seeded sequence must exercise EVERY op (tune seed/steps if a
+    # future arm addition shifts the draw and strands one)
+    assert seen_ops == set(all_ops), sorted(set(all_ops) - seen_ops)
     # every recorded version still reads exactly (snapshot immutability)
     for v, want in snapshots.items():
         got = {r["id"]: r["v"] for r in t.read_version(v).collect()}
