@@ -421,6 +421,76 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Operational verbs for a transactional table (the Delta-CLI
+    surface over operators/txlog.py): inspect history, show the live
+    state or a past version, and run the lifecycle pieces —
+    compact (1-D cluster or multi-dim ZORDER), log retention, vacuum,
+    the one-call maintain policy, and RESTORE rollback."""
+    import json as _json
+
+    from .operators.txlog import TxError, TxTable
+
+    spark = _spark(args)
+    try:
+        t = TxTable(spark, args.path)
+        if args.action == "history":
+            for h in t.history():
+                print(_json.dumps(h))
+        elif args.action == "show":
+            df = (
+                t.read() if args.version is None
+                else t.read_version(args.version)
+            )
+            rows = df.limit(args.limit).collect()
+            print("\t".join(df.columns))
+            for r in rows:
+                print("\t".join(
+                    "-" if r[c] is None else str(r[c])
+                    for c in df.columns
+                ))
+        elif args.action == "compact":
+            n = t.compact(
+                min_files=args.min_files,
+                cluster_by=args.cluster_by.split(",")
+                if args.cluster_by else None,
+                zorder_by=args.zorder_by.split(",")
+                if args.zorder_by else None,
+                max_rows_per_file=args.max_rows_per_file,
+            )
+            print(_json.dumps({"compacted_partitions": n}))
+        elif args.action == "clean-log":
+            print(_json.dumps(
+                {"deleted": t.clean_log(args.retention)}
+            ))
+        elif args.action == "vacuum":
+            print(_json.dumps(
+                {"deleted": t.vacuum_orphans(args.retention)}
+            ))
+        elif args.action == "maintain":
+            print(_json.dumps(t.maintain(
+                every_n_commits=args.every_n_commits,
+                compact_min_files=args.min_files,
+                log_retention_seconds=args.retention,
+                vacuum_retention_seconds=args.vacuum_retention,
+                zorder_by=args.zorder_by.split(",")
+                if args.zorder_by else None,
+                force=args.force,
+            )))
+        elif args.action == "restore":
+            if args.version is None:
+                print("restore needs --version", file=sys.stderr)
+                return 2
+            print(_json.dumps(
+                {"restored_to": args.version,
+                 "new_version": t.restore(args.version)}
+            ))
+    except TxError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="crawl-streams-spark")
     p.add_argument("--master", default=None, help="spark master override")
@@ -568,6 +638,36 @@ def build_parser() -> argparse.ArgumentParser:
         help="(key, cluster) parquet for a leakage-safe split",
     )
     se.set_defaults(fn=cmd_select)
+
+    tb = sub.add_parser(
+        "table",
+        help="transactional-table ops: history/show/compact/clean-log/"
+        "vacuum/maintain/restore",
+    )
+    tb.add_argument(
+        "action",
+        choices=["history", "show", "compact", "clean-log", "vacuum",
+                 "maintain", "restore"],
+    )
+    tb.add_argument("--path", required=True, help="table directory")
+    tb.add_argument("--version", type=int, default=None,
+                    help="version for show/restore")
+    tb.add_argument("-l", "--limit", type=int, default=20)
+    tb.add_argument("--min-files", type=int, default=4,
+                    help="compaction threshold per partition")
+    tb.add_argument("--cluster-by", default=None,
+                    help="comma-separated 1-D sort columns (compact)")
+    tb.add_argument("--zorder-by", default=None,
+                    help="comma-separated Morton-cluster columns "
+                    "(compact/maintain)")
+    tb.add_argument("--max-rows-per-file", type=int, default=None)
+    tb.add_argument("--retention", type=float, default=7 * 24 * 3600.0,
+                    help="seconds for clean-log / log step of maintain")
+    tb.add_argument("--vacuum-retention", type=float, default=24 * 3600.0)
+    tb.add_argument("--every-n-commits", type=int, default=50)
+    tb.add_argument("--force", action="store_true",
+                    help="run maintain now regardless of cadence")
+    tb.set_defaults(fn=cmd_table)
 
     q = sub.add_parser(
         "query", help="run or explain a registered query ('query list')"

@@ -284,3 +284,57 @@ def test_select_pipeline_with_temperature_mix(capsys, spark, tmp_path):
     share = counts["dominant"] / (counts["dominant"] + counts["minor"])
     assert share < 0.85
     assert counts["minor"] > 150  # minor source preserved near target
+
+
+def test_table_cli_lifecycle(capsys, spark, tmp_path):
+    """The `table` subcommand (r12): the Delta-CLI-style operational
+    surface over TxTable — history/show as inspection, compact with
+    ZORDER, maintain as the one-call lifecycle, restore as rollback."""
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    path = str(tmp_path / "cli_tbl")
+    t = TxTable.create(
+        spark, path,
+        spark.createDataFrame(
+            [(i, i * 7 % 50, "d1") for i in range(40)],
+            "x long, y long, day string",
+        ),
+        partition_by=["day"],
+    )
+    t.append(spark.createDataFrame([(100, 1, "d1")],
+                                   "x long, y long, day string"))
+
+    assert main(["table", "history", "--path", path]) == 0
+    hist = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [h["operation"] for h in hist] == ["CREATE", "APPEND"]
+
+    assert main(["table", "show", "--path", path, "-l", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["x", "y", "day"] and len(out) == 6
+
+    assert main([
+        "table", "compact", "--path", path,
+        "--min-files", "2", "--zorder-by", "x,y",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out)["compacted_partitions"] == 1
+
+    assert main([
+        "table", "maintain", "--path", path, "--force",
+        "--min-files", "2", "--retention", "0", "--vacuum-retention", "0",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ran"] is True
+
+    assert main([
+        "table", "restore", "--path", path, "--version", "1",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["restored_to"] == 1
+    assert main(["table", "show", "--path", path, "--version", "1",
+                 "-l", "50"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 42
+
+    # errors surface as exit code 1 with a message, not tracebacks
+    assert main(["table", "history", "--path", str(tmp_path / "nope")]) == 1
+    assert "error:" in capsys.readouterr().err
