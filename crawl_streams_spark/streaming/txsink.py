@@ -108,14 +108,22 @@ def ensure_tx_snapshot(
     empty = spark.createDataFrame([], schema_ddl).withColumn(
         _BUCKET, F.lit(0).cast("int")
     )
-    return TxTable.create(
-        spark, path, empty, partition_by=[_BUCKET],
-        configuration={
-            "txsink.bucket_fn": _BUCKET_FN,
-            "txsink.n_buckets": n_buckets,
-            "txsink.key_col": key_col,
-        },
-    )
+    try:
+        return TxTable.create(
+            spark, path, empty, partition_by=[_BUCKET],
+            configuration={
+                "txsink.bucket_fn": _BUCKET_FN,
+                "txsink.n_buckets": n_buckets,
+                "txsink.key_col": key_col,
+            },
+        )
+    except TxError:
+        # lost the create race to a concurrent first-open: fall back to
+        # opening the winner's table — and verify ITS stamp, exactly as
+        # the fast path does (the winner may have stamped differently)
+        table = TxTable(spark, path)
+        _check_bucket_stamp(table, key_col, n_buckets)
+        return table
 
 
 def tx_snapshot_fold(

@@ -635,6 +635,61 @@ def test_tx_snapshot_bucket_stamp_verified(spark, tmp_path):
     assert t.table_configuration()["txsink.n_buckets"] == "4"
 
 
+def test_ensure_tx_snapshot_create_race_reopens(spark, tmp_path):
+    """Two concurrent first-opens race TxTable.create; the loser must
+    fall back to opening the winner's table — verifying the winner's
+    stamp — instead of surfacing 'already exists' to the fold."""
+    import pytest
+
+    from crawl_streams_spark.operators.txlog import TxError, TxTable
+    from crawl_streams_spark.streaming import txsink
+    from crawl_streams_spark.streaming.txsink import ensure_tx_snapshot
+
+    schema = "content_digest string, url string, hits bigint"
+    path = str(tmp_path / "race")
+    orig_isdir = txsink.os.path.isdir
+    created = {}
+
+    def losing_isdir(p):
+        # simulate the race: the check sees "no table", then the winner
+        # creates it before our create runs (sentinel first — the
+        # winner's own ensure call goes through this patched isdir too)
+        if p.endswith("_txlog") and "t" not in created:
+            created["t"] = None
+            created["t"] = ensure_tx_snapshot(
+                spark, path, schema, "content_digest", n_buckets=4
+            )
+            return False
+        return orig_isdir(p)
+
+    txsink.os.path.isdir = losing_isdir
+    try:
+        t = ensure_tx_snapshot(spark, path, schema, "content_digest",
+                               n_buckets=4)
+    finally:
+        txsink.os.path.isdir = orig_isdir
+    assert t.latest_version() == created["t"].latest_version()
+    # the loser still verifies the WINNER's stamp: a mismatched loser
+    # fails loudly even through the race path (fake only the ENSURE
+    # check — the fallback open must see the real directory)
+    calls = {"n": 0}
+
+    def first_false(p):
+        if p.endswith("_txlog") and calls["n"] == 0:
+            calls["n"] = 1
+            return False
+        return orig_isdir(p)
+
+    txsink.os.path.isdir = first_false
+    try:
+        with pytest.raises(TxError, match="bucket stamp"):
+            ensure_tx_snapshot(spark, path, schema, "content_digest",
+                               n_buckets=8)
+    finally:
+        txsink.os.path.isdir = orig_isdir
+    assert isinstance(TxTable(spark, path), TxTable)
+
+
 def test_tx_fold_null_digest_converges(spark, tmp_path):
     """VERDICT r11 item 1, threaded through the tx sink: content_digest
     is NULL on failed fetches (SURVEY §1.2), so a digest-keyed fold
