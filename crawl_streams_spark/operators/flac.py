@@ -31,8 +31,8 @@ and the LPC reconstruction
 (arithmetic shift = floor division by 2^shift, exactly Python's ``>>``
 on negative ints), so a SQL oracle that regenerates the residual stream
 replays the samples exactly (order-1 fixed reconstruction is an integer
-prefix sum — plans/q_crawl.py::media_flac_features; the LPC recurrence
-replays as a recursive CTE — media_flac_lpc_features).
+prefix sum; the LPC recurrence replays as a recursive CTE — both arms
+of plans/q_crawl.py::media_flac_features, cycled by doc_id since r12).
 
 Reference surface comparison: the reference toolkit (crawlstreams)
 moves crawl payloads without decoding them; media feature extraction is

@@ -469,6 +469,37 @@ class TxTable:
     def read(self) -> DataFrame:
         return self.read_version(self.latest_version())
 
+    def version_at_timestamp(self, timestamp: float) -> int:
+        """The version live AT ``timestamp`` (unix seconds): the largest
+        retained version whose commit file landed at or before it — the
+        Delta ``TIMESTAMP AS OF`` resolution rule, read from the commit
+        files' own mtimes (the claim's ``os.link`` fixes the mtime at
+        claim time; versions are claimed in order, so mtimes are
+        monotone with versions up to filesystem timestamp granularity).
+        Raises when the timestamp predates every retained commit —
+        either before the table existed or below the clean_log horizon
+        (the forfeiture contract, worded with the re-seed hint)."""
+        best = None
+        for v in self._commit_versions():
+            try:
+                mt = os.path.getmtime(
+                    os.path.join(self.log_dir, _version_name(v))
+                )
+            except OSError:
+                continue  # raced with clean_log
+            if mt <= timestamp:
+                best = v
+        if best is None:
+            raise TxError(
+                f"no retained version existed at timestamp {timestamp} "
+                "— it predates the table or the log-retention horizon"
+            )
+        return best
+
+    def read_at_timestamp(self, timestamp: float) -> DataFrame:
+        """Time travel by wall clock (``TIMESTAMP AS OF``)."""
+        return self.read_version(self.version_at_timestamp(timestamp))
+
     def read_changes(
         self,
         start_version: int,

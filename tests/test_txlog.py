@@ -52,6 +52,30 @@ def test_create_append_read_and_time_travel(spark, table):
     )
 
 
+def test_timestamp_time_travel(spark, table):
+    """TIMESTAMP AS OF (r12): resolve the version live at a wall-clock
+    instant from the commit files' own mtimes; before-the-table
+    timestamps raise with the forfeiture wording."""
+    import time
+
+    t0 = os.path.getmtime(
+        os.path.join(table.log_dir, "00000000000000000000.json")
+    )
+    time.sleep(0.05)
+    mid = time.time()
+    time.sleep(0.05)
+    table.append(_df(spark, [(4, "d", "d2")]))
+    assert table.version_at_timestamp(mid) == 0
+    assert table.version_at_timestamp(time.time()) == 1
+    assert _ids(table) == [1, 2, 3, 4]
+    got = sorted(
+        r["id"] for r in table.read_at_timestamp(mid).collect()
+    )
+    assert got == [1, 2, 3]
+    with pytest.raises(TxError, match="predates the table"):
+        table.version_at_timestamp(t0 - 10)
+
+
 def test_reopen_and_double_create_rejected(spark, table, tmp_path):
     t2 = TxTable(spark, table.path)
     assert _ids(t2) == [1, 2, 3]
