@@ -438,10 +438,12 @@ def cmd_table(args) -> int:
             for h in t.history():
                 print(_json.dumps(h))
         elif args.action == "show":
-            df = (
-                t.read() if args.version is None
-                else t.read_version(args.version)
-            )
+            if args.as_of_ts is not None:
+                df = t.read_at_timestamp(args.as_of_ts)
+            elif args.version is not None:
+                df = t.read_version(args.version)
+            else:
+                df = t.read()
             rows = df.limit(args.limit).collect()
             print("\t".join(df.columns))
             for r in rows:
@@ -652,6 +654,9 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--path", required=True, help="table directory")
     tb.add_argument("--version", type=int, default=None,
                     help="version for show/restore")
+    tb.add_argument("--as-of-ts", type=float, default=None,
+                    help="unix-seconds timestamp for show (TIMESTAMP "
+                    "AS OF)")
     tb.add_argument("-l", "--limit", type=int, default=20)
     tb.add_argument("--min-files", type=int, default=4,
                     help="compaction threshold per partition")

@@ -335,6 +335,15 @@ def test_table_cli_lifecycle(capsys, spark, tmp_path):
                  "-l", "50"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 42
 
+    # TIMESTAMP AS OF through the CLI: "now" resolves to the live state
+    import time as _time
+
+    assert main(["table", "show", "--path", path,
+                 "--as-of-ts", str(_time.time()), "-l", "50"]) == 0
+    live = len(capsys.readouterr().out.strip().splitlines())
+    assert main(["table", "show", "--path", path, "-l", "50"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == live
+
     # errors surface as exit code 1 with a message, not tracebacks
     assert main(["table", "history", "--path", str(tmp_path / "nope")]) == 1
     assert "error:" in capsys.readouterr().err
