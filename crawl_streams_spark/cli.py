@@ -487,6 +487,20 @@ def cmd_table(args) -> int:
                 {"restored_to": args.version,
                  "new_version": t.restore(args.version)}
             ))
+        elif args.action == "delete":
+            if not args.where:
+                print("delete needs --where", file=sys.stderr)
+                return 2
+            print(_json.dumps({"deleted": t.delete_where(args.where)}))
+        elif args.action == "update":
+            if not args.where or not args.set:
+                print("update needs --where and --set col=expr",
+                      file=sys.stderr)
+                return 2
+            assignments = dict(s.split("=", 1) for s in args.set)
+            print(_json.dumps(
+                {"updated": t.update_where(args.where, assignments)}
+            ))
     except TxError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -649,8 +663,13 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument(
         "action",
         choices=["history", "show", "compact", "clean-log", "vacuum",
-                 "maintain", "restore"],
+                 "maintain", "restore", "delete", "update"],
     )
+    tb.add_argument("--where", default=None,
+                    help="SQL predicate for delete/update")
+    tb.add_argument("--set", action="append", default=None,
+                    metavar="COL=EXPR",
+                    help="assignment for update (repeatable)")
     tb.add_argument("--path", required=True, help="table directory")
     tb.add_argument("--version", type=int, default=None,
                     help="version for show/restore")

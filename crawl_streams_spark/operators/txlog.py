@@ -1167,6 +1167,129 @@ class TxTable:
                 deleted.append(rel)
         return deleted
 
+    def delete_where(self, condition, txn: str | None = None) -> int:
+        """Row-level DELETE (the Delta ``DELETE FROM ... WHERE`` op,
+        r12): rewrite ONLY the files that actually hold matching rows.
+        ``condition`` is a Column or a SQL expression string. Returns
+        the number of rows deleted (0 = no commit).
+
+        Scale shape: one distributed scan with the predicate pushed to
+        parquet finds the touched files (the collect is one row per
+        touched FILE, never per row); the rewrite then reads and
+        rewrites exactly those files — O(matching files), not O(table).
+        SQL semantics: rows where the condition is NULL are NOT
+        matched (they survive a delete, stay unchanged in an update).
+        Conflicts loudly if the table advances concurrently; ``txn``
+        makes a replay of the same token a no-op, as for merge."""
+        return self._dml_rewrite(condition, None, "DELETE", txn)
+
+    def update_where(self, condition, assignments: dict,
+                     txn: str | None = None) -> int:
+        """Row-level UPDATE (the Delta ``UPDATE ... SET ... WHERE``
+        op, r12): ``assignments`` maps column name -> Column or SQL
+        expression string, applied to matching rows only; non-matching
+        rows in touched files are rewritten byte-identical. Returns the
+        number of rows updated. Same file-pruned rewrite shape, NULL
+        semantics, conflict policy, and txn idempotence as
+        :meth:`delete_where`. Assigning a partition column is refused —
+        a row changing partitions under a file-local rewrite would
+        need a global move (do it as delete + append)."""
+        if not assignments:
+            raise TxError("update_where needs at least one assignment")
+        return self._dml_rewrite(condition, dict(assignments), "UPDATE",
+                                 txn)
+
+    def _dml_rewrite(self, condition, assignments, op, txn):
+        import pyspark.sql.functions as F
+
+        if txn is not None and self.seen_txn(txn):
+            return 0  # idempotent replay: no-op
+        version = self.latest_version()
+        snap = self._snapshot(version)
+        schema = self._declared_schema(snap)
+        pcols = snap["metaData"]["partitionColumns"]
+        if assignments:
+            bad = sorted(set(assignments) & set(pcols))
+            if bad:
+                raise TxError(
+                    f"{op}: assigning partition columns {bad} would "
+                    "move rows across files — delete + append instead"
+                )
+            unknown = sorted(
+                c for c in assignments
+                if c not in {f.name for f in schema.fields}
+            )
+            if unknown:
+                raise TxError(f"{op}: unknown columns {unknown}")
+        adds = list(snap["adds"].values())
+        if not adds:
+            return 0
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        matched = cond.cast("boolean")
+        # pass 1 — find the files holding matching rows: predicate
+        # pushed into the scan, result bounded at one row per FILE
+        probe = self._read_adds(adds, schema).withColumn(
+            "__file", F.input_file_name()
+        )
+        touched_files = {
+            os.path.basename(r["__file"])
+            for r in probe.filter(matched)
+            .select("__file").distinct().collect()
+        }
+        if not touched_files:
+            return 0
+        touched = [
+            a for a in adds
+            if os.path.basename(a["path"]) in touched_files
+        ]
+        # pass 2 — rewrite exactly those files
+        cur = self._read_adds(touched, schema)
+        is_hit = F.coalesce(matched, F.lit(False))
+        n_affected = cur.filter(is_hit).count()
+        if assignments:
+            out = cur
+            for c, expr in assignments.items():
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                out = out.withColumn(
+                    c,
+                    F.when(is_hit, val.cast(
+                        schema[c].dataType
+                    )).otherwise(F.col(c)),
+                )
+        else:
+            out = cur.filter(~is_hit)
+        new_adds = self._write_data_files(out, pcols)
+
+        def validate(snap2):
+            if self.latest_version() != version:
+                raise TxConflict(
+                    f"table advanced during {op.lower()}; retry the "
+                    "operation"
+                )
+
+        def build(snap2):
+            actions = (
+                [{"remove": {"path": a["path"]}} for a in touched]
+                + [{"add": a} for a in new_adds]
+            )
+            if txn is not None:
+                actions.append({"txn": {"appId": txn}})
+            return actions
+
+        # max_retries=1 for the same reason as compact: validate pins
+        # the pre-rewrite version, so a retry against the same stale
+        # baseline can never succeed — fail loudly, caller reruns
+        try:
+            self._commit_with_retry(build, validate, op, max_retries=1)
+        except TxConflict:
+            raise TxConflict(
+                f"table advanced during {op.lower()}; retry the "
+                "operation"
+            ) from None
+        return n_affected
+
     def restore(self, version: int) -> int:
         """Roll the LIVE table state back to ``version`` as a NEW
         commit (the Delta RESTORE idea, r12): history is never

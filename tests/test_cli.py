@@ -344,6 +344,15 @@ def test_table_cli_lifecycle(capsys, spark, tmp_path):
     assert main(["table", "show", "--path", path, "-l", "50"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == live
 
+    # row-level DML through the CLI
+    assert main(["table", "update", "--path", path,
+                 "--where", "x = 100", "--set", "y=y + 1"]) == 0
+    assert json.loads(capsys.readouterr().out)["updated"] == 1
+    assert main(["table", "delete", "--path", path,
+                 "--where", "x = 100"]) == 0
+    assert json.loads(capsys.readouterr().out)["deleted"] == 1
+    assert main(["table", "delete", "--path", path]) == 2  # no --where
+
     # errors surface as exit code 1 with a message, not tracebacks
     assert main(["table", "history", "--path", str(tmp_path / "nope")]) == 1
     assert "error:" in capsys.readouterr().err

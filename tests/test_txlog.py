@@ -411,10 +411,15 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
 
     all_ops = ["append", "overwrite", "merge", "merge_replay",
                "compact", "orphan", "vacuum", "clean",
-               "restore", "maintain"]
+               "restore", "maintain", "delete", "update"]
     seen_ops: set = set()
-    for step in range(40):
-        op = rng.choice(all_ops)
+    for step in range(60):
+        # two deterministic passes over every op (coverage can't strand
+        # on an unlucky seed), then free-form random draws
+        if step < 2 * len(all_ops):
+            op = all_ops[step % len(all_ops)]
+        else:
+            op = rng.choice(all_ops)
         seen_ops.add(op)
         if op == "append":
             k = max(model, default=0) + 1 + rng.randrange(3)
@@ -485,6 +490,18 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
             # commits are immutable, so every retained append version's
             # change-set still reads back exactly — the final loop
             # verifies that THROUGH the restore
+        elif op in ("delete", "update"):
+            # row-level DML (r12): file-pruned rewrites, model = dict op
+            if not model:
+                continue
+            k = rng.choice(sorted(model))
+            if op == "delete":
+                assert t.delete_where(f"id = {k}") == 1
+                del model[k]
+            else:
+                assert t.update_where(f"id = {k}",
+                                      {"v": f"'u{step}'"}) == 1
+                model[k] = f"u{step}"
         elif op == "maintain":
             # the one-call lifecycle (r12): compact + clean + vacuum;
             # the model forgets versions below the new horizon exactly
@@ -500,7 +517,7 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
         else:
             t.vacuum_orphans(min_age_seconds=0)
         if op in ("append", "overwrite", "merge", "merge_replay",
-                  "restore"):
+                  "restore", "delete", "update"):
             snapshots[t.latest_version()] = dict(model)
         got = {r["id"]: r["v"] for r in t.read().collect()}
         assert got == model, f"step {step} ({op}): {got} != {model}"
@@ -1102,6 +1119,82 @@ def test_clustered_compaction_tightens_file_stats(spark, tmp_path):
     lo, hi = (scan[0]["stats"]["minValues"]["id"],
               scan[0]["stats"]["maxValues"]["id"])
     assert lo <= 57 <= hi
+
+
+def test_delete_where_rewrites_only_matching_files(spark, table):
+    """Row-level DELETE (r12): one predicate-pushed scan finds the
+    files holding matching rows; only those rewrite. Untouched files
+    survive BY PATH; NULL conditions don't match (SQL semantics); the
+    commit is an ordinary rewrite to change-readers; txn replays
+    no-op."""
+    before = dict(table._snapshot(table.latest_version())["adds"])
+    d2_paths = {p for p, a in before.items()
+                if a["partitionValues"].get("day") == "d2"}
+    assert table.delete_where("id = 2", txn="del-2") == 1
+    assert _ids(table) == [1, 3]
+    after = set(table._snapshot(table.latest_version())["adds"])
+    assert d2_paths <= after, "file without matching rows was rewritten"
+    assert [h["operation"] for h in table.history()][-1] == "DELETE"
+    # replay of the same token no-ops, fresh handle included
+    assert TxTable(spark, table.path).delete_where("id = 1",
+                                                   txn="del-2") == 0
+    assert _ids(table) == [1, 3]
+    # no matching rows: no commit at all
+    v = table.latest_version()
+    assert table.delete_where("id = 999") == 0
+    assert table.latest_version() == v
+    # NULL semantics: a null condition does not match
+    table.append(_df(spark, [(9, None, "d1")]))
+    assert table.delete_where("v = 'a'") == 1  # id=1; null v survives
+    assert _ids(table) == [3, 9]
+    # change-readers hear a loud rewrite, like any merge
+    with pytest.raises(TxError, match="rewrote data files"):
+        table.read_changes(v)
+
+
+def test_update_where_file_pruned_and_guarded(spark, table):
+    """Row-level UPDATE (r12): assignments apply to matching rows only,
+    non-matching rows in touched files rewrite byte-identical, files
+    without matches survive by path; partition-column and unknown
+    assignments refuse loudly."""
+    before = dict(table._snapshot(table.latest_version())["adds"])
+    d2_paths = {p for p, a in before.items()
+                if a["partitionValues"].get("day") == "d2"}
+    n = table.update_where("day = 'd1'", {"v": "upper(v)"})
+    assert n == 2
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {1: "A", 2: "B", 3: "c"}
+    after = set(table._snapshot(table.latest_version())["adds"])
+    assert d2_paths <= after
+    assert [h["operation"] for h in table.history()][-1] == "UPDATE"
+    # Column-typed assignment and condition work too
+    import pyspark.sql.functions as F
+
+    assert table.update_where(
+        F.col("id") == 3, {"v": F.lit("Z")}
+    ) == 1
+    assert {r["v"] for r in table.read().collect()} == {"A", "B", "Z"}
+    with pytest.raises(TxError, match="partition columns"):
+        table.update_where("id = 1", {"day": "'d9'"})
+    with pytest.raises(TxError, match="unknown columns"):
+        table.update_where("id = 1", {"nope": "'x'"})
+    with pytest.raises(TxError, match="at least one assignment"):
+        table.update_where("id = 1", {})
+
+
+def test_dml_conflicts_on_concurrent_advance(spark, table):
+    other = TxTable(spark, table.path)
+    adds = other._write_data_files(_df(spark, [(50, "w", "d2")]), ["day"])
+    _with_interloper(
+        table,
+        [{"commitInfo": {"operation": "APPEND"}}]
+        + [{"add": a} for a in adds],
+    )
+    with pytest.raises(TxConflict, match="advanced during delete"):
+        table.delete_where("id = 1")
+    # the interloper's row is intact; a rerun applies cleanly
+    assert table.delete_where("id = 1") == 1
+    assert sorted(r["id"] for r in table.read().collect()) == [2, 3, 50]
 
 
 def test_compact_zorder_tightens_both_dimensions(spark, tmp_path):
