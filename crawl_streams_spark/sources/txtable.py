@@ -18,6 +18,12 @@ Options:
   from version 0 as inserts, then changes) or a version number N
   (deliver commits AFTER N) or ``"latest"`` (only commits after the
   stream starts).
+- ``starting_timestamp``: unix seconds T — deliver commits AFTER the
+  version live at T (resolved from commit-file mtimes, the same rule
+  as ``TxTable.version_at_timestamp``); the natural pairing with a
+  ``read_at_timestamp(T)`` snapshot seed. A T before every retained
+  commit starts from the whole table. Mutually exclusive with
+  ``starting_version``.
 - ``ignore_changes``: ``"false"`` (default) fails the stream loudly at
   a commit that REMOVED files (overwrite/merge/compaction rewrote rows
   the consumer already saw — silently re-delivering them would
@@ -302,6 +308,13 @@ try:  # the DataSource API needs pyspark >= 4
                 options.get("ignore_changes", "false").lower() == "true"
             )
             self._starting = options.get("starting_version", "-1")
+            self._starting_ts = options.get("starting_timestamp")
+            if (self._starting_ts is not None
+                    and options.get("starting_version") is not None):
+                raise ValueError(
+                    "txtable source: pass starting_version OR "
+                    "starting_timestamp, not both"
+                )
             self._max_files = int(
                 options.get("max_files_per_trigger", "0")
             )
@@ -313,7 +326,26 @@ try:  # the DataSource API needs pyspark >= 4
             self._last_end: int | None = None
 
         def initialOffset(self):
-            if self._starting == "latest":
+            if self._starting_ts is not None:
+                # TIMESTAMP AS OF for CDC (r12): start AFTER the version
+                # live at the instant — the natural pairing with a
+                # snapshot read_at_timestamp(T) seed. Resolution mirrors
+                # TxTable.version_at_timestamp (commit-file mtimes,
+                # monotone with versions); a timestamp predating every
+                # retained commit starts from -1 (the whole table).
+                ts = float(self._starting_ts)
+                best = -1
+                for v in _log_versions(self._log_dir):
+                    try:
+                        mt = os.path.getmtime(os.path.join(
+                            self._log_dir, f"{v:020d}.json"
+                        ))
+                    except OSError:
+                        continue  # raced with clean_log
+                    if mt <= ts:
+                        best = v
+                off = {"version": best}
+            elif self._starting == "latest":
                 vs = _log_versions(self._log_dir)
                 off = {"version": vs[-1] if vs else -1}
             else:

@@ -109,6 +109,38 @@ def test_stream_starting_version_and_latest(spark, table, tmp_path):
     assert seen == [9]
 
 
+def test_stream_starting_timestamp(spark, table, tmp_path):
+    """starting_timestamp (r12): the CDC stream starts AFTER the
+    version live at the instant — pairing with a read_at_timestamp
+    snapshot seed; a timestamp before the table delivers everything;
+    passing both starting options refuses."""
+    import time
+
+    import pytest
+
+    time.sleep(0.05)
+    mid = time.time()  # after CREATE (v0), before the appends
+    time.sleep(0.05)
+    table.append(_df(spark, [(4, "d", "d2")]))
+    table.append(_df(spark, [(9, "z", "d1")]))
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    _drain(spark, table.path, str(tmp_path / "ts1"), sink,
+           starting_timestamp=str(mid))
+    assert sorted(seen) == [4, 9]  # v0's rows predate mid: skipped
+    # before the table existed: the whole table streams
+    seen.clear()
+    _drain(spark, table.path, str(tmp_path / "ts2"), sink,
+           starting_timestamp="1.0")
+    assert sorted(seen) == [1, 2, 3, 4, 9]
+    with pytest.raises(Exception, match="not both"):
+        _drain(spark, table.path, str(tmp_path / "ts3"), sink,
+               starting_timestamp=str(mid), starting_version="0")
+
+
 def test_stream_fails_loudly_on_rewrites_unless_opted_in(
     spark, table, tmp_path
 ):
