@@ -7,35 +7,31 @@ of every operator family (the external correctness harness verifies a
 bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
-Ordering policy (round 12 — planner-generated via
-``python -m scripts.plan_rotation 12`` at the 184-query registry
-(188 minus the four names freed by the media-arm folds below), then
-four filler slots donated from the END to round-12 changes, per the
-planner's own donation rule):
+Ordering policy (round 13 — planner-generated via
+``python -m scripts.plan_rotation 13`` at the 187-query registry
+(184 + the three new oracle gates below), then three filler slots
+donated from the END to round-13 additions, per the planner's own
+donation rule):
 
-- Slots 1-11 (MUST): the eleven r7-verdict queries the planner, the
-  r11 judge, and the rotation guard's projection all pre-enumerated —
-  they age past the 4-round freshness bound at r12 if left un-windowed
-  (``qty_price_regression_stats`` … ``zorder_curve``; the r11 judge's
-  full 188/188 harness run re-oracled all 11 green, so this is pure
-  rotation execution — VERDICT r11 item 2).
-- Slots 12-15: round-12 implementation changes re-windowed for
-  post-change verdicts: ``doc_html_extract`` (the ampersand entity
-  class now decodes in ONE regexp pass — ADVICE r11) and the three
-  registry-consolidation folds (VERDICT r11 item 4):
-  ``media_adpcm_features`` / ``media_ms_adpcm_features`` absorb their
-  former stereo twin gates as doc_id-parity-cycled fixture arms, and
-  ``media_flac_features`` absorbs the former LPC and stereo gates as
-  doc_id%3-cycled arms — identical coverage, four names cheaper
-  (184 registered, soft cap 196).
-- Slots 16-31: one representative per family the MUST set misses,
+- Slots 1-9 (MUST): the nine r8-verdict queries the planner, the r12
+  judge, and the rotation guard's projection all pre-enumerated —
+  they age past the 4-round freshness bound at r13 if left
+  un-windowed (``returnflag_status_chisq`` … ``windowed_count``; the
+  r12 judge's full 184/184 harness run re-oracled all 9 green, so
+  this is pure rotation execution — VERDICT r12 item 1).
+- Slots 10-26: one representative per family the MUST set misses,
   oldest verdicts first. ``parts_bought_together`` /
   ``orders_validation_report`` are sole members of their families and
   recur every round by construction.
-- Slots 32-50: oldest-verdict fillers (r8), the planner's last four
-  donated to the round-12 changes above (two of the four donated slots
-  were the planner-listed ``media_flac_features`` filler itself and
-  the now-deleted ``media_flac_lpc_features``).
+- Slots 27-29: round-13 NEW gates, in-window at birth (VERDICT r12
+  item 2 — the last conformance-only §2 crawl ops get named oracle
+  gates): ``referrer_host_histogram`` (A-5 self-exclusion),
+  ``screenshot_strip_ring`` (P-8 + A-10 strip/ring over the real
+  operator), ``solr_etl_projection`` (the F-6/F-8/F-9/F-10 crawl-db
+  ETL projection as one DuckDB-replayable gate). Registry 187 ≤ 196.
+- Slots 30-50: oldest-verdict fillers (r9), the planner's last three
+  (``media_png_features``, ``media_wav_features``,
+  ``null_coalesce_projection``) donated to the new gates above.
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -81,60 +77,60 @@ DRIVER_WINDOW = 50
 #: Names pinned to the front of the registry, in order. Everything not
 #: listed keeps its registration order after these.
 PRIORITY: tuple[str, ...] = (
-    # -- MUST: r7-verdict queries aging past the bound (planner sect. 1)
-    "qty_price_regression_stats",  # q_sql_extra, r7
-    "rollup_day_reaggregation",  # q_events, r7
-    "schedule_launch_decisions",  # q_schedule, r7
-    "semantic_dedup_pairs",  # q_similarity, r7
-    "snapshot_diff_summary",  # q_diff, r7
-    "source_share_capped_counts",  # q_pipeline, r7
-    "term_posting_lists",  # q_corpus, r7
-    "token_budget_selection",  # q_pipeline, r7
-    "uri_normalization",  # q_crawl, r7
-    "weighted_sample_orders",  # q_pipeline, r7
-    "zorder_curve",  # q_sql_extra, r7
-    # -- round-12 implementation changes re-windowed (post-change verdicts)
-    "doc_html_extract",  # changed: amp class decodes in one pass (ADVICE r11)
-    "media_adpcm_features",  # folded: +stereo arm, cycled by parity (r11 #4)
-    "media_ms_adpcm_features",  # folded: +stereo arm, cycled by parity
-    "media_flac_features",  # folded: fixed/LPC/stereo arms, cycled by %3
+    # -- MUST: r8-verdict queries aging past the bound (planner sect. 1)
+    "returnflag_status_chisq",  # q_sql_extra, r8
+    "rollup_order_priority",  # q_tpch, r8
+    "source_lang_entropy",  # q_corpus, r8
+    "temperature_mixed_counts",  # q_pipeline, r8
+    "top_orders_per_customer",  # q_tpch, r8
+    "url_host_extraction",  # q_crawl, r8
+    "user_time_to_convert",  # q_behavior, r8
+    "variant_typed_extraction",  # q_events, r8
+    "windowed_count",  # q_events, r8
     # -- family reps, oldest verdicts first (planner section 2) ----------
-    "ab_test_conversion_ztest",  # q_behavior, r8
-    "dedup_minhash_signatures",  # q_dedup, r8
-    "host_graph_distances",  # q_graph, r8
-    "concurrent_sessions",  # q_interval, r10
-    "asof_last_purchase",  # q_joins_advanced, r8
-    "parts_bought_together",  # q_market, r11 — sole member, recurs
-    "status_pivot",  # q_pivot, r10
-    "native_session_window_stats",  # q_sessions, r9
-    "cms_join_size_estimate",  # q_sketch, r8
-    "doc_span_excision",  # q_spans, r9
-    "doc_repetition",  # q_text, r8
-    "hourly_series_filled",  # q_timeseries, r9
-    "part_supplier_union",  # q_tpch, r8
-    "brand_small_qty_revenue",  # q_tpch2, r8
-    "late_order_priority_counts",  # q_tpch3, r8
-    "orders_validation_report",  # q_validate, r11 — sole member, recurs
-    # -- oldest-verdict fillers (planner section 3): all r8-verdict ------
-    "annotation_classification",  # q_crawl, r8
-    "binary_column_plumbing",  # q_crawl, r8
-    "brand_target_encoding",  # q_pipeline, r8
-    "customer_rfm_scores",  # q_sql_extra, r8
-    "dedup_simhash",  # q_dedup, r8
-    "doc_context_chunks",  # q_pipeline, r8
-    "doc_length_quantile_norm",  # q_pipeline, r8
-    "hop_and_status",  # q_crawl, r8
-    "hopping_window_counts",  # q_schedule, r8
-    "hourly_counts",  # q_events, r8
-    "kmv_distinct_users",  # q_sketch, r8
-    "kmv_user_overlap",  # q_sketch, r8
-    "label_centroid_sim",  # q_similarity, r8
-    "latest_events_topk",  # q_events, r8
-    "media_bmp_features",  # q_crawl, r8
-    "media_qoi_features",  # q_crawl, r8
-    "orders_snapshot_diff",  # q_diff, r8
-    "price_mad_by_flag",  # q_sql_extra, r8
-    "price_percentiles",  # q_sql_extra, r8
+    "dedup_minhash_lsh_pairs",  # q_dedup, r9
+    "orders_scd2_incremental",  # q_diff, r9
+    "host_graph_kcore",  # q_graph, r9
+    "active_sessions_at_purchase",  # q_interval, r11
+    "clicks_before_purchase",  # q_joins_advanced, r9
+    "parts_bought_together",  # q_market, r12 — sole member, recurs
+    "unpivot_lineitem_metrics",  # q_pivot, r11
+    "launch_ts_and_source_tags",  # q_schedule, r9
+    "user_sessions",  # q_sessions, r10
+    "embedding_density_dedup",  # q_similarity, r9
+    "cms_token_estimates",  # q_sketch, r9
+    "dup_token_spans",  # q_spans, r10
+    "annotation_regex_classes",  # q_text, r9
+    "hourly_value_anomalies",  # q_timeseries, r10
+    "disjunctive_part_revenue",  # q_tpch2, r9
+    "discount_revenue_forecast",  # q_tpch3, r9
+    "orders_validation_report",  # q_validate, r12 — sole member, recurs
+    # -- round-13 NEW gates, in-window at birth (VERDICT r12 item 2) -----
+    "referrer_host_histogram",  # q_crawl, NEW — A-5 self-exclusion
+    "screenshot_strip_ring",  # q_crawl, NEW — P-8 + A-10 over the operator
+    "solr_etl_projection",  # q_crawl, NEW — F-6/F-8/F-9/F-10 ETL in one gate
+    # -- oldest-verdict fillers (planner section 3): all r9-verdict ------
+    "balanced_shard_stats",  # q_pipeline, r9
+    "customer_order_left_join",  # q_tpch, r9
+    "customers_with_open_orders",  # q_tpch, r9
+    "customers_without_orders",  # q_tpch, r9
+    "dedup_ngram_jaccard",  # q_dedup, r9
+    "doc_fingerprints",  # q_text, r9
+    "doc_lang_id",  # q_text, r9
+    "doc_lm_perplexity",  # q_corpus, r9
+    "doc_quality",  # q_text, r9
+    "dsir_bigram_selected_docs",  # q_pipeline, r9
+    "dsir_selected_docs",  # q_pipeline, r9
+    "embedding_norms",  # q_similarity, r9
+    "equi_depth_price_bins",  # q_sql_extra, r9
+    "event_type_dist_users",  # q_events, r9
+    "formatted_log_lines",  # q_events, r9
+    "heavy_hitter_keys",  # q_sketch, r9
+    "hist_median_by_type",  # q_events, r9
+    "knn_ivf_pq_fixed",  # q_similarity, r9
+    "lang_source_rollup",  # q_text, r9
+    "media_jpeg_features",  # q_crawl, r9
+    "media_png16_features",  # q_crawl, r9
 )
 
 

@@ -1960,3 +1960,295 @@ def media_png16_features(spark, sf_dir):
         synth, schema="media_id bigint, payload binary"
     )
     return MM.decode_png_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: named oracle gates for the last conformance-only §2 crawl ops
+# (VERDICT r12 item 2) — each drives the REAL operator, not a re-statement.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "referrer_host_histogram",
+    oracle="""
+        WITH u AS (
+            SELECT 'https://' || source || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 4 = 0 THEN NULL
+                        WHEN doc_id % 4 = 1 THEN
+                            'https://' || source || CAST(doc_id % 5 AS VARCHAR)
+                            || '.example.org/'
+                        WHEN doc_id % 4 = 2 THEN
+                            'https://ref-' || lang || '.example.org/'
+                        ELSE 'dns:seed-' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.example.org'
+                   END AS via
+            FROM documents
+        ), h AS (
+            SELECT regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host,
+                   CASE WHEN via LIKE 'dns:%' THEN substr(via, 5)
+                        ELSE NULLIF(
+                            regexp_extract(via, '^[a-z]+://([^/:]+)', 1), '')
+                   END AS via_host
+            FROM u
+        )
+        SELECT host, via_host, COUNT(*) AS n
+        FROM h
+        WHERE via_host IS NOT NULL AND via_host <> host
+        GROUP BY 1, 2
+    """,
+    tags=("A-5", "F-1", "agg", "crawl"),
+)
+def referrer_host_histogram(spark, sf_dir):
+    """A-5 per-host referrer-host histogram with self-reference exclusion
+    (reference analysis.py:136-138), driven through the real
+    operators/host_stats.host_via operator. The synthesized via column
+    cycles NULL / same-host (both must be excluded) / cross-host https /
+    dns:-scheme referrers, so the filter and the F-1 host derivation on
+    BOTH sides of the comparison are exercised."""
+    from ..operators import host_stats as HS
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    via = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://ref-"), F.col("lang"), F.lit(".example.org/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("dns:seed-"),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(".example.org"),
+            )
+        )
+    )
+    return HS.host_via(docs.select(url.alias("url"), via.alias("via")))
+
+
+@query(
+    "screenshot_strip_ring",
+    oracle="""
+        WITH u AS (
+            SELECT CASE
+                       WHEN event_id % 5 = 0 THEN
+                           'screenshot:https://h'
+                           || CAST(user_id % 50 AS VARCHAR)
+                           || '.example.org/p/' || CAST(event_id AS VARCHAR)
+                       WHEN event_id % 5 = 1 THEN 'screenshot:'
+                       ELSE 'https://h' || CAST(user_id % 50 AS VARCHAR)
+                            || '.example.org/p/' || CAST(event_id AS VARCHAR)
+                   END AS url,
+                   CAST(ts AS TIMESTAMP) AS "timestamp"
+            FROM events
+        )
+        SELECT substr(url, 12) AS original_url, "timestamp"
+        FROM u
+        WHERE url LIKE 'screenshot:%' AND substr(url, 12) <> ''
+        ORDER BY "timestamp" DESC, original_url
+        LIMIT 100
+    """,
+    tags=("P-8", "A-10", "O-2", "topk", "crawl"),
+)
+def screenshot_strip_ring(spark, sf_dir):
+    """P-8 screenshot prefix strip + empty drop + A-10/O-2 latest-100 ring
+    (reference analysis.py:93-100, 161-164; ring cap analysis.py:73),
+    driven through the real operators/host_stats.screenshots operator.
+    The url column cycles screenshot / empty-after-strip (dropped) /
+    non-screenshot (dropped) shapes; Spark plans TakeOrderedAndProject
+    for the ring — no global sort at scale."""
+    from ..operators import host_stats as HS
+
+    ev = load_table(spark, sf_dir, "events")
+    url = (
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit("screenshot:https://h"),
+                (F.col("user_id") % 50).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .when(F.col("event_id") % 5 == 1, F.lit("screenshot:"))
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("user_id") % 50).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("event_id").cast("string"),
+            )
+        )
+    )
+    d = ev.select(url.alias("url"), F.col("ts").alias("timestamp"))
+    return HS.screenshots(d, limit=100)
+
+
+@query(
+    "solr_etl_projection",
+    oracle="""
+        SELECT
+            'crawl-log:2024-01-15T10:30:45.'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || 'Z'
+                || '/https://' || source || '.example.org/item/'
+                || CAST(doc_id AS VARCHAR) AS id,
+            '2024-01-15T10:30:45.'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || 'Z' AS log_timestamp,
+            'https://' || source || '.example.org/item/'
+                || CAST(doc_id AS VARCHAR) AS url,
+            CASE WHEN doc_id % 4 = 0 THEN NULL
+                 ELSE CAST(200 + (doc_id % 4) * 100 AS INTEGER)
+            END AS status_code,
+            n_chars AS content_length,
+            'https://' || source || '.example.org/' AS source,
+            CASE WHEN doc_id % 3 = 0 THEN 'WebRender'
+                 ELSE 'Heritrix' END AS crawler,
+            CASE WHEN doc_id % 8 IN (0, 4) THEN
+                     CASE WHEN doc_id % 8 = 4 THEN 'application/pdf'
+                          ELSE 'unknown-content-type' END
+                 ELSE 'text/html' END AS content_type,
+            CASE WHEN doc_id % 3 = 0 THEN
+                     strftime(TIMESTAMP '2024-01-15 10:30:00'
+                              + to_seconds(doc_id % 60)
+                              + to_microseconds(123000),
+                              '%Y-%m-%d %H:%M:%S.%f')
+                 WHEN doc_id % 3 = 1 THEN
+                     strftime(TIMESTAMP '2024-01-15 00:22:33'
+                              + to_hours(10 + (doc_id % 12)),
+                              '%Y-%m-%d %H:%M:%S.%f')
+                 ELSE NULL END AS start_time,
+            CASE WHEN doc_id % 3 = 0 THEN 250
+                 WHEN doc_id % 3 = 1 THEN doc_id % 997
+                 ELSE NULL END AS duration,
+            CASE WHEN doc_id % 4 = 0 THEN
+                     '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE NULL END AS ip,
+            CASE WHEN doc_id % 4 = 0 THEN '2024-01-15 10:30:45.000000'
+                 WHEN doc_id % 4 = 1 THEN '2024-01-15 10:30:45.678000'
+                 ELSE NULL END AS launch_timestamp,
+            CASE WHEN doc_id % 4 = 0 THEN 'xyz' ELSE NULL END AS dol,
+            CASE WHEN doc_id % 4 = 0 THEN 'seed_redirect other'
+                 WHEN doc_id % 4 = 1 THEN 'notable_token'
+                 WHEN doc_id % 4 = 2 THEN ''
+                 ELSE 'plain two_words_here' END AS annotations,
+            'sha1:' || CAST(doc_id AS VARCHAR) AS content_digest,
+            'warc-' || source || '.warc.gz' AS warc_filename,
+            doc_id * 1000 AS warc_offset
+        FROM documents
+    """,
+    tags=("F-6", "F-7", "F-8", "F-9", "F-10", "F-11", "projection", "crawl"),
+)
+def solr_etl_projection(spark, sf_dir):
+    """The crawl-db ETL projection (reference report.py:167-224) as one
+    DuckDB-replayable gate over the REAL operators/report.solr_documents
+    operator: F-8 doc id, F-9 renames, F-6 start_time+duration split (all
+    three arms: millis fraction / no fraction / no '+'), F-7 annotation
+    classes (ip / launchTimestamp / dol / rest with space→underscore),
+    F-10 crawler classification, F-11 mimetype fallback chain incl. the
+    both-NULL 'unknown-content-type' arm. Parsed timestamps are formatted
+    to microsecond strings on both sides so the hash is tz-agnostic."""
+    from ..operators import report as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+    m8 = F.col("doc_id") % 8
+    raw = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("2024-01-15T10:30:45."),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("Z"),
+        ).alias("timestamp"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/item/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(m4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.lit(200) + m4 * 100).cast("int"))
+        .alias("status_code"),
+        F.col("n_chars").alias("content_length"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/")
+        ).alias("seed"),
+        F.when(m3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("tobethread-"), m8.cast("string")))
+        .alias("thread"),
+        F.when(m8.isin(0, 4), F.lit(None).cast("string"))
+        .otherwise(F.lit("text/html"))
+        .alias("mimetype"),
+        F.when(m8.isin(0, 1), F.lit(None).cast("string"))
+        .otherwise(F.lit("application/pdf"))
+        .alias("content_type"),
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit("202401151030"),
+                F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+                F.lit("123+250"),
+            ),
+        )
+        .when(
+            m3 == 1,
+            F.concat(
+                F.lit("20240115"),
+                F.lpad((F.lit(10) + F.col("doc_id") % 12).cast("string"), 2, "0"),
+                F.lit("2233+"),
+                (F.col("doc_id") % 997).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("nodur"))
+        .alias("start_time_plus_duration"),
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit("ip:10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1,launchTimestamp:20240115103045,dol:xyz,"),
+                F.lit("seed redirect,other"),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.lit("launchTimestamp:20240115103045678,notable token"),
+        )
+        .when(m4 == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit("plain,two words here"))
+        .alias("annotations"),
+        F.concat(F.lit("sha1:"), F.col("doc_id").cast("string")).alias(
+            "content_digest"
+        ),
+        F.concat(F.lit("warc-"), F.col("source"), F.lit(".warc.gz")).alias(
+            "warc_filename"
+        ),
+        (F.col("doc_id") * 1000).alias("warc_offset"),
+    )
+    out = R.solr_documents(raw)
+    # tz-agnostic comparison: the two parsed-timestamp columns go out as
+    # microsecond strings (same formatting the oracle applies).
+    return out.withColumn(
+        "start_time", F.date_format("start_time", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    ).withColumn(
+        "launch_timestamp",
+        F.date_format("launch_timestamp", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+    )

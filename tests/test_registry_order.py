@@ -32,14 +32,14 @@ def test_round_changed_queries_in_window():
     window = set(list(REGISTRY)[:DRIVER_WINDOW])
     # Implementations changed this round that lack a post-change driver
     # verdict must sit in the verification prefix (additions take a slot
-    # from birth — the round-4 lesson). Round-11 entries retired: all
-    # received r11 verdicts (CORRECTNESS_r11.json, 50/50 pass).
+    # from birth — the round-4 lesson). Round-12 entries retired: all
+    # received r12 verdicts (CORRECTNESS_r12.json, 50/50 pass).
     for name in (
-        # round-12 re-windowed changes go here as they land
-        "doc_html_extract",  # changed: amp class decodes in one pass
-        "media_adpcm_features",  # folded: +stereo arm by parity
-        "media_ms_adpcm_features",  # folded: +stereo arm by parity
-        "media_flac_features",  # folded: fixed/LPC/stereo arms by %3
+        # round-13 new gates (VERDICT r12 item 2 — the last
+        # conformance-only §2 crawl ops get named oracle gates)
+        "referrer_host_histogram",  # NEW: A-5 self-exclusion
+        "screenshot_strip_ring",  # NEW: P-8 + A-10 over the operator
+        "solr_etl_projection",  # NEW: F-6/F-8/F-9/F-10 ETL in one gate
     ):
         assert name in window, name
 
