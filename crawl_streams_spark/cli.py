@@ -475,6 +475,8 @@ def cmd_table(args) -> int:
                 compact_min_files=args.min_files,
                 log_retention_seconds=args.retention,
                 vacuum_retention_seconds=args.vacuum_retention,
+                cluster_by=args.cluster_by.split(",")
+                if args.cluster_by else None,
                 zorder_by=args.zorder_by.split(",")
                 if args.zorder_by else None,
                 force=args.force,
@@ -496,6 +498,9 @@ def cmd_table(args) -> int:
             if not args.where or not args.set:
                 print("update needs --where and --set col=expr",
                       file=sys.stderr)
+                return 2
+            if any("=" not in s for s in args.set):
+                print("update needs --set col=expr", file=sys.stderr)
                 return 2
             assignments = dict(s.split("=", 1) for s in args.set)
             print(_json.dumps(

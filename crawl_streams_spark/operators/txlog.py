@@ -613,6 +613,14 @@ class TxTable:
         files whose open/footer costs dominate the scan. Conflicts
         loudly if the table advances concurrently (compaction recomputes
         cheaply; rerun it)."""
+        if cluster_by and zorder_by:
+            # argument validation happens before the nothing-to-compact
+            # early exit — the invalid combination must raise on EVERY
+            # call, not only once victims exist (ADVICE r12)
+            raise TxError(
+                "compact: pass cluster_by (1-D sort) or zorder_by "
+                "(multi-dimensional Morton clustering), not both"
+            )
         version = self.latest_version()
         snap = self._snapshot(version)
         pcols = snap["metaData"]["partitionColumns"]
@@ -625,11 +633,6 @@ class TxTable:
         victims = [g for g in groups.values() if len(g) >= min_files]
         if not victims:
             return 0
-        if cluster_by and zorder_by:
-            raise TxError(
-                "compact: pass cluster_by (1-D sort) or zorder_by "
-                "(multi-dimensional Morton clustering), not both"
-            )
         old = [a for g in victims for a in g]
         df = self._read_adds(old, self._declared_schema(snap))
         packed = df.repartition(*pcols) if pcols else df.coalesce(1)
@@ -1179,6 +1182,10 @@ class TxTable:
         rewrites exactly those files — O(matching files), not O(table).
         SQL semantics: rows where the condition is NULL are NOT
         matched (they survive a delete, stay unchanged in an update).
+        The condition MUST be deterministic (Delta's own DML rule —
+        the probe/count/rewrite passes each evaluate it): rand()-style
+        expressions and the per-query-seeded time functions
+        (current_timestamp & co.) are refused up front.
         Conflicts loudly if the table advances concurrently; ``txn``
         makes a replay of the same token a no-op, as for merge."""
         return self._dml_rewrite(condition, None, "DELETE", txn)
@@ -1190,8 +1197,12 @@ class TxTable:
         expression string, applied to matching rows only; non-matching
         rows in touched files are rewritten byte-identical. Returns the
         number of rows updated. Same file-pruned rewrite shape, NULL
-        semantics, conflict policy, and txn idempotence as
-        :meth:`delete_where`. Assigning a partition column is refused —
+        semantics, determinism requirement on the condition, conflict
+        policy, and txn idempotence as :meth:`delete_where`. The
+        condition and every RHS evaluate against the PRE-IMAGE row
+        (standard SQL UPDATE), and an assignment that would not cast
+        to the column's type raises instead of silently writing NULL
+        (ANSI semantics). Assigning a partition column is refused —
         a row changing partitions under a file-local rewrite would
         need a global move (do it as delete + append)."""
         if not assignments:
@@ -1228,6 +1239,33 @@ class TxTable:
             F.expr(condition) if isinstance(condition, str) else condition
         )
         matched = cond.cast("boolean")
+        # The predicate is necessarily evaluated more than once (file
+        # probe, affected count, rewrite), so it MUST be deterministic —
+        # Delta requires this of DML predicates for the same reason: a
+        # rand()-style condition would make the passes disagree and
+        # silently delete/update a different row set than it counted.
+        # Best-effort guard (VERDICT r12): the analyzed plan's own
+        # determinism flag, plus a scan for the per-query-seeded time
+        # functions Spark still flags deterministic (each pass is its
+        # own query, so now() re-resolves differently per pass).
+        cond_plan = (
+            self._read_adds(adds, schema)
+            .select(matched.alias("__cond"))
+            ._jdf.queryExecution().analyzed()
+        )
+        plan_str = cond_plan.toString()
+        if not cond_plan.deterministic() or any(
+            tok in plan_str
+            for tok in ("current_timestamp", "current_date", "now()",
+                        "localtimestamp", "current_timezone")
+        ):
+            raise TxError(
+                f"{op}: non-deterministic condition — the file probe, "
+                "the affected-row count and the rewrite would each "
+                "evaluate it against a different row set; materialize "
+                "the predicate into a column (or a literal timestamp) "
+                "first"
+            )
         # pass 1 — find the files holding matching rows: predicate
         # pushed into the scan, result bounded at one row per FILE
         probe = self._read_adds(adds, schema).withColumn(
@@ -1244,22 +1282,61 @@ class TxTable:
             a for a in adds
             if os.path.basename(a["path"]) in touched_files
         ]
-        # pass 2 — rewrite exactly those files
+        # pass 2 — rewrite exactly those files. The hit flag is
+        # materialized ONCE and every assignment resolves against the
+        # PRE-IMAGE frame in a single select: SQL UPDATE evaluates the
+        # condition and all RHS against the old row, so an assignment
+        # to a column the condition (or another RHS) references must
+        # not see the updated value (ADVICE r12 — the sequential
+        # withColumn form silently re-resolved against updated
+        # columns).
         cur = self._read_adds(touched, schema)
-        is_hit = F.coalesce(matched, F.lit(False))
-        n_affected = cur.filter(is_hit).count()
+        hit_df = cur.withColumn("__hit", F.coalesce(matched, F.lit(False)))
+        is_hit = F.col("__hit")
+        names = [f.name for f in schema.fields]
         if assignments:
-            out = cur
-            for c, expr in assignments.items():
-                val = F.expr(expr) if isinstance(expr, str) else expr
-                out = out.withColumn(
-                    c,
-                    F.when(is_hit, val.cast(
-                        schema[c].dataType
-                    )).otherwise(F.col(c)),
+            vals = {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in assignments.items()
+            }
+            # pre-flight: an assignment whose cast to the column type
+            # would null out a non-null value is an error, not a
+            # silent NULL (ANSI / Delta semantics — VERDICT r12).
+            # try_cast on both the check and the apply path: it never
+            # throws mid-stage regardless of spark.sql.ansi.enabled
+            # (an ANSI cast would abort inside constant folding with a
+            # raw SparkNumberFormatException before this guard could
+            # phrase the error), and once the check passes it is
+            # value-identical to cast. One bounded agg over the
+            # touched files also yields the affected count.
+            aggs = [F.sum(is_hit.cast("long")).alias("__n")]
+            for c, val in vals.items():
+                bad = (
+                    is_hit
+                    & val.isNotNull()
+                    & val.try_cast(schema[c].dataType).isNull()
                 )
+                aggs.append(F.sum(bad.cast("long")).alias(f"__bad_{c}"))
+            stats = hit_df.agg(*aggs).collect()[0]
+            n_affected = stats["__n"] or 0
+            bad_cols = sorted(c for c in vals if stats[f"__bad_{c}"])
+            if bad_cols:
+                raise TxError(
+                    f"{op}: assignment to {bad_cols} does not cast to "
+                    "the column type (would silently become NULL) — "
+                    "fix the expression or cast it explicitly"
+                )
+            out = hit_df.select(
+                *(
+                    F.when(is_hit, vals[c].try_cast(schema[c].dataType))
+                    .otherwise(F.col(c)).alias(c)
+                    if c in vals else F.col(c)
+                    for c in names
+                )
+            )
         else:
-            out = cur.filter(~is_hit)
+            n_affected = hit_df.filter(is_hit).count()
+            out = hit_df.filter(~is_hit).select(*names)
         new_adds = self._write_data_files(out, pcols)
 
         def validate(snap2):

@@ -344,6 +344,17 @@ def test_table_cli_lifecycle(capsys, spark, tmp_path):
     assert main(["table", "show", "--path", path, "-l", "50"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == live
 
+    # maintain forwards --cluster-by (ADVICE r12: it was silently
+    # dropped while the flag sat on the same subparser)
+    t.append(spark.createDataFrame([(101, 2, "d1"), (102, 3, "d1")],
+                                   "x long, y long, day string"))
+    assert main([
+        "table", "maintain", "--path", path, "--force",
+        "--min-files", "2", "--cluster-by", "x",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ran"] is True and rep["compacted"] >= 1
+
     # row-level DML through the CLI
     assert main(["table", "update", "--path", path,
                  "--where", "x = 100", "--set", "y=y + 1"]) == 0
@@ -352,6 +363,11 @@ def test_table_cli_lifecycle(capsys, spark, tmp_path):
                  "--where", "x = 100"]) == 0
     assert json.loads(capsys.readouterr().out)["deleted"] == 1
     assert main(["table", "delete", "--path", path]) == 2  # no --where
+    # malformed --set operand: friendly usage error, not a traceback
+    # (ADVICE r12)
+    assert main(["table", "update", "--path", path,
+                 "--where", "x = 101", "--set", "nonsense"]) == 2
+    assert "--set col=expr" in capsys.readouterr().err
 
     # errors surface as exit code 1 with a message, not tracebacks
     assert main(["table", "history", "--path", str(tmp_path / "nope")]) == 1

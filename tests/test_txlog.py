@@ -1182,6 +1182,74 @@ def test_update_where_file_pruned_and_guarded(spark, table):
         table.update_where("id = 1", {})
 
 
+def test_update_where_evaluates_against_pre_image(spark, table):
+    """SQL UPDATE semantics (ADVICE r12): the condition and EVERY RHS
+    evaluate against the old row — a 2nd+ assignment must not see an
+    already-updated column, whether the condition or another RHS
+    references it."""
+    # condition references an assigned column; the other assignment
+    # must still apply (the sequential-withColumn form dropped it)
+    n = table.update_where("v = 'a'", {"v": "'done'", "id": "id + 100"})
+    assert n == 1
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {101: "done", 2: "b", 3: "c"}
+    # an RHS referencing ANOTHER assigned column sees its pre-image
+    n = table.update_where(
+        "id = 2", {"id": "10", "v": "concat(v, cast(id as string))"}
+    )
+    assert n == 1
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {101: "done", 10: "b2", 3: "c"}
+    # explicit NULL assignment is fine (not a failed cast)
+    assert table.update_where("id = 3", {"v": "NULL"}) == 1
+    assert {r["v"] for r in table.read().collect()} == {"done", "b2", None}
+
+
+def test_dml_refuses_non_deterministic_conditions(spark, table):
+    """VERDICT r12 #1: the probe/count/rewrite passes each evaluate the
+    predicate, so a non-deterministic condition would silently act on
+    a different row set than it counted — refuse up front, like Delta.
+    Covers the rand() class (Spark's own determinism flag) and the
+    per-query-seeded time functions Spark still flags deterministic."""
+    v = table.latest_version()
+    for cond in ("rand() < 0.5", "id = cast(rand() * 3 as bigint)"):
+        with pytest.raises(TxError, match="non-deterministic"):
+            table.delete_where(cond)
+        with pytest.raises(TxError, match="non-deterministic"):
+            table.update_where(cond, {"v": "'x'"})
+    with pytest.raises(TxError, match="non-deterministic"):
+        table.delete_where("ts_col() is null".replace(
+            "ts_col()", "current_timestamp()"))
+    assert table.latest_version() == v  # nothing committed
+    assert _ids(table) == [1, 2, 3]
+
+
+def test_update_where_refuses_silently_nulling_casts(spark, table):
+    """VERDICT r12 #2: an assignment whose cast to the column type
+    would turn a non-null value into NULL raises (ANSI / Delta DML),
+    instead of committing silent corruption. A representable cast
+    still applies."""
+    v = table.latest_version()
+    with pytest.raises(TxError, match="does not cast"):
+        table.update_where("id = 1", {"id": "'not-a-number'"})
+    assert table.latest_version() == v  # no commit
+    assert _ids(table) == [1, 2, 3]
+    # string that DOES represent the column type casts fine
+    assert table.update_where("id = 1", {"id": "'42'"}) == 1
+    assert _ids(table) == [2, 3, 42]
+
+
+def test_compact_rejects_cluster_and_zorder_even_with_no_victims(
+    spark, table
+):
+    """ADVICE r12: the mutual-exclusion check runs before the
+    nothing-to-compact early exit — the invalid argument combination
+    raises on every call, including on a table with nothing to do."""
+    # single file per partition: no victims at min_files=2
+    with pytest.raises(TxError, match="not both"):
+        table.compact(min_files=99, cluster_by=["id"], zorder_by=["id"])
+
+
 def test_dml_conflicts_on_concurrent_advance(spark, table):
     other = TxTable(spark, table.path)
     adds = other._write_data_files(_df(spark, [(50, "w", "d2")]), ["day"])
