@@ -473,13 +473,17 @@ class TxTable:
         """The version live AT ``timestamp`` (unix seconds): the largest
         retained version whose commit file landed at or before it — the
         Delta ``TIMESTAMP AS OF`` resolution rule, read from the commit
-        files' own mtimes (the claim's ``os.link`` fixes the mtime at
-        claim time; versions are claimed in order, so mtimes are
-        monotone with versions up to filesystem timestamp granularity).
+        files' own mtimes. A commit file's mtime is set when its temp
+        JSON is WRITTEN, not when the ``os.link`` claim lands, so two
+        racing writers can claim in the opposite order of their write
+        times and invert adjacent mtimes (VERDICT r12) — the running-max
+        clamp below makes the resolution monotone with versions for
+        real: a version never resolves as older than any predecessor.
         Raises when the timestamp predates every retained commit —
         either before the table existed or below the clean_log horizon
         (the forfeiture contract, worded with the re-seed hint)."""
         best = None
+        prev_mt = None
         for v in self._commit_versions():
             try:
                 mt = os.path.getmtime(
@@ -487,6 +491,9 @@ class TxTable:
                 )
             except OSError:
                 continue  # raced with clean_log
+            if prev_mt is not None:
+                mt = max(mt, prev_mt)
+            prev_mt = mt
             if mt <= timestamp:
                 best = v
         if best is None:

@@ -330,11 +330,14 @@ try:  # the DataSource API needs pyspark >= 4
                 # TIMESTAMP AS OF for CDC (r12): start AFTER the version
                 # live at the instant — the natural pairing with a
                 # snapshot read_at_timestamp(T) seed. Resolution mirrors
-                # TxTable.version_at_timestamp (commit-file mtimes,
-                # monotone with versions); a timestamp predating every
+                # TxTable.version_at_timestamp, including the
+                # running-max mtime clamp (racing writers can claim
+                # commit files in the opposite order of their write
+                # times — VERDICT r12); a timestamp predating every
                 # retained commit starts from -1 (the whole table).
                 ts = float(self._starting_ts)
                 best = -1
+                prev_mt = None
                 for v in _log_versions(self._log_dir):
                     try:
                         mt = os.path.getmtime(os.path.join(
@@ -342,6 +345,9 @@ try:  # the DataSource API needs pyspark >= 4
                         ))
                     except OSError:
                         continue  # raced with clean_log
+                    if prev_mt is not None:
+                        mt = max(mt, prev_mt)
+                    prev_mt = mt
                     if mt <= ts:
                         best = v
                 off = {"version": best}

@@ -76,6 +76,33 @@ def test_timestamp_time_travel(spark, table):
         table.version_at_timestamp(t0 - 10)
 
 
+def test_timestamp_time_travel_clamps_inverted_mtimes(spark, table):
+    """VERDICT r12 #3: a commit file's mtime is fixed when its temp
+    JSON is WRITTEN, not when the os.link claim lands, so two racing
+    writers can claim in the opposite order of their write times and
+    invert adjacent mtimes. The running-max clamp makes AS OF
+    resolution monotone with versions: a version never resolves as
+    older than any predecessor."""
+    table.append(_df(spark, [(4, "d", "d2")]))  # v1
+    table.append(_df(spark, [(5, "e", "d2")]))  # v2
+    table.append(_df(spark, [(6, "f", "d2")]))  # v3
+    # simulate the race: v3's commit file carries an EARLIER mtime
+    # than v2's (its temp JSON was written first, its claim landed
+    # second)
+    for v, mt in ((0, 1000.0), (1, 2000.0), (2, 3000.0), (3, 2500.0)):
+        os.utime(os.path.join(table.log_dir, f"{v:020d}.json"),
+                 (mt, mt))
+    # v3 clamps to 3000: at T=2750 neither v2 (3000) nor v3 (eff 3000)
+    # had landed — the un-clamped loop would have resolved v3 here
+    assert table.version_at_timestamp(2750) == 1
+    assert sorted(
+        r["id"] for r in table.read_at_timestamp(2750).collect()
+    ) == [1, 2, 3, 4]
+    # at T=3000 both v2 and clamped v3 are live: latest wins
+    assert table.version_at_timestamp(3000) == 3
+    assert table.version_at_timestamp(1999) == 0
+
+
 def test_reopen_and_double_create_rejected(spark, table, tmp_path):
     t2 = TxTable(spark, table.path)
     assert _ids(t2) == [1, 2, 3]
