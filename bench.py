@@ -4,7 +4,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-`value` is the total steady-state wall time of all bench-tagged queries:
+`value` is the total steady-state wall time of all bench-tagged queries.
+Round 13 widened the set from 12 to 15 (VERDICT r12 item 5:
+host_graph_triangles, media_flac_features, dup_span_doc_stats — the
+graph/codec/span families that grew since r8 were invisible to the perf
+gate), so cross-round TOTAL comparisons must either subtract the three
+new per-query times or compare per-query; BENCH_r12 and earlier report
+the 12-query set. Per query:
 each query executes once warm (whole-stage-codegen compilation and
 parquet reader init — a fixed ~2s/query cost that amortizes to zero at
 production scale and would otherwise dominate a sub-second query at

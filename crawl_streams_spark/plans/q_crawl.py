@@ -1510,6 +1510,7 @@ _FLACST_N = 256  # stereo arm: per-channel samples; one frame per payload
         )
     """,
     tags=("multimodal", "audio", "flac", "lpc", "stereo", "extension"),
+    bench=True,  # r13: the Arrow-batched codec path joined the bench set
 )
 def media_flac_features(spark, sf_dir):
     """REAL lossless-audio decode under the VALUE gate — THREE FLAC

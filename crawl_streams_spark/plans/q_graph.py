@@ -154,6 +154,7 @@ def graph_unit_propagation(spark, sf_dir):
     FROM deg LEFT JOIN per_node ON per_node.v = deg.v
     """,
     tags=("graph", "triangles", "extension"),
+    bench=True,  # r13: the perf gate watches the graph family too
 )
 def host_graph_triangles(spark, sf_dir):
     """Per-host triangle counts on the synthesized link graph

@@ -97,6 +97,7 @@ def dup_token_spans(spark, sf_dir):
     FROM nt LEFT JOIN per_doc USING (doc_id)
     """,
     tags=("dedup", "spans", "quality", "extension"),
+    bench=True,  # r13: span analytics joined the bench set
 )
 def dup_span_doc_stats(spark, sf_dir):
     """Per-document duplicated-span coverage — the quality-filter view
