@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["TxTable", "TxConflict", "TxError"]
 
 _LOG_DIR = "_txlog"
+_CDC_DIR = "_change_data"
 _LAST_CKPT = "_last_checkpoint"
 
 #: Hive's sentinel directory for a NULL partition value.
@@ -287,6 +288,14 @@ class TxTable:
         tables created before stamping existed (or without one)."""
         snap = self._snapshot(self.latest_version())
         return dict(snap["metaData"].get("configuration") or {})
+
+    @staticmethod
+    def _cdf_enabled(snap: dict) -> bool:
+        """Change Data Feed on? (the ``enableChangeDataFeed``
+        configuration key, stamped at create — the Delta
+        ``delta.enableChangeDataFeed`` table-property idea)."""
+        cfg = snap["metaData"].get("configuration") or {}
+        return str(cfg.get("enableChangeDataFeed", "")).lower() == "true"
 
     # ------------------------------------------------------ log plumbing
     def _claim(self, version: int, actions: list) -> bool:
@@ -529,6 +538,43 @@ class TxTable:
         ``dataChange: false`` (the Delta OPTIMIZE marker — bytes moved,
         no rows changed), so they are skipped silently, never failed on
         and never re-delivered."""
+        end, in_range = self._changes_range(start_version, end_version)
+        adds: list = []
+        for v in in_range:
+            actions = self._read_actions(v)
+            rewrote = any(
+                a["remove"].get("dataChange", True)
+                for a in actions if "remove" in a
+            )
+            if rewrote and not ignore_changes:
+                op = next(
+                    (a["commitInfo"].get("operation", "?")
+                     for a in actions if "commitInfo" in a),
+                    "?",
+                )
+                raise TxError(
+                    f"version {v} ({op}) rewrote data files — its adds "
+                    "carry rows older versions already delivered; pass "
+                    "ignore_changes=True for at-least-once reads, or "
+                    "read row-level changes with table_changes() on a "
+                    "Change-Data-Feed-enabled table"
+                )
+            adds.extend(
+                a["add"] for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            )
+        return self._read_adds(
+            adds, self._declared_schema(self._snapshot(end))
+        )
+
+    def _changes_range(
+        self, start_version: int, end_version: int | None
+    ) -> tuple[int, list]:
+        """Validate an incremental-consumption range (shared by
+        read_changes and table_changes): end exists, the start is not
+        below the log horizon, and there is no interior clean_log gap
+        (silently skipping a deleted commit would drop its rows —
+        ADVICE r11). Returns (end, retained versions in (start, end])."""
         last = self.latest_version()
         end = last if end_version is None else end_version
         if end > last:
@@ -557,31 +603,149 @@ class TxTable:
                 "re-seed from a snapshot read, then consume changes "
                 f"from version {end}"
             )
-        adds: list = []
-        for v in in_range:
+        return end, in_range
+
+    #: operations whose remove-actions are FILE-granular by
+    #: construction (whole partitions / whole snapshots swap), so a
+    #: change feed can derive row-accurate delete+insert from the
+    #: remove/add file sets without recorded cdc files. DML and MERGE
+    #: rewrite files that MIX changed and untouched rows — they must
+    #: record cdc actions (written when the table enables the feed).
+    _CDF_DERIVABLE_REWRITES = frozenset({"OVERWRITE", "RESTORE"})
+
+    def table_changes(
+        self,
+        start_version: int,
+        end_version: int | None = None,
+    ) -> DataFrame:
+        """ROW-level Change Data Feed for ``(start_version, end]`` —
+        the Delta ``table_changes`` idea: every returned row carries
+        the table columns plus ``_change_type`` (``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``),
+        ``_commit_version`` and ``_commit_timestamp`` (from the commit
+        file's running-max-clamped mtime, the same clock TIMESTAMP AS
+        OF reads). Unlike :meth:`read_changes` (add-files only, fails
+        on any rewrite), this is exact under DML and MERGE: those
+        commits carry cdc files recorded at write time (enable with
+        ``configuration={"enableChangeDataFeed": "true"}`` at create).
+
+        Per commit: recorded cdc files win when present; otherwise
+        adds with ``dataChange`` derive ``insert`` rows, and removes
+        derive ``delete`` rows only for the file-granular rewrites
+        (OVERWRITE / RESTORE). A DML/MERGE commit from before the feed
+        was enabled has no row-accurate story — it raises, with the
+        re-seed guidance. Compaction commits (``dataChange: false``)
+        are invisible, as in every incremental reader here.
+
+        Scale shape: O(changed rows) per commit — cdc files are read
+        directly, derived commits read exactly the added/removed
+        files; nothing rescans the table. The feed reaches exactly as
+        far back as the retained log (clean_log forfeits older change
+        history; vacuum then collects the orphaned cdc files)."""
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        end, in_range = self._changes_range(start_version, end_version)
+        schema = self._declared_schema(self._snapshot(end))
+        cdf_schema = StructType(
+            list(schema.fields)
+            + [StructField("_change_type", StringType(), False)]
+        )
+        frames = []
+        prev_mt = None
+        for v in self._commit_versions():
+            try:
+                mt = os.path.getmtime(
+                    os.path.join(self.log_dir, _version_name(v))
+                )
+            except OSError:
+                mt = prev_mt or 0.0
+            if prev_mt is not None:
+                mt = max(mt, prev_mt)
+            prev_mt = mt
+            if v not in in_range:
+                continue
             actions = self._read_actions(v)
-            rewrote = any(
-                a["remove"].get("dataChange", True)
-                for a in actions if "remove" in a
-            )
-            if rewrote and not ignore_changes:
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            if cdc:
+                files = [
+                    os.path.join(self.path, c["path"]) for c in cdc
+                ]
+                df = self.spark.read.schema(cdf_schema).parquet(*files)
+                df = df.select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in cdf_schema.fields
+                    ]
+                )
+            else:
+                adds = [
+                    a["add"] for a in actions
+                    if "add" in a and a["add"].get("dataChange", True)
+                ]
+                removes = [
+                    a["remove"] for a in actions
+                    if "remove" in a
+                    and a["remove"].get("dataChange", True)
+                ]
                 op = next(
                     (a["commitInfo"].get("operation", "?")
                      for a in actions if "commitInfo" in a),
                     "?",
                 )
-                raise TxError(
-                    f"version {v} ({op}) rewrote data files — its adds "
-                    "carry rows older versions already delivered; pass "
-                    "ignore_changes=True for at-least-once reads"
+                if removes and op not in self._CDF_DERIVABLE_REWRITES:
+                    raise TxError(
+                        f"version {v} ({op}) rewrote rows without "
+                        "recorded change data — the table did not have "
+                        "enableChangeDataFeed=true when it committed; "
+                        "re-seed from a snapshot read, then consume "
+                        f"changes from version {v}"
+                    )
+                parts = []
+                if removes:
+                    parts.append(
+                        self._read_adds(removes, schema).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                if adds:
+                    parts.append(
+                        self._read_adds(adds, schema).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                if not parts:
+                    continue
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+            frames.append(
+                df.withColumn("_commit_version", F.lit(v))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_seconds(F.lit(float(mt))),
                 )
-            adds.extend(
-                a["add"] for a in actions
-                if "add" in a and a["add"].get("dataChange", True)
             )
-        return self._read_adds(
-            adds, self._declared_schema(self._snapshot(end))
-        )
+        if not frames:
+            from pyspark.sql.types import (
+                LongType,
+                TimestampType,
+            )
+
+            empty_schema = StructType(
+                list(cdf_schema.fields)
+                + [
+                    StructField("_commit_version", LongType(), False),
+                    StructField(
+                        "_commit_timestamp", TimestampType(), False
+                    ),
+                ]
+            )
+            return self.spark.createDataFrame([], empty_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def compact(self, min_files: int = 2,
                 cluster_by: list | None = None,
@@ -800,6 +964,41 @@ class TxTable:
 
         shutil.rmtree(staging)
         return adds
+
+    def _write_change_files(self, cdf_df: DataFrame) -> list:
+        """Write Change Data Feed rows (declared columns, partition
+        columns included as ordinary data, plus ``_change_type``) as
+        parquet under ``_change_data/`` and return their cdc-actions
+        (the Delta protocol's ``cdc`` action: carried by the commit,
+        invisible to snapshots, read only by the change feed).
+        ``dataChange: false`` by definition — these files describe the
+        commit, they are not part of the table. Written BEFORE the
+        commit claim, like data files: a lost race leaves vacuumable
+        orphans, never a torn commit."""
+        staging = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+        cdf_df.write.mode("overwrite").parquet(staging)
+        cdc_dir = os.path.join(self.path, _CDC_DIR)
+        os.makedirs(cdc_dir, exist_ok=True)
+        actions = []
+        for root, _dirs, files in os.walk(staging):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                fresh = f"cdc-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(root, name),
+                    os.path.join(cdc_dir, fresh),
+                )
+                actions.append({
+                    "cdc": {
+                        "path": os.path.join(_CDC_DIR, fresh),
+                        "dataChange": False,
+                    }
+                })
+        import shutil
+
+        shutil.rmtree(staging)
+        return actions
 
     # -------------------------------------------------------- operations
     def _commit_with_retry(self, build_actions, validate, operation: str,
@@ -1040,6 +1239,10 @@ class TxTable:
                         "(pass check_key_containment=False only when keys "
                         "are partition-stable by construction)"
                     )
+        import pyspark.sql.functions as F
+
+        names = [f.name for f in schema.fields]
+        current = None
         if touched_files:
             # NULL-SAFE anti-join (VERDICT r11 item 1): a name-list
             # equi-join never matches NULL keys, so a live NULL-key row
@@ -1058,6 +1261,50 @@ class TxTable:
         else:
             merged = updates
         adds = self._write_data_files(merged, pcols)
+        cdc_actions = []
+        if self._cdf_enabled(snap):
+            # Change Data Feed for MERGE (r13): matched keys replace —
+            # their live rows are update_preimage, the batch rows
+            # carrying those keys update_postimage — and the rest of
+            # the batch inserts (the Delta MERGE CDC mapping for
+            # whenMatched-update / whenNotMatched-insert). Null-safe
+            # key joins throughout, consistent with the merge itself.
+            if current is not None:
+                cur_keys = current.select(*key).distinct()
+                pre = current.join(
+                    upd_keys,
+                    _null_safe_key_cond(current, upd_keys, key),
+                    "left_semi",
+                )
+                post = updates.join(
+                    cur_keys,
+                    _null_safe_key_cond(updates, cur_keys, key),
+                    "left_semi",
+                )
+                ins = updates.join(
+                    cur_keys,
+                    _null_safe_key_cond(updates, cur_keys, key),
+                    "left_anti",
+                )
+                cdf = (
+                    pre.select(*names)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        post.select(*names).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        ins.select(*names).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                )
+            else:
+                cdf = updates.select(*names).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            cdc_actions = self._write_change_files(cdf)
         base_version = version
 
         def validate(snap2):
@@ -1070,6 +1317,7 @@ class TxTable:
             actions = (
                 [{"remove": {"path": a["path"]}} for a in touched_files]
                 + [{"add": a} for a in adds]
+                + cdc_actions
             )
             if txn is not None:
                 actions.append({"txn": {"appId": txn}})
@@ -1140,6 +1388,11 @@ class TxTable:
             for action in self._read_actions(v):
                 if "add" in action:
                     referenced.add(action["add"]["path"])
+                elif "cdc" in action:
+                    # retained commits vouch for their change files
+                    # too; once clean_log drops the commit, its cdc
+                    # files become ordinary vacuumable orphans
+                    referenced.add(action["cdc"]["path"])
         # checkpoints also vouch for files: after clean_log() removes
         # the commits a checkpoint compacted, the live set's add-actions
         # exist ONLY in the checkpoint payload — without this, vacuum
@@ -1345,6 +1598,36 @@ class TxTable:
             n_affected = hit_df.filter(is_hit).count()
             out = hit_df.filter(~is_hit).select(*names)
         new_adds = self._write_data_files(out, pcols)
+        cdc_actions = []
+        if self._cdf_enabled(snap):
+            # Change Data Feed (r13): record the ROW-level changes this
+            # commit makes — a file-granular derivation is impossible
+            # for DML (rewritten files mix changed and untouched rows),
+            # which is exactly why table_changes refuses DML commits
+            # without cdc actions.
+            hits = hit_df.filter(is_hit)
+            if assignments:
+                cdf = (
+                    hits.select(*names)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        hits.select(
+                            *(
+                                vals[c].try_cast(schema[c].dataType)
+                                .alias(c)
+                                if c in vals else F.col(c)
+                                for c in names
+                            )
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                )
+            else:
+                cdf = hits.select(*names).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            cdc_actions = self._write_change_files(cdf)
 
         def validate(snap2):
             if self.latest_version() != version:
@@ -1357,6 +1640,7 @@ class TxTable:
             actions = (
                 [{"remove": {"path": a["path"]}} for a in touched]
                 + [{"add": a} for a in new_adds]
+                + cdc_actions
             )
             if txn is not None:
                 actions.append({"txn": {"appId": txn}})

@@ -1409,3 +1409,123 @@ def test_hostile_partition_values_roundtrip_and_rewrite(spark, tmp_path):
         assert final[v] == (100 + i, "new"), (
             f"partition {v!r} kept stale files after its rewrite"
         )
+
+
+# ------------------------------------------------------ change data feed
+def _cdf_table(spark, tmp_path):
+    return TxTable.create(
+        spark,
+        str(tmp_path / "cdf_tbl"),
+        _df(spark, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]),
+        partition_by=["day"],
+        configuration={"enableChangeDataFeed": "true"},
+    )
+
+
+def _changes(t, start, end=None):
+    rows = t.table_changes(start, end).collect()
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in rows
+    )
+
+
+def test_change_data_feed_insert_update_delete_merge(spark, tmp_path):
+    """The Delta CDF idea (r13): row-level changes per commit. CREATE
+    and APPEND derive inserts from their add files; UPDATE emits
+    pre/post image pairs, DELETE emits delete rows, MERGE emits the
+    matched keys' pre/post plus inserts — all from cdc files recorded
+    at write time, which is the only row-accurate story for commits
+    whose rewritten files mix changed and untouched rows."""
+    t = _cdf_table(spark, tmp_path)
+    t.append(_df(spark, [(4, "d", "d2")]))                       # v1
+    assert t.update_where("id = 2", {"v": "'B'"}) == 1           # v2
+    assert t.delete_where("id = 1") == 1                         # v3
+    t.merge_into(
+        _df(spark, [(3, "C", "d2"), (5, "e", "d2")]), key=["id"]
+    )                                                            # v4
+    assert _changes(t, -1, 1) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (0, "insert", 3, "c"),
+        (1, "insert", 4, "d"),
+    ]
+    assert _changes(t, 1, 4) == [
+        (2, "update_postimage", 2, "B"),
+        (2, "update_preimage", 2, "b"),
+        (3, "delete", 1, "a"),
+        (4, "insert", 5, "e"),
+        (4, "update_postimage", 3, "C"),
+        (4, "update_preimage", 3, "c"),
+    ]
+    # the feed's metadata columns: commit version long, timestamp
+    # monotone non-decreasing with version (the clamped mtime clock)
+    got = t.table_changes(-1).collect()
+    by_v = sorted({(r["_commit_version"], r["_commit_timestamp"])
+                   for r in got})
+    assert [v for v, _ in by_v] == [0, 1, 2, 3, 4]
+    ts = [s for _, s in by_v]
+    assert ts == sorted(ts)
+    # live state agrees with replaying the feed
+    assert sorted((r["id"], r["v"]) for r in t.read().collect()) == [
+        (2, "B"), (3, "C"), (4, "d"), (5, "e")
+    ]
+
+
+def test_change_data_feed_compaction_invisible_restore_derived(
+    spark, tmp_path
+):
+    """dataChange:false commits are invisible to the feed; RESTORE
+    (file-granular by construction) derives delete+insert from its
+    remove/add file sets without cdc files."""
+    t = _cdf_table(spark, tmp_path)
+    t.append(_df(spark, [(4, "d", "d1")]))                       # v1
+    assert t.compact(min_files=2) == 1                           # v2
+    assert _changes(t, 1) == []  # compaction emitted nothing
+    t.restore(1)                                                 # v3
+    # restoring v2's compaction is itself pure byte-reorg: both file
+    # sets hold the same rows, so the derived feed pairs each row as
+    # delete+insert (file-granular truth), never loses or invents one
+    ch = _changes(t, 2)
+    by_type: dict = {}
+    for _v, ctype, i, v in ch:
+        by_type.setdefault(ctype, []).append((i, v))
+    assert sorted(by_type) == ["delete", "insert"]
+    assert sorted(by_type["delete"]) == sorted(by_type["insert"])
+
+
+def test_change_data_feed_requires_enablement_for_dml(spark, table):
+    """A DML commit on a table WITHOUT the feed has no row-accurate
+    change story — table_changes refuses it loudly (appends before it
+    still derive), instead of silently treating rewritten files as
+    inserts."""
+    table.append(_df(spark, [(4, "d", "d2")]))                   # v1
+    assert table.update_where("id = 1", {"v": "'A'"}) == 1       # v2
+    assert _changes(table, -1, 1) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (0, "insert", 3, "c"),
+        (1, "insert", 4, "d"),
+    ]
+    with pytest.raises(TxError, match="without recorded change data"):
+        table.table_changes(1)
+
+
+def test_change_data_feed_files_survive_vacuum(spark, tmp_path):
+    """Committed cdc files are referenced by their commit: vacuum must
+    keep them while the commit is retained, and still collect a
+    crashed writer's UNreferenced cdc orphan."""
+    t = _cdf_table(spark, tmp_path)
+    assert t.delete_where("id = 1") == 1
+    cdc_dir = os.path.join(t.path, "_change_data")
+    committed = set(os.listdir(cdc_dir))
+    assert committed, "DML on a CDF table must write change files"
+    orphan = os.path.join(cdc_dir, "cdc-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1corrupt")
+    os.utime(orphan, (1000.0, 1000.0))
+    deleted = t.vacuum_orphans(min_age_seconds=0)
+    assert "_change_data/cdc-deadbeef.parquet" in deleted
+    assert committed <= set(os.listdir(cdc_dir))
+    # the feed still replays after the vacuum
+    assert [c for _v, c, _i, _x in _changes(t, -1)].count("delete") == 1
