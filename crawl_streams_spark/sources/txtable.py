@@ -29,6 +29,17 @@ Options:
   the consumer already saw — silently re-delivering them would
   double-count); ``"true"`` opts into at-least-once delivery of such
   commits' add-files, the same dial Delta exposes.
+- ``read_change_feed``: ``"false"`` (default) or ``"true"`` — deliver
+  the ROW-level Change Data Feed instead of add-files: every row
+  carries ``_change_type`` (insert / delete / update_preimage /
+  update_postimage), ``_commit_version`` and ``_commit_timestamp``.
+  DML and MERGE commits stream their recorded cdc files (tables
+  created with ``enableChangeDataFeed=true``), appends stream as
+  inserts, OVERWRITE/RESTORE derive file-granular delete+insert, and a
+  DML commit from before enablement fails the stream loudly — the
+  streaming twin of ``TxTable.table_changes``. Mutually exclusive
+  with ``ignore_changes`` (the feed is exact; there is nothing to
+  ignore).
 - ``max_files_per_trigger``: ``"0"`` (default, unlimited) or K — pace a
   backlog at roughly K added files per micro-batch by capping how far
   ``latestOffset`` advances (whole versions only — a commit is atomic,
@@ -131,6 +142,46 @@ def _latest_schema_json(log_dir: str) -> tuple[str, list]:
     if schema is None:
         raise ValueError(f"{log_dir} holds no table metadata")
     return schema, pcols
+
+
+def _opt_true(options, key: str) -> bool:
+    return str(options.get(key, "false")).lower() == "true"
+
+
+def _clamped_commit_mtimes(log_dir: str, versions: list) -> dict:
+    """version -> commit-file mtime under the running-max clamp (the
+    TIMESTAMP AS OF clock; racing writers can claim commit files in
+    the opposite order of their write times — VERDICT r12)."""
+    out = {}
+    prev = None
+    for v in versions:
+        try:
+            mt = os.path.getmtime(
+                os.path.join(log_dir, f"{v:020d}.json")
+            )
+        except OSError:
+            mt = prev or 0.0
+        if prev is not None:
+            mt = max(mt, prev)
+        prev = mt
+        out[v] = mt
+    return out
+
+
+def _path_partition_values(path: str, pcols: list) -> dict:
+    """Partition values parsed back out of a data file's hive-style
+    relative path (``day=d1/part-....parquet``) — the seam for actions
+    that carry only a path (removes in the derived change feed). Uses
+    the same unescape as the writer side."""
+    from ..operators.txlog import _hive_unescape
+
+    vals: dict = {}
+    for seg in path.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k in pcols:
+                vals[k] = _hive_unescape(v)
+    return vals
 
 
 def _pv_convert(val, simple_type: str):
@@ -307,6 +358,12 @@ try:  # the DataSource API needs pyspark >= 4
             self._ignore_changes = (
                 options.get("ignore_changes", "false").lower() == "true"
             )
+            self._cdf = _opt_true(options, "read_change_feed")
+            if self._cdf and self._ignore_changes:
+                raise ValueError(
+                    "txtable stream: read_change_feed delivers exact "
+                    "row-level changes — ignore_changes does not apply"
+                )
             self._starting = options.get("starting_version", "-1")
             self._starting_ts = options.get("starting_timestamp")
             if (self._starting_ts is not None
@@ -403,6 +460,10 @@ try:  # the DataSource API needs pyspark >= 4
                     "and restart the stream with "
                     f"starting_version={versions[0] - 1} or 'latest'"
                 )
+            if self._cdf:
+                return self._cdf_partitions(s, e, versions) or [
+                    _TxFilePartition("", {})
+                ]
             adds = []
             for v in versions:
                 if v <= s or v > e:
@@ -441,6 +502,88 @@ try:  # the DataSource API needs pyspark >= 4
                 adds, self._fields, self._pcols
             ) or [_TxFilePartition("", {})]
 
+        def _cdf_partitions(self, s, e, versions):
+            """Change-feed planning (r13): one input partition per cdc
+            or data file, the CDF metadata columns attached as
+            per-partition Arrow constants. Recorded cdc files win
+            (they carry _change_type and the partition columns as
+            data); CREATE/APPEND derive inserts from their add files;
+            OVERWRITE/RESTORE — file-granular by construction — derive
+            delete rows from their removed files (partition values
+            parsed back out of the hive paths) plus inserts from their
+            adds; a DML/MERGE commit without recorded change data
+            fails the stream loudly. Mirrors
+            TxTable.table_changes exactly."""
+            ptypes = dict(self._fields)
+            mts = _clamped_commit_mtimes(self._log_dir, versions)
+            parts = []
+            for v in versions:
+                if v <= s or v > e:
+                    continue
+                meta = {
+                    "_commit_version": v,
+                    "_commit_timestamp": datetime.datetime.fromtimestamp(
+                        mts[v], datetime.timezone.utc
+                    ),
+                }
+                actions = _read_actions(self._log_dir, v)
+                cdc = [a["cdc"] for a in actions if "cdc" in a]
+                if cdc:
+                    for c in cdc:
+                        parts.append(_TxFilePartition(
+                            os.path.join(self._path, c["path"]),
+                            dict(meta),
+                        ))
+                    continue
+                adds = [
+                    a["add"] for a in actions
+                    if "add" in a and a["add"].get("dataChange", True)
+                ]
+                removes = [
+                    a["remove"] for a in actions
+                    if "remove" in a
+                    and a["remove"].get("dataChange", True)
+                ]
+                op = next(
+                    (a["commitInfo"].get("operation", "?")
+                     for a in actions if "commitInfo" in a),
+                    "?",
+                )
+                if removes and op not in ("OVERWRITE", "RESTORE"):
+                    raise ValueError(
+                        f"txtable stream: version {v} ({op}) rewrote "
+                        "rows without recorded change data — the table "
+                        "did not have enableChangeDataFeed=true when "
+                        "it committed; re-seed downstream state from a "
+                        "snapshot read and restart with "
+                        f"starting_version={v}"
+                    )
+                for a in removes:
+                    raw = _path_partition_values(a["path"], self._pcols)
+                    pv = {
+                        c: _pv_convert(
+                            raw.get(c), ptypes.get(c, "string")
+                        )
+                        for c in self._pcols
+                    }
+                    parts.append(_TxFilePartition(
+                        os.path.join(self._path, a["path"]),
+                        {**pv, **meta, "_change_type": "delete"},
+                    ))
+                for a in adds:
+                    pv = {
+                        c: _pv_convert(
+                            a["partitionValues"].get(c),
+                            ptypes.get(c, "string"),
+                        )
+                        for c in self._pcols
+                    }
+                    parts.append(_TxFilePartition(
+                        os.path.join(self._path, a["path"]),
+                        {**pv, **meta, "_change_type": "insert"},
+                    ))
+            return parts
+
         def read(self, partition):
             yield from _file_batches(partition, self._arrow_schema)
 
@@ -463,9 +606,31 @@ try:  # the DataSource API needs pyspark >= 4
             if not os.path.isdir(log_dir):
                 raise ValueError(f"{path} is not a transactional table")
             schema_json, pcols = _latest_schema_json(log_dir)
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+                TimestampType,
+            )
 
             st = StructType.fromJson(json.loads(schema_json))
+            if _opt_true(self.options, "read_change_feed"):
+                # change-feed streams carry the Delta CDF metadata
+                # columns; executors fill them as per-partition Arrow
+                # constants (or read _change_type out of cdc files)
+                st = StructType(
+                    list(st.fields)
+                    + [
+                        StructField("_change_type", StringType(), False),
+                        StructField(
+                            "_commit_version", LongType(), False
+                        ),
+                        StructField(
+                            "_commit_timestamp", TimestampType(), False
+                        ),
+                    ]
+                )
             fields = [
                 (f.name, f.dataType.simpleString()) for f in st.fields
             ]

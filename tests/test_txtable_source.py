@@ -511,3 +511,76 @@ def test_cdc_feeds_incremental_dedup_pipeline(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(admitted_path).collect()
     )
     assert got == [1, 2, 4]
+
+
+def test_stream_change_feed_delivers_row_level_changes(
+    spark, tmp_path
+):
+    """read_change_feed=true (r13): the stream delivers the row-level
+    Change Data Feed — inserts from appends, pre/post image pairs from
+    UPDATE, delete rows from DELETE — instead of failing loudly at the
+    first DML rewrite. Exactly-once across restarts holds because
+    offsets are still commit versions."""
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "cdf_src"),
+        _df(spark, [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")]),
+        partition_by=["day"],
+        configuration={"enableChangeDataFeed": "true"},
+    )
+    t.append(_df(spark, [(4, "d", "d2")]))                      # v1
+    assert t.update_where("id = 2", {"v": "'B'"}) == 1          # v2
+    assert t.delete_where("id = 1") == 1                        # v3
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+            for r in batch_df.collect()
+        )
+
+    _drain(spark, t.path, str(tmp_path / "ckf"), sink,
+           read_change_feed="true")
+    assert sorted(seen) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (0, "insert", 3, "c"),
+        (1, "insert", 4, "d"),
+        (2, "update_postimage", 2, "B"),
+        (2, "update_preimage", 2, "b"),
+        (3, "delete", 1, "a"),
+    ]
+    # restart replays nothing; the next DML arrives incrementally with
+    # the feed's metadata columns intact
+    seen.clear()
+    t.merge_into(_df(spark, [(3, "C", "d2"), (5, "e", "d2")]),
+                 key=["id"])                                    # v4
+    _drain(spark, t.path, str(tmp_path / "ckf"), sink,
+           read_change_feed="true")
+    assert sorted(seen) == [
+        (4, "insert", 5, "e"),
+        (4, "update_postimage", 3, "C"),
+        (4, "update_preimage", 3, "c"),
+    ]
+
+
+def test_stream_change_feed_derives_restore_and_refuses_blind_dml(
+    spark, table, tmp_path
+):
+    """Without recorded change data a DML commit fails the change-feed
+    stream loudly (same contract as batch table_changes); RESTORE
+    stays derivable file-granularly. ignore_changes does not combine
+    with the feed."""
+    t2 = TxTable(spark, table.path)
+    assert t2.update_where("id = 1", {"v": "'A'"}) == 1         # v1
+    seen: list = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(batch_df.collect())
+
+    with pytest.raises(Exception, match="without recorded change data"):
+        _drain(spark, table.path, str(tmp_path / "ckg"), sink,
+               read_change_feed="true")
+    with pytest.raises(Exception, match="does not apply"):
+        _drain(spark, table.path, str(tmp_path / "ckh"), sink,
+               read_change_feed="true", ignore_changes="true")
