@@ -494,6 +494,18 @@ def cmd_table(args) -> int:
                 print("delete needs --where", file=sys.stderr)
                 return 2
             print(_json.dumps({"deleted": t.delete_where(args.where)}))
+        elif args.action == "changes":
+            if args.start_version is None:
+                print("changes needs --start-version", file=sys.stderr)
+                return 2
+            df = t.table_changes(args.start_version, args.end_version)
+            rows = df.limit(args.limit).collect()
+            print("\t".join(df.columns))
+            for r in rows:
+                print("\t".join(
+                    "-" if r[c] is None else str(r[c])
+                    for c in df.columns
+                ))
         elif args.action == "update":
             if not args.where or not args.set:
                 print("update needs --where and --set col=expr",
@@ -663,13 +675,17 @@ def build_parser() -> argparse.ArgumentParser:
     tb = sub.add_parser(
         "table",
         help="transactional-table ops: history/show/compact/clean-log/"
-        "vacuum/maintain/restore",
+        "vacuum/maintain/restore/delete/update/changes",
     )
     tb.add_argument(
         "action",
         choices=["history", "show", "compact", "clean-log", "vacuum",
-                 "maintain", "restore", "delete", "update"],
+                 "maintain", "restore", "delete", "update", "changes"],
     )
+    tb.add_argument("--start-version", type=int, default=None,
+                    help="changes: deliver commits AFTER this version")
+    tb.add_argument("--end-version", type=int, default=None,
+                    help="changes: stop at this version (default latest)")
     tb.add_argument("--where", default=None,
                     help="SQL predicate for delete/update")
     tb.add_argument("--set", action="append", default=None,

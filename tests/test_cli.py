@@ -372,3 +372,32 @@ def test_table_cli_lifecycle(capsys, spark, tmp_path):
     # errors surface as exit code 1 with a message, not tracebacks
     assert main(["table", "history", "--path", str(tmp_path / "nope")]) == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_table_cli_change_feed(capsys, spark, tmp_path):
+    """`table changes` (r13): the row-level Change Data Feed through
+    the CLI — the operational companion to delete/update."""
+    from crawl_streams_spark.operators.txlog import TxTable
+
+    path = str(tmp_path / "cli_cdf")
+    t = TxTable.create(
+        spark, path,
+        spark.createDataFrame([(1, 10, "d1"), (2, 20, "d1")],
+                              "x long, y long, day string"),
+        partition_by=["day"],
+        configuration={"enableChangeDataFeed": "true"},
+    )
+    assert main(["table", "update", "--path", path,
+                 "--where", "x = 1", "--set", "y=11"]) == 0
+    capsys.readouterr()
+    assert main(["table", "changes", "--path", path,
+                 "--start-version", "0", "-l", "10"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    header = out[0].split("\t")
+    assert "_change_type" in header and "_commit_version" in header
+    types = {line.split("\t")[header.index("_change_type")]
+             for line in out[1:]}
+    assert types == {"update_preimage", "update_postimage"}
+    # missing --start-version: usage error
+    assert main(["table", "changes", "--path", path]) == 2
+    assert "--start-version" in capsys.readouterr().err

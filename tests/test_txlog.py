@@ -411,7 +411,8 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
     overwrites, partition-stable merges, txn-stamped merge REPLAYS,
     compactions, crash-orphans, vacuums, log-retention cleanups,
     RESTOREs to random retained versions, and one-call maintain()
-    lifecycles (r12) must keep the table equal to a plain in-memory
+    lifecycles (r12), all on a Change-Data-Feed-enabled table (r13),
+    must keep the table equal to a plain in-memory
     dict model after every step — every historical version above the retention horizon
     must still read back exactly (below it, reads RAISE and the model
     forgets them — never a silent wrong answer), and every append
@@ -432,6 +433,7 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
         _df(spark, [(k, v, day_of(k)) for k, v in model.items()]),
         partition_by=["day"],
         checkpoint_interval=4,
+        configuration={"enableChangeDataFeed": "true"},
     )
     snapshots = {0: dict(model)}
     append_versions: dict[int, list] = {}
@@ -563,6 +565,27 @@ def test_random_operation_sequences_match_reference_model(spark, tmp_path):
             for r in t.read_changes(v - 1, end_version=v).collect()
         )
         assert got == sorted(rows), f"read_changes({v}): {got}"
+    # the Change Data Feed reconstructs the live state from any
+    # retained snapshot seed (r13): seed with the horizon snapshot,
+    # fold every commit's row-level changes in
+    # version order (removals before additions within a commit — the
+    # file-granular derived commits pair delete+insert for surviving
+    # rows), and land exactly on the model — through every merge,
+    # DML, overwrite, restore, compaction, clean and vacuum the fuzz
+    # threw at it
+    v0 = t._commit_versions()[0]  # the horizon: always retained
+    state = {r["id"]: r["v"] for r in t.read_version(v0).collect()}
+    by_commit: dict[int, list] = {}
+    for r in t.table_changes(v0).collect():
+        by_commit.setdefault(r["_commit_version"], []).append(r)
+    for v in sorted(by_commit):
+        for r in by_commit[v]:
+            if r["_change_type"] in ("delete", "update_preimage"):
+                state.pop(r["id"], None)
+        for r in by_commit[v]:
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[r["id"]] = r["v"]
+    assert state == model, f"CDF replay from v{v0}: {state} != {model}"
 
 
 # ------------------------------------------------- round-10 hardening
