@@ -1161,6 +1161,7 @@ class TxTable:
         key: list,
         check_key_containment: bool = True,
         txn: str | None = None,
+        deletes: DataFrame | None = None,
     ) -> int:
         """Partition-pruned MERGE (upsert): rows matching ``key`` are
         replaced, the rest inserted; only data files whose partition
@@ -1185,21 +1186,35 @@ class TxTable:
         null on failed fetches, so this is a live path, not an edge.
         When updates carry a NULL in a key column, that column's file
         stats can't prune the guard scan (parquet min/max says nothing
-        about NULL rows)."""
+        about NULL rows).
+
+        ``deletes`` (r13, the APPLY CHANGES INTO seam): rows whose keys
+        should LEAVE the table, applied in the SAME atomic commit as
+        the upserts — one txn token covers both, which is what makes a
+        change-feed fold exactly-once. The frame must carry the key
+        and partition columns (a change feed's delete rows are full
+        pre-images, so they do); keys present on both sides are
+        treated as upserts. Delete keys prune partitions and feed the
+        containment guard exactly like update keys."""
         from pyspark import StorageLevel
 
         key = list(key)
         if txn is not None and self.seen_txn(txn):
             return self.latest_version()  # idempotent replay: no-op
         updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        if deletes is not None:
+            deletes = deletes.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return self._merge_cached(
-                updates, key, check_key_containment, txn
+                updates, key, check_key_containment, txn, deletes
             )
         finally:
             updates.unpersist()
+            if deletes is not None:
+                deletes.unpersist()
 
-    def _merge_cached(self, updates, key, check_key_containment, txn):
+    def _merge_cached(self, updates, key, check_key_containment, txn,
+                      deletes=None):
         version = self.latest_version()
         snap = self._snapshot(version)
         self._schema_guard(updates, snap["metaData"], "merge_into")
@@ -1207,9 +1222,24 @@ class TxTable:
         pcols = snap["metaData"]["partitionColumns"]
         if not pcols:
             raise TxError("merge_into needs a partitioned table")
+        # the change-key relation: updates plus (when applying a change
+        # feed) the delete side — both prune partitions, both feed the
+        # containment guard, both anti-join the current rows out
+        change_pk = updates.select(*pcols)
+        change_keys = updates.select(*key)
+        if deletes is not None:
+            missing = [c for c in set(key) | set(pcols)
+                       if c not in deletes.columns]
+            if missing:
+                raise TxError(
+                    f"merge_into: deletes frame lacks {sorted(missing)} "
+                    "— it must carry the key and partition columns"
+                )
+            change_pk = change_pk.unionByName(deletes.select(*pcols))
+            change_keys = change_keys.unionByName(deletes.select(*key))
         touched = {
             tuple(_canon_pval(r[c]) for c in pcols)
-            for r in updates.select(*pcols).distinct().collect()
+            for r in change_pk.distinct().collect()
         }
         touched_files = [
             a for a in snap["adds"].values()
@@ -1223,10 +1253,12 @@ class TxTable:
             if a["path"] not in touched_paths
         ]
         if check_key_containment and other_files:
-            scan = self._containment_candidates(other_files, updates, key)
+            scan = self._containment_candidates(
+                other_files, change_keys, key
+            )
             if scan:
                 others = self._read_adds(scan, schema)
-                guard_keys = updates.select(*key).distinct()
+                guard_keys = change_keys.distinct()
                 stray = others.join(
                     guard_keys,
                     _null_safe_key_cond(others, guard_keys, key),
@@ -1253,9 +1285,10 @@ class TxTable:
             # the batch's null-key rows REPLACE the live null-key rows.
             current = self._read_adds(touched_files, schema)
             upd_keys = updates.select(*key).distinct()
+            all_keys = change_keys.distinct()
             merged = current.join(
-                upd_keys,
-                _null_safe_key_cond(current, upd_keys, key),
+                all_keys,
+                _null_safe_key_cond(current, all_keys, key),
                 "left_anti",
             ).unionByName(updates)
         else:
@@ -1300,6 +1333,26 @@ class TxTable:
                         )
                     )
                 )
+                if deletes is not None:
+                    # keys present on BOTH sides are upserts (already
+                    # covered above); the delete-only keys' live rows
+                    # leave the table
+                    dk = deletes.select(*key).distinct()
+                    del_keys = dk.join(
+                        upd_keys,
+                        _null_safe_key_cond(dk, upd_keys, key),
+                        "left_anti",
+                    )
+                    gone = current.join(
+                        del_keys,
+                        _null_safe_key_cond(current, del_keys, key),
+                        "left_semi",
+                    )
+                    cdf = cdf.unionByName(
+                        gone.select(*names).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
             else:
                 cdf = updates.select(*names).withColumn(
                     "_change_type", F.lit("insert")

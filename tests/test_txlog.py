@@ -1552,3 +1552,49 @@ def test_change_data_feed_files_survive_vacuum(spark, tmp_path):
     assert committed <= set(os.listdir(cdc_dir))
     # the feed still replays after the vacuum
     assert [c for _v, c, _i, _x in _changes(t, -1)].count("delete") == 1
+
+
+def test_merge_into_with_deletes_single_commit(spark, table):
+    """merge_into(deletes=...) (r13): upserts and deletes land in ONE
+    atomic commit — the APPLY CHANGES INTO seam. Delete keys prune
+    partitions and feed the guard like update keys; a key on both
+    sides is an upsert; the CDF records the delete rows."""
+    v0 = table.latest_version()
+    ups = _df(spark, [(2, "B", "d1"), (5, "e", "d2")])
+    dels = _df(spark, [(1, "a", "d1")])
+    v1 = table.merge_into(ups, key=["id"], deletes=dels, txn="ac-1")
+    assert v1 == v0 + 1  # one commit for both sides
+    rows = {r["id"]: r["v"] for r in table.read().collect()}
+    assert rows == {2: "B", 3: "c", 5: "e"}
+    # replay of the token no-ops across both sides
+    TxTable(spark, table.path).merge_into(
+        ups, key=["id"], deletes=dels, txn="ac-1"
+    )
+    assert table.latest_version() == v1
+    # a key on both sides is an upsert, not a delete
+    table.merge_into(
+        _df(spark, [(3, "C", "d2")]), key=["id"],
+        deletes=_df(spark, [(3, "c", "d2")]),
+    )
+    assert {r["id"]: r["v"] for r in table.read().collect()}[3] == "C"
+    # deletes frame missing required columns refuses loudly
+    with pytest.raises(TxError, match="deletes frame lacks"):
+        table.merge_into(
+            _df(spark, [(9, "z", "d1")]), key=["id"],
+            deletes=spark.createDataFrame([(5,)], "id bigint"),
+        )
+
+
+def test_merge_with_deletes_emits_cdf(spark, tmp_path):
+    t = _cdf_table(spark, tmp_path)
+    t.merge_into(
+        _df(spark, [(2, "B", "d1"), (5, "e", "d2")]),
+        key=["id"],
+        deletes=_df(spark, [(1, "a", "d1")]),
+    )
+    assert _changes(t, 0) == [
+        (1, "delete", 1, "a"),
+        (1, "insert", 5, "e"),
+        (1, "update_postimage", 2, "B"),
+        (1, "update_preimage", 2, "b"),
+    ]
