@@ -266,7 +266,6 @@ class TxTable:
             raise TxError(f"table already exists at {path}")
         os.makedirs(log_dir)
         self = cls(spark, path, checkpoint_interval)
-        adds = self._write_data_files(df, partition_by)
         meta = {
             "schema": df.schema.json(),
             "partitionColumns": partition_by,
@@ -275,6 +274,16 @@ class TxTable:
             meta["configuration"] = {
                 str(k): str(v) for k, v in configuration.items()
             }
+        # constraints stamped at birth gate the seed rows too — and the
+        # check runs before any data file exists, so a refusal leaves
+        # nothing behind (the still-empty log dir is unwound, keeping
+        # create retryable)
+        try:
+            self._check_constraints(df, meta, "create")
+        except TxError:
+            os.rmdir(log_dir)
+            raise
+        adds = self._write_data_files(df, partition_by)
         actions = [
             {"metaData": meta},
             {"commitInfo": {"operation": "CREATE"}},
@@ -296,6 +305,106 @@ class TxTable:
         ``delta.enableChangeDataFeed`` table-property idea)."""
         cfg = snap["metaData"].get("configuration") or {}
         return str(cfg.get("enableChangeDataFeed", "")).lower() == "true"
+
+    @staticmethod
+    def _constraints(meta: dict) -> dict:
+        """name -> SQL expression of the table's CHECK constraints
+        (``constraint.<name>`` configuration keys — the Delta
+        ``delta.constraints.*`` table-property idea)."""
+        cfg = meta.get("configuration") or {}
+        pre = "constraint."
+        return {
+            k[len(pre):]: v for k, v in cfg.items()
+            if k.startswith(pre)
+        }
+
+    def _check_constraints(self, df: DataFrame, meta: dict,
+                           op: str) -> None:
+        """Refuse the write when any incoming row violates a CHECK
+        constraint (SQL semantics: a NULL predicate PASSES). One
+        bounded aggregate over the incoming batch — never the table —
+        evaluating every constraint in a single pass; runs BEFORE data
+        files are written so a refused write leaves nothing to vacuum."""
+        cons = self._constraints(meta)
+        if not cons:
+            return
+        import pyspark.sql.functions as F
+
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)))
+                .cast("long")
+            ).alias(n)
+            for n, e in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = sorted(n for n in cons if row[n])
+        if bad:
+            detail = ", ".join(f"{n} CHECK ({cons[n]})" for n in bad)
+            raise TxError(
+                f"{op}: rows violate constraint"
+                f"{'s' if len(bad) > 1 else ''} {detail}"
+            )
+
+    def set_constraint(self, name: str, expr: str) -> int:
+        """ADD CONSTRAINT: validate the expression against EVERY live
+        row first (one O(table) scan, the documented Delta cost of
+        adding a constraint to existing data), then commit the updated
+        metaData. Subsequent appends/overwrites/merges/updates refuse
+        batches that violate it. Conflicts loudly if the table advances
+        mid-validation (a racing write could have inserted a violating
+        row after the scan)."""
+        version = self.latest_version()
+        snap = self._snapshot(version)
+        meta = dict(snap["metaData"])
+        cfg = dict(meta.get("configuration") or {})
+        cfg[f"constraint.{name}"] = expr
+        meta["configuration"] = cfg
+        self._check_constraints(
+            self.read_version(version), meta, "set_constraint"
+        )
+
+        def validate(snap2):
+            if self.latest_version() != version:
+                raise TxConflict(
+                    "table advanced during constraint validation; "
+                    "retry set_constraint"
+                )
+
+        def build(snap2):
+            return [{"metaData": meta}]
+
+        try:
+            return self._commit_with_retry(
+                build, validate, "ADD CONSTRAINT", max_retries=1
+            )
+        except TxConflict:
+            raise TxConflict(
+                "table advanced during constraint validation; retry "
+                "set_constraint"
+            ) from None
+
+    def drop_constraint(self, name: str) -> int:
+        """DROP CONSTRAINT: commit metaData without it (no data scan)."""
+        snap = self._snapshot(self.latest_version())
+        meta = dict(snap["metaData"])
+        cfg = dict(meta.get("configuration") or {})
+        if cfg.pop(f"constraint.{name}", None) is None:
+            raise TxError(f"no constraint named {name!r}")
+        meta["configuration"] = cfg
+
+        def build(snap2):
+            # rebuild against the claimed-over snapshot so a racing
+            # schema evolution is preserved
+            m = dict(snap2["metaData"])
+            c = dict(m.get("configuration") or {})
+            c.pop(f"constraint.{name}", None)
+            m["configuration"] = c
+            return [{"metaData": m}]
+
+        return self._commit_with_retry(
+            build, lambda s: None, "DROP CONSTRAINT"
+        )
 
     # ------------------------------------------------------ log plumbing
     def _claim(self, version: int, actions: list) -> bool:
@@ -1064,6 +1173,7 @@ class TxTable:
         on read (the declared-schema read path)."""
         meta = self._snapshot(self.latest_version())["metaData"]
         new_meta = self._schema_guard(df, meta, "append", merge_schema)
+        self._check_constraints(df, meta, "append")
         adds = self._write_data_files(df, meta["partitionColumns"])
 
         def build(snap):
@@ -1109,6 +1219,7 @@ class TxTable:
             return self.latest_version()  # idempotent replay: no-op
         meta = self._snapshot(self.latest_version())["metaData"]
         self._schema_guard(df, meta, "overwrite_partitions")
+        self._check_constraints(df, meta, "overwrite_partitions")
         pcols = meta["partitionColumns"]
         if not pcols:
             raise TxError(
@@ -1218,6 +1329,7 @@ class TxTable:
         version = self.latest_version()
         snap = self._snapshot(version)
         self._schema_guard(updates, snap["metaData"], "merge_into")
+        self._check_constraints(updates, snap["metaData"], "merge_into")
         schema = self._declared_schema(snap)
         pcols = snap["metaData"]["partitionColumns"]
         if not pcols:
@@ -1638,6 +1750,21 @@ class TxTable:
                     f"{op}: assignment to {bad_cols} does not cast to "
                     "the column type (would silently become NULL) — "
                     "fix the expression or cast it explicitly"
+                )
+            if self._constraints(snap["metaData"]):
+                # CHECK constraints gate the POST-image rows (r13):
+                # only the assigned rows can newly violate, so the
+                # check reads the hits of the touched files, not the
+                # table
+                post_img = hit_df.filter(is_hit).select(
+                    *(
+                        vals[c].try_cast(schema[c].dataType).alias(c)
+                        if c in vals else F.col(c)
+                        for c in names
+                    )
+                )
+                self._check_constraints(
+                    post_img, snap["metaData"], op.lower() + "_where"
                 )
             out = hit_df.select(
                 *(

@@ -1598,3 +1598,60 @@ def test_merge_with_deletes_emits_cdf(spark, tmp_path):
         (1, "update_postimage", 2, "B"),
         (1, "update_preimage", 2, "b"),
     ]
+
+
+# --------------------------------------------------- CHECK constraints
+def test_check_constraints_gate_every_write_edge(spark, tmp_path):
+    """CHECK constraints (r13, the Delta table-constraint idea):
+    ``constraint.<name>`` configuration entries refuse violating rows
+    at every write edge — create seed, append, overwrite, merge
+    updates, UPDATE post-images — with SQL NULL semantics (a NULL
+    predicate passes). The check is one aggregate over the incoming
+    batch, never the table, and a refusal commits nothing."""
+    path = str(tmp_path / "cons")
+    cfg = {"constraint.v_nonempty": "length(v) > 0"}
+    with pytest.raises(TxError, match="v_nonempty"):
+        TxTable.create(
+            spark, path, _df(spark, [(1, "", "d1")]),
+            partition_by=["day"], configuration=cfg,
+        )
+    # the refused create unwound: the path is reusable
+    t = TxTable.create(
+        spark, path, _df(spark, [(1, "a", "d1"), (2, None, "d1")]),
+        partition_by=["day"], configuration=cfg,
+    )  # NULL passes (SQL CHECK semantics)
+    v = t.latest_version()
+    with pytest.raises(TxError, match="v_nonempty"):
+        t.append(_df(spark, [(3, "", "d2")]))
+    with pytest.raises(TxError, match="v_nonempty"):
+        t.overwrite_partitions(_df(spark, [(4, "", "d1")]))
+    with pytest.raises(TxError, match="v_nonempty"):
+        t.merge_into(_df(spark, [(1, "", "d1")]), key=["id"])
+    with pytest.raises(TxError, match="v_nonempty"):
+        t.update_where("id = 1", {"v": "''"})
+    assert t.latest_version() == v  # nothing committed
+    # valid writes still flow
+    t.append(_df(spark, [(3, "c", "d2")]))
+    assert t.update_where("id = 1", {"v": "upper(v)"}) == 1
+    assert {r["v"] for r in t.read().collect()} == {"A", None, "c"}
+
+
+def test_add_and_drop_constraint_lifecycle(spark, table):
+    """set_constraint validates EXISTING rows first (the O(table) ADD
+    CONSTRAINT scan), then enforces on later writes; drop_constraint
+    lifts it; constraints survive in history like any metaData."""
+    with pytest.raises(TxError, match="id_small"):
+        table.set_constraint("id_small", "id < 3")  # id=3 violates
+    table.set_constraint("id_small", "id < 100")
+    assert table.table_configuration()[
+        "constraint.id_small"] == "id < 100"
+    with pytest.raises(TxError, match="id_small"):
+        table.append(_df(spark, [(100, "x", "d1")]))
+    table.drop_constraint("id_small")
+    table.append(_df(spark, [(100, "x", "d1")]))
+    assert 100 in _ids(table)
+    with pytest.raises(TxError, match="no constraint"):
+        table.drop_constraint("never_was")
+    assert [h["operation"] for h in table.history()][-3:] == [
+        "ADD CONSTRAINT", "DROP CONSTRAINT", "APPEND"
+    ]
