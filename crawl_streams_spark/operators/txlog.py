@@ -140,6 +140,31 @@ def _null_safe_key_cond(left: "DataFrame", right: "DataFrame", key: list):
     )
 
 
+#: Per-query-seeded time functions Spark still flags deterministic —
+#: each evaluation pass is its own query, so now() re-resolves
+#: differently per pass (VERDICT r12).
+_TIME_TOKENS = ("current_timestamp", "current_date", "now()",
+                "localtimestamp", "current_timezone")
+
+
+def _assert_deterministic(probe_df: "DataFrame", op: str, what: str):
+    """Refuse non-deterministic DML/MERGE expressions up front — the
+    frames they feed are evaluated more than once (probe, guard, count,
+    rewrite), so a rand()-style expression would make the passes
+    disagree and silently act on a different row set than was counted.
+    Best-effort guard: the analyzed plan's own determinism flag, plus a
+    scan for the per-query-seeded time functions."""
+    plan = probe_df._jdf.queryExecution().analyzed()
+    plan_str = plan.toString()
+    if not plan.deterministic() or any(
+        tok in plan_str for tok in _TIME_TOKENS
+    ):
+        raise TxError(
+            f"{op}: non-deterministic {what}; materialize it into a "
+            "column (or a literal timestamp) first"
+        )
+
+
 def _file_may_contain(add: dict, bounds: dict) -> bool:
     """Range-intersection test between one add-action's per-file stats
     and the update keys' [min, max] bounds. Missing or non-comparable
@@ -450,8 +475,24 @@ class TxTable:
         except (ValueError, KeyError) as e:
             raise TxError(f"corrupt {_LAST_CKPT}: {e}") from e
         if v > version:
-            # time travel below the checkpoint: fall back to full replay
-            return None
+            # time travel below the latest checkpoint: an OLDER
+            # checkpoint file can still seed the replay (they stay on
+            # disk until clean_log passes them). Without this scan, a
+            # version between the clean horizon and a newer checkpoint
+            # was unreachable: the pointer said "full replay", and the
+            # full replay hit the cleaned gap — forfeiting a version
+            # whose history is entirely retained (r13, found by the
+            # model fuzz's restore arm).
+            older = [
+                int(name[: -len(".checkpoint.json")])
+                for name in os.listdir(self.log_dir)
+                if name.endswith(".checkpoint.json")
+                and not name.startswith(".")
+                and int(name[: -len(".checkpoint.json")]) <= version
+            ]
+            if not older:
+                return None  # genuine full replay from version 0
+            v = max(older)
         cp = os.path.join(self.log_dir, _ckpt_name(v))
         if not os.path.exists(cp):
             return None  # torn checkpoint write: pointer ahead of file
@@ -1131,9 +1172,12 @@ class TxTable:
         """Fail loudly when a write's schema disagrees with the table's
         — without this, an extra column silently vanished on read and a
         missing one broke later reads mid-analysis. Returns the evolved
-        metaData action when ``merge_schema`` admits NEW columns (append
-        only — a partition rewrite with half a schema would null out
-        surviving rows' data)."""
+        metaData action when ``merge_schema`` admits NEW columns
+        (append and MERGE; surviving rows null-fill the new columns on
+        read exactly like pre-evolution files — partition OVERWRITE
+        stays refused, its surviving partitions were written with no
+        knowledge of the wider schema and the caller's intent is
+        ambiguous)."""
         from pyspark.sql.types import StructType
 
         declared = StructType.fromJson(json.loads(meta["schema"]))
@@ -1156,7 +1200,7 @@ class TxTable:
         if not merge_schema:
             raise TxError(
                 f"{op}: columns not in the table schema: "
-                f"{[f.name for f in extra]} (append with "
+                f"{[f.name for f in extra]} (pass "
                 "merge_schema=True to evolve the table)"
             )
         evolved = StructType(list(declared.fields) + list(extra))
@@ -1273,6 +1317,8 @@ class TxTable:
         check_key_containment: bool = True,
         txn: str | None = None,
         deletes: DataFrame | None = None,
+        expected_version: int | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Partition-pruned MERGE (upsert): rows matching ``key`` are
         replaced, the rest inserted; only data files whose partition
@@ -1306,7 +1352,20 @@ class TxTable:
         and partition columns (a change feed's delete rows are full
         pre-images, so they do); keys present on both sides are
         treated as upserts. Delete keys prune partitions and feed the
-        containment guard exactly like update keys."""
+        containment guard exactly like update keys.
+
+        ``expected_version`` (r13, the MergeBuilder seam): when the
+        caller computed ``updates``/``deletes`` against a snapshot it
+        read EARLIER, pass that snapshot's version — a table that
+        advanced in between conflicts loudly instead of committing a
+        rewrite derived from a stale pre-image (lost update).
+
+        ``merge_schema=True`` (r13, the Delta MERGE autoMerge dial)
+        admits NEW columns in ``updates``: the commit carries the
+        widened metaData, surviving rows in rewritten partitions are
+        written with the new columns NULL, and untouched files
+        null-fill them on read — the same evolution story as
+        append."""
         from pyspark import StorageLevel
 
         key = list(key)
@@ -1317,20 +1376,51 @@ class TxTable:
             deletes = deletes.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return self._merge_cached(
-                updates, key, check_key_containment, txn, deletes
+                updates, key, check_key_containment, txn, deletes,
+                expected_version, merge_schema,
             )
         finally:
             updates.unpersist()
             if deletes is not None:
                 deletes.unpersist()
 
+    def merge(self, source: DataFrame, key: list,
+              check_key_containment: bool = True) -> "MergeBuilder":
+        """Conditional MERGE builder (the Delta ``DeltaTable.merge``
+        API shape, r13): chain ``when_matched_update`` /
+        ``when_matched_delete`` / ``when_not_matched_insert`` /
+        ``when_not_matched_by_source_update`` /
+        ``when_not_matched_by_source_delete`` clauses, then
+        ``execute()``. Compiles onto :meth:`merge_into`, so the rewrite
+        keeps its partition pruning, stats-pruned containment guard,
+        null-safe keys, CDF mapping, and txn idempotence. See
+        operators/txmerge.py for semantics and the scale shape."""
+        from .txmerge import MergeBuilder
+
+        return MergeBuilder(self, source, key, check_key_containment)
+
     def _merge_cached(self, updates, key, check_key_containment, txn,
-                      deletes=None):
+                      deletes=None, expected_version=None,
+                      merge_schema=False):
+        from pyspark.sql.types import StructType
+
         version = self.latest_version()
+        if expected_version is not None and version != expected_version:
+            raise TxConflict(
+                "table advanced past the snapshot the merge was "
+                "computed against; retry the operation"
+            )
         snap = self._snapshot(version)
-        self._schema_guard(updates, snap["metaData"], "merge_into")
+        new_meta = self._schema_guard(
+            updates, snap["metaData"], "merge_into", merge_schema
+        )
         self._check_constraints(updates, snap["metaData"], "merge_into")
-        schema = self._declared_schema(snap)
+        if new_meta is not None:
+            # evolved reads: old files null-fill the new columns, so
+            # the anti-join ∪ updates union is schema-consistent
+            schema = StructType.fromJson(json.loads(new_meta["schema"]))
+        else:
+            schema = self._declared_schema(snap)
         pcols = snap["metaData"]["partitionColumns"]
         if not pcols:
             raise TxError("merge_into needs a partitioned table")
@@ -1479,8 +1569,10 @@ class TxTable:
                 )
 
         def build(snap2):
+            head = [] if new_meta is None else [{"metaData": new_meta}]
             actions = (
-                [{"remove": {"path": a["path"]}} for a in touched_files]
+                head
+                + [{"remove": {"path": a["path"]}} for a in touched_files]
                 + [{"add": a} for a in adds]
                 + cdc_actions
             )
@@ -1530,11 +1622,15 @@ class TxTable:
         return [a for a in other_files if _file_may_contain(a, bounds)]
 
     # ----------------------------------------------------------- hygiene
-    def vacuum_orphans(self, min_age_seconds: float = 24 * 3600.0) -> list:
+    def vacuum_orphans(self, min_age_seconds: float = 24 * 3600.0,
+                       dry_run: bool = False) -> list:
         """Delete data files referenced by NO committed version — the
         leftovers of writers that crashed between writing data files
         and claiming their commit. Never touches a file any snapshot
         can see (removed-but-historical files stay for time travel).
+        ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` dial, r13)
+        returns the files that WOULD be deleted without touching them
+        — the operational pre-flight before a destructive vacuum.
 
         Files younger than ``min_age_seconds`` are SKIPPED:
         ``_write_data_files`` renames data files into their final
@@ -1591,7 +1687,8 @@ class TxTable:
                         continue  # possibly an in-flight writer's file
                 except OSError:
                     continue  # raced with its writer/another vacuum
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 deleted.append(rel)
         return deleted
 
@@ -1669,28 +1766,13 @@ class TxTable:
         # Delta requires this of DML predicates for the same reason: a
         # rand()-style condition would make the passes disagree and
         # silently delete/update a different row set than it counted.
-        # Best-effort guard (VERDICT r12): the analyzed plan's own
-        # determinism flag, plus a scan for the per-query-seeded time
-        # functions Spark still flags deterministic (each pass is its
-        # own query, so now() re-resolves differently per pass).
-        cond_plan = (
-            self._read_adds(adds, schema)
-            .select(matched.alias("__cond"))
-            ._jdf.queryExecution().analyzed()
+        _assert_deterministic(
+            self._read_adds(adds, schema).select(matched.alias("__c")),
+            op,
+            "condition — the file probe, the affected-row count and "
+            "the rewrite would each evaluate it against a different "
+            "row set",
         )
-        plan_str = cond_plan.toString()
-        if not cond_plan.deterministic() or any(
-            tok in plan_str
-            for tok in ("current_timestamp", "current_date", "now()",
-                        "localtimestamp", "current_timezone")
-        ):
-            raise TxError(
-                f"{op}: non-deterministic condition — the file probe, "
-                "the affected-row count and the rewrite would each "
-                "evaluate it against a different row set; materialize "
-                "the predicate into a column (or a literal timestamp) "
-                "first"
-            )
         # pass 1 — find the files holding matching rows: predicate
         # pushed into the scan, result bounded at one row per FILE
         probe = self._read_adds(adds, schema).withColumn(

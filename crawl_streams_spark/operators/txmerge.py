@@ -1,0 +1,465 @@
+"""Conditional MERGE builder over :class:`TxTable` — the Delta Lake
+``DeltaTable.merge`` API surface (public docs: `MERGE INTO` with
+``WHEN MATCHED [AND cond] THEN UPDATE/DELETE``, ``WHEN NOT MATCHED
+[AND cond] THEN INSERT``, ``WHEN NOT MATCHED BY SOURCE [AND cond]
+THEN UPDATE/DELETE``), re-expressed on the partition-pruned key merge
+of operators/txlog.py.
+
+The reference repo has no transactional table; this module exists for
+API parity with the public lakehouse MERGE shape that a 100 TB crawl
+pipeline needs for dimension upkeep (SCD upserts, tombstone
+propagation, reconciliation deletes).
+
+Semantics (Delta parity, documented deviations below):
+
+- Clauses within a group cascade FIRST-TRUE-WINS, and only the last
+  clause of a group may omit its condition (a later clause would be
+  unreachable).
+- A source with duplicate keys is refused ("multiple source rows
+  matched" — the cascade result would depend on join multiplicity).
+  A TARGET with duplicate keys is fine: rows of a key that any clause
+  touched are replaced as a group, with the untouched siblings passed
+  through byte-identical (the key-replacement rewrite is per KEY, so
+  the passthrough is what keeps per-row clause results exact).
+- Conditions and assignment expressions are SQL strings (or Columns)
+  over the aliases ``s`` (source) and ``t`` (target); matched clauses
+  may reference both, insert clauses only ``s``, not-matched-by-source
+  clauses only ``t``. A condition evaluating to NULL does not match.
+- Assignments that would not cast to the column type raise instead of
+  silently writing NULL, and every condition/assignment must be
+  deterministic — same rules (and same guards) as
+  ``TxTable.update_where``. Assigning a key or partition column is
+  refused (delete + insert instead).
+- DEVIATION from Delta: the join is on an explicit key-column list,
+  not an arbitrary ON condition, and NULL keys match null-safely
+  (one more key value) — consistent with ``merge_into``, whose
+  partition pruning and stats-pruned containment guard this builder
+  inherits. Delta's SQL-equality ON never matches NULL keys.
+
+Scale shape: matched and not-matched classification reads ONLY the
+files whose per-file key stats intersect the source's key bounds
+(``_containment_candidates`` — files provably disjoint from every
+source key hold no matched row, so they can't affect either side of
+the classification). The full-table scan happens ONLY when a
+``when_not_matched_by_source`` clause exists, exactly as in Delta
+(those clauses are defined over the table's complement). The rewrite
+itself is ``merge_into``'s: touched partitions only, with the
+lost-update window closed by ``expected_version`` (the table advancing
+between this builder's snapshot and the commit conflicts loudly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .txlog import (
+    TxError,
+    _assert_deterministic,
+    _null_safe_key_cond,
+)
+
+#: Internal cascade column; stripped before any row reaches the table.
+_M = "__merge_clause"
+
+
+def _as_col(e):
+    return F.expr(e) if isinstance(e, str) else e
+
+
+def _union(parts: list):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+class _Clause:
+    __slots__ = ("kind", "condition", "assignments")
+
+    def __init__(self, kind, condition, assignments=None):
+        self.kind = kind
+        self.condition = condition
+        self.assignments = assignments
+
+
+class MergeBuilder:
+    """Build and execute one conditional MERGE. Obtain via
+    ``TxTable.merge(source, key)``; every ``when_*`` method returns
+    ``self`` for chaining; ``execute()`` commits atomically and
+    returns the new version (or the current one for a no-op)."""
+
+    def __init__(self, table, source, key,
+                 check_key_containment: bool = True):
+        self._t = table
+        self._source = source
+        self._key = list(key)
+        self._check = check_key_containment
+        self._matched: list[_Clause] = []
+        self._not_matched: list[_Clause] = []
+        self._nmbs: list[_Clause] = []
+        self._evolve = False
+
+    def with_schema_evolution(self):
+        """Admit source columns the target lacks (Delta's
+        ``withSchemaEvolution``): the commit widens the table schema,
+        existing rows null-fill the new columns, clause assignments
+        and insertAll may reference/populate them."""
+        self._evolve = True
+        return self
+
+    # ------------------------------------------------- clause builders
+    def _add(self, group: list, name: str, clause: _Clause):
+        if group and group[-1].condition is None:
+            raise TxError(
+                f"merge: only the last {name} clause may omit its "
+                "condition — clauses cascade first-true-wins, so one "
+                "after an unconditional clause is unreachable"
+            )
+        group.append(clause)
+        return self
+
+    def when_matched_update(self, set: dict, condition=None):
+        """Matched rows satisfying ``condition`` get ``set`` applied
+        (column -> expression over ``s``/``t``, evaluated against the
+        pre-image row like SQL UPDATE)."""
+        if not set:
+            raise TxError("merge: when_matched_update needs assignments")
+        return self._add(self._matched, "when_matched",
+                         _Clause("update", condition, dict(set)))
+
+    def when_matched_delete(self, condition=None):
+        """Matched rows satisfying ``condition`` leave the table."""
+        return self._add(self._matched, "when_matched",
+                         _Clause("delete", condition))
+
+    def when_not_matched_insert(self, values: dict | None = None,
+                                condition=None):
+        """Source rows with no matching target key insert. ``values``
+        maps target columns to expressions over ``s``; omitted columns
+        are NULL. ``values=None`` inserts the source columns by name
+        (missing target columns NULL) — Delta's ``insertAll``. Source
+        columns the target lacks are ignored unless
+        ``with_schema_evolution()`` widened the table."""
+        return self._add(self._not_matched, "when_not_matched",
+                         _Clause("insert", condition,
+                                 dict(values) if values else None))
+
+    def when_not_matched_by_source_update(self, set: dict,
+                                          condition=None):
+        """Target rows whose key has NO source row get ``set`` applied
+        (expressions over ``t`` only) — e.g. mark-stale."""
+        if not set:
+            raise TxError(
+                "merge: when_not_matched_by_source_update needs "
+                "assignments"
+            )
+        return self._add(self._nmbs, "when_not_matched_by_source",
+                         _Clause("update", condition, dict(set)))
+
+    def when_not_matched_by_source_delete(self, condition=None):
+        """Target rows whose key has NO source row leave the table —
+        the full-reconciliation form."""
+        return self._add(self._nmbs, "when_not_matched_by_source",
+                         _Clause("delete", condition))
+
+    # ------------------------------------------------------- execution
+    def execute(self, txn: str | None = None) -> int:
+        from pyspark import StorageLevel
+
+        t = self._t
+        if not (self._matched or self._not_matched or self._nmbs):
+            raise TxError("merge: no WHEN clauses")
+        if txn is not None and t.seen_txn(txn):
+            return t.latest_version()  # idempotent replay: no-op
+        missing = [k for k in self._key
+                   if k not in self._source.columns]
+        if missing:
+            raise TxError(f"merge: source lacks key columns {missing}")
+        src = self._source.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._execute_cached(src, txn)
+        finally:
+            src.unpersist()
+
+    def _execute_cached(self, src, txn) -> int:
+        t, key = self._t, self._key
+        version = t.latest_version()
+        snap = t._snapshot(version)
+        schema = t._declared_schema(snap)
+        if self._evolve:
+            from pyspark.sql.types import StructType
+
+            have = {f.name for f in schema.fields}
+            extra = [f for f in src.schema.fields if f.name not in have]
+            if extra:
+                # evolved classification reads: existing files
+                # null-fill, so fallbacks and insert defaults resolve
+                schema = StructType(list(schema.fields) + extra)
+        names = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        pcols = snap["metaData"]["partitionColumns"]
+        self._validate_assignments(names, pcols)
+        # Delta's "multiple source rows matched" refusal: with dup keys
+        # the cascade result depends on join multiplicity. GROUP BY
+        # treats NULLs as one group — consistent with null-safe keys.
+        dup = (
+            src.groupBy(*key).count()
+            .filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise TxError(
+                "merge: multiple source rows share a key — deduplicate "
+                "the source first (clause results would be ambiguous)"
+            )
+        adds = list(snap["adds"].values())
+        # classification scan: stats-pruned to the files that MAY hold a
+        # source key, unless a BY SOURCE clause needs the complement too
+        if self._nmbs:
+            base = adds
+        elif adds:
+            base = t._containment_candidates(adds, src.select(*key), key)
+        else:
+            base = []
+        cur = (
+            t._read_adds(base, schema) if base
+            else t.spark.createDataFrame([], schema)
+        )
+        upd_parts, del_parts, total = [], [], 0
+
+        if self._matched:
+            tgt_m, s_m = cur.alias("t"), src.alias("s")
+            j = tgt_m.join(
+                s_m, _null_safe_key_cond(tgt_m, s_m, key), "inner"
+            )
+            out, pre, n = self._cascade(
+                j, self._matched, names, types,
+                fallback=lambda c: tgt_m[c], op="merge(when_matched)",
+            )
+            total += n
+            if out is not None:
+                upd_parts.append(out)
+            if pre is not None:
+                del_parts.append(pre)
+
+        if self._not_matched:
+            s_i = src.alias("s")
+            tkeys = cur.select(*key).distinct()
+            nm = s_i.join(
+                tkeys, _null_safe_key_cond(s_i, tkeys, key), "left_anti"
+            )
+            ins, n = self._cascade_insert(nm, src, names, types)
+            total += n
+            if ins is not None:
+                upd_parts.append(ins)
+
+        if self._nmbs:
+            tgt_b = cur.alias("t")
+            skeys = src.select(*key).distinct()
+            nmb = tgt_b.join(
+                skeys, _null_safe_key_cond(tgt_b, skeys, key),
+                "left_anti",
+            )
+            out, pre, n = self._cascade(
+                nmb, self._nmbs, names, types,
+                fallback=lambda c: tgt_b[c],
+                op="merge(when_not_matched_by_source)",
+            )
+            total += n
+            if out is not None:
+                upd_parts.append(out)
+            if pre is not None:
+                del_parts.append(pre)
+
+        if total == 0:
+            return version  # nothing matched any clause: no commit
+        updates = (
+            _union(upd_parts)
+            if upd_parts else t.spark.createDataFrame([], schema)
+        )
+        deletes = _union(del_parts) if del_parts else None
+        return t.merge_into(
+            updates, key,
+            check_key_containment=self._check,
+            txn=txn,
+            deletes=deletes,
+            expected_version=version,
+            merge_schema=self._evolve,
+        )
+
+    # ------------------------------------------------------- internals
+    def _validate_assignments(self, names: list, pcols: list):
+        known = set(names)
+        frozen = {
+            c: "key" for c in self._key
+        } | {c: "partition" for c in pcols}
+        for group, label in ((self._matched, "when_matched"),
+                             (self._nmbs,
+                              "when_not_matched_by_source")):
+            for cl in group:
+                if cl.kind != "update":
+                    continue
+                unknown = sorted(set(cl.assignments) - known)
+                if unknown:
+                    raise TxError(
+                        f"merge: {label}_update assigns unknown "
+                        f"columns {unknown}"
+                    )
+                bad = sorted(set(cl.assignments) & set(frozen))
+                if bad:
+                    kinds = "/".join(
+                        sorted({frozen[c] for c in bad})
+                    )
+                    raise TxError(
+                        f"merge: {label}_update assigns {kinds} "
+                        f"columns {bad} — the rewrite replaces rows "
+                        "per key within touched partitions, so a row "
+                        "changing its key or partition needs a global "
+                        "move (delete + insert instead)"
+                    )
+        for cl in self._not_matched:
+            if cl.assignments:
+                unknown = sorted(set(cl.assignments) - known)
+                if unknown:
+                    raise TxError(
+                        "merge: when_not_matched_insert assigns "
+                        f"unknown columns {unknown}"
+                    )
+
+    def _clause_index(self, frame, clauses):
+        w = None
+        for i, cl in enumerate(clauses):
+            c = (F.lit(True) if cl.condition is None
+                 else _as_col(cl.condition).cast("boolean"))
+            w = F.when(c, F.lit(i)) if w is None else w.when(c, F.lit(i))
+        return frame.withColumn(_M, w)
+
+    def _precheck(self, f, checks, types, op):
+        """One bounded agg: clause-hit count + per-assignment
+        cast-to-NULL detection (ANSI semantics — a value the column
+        type can't hold is an error, not a silent NULL). Also the
+        determinism gate for every condition and assignment (the
+        frames feed multiple passes: this agg, the output select, and
+        merge_into's probe/guard/rewrite)."""
+        _assert_deterministic(
+            f.select(F.col(_M), *(v for _, _, v in checks)),
+            op,
+            "clause expression — classification, the cast pre-flight "
+            "and the rewrite would each evaluate it against a "
+            "different row set",
+        )
+        aggs = [F.sum(F.col(_M).isNotNull().cast("long")).alias("__n")]
+        for j, (i, c, v) in enumerate(checks):
+            bad = (
+                (F.col(_M) == i)
+                & v.isNotNull()
+                & v.try_cast(types[c]).isNull()
+            )
+            aggs.append(F.sum(bad.cast("long")).alias(f"__bad_{j}"))
+        row = f.agg(*aggs).collect()[0]
+        bad_cols = sorted({
+            c for j, (i, c, v) in enumerate(checks)
+            if row[f"__bad_{j}"]
+        })
+        if bad_cols:
+            raise TxError(
+                f"{op}: assignment to {bad_cols} does not cast to the "
+                "column type (would silently become NULL) — fix the "
+                "expression or cast it explicitly"
+            )
+        return row["__n"] or 0
+
+    def _cascade(self, frame, clauses, names, types, fallback, op):
+        """First-true-wins cascade for update/delete clause groups.
+        Returns (update_rows, delete_preimages, n_affected). Rows where
+        no clause matched but whose KEY was touched by some sibling row
+        pass through into the updates frame byte-identical — the
+        key-replacement rewrite replaces per key, so without the
+        passthrough a duplicate-key target would silently drop the
+        untouched siblings."""
+        f = self._clause_index(frame, clauses)
+        upd_idx = [i for i, cl in enumerate(clauses)
+                   if cl.kind == "update"]
+        del_idx = [i for i, cl in enumerate(clauses)
+                   if cl.kind == "delete"]
+        vals = {
+            i: {c: _as_col(e) for c, e in cl.assignments.items()}
+            for i, cl in enumerate(clauses) if cl.kind == "update"
+        }
+        checks = [
+            (i, c, v) for i, m in vals.items() for c, v in m.items()
+        ]
+        n = self._precheck(f, checks, types, op)
+        if n == 0:
+            return None, None, 0
+        out = None
+        if upd_idx:
+            cols = []
+            for c in names:
+                expr = None
+                for i in upd_idx:
+                    if c in vals[i]:
+                        v = vals[i][c].try_cast(types[c])
+                        expr = (
+                            F.when(F.col(_M) == i, v) if expr is None
+                            else expr.when(F.col(_M) == i, v)
+                        )
+                cols.append(
+                    (expr.otherwise(fallback(c)) if expr is not None
+                     else fallback(c)).alias(c)
+                )
+            out = f.filter(F.col(_M).isin(upd_idx)).select(*cols)
+        pre = None
+        if del_idx:
+            pre = f.filter(F.col(_M).isin(del_idx)).select(
+                *(fallback(c).alias(c) for c in names)
+            )
+        # duplicate-key-target passthrough: untouched rows sharing a
+        # key with any clause-touched row ride along as identity
+        # updates (empty for the common key-unique target — the
+        # semi-join probe side is the touched keys, bounded by the
+        # source size)
+        touched = [x for x in (out, pre) if x is not None]
+        akeys = _union([p.select(*self._key) for p in touched]).distinct()
+        untouched = f.filter(F.col(_M).isNull()).select(
+            *(fallback(c).alias(c) for c in names)
+        )
+        ident = untouched.join(
+            akeys, _null_safe_key_cond(untouched, akeys, self._key),
+            "left_semi",
+        )
+        out = out.unionByName(ident) if out is not None else ident
+        return out, pre, n
+
+    def _cascade_insert(self, nm, src, names, types):
+        """First-true-wins cascade for the insert clause group over the
+        not-matched source rows. Returns (insert_rows, n)."""
+        clauses = self._not_matched
+        f = self._clause_index(nm, clauses)
+        vals = {}
+        for i, cl in enumerate(clauses):
+            if cl.assignments is not None:
+                m = {c: _as_col(e) for c, e in cl.assignments.items()}
+            else:  # insertAll: source columns by name, missing -> NULL
+                m = {c: src[c] for c in names if c in src.columns}
+            vals[i] = m
+        checks = [
+            (i, c, v) for i, m in vals.items() for c, v in m.items()
+        ]
+        n = self._precheck(f, checks, types,
+                           "merge(when_not_matched)")
+        if n == 0:
+            return None, 0
+        cols = []
+        for c in names:
+            expr = None
+            for i in vals:
+                v = vals[i].get(c)
+                v = (F.lit(None) if v is None else v).try_cast(types[c])
+                expr = (
+                    F.when(F.col(_M) == i, v) if expr is None
+                    else expr.when(F.col(_M) == i, v)
+                )
+            cols.append(
+                expr.otherwise(F.lit(None).cast(types[c])).alias(c)
+            )
+        return f.filter(F.col(_M).isNotNull()).select(*cols), n
