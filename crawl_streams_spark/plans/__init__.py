@@ -8,8 +8,8 @@ bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
 Ordering policy (round 13 — planner-generated via
-``python -m scripts.plan_rotation 13`` at the 187-query registry
-(184 + the three new oracle gates below), then three filler slots
+``python -m scripts.plan_rotation 13`` at the 190-query registry
+(184 + the six new oracle gates below), then six filler slots
 donated from the END to round-13 additions, per the planner's own
 donation rule):
 
@@ -23,15 +23,22 @@ donation rule):
   oldest verdicts first. ``parts_bought_together`` /
   ``orders_validation_report`` are sole members of their families and
   recur every round by construction.
-- Slots 27-29: round-13 NEW gates, in-window at birth (VERDICT r12
-  item 2 — the last conformance-only §2 crawl ops get named oracle
-  gates): ``referrer_host_histogram`` (A-5 self-exclusion),
+- Slots 27-32: round-13 NEW gates, in-window at birth. First the last
+  conformance-only §2 crawl ops (VERDICT r12 item 2):
+  ``referrer_host_histogram`` (A-5 self-exclusion),
   ``screenshot_strip_ring`` (P-8 + A-10 strip/ring over the real
   operator), ``solr_etl_projection`` (the F-6/F-8/F-9/F-10 crawl-db
-  ETL projection as one DuckDB-replayable gate). Registry 187 ≤ 196.
-- Slots 30-50: oldest-verdict fillers (r9), the planner's last three
-  (``media_png_features``, ``media_wav_features``,
-  ``null_coalesce_projection``) donated to the new gates above.
+  ETL projection as one DuckDB-replayable gate). Then the previously
+  pytest-only TRANSACTIONAL family (q_tx): ``tx_dml_merge_state``
+  (row-level DML + the r13 four-clause MergeBuilder),
+  ``tx_cdf_change_counts`` (Change Data Feed accounting),
+  ``tx_time_travel_counts`` (snapshot isolation + RESTORE).
+  Registry 190 ≤ 196.
+- Slots 33-50: oldest-verdict fillers (r9); six filler slots donated
+  to the new gates above (the planner's last three —
+  ``media_png_features``, ``media_wav_features``,
+  ``null_coalesce_projection`` — plus ``lang_source_rollup``,
+  ``media_jpeg_features``, ``media_png16_features``).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -70,6 +77,7 @@ from . import q_validate  # noqa: E402,F401
 from . import q_behavior  # noqa: E402,F401
 from . import q_timeseries  # noqa: E402,F401
 from . import q_market  # noqa: E402,F401
+from . import q_tx  # noqa: E402,F401
 
 #: Size of the external harness's verification prefix (empirical, round 1).
 DRIVER_WINDOW = 50
@@ -109,6 +117,10 @@ PRIORITY: tuple[str, ...] = (
     "referrer_host_histogram",  # q_crawl, NEW — A-5 self-exclusion
     "screenshot_strip_ring",  # q_crawl, NEW — P-8 + A-10 over the operator
     "solr_etl_projection",  # q_crawl, NEW — F-6/F-8/F-9/F-10 ETL in one gate
+    # -- round-13 NEW tx-family gates (previously pytest-only surface) ---
+    "tx_dml_merge_state",  # q_tx, NEW — DML + 4-clause MergeBuilder
+    "tx_cdf_change_counts",  # q_tx, NEW — Change Data Feed accounting
+    "tx_time_travel_counts",  # q_tx, NEW — snapshots + RESTORE
     # -- oldest-verdict fillers (planner section 3): all r9-verdict ------
     "balanced_shard_stats",  # q_pipeline, r9
     "customer_order_left_join",  # q_tpch, r9
@@ -128,9 +140,6 @@ PRIORITY: tuple[str, ...] = (
     "heavy_hitter_keys",  # q_sketch, r9
     "hist_median_by_type",  # q_events, r9
     "knn_ivf_pq_fixed",  # q_similarity, r9
-    "lang_source_rollup",  # q_text, r9
-    "media_jpeg_features",  # q_crawl, r9
-    "media_png16_features",  # q_crawl, r9
 )
 
 

@@ -40,6 +40,11 @@ def test_round_changed_queries_in_window():
         "referrer_host_histogram",  # NEW: A-5 self-exclusion
         "screenshot_strip_ring",  # NEW: P-8 + A-10 over the operator
         "solr_etl_projection",  # NEW: F-6/F-8/F-9/F-10 ETL in one gate
+        # round-13 tx-family gates (the previously pytest-only
+        # transactional surface: DML + MergeBuilder, CDF, time travel)
+        "tx_dml_merge_state",  # NEW: delete/update + 4-clause merge
+        "tx_cdf_change_counts",  # NEW: Change Data Feed accounting
+        "tx_time_travel_counts",  # NEW: snapshots + RESTORE
     ):
         assert name in window, name
 
