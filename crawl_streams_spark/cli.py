@@ -466,9 +466,10 @@ def cmd_table(args) -> int:
                 {"deleted": t.clean_log(args.retention)}
             ))
         elif args.action == "vacuum":
-            print(_json.dumps(
-                {"deleted": t.vacuum_orphans(args.retention)}
-            ))
+            files = t.vacuum_orphans(args.retention,
+                                     dry_run=args.dry_run)
+            key = "would_delete" if args.dry_run else "deleted"
+            print(_json.dumps({key: files}))
         elif args.action == "maintain":
             print(_json.dumps(t.maintain(
                 every_n_commits=args.every_n_commits,
@@ -712,6 +713,9 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--every-n-commits", type=int, default=50)
     tb.add_argument("--force", action="store_true",
                     help="run maintain now regardless of cadence")
+    tb.add_argument("--dry-run", action="store_true",
+                    help="vacuum: report the would-be deletions "
+                    "without touching any file")
     tb.set_defaults(fn=cmd_table)
 
     q = sub.add_parser(

@@ -140,6 +140,18 @@ def _null_safe_key_cond(left: "DataFrame", right: "DataFrame", key: list):
     )
 
 
+#: Protocol versions this engine understands (the Delta reader/writer
+#: protocol idea, r13): a table stamped with a HIGHER requirement was
+#: written by a future engine using features this code cannot honor —
+#: reading it could silently miss semantics (deletion vectors, column
+#: mapping), writing it could corrupt invariants. Refuse loudly
+#: instead. Feature -> writer floor mirrors the public Delta mapping:
+#: CHECK constraints need writer 3, Change Data Feed writer 4.
+_SUPPORTED_READER = 2
+_SUPPORTED_WRITER = 4
+_BASE_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
 #: Per-query-seeded time functions Spark still flags deterministic —
 #: each evaluation pass is its own query, so now() re-resolves
 #: differently per pass (VERDICT r12).
@@ -299,23 +311,42 @@ class TxTable:
             meta["configuration"] = {
                 str(k): str(v) for k, v in configuration.items()
             }
-        # constraints stamped at birth gate the seed rows too — and the
-        # check runs before any data file exists, so a refusal leaves
-        # nothing behind (the still-empty log dir is unwound, keeping
-        # create retryable)
+        # generated columns compute (or verify) on the seed rows, and
+        # constraints stamped at birth gate them too — both run before
+        # any data file exists, so a refusal leaves nothing behind
+        # (the still-empty log dir is unwound, keeping create
+        # retryable)
         try:
+            df = self._apply_generated(df, meta, "create")
+            meta["schema"] = df.schema.json()
             self._check_constraints(df, meta, "create")
         except TxError:
             os.rmdir(log_dir)
             raise
         adds = self._write_data_files(df, partition_by)
+        proto = dict(_BASE_PROTOCOL)
+        cfg = meta.get("configuration") or {}
+        if any(k.startswith("constraint.") for k in cfg):
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], 3)
+        if str(cfg.get("enableChangeDataFeed", "")).lower() == "true" \
+                or any(k.startswith("generated.") for k in cfg):
+            proto["minWriterVersion"] = max(proto["minWriterVersion"], 4)
         actions = [
+            {"protocol": proto},
             {"metaData": meta},
             {"commitInfo": {"operation": "CREATE"}},
         ] + [{"add": a} for a in adds]
         if not self._claim(0, actions):
             raise TxError(f"lost the create race for {path}")
         return self
+
+    def protocol(self) -> dict:
+        """The table's reader/writer protocol requirement (the Delta
+        protocol action, r13) — stamped at create, bumped when a
+        feature with a higher writer floor is enabled, implied
+        ``minReaderVersion 1 / minWriterVersion 2`` for tables from
+        before stamping."""
+        return dict(self._snapshot(self.latest_version())["protocol"])
 
     def table_configuration(self) -> dict:
         """The key/value configuration stamped at create — empty for
@@ -342,6 +373,61 @@ class TxTable:
             k[len(pre):]: v for k, v in cfg.items()
             if k.startswith(pre)
         }
+
+    @staticmethod
+    def _generated(meta: dict) -> dict:
+        """column -> SQL generation expression (``generated.<col>``
+        configuration keys — the Delta generated-columns idea).
+        Expressions reference NON-generated columns only (one that
+        names another generated column fails analysis when computed
+        over a batch that omits both)."""
+        cfg = meta.get("configuration") or {}
+        pre = "generated."
+        return {
+            k[len(pre):]: v for k, v in cfg.items()
+            if k.startswith(pre)
+        }
+
+    def _apply_generated(self, df: DataFrame, meta: dict, op: str,
+                         recompute: bool = False) -> DataFrame:
+        """Generated columns at write time (Delta semantics): a batch
+        MISSING a generated column gets it computed; one CARRYING it is
+        VERIFIED against the expression (null-safe) and refused on
+        mismatch — silently storing a value that contradicts the
+        generation rule would poison every downstream read that trusts
+        it (partition pruning on a derived date being the classic).
+        ``recompute=True`` (MERGE/UPDATE paths) overwrites the carried
+        value from the expression instead — those paths legitimately
+        change base columns and the stored derivation must follow."""
+        import pyspark.sql.functions as F
+
+        gen = self._generated(meta)
+        if not gen:
+            return df
+        verify = []
+        for c, e in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+            elif recompute:
+                df = df.withColumn(c, F.expr(e))
+            else:
+                verify.append((c, e))
+        if verify:
+            aggs = [
+                F.sum(
+                    (~F.col(c).eqNullSafe(F.expr(e))).cast("long")
+                ).alias(f"__bad_{c}")
+                for c, e in verify
+            ]
+            row = df.agg(*aggs).collect()[0]
+            bad = sorted(c for c, _ in verify if row[f"__bad_{c}"])
+            if bad:
+                raise TxError(
+                    f"{op}: generated columns {bad} carry values that "
+                    "disagree with their generation expressions — omit "
+                    "them (they are computed) or fix the batch"
+                )
+        return df
 
     def _check_constraints(self, df: DataFrame, meta: dict,
                            op: str) -> None:
@@ -397,7 +483,15 @@ class TxTable:
                 )
 
         def build(snap2):
-            return [{"metaData": meta}]
+            head = []
+            proto = dict(snap2["protocol"])
+            if proto.get("minWriterVersion", 2) < 3:
+                # CHECK constraints are a writer-3 feature (the Delta
+                # mapping): once one exists, an engine that would not
+                # enforce it must refuse to write
+                proto["minWriterVersion"] = 3
+                head.append({"protocol": proto})
+            return head + [{"metaData": meta}]
 
         try:
             return self._commit_with_retry(
@@ -506,6 +600,7 @@ class TxTable:
         cp = os.path.join(self.log_dir, _ckpt_name(version))
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}")
         payload = {"version": version, "metaData": snap["metaData"],
+                   "protocol": snap["protocol"],
                    "adds": list(snap["adds"].values())}
         if snap["txns_complete"]:
             # carry the cumulative token set so seen_txn on a fresh
@@ -546,6 +641,7 @@ class TxTable:
                 )
             raise TxError(f"version {version} does not exist")
         meta = None
+        proto = None
         adds: dict = {}
         txns: set = set()
         txns_complete = True
@@ -554,6 +650,7 @@ class TxTable:
         if ckpt is not None:
             cv, payload = ckpt
             meta = payload["metaData"]
+            proto = payload.get("protocol")
             adds = {a["path"]: a for a in payload["adds"]}
             if "txns" in payload:
                 txns = set(payload["txns"])
@@ -587,10 +684,21 @@ class TxTable:
                     adds.pop(action["remove"]["path"], None)
                 elif "txn" in action:
                     txns.add(action["txn"]["appId"])
+                elif "protocol" in action:
+                    proto = action["protocol"]
         if meta is None:
             raise TxError("log is missing table metadata")
+        # tables from before protocol stamping imply the base protocol
+        proto = proto or dict(_BASE_PROTOCOL)
+        if proto.get("minReaderVersion", 1) > _SUPPORTED_READER:
+            raise TxError(
+                f"table requires reader protocol version "
+                f"{proto['minReaderVersion']} (this engine supports "
+                f"{_SUPPORTED_READER}) — a newer writer enabled "
+                "features this reader cannot honor"
+            )
         return {"metaData": meta, "adds": adds, "txns": txns,
-                "txns_complete": txns_complete}
+                "txns_complete": txns_complete, "protocol": proto}
 
     def _declared_schema(self, snap):
         from pyspark.sql.types import StructType
@@ -1158,6 +1266,14 @@ class TxTable:
         for _ in range(max_retries):
             version = self.latest_version()
             snap = self._snapshot(version)
+            need = snap["protocol"].get("minWriterVersion", 2)
+            if need > _SUPPORTED_WRITER:
+                raise TxError(
+                    f"table requires writer protocol version {need} "
+                    f"(this engine supports {_SUPPORTED_WRITER}) — "
+                    "writing would break invariants a newer engine's "
+                    "features maintain"
+                )
             validate(snap)
             actions = [{"commitInfo": {"operation": operation}}]
             actions += build_actions(snap)
@@ -1216,6 +1332,7 @@ class TxTable:
         the widened metaData, and older files null-fill the new columns
         on read (the declared-schema read path)."""
         meta = self._snapshot(self.latest_version())["metaData"]
+        df = self._apply_generated(df, meta, "append")
         new_meta = self._schema_guard(df, meta, "append", merge_schema)
         self._check_constraints(df, meta, "append")
         adds = self._write_data_files(df, meta["partitionColumns"])
@@ -1262,6 +1379,7 @@ class TxTable:
         if txn is not None and self.seen_txn(txn):
             return self.latest_version()  # idempotent replay: no-op
         meta = self._snapshot(self.latest_version())["metaData"]
+        df = self._apply_generated(df, meta, "overwrite_partitions")
         self._schema_guard(df, meta, "overwrite_partitions")
         self._check_constraints(df, meta, "overwrite_partitions")
         pcols = meta["partitionColumns"]
@@ -1411,6 +1529,11 @@ class TxTable:
                 "computed against; retry the operation"
             )
         snap = self._snapshot(version)
+        # MERGE legitimately changes base columns, so carried generated
+        # values RECOMPUTE from their expressions (Delta semantics)
+        updates = self._apply_generated(
+            updates, snap["metaData"], "merge_into", recompute=True
+        )
         new_meta = self._schema_guard(
             updates, snap["metaData"], "merge_into", merge_schema
         )
@@ -1754,6 +1877,14 @@ class TxTable:
             )
             if unknown:
                 raise TxError(f"{op}: unknown columns {unknown}")
+            gen_cols = self._generated(snap["metaData"])
+            bad_gen = sorted(set(assignments) & set(gen_cols))
+            if bad_gen:
+                raise TxError(
+                    f"{op}: columns {bad_gen} are generated — their "
+                    "values derive from their expressions; update the "
+                    "base columns instead"
+                )
         adds = list(snap["adds"].values())
         if not adds:
             return 0
@@ -1845,6 +1976,8 @@ class TxTable:
                         for c in names
                     )
                 )
+                for c, e in gen_cols.items():
+                    post_img = post_img.withColumn(c, F.expr(e))
                 self._check_constraints(
                     post_img, snap["metaData"], op.lower() + "_where"
                 )
@@ -1856,6 +1989,11 @@ class TxTable:
                     for c in names
                 )
             )
+            # generated columns follow their updated base columns
+            # (recomputing non-hit rows is an identity — they were
+            # verified at write)
+            for c, e in gen_cols.items():
+                out = out.withColumn(c, F.expr(e))
         else:
             n_affected = hit_df.filter(is_hit).count()
             out = hit_df.filter(~is_hit).select(*names)
@@ -1869,18 +2007,21 @@ class TxTable:
             # without cdc actions.
             hits = hit_df.filter(is_hit)
             if assignments:
+                post = hits.select(
+                    *(
+                        vals[c].try_cast(schema[c].dataType).alias(c)
+                        if c in vals else F.col(c)
+                        for c in names
+                    )
+                )
+                for c, e in gen_cols.items():
+                    # the feed's postimage rows must match the table
+                    post = post.withColumn(c, F.expr(e))
                 cdf = (
                     hits.select(*names)
                     .withColumn("_change_type", F.lit("update_preimage"))
                     .unionByName(
-                        hits.select(
-                            *(
-                                vals[c].try_cast(schema[c].dataType)
-                                .alias(c)
-                                if c in vals else F.col(c)
-                                for c in names
-                            )
-                        ).withColumn(
+                        post.withColumn(
                             "_change_type", F.lit("update_postimage")
                         )
                     )

@@ -198,7 +198,9 @@ class MergeBuilder:
         names = [f.name for f in schema.fields]
         types = {f.name: f.dataType for f in schema.fields}
         pcols = snap["metaData"]["partitionColumns"]
-        self._validate_assignments(names, pcols)
+        self._validate_assignments(
+            names, pcols, t._generated(snap["metaData"])
+        )
         # Delta's "multiple source rows matched" refusal: with dup keys
         # the cascade result depends on join multiplicity. GROUP BY
         # treats NULLs as one group — consistent with null-safe keys.
@@ -287,11 +289,14 @@ class MergeBuilder:
         )
 
     # ------------------------------------------------------- internals
-    def _validate_assignments(self, names: list, pcols: list):
+    def _validate_assignments(self, names: list, pcols: list,
+                              gen: dict):
         known = set(names)
-        frozen = {
-            c: "key" for c in self._key
-        } | {c: "partition" for c in pcols}
+        frozen = (
+            {c: "generated" for c in gen}
+            | {c: "key" for c in self._key}
+            | {c: "partition" for c in pcols}
+        )
         for group, label in ((self._matched, "when_matched"),
                              (self._nmbs,
                               "when_not_matched_by_source")):
@@ -311,10 +316,10 @@ class MergeBuilder:
                     )
                     raise TxError(
                         f"merge: {label}_update assigns {kinds} "
-                        f"columns {bad} — the rewrite replaces rows "
-                        "per key within touched partitions, so a row "
-                        "changing its key or partition needs a global "
-                        "move (delete + insert instead)"
+                        f"columns {bad} — key/partition columns would "
+                        "need a global row move (delete + insert "
+                        "instead); generated columns derive from their "
+                        "expressions (update the base columns)"
                     )
         for cl in self._not_matched:
             if cl.assignments:

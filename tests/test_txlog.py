@@ -708,6 +708,158 @@ def test_vacuum_sees_partitions_with_log_like_names(spark, tmp_path):
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2]
 
 
+# ------------------------------------------------ generated columns (r13)
+def test_generated_column_computed_verified_and_partitioning(spark,
+                                                             tmp_path):
+    """``generated.<col>`` config: missing -> computed (even as the
+    partition column), carried-and-consistent -> accepted,
+    carried-and-wrong -> refused; appends follow the same rules."""
+    src = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    t = TxTable.create(
+        spark, str(tmp_path / "g"), src,
+        partition_by=["bucket"],
+        configuration={"generated.bucket": "concat('b', id % 2)"},
+    )
+    assert t.read().schema.fieldNames() == ["id", "v", "bucket"]
+    assert {(r["id"], r["bucket"]) for r in t.read().collect()} == {
+        (1, "b1"),
+    }
+    assert t.protocol()["minWriterVersion"] == 4  # the feature floor
+    # append without the column: computed, lands in its partition
+    t.append(spark.createDataFrame([(2, "b")], "id bigint, v string"))
+    # append carrying a CONSISTENT value: verified, accepted
+    t.append(spark.createDataFrame(
+        [(4, "d", "b0")], "id bigint, v string, bucket string"
+    ))
+    assert {(r["id"], r["bucket"]) for r in t.read().collect()} == {
+        (1, "b1"), (2, "b0"), (4, "b0"),
+    }
+    # carrying a WRONG value: refused
+    with pytest.raises(TxError, match="generated columns"):
+        t.append(spark.createDataFrame(
+            [(6, "x", "b1")], "id bigint, v string, bucket string"
+        ))
+
+
+def test_generated_column_recomputes_under_update_and_merge(spark,
+                                                            tmp_path):
+    """UPDATE/MERGE change base columns, so the stored derivation
+    follows (Delta recompute semantics); assigning the generated
+    column directly is refused on both paths."""
+    src = spark.createDataFrame([(1, 5), (2, 6)], "id bigint, n bigint")
+    t = TxTable.create(
+        spark, str(tmp_path / "gr"), src,
+        partition_by=["day"],
+        configuration={"generated.day": "concat('d', id % 2)",
+                       "generated.n2": "n * 2"},
+    )
+    assert {(r["id"], r["n2"]) for r in t.read().collect()} == {
+        (1, 10), (2, 12),
+    }
+    t.update_where("id = 1", {"n": "50"})
+    assert {(r["id"], r["n"], r["n2"]) for r in t.read().collect()} == {
+        (1, 50, 100), (2, 6, 12),
+    }
+    with pytest.raises(TxError, match="generated"):
+        t.update_where("id = 1", {"n2": "0"})
+    # merge: a stale carried n2 silently recomputes (Delta semantics)
+    upd = spark.createDataFrame(
+        [(2, 9, 999, "d0")], "id bigint, n bigint, n2 bigint, day string"
+    )
+    t.merge_into(upd, ["id"])
+    assert {(r["id"], r["n"], r["n2"]) for r in t.read().collect()} == {
+        (1, 50, 100), (2, 9, 18),
+    }
+    # and through the builder, assigning it is refused up front
+    with pytest.raises(TxError, match="generated"):
+        (
+            t.merge(upd.select("id", "n", "day"), ["id"])
+            .when_matched_update({"n2": "0"})
+            .execute()
+        )
+
+
+def test_generated_column_cdf_postimage_matches_table(spark, tmp_path):
+    """The Change Data Feed's update_postimage rows carry the
+    RECOMPUTED generated values — a feed that disagreed with the table
+    would corrupt every replica folded from it."""
+    t = TxTable.create(
+        spark, str(tmp_path / "gc"),
+        spark.createDataFrame([(1, 5, "d1")],
+                              "id bigint, n bigint, day string"),
+        partition_by=["day"],
+        configuration={"enableChangeDataFeed": "true",
+                       "generated.n2": "n * 2"},
+    )
+    t.update_where("id = 1", {"n": "7"})
+    post = [
+        r for r in t.table_changes(0, 1).collect()
+        if r["_change_type"] == "update_postimage"
+    ]
+    assert [(r["n"], r["n2"]) for r in post] == [(7, 14)]
+
+
+# --------------------------------------------------- protocol gating (r13)
+def test_protocol_stamped_at_create_and_feature_bumped(spark, tmp_path):
+    """The Delta protocol action: base (1, 2) at create; CDF tables are
+    writer-4 at birth; adding a CHECK constraint bumps writer to 3."""
+    t = TxTable.create(
+        spark, str(tmp_path / "p1"), _df(spark, [(1, "a", "d1")]),
+        partition_by=["day"],
+    )
+    assert t.protocol() == {"minReaderVersion": 1, "minWriterVersion": 2}
+    t.set_constraint("pos", "id > 0")
+    assert t.protocol()["minWriterVersion"] == 3
+
+    cdf = TxTable.create(
+        spark, str(tmp_path / "p2"), _df(spark, [(1, "a", "d1")]),
+        partition_by=["day"],
+        configuration={"enableChangeDataFeed": "true"},
+    )
+    assert cdf.protocol()["minWriterVersion"] == 4
+
+
+def test_future_protocol_refuses_read_or_write(spark, tmp_path):
+    """A table stamped by a FUTURE engine: higher minReaderVersion
+    refuses reads, higher minWriterVersion alone still reads but
+    refuses every write path."""
+    t = TxTable.create(
+        spark, str(tmp_path / "pf"), _df(spark, [(1, "a", "d1")]),
+        partition_by=["day"],
+    )
+    assert t._claim(1, [
+        {"commitInfo": {"operation": "UPGRADE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 99}},
+    ])
+    assert sorted(r["id"] for r in t.read().collect()) == [1]  # reads ok
+    with pytest.raises(TxError, match="writer protocol version 99"):
+        t.append(_df(spark, [(2, "b", "d1")]))
+    with pytest.raises(TxError, match="writer protocol version 99"):
+        t.delete_where("id = 1")
+    assert t._claim(2, [
+        {"commitInfo": {"operation": "UPGRADE"}},
+        {"protocol": {"minReaderVersion": 99, "minWriterVersion": 99}},
+    ])
+    with pytest.raises(TxError, match="reader protocol version 99"):
+        t.read()
+
+
+def test_protocol_survives_checkpoint_and_clean(spark, tmp_path):
+    """The checkpoint payload carries the protocol, so the gate holds
+    after clean_log removes the commit that stamped it."""
+    t = TxTable.create(
+        spark, str(tmp_path / "pc"), _df(spark, [(1, "a", "d1")]),
+        partition_by=["day"], checkpoint_interval=2,
+    )
+    t.set_constraint("pos", "id > 0")  # v1: writer 3 stamped
+    t.append(_df(spark, [(2, "b", "d1")]))  # v2: checkpoint
+    t.append(_df(spark, [(3, "c", "d1")]))  # v3
+    t.append(_df(spark, [(4, "d", "d1")]))  # v4: checkpoint
+    t.clean_log(min_age_seconds=0)
+    fresh = TxTable(spark, t.path)
+    assert fresh.protocol()["minWriterVersion"] == 3
+
+
 def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     """vacuum_orphans(dry_run=True) — the Delta VACUUM DRY RUN dial
     (r13): same candidate list, zero deletions."""
