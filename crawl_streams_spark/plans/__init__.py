@@ -8,8 +8,8 @@ bounded prefix of the registry; round 1 proved only the first 50 entries
 get driver verdicts, leaving 43 queries with local-only evidence).
 
 Ordering policy (round 13 — planner-generated via
-``python -m scripts.plan_rotation 13`` at the 190-query registry
-(184 + the six new oracle gates below), then six filler slots
+``python -m scripts.plan_rotation 13`` at the 191-query registry
+(184 + the seven new oracle gates below), then seven filler slots
 donated from the END to round-13 additions, per the planner's own
 donation rule):
 
@@ -23,7 +23,7 @@ donation rule):
   oldest verdicts first. ``parts_bought_together`` /
   ``orders_validation_report`` are sole members of their families and
   recur every round by construction.
-- Slots 27-32: round-13 NEW gates, in-window at birth. First the last
+- Slots 27-33: round-13 NEW gates, in-window at birth. First the last
   conformance-only §2 crawl ops (VERDICT r12 item 2):
   ``referrer_host_histogram`` (A-5 self-exclusion),
   ``screenshot_strip_ring`` (P-8 + A-10 strip/ring over the real
@@ -32,13 +32,15 @@ donation rule):
   pytest-only TRANSACTIONAL family (q_tx): ``tx_dml_merge_state``
   (row-level DML + the r13 four-clause MergeBuilder),
   ``tx_cdf_change_counts`` (Change Data Feed accounting),
-  ``tx_time_travel_counts`` (snapshot isolation + RESTORE).
-  Registry 190 ≤ 196.
-- Slots 33-50: oldest-verdict fillers (r9); six filler slots donated
-  to the new gates above (the planner's last three —
+  ``tx_time_travel_counts`` (snapshot isolation + RESTORE),
+  ``tx_generated_dml_state`` (generated columns incl. the partition
+  column, recompute under DML). Registry 191 ≤ 196.
+- Slots 34-50: oldest-verdict fillers (r9); seven filler slots
+  donated to the new gates above (the planner's last three —
   ``media_png_features``, ``media_wav_features``,
   ``null_coalesce_projection`` — plus ``lang_source_rollup``,
-  ``media_jpeg_features``, ``media_png16_features``).
+  ``media_jpeg_features``, ``media_png16_features``,
+  ``knn_ivf_pq_fixed``).
 - The rotation debt guard (tests/test_registry_order.py::
   test_no_query_strands_beyond_k_rounds) asserts zero strands at the
   max CHECKED-IN CORRECTNESS round (the enforceable end-of-round
@@ -121,6 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "tx_dml_merge_state",  # q_tx, NEW — DML + 4-clause MergeBuilder
     "tx_cdf_change_counts",  # q_tx, NEW — Change Data Feed accounting
     "tx_time_travel_counts",  # q_tx, NEW — snapshots + RESTORE
+    "tx_generated_dml_state",  # q_tx, NEW — generated columns + DML
     # -- oldest-verdict fillers (planner section 3): all r9-verdict ------
     "balanced_shard_stats",  # q_pipeline, r9
     "customer_order_left_join",  # q_tpch, r9
@@ -139,7 +142,6 @@ PRIORITY: tuple[str, ...] = (
     "formatted_log_lines",  # q_events, r9
     "heavy_hitter_keys",  # q_sketch, r9
     "hist_median_by_type",  # q_events, r9
-    "knn_ivf_pq_fixed",  # q_similarity, r9
 )
 
 

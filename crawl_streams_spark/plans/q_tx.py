@@ -273,3 +273,71 @@ def tx_time_travel_counts(spark, sf_dir):
         rows, "version bigint, n bigint, cents_sum bigint"
     )
     return out.orderBy("version")
+
+
+@query(
+    "tx_generated_dml_state",
+    oracle=f"""
+    WITH o AS ({_ORDERS_SQL}),
+    upd AS (
+        SELECT k, pri, ck,
+               CASE WHEN pri = '1-URGENT' THEN cents + 13
+                    ELSE cents END AS cents
+        FROM o
+    ),
+    final AS (
+        SELECT k, cents,
+               'p' || CAST(k % 4 AS VARCHAR) AS bucket,
+               cents % 97 AS centmod
+        FROM upd
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(centmod) AS BIGINT) AS centmod_sum
+    FROM final GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("tx", "generated", "dml", "extension"),
+)
+def tx_generated_dml_state(spark, sf_dir):
+    """Generated columns end to end (r13): a table whose PARTITION
+    column (``bucket``) and a data column (``centmod``) are generated
+    — create computes them on the seed rows, append computes them on a
+    batch that omits them, and a row-level UPDATE to the base column
+    RECOMPUTES the derivation. The oracle replays the derivation and
+    the update as plain expressions; agreement proves compute-at-write
+    and recompute-under-DML both match the declared expressions."""
+    from ..operators.txlog import TxTable
+
+    o = _orders(spark, sf_dir).select("k", "pri", "ck", "cents")
+    tmp = tempfile.mkdtemp(prefix="txgate_gen_")
+    try:
+        t = TxTable.create(
+            spark,
+            os.path.join(tmp, "t"),
+            o.filter(F.col("k") % 2 == 0),
+            partition_by=["bucket"],
+            configuration={
+                "generated.bucket": "concat('p', k % 4)",
+                "generated.centmod": "cents % 97",
+            },
+        )
+        t.append(o.filter(F.col("k") % 2 == 1))
+        t.update_where("pri = '1-URGENT'", {"cents": "cents + 13"})
+        rows = (
+            t.read()
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("cents_sum"),
+                F.sum("centmod").alias("centmod_sum"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(r["bucket"], r["n"], r["cents_sum"], r["centmod_sum"])
+         for r in rows],
+        "bucket string, n bigint, cents_sum bigint, centmod_sum bigint",
+    )
+    return out.orderBy("bucket")

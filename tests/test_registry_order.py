@@ -45,6 +45,7 @@ def test_round_changed_queries_in_window():
         "tx_dml_merge_state",  # NEW: delete/update + 4-clause merge
         "tx_cdf_change_counts",  # NEW: Change Data Feed accounting
         "tx_time_travel_counts",  # NEW: snapshots + RESTORE
+        "tx_generated_dml_state",  # NEW: generated columns + DML
     ):
         assert name in window, name
 
