@@ -90,10 +90,14 @@ def top_unshipped_orders(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = load_table(spark, sf_dir, "orders").filter(
+    # r13: parallelism floor on both SF-linear sides — the single-row-group
+    # test scans otherwise run the whole BHJ probe + partial agg on one
+    # task (interleaved A/B at sf0.1: median 1.26 s → 1.03 s); no-op at
+    # real scale (guard in tables._ensure_min_parallelism).
+    o = load_table(spark, sf_dir, "orders", spread_on=("o_orderkey",)).filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
     )
-    l = load_table(spark, sf_dir, "lineitem").filter(
+    l = load_table(spark, sf_dir, "lineitem", spread_on=("l_orderkey",)).filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
     )
     return (
@@ -142,7 +146,10 @@ def regional_revenue(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
+    # r13: parallelism floor — the orders-side broadcast leaves lineitem
+    # unshuffled, so its BHJ probe ran inside the one-task test scan
+    # (interleaved A/B at sf0.1: median 2.20 s → 1.12 s); no-op at scale.
+    l = load_table(spark, sf_dir, "lineitem", spread_on=("l_orderkey",))
     dims = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
