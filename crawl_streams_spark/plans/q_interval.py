@@ -92,8 +92,26 @@ def concurrent_sessions(spark, sf_dir):
     every session appears in the join output, eliminating the zero-count
     outer join that forced a third sessionization branch into the plan
     (the r5 bench watch item: 2 scans + 6 window chains → 2 scans with
-    one ReusedExchange and no final join)."""
-    s = _sessions_us(spark, sf_dir)
+    one ReusedExchange and no final join).
+
+    r13: the sessions relation is materialized once with a lazy
+    localCheckpoint before the self-join. Before, only the events
+    exchange was runtime-shared between the two branches and the whole
+    post-shuffle chain (sort + two window passes + session aggregation)
+    ran TWICE — once for the probe side, once inside the broadcast
+    build. An exchange-reuse barrier (repartition) does not work here:
+    the chain stays hash-partitioned on user_id end to end, so any
+    repartition on a satisfied key is eliminated as redundant, and an
+    unsatisfied key adds a sequential AQE stage that costs more than it
+    saves. The checkpoint halves the sessionize work — plan diff: two
+    full window chains → one + Scan ExistingRDD, 2 shuffles → 1. At
+    sf0.1/local[32] this is wall-neutral (interleaved A/B, 7 rounds:
+    min 1.166 → 1.148 s — the duplicate chain ran on otherwise-idle
+    cores); at scale cores are not idle, so computing sessions once is
+    strictly less work. Conservative: the materialized relation is
+    sessions-sized (orders of magnitude smaller than events), guide
+    §3.3 / §5 ("localCheckpoint is a cheaper way to cut lineage")."""
+    s = _sessions_us(spark, sf_dir).localCheckpoint(eager=False)
     pairs = IV.interval_overlap_join(
         s,
         s,
