@@ -196,7 +196,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closure semi-join) + the degree aggregation.
 
     Returns (node, n_triangles) for every node with ≥1 edge (zeros
-    included)."""
+    included).
+
+    r13: ``und`` and ``oriented`` are materialized once (lazy
+    localCheckpoint). The plan references und 4× (deg, ranked, and
+    transitively every oriented consumer) and oriented 3× (both wedge
+    sides + the closure build) — without the pins each reference
+    re-evaluates the whole upstream edge derivation (the before plan
+    carried 20 source scans). Both relations are edge-set-sized, far
+    smaller than the raw input the edges aggregation consumed, so the
+    materialization is bounded and the re-derivation work drops ~7× —
+    the same §3.3 "materialise the reused intermediate" posture as
+    propagate_units/pagerank/bfs in this module."""
     und = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -204,6 +215,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.explode(F.array("a", "b")).alias("v"))
@@ -219,7 +231,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "y")
