@@ -137,25 +137,52 @@ class _BitReader:
         self._bit = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            if self._byte >= len(self._data):
-                raise FlacError("truncated bitstream")
-            bit = (self._data[self._byte] >> (7 - self._bit)) & 1
-            out = (out << 1) | bit
-            self._bit += 1
-            if self._bit == 8:
-                self._bit = 0
-                self._byte += 1
-        return out
+        # multi-bit form (r13, guide §1.2 per-task work): grab the whole
+        # field from the underlying bytes in one int.from_bytes instead of
+        # a per-bit Python loop — same values, same FlacError on
+        # truncation (the per-bit loop raised as soon as a needed bit was
+        # past the end; reader state after a raise is unspecified either
+        # way, every caller aborts the payload).
+        if bits == 0:
+            return 0
+        end = self._bit + bits
+        nbytes = (end + 7) >> 3
+        chunk = self._data[self._byte : self._byte + nbytes]
+        if len(chunk) < nbytes:
+            raise FlacError("truncated bitstream")
+        val = int.from_bytes(chunk, "big") >> ((nbytes << 3) - end)
+        self._byte += end >> 3
+        self._bit = end & 7
+        return val & ((1 << bits) - 1)
 
     def read_unary(self) -> int:
+        # byte-at-a-time scan for the terminating 1 bit (was one read(1)
+        # call per zero bit); the 2^20 cap on a RETURNED run is identical
+        # to the old per-bit guard, and a capless all-zero tail still
+        # raises within one byte of the old position.
+        data = self._data
+        nbytes = len(data)
+        byte, bit = self._byte, self._bit
         q = 0
         while True:
-            if self.read(1):
+            if byte >= nbytes:
+                raise FlacError("truncated bitstream")
+            cur = data[byte] & (0xFF >> bit)
+            if cur:
+                hit = 8 - cur.bit_length()
+                q += hit - bit
+                if q > 1 << 20:
+                    raise FlacError("unary run too long")
+                bit = hit + 1
+                if bit == 8:
+                    byte += 1
+                    bit = 0
+                self._byte, self._bit = byte, bit
                 return q
-            q += 1
-            if q > 1 << 20:
+            q += 8 - bit
+            byte += 1
+            bit = 0
+            if q > (1 << 20) + 8:
                 raise FlacError("unary run too long")
 
     def align(self) -> None:
@@ -622,10 +649,12 @@ def _read_subframe(br: "_BitReader", n: int, sbits: int) -> list:
         p = br.read(4)
         if p == 0xF:
             raise FlacError("escaped rice partition unsupported")
+        # hot loop: locals + inlined unzigzag (r13); one unary+field read
+        # and one predictor call per sample, nothing else
+        read_unary, read, append = br.read_unary, br.read, block.append
         for _ in range(count):
-            q = br.read_unary()
-            u = (q << p) | br.read(p)
-            block.append(predict(block) + _unzigzag(u))
+            u = (read_unary() << p) | read(p)
+            append(predict(block) + ((u >> 1) ^ -(u & 1)))
 
     if stype == 0b000000:
         return [sread()] * n
@@ -638,8 +667,22 @@ def _read_subframe(br: "_BitReader", n: int, sbits: int) -> list:
         block = [sread() for _ in range(o)]
         coeffs = _FIXED_COEFFS[o]
 
-        def predict(b: list) -> int:
-            return sum(c * b[len(b) - 1 - j] for j, c in enumerate(coeffs))
+        if o == 1:
+
+            def predict(b: list, c0=coeffs[0]) -> int:
+                return c0 * b[-1]
+
+        elif o == 2:
+
+            def predict(b: list, c0=coeffs[0], c1=coeffs[1]) -> int:
+                return c0 * b[-1] + c1 * b[-2]
+
+        else:
+
+            def predict(b: list) -> int:
+                return sum(
+                    c * b[len(b) - 1 - j] for j, c in enumerate(coeffs)
+                )
 
         rice_tail(block, n - o, predict)
         return block
@@ -662,13 +705,25 @@ def _read_subframe(br: "_BitReader", n: int, sbits: int) -> list:
             c = br.read(prec)
             coeffs.append(c - (1 << prec) if c >= chalf else c)
 
-        def predict(b: list) -> int:
-            # arithmetic shift: floor division by 2^shift, exactly
-            # Python's >> on negative ints (and C's on int64)
-            return (
-                sum(c * b[len(b) - 1 - j] for j, c in enumerate(coeffs))
-                >> shift
-            )
+        # arithmetic shift: floor division by 2^shift, exactly
+        # Python's >> on negative ints (and C's on int64)
+        if lo == 1:
+
+            def predict(b: list, c0=coeffs[0]) -> int:
+                return (c0 * b[-1]) >> shift
+
+        elif lo == 2:
+
+            def predict(b: list, c0=coeffs[0], c1=coeffs[1]) -> int:
+                return (c0 * b[-1] + c1 * b[-2]) >> shift
+
+        else:
+
+            def predict(b: list) -> int:
+                return (
+                    sum(c * b[len(b) - 1 - j] for j, c in enumerate(coeffs))
+                    >> shift
+                )
 
         rice_tail(block, n - lo, predict)
         return block
