@@ -200,14 +200,27 @@ def hll_distinct_users(spark, sf_dir):
     their sketch layouts differ; this one's md5-derived registers and
     integer-scaled harmonic sum make both engines compute the identical
     estimate to the last rounded digit, putting a sketch ESTIMATOR (not
-    just its inputs) under the value gate."""
+    just its inputs) under the value gate.
+
+    r13 (guide §2.4/§2.3): one source scan instead of two. Both branches
+    are functions of the DISTINCT (event_type, user_id) pairs — HLL
+    registers are a groupBy-MAX (multiplicity-invariant) and the exact
+    branch was count_distinct — so dedup once and derive both: the
+    deduped relation's exchange is byte-identical in the two branches
+    and runtime exchange reuse executes it once. count("user_id") on the
+    deduped pairs equals the old count_distinct exactly (at most one
+    NULL pair per type survives the distinct and count(col) skips it,
+    matching count_distinct's NULL handling)."""
     ev = load_table(spark, sf_dir, "events")
-    regs = S.hll_registers(ev, "user_id", p=_HLL_P, group_cols=("event_type",))
+    pairs = ev.select("event_type", "user_id").distinct()
+    regs = S.hll_registers(
+        pairs, "user_id", p=_HLL_P, group_cols=("event_type",)
+    )
     est = S.hll_estimate(
         regs, p=_HLL_P, group_cols=("event_type",), estimate_col="approx_users"
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
+    exact = pairs.groupBy("event_type").agg(
+        F.count("user_id").alias("exact_users")
     )
     return est.join(exact, "event_type")
 
