@@ -223,6 +223,14 @@ def minhash_lsh_candidates(
     _shingled, _banded = _lsh_pipeline(
         content, key, num_hashes, bands, shingle_words, hash_impl
     )
+    # r13 note (measured, not changed): sh is consumed by the banding
+    # self-join and both verify sides; a localCheckpoint pin here was
+    # tried and REJECTED — interleaved A/B at sf0.1 was neutral (min
+    # 1.94 → 1.88 s, median worse) and at scale it would materialize a
+    # corpus-sized shingle-array relation to executor storage to save
+    # re-running a cheap narrow md5 chain — the same trade the
+    # arrays-through-exchange variant lost 2.5× (docstring above). The
+    # band self-join already shares one exchange via the merge hints.
     sh = _shingled(df)
     bandsdf = _banded(sh)
     # merge-hint both sides: identical subtrees shuffle on the same keys and
@@ -311,7 +319,12 @@ def minhash_lsh_candidates_collapsed(
     of times (column-pruned to (key, content)), the same reuse contract
     the plain operator's merge-hinted band join relies on.
     """
-    digests = df.select(F.col(key), F.md5(F.col(content)).alias("__digest"))
+    # r13: the slim (key, digest) relation — no text — is materialized
+    # once; groups, the membership join and (transitively) the rep
+    # semi-join each referenced it and re-scanned the corpus otherwise.
+    digests = df.select(
+        F.col(key), F.md5(F.col(content)).alias("__digest")
+    ).localCheckpoint(eager=False)
     groups = digests.groupBy("__digest").agg(F.min(key).alias("__rep"))
     membership = digests.join(groups, "__digest")
     star = membership.filter(F.col(key) != F.col("__rep")).select(

@@ -111,6 +111,9 @@ def scd2_compress(
             c for c in snapshots.columns
             if c not in {*key_cols, version_col}
         ]
+    # r13 (guide §3.3): the version dimension is one row per snapshot
+    # but was re-derived — a full evaluation of the snapshot stack each
+    # — by the digest join AND the run-closing lookup; pin it once.
     vidx = (
         snapshots.select(version_col)
         .distinct()
@@ -118,6 +121,7 @@ def scd2_compress(
             "__vi",
             F.dense_rank().over(Window.orderBy(version_col)),
         )
+        .localCheckpoint(eager=False)
     )
     base = snapshots.select(
         *key_cols,

@@ -115,9 +115,13 @@ def _scd_snapshots(spark, sf_dir):
     path: value changes (%7, %5 price bumps), deletions (%13 at v2,
     %11 at v3), and deletion-then-reappearance (%13 ∧ %3 return in v3
     — must open a NEW run, not extend the v1 run across the gap)."""
+    # r13 (guide §3.3): the three synthetic version branches carry
+    # different filters, so each evaluation of the union scanned orders
+    # three times; pinning the slim 2-column base leaves one source
+    # scan per run, the branches read blocks.
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
-    )
+    ).localCheckpoint(eager=False)
     k, p = F.col("o_orderkey"), F.col("o_totalprice")
     v2_price = F.when(k % 7 == 0, p + 1).otherwise(p)
     v1 = orders.select(

@@ -282,9 +282,25 @@ def kmv_distinct_users(spark, sf_dir):
     aggregate at 100 TB. Selecting the k smallest hashes is
     shuffle-order-insensitive, so — unlike engine-native theta sketches —
     the estimator itself sits under the cross-engine value gate
-    ((k−1)·2⁶⁰ / kth_hash, one deterministic float division)."""
+    ((k−1)·2⁶⁰ / kth_hash, one deterministic float division).
+
+    r13 (guide §2.3/§2.4, the hll_distinct_users treatment): one source
+    scan instead of four. Every branch is a function of the distinct
+    (event_type, user_id) pairs — the sketch dedups (group, hv) anyway,
+    and both exact arms were count_distinct — so dedup once; the pairs
+    exchange is byte-identical under all three consumers and runtime
+    exchange reuse executes it once. The ≤ k·|types| sketch relation is
+    additionally pinned (lazy localCheckpoint) because the '__all__'
+    merge consumes it a second time with a different downstream shape
+    that exchange reuse does not cover."""
     ev = load_table(spark, sf_dir, "events")
-    per = S.kmv_table(ev, "user_id", k=_KMV_K, group_cols=("event_type",))
+    pairs = (
+        ev.select("event_type", "user_id").distinct()
+        .localCheckpoint(eager=False)
+    )
+    per = S.kmv_table(
+        pairs, "user_id", k=_KMV_K, group_cols=("event_type",)
+    ).localCheckpoint(eager=False)
     merged = S.kmv_merge(
         per.select(F.lit("__all__").alias("event_type"), "hv"),
         k=_KMV_K,
@@ -296,12 +312,12 @@ def kmv_distinct_users(spark, sf_dir):
         group_cols=("event_type",),
         estimate_col="approx_users",
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
+    exact = pairs.groupBy("event_type").agg(
+        F.count("user_id").alias("exact_users")
     ).unionByName(
-        ev.agg(F.count_distinct("user_id").alias("exact_users")).select(
-            F.lit("__all__").alias("event_type"), "exact_users"
-        )
+        pairs.agg(
+            F.count_distinct("user_id").alias("exact_users")
+        ).select(F.lit("__all__").alias("event_type"), "exact_users")
     )
     return est.join(exact, "event_type")
 
@@ -399,13 +415,27 @@ def kmv_user_overlap(spark, sf_dir):
     cross-segment questions answered from pre-built per-segment
     sketches, never rescanning the data. All selection is
     order-statistic math, so the whole pipeline sits under the exact
-    gate."""
+    gate.
+
+    r13 (guide §2.3/§2.4): one source scan instead of three. The sketch
+    input, the type universe and the exact-overlap relation are all
+    functions of the distinct (event_type, user_id) pairs, so every
+    branch derives from one deduped relation (the kmv hash-dedup and
+    the inner self-join on user_id are multiplicity- and NULL-identical
+    on it); the ≤ k·|types| sketch is pinned because est/ua/ub consume
+    it three ways no exchange reuse covers."""
     ev = load_table(spark, sf_dir, "events")
-    sk = S.kmv_table(ev, "user_id", k=_KMV_K, group_cols=("event_type",))
+    du = (
+        ev.select("event_type", "user_id").distinct()
+        .localCheckpoint(eager=False)
+    )
+    sk = S.kmv_table(
+        du, "user_id", k=_KMV_K, group_cols=("event_type",)
+    ).localCheckpoint(eager=False)
     est = S.kmv_estimate(
         sk, k=_KMV_K, group_cols=("event_type",), estimate_col="approx"
     ).select("event_type", "approx")
-    types = ev.select("event_type").distinct()
+    types = du.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .crossJoin(types.select(F.col("event_type").alias("type_b")))
@@ -424,7 +454,6 @@ def kmv_user_overlap(spark, sf_dir):
         group_cols=("type_a", "type_b"),
         estimate_col="approx_union",
     ).select("type_a", "type_b", "approx_union")
-    du = ev.select("event_type", "user_id").distinct()
     exact = (
         du.select(F.col("event_type").alias("type_a"), "user_id")
         .join(
@@ -509,8 +538,16 @@ def cms_join_size_estimate(spark, sf_dir):
     NDV-based estimates collapse."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    ska = S.cms_build(li, "l_orderkey", depth=_DEPTH, width=_WIDTH)
-    skb = S.cms_build(o, "o_orderkey", depth=_DEPTH, width=_WIDTH)
+    # r13 (guide §3.3): the ≤ depth×width sketches are pinned so the
+    # inner-product consumers derive each ONCE — the true-join branch
+    # keeps its own (inherent) scan of both tables; measured source
+    # reads drop from 3×lineitem + 2×orders to 2 + 2.
+    ska = S.cms_build(
+        li, "l_orderkey", depth=_DEPTH, width=_WIDTH
+    ).localCheckpoint(eager=False)
+    skb = S.cms_build(
+        o, "o_orderkey", depth=_DEPTH, width=_WIDTH
+    ).localCheckpoint(eager=False)
     est = S.cms_inner_product(ska, skb)
     exact = li.join(
         o, li["l_orderkey"] == o["o_orderkey"]

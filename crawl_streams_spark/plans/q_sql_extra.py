@@ -569,9 +569,14 @@ def returnflag_status_chisq(spark, sf_dir):
     discipline that makes a float reduction hash-gateable: fixed order,
     not shuffle order."""
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 (guide §3.3): the contingency table is flags×statuses rows
+    # (single digits) but was re-derived — a full lineitem scan each —
+    # by rt, ct, n, the per-cell join base and the total (the broadcast
+    # sides materialize in separate jobs, so runtime exchange reuse does
+    # not cover them; measured 4 source scans per run). Pin it once.
     cells = li.groupBy(
         F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    ).agg(F.count(F.lit(1)).alias("o")).localCheckpoint(eager=False)
     rt = cells.groupBy("f").agg(F.sum("o").alias("r"))
     ct = cells.groupBy("s").agg(F.sum("o").alias("c"))
     n = cells.agg(F.sum("o").alias("n"))
@@ -710,7 +715,11 @@ def customer_rfm_scores(spark, sf_dir):
         .alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
+    # r13 (guide §3.3): cust (customer-sized, far smaller than orders)
+    # was re-derived — a full orders scan each — by the eager quantile
+    # sampling job, the scored base, and each of the three bin
+    # relations (measured 6 source scans per run); the pin leaves ONE.
     # FLAT composition: each metric ranks a slim 2-column projection of
     # the base and joins its (custkey, score) relation back. Chaining
     # equi_depth_bins sequentially instead would nest each rank's
