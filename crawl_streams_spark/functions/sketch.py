@@ -420,7 +420,12 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     # missing depths to 0, so disjoint sketches estimate 0, not NULL
     # (ADVICE r3).
     depths = a.select("d").distinct()
-    full = depths.join(per_row, "d", "left").select(
+    # per_row is ≤ depth rows by construction; the hint matters when the
+    # sketch side arrives as a checkpointed relation whose size statistics
+    # are unknown (the planner would fall back to a sort-merge join of two
+    # depth-sized relations — harmless at runtime once AQE converts it, but
+    # the broadcast is the right static plan).
+    full = depths.join(F.broadcast(per_row), "d", "left").select(
         F.coalesce(F.col("ip"), F.lit(0).cast("bigint")).alias("ip")
     )
     return full.agg(

@@ -1119,21 +1119,56 @@ def rotate_embeddings(
     the d row-dot-products share one double-cast evaluation
     (the _subspace_rows lesson)."""
     out_col = out_col or vec_col
-    rows = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in rotation
-        ]
-    )
     staged = df.withColumn("__rv", V.to_double_array(vec_col))
-    rotated = F.transform(
-        rows,
-        lambda r: F.aggregate(
-            F.zip_with(r, F.col("__rv"), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    n_total = sum(len(row) for row in rotation)
+    n_zero = sum(1 for row in rotation for x in row if float(x) == 0.0)
+    if n_zero >= 0.75 * n_total:
+        # r13 (guide §4.1/§1.2): SPARSE fast path. The HOF form below is
+        # CodegenFallback — for a structured rotation (e.g. the fixed
+        # 2×2-Givens-block gate: 2 nonzeros per row) it interprets
+        # dim² lambda steps per row where dim·nnz_per_row suffice.
+        # Skipping a zero entry is exact on finite inputs (0.0·v = ±0.0
+        # and acc + ±0.0 = acc for the fold's non-negative-zero
+        # accumulator), and it reproduces the ORACLE's arithmetic
+        # literally — _opq_rvec_sql already writes only the nonzero
+        # terms. Left fold in j order is preserved term for term.
+        # Requires well-formed fixed-dim vectors (the same contract the
+        # SQL oracle's direct indexing assumes). Measured on the fixed
+        # OPQ gate at sf0.1: knn_opq_fixed 13.6 → ~2 s, the rotate+encode
+        # stage 37.6 → 10.7 core-s (see OPTIMIZATION_r13.md). A broader
+        # unroll of _sq_dist / the ADC fold / dot_raw was A/B-measured
+        # the same day and REJECTED — in real query shapes (join-filter
+        # contexts) the HOF beats an element_at chain by up to 4×; only
+        # the sparse-skip here, which removes work rather than
+        # re-spelling it, survives.
+        def _row_expr(row):
+            acc = F.lit(0.0)
+            for j, x in enumerate(row):
+                if float(x) != 0.0:
+                    acc = acc + F.lit(float(x)) * F.element_at(
+                        "__rv", j + 1
+                    )
+            return acc
+
+        rotated = F.array(*[_row_expr(row) for row in rotation])
+    else:
+        # dense rotations keep the HOF: an unrolled dim² element_at
+        # chain measured ~2.5× slower than the fold (functions/vectors
+        # module note) when every term is live.
+        rows = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in rotation
+            ]
+        )
+        rotated = F.transform(
+            rows,
+            lambda r: F.aggregate(
+                F.zip_with(r, F.col("__rv"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     return staged.withColumn(out_col, rotated).drop("__rv")
 
 

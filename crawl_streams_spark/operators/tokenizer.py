@@ -77,6 +77,11 @@ def learn_bpe_merges(
     vocab = word_frequencies(docs, text_col).select(
         "freq", _initial_symbols(F.col("word")).alias("syms")
     )
+    # r13: pin the INITIAL vocabulary too — without it the one corpus-sized
+    # pass runs twice (round 0's argmax job, then again when round 1
+    # materializes the first merged-vocab pin, whose lineage still reaches
+    # back to the raw corpus).
+    vocab = pin(vocab, checkpoint_dir, eager=False)
     merges: list[dict] = []
     for rank in range(n_merges):
         pairs = vocab.filter(F.size("syms") >= 2).select(

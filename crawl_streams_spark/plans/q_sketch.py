@@ -536,8 +536,12 @@ def cms_join_size_estimate(spark, sf_dir):
     estimate needs only two KB-sized sketches (never the tables), is an
     upper bound by construction, and stays correct under key skew where
     NDV-based estimates collapse."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    # r13 (guide §2.5): spread_on parallelizes the ×depth bucket-hash map
+    # (2.4M md5-mod evaluations at sf0.1 ran on the scan's 3 splits — 7.5
+    # of this query's ~9 core-seconds; the guard makes it a no-op at any
+    # real scale).
+    li = load_table(spark, sf_dir, "lineitem", spread_on=("l_orderkey",))
+    o = load_table(spark, sf_dir, "orders", spread_on=("o_orderkey",))
     # r13 (guide §3.3): the ≤ depth×width sketches are pinned so the
     # inner-product consumers derive each ONCE — the true-join branch
     # keeps its own (inherent) scan of both tables; measured source
