@@ -63,11 +63,19 @@ def nation_trade_volume(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
 
+    # The bilateral pair predicate below implies the single-side bound
+    # n_name IN (the two nations) on BOTH dim chains — a constraint the
+    # optimizer cannot derive from the cross-column OR, so apply it by
+    # hand (guide §3.2 "reduce the big side before shuffling it"): the
+    # nation filter prunes supplier/customer through their inner joins,
+    # and those in turn drop ~(1 - (2/25)²) of lineitem/orders rows
+    # BEFORE the orderkey join instead of after all joins.
+    pair_nations = n.filter(F.col("n_name").isin("NATION_18", "NATION_19"))
     supp_nation = s.join(
-        F.broadcast(n), s.s_nationkey == n.n_nationkey
+        F.broadcast(pair_nations), s.s_nationkey == n.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
     cust_nation = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
+        F.broadcast(pair_nations), c.c_nationkey == n.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
 
     pair = (F.col("supp_nation") == "NATION_18") & (
@@ -77,8 +85,8 @@ def nation_trade_volume(spark, sf_dir):
     )
     return (
         l.join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(cust_nation, o.o_custkey == F.col("c_custkey"))
+        .join(o.join(cust_nation, o.o_custkey == F.col("c_custkey")),
+              l.l_orderkey == o.o_orderkey)
         .filter(pair)
         .groupBy(
             "supp_nation",

@@ -21,6 +21,7 @@ PKG = os.path.join(
 ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     # -- sketch relations: O(depth*width) / O(m_bits) / O(k) / O(c log n)
     ("functions/sketch.py", "cms_lookup"): (1, "CMS table <= depth*width rows"),
+    ("functions/sketch.py", "cms_inner_product"): (1, "per-depth-row products <= depth rows"),
     ("functions/sketch.py", "bloom_probe"): (1, "bloom <= m_bits rows"),
     ("functions/sketch.py", "mg_summary"): (1, "1-row error scalar"),
     ("functions/sketch.py", "mg_prune"): (2, "1-row (k+1)-th-count and error scalars"),
