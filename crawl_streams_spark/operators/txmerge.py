@@ -222,16 +222,9 @@ class MergeBuilder:
             base = t._containment_candidates(adds, src.select(*key), key)
         else:
             base = []
-        # Pin the classification scan: every clause group's precheck agg,
-        # the not-matched key anti-join and the updates materialization in
-        # merge_into each re-evaluate ``cur`` otherwise — with a BY SOURCE
-        # clause that is 3-4 full re-reads of the table's parquet. One
-        # lazy materialization replaces them; the slice is the same rows
-        # the merge rewrite materializes anyway, so the storage bound is
-        # the rewrite's own working set (r13 optimization round).
         cur = (
-            t._read_adds(base, schema).localCheckpoint(eager=False)
-            if base else t.spark.createDataFrame([], schema)
+            t._read_adds(base, schema) if base
+            else t.spark.createDataFrame([], schema)
         )
         upd_parts, del_parts, total = [], [], 0
 
