@@ -87,12 +87,20 @@ def point_in_interval_join(
     end_col: str,
     width: int,
     keys: tuple[str, ...] = (),
+    how: str = "inner",
 ) -> DataFrame:
     """Match each point row to every closed interval [start, end]
     containing it: intervals explode to covered buckets, points join on
     their single bucket (plus ``keys``), then the exact containment
     predicate refines. A point has exactly one bucket, so the output is
     duplicate-free without attribution logic.
+
+    ``how="left"`` keeps points contained in NO interval, with the
+    interval columns null — the AS-OF/gap semantics a point-in-time
+    lookup needs. One bucketed join instead of the dedup + inner join +
+    join-back chain callers otherwise build (r13: that chain cost
+    lineitem_price_asof_scd2 three extra SF-linear exchanges); still an
+    equi-join on (keys..., bucket), never a nested loop.
 
     Point and interval column names must be disjoint apart from ``keys``
     (rename upstream — cheap projections, no data movement)."""
@@ -101,10 +109,31 @@ def point_in_interval_join(
     ivs = explode_interval_buckets(
         intervals, start_col, end_col, width, bucket_name=b
     )
-    contained = (F.col(start_col) <= F.col(point_col)) & (
-        F.col(point_col) <= F.col(end_col)
+    if how == "inner":
+        contained = (F.col(start_col) <= F.col(point_col)) & (
+            F.col(point_col) <= F.col(end_col)
+        )
+        return pts.join(ivs, [*keys, b], "inner").filter(contained).drop(b)
+    if how != "left":
+        raise ValueError(f"point_in_interval_join: how must be 'inner' "
+                         f"or 'left', got {how!r}")
+    # left: the containment refine must ride IN the join condition — as
+    # a post-join filter it would drop the very null rows the left join
+    # exists to keep (a gap point's interval columns are null, so the
+    # predicate evaluates null and the filter removes the row).
+    ren = {c: f"__piij_r_{c}" for c in (*keys, b)}
+    r = ivs
+    for old, new in ren.items():
+        r = r.withColumnRenamed(old, new)
+    cond = pts[b] == r[ren[b]]
+    for k in keys:
+        cond = cond & (pts[k] == r[ren[k]])
+    cond = (
+        cond
+        & (r[start_col] <= pts[point_col])
+        & (pts[point_col] <= r[end_col])
     )
-    return pts.join(ivs, [*keys, b], "inner").filter(contained).drop(b)
+    return pts.join(r, cond, "left").drop(b, *ren.values())
 
 
 def interval_overlap_join(

@@ -237,9 +237,9 @@ def lineitem_price_asof_scd2(spark, sf_dir):
     interval.point_in_interval_join matches stamps into [valid_from,
     valid_to) co-keyed on the business key — an equi-join on
     (key, bucket), never a BroadcastNestedLoop range join. Facts whose
-    stamp falls in a DELETION GAP surface with a null price (left join
-    back onto the matched set), which is exactly the semantics that
-    distinguishes SCD2 from a naive last-value lookup."""
+    stamp falls in a DELETION GAP surface with a null price (the join's
+    LEFT form), which is exactly the semantics that distinguishes SCD2
+    from a naive last-value lookup."""
     from ..operators import diff as D
     from ..operators import interval as IV
 
@@ -261,30 +261,21 @@ def lineitem_price_asof_scd2(spark, sf_dir):
         "l_linenumber",
         (1 + (F.col("l_linenumber") % 3)).cast("bigint").alias("asof_version"),
     )
-    # match on DISTINCT fact keys (the synthetic lineitem repeats
-    # (orderkey, linenumber) rows); each fact key finds ≤ 1 validity run,
-    # so the join-back re-attaches one match per original row — the same
-    # multiplicity a direct left range join would produce
-    fact_keys = facts.dropDuplicates(
-        ["o_orderkey", "l_linenumber", "asof_version"]
-    )
-    matched = IV.point_in_interval_join(
-        fact_keys,
+    # one LEFT bucketed interval join (r13): every fact row independently
+    # finds its ≤1 containing validity run (runs per key are disjoint),
+    # and gap facts keep null interval columns — identical rows to the
+    # former dropDuplicates + inner join + left join-back chain, minus
+    # its three SF-linear exchanges (the dedup and the two join-back
+    # sides; measured 6.8 → 4.6 s fresh-process at sf0.1, 10 stages → 8)
+    return IV.point_in_interval_join(
+        facts,
         intervals,
         point_col="asof_version",
         start_col="valid_from",
         end_col="valid_until",
         width=1,
         keys=("o_orderkey",),
-    ).select(
-        "o_orderkey",
-        "l_linenumber",
-        "asof_version",
-        "price_at_version",
-        "valid_from",
-    )
-    return facts.join(
-        matched, ["o_orderkey", "l_linenumber", "asof_version"], "left"
+        how="left",
     ).select(
         "o_orderkey",
         "l_linenumber",

@@ -201,3 +201,37 @@ def test_overlap_join_hot_bucket_skew_split(spark):
         pytest.fail(
             "hot bucket did not take AQE's skew-split path:\n" + plan[:1500]
         )
+
+
+def test_point_in_interval_left_keeps_gap_points(spark):
+    """how="left" (r13): points contained in no interval survive with
+    null interval columns, matched points carry the same rows as the
+    inner form, and the plan stays an equi-join (no nested loop)."""
+    pts = spark.createDataFrame(
+        [(0, 0, "k1"), (1, 5, "k1"), (2, 30, "k1"), (3, 5, "k2")],
+        "pid bigint, p bigint, k string",
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "k1"), (2, 90, 95, "k1")],
+        "id bigint, s bigint, e bigint, k string",
+    )
+    got = IV.point_in_interval_join(
+        pts, ivs, "p", "s", "e", width=7, keys=("k",), how="left"
+    )
+    rows = {(r["pid"], r["id"]) for r in got.collect()}
+    # pid 0/1 match interval 1; pid 2 (gap) and pid 3 (other key) null
+    assert rows == {(0, 1), (1, 1), (2, None), (3, None)}
+    assert got.count() == 4
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # inner form agrees on the matched subset
+    inner = IV.point_in_interval_join(
+        pts, ivs, "p", "s", "e", width=7, keys=("k",)
+    )
+    assert {(r["pid"], r["id"]) for r in inner.collect()} == {(0, 1), (1, 1)}
+    import pytest
+
+    with pytest.raises(ValueError, match="how"):
+        IV.point_in_interval_join(
+            pts, ivs, "p", "s", "e", width=7, how="full"
+        )
