@@ -154,6 +154,10 @@ def active_sessions_at_purchase(spark, sf_dir):
         "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us")
     )
     s = _sessions_us(spark, sf_dir)
+    # LEFT interval join (r13): a gap purchase keeps one null-interval
+    # row, so count(non-null interval col) is its zero — the former
+    # inner join + count + left join-back re-scanned and re-exchanged
+    # purchases just to restore the zeros
     matched = IV.point_in_interval_join(
         purchases,
         s,
@@ -161,15 +165,8 @@ def active_sessions_at_purchase(spark, sf_dir):
         start_col="s0",
         end_col="s1",
         width=_WIDTH_US,
+        how="left",
     )
-    counts = matched.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_active")
-    )
-    return purchases.select("event_id").join(
-        counts, ["event_id"], "left"
-    ).select(
-        "event_id",
-        F.coalesce(F.col("n_active"), F.lit(0).cast("bigint")).alias(
-            "n_active"
-        ),
+    return matched.groupBy("event_id").agg(
+        F.count("s0").alias("n_active")
     )
