@@ -211,9 +211,17 @@ def prefix_jaccard_self_join(
         - F.expr(f"({p} * sz + {q} - 1) div {q}")
         + F.lit(1)
     ).cast("int")
+    # Pin the slim exploded prefix relation (r13): both candidate-join
+    # sides derive from it, and one side materializes as a broadcast
+    # build — broadcast builds never share a shuffle exchange, so the
+    # whole tokenize → freq-join → collect_list-sort chain ran TWICE
+    # (the documents scan appeared 4× in the static plan). The pin is
+    # (id, sz, tok) rows for ~(1−t)·sz tokens per set — payload-free
+    # and a (1−t) fraction of the corpus token count, exactly the
+    # "smallest relation every branch derives from".
     pref = sets.select(
         "id", "sz", F.explode(F.slice("stoks", 1, prefix_len)).alias("tok")
-    )
+    ).localCheckpoint(eager=False)
     a = pref.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
     )
