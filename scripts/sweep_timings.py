@@ -29,6 +29,8 @@ def main() -> int:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
     times: dict[str, float] = {}
+    import gc
+
     for name, q in sorted(REGISTRY.items()):
         try:
             q.build(spark, sf_dir).collect()  # warm: codegen + reader init
@@ -38,6 +40,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             times[name] = -1.0
             print(f"FAIL {name}: {str(e)[:200]}", file=sys.stderr)
+        # release dropped localCheckpoint blocks NOW: 191 queries of
+        # lazily-GC'd pins in one session inflate late queries 2-4×
+        # (r13: dup_span_doc_stats read 6.6 s in-session vs 1.75 fresh)
+        gc.collect()
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{t:8.2f}  {name}")
     ok = [t for t in times.values() if t >= 0]
