@@ -218,7 +218,11 @@ def prefix_jaccard_self_join(
     # (the documents scan appeared 4× in the static plan). The pin is
     # (id, sz, tok) rows for ~(1−t)·sz tokens per set — payload-free
     # and a (1−t) fraction of the corpus token count, exactly the
-    # "smallest relation every branch derives from".
+    # "smallest relation every branch derives from". Release: the pin's
+    # blocks free when the result plan is GC'd; long-lived multi-query
+    # drivers should call operators.iterate.unpin(result) after the
+    # terminal action (tests/oracle_harness.py does) instead of waiting
+    # for driver GC (ADVICE r13).
     pref = sets.select(
         "id", "sz", F.explode(F.slice("stoks", 1, prefix_len)).alias("tok")
     ).localCheckpoint(eager=False)

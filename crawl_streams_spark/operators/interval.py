@@ -104,6 +104,21 @@ def point_in_interval_join(
 
     Point and interval column names must be disjoint apart from ``keys``
     (rename upstream — cheap projections, no data movement)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"point_in_interval_join: how must be 'inner' "
+                         f"or 'left', got {how!r}")
+    # Enforce the disjointness contract up front (ADVICE r13): the left
+    # form binds the join condition through DataFrame-apply references,
+    # and a shared non-key name would silently misbind (or surface as an
+    # ambiguity error deep inside Spark) instead of pointing here.
+    shared = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if shared:
+        raise ValueError(
+            "point_in_interval_join: point and interval column names "
+            f"must be disjoint apart from keys={sorted(keys)}; shared "
+            f"columns {sorted(shared)} — rename upstream (a cheap "
+            "projection, no data movement)"
+        )
     b = "__piij_bucket"
     pts = points.withColumn(b, bucket_of(point_col, width))
     ivs = explode_interval_buckets(
@@ -114,9 +129,6 @@ def point_in_interval_join(
             F.col(point_col) <= F.col(end_col)
         )
         return pts.join(ivs, [*keys, b], "inner").filter(contained).drop(b)
-    if how != "left":
-        raise ValueError(f"point_in_interval_join: how must be 'inner' "
-                         f"or 'left', got {how!r}")
     # left: the containment refine must ride IN the join condition — as
     # a post-join filter it would drop the very null rows the left join
     # exists to keep (a gap point's interval columns are null, so the

@@ -201,18 +201,6 @@ class MergeBuilder:
         self._validate_assignments(
             names, pcols, t._generated(snap["metaData"])
         )
-        # Delta's "multiple source rows matched" refusal: with dup keys
-        # the cascade result depends on join multiplicity. GROUP BY
-        # treats NULLs as one group — consistent with null-safe keys.
-        dup = (
-            src.groupBy(*key).count()
-            .filter(F.col("count") > 1).limit(1).count()
-        )
-        if dup:
-            raise TxError(
-                "merge: multiple source rows share a key — deduplicate "
-                "the source first (clause results would be ambiguous)"
-            )
         adds = list(snap["adds"].values())
         # classification scan: stats-pruned to the files that MAY hold a
         # source key, unless a BY SOURCE clause needs the complement too
@@ -226,54 +214,59 @@ class MergeBuilder:
             t._read_adds(base, schema) if base
             else t.spark.createDataFrame([], schema)
         )
-        upd_parts, del_parts, total = [], [], 0
+        # Fused classification (r14, guide §1.2/§2.4): ONE bounded agg
+        # over a single full-outer target⋈source frame replaces the
+        # dup-source-key guard job plus the one precheck agg PER clause
+        # group — the classification scan of the table runs once instead
+        # of once per group (a 4-clause merge ran it three times). The
+        # agg yields the dup-key verdict, each group's affected-row
+        # count and every assignment's cast-to-NULL check in one pass;
+        # the rewrite frames below keep their original per-group shapes
+        # (merge_into consumes them, and they only build for groups the
+        # fused pass proved non-empty).
+        ns = self._fused_precheck(cur, src, key, names, types)
+        total = sum(ns.values())
+        if total == 0:
+            return version  # nothing matched any clause: no commit
+        upd_parts, del_parts = [], []
 
-        if self._matched:
+        if ns["matched"]:
             tgt_m, s_m = cur.alias("t"), src.alias("s")
             j = tgt_m.join(
                 s_m, _null_safe_key_cond(tgt_m, s_m, key), "inner"
             )
-            out, pre, n = self._cascade(
+            out, pre = self._cascade(
                 j, self._matched, names, types,
-                fallback=lambda c: tgt_m[c], op="merge(when_matched)",
+                fallback=lambda c: tgt_m[c],
             )
-            total += n
             if out is not None:
                 upd_parts.append(out)
             if pre is not None:
                 del_parts.append(pre)
 
-        if self._not_matched:
+        if ns["insert"]:
             s_i = src.alias("s")
             tkeys = cur.select(*key).distinct()
             nm = s_i.join(
                 tkeys, _null_safe_key_cond(s_i, tkeys, key), "left_anti"
             )
-            ins, n = self._cascade_insert(nm, src, names, types)
-            total += n
-            if ins is not None:
-                upd_parts.append(ins)
+            upd_parts.append(self._cascade_insert(nm, src, names, types))
 
-        if self._nmbs:
+        if ns["nmbs"]:
             tgt_b = cur.alias("t")
             skeys = src.select(*key).distinct()
             nmb = tgt_b.join(
                 skeys, _null_safe_key_cond(tgt_b, skeys, key),
                 "left_anti",
             )
-            out, pre, n = self._cascade(
+            out, pre = self._cascade(
                 nmb, self._nmbs, names, types,
                 fallback=lambda c: tgt_b[c],
-                op="merge(when_not_matched_by_source)",
             )
-            total += n
             if out is not None:
                 upd_parts.append(out)
             if pre is not None:
                 del_parts.append(pre)
-
-        if total == 0:
-            return version  # nothing matched any clause: no commit
         updates = (
             _union(upd_parts)
             if upd_parts else t.spark.createDataFrame([], schema)
@@ -330,57 +323,159 @@ class MergeBuilder:
                         f"unknown columns {unknown}"
                     )
 
-    def _clause_index(self, frame, clauses):
+    def _clause_index_col(self, clauses, guard):
+        """The first-true-wins clause index as a COLUMN, each branch
+        gated on ``guard`` (the group's side-presence predicate in the
+        fused classification frame — a matched clause's condition must
+        never fire on a row whose target side is absent, even when the
+        null-extended columns would make it evaluate true)."""
         w = None
         for i, cl in enumerate(clauses):
             c = (F.lit(True) if cl.condition is None
                  else _as_col(cl.condition).cast("boolean"))
+            c = guard & c
             w = F.when(c, F.lit(i)) if w is None else w.when(c, F.lit(i))
-        return frame.withColumn(_M, w)
+        return w
 
-    def _precheck(self, f, checks, types, op):
-        """One bounded agg: clause-hit count + per-assignment
-        cast-to-NULL detection (ANSI semantics — a value the column
-        type can't hold is an error, not a silent NULL). Also the
-        determinism gate for every condition and assignment (the
-        frames feed multiple passes: this agg, the output select, and
-        merge_into's probe/guard/rewrite)."""
-        _assert_deterministic(
-            f.select(F.col(_M), *(v for _, _, v in checks)),
-            op,
-            "clause expression — classification, the cast pre-flight "
-            "and the rewrite would each evaluate it against a "
-            "different row set",
+    def _clause_index(self, frame, clauses):
+        return frame.withColumn(
+            _M, self._clause_index_col(clauses, F.lit(True))
         )
-        aggs = [F.sum(F.col(_M).isNotNull().cast("long")).alias("__n")]
-        for j, (i, c, v) in enumerate(checks):
-            bad = (
-                (F.col(_M) == i)
-                & v.isNotNull()
-                & v.try_cast(types[c]).isNull()
-            )
-            aggs.append(F.sum(bad.cast("long")).alias(f"__bad_{j}"))
-        row = f.agg(*aggs).collect()[0]
-        bad_cols = sorted({
-            c for j, (i, c, v) in enumerate(checks)
-            if row[f"__bad_{j}"]
-        })
-        if bad_cols:
-            raise TxError(
-                f"{op}: assignment to {bad_cols} does not cast to the "
-                "column type (would silently become NULL) — fix the "
-                "expression or cast it explicitly"
-            )
-        return row["__n"] or 0
 
-    def _cascade(self, frame, clauses, names, types, fallback, op):
+    def _group_vals(self, clauses, src, names, insert=False):
+        """clause index -> {column -> value Column} for a clause group
+        (``insert``: ``None`` assignments mean insertAll — source
+        columns by name, missing target columns NULL)."""
+        vals = {}
+        for i, cl in enumerate(clauses):
+            if insert:
+                if cl.assignments is not None:
+                    vals[i] = {
+                        c: _as_col(e) for c, e in cl.assignments.items()
+                    }
+                else:
+                    vals[i] = {
+                        c: src[c] for c in names if c in src.columns
+                    }
+            elif cl.kind == "update":
+                vals[i] = {
+                    c: _as_col(e) for c, e in cl.assignments.items()
+                }
+        return vals
+
+    def _fused_precheck(self, cur, src, key, names, types):
+        """One bounded agg over a full-outer target⋈source frame: the
+        Delta "multiple source rows matched" refusal, every clause
+        group's affected-row count, and per-assignment cast-to-NULL
+        detection (ANSI semantics — a value the column type can't hold
+        is an error, not a silent NULL). Also the determinism gate for
+        every condition and assignment (the frames feed multiple
+        passes: this agg, the output selects, and merge_into's
+        probe/guard/rewrite). Returns {"matched"/"insert"/"nmbs": n}.
+
+        Row multiplicities match the per-group frames exactly: a
+        matched (t,s) pair appears once per target row (source keys are
+        unique past the dup gate), an unmatched source row exactly once
+        with the target side null, an unmatched target row exactly once
+        with the source side null — so the guarded counts equal the
+        old per-group precheck counts. GROUP BY treated NULL keys as
+        one group in the old dup check; the window count and the
+        null-safe join keep that convention."""
+        from pyspark.sql import Window
+
+        tgt_f = cur.withColumn("__t_present", F.lit(True)).alias("t")
+        src_f = (
+            src.withColumn(
+                "__s_dup",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*[F.col(k) for k in key])
+                ),
+            )
+            .withColumn("__s_present", F.lit(True))
+            .alias("s")
+        )
+        work = tgt_f.join(
+            src_f, _null_safe_key_cond(tgt_f, src_f, key), "full_outer"
+        )
+        t_here = tgt_f["__t_present"].isNotNull()
+        s_here = src_f["__s_present"].isNotNull()
+        specs = []  # (group, op label, idx col name, checks)
+        for group, label, clauses, guard, insert in (
+            ("matched", "merge(when_matched)", self._matched,
+             t_here & s_here, False),
+            ("insert", "merge(when_not_matched)", self._not_matched,
+             s_here & ~t_here, True),
+            ("nmbs", "merge(when_not_matched_by_source)", self._nmbs,
+             t_here & ~s_here, False),
+        ):
+            if not clauses:
+                continue
+            idx = f"__m_{group}"
+            work = work.withColumn(
+                idx, self._clause_index_col(clauses, guard)
+            )
+            vals = self._group_vals(clauses, src_f, names, insert=insert)
+            checks = [
+                (i, c, v) for i, m in vals.items() for c, v in m.items()
+            ]
+            _assert_deterministic(
+                work.select(F.col(idx), *(v for _, _, v in checks)),
+                label,
+                "clause expression — classification, the cast "
+                "pre-flight and the rewrite would each evaluate it "
+                "against a different row set",
+            )
+            specs.append((group, label, idx, checks))
+        aggs = [F.max(F.col("__s_dup")).alias("__dup")]
+        for group, label, idx, checks in specs:
+            aggs.append(
+                F.sum(F.col(idx).isNotNull().cast("long")).alias(
+                    f"__n_{group}"
+                )
+            )
+            for j, (i, c, v) in enumerate(checks):
+                bad = (
+                    (F.col(idx) == i)
+                    & v.isNotNull()
+                    & v.try_cast(types[c]).isNull()
+                )
+                aggs.append(
+                    F.sum(bad.cast("long")).alias(f"__bad_{group}_{j}")
+                )
+        row = work.agg(*aggs).collect()[0]
+        # Delta's "multiple source rows matched" refusal: with dup keys
+        # the cascade result depends on join multiplicity. Checked
+        # FIRST — the clause counts/casts below are meaningless on an
+        # ambiguous source.
+        if (row["__dup"] or 0) > 1:
+            raise TxError(
+                "merge: multiple source rows share a key — deduplicate "
+                "the source first (clause results would be ambiguous)"
+            )
+        ns = {"matched": 0, "insert": 0, "nmbs": 0}
+        for group, label, idx, checks in specs:
+            bad_cols = sorted({
+                c for j, (i, c, v) in enumerate(checks)
+                if row[f"__bad_{group}_{j}"]
+            })
+            if bad_cols:
+                raise TxError(
+                    f"{label}: assignment to {bad_cols} does not cast "
+                    "to the column type (would silently become NULL) — "
+                    "fix the expression or cast it explicitly"
+                )
+            ns[group] = row[f"__n_{group}"] or 0
+        return ns
+
+    def _cascade(self, frame, clauses, names, types, fallback):
         """First-true-wins cascade for update/delete clause groups.
-        Returns (update_rows, delete_preimages, n_affected). Rows where
-        no clause matched but whose KEY was touched by some sibling row
-        pass through into the updates frame byte-identical — the
+        Returns (update_rows, delete_preimages). Rows where no clause
+        matched but whose KEY was touched by some sibling row pass
+        through into the updates frame byte-identical — the
         key-replacement rewrite replaces per key, so without the
         passthrough a duplicate-key target would silently drop the
-        untouched siblings."""
+        untouched siblings. Only called for groups the fused precheck
+        proved non-empty (and already determinism- and cast-gated)."""
         f = self._clause_index(frame, clauses)
         upd_idx = [i for i, cl in enumerate(clauses)
                    if cl.kind == "update"]
@@ -390,12 +485,6 @@ class MergeBuilder:
             i: {c: _as_col(e) for c, e in cl.assignments.items()}
             for i, cl in enumerate(clauses) if cl.kind == "update"
         }
-        checks = [
-            (i, c, v) for i, m in vals.items() for c, v in m.items()
-        ]
-        n = self._precheck(f, checks, types, op)
-        if n == 0:
-            return None, None, 0
         out = None
         if upd_idx:
             cols = []
@@ -433,27 +522,15 @@ class MergeBuilder:
             "left_semi",
         )
         out = out.unionByName(ident) if out is not None else ident
-        return out, pre, n
+        return out, pre
 
     def _cascade_insert(self, nm, src, names, types):
         """First-true-wins cascade for the insert clause group over the
-        not-matched source rows. Returns (insert_rows, n)."""
+        not-matched source rows. Returns the insert rows; only called
+        when the fused precheck proved the group non-empty."""
         clauses = self._not_matched
         f = self._clause_index(nm, clauses)
-        vals = {}
-        for i, cl in enumerate(clauses):
-            if cl.assignments is not None:
-                m = {c: _as_col(e) for c, e in cl.assignments.items()}
-            else:  # insertAll: source columns by name, missing -> NULL
-                m = {c: src[c] for c in names if c in src.columns}
-            vals[i] = m
-        checks = [
-            (i, c, v) for i, m in vals.items() for c, v in m.items()
-        ]
-        n = self._precheck(f, checks, types,
-                           "merge(when_not_matched)")
-        if n == 0:
-            return None, 0
+        vals = self._group_vals(clauses, src, names, insert=True)
         cols = []
         for c in names:
             expr = None
@@ -467,4 +544,4 @@ class MergeBuilder:
             cols.append(
                 expr.otherwise(F.lit(None).cast(types[c])).alias(c)
             )
-        return f.filter(F.col(_M).isNotNull()).select(*cols), n
+        return f.filter(F.col(_M).isNotNull()).select(*cols)

@@ -24,6 +24,12 @@ from .registry import query
 
 _REV_DEC = "decimal(28,4)"
 
+#: The bilateral-trade nation pair of nation_trade_volume — single source
+#: of truth for the pre-filter, the pair predicate AND the oracle SQL
+#: (ADVICE r13: the names were spelled in three places; editing one
+#: silently returned empty results instead of failing).
+_TRADE_A, _TRADE_B = "NATION_18", "NATION_19"
+
 
 def _revenue():
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -33,7 +39,7 @@ def _revenue():
 
 @query(
     "nation_trade_volume",
-    oracle="""
+    oracle=f"""
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS ship_year,
@@ -45,8 +51,8 @@ def _revenue():
         JOIN orders   o ON o.o_orderkey  = l.l_orderkey
         JOIN customer c ON c.c_custkey   = o.o_custkey
         JOIN nation  cn ON cn.n_nationkey = c.c_nationkey
-        WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
-           OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        WHERE (sn.n_name = '{_TRADE_A}' AND cn.n_name = '{_TRADE_B}')
+           OR (sn.n_name = '{_TRADE_B}' AND cn.n_name = '{_TRADE_A}')
         GROUP BY 1, 2, 3
     """,
     tags=("join", "agg", "tpch"),
@@ -70,7 +76,7 @@ def nation_trade_volume(spark, sf_dir):
     # nation filter prunes supplier/customer through their inner joins,
     # and those in turn drop ~(1 - (2/25)²) of lineitem/orders rows
     # BEFORE the orderkey join instead of after all joins.
-    pair_nations = n.filter(F.col("n_name").isin("NATION_18", "NATION_19"))
+    pair_nations = n.filter(F.col("n_name").isin(_TRADE_A, _TRADE_B))
     supp_nation = s.join(
         F.broadcast(pair_nations), s.s_nationkey == n.n_nationkey
     ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
@@ -78,10 +84,10 @@ def nation_trade_volume(spark, sf_dir):
         F.broadcast(pair_nations), c.c_nationkey == n.n_nationkey
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
 
-    pair = (F.col("supp_nation") == "NATION_18") & (
-        F.col("cust_nation") == "NATION_19"
-    ) | (F.col("supp_nation") == "NATION_19") & (
-        F.col("cust_nation") == "NATION_18"
+    pair = (F.col("supp_nation") == _TRADE_A) & (
+        F.col("cust_nation") == _TRADE_B
+    ) | (F.col("supp_nation") == _TRADE_B) & (
+        F.col("cust_nation") == _TRADE_A
     )
     return (
         l.join(supp_nation, l.l_suppkey == F.col("s_suppkey"))

@@ -1,8 +1,9 @@
-"""Measurement harness for the r13 optimization round (guide §1).
+"""Measurement harness for the optimization rounds (guide §1).
 
 For each bench-tagged query: save .explain("formatted") to
-plans/r13/<name>_<tag>.txt and time three noop-sink runs (plan rebuilt per
-run). Prints one JSON line with the median per query.
+$SPARK_GRAFT_PLANS_DIR/<name>_<tag>.txt (default plans/r14) and time
+three noop-sink runs (plan rebuilt per run). Prints one JSON line with
+the median per query.
 
 Usage: python scripts/bench_probe.py <tag> [query ...]
 """
@@ -23,6 +24,8 @@ from crawl_streams_spark.session import get_spark  # noqa: E402
 def main() -> None:
     tag = sys.argv[1]
     only = set(sys.argv[2:])
+    plans_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r14")
+    os.makedirs(plans_dir, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -40,7 +43,7 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        with open(f"plans/r13/{name}_{tag}.txt", "w") as f:
+        with open(f"{plans_dir}/{name}_{tag}.txt", "w") as f:
             f.write(plan)
         spark.sparkContext.setJobDescription(f"{name} warm")
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()

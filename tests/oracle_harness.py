@@ -79,6 +79,13 @@ def compare_query(spark, con, q, sf_dir: str, max_diff_shown: int = 5):
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = list(sdf.columns)
     s_types = {c: _canon_type(t, _SPARK_CANON) for c, t in sdf.dtypes}
+    # Deterministically release any lazy query-path localCheckpoint pins
+    # (graph/fuzzy/sketch/interval plans) now that the result is
+    # collected — a long-lived multi-query session otherwise accumulates
+    # executor storage blocks until driver GC notices (ADVICE r13).
+    from crawl_streams_spark.operators.iterate import unpin
+
+    unpin(sdf)
 
     rel = con.sql(q.oracle)
     d_cols = list(rel.columns)

@@ -41,7 +41,7 @@ def _drain(spark, source, target_path, ckpt, **kw):
         spark, source.path, target_path, key=["id"],
         checkpoint=ckpt, available_now=True, **kw
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     q.stop()
     return TxTable(spark, target_path)
 

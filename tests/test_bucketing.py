@@ -76,7 +76,7 @@ def test_session_window_streaming_operator(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     got = {
         (r["user"], r["n"])
         for r in spark.sql("SELECT user, n FROM sess").collect()

@@ -62,7 +62,7 @@ def test_stream_matches_batch(spark, tmp_path):
         str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     a = spark.read.parquet(batch_out)
     b = spark.read.parquet(stream_out)
     key = ["log_timestamp", "url"]

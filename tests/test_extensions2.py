@@ -61,7 +61,7 @@ def test_stream_stream_launch_outcomes(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(600)
     rows = spark.sql("SELECT * FROM outcomes").collect()
     assert len(rows) == 1
     r = rows[0]
@@ -445,7 +445,7 @@ def test_stream_stream_launch_outcomes_left_outer(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(600)
     rows = {
         r["url"]: r
         for r in spark.sql(

@@ -235,3 +235,29 @@ def test_point_in_interval_left_keeps_gap_points(spark):
         IV.point_in_interval_join(
             pts, ivs, "p", "s", "e", width=7, how="full"
         )
+
+
+def test_point_in_interval_shared_nonkey_column_raises(spark):
+    """ADVICE r13: a shared non-key column name must fail fast with a
+    descriptive error, not misbind through the DataFrame-apply join
+    condition (left form) or surface as a deep ambiguity error (inner)."""
+    import pytest
+
+    pts = spark.createDataFrame(
+        [(0, 3, "x")], "pid bigint, p bigint, tag string"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "y")], "id bigint, s bigint, e bigint, tag string"
+    )
+    for how in ("inner", "left"):
+        with pytest.raises(ValueError, match="disjoint.*tag|tag.*disjoint"):
+            IV.point_in_interval_join(
+                pts, ivs, "p", "s", "e", width=7, how=how
+            )
+    # the same shared name declared as a KEY is fine
+    got = IV.point_in_interval_join(
+        pts,
+        ivs.withColumn("tag", F.lit("x")),
+        "p", "s", "e", width=7, keys=("tag",),
+    )
+    assert got.count() == 1

@@ -327,7 +327,7 @@ def test_scd2_merge_maintains_history_under_streaming(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     final = spark.read.parquet(hist_dir["cur"])
     assert _hist_set(final.select(*batch.columns)) == _hist_set(batch)
 

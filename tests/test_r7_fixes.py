@@ -9,18 +9,28 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _live_rdd_blocks(spark) -> int:
-    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+def _live_rdd_ids(spark) -> set:
+    """IDs of the RDDs currently holding storage blocks. The residual-
+    storage assertions compare SET DIFFERENCES against a before-snapshot,
+    not global counts: the driver's ContextCleaner releases blocks of
+    unrelated, GC-collected plans (e.g. a prior test's lazy query-path
+    localCheckpoint) at nondeterministic times, and under full-suite
+    order a global count moves mid-test (VERDICT r13 item 1). An
+    unrelated async release only ever REMOVES ids, which the difference
+    ignores; a residual pin from the operation under test still shows up
+    as a surviving new id, so the assertions keep their meaning."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return {infos[i].id() for i in range(len(infos))}
 
 
 def test_unpin_releases_local_checkpoint_blocks(spark):
     from crawl_streams_spark.operators.iterate import unpin
 
-    before = _live_rdd_blocks(spark)
+    before = _live_rdd_ids(spark)
     ck = spark.range(1000).localCheckpoint(eager=True)
-    assert _live_rdd_blocks(spark) == before + 1
+    assert len(_live_rdd_ids(spark) - before) == 1
     unpin(ck)
-    assert _live_rdd_blocks(spark) == before
+    assert _live_rdd_ids(spark) - before == set()
 
 
 def test_unpin_walks_derived_plan_to_every_pin(spark):
@@ -29,14 +39,14 @@ def test_unpin_walks_derived_plan_to_every_pin(spark):
     through one unpin() on the derived result."""
     from crawl_streams_spark.operators.iterate import unpin
 
-    before = _live_rdd_blocks(spark)
+    before = _live_rdd_ids(spark)
     a = spark.range(100).localCheckpoint(eager=True)
     b = spark.range(50).localCheckpoint(eager=True)
     joined = a.join(b, "id")
     assert joined.count() == 50
-    assert _live_rdd_blocks(spark) == before + 2
+    assert len(_live_rdd_ids(spark) - before) == 2
     unpin(joined)
-    assert _live_rdd_blocks(spark) == before
+    assert _live_rdd_ids(spark) - before == set()
 
 
 def test_unpin_is_safe_on_unpinned_plans(spark):
@@ -54,15 +64,15 @@ def test_mg_fold_leaves_no_residual_storage(spark, tmp_path):
     from crawl_streams_spark.streaming.sketches import update_mg_table
 
     table = str(tmp_path / "mg")
-    before = _live_rdd_blocks(spark)
+    before = _live_rdd_ids(spark)
     batch1 = spark.range(200).select(
         (F.col("id") % 7).cast("string").alias("item")
     )
     update_mg_table(spark, batch1, table, "item", k=8)
-    assert _live_rdd_blocks(spark) == before
+    assert _live_rdd_ids(spark) - before == set()
     # second fold exercises the existing-table union branch
     update_mg_table(spark, batch1, table, "item", k=8)
-    assert _live_rdd_blocks(spark) == before
+    assert _live_rdd_ids(spark) - before == set()
     assert spark.read.parquet(table).count() > 0
 
 
@@ -75,9 +85,9 @@ def test_hll_fold_leaves_no_residual_storage(spark, tmp_path):
     batch = spark.range(300).select(
         F.lit("g").alias("grp"), F.col("id").cast("string").alias("u")
     )
-    before = _live_rdd_blocks(spark)
+    before = _live_rdd_ids(spark)
     update_hll_table(spark, batch, table, "u", group_cols=("grp",))
-    assert _live_rdd_blocks(spark) == before
+    assert _live_rdd_ids(spark) - before == set()
 
 
 def test_stream_near_dedup_releases_pins_per_batch(spark, tmp_path):
@@ -98,7 +108,7 @@ def test_stream_near_dedup_releases_pins_per_batch(spark, tmp_path):
         spark.readStream.schema("doc_id LONG, text STRING")
         .json(str(src))
     )
-    before = _live_rdd_blocks(spark)
+    before = _live_rdd_ids(spark)
     q = stream_near_dedup(
         stream_df,
         index_path=str(tmp_path / "idx"),
@@ -106,8 +116,8 @@ def test_stream_near_dedup_releases_pins_per_batch(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
-    assert _live_rdd_blocks(spark) == before
+    q.awaitTermination(600)
+    assert _live_rdd_ids(spark) - before == set()
     assert spark.read.parquet(str(tmp_path / "out")).count() == 20
 
 

@@ -186,7 +186,7 @@ def test_stream_rollup_matches_batch(spark, sf_dir, tmp_path):
         METRICS,
         available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     write_rollup(spark.read.parquet(src), full, "ts", DIMS, METRICS)
     assert _snapshot(spark, out) == _snapshot(spark, full)
 
@@ -214,7 +214,7 @@ def test_stream_rollup_replay_idempotent(spark, sf_dir, tmp_path):
             available_now=True,
             exactly_once=exactly_once,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         # availableNow self-terminates, but deregistration can lag and the
         # restart would trip the concurrent-checkpoint guard
         q.stop()
@@ -465,7 +465,7 @@ def test_stream_rollup_tx_matches_batch(spark, sf_dir, tmp_path):
             METRICS,
             available_now=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     run()

@@ -111,6 +111,6 @@ def test_solr_pusher_as_foreach_batch_sink(spark, tmp_path, collector_server):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination(600)
     assert sorted(d["id"] for d in col.docs) == [f"s-{i}" for i in range(7)]
     assert col.commits == 1

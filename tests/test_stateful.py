@@ -49,7 +49,7 @@ def _run(df, tmp_path, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(600)
 
 
 def test_recent_status_counts_exact(spark, tmp_path, raw_records):
@@ -181,7 +181,7 @@ def test_stateful_with_rocksdb_state_store(spark, tmp_path, raw_records):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        q.awaitTermination(600)
         got = {
             r["status"]: r["n"]
             for r in spark.sql("SELECT * FROM rocks").collect()

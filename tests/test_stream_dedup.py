@@ -71,7 +71,7 @@ def test_dedup_stream_suppresses_replays(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     assert sorted(seen) == [
         ("http://a/", "20240101100000"),
         ("http://a/", "20240101110000"),
@@ -118,7 +118,7 @@ def test_stream_near_dedup_admits_only_novel(spark, sf_dir, tmp_path):
     q = stream_near_dedup(
         stream, out, idx, ckpt, threshold=0.7, available_now=True
     )
-    q.awaitTermination(180)
+    q.awaitTermination(600)
 
     admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     planted_admitted = [d for d in admitted if d >= 100000]

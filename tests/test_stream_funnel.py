@@ -46,7 +46,7 @@ def _run(spark, src, delay, key, n_steps_window=60):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     q.stop()
     last: dict[int, dict] = {}
     for _bid, rows in _COLLECTED[key]:
@@ -243,11 +243,11 @@ def test_stream_funnel_state_survives_query_restart(spark, tmp_path):
         )
 
     q1 = start()
-    q1.awaitTermination(120)
+    q1.awaitTermination(600)
     q1.stop()
     _write(spark, f2, src)  # arrives while the query is DOWN
     q2 = start()
-    q2.awaitTermination(120)
+    q2.awaitTermination(600)
     q2.stop()
 
     last: dict[int, dict] = {}
@@ -392,7 +392,7 @@ def test_stream_funnel_snapshot_end_to_end(spark, tmp_path):
     q = stream_funnel_snapshot(
         stream, STEPS, 60, table, src + "_ck", available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     q.stop()
     snap = {r["user_id"]: r.asDict() for r in spark.read.parquet(table).collect()}
     assert set(snap) == {1, 2, 9}
@@ -852,7 +852,7 @@ def test_tx_fold_writer_runs_maintenance(spark, tmp_path):
             log_retention_seconds=0.0, vacuum_retention_seconds=0.0,
         ),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     ops = [h["operation"] for h in table.history()]
     assert "COMPACT" in ops, ops
     assert read_tx_snapshot(table).count() == 4
@@ -892,7 +892,7 @@ def test_stream_funnel_snapshot_tx_end_to_end(spark, tmp_path):
         q = stream_funnel_snapshot_tx(
             stream, STEPS, 60, table, ck, available_now=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     _write(spark, f1, src)

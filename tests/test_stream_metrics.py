@@ -53,7 +53,7 @@ def test_metrics_collector_harvests_observed(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         # listener callbacks arrive asynchronously after termination
         assert _wait_for(
             lambda: collector.observed_totals("ingest_metrics", "n_events") >= 40

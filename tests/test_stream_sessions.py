@@ -56,7 +56,7 @@ def test_streaming_session_windows_gap_merge(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     q.stop()
     for _ in range(100):
         if q not in spark.streams.active:
@@ -107,7 +107,7 @@ def test_session_log_sink_restart_never_duplicates(spark, tmp_path):
         q = session_log_sink(
             stream, out, ck, gap="10 minutes", available_now=True
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     # run 1: host a's session closes when the flush event advances the

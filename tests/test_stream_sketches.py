@@ -31,7 +31,7 @@ def _src(spark, tmp_path, two_files=True):
 
 
 def _await(spark, q):
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     q.stop()
     for _ in range(100):
         if q not in spark.streams.active:

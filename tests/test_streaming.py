@@ -34,7 +34,7 @@ def test_analysis_stream_snapshot(spark, stream_dir, tmp_path):
     q = run_analysis(
         stream_crawl_log(spark, stream_dir), snap, ckpt, available_now=True
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     assert os.path.exists(snap)
     doc = json.load(open(snap))
     assert doc["hosts"], "snapshot should contain hosts"
@@ -54,19 +54,19 @@ def test_stream_restart_idempotent(spark, stream_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     src = stream_crawl_log(spark, stream_dir)
     q = run_analysis(src, snap, ckpt, available_now=True)
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     first = json.load(open(snap))
 
     # restart with same checkpoint: no new input → no new snapshot batches
     q2 = run_analysis(src, snap, ckpt, available_now=True)
-    q2.awaitTermination(120)
+    q2.awaitTermination(600)
     second = json.load(open(snap))
     assert second == first  # nothing reprocessed
 
     # new file arrives → another batch lands, snapshot replaced atomically
     shutil.copy(crawl_log_path(), os.path.join(stream_dir, "batch1.json"))
     q3 = run_analysis(src, snap, ckpt, available_now=True)
-    q3.awaitTermination(120)
+    q3.awaitTermination(600)
     third = json.load(open(snap))
     assert third["batch_id"] > second["batch_id"]
 
@@ -113,7 +113,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         emitted.clear()
         emitted.extend(batch_rows)
 
@@ -167,7 +167,7 @@ def test_analysis_scaled_rollup(spark, stream_dir, tmp_path):
         str(tmp_path / "ckpt"),
         available_now=True,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
 
     batch = read_crawl_log(spark, stream_dir).filter(
         F.to_timestamp("timestamp").isNotNull()

@@ -380,7 +380,7 @@ def test_txn_token_streaming_fold_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     with open(os.path.join(src, "a.json"), "w") as f:

@@ -41,7 +41,7 @@ def _drain(spark, path, ckpt, sink, **options):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(600)
     q.stop()
 
 
@@ -187,7 +187,7 @@ def test_stream_fails_loudly_on_rewrites_unless_opted_in(
         .start()
     )
     with pytest.raises(Exception, match="rewrote data files"):
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         raise AssertionError("stream must fail on a rewrite commit")
     q.stop()
     # opted in: at-least-once delivery of the merge's add-files
@@ -490,7 +490,7 @@ def test_cdc_feeds_incremental_dedup_pipeline(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     drain()

@@ -163,7 +163,7 @@ def test_streaming_archive_to_features_pipeline(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     write_archive("batch1.warc", [1, 2, 3])
@@ -248,7 +248,7 @@ def test_archive_to_txtable_to_cdc_pipeline(spark, tmp_path):
             feats, ck_in, "tiff_features", table, "media_id",
             n_buckets=4, available_now=True,
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     downstream: list = []
@@ -265,7 +265,7 @@ def test_archive_to_txtable_to_cdc_pipeline(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     # batch 1: ids 1,2,3 -> xxhash64 buckets 2,3,3 (empty table:

@@ -168,7 +168,7 @@ def test_streaming_warc_source_picks_up_new_files_exactly_once(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     with open(os.path.join(d, "a.warc"), "wb") as f:
@@ -322,7 +322,7 @@ def test_streaming_permissive_poison_file_does_not_kill_the_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
 
     with open(os.path.join(d, "poison.warc"), "wb") as f:
@@ -418,7 +418,7 @@ def test_stream_fetch_cap_end_to_end_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(600)
         q.stop()
         return sorted(
             os.path.basename(r["source_file"])
