@@ -81,8 +81,15 @@ _DUCK_SIG = (
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup by content hash (the reference's content_digest key,
-    analysis.py:47): one hash-shuffle, keep the lowest doc_id per group."""
-    docs = load_table(spark, sf_dir, "documents")
+    analysis.py:47): one hash-shuffle, keep the lowest doc_id per group.
+
+    spread_factor=4 (r14, VERDICT r13 item 5): the per-row work here is
+    one md5 + a partial agg — light enough that the full-width floor
+    over-partitioned the single-split test input (driver scaling block:
+    32 cores 2.3× SLOWER than 8). Bounding the spread at 4×splits makes
+    the 8- and 32-core profiles identical (and is still a no-op at any
+    real scale, where the scan carries its own splits)."""
+    docs = load_table(spark, sf_dir, "documents", spread_factor=4)
     return (
         docs.withColumn("content_md5", F.md5("text"))
         .groupBy("content_md5")

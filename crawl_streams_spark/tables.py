@@ -55,14 +55,18 @@ FACT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 #: verdict is cached: file layout under a path doesn't change mid-session.
 _NEEDS_REBALANCE: dict[tuple[str, int], int | None] = {}
 
-#: Spread-target multiplier: a guarded rebalance targets
-#: min(defaultParallelism, SPREAD_FACTOR × scan splits) instead of the
-#: raw core count (VERDICT r13 item 5: an unconditional
-#: defaultParallelism target over-partitioned single-split inputs badly
-#: enough to make 32 cores 2.3× slower than 8 on dedup_exact — the
-#: shuffle/scheduling overhead of 32 near-empty partitions outweighed
-#: the parallelism). Env-tunable for cluster profiles; at any real
-#: scale the guard never fires, so the value is local-mode-only.
+#: Default spread-target multiplier for loads that pass an explicit
+#: ``spread_factor``: the guarded rebalance then targets
+#: min(defaultParallelism, factor × scan splits) instead of the raw core
+#: count (VERDICT r13 item 5: the unconditional defaultParallelism
+#: target over-partitioned single-split inputs badly enough to make 32
+#: cores 2.3× slower than 8 on dedup_exact). A GLOBAL bound was
+#: A/B-measured (r14) and REJECTED: compute-heavy consumers of the same
+#: tables want the full width — media_flac_features 0.90 → 1.82 s and
+#: top_unshipped_orders 0.71 → 1.41 s at 32 cores under a 4×splits
+#: bound — so the bound is a per-load dial for pipelines whose per-row
+#: work is light, not a loader-wide rule. Env-tunable for cluster
+#: profiles; at any real scale the guard never fires.
 SPREAD_FACTOR = int(os.environ.get("SPARK_GRAFT_SPREAD_FACTOR", "4"))
 
 #: path → inferred parquet schema. Every bare ``spark.read.parquet(path)``
@@ -79,7 +83,11 @@ _SCHEMA_CACHE: dict[str, "object"] = {}
 
 
 def _ensure_min_parallelism(
-    df: DataFrame, spark: SparkSession, path: str, id_col: str | tuple[str, ...]
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    id_col: str | tuple[str, ...],
+    factor: int | None = None,
 ) -> DataFrame:
     """Small-input guard: when the source scan yields fewer partitions than
     half the cores, repartition to defaultParallelism, HASHED on the
@@ -100,12 +108,14 @@ def _ensure_min_parallelism(
     twice, silently stops being reproducible. Hashing the unique id gives
     the same balanced layout deterministically.
 
-    The target is BOUNDED BY INPUT SIZE — min(defaultParallelism,
-    SPREAD_FACTOR × splits) — not the raw core count: r13's scaling
-    block showed the unconditional defaultParallelism target inverting
-    (dedup_exact 2.3× slower on 32 cores than 8) because a one-split
-    input spread 32 ways pays 32 partitions of shuffle/partial-agg/
-    scheduling overhead for sub-MB of data."""
+    ``factor``: when set, BOUND the target BY INPUT SIZE —
+    min(defaultParallelism, factor × splits) — instead of the raw core
+    count. r13's scaling block showed the unconditional target
+    inverting (dedup_exact 2.3× slower on 32 cores than 8) because a
+    one-split input spread 32 ways pays 32 partitions of shuffle/
+    partial-agg/scheduling overhead for sub-MB of data; pipelines with
+    HEAVY per-row work (codec decode, signature math) keep the full
+    width — see the SPREAD_FACTOR note for the measured split."""
     cores = spark.sparkContext.defaultParallelism
     key = (path, cores)
     if key not in _NEEDS_REBALANCE:
@@ -116,7 +126,7 @@ def _ensure_min_parallelism(
     splits = _NEEDS_REBALANCE[key]
     if splits is None:
         return df
-    target = min(cores, SPREAD_FACTOR * splits)
+    target = cores if factor is None else min(cores, factor * splits)
     if target <= splits:
         return df
     cols = (id_col,) if isinstance(id_col, str) else tuple(id_col)
@@ -128,6 +138,7 @@ def load_table(
     sf_dir: str,
     name: str,
     spread_on: tuple[str, ...] | None = None,
+    spread_factor: int | None = None,
 ) -> DataFrame:
     """Load one test table; normalizes events.ts to TIMESTAMP_NTZ (µs).
 
@@ -137,7 +148,12 @@ def load_table(
     any real scale). Used by queries whose pre-shuffle work (join
     probes, heavy partial aggregation) measurably serializes on the
     single-row-group test files; hash keys keep placement
-    deterministic across evaluations."""
+    deterministic across evaluations.
+
+    ``spread_factor``: bound the floor's target at
+    min(cores, factor × scan splits) for consumers whose per-row work
+    is LIGHT (see _ensure_min_parallelism — over-partitioning a tiny
+    input costs more than the parallelism buys)."""
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = _SCHEMA_CACHE.get(path)
@@ -156,9 +172,13 @@ def load_table(
             ),
         )
     if name in FACT_TABLES:
-        df = _ensure_min_parallelism(df, spark, path, FACT_TABLES[name])
+        df = _ensure_min_parallelism(
+            df, spark, path, FACT_TABLES[name], factor=spread_factor
+        )
     elif spread_on:
-        df = _ensure_min_parallelism(df, spark, path, spread_on)
+        df = _ensure_min_parallelism(
+            df, spark, path, spread_on, factor=spread_factor
+        )
     return df
 
 

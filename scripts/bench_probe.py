@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
 from crawl_streams_spark.plans import REGISTRY  # noqa: E402
