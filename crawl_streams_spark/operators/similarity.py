@@ -401,6 +401,78 @@ def _sq_dist(a, b) -> Column:
     )
 
 
+def _sq_dist_batch(a, b):
+    """Bit-exact vectorized twin of :func:`_sq_dist` for HEAVY
+    projection sites (guide §4.2): the zip_with/aggregate HOF chain is
+    CodegenFallback — every (x−y)² term is an interpreted lambda step,
+    and the IVF-PQ kernels burn tens of core-seconds on it (r13 §15) —
+    while this kernel receives Arrow batches and accumulates with one
+    vectorized numpy op per DIMENSION in the SAME left-fold order:
+    acc_i = ((t₀+t₁)+…+tᵢ) where tᵢ=(xᵢ−yᵢ)·(xᵢ−yᵢ), each numpy
+    element-op one IEEE double op, so results are bit-identical to the
+    HOF (and to the DuckDB oracles' hand-spelled `t1 + t2 + …` chains;
+    0.0+t₀≡t₀ because squares are never −0.0).
+
+    Scope: PROJECTION contexts over dense non-null arrays only — inside
+    a join condition the HOF's tight fold wins (the r13 unrolled-chain
+    rejection), and a NULL ELEMENT inside an array would surface as NaN
+    here where the HOF yields NULL (whole-array NULLs and length
+    mismatches are handled to match). Every caller constructs both
+    arrays (to_double_array / slice / zip_with), so null elements
+    cannot reach this kernel."""
+    import numpy as np
+    import pandas as pd
+
+    av, bv = a.to_numpy(), b.to_numpy()
+    bad = [
+        i for i in range(len(av))
+        if av[i] is None or bv[i] is None
+        or len(av[i]) != len(bv[i])
+    ]
+    if not bad:
+        try:
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in av])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in bv])
+            if A.ndim == 2:
+                d = A - B
+                sq = d * d
+                acc = np.zeros(len(av), dtype=np.float64)
+                for i in range(sq.shape[1]):
+                    acc = acc + sq[:, i]
+                return pd.Series(acc)
+        except ValueError:
+            pass  # ragged despite the length check: per-row fallback
+    out = []
+    for x, y in zip(av, bv):
+        if x is None or y is None or len(x) != len(y):
+            # zip_with pads the shorter side with NULL, and one NULL
+            # term poisons the whole fold — the HOF returns NULL
+            out.append(None)
+            continue
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            d = float(xi) - float(yi)
+            acc = acc + d * d
+        out.append(acc)
+    return pd.Series(out, dtype="object" if bad else "float64")
+
+
+#: Lazily-built pandas UDF over _sq_dist_batch: the decorator form
+#: parses its DDL return type at import, which needs an active
+#: SparkContext — plans import this module long before any session
+#: exists.
+_SQ_DIST_ARROW = None
+
+
+def _sq_dist_arrow(a, b) -> Column:
+    global _SQ_DIST_ARROW
+    if _SQ_DIST_ARROW is None:
+        from pyspark.sql.types import DoubleType
+
+        _SQ_DIST_ARROW = F.pandas_udf(_sq_dist_batch, DoubleType())
+    return _SQ_DIST_ARROW(a, b)
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -441,7 +513,7 @@ def pq_train(
                 "subspace",
                 "__v",
                 F.col("cell"),
-                _sq_dist(F.col("__v"), F.col("centroid")).alias("__d"),
+                _sq_dist_arrow(F.col("__v"), F.col("centroid")).alias("__d"),
             )
             .groupBy("__id", "subspace", "__v")
             # lexicographic (__d, cell) ordering: distance ties break to
@@ -478,7 +550,7 @@ def pq_encode(
             "__id",
             "subspace",
             F.col("cell"),
-            _sq_dist(F.col("__v"), F.col("centroid")).alias("__d"),
+            _sq_dist_arrow(F.col("__v"), F.col("centroid")).alias("__d"),
         )
         .groupBy("__id", "subspace")
         # deterministic tie-break to the lowest cell id (see pq_train)
@@ -648,7 +720,7 @@ def ivf_assign(
             "__v",
             "cell",
             "centroid",
-            _sq_dist(F.col("__v"), F.col("centroid")).alias("__d"),
+            _sq_dist_arrow(F.col("__v"), F.col("centroid")).alias("__d"),
         )
         .groupBy("__id", "__v")
         # lexicographic (__d, cell): deterministic tie-break (see pq_train)

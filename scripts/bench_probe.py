@@ -35,9 +35,11 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    names = [n for n in sorted(REGISTRY) if REGISTRY[n].bench]
     if only:
-        names = [n for n in names if n in only]
+        # explicit names probe ANY registry query, not just bench-tagged
+        names = [n for n in sorted(REGISTRY) if n in only]
+    else:
+        names = [n for n in sorted(REGISTRY) if REGISTRY[n].bench]
     out: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]

@@ -33,7 +33,12 @@ OUT = os.path.join(
 def main() -> int:
     spark = (
         SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
+        # shuffle_partitions must MATCH the pytest fixture (conftest:
+        # local[4], 4): an ArrowEvalPython node drops its child's
+        # outputPartitioning, so whether the aggregate above it needs an
+        # exchange depends on the partition count — a snapshot taken at
+        # 8 drifts against the fixture's 4 (r14).
+        .config("spark.sql.shuffle.partitions", "4")
         .appName("plan-snapshots")
         .getOrCreate()
     )
