@@ -87,14 +87,26 @@ def duplicated_windows(
 ) -> DataFrame:
     """(key, pos) of windows whose digest appears in ≥ min_docs distinct
     documents (≤ max_occurrences if capped — drop universal boilerplate
-    grams from span marking when they would only add noise)."""
+    grams from span marking when they would only add noise).
+
+    The filtered digest set is pinned (lazy localCheckpoint, r14): the
+    semi-join's BUILD side otherwise re-derives the whole corpus-sized
+    tokenize→gram→digest chain plus its two-level aggregation — the
+    probe side must re-derive the chain regardless (pinning the
+    token-level windows relation was tried in r13 and rejected:
+    materializing one row per corpus token costs more than recomputing
+    a narrow hash chain), but the DUP SET is one slim row per distinct
+    duplicated digest, bounded by the duplicate vocabulary, exactly the
+    'smallest relation' the pin discipline wants. One corpus chain per
+    query instead of two."""
     counts = windows.groupBy("dig").agg(
         F.countDistinct("key").alias("n_docs")
     )
     dup = counts.filter(F.col("n_docs") >= min_docs)
     if max_occurrences is not None:
         dup = dup.filter(F.col("n_docs") <= max_occurrences)
-    return windows.join(dup.select("dig"), "dig", "left_semi").select("key", "pos")
+    dup = dup.select("dig").localCheckpoint(eager=False)
+    return windows.join(dup, "dig", "left_semi").select("key", "pos")
 
 
 def merge_spans(hits: DataFrame, n: int) -> DataFrame:
