@@ -70,6 +70,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # getOrCreate() RE-APPLIES builder configs onto an EXISTING
+        # session, so an embedded caller that didn't ask for a specific
+        # partition count (the CLI inside pytest, say) would silently
+        # re-tune the host's session to this process's core count —
+        # partition-count-dependent plans (an aggregate above an
+        # ArrowEvalPython node, which voids its child's
+        # outputPartitioning) then change shape mid-session (the
+        # pq_codes_fixed_book snapshot flake, r14). Default-parameter
+        # callers get the existing session as-is; explicit
+        # shuffle_partitions still applies, as requested.
+        existing = SparkSession.getActiveSession()
+        if existing is not None:
+            return apply_runtime_confs(existing)
         shuffle_partitions = os.cpu_count() or 8 if cpus == "*" else int(cpus)
 
     builder = (
