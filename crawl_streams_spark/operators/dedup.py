@@ -435,11 +435,41 @@ def cluster_duplicates(
             > 0
         )
 
+    # Convergence check (r14, guide §2.4 "remove shuffles outright"):
+    # labels are elementwise NON-INCREASING round over round (propagation
+    # takes min(own, neighbors'), the pointer jump takes a further min)
+    # and the key set is constant (prop unions the current labels back
+    # in), so for numeric keys "no label moved" ⇔ "count and checksum
+    # unchanged" — one scan-aggregate over the just-pinned frame instead
+    # of a key-shuffle join of two label frames per round. decimal(38,0)
+    # keeps the sum exact (bigint keys × any realistic row count stay
+    # under 10^38); a NULL sum on a nonempty frame (decimal overflow)
+    # falls back to the join so equality is never vacuous.
+    from pyspark.sql.types import NumericType
+
+    numeric_key = isinstance(labels.schema["cluster"].dataType, NumericType)
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        if row["n"] > 0 and row["s"] is None:
+            return None  # overflow: signature unusable this round
+        return (row["n"], row["s"])
+
+    def _advanced(new: DataFrame, old: DataFrame, new_sig, old_sig) -> bool:
+        if new_sig is not None and old_sig is not None:
+            return new_sig != old_sig
+        return _moved(new, old)
+
     changed = False
+    old_sig = _sig(labels) if numeric_key else None
     for _ in range(max_iter):
         new_labels = pin(_step(labels), checkpoint_dir)  # cut lineage
-        changed = _moved(new_labels, labels)
-        labels = new_labels
+        new_sig = _sig(new_labels) if numeric_key else None
+        changed = _advanced(new_labels, labels, new_sig, old_sig)
+        labels, old_sig = new_labels, new_sig
         if not changed:
             break
     # labels still moving at the cap = components whose min label has not
@@ -448,7 +478,10 @@ def cluster_duplicates(
     # point: one extra propagation distinguishes that from truncation
     # (ADVICE r4, mirroring k_core's re-check).
     if changed:
-        changed = _moved(_step(labels), labels)
+        final = _step(labels)
+        changed = _advanced(
+            final, labels, _sig(final) if numeric_key else None, old_sig
+        )
     check_converged(
         not changed, "cluster_duplicates", max_iter, on_nonconverge
     )

@@ -256,17 +256,32 @@ def tx_time_travel_counts(spark, sf_dir):
         t.append(o.filter((F.col("k") % 2 == 1) & (F.col("k") % 7 == 0)))
         t.delete_where("cents < 5000000")
         t.restore(1)
-        rows = []
-        for v in range(4):
-            agg = (
-                t.read_version(v)
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum("cents").alias("cents_sum"),
-                )
-                .collect()[0]
+        # One job for the whole history (r14, guide §1.2/§2.6): the four
+        # snapshot reads are independent, so aggregate each version in
+        # the SAME plan (a union of single-row aggregates) instead of
+        # four sequential collect()s — the scans run concurrently and
+        # back-fill each other's stragglers. A union of per-version
+        # GLOBAL aggregates, not a groupBy over a tagged union: an
+        # empty snapshot must still yield its (v, 0, NULL) row, exactly
+        # like the sequential form did.
+        per_version = [
+            t.read_version(v)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("cents").alias("cents_sum"),
             )
-            rows.append((v, agg["n"], agg["cents_sum"]))
+            .select(
+                F.lit(v).cast("long").alias("version"), "n", "cents_sum"
+            )
+            for v in range(4)
+        ]
+        hist = per_version[0]
+        for p in per_version[1:]:
+            hist = hist.unionByName(p)
+        rows = [
+            (r["version"], r["n"], r["cents_sum"])
+            for r in sorted(hist.collect(), key=lambda r: r["version"])
+        ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     out = spark.createDataFrame(
