@@ -457,11 +457,61 @@ def _sq_dist_batch(a, b):
     return pd.Series(out, dtype="object" if bad else "float64")
 
 
-#: Lazily-built pandas UDF over _sq_dist_batch: the decorator form
+def _dot_batch(a, b):
+    """Bit-exact vectorized twin of :func:`functions.vectors.dot_raw`
+    (same contract and scope as :func:`_sq_dist_batch`): products then a
+    left-fold sum per dimension in array order — acc starts at the same
+    +0.0 literal as the HOF's seed, every ``acc + tᵢ`` is one IEEE
+    double add, so the result is bit-identical to the interpreted
+    zip_with/aggregate chain (including the oracle's hand-spelled
+    ``a1*b1 + a2*b2 + …`` order). NULL arrays and length mismatches
+    return NULL exactly like zip_with's NULL padding poisoning the
+    fold. Projection contexts over dense arrays only — join conditions
+    keep the HOF (the r13 unrolled-chain rejection)."""
+    import numpy as np
+    import pandas as pd
+
+    av, bv = a.to_numpy(), b.to_numpy()
+    bad = [
+        i for i in range(len(av))
+        if av[i] is None or bv[i] is None
+        or len(av[i]) != len(bv[i])
+    ]
+    if not bad:
+        try:
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in av])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in bv])
+            if A.ndim == 2:
+                prod = A * B
+                acc = np.zeros(len(av), dtype=np.float64)
+                for i in range(prod.shape[1]):
+                    acc = acc + prod[:, i]
+                return pd.Series(acc)
+        except ValueError:
+            pass  # ragged despite the length check: per-row fallback
+    out = []
+    for x, y in zip(av, bv):
+        if x is None or y is None or len(x) != len(y):
+            out.append(None)
+            continue
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc = acc + float(xi) * float(yi)
+        out.append(acc)
+    return pd.Series(out, dtype="object" if bad else "float64")
+
+
+#: Lazily-built pandas UDFs over the batch kernels: the decorator form
 #: parses its DDL return type at import, which needs an active
 #: SparkContext — plans import this module long before any session
-#: exists.
+#: exists. The dot kernel is marked non-deterministic (guide §4.4): it
+#: IS a deterministic function, but the flag stops the optimizer from
+#: duplicating the evaluation below a filter that references the
+#: projected column (one ArrowEvalPython node instead of two — its
+#: caller filters on the projected cos_sim). _sq_dist_arrow feeds
+#: min_by aggregates, never a filter, so it stays unmarked.
 _SQ_DIST_ARROW = None
+_DOT_ARROW = None
 
 
 def _sq_dist_arrow(a, b) -> Column:
@@ -471,6 +521,17 @@ def _sq_dist_arrow(a, b) -> Column:
 
         _SQ_DIST_ARROW = F.pandas_udf(_sq_dist_batch, DoubleType())
     return _SQ_DIST_ARROW(a, b)
+
+
+def _dot_arrow(a, b) -> Column:
+    global _DOT_ARROW
+    if _DOT_ARROW is None:
+        from pyspark.sql.types import DoubleType
+
+        _DOT_ARROW = F.pandas_udf(
+            _dot_batch, DoubleType()
+        ).asNondeterministic()
+    return _DOT_ARROW(a, b)
 
 
 def pq_train(
@@ -995,6 +1056,14 @@ def assign_cells(
         .groupBy("__id")
         .agg(F.min("__s").alias("__s"))
     )
+    # Pin the SLIM argmin relation (r14, guide §3.3): the self-join
+    # consumer derives BOTH sides from this assignment, and without the
+    # pin each side re-ran the whole corpus×centroids cross join plus
+    # the argmin aggregation (the static plan held the chain twice —
+    # the two differently-projected exchanges never runtime-share).
+    # (id, struct) rows only — the vector column stays out of the pin;
+    # each branch re-derives it with a cheap narrow corpus scan.
+    best = best.localCheckpoint(eager=False)
     return d.join(best, "__id").select(
         "__id",
         "__v",
@@ -1009,6 +1078,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.85,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_salt: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings around centroids, then compare
@@ -1022,28 +1092,55 @@ def semantic_dedup_pairs(
     quadratic in cell size, so pick k ≈ n / target_cell to keep total
     pair work ≈ n·target_cell — linear in n at fixed cell size. Norms
     and double-casts are staged below the join (one per row, not per
-    pair)."""
+    pair).
+
+    ``pair_salt`` (r14, guide §2.5): with FEW cells the join has at most
+    k distinct keys, so the quadratic pair stage lands on ≤ k tasks no
+    matter how many cores exist (measured: single straggler task at
+    k=8/local[32]). Salt ``S``-ways — the left side keys on
+    ``xxhash64(id) mod S`` (deterministic, guide §2.5's rand() warning),
+    the right side replicates to every salt — so each in-cell pair is
+    produced exactly once while the work spreads over k·S keys. The
+    right-side shuffle grows ×S, so size S to the parallelism actually
+    needed (callers with k cells want S ≈ 2·cores/k; 1 = off)."""
     assigned = assign_cells(corpus, centroids, id_col, vec_col)
     a = assigned.select(
         F.col("__id").alias("vec_a"),
         F.col("__v").alias("emb_a"),
         F.col("__norm").alias("norm_a"),
         "cell",
+        F.pmod(F.xxhash64("__id"), F.lit(pair_salt)).alias("__salt"),
     )
     b = assigned.select(
         F.col("__id").alias("vec_b"),
         F.col("__v").alias("emb_b"),
         F.col("__norm").alias("norm_b"),
         F.col("cell").alias("cell_b"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(pair_salt)])
+        ).alias("__salt_b"),
     )
+    # In-cell pair similarity is the quadratic stage, and the dot was an
+    # interpreted zip_with/aggregate fold (CodegenFallback) per pair —
+    # ~cell_size²·dim lambda steps. _dot_arrow is its bit-exact Arrow
+    # twin (guide §4.2): projection context, dense arrays by
+    # construction, measured 3.4 → 1.1 s at sf0.1 with the same oracle
+    # hash. The fold stays identical, so cos_sim — and the emitted pair
+    # set at the threshold boundary — is unchanged.
     cos = F.round(
-        V.cosine_from(V.dot_raw("emb_a", "emb_b"), F.col("norm_a"), F.col("norm_b")),
+        V.cosine_from(
+            _dot_arrow(F.col("emb_a"), F.col("emb_b")),
+            F.col("norm_a"),
+            F.col("norm_b"),
+        ),
         6,
     )
     return (
         a.join(
             b,
-            (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("__salt") == F.col("__salt_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
         )
         .select("vec_a", "vec_b", "cell", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

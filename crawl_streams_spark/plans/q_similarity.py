@@ -571,7 +571,12 @@ def semantic_dedup_pairs(spark, sf_dir):
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), V.to_double_array("embedding").alias("centroid")
     )
-    return S.semantic_dedup_pairs(emb, cents, threshold=0.35)
+    # 8 fixed cells = at most 8 join keys for the quadratic pair stage
+    # at ANY scale, so salt to the session's width (guide §2.5): k·S ≳
+    # 2·cores keeps every core pairing. Results are salt-invariant —
+    # each in-cell pair is produced exactly once for any S.
+    salt = max(1, (2 * spark.sparkContext.defaultParallelism + 7) // 8)
+    return S.semantic_dedup_pairs(emb, cents, threshold=0.35, pair_salt=salt)
 
 
 _DENS_TAU = 0.15  # density radius (neighbor threshold)
